@@ -1,0 +1,166 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, functions => F}
+
+/** Schema-full property-graph schema system.
+  *
+  * Mirrors the reference's four explicit meta-types (SchemaManager builders,
+  * reference `hugegraph-core/.../schema/SchemaManager.java:53-67`):
+  * PropertyKey / VertexLabel / EdgeLabel / IndexLabel — re-expressed as plain
+  * Scala case classes compiled down to Spark `StructType`s and `Column`
+  * expressions. There is no physical index machinery: columnar scans +
+  * Catalyst pushdown replace SECONDARY/RANGE/SHARD indexes (SURVEY §4.1);
+  * SEARCH keeps its tokenizer semantics (graft.functions.TextFunctions) and
+  * UNIQUE becomes an ingest-time constraint check.
+  */
+object GraphDataType extends Enumeration {
+  /** reference `.../type/define/DataType.java:33-46` */
+  val OBJECT, BOOLEAN, BYTE, INT, LONG, FLOAT, DOUBLE, TEXT, BLOB, DATE, UUID = Value
+
+  def toSpark(t: Value): DataType = t match {
+    case BOOLEAN => BooleanType
+    case BYTE    => ByteType
+    case INT     => IntegerType
+    case LONG    => LongType
+    case FLOAT   => FloatType
+    case DOUBLE  => DoubleType
+    case TEXT    => StringType
+    case BLOB    => BinaryType
+    case DATE    => TimestampType
+    case UUID    => StringType // canonical hex-with-dashes form
+    case OBJECT  => StringType // JSON-encoded opaque payload
+  }
+}
+
+object Cardinality extends Enumeration {
+  /** reference `.../type/define/Cardinality.java:24-40` */
+  val SINGLE, LIST, SET = Value
+}
+
+object AggregateType extends Enumeration {
+  /** Merge-on-write semantics, reference `.../type/define/AggregateType.java:20-28`.
+    * Applied at ingest via `groupBy(id).agg(...)` (Mutations.mergeProperties). */
+  val NONE, MAX, MIN, SUM, OLD, SET, LIST = Value
+}
+
+object IdStrategy extends Enumeration {
+  /** reference `.../type/define/IdStrategy.java:20-33` */
+  val AUTOMATIC, PRIMARY_KEY, CUSTOMIZE_STRING, CUSTOMIZE_NUMBER, CUSTOMIZE_UUID = Value
+}
+
+object IndexType extends Enumeration {
+  /** reference `.../type/define/IndexType.java:22-42`; semantics only — no
+    * physical index is materialized in the Spark engine. */
+  val SECONDARY, RANGE, SEARCH, SHARD, UNIQUE = Value
+}
+
+object Direction extends Enumeration {
+  /** reference `.../type/define/Directions.java:23-31` */
+  val OUT, IN, BOTH = Value
+}
+
+final case class PropertyKeyDef(
+    name: String,
+    dataType: GraphDataType.Value,
+    cardinality: Cardinality.Value = Cardinality.SINGLE,
+    aggregateType: AggregateType.Value = AggregateType.NONE) {
+  def sparkType: DataType = cardinality match {
+    case Cardinality.SINGLE => GraphDataType.toSpark(dataType)
+    case _                  => ArrayType(GraphDataType.toSpark(dataType))
+  }
+  def toField: StructField = StructField(name, sparkType, nullable = true)
+}
+
+final case class VertexLabelDef(
+    name: String,
+    properties: Seq[String],
+    idStrategy: IdStrategy.Value = IdStrategy.PRIMARY_KEY,
+    primaryKeys: Seq[String] = Nil,
+    nullableKeys: Seq[String] = Nil,
+    ttlMillis: Long = 0L)
+
+final case class EdgeLabelDef(
+    name: String,
+    sourceLabel: String,
+    targetLabel: String,
+    properties: Seq[String] = Nil,
+    /** SINGLE: at most one edge per (src,label,dst); MULTIPLE: distinguished
+      * by sortKeys (reference `.../type/define/Frequency.java:20-28`). */
+    multiple: Boolean = false,
+    sortKeys: Seq[String] = Nil,
+    ttlMillis: Long = 0L)
+
+final case class IndexLabelDef(
+    name: String,
+    baseLabel: String,
+    onVertex: Boolean,
+    indexType: IndexType.Value,
+    fields: Seq[String])
+
+/** The graph-level schema catalog. JSON round-trip via [[GraphSchema.toJson]]. */
+final case class GraphSchema(
+    propertyKeys: Seq[PropertyKeyDef],
+    vertexLabels: Seq[VertexLabelDef],
+    edgeLabels: Seq[EdgeLabelDef],
+    indexLabels: Seq[IndexLabelDef] = Nil) {
+
+  private val pkByName = propertyKeys.map(p => p.name -> p).toMap
+  def propertyKey(name: String): PropertyKeyDef = pkByName(name)
+  def vertexLabel(name: String): VertexLabelDef =
+    vertexLabels.find(_.name == name).getOrElse(sys.error(s"no vertex label $name"))
+  def edgeLabel(name: String): EdgeLabelDef =
+    edgeLabels.find(_.name == name).getOrElse(sys.error(s"no edge label $name"))
+
+  /** Edge labels that can start from a vertex of `vlabel` — the schema-link
+    * pruning metadata (reference `GraphTransaction.optimizeQuery:1560-1589`):
+    * a traversal step whose edge label cannot link the frontier's vertex
+    * label is skipped without touching storage. */
+  def outEdgeLabels(vlabel: String): Seq[EdgeLabelDef] =
+    edgeLabels.filter(_.sourceLabel == vlabel)
+  def inEdgeLabels(vlabel: String): Seq[EdgeLabelDef] =
+    edgeLabels.filter(_.targetLabel == vlabel)
+  def canLink(edgeLabel: String, srcVertexLabel: String): Boolean =
+    edgeLabels.exists(e => e.name == edgeLabel && e.sourceLabel == srcVertexLabel)
+
+  /** Static StructType for the unioned vertices table of this schema. */
+  def vertexStruct: StructType = {
+    val props = vertexLabels.flatMap(_.properties).distinct.map(p => pkByName(p).toField)
+    StructType(
+      StructField("id", StringType, nullable = false) +:
+      StructField("label", StringType, nullable = false) +: props)
+  }
+
+  def edgeStruct: StructType = {
+    val props = edgeLabels.flatMap(_.properties).distinct.map(p => pkByName(p).toField)
+    StructType(
+      StructField("src", StringType, nullable = false) +:
+      StructField("dst", StringType, nullable = false) +:
+      StructField("label", StringType, nullable = false) +:
+      StructField("sort_values", StringType, nullable = true) +: props)
+  }
+
+  def toJson: String = {
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    val pks = propertyKeys.map(p =>
+      s"""{"name":"${p.name}","dataType":"${p.dataType}","cardinality":"${p.cardinality}","aggregateType":"${p.aggregateType}"}""")
+    val vls = vertexLabels.map(v =>
+      s"""{"name":"${v.name}","properties":${arr(v.properties)},"idStrategy":"${v.idStrategy}","primaryKeys":${arr(v.primaryKeys)}}""")
+    val els = edgeLabels.map(e =>
+      s"""{"name":"${e.name}","sourceLabel":"${e.sourceLabel}","targetLabel":"${e.targetLabel}","properties":${arr(e.properties)},"multiple":${e.multiple},"sortKeys":${arr(e.sortKeys)}}""")
+    s"""{"propertyKeys":[${pks.mkString(",")}],"vertexLabels":[${vls.mkString(",")}],"edgeLabels":[${els.mkString(",")}]}"""
+  }
+}
+
+object IdSplicer {
+  /** PRIMARY_KEY id strategy: id spliced from label + primary-key values —
+    * mirrors reference `.../backend/id/SplicingIdGenerator.java` with a
+    * readable `label:pk1:pk2` canonical form. */
+  def spliceId(label: String, pkCols: Column*): Column =
+    F.concat_ws(":", (F.lit(label) +: pkCols.map(_.cast(StringType))): _*)
+
+  /** EdgeId — 6-part composite identity mirroring
+    * reference `.../backend/id/EdgeId.java:31-43`. */
+  def edgeId(src: Column, label: Column, sortValues: Column, dst: Column): Column =
+    F.concat_ws("|", src, label, F.coalesce(sortValues, F.lit("")), dst)
+}

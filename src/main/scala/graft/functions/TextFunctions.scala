@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Text/tokenizer functions — the SEARCH-index & analyzer semantic surface of
+  * the reference (`.../analyzer/Analyzer.java:22-24`, 8 pluggable analyzers;
+  * `GraphIndexTransaction.segmentWords:897`; `Condition.java:94-99`
+  * TEXT_CONTAINS / TEXT_CONTAINS_ANY), plus the text-analysis operators a
+  * training-data pipeline needs (language id, quality scoring, token counting,
+  * fingerprinting).
+  *
+  * Everything here composes `org.apache.spark.sql.functions` built-ins, so the
+  * whole surface stays inside whole-stage codegen — no UDFs.
+  */
+object TextFunctions {
+
+  /** Default analyzer: lowercase, split on non-alphanumerics, drop empties.
+    * (The reference's English analyzer path; CJK analyzers would plug in as
+    * alternative tokenize implementations.) */
+  def tokenize(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Tokenized word containment (reference `Text.contains`,
+    * `.../traversal/optimize/Text.java:23-32`). */
+  def textContains(c: Column, word: String): Column =
+    array_contains(tokenize(c), word.toLowerCase)
+
+  def textContainsAny(c: Column, words: Seq[String]): Column =
+    arrays_overlap(tokenize(c), lit(words.map(_.toLowerCase).toArray))
+
+  // ---------------------------------------------------------------- pipeline
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column = size(tokenize(c))
+
+  /** BPE-ish sub-token count: letter runs, digit runs, single punctuation. */
+  val bpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit(bpeTokenPattern), lit(0)))
+
+  /** Stopword sets for the n-gram language-id heuristic. Deterministic and
+    * tiny on purpose — the point is the distributed shape, not NLP quality. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "es"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "est", "un"))
+
+  /** Language-ID: argmax over per-language stopword hit counts; ties broken
+    * by the fixed language order above; no hits at all → "und" (undetermined). */
+  def langId(c: Column): Column = {
+    val toks = tokenize(c)
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Quality features: chars, tokens, mean token length, punctuation ratio,
+    * stopword ratio, and a composite score in [0,1]. */
+  def qualityStruct(c: Column): Column = {
+    val toks = tokenize(c)
+    val nChars = length(c).cast("double")
+    val nToks = size(toks).cast("double")
+    val punct = length(regexp_replace(lower(c), "[a-z0-9\\s]", "")).cast("double")
+    val stop = size(filter(toks,
+      t => t.isin(langStopwords.flatMap(_._2).distinct: _*))).cast("double")
+    val meanTokLen = when(nToks > 0, aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nToks).otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
+    val stopRatio = when(nToks > 0, stop / nToks).otherwise(lit(0.0))
+    struct(
+      nChars.as("n_chars"), nToks.as("n_tokens"),
+      round(meanTokLen, 4).as("mean_token_len"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"))
+  }
+
+  /** Content-defined fingerprint: md5 over the sorted distinct token set —
+    * order-insensitive near-exact dedup key. */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokenize(c)))))
+
+  /** Word n-gram shingles (arrays of `n` consecutive tokens joined by space). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokenize(c)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Vector similarity over `array<float>` embedding columns.
+  *
+  * The composable route (`zip_with` + `aggregate`) materializes an
+  * intermediate array per row; for ANN brute force over 100 TB that
+  * allocation dominates. [[CosineSimExpr]] / [[DotProductExpr]] are native
+  * Catalyst expressions that loop the two float arrays directly and stay
+  * inside whole-stage codegen via a static-method call (no UDF, no
+  * serialization boundary). Preference order per SURVEY §4.3 / spark_guide:
+  * built-ins < native Expression < UDF — this is the middle rung, used only
+  * because the built-in composition genuinely allocates.
+  */
+object VectorFunctions {
+
+  /** Static kernels referenced from generated code — must be `public static`
+    * (object methods compile to static under a `$` class; we expose a Java
+    * static-friendly forwarder below). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i); val y = b.getFloat(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
+    s
+  }
+
+  abstract class VecBinary extends BinaryExpression {
+    // inputs are array<float>; callers pass embedding columns directly
+    override def dataType: DataType = DoubleType
+    protected def kernel: String // fully-qualified static call target
+    protected def compute(a: ArrayData, b: ArrayData): Double
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $kernel($a, $b);")
+  }
+
+  case class CosineSimExpr(left: Expression, right: Expression) extends VecBinary {
+    override protected def kernel: String = "graft.functions.VectorFunctions.cosine"
+    override protected def compute(a: ArrayData, b: ArrayData): Double = cosine(a, b)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "cosine_sim"
+  }
+
+  case class DotProductExpr(left: Expression, right: Expression) extends VecBinary {
+    override protected def kernel: String = "graft.functions.VectorFunctions.dot"
+    override protected def compute(a: ArrayData, b: ArrayData): Double = dot(a, b)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "dot_product"
+  }
+
+  /** Register `cosine_sim` / `dot_product` for this session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProductExpr(es.head, es(1)), "built-in")
+  }
+
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  /** Pure-builtin fallback (also the cross-check in tests). */
+  def cosineSimBuiltin(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / sqrt(na * nb))
+  }
+
+  /** Sign-random-projection (SRP/LSH) bucket for cosine similarity: `bits`
+    * hyperplanes with deterministic ±1 coefficients derived from md5 of
+    * (plane, dim). Vectors in the same bucket are near-duplicate candidates —
+    * the scale path for ANN: bucket-join instead of cross-join. */
+  def srpBucket(v: Column, bits: Int, dims: Int): Column = {
+    val planeSigns: Seq[Seq[Int]] = (0 until bits).map { p =>
+      (0 until dims).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"srp:$p:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+    val bitCols = planeSigns.map { signs =>
+      val dotp = aggregate(
+        zip_with(v, lit(signs.toArray), (x, s) => x.cast("double") * s.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotp >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bitCols: _*)
+  }
+}
