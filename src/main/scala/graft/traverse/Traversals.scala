@@ -1,0 +1,267 @@
+package graft.traverse
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** OLTP traverser algorithms (SURVEY §2.12) re-expressed as frontier-join
+  * dataflows.
+  *
+  * The reference executes these as per-vertex prefix scans fanned out over a
+  * thread pool (`OltpTraverser.traverseIdsByBfs`, `HugeTraverser
+  * .edgesOfVertex:376-440`) — a nested-loop index join. Here a frontier is a
+  * DataFrame and one BFS layer is ONE distributed hash join of the frontier
+  * against the edge table: batching, parallelism and memory arbitration all
+  * come from Spark. At 100 TB the frontier join shuffles on `src`/`id`; a
+  * graph stored bucketed by `src` co-locates every layer with zero shuffle
+  * on the edges side.
+  *
+  * Scale notes baked into the kernel:
+  *  - every loop iteration derives from the *previous frontier only* (no
+  *    recomputation of the whole lineage per layer);
+  *  - `localCheckpoint` every [[BfsFrame.checkpointEvery]] layers cuts the
+  *    growing lineage that otherwise re-executes at each action;
+  *  - visited/dedup is a `left_anti` join (shuffle on id), the distributed
+  *    analogue of the reference's concurrent id set
+  *    (`ConcurrentVerticesConsumer`, OltpTraverser.java:282-320).
+  */
+object Traversals {
+
+  /** One BFS layer: frontier(id, …carry) ⋈ edges(src,dst) → next ids.
+    * Using-column join on renamed inputs — the frontier usually derives from
+    * the same edges plan, and dataset-qualified refs (`edges("dst")`) would
+    * trip Spark's ambiguous-self-join check. */
+  private def expand(frontier: DataFrame, edges: DataFrame): DataFrame =
+    frontier.select(col("id").as("src"))
+      .join(edges.select(col("src"), col("dst")), Seq("src"))
+      .select(col("dst").as("id"))
+
+  private def checkpointIfNeeded(df: DataFrame, layer: Int, every: Int = 3): DataFrame =
+    if (layer > 0 && layer % every == 0) df.localCheckpoint(eager = true) else df
+
+  /** k-neighbor: all vertices within ≤ maxDepth hops of source, excluding
+    * the source itself (reference `KneighborTraverser.kneighbor:39`,
+    * `KneighborRecords.getRecords` skips record 0). Layered BFS with
+    * first-visit semantics. Returns DF(id). */
+  def kneighbor(g: PropertyGraph, source: String, dir: Direction.Value,
+                labels: Seq[String] = Nil, maxDepth: Int, degree: Long = -1L): DataFrame = {
+    val edges = EdgeStep(dir, labels, degree = degree).edgesFor(g)
+      .select(col("src"), col("dst"))
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    var visited = Seq(source).toDF("id")
+    var frontier = visited
+    for (depth <- 1 to maxDepth) {
+      frontier = expand(frontier, edges).distinct()
+        .join(visited, Seq("id"), "left_anti")
+      frontier = checkpointIfNeeded(frontier, depth)
+      visited = visited.union(frontier)
+    }
+    visited.filter(col("id") =!= source).distinct()
+  }
+
+  /** k-out nearest=true: vertices at exactly `depth` hops and not reachable
+    * sooner (reference `KoutTraverser.kout:43` with visited set). */
+  def koutNearest(g: PropertyGraph, source: String, dir: Direction.Value,
+                  labels: Seq[String] = Nil, depth: Int): DataFrame = {
+    val edges = EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst"))
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    var visited = Seq(source).toDF("id")
+    var frontier = visited
+    for (d <- 1 to depth) {
+      frontier = expand(frontier, edges).distinct()
+        .join(visited, Seq("id"), "left_anti")
+      frontier = checkpointIfNeeded(frontier, d)
+      visited = visited.union(frontier)
+    }
+    frontier
+  }
+
+  /** k-out nearest=false: vertices reachable by SOME walk of exactly `depth`
+    * steps (source excluded — `ConcurrentVerticesConsumer` always drops it). */
+  def koutAll(g: PropertyGraph, source: String, dir: Direction.Value,
+              labels: Seq[String] = Nil, depth: Int): DataFrame = {
+    val edges = EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst"))
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    var frontier = Seq(source).toDF("id")
+    for (d <- 1 to depth) {
+      frontier = expand(frontier, edges).distinct()
+      frontier = checkpointIfNeeded(frontier, d)
+    }
+    frontier.filter(col("id") =!= source)
+  }
+
+  /** Distinct neighbor set of one vertex. */
+  def neighbors(g: PropertyGraph, v: String, dir: Direction.Value,
+                labels: Seq[String] = Nil): DataFrame =
+    EdgeStep(dir, labels).edgesFor(g).filter(col("src") === v)
+      .select(col("dst").as("id")).distinct()
+
+  /** Common neighbors of two vertices (reference `SameNeighborTraverser:38`). */
+  def sameNeighbors(g: PropertyGraph, a: String, b: String, dir: Direction.Value,
+                    labels: Seq[String] = Nil): DataFrame =
+    neighbors(g, a, dir, labels).intersect(neighbors(g, b, dir, labels))
+
+  /** |N(a)∩N(b)| / |N(a)∪N(b)| (reference `JaccardSimilarTraverser:48`). */
+  def jaccardSimilarity(g: PropertyGraph, a: String, b: String, dir: Direction.Value,
+                        labels: Seq[String] = Nil): DataFrame = {
+    val na = neighbors(g, a, dir, labels)
+    val nb = neighbors(g, b, dir, labels)
+    val inter = na.intersect(nb).count().toDouble
+    val union = na.union(nb).distinct().count().toDouble
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    Seq(if (union == 0.0) 0.0 else inter / union).toDF("similarity")
+      .select(round(col("similarity"), 9).as("similarity"))
+  }
+
+  /** Common-neighbor link-prediction scores
+    * (reference `PredictionTraverser.adamicAdar:36` / `resourceAllocation:53`):
+    * Σ over common neighbors z of 1/log(deg z) resp. 1/deg z, where deg is
+    * the BOTH-direction edge count of z restricted to `labels`. */
+  private def predictionScore(g: PropertyGraph, a: String, b: String,
+                              dir: Direction.Value, labels: Seq[String],
+                              inv: Column => Column): DataFrame = {
+    val common = sameNeighbors(g, a, b, dir, labels)
+    val deg = g.adjacency(Direction.BOTH, labels)
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    common.join(deg, Seq("id"))
+      .agg(round(coalesce(sum(inv(col("deg"))), lit(0.0)), 9).as("score"))
+  }
+
+  def adamicAdar(g: PropertyGraph, a: String, b: String,
+                 dir: Direction.Value = Direction.BOTH, labels: Seq[String] = Nil): DataFrame =
+    predictionScore(g, a, b, dir, labels, d => lit(1.0) / log(d))
+
+  def resourceAllocation(g: PropertyGraph, a: String, b: String,
+                         dir: Direction.Value = Direction.BOTH, labels: Seq[String] = Nil): DataFrame =
+    predictionScore(g, a, b, dir, labels, d => lit(1.0) / d)
+
+  /** Unweighted shortest-path distance via bidirectional BFS — alternating
+    * expansion of the smaller frontier with a meet join per round (reference
+    * `ShortestPathTraverser.forward:179/backward:225`). Returns DF(dist)
+    * (single row; empty if unreachable within maxDepth). */
+  def shortestPathDist(g: PropertyGraph, source: String, target: String,
+                       dir: Direction.Value, labels: Seq[String] = Nil,
+                       maxDepth: Int): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    if (source == target) return Seq(0L).toDF("dist")
+    val fwdEdges = EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst"))
+    val revDir = dir match {
+      case Direction.OUT  => Direction.IN
+      case Direction.IN   => Direction.OUT
+      case Direction.BOTH => Direction.BOTH
+    }
+    val bwdEdges = EdgeStep(revDir, labels).edgesFor(g).select(col("src"), col("dst"))
+
+    var fwd = Seq(source).toDF("id"); var fwdSeen = fwd; var fwdDepth = 0
+    var bwd = Seq(target).toDF("id"); var bwdSeen = bwd; var bwdDepth = 0
+    var found = -1L
+    var fwdCnt = 1L; var bwdCnt = 1L
+    while (found < 0 && fwdDepth + bwdDepth < maxDepth && fwdCnt > 0 && bwdCnt > 0) {
+      if (fwdCnt <= bwdCnt) {
+        fwd = expand(fwd, fwdEdges).distinct().join(fwdSeen, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        fwdSeen = fwdSeen.union(fwd); fwdDepth += 1; fwdCnt = fwd.count()
+      } else {
+        bwd = expand(bwd, bwdEdges).distinct().join(bwdSeen, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        bwdSeen = bwdSeen.union(bwd); bwdDepth += 1; bwdCnt = bwd.count()
+      }
+      // meet: smallest combined depth at which the frontiers intersect
+      if (fwd.join(bwd, Seq("id"), "left_semi").limit(1).count() > 0)
+        found = fwdDepth + bwdDepth
+    }
+    if (found >= 0) Seq(found).toDF("dist") else Seq.empty[Long].toDF("dist")
+  }
+
+  /** All simple-vertex paths source→target up to maxDepth hops, as
+    * '->'-joined id strings (reference `PathsTraverser.paths:38`; vertex
+    * paths — parallel multi-edges collapse). Cycles are excluded the way the
+    * reference's Path.contains check does. */
+  def paths(g: PropertyGraph, source: String, target: String, dir: Direction.Value,
+            labels: Seq[String] = Nil, maxDepth: Int): DataFrame = {
+    val edges = EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct()
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    var frontier = Seq(Tuple2(source, Seq(source))).toDF("id", "path")
+    var acc = frontier.filter(lit(false))
+    for (d <- 1 to maxDepth) {
+      frontier = frontier.join(edges, frontier("id") === edges("src"))
+        .filter(!array_contains(col("path"), col("dst"))) // simple paths
+        .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(frontier.filter(col("id") === target))
+    }
+    acc.select(concat_ws("->", col("path")).as("path")).distinct()
+  }
+
+  /** Multi-step reachability count (reference `CountTraverser.count:47`) —
+    * edge-path count without dedup: one count per distinct walk. */
+  def countWalks(g: PropertyGraph, source: String, steps: Seq[EdgeStep]): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    var frontier = Seq(source).toDF("id")
+    steps.foreach { st =>
+      val e = st.edgesFor(g).select(col("src"), col("dst"))
+      frontier = frontier.select(col("id").as("src")).join(e, Seq("src"))
+        .select(col("dst").as("id"))
+    }
+    frontier.agg(count(lit(1)).as("n"))
+  }
+
+  /** Edges between two given vertices (reference `EdgeExistenceTraverser`). */
+  def edgeExistence(g: PropertyGraph, source: String, target: String,
+                    label: Option[String] = None): DataFrame = {
+    var e = g.edges.filter(col("src") === source && col("dst") === target)
+    label.foreach(l => e = e.filter(col("label") === l))
+    e.select(col("src"), col("dst"), col("label"), col("sort_values"))
+  }
+
+  /** PersonalRank — random walk with restart on a bipartite edge label,
+    * math copied exactly from reference `PersonalRankTraverser.java:49-140`:
+    *  - ranks start {source → 1.0}; seeds alternate walk direction per side;
+    *  - each iteration EVERY ranked vertex distributes α·rank/deg along its
+    *    side's direction (multi-edges count: contributions are per edge);
+    *  - vertices with no out-going side edges keep their rank;
+    *  - the root is compensated with +(1-α) every iteration;
+    *  - after maxDepth iterations, the root and its depth-1 adjacencies are
+    *    removed (`rootAdjacencies`), mirroring compensateRoot/removeAll.
+    * Returns DF(id, rank) rounded to 9 decimals. */
+  def personalRank(g: PropertyGraph, source: String, label: String,
+                   alpha: Double, maxDepth: Int): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    // directed edges of the bipartite label, kept once; "forward" = src side
+    val fwd = g.outEdges.filter(col("label") === label).select(col("src"), col("dst"))
+    val bwd = fwd.select(col("dst").as("src"), col("src").as("dst"))
+    val walk = fwd.select(col("src"), col("dst"))
+      .unionByName(bwd) // every vertex walks along its own side's direction
+    val deg = walk.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+
+    var ranks = Seq((source, 1.0)).toDF("id", "rank")
+    var rootAdj: DataFrame = null
+    for (i <- 0 until maxDepth) {
+      val withDeg = ranks.join(deg, Seq("id"), "left")
+      val pushed = withDeg.filter(col("deg").isNotNull)
+        .join(walk.withColumnRenamed("src", "id"), Seq("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") * alpha / col("deg")).as("rank"))
+      val kept = withDeg.filter(col("deg").isNull).select(col("id"), col("rank"))
+      val merged = pushed.unionByName(kept)
+        .groupBy(col("id")).agg(sum(col("rank")).as("rank"))
+      // compensate root
+      val rootRow = Seq((source, 1.0 - alpha)).toDF("id", "rank")
+      ranks = merged.unionByName(rootRow)
+        .groupBy(col("id")).agg(sum(col("rank")).as("rank"))
+        .localCheckpoint(true)
+      if (i == 0) rootAdj = ranks.select(col("id")).localCheckpoint(true)
+    }
+    ranks.join(rootAdj, Seq("id"), "left_anti")
+      .select(col("id"), round(col("rank"), 9).as("rank"))
+  }
+}
