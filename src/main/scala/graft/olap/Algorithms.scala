@@ -1,0 +1,210 @@
+package graft.olap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Direction, PropertyGraph}
+
+/** OLAP job algorithms (SURVEY §2.13, reference `.../job/algorithm/`) as
+  * whole-graph DataFrame programs.
+  *
+  * The reference delegates big OLAP to an external Pregel system
+  * (hugegraph-computer); here every algorithm is an iterative dataflow whose
+  * per-iteration work is one join + one aggregation — the shape that scales
+  * linearly with executors. Iterative loops `localCheckpoint` each round:
+  * without it the lineage and optimizer time grow quadratically with
+  * iteration count (the classic iterative-Spark trap).
+  *
+  * Edge-DF convention: `(src, dst)`, directed. Undirected algorithms take a
+  * canonical `src < dst` edge set and symmetrize internally.
+  */
+object Algorithms {
+
+  /** Per-vertex degree (reference `cent/DegreeCentralityAlgorithm.java:48`). */
+  def degreeCentrality(g: PropertyGraph, dir: Direction.Value): DataFrame =
+    g.adjacency(dir).groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+
+  /** Per-label element counts (`CountVertexAlgorithm` / `CountEdgeAlgorithm`). */
+  def countVertex(g: PropertyGraph): DataFrame =
+    g.vertices.groupBy(col("label")).agg(count(lit(1)).as("n"))
+  def countEdge(g: PropertyGraph): DataFrame =
+    g.edges.groupBy(col("label")).agg(count(lit(1)).as("n"))
+
+  /** Fixed-iteration PageRank (reference `rank/PageRankAlgorithm.java:67`):
+    * r' = (1-α)/N + α·Σ_{u→v} r(u)/outdeg(u); dangling mass is not
+    * redistributed (matches the reference's per-edge push). */
+  def pageRank(g: PropertyGraph, alpha: Double, iterations: Int): DataFrame = {
+    val verts = g.vertices.select(col("id")).localCheckpoint(true)
+    val edges = g.outEdges.select(col("src"), col("dst")).localCheckpoint(true)
+    val n = verts.count().toDouble
+    val outdeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint(true)
+    var ranks = verts.withColumn("rank", lit(1.0 / n))
+    for (_ <- 0 until iterations) {
+      val contrib = ranks.join(outdeg, Seq("id"))
+        .select(col("id").as("src"), (col("rank") / col("deg")).as("c"))
+        .join(edges, Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
+      ranks = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - alpha) / n) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id"), round(col("rank"), 9).as("rank"))
+  }
+
+  /** Weakly-connected components by iterative min-id propagation to fixpoint
+    * (reference `comm/WeakConnectedComponent.java:57`). Component id = min
+    * vertex id (string order) in the component. */
+  def wcc(verts: DataFrame, undirectedEdges: DataFrame): DataFrame = {
+    val adj = undirectedEdges.select(col("src"), col("dst"))
+      .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var comp = verts.select(col("id"), col("id").as("component"))
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = comp.select(col("id").as("src"), col("component"))
+        .join(adj, Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("component")).as("nbr_min"))
+      val next = comp.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next.join(comp.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      comp = next
+    }
+    comp
+  }
+
+  /** Canonical undirected edge set (src < dst, distinct). */
+  def canonical(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+
+  /** Per-vertex triangle count (reference `comm/TriangleCountAlgorithm.java:65`).
+    * Enumerates oriented triangles a<b<c with two joins — each triangle found
+    * exactly once — then credits all three corners. */
+  def triangleCount(canonicalEdges: DataFrame): DataFrame = {
+    val e = canonicalEdges.localCheckpoint(true)
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.dst") === col("bc.src"))
+      .join(e.as("ac"), col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Local clustering coefficient = 2T / (deg·(deg-1)) over the same
+    * undirected graph (reference `comm/ClusterCoefficientAlgorithm.java:44`). */
+  def clusterCoefficient(canonicalEdges: DataFrame): DataFrame = {
+    val deg = canonicalEdges.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).cast("double").as("deg"))
+    deg.join(triangleCount(canonicalEdges), Seq("id"), "left")
+      .select(col("id"),
+        round(when(col("deg") > 1,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1.0)))
+          .otherwise(lit(0.0)), 9).as("cc"))
+  }
+
+  /** k-core: iterative peeling of vertices with degree < k to fixpoint
+    * (reference `comm/KCoreAlgorithm.java:71`). Returns surviving vertices
+    * with their core-subgraph degree. */
+  def kcore(canonicalEdges: DataFrame, k: Int): DataFrame = {
+    var edges = canonicalEdges.localCheckpoint(true)
+    var done = false
+    while (!done) {
+      val deg = edges.select(explode(array(col("src"), col("dst"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("id")).localCheckpoint(true)
+      val next = edges
+        .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      done = next.count() == edges.count()
+      edges = next
+    }
+    edges.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Multi-source BFS distances: (root, id, dist) for all reachable pairs —
+    * the kernel behind closeness/betweenness sampling (reference
+    * `BfsTraverser`). Roots ride along as a frontier tag column. */
+  def multiSourceBfs(verts: DataFrame, undirectedEdges: DataFrame, maxDepth: Int): DataFrame = {
+    val adj = undirectedEdges.select(col("src"), col("dst"))
+      .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var seen = verts.select(col("id").as("root"), col("id"), lit(0L).as("dist"))
+    var frontier = seen
+    var d = 0L
+    var cnt = 1L
+    while (cnt > 0 && d < maxDepth) {
+      d += 1
+      frontier = frontier.select(col("root"), col("id").as("src"))
+        .join(adj, Seq("src"))
+        .select(col("root"), col("dst").as("id")).distinct()
+        .join(seen.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      cnt = frontier.count()
+      seen = seen.union(frontier)
+    }
+    seen
+  }
+
+  /** Closeness centrality Σ 1/d(s,t) (reference
+    * `cent/ClosenessCentralityAlgorithmV2.java:46`). */
+  def closenessCentrality(verts: DataFrame, undirectedEdges: DataFrame, maxDepth: Int): DataFrame =
+    multiSourceBfs(verts, undirectedEdges, maxDepth)
+      .filter(col("dist") > 0)
+      .groupBy(col("root").as("id"))
+      .agg(round(sum(lit(1.0) / col("dist")), 9).as("closeness"))
+
+  /** Eigenvector centrality by L1-normalized power iteration (reference
+    * `cent/EigenvectorCentralityAlgorithm.java:40`). */
+  def eigenvector(verts: DataFrame, canonicalEdges: DataFrame, iterations: Int): DataFrame = {
+    val adj = canonicalEdges.select(col("src"), col("dst"))
+      .union(canonicalEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var x = verts.select(col("id"), lit(1.0).as("x"))
+    for (_ <- 0 until iterations) {
+      val s = x.select(col("id").as("src"), col("x"))
+        .join(adj, Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("x")).as("s"))
+      val joined = verts.join(s, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
+        .localCheckpoint(true)
+      val norm = joined.agg(sum(col("s"))).head().getDouble(0)
+      x = joined.select(col("id"), (col("s") / norm).as("x")).localCheckpoint(true)
+    }
+    x.select(col("id"), round(col("x"), 9).as("x"))
+  }
+
+  /** Synchronous label propagation with deterministic min-label tie-break
+    * (reference `comm/LpaAlgorithm.java:63`; the reference breaks frequency
+    * ties randomly — we pin min(label) so runs are reproducible). */
+  def lpa(verts: DataFrame, undirectedEdges: DataFrame, iterations: Int): DataFrame = {
+    val adj = undirectedEdges.select(col("src"), col("dst"))
+      .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = verts.select(col("id"), col("id").as("lbl"))
+    for (_ <- 0 until iterations) {
+      val freq = labels.select(col("id").as("src"), col("lbl"))
+        .join(adj, Seq("src"))
+        .groupBy(col("dst").as("id"), col("lbl")).agg(count(lit(1)).as("n"))
+      // deterministic: highest count, then lexicographically smallest label —
+      // expressed via min over (-n, lbl)
+      val pick = freq
+        .select(col("id"), struct((col("n") * -1).as("neg"), col("lbl")).as("key"))
+        .groupBy(col("id")).agg(min(col("key")).as("k"))
+        .select(col("id"), col("k.lbl").as("nbr_lbl"))
+      labels = verts.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nbr_lbl"), col("id")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+}
