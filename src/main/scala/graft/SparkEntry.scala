@@ -9,7 +9,7 @@ import graft.queries._
 object SparkEntry {
 
   def registries: Seq[QueryDef] =
-    RelationalQueries.defs ++ GraphQueries.defs ++ OlapQueries.defs
+    RelationalQueries.defs ++ GraphQueries.defs ++ OlapQueries.defs ++ DocQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

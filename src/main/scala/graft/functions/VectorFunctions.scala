@@ -27,7 +27,9 @@ object VectorFunctions {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val x = a.getFloat(i); val y = b.getFloat(i)
+      // widen to double BEFORE multiplying — float*float would round twice
+      // and diverge from any double-precision re-computation of the result
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
@@ -90,15 +92,19 @@ object VectorFunctions {
     * hyperplanes with deterministic ±1 coefficients derived from md5 of
     * (plane, dim). Vectors in the same bucket are near-duplicate candidates —
     * the scale path for ANN: bucket-join instead of cross-join. */
-  def srpBucket(v: Column, bits: Int, dims: Int): Column = {
-    val planeSigns: Seq[Seq[Int]] = (0 until bits).map { p =>
+  /** Deterministic ±1 hyperplane coefficients (md5-derived) — shared with
+    * the SQL oracle, which embeds them as literals. */
+  def planeSigns(bits: Int, dims: Int): Seq[Seq[Int]] =
+    (0 until bits).map { p =>
       (0 until dims).map { d =>
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(s"srp:$p:$d".getBytes("UTF-8"))
         if ((h(0) & 1) == 0) 1 else -1
       }
     }
-    val bitCols = planeSigns.map { signs =>
+
+  def srpBucket(v: Column, bits: Int, dims: Int): Column = {
+    val bitCols = planeSigns(bits, dims).map { signs =>
       val dotp = aggregate(
         zip_with(v, lit(signs.toArray), (x, s) => x.cast("double") * s.cast("double")),
         lit(0.0), (acc, x) => acc + x)

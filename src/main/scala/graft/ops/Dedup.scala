@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, TextFunctions}
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale shape: exact dedup is one hash-groupBy; MinHash+LSH turns the
+  * quadratic all-pairs problem into (a) per-doc signature computation — a
+  * narrow map, (b) an explode to `bands` rows per doc, (c) a shuffle-join on
+  * band key — candidate pairs only, (d) exact verification of candidates.
+  * At 100 TB only step (c) shuffles, keyed by band bucket; hot buckets are
+  * bounded by a per-bucket cap (supernode-style truncation) in
+  * [[minhashCandidates]].
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one row per duplicated text
+    * with the canonical (min) id and the duplicate count. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+
+  /** Per-doc word n-gram shingle set + MinHash signature + LSH band keys. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 ngram: Int, k: Int, bands: Int, rows: Int): DataFrame = {
+    require(bands * rows == k, s"bands*rows must equal k ($bands*$rows != $k)")
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.shingles(col(textCol), ngram).as("sh"))
+      .withColumn("sig", HashFunctions.minhashSignature(col("sh"), k))
+      .withColumn("band_keys", HashFunctions.lshBandKeys(col("sig"), bands, rows))
+  }
+
+  /** Candidate pairs (a < b) that collide in ≥1 LSH band. `bucketCap`
+    * truncates pathological buckets (the skew guard at scale). */
+  def minhashCandidates(sigs: DataFrame, bucketCap: Int = 1000): DataFrame = {
+    val buckets = sigs.select(col("doc_id"), explode(col("band_keys")).as("bucket"))
+    val capped =
+      if (bucketCap > 0) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        buckets.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= bucketCap).drop("__rn")
+      } else buckets
+    capped.as("x").join(capped.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pairs, exact-verified: candidates from
+    * banding, then true shingle-set jaccard ≥ threshold. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      ngram: Int = 3, k: Int = 12, bands: Int = 6, rows: Int = 2,
+                      threshold: Double = 0.5): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, ngram, k, bands, rows)
+      .select(col("doc_id"), col("sh"), col("band_keys"))
+      .localCheckpoint(true)
+    val cand = minhashCandidates(sigs)
+    val shA = sigs.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+    cand.join(shA, Seq("a")).join(shB, Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_distinct(concat(col("sh_a"), col("sh_b")))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 9).as("jaccard"))
+  }
+
+  /** All-pairs n-gram jaccard over a bounded id range (the exact baseline
+    * the LSH path approximates). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        ngram: Int, maxId: Long): DataFrame = {
+    val sh = docs.filter(col(idCol) < maxId)
+      .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), ngram).as("sh"))
+    sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_distinct(concat(col("x.sh"), col("y.sh"))))).as("jaccard"))
+      .filter(col("jaccard") > 0)
+      .select(col("a"), col("b"), round(col("jaccard"), 9).as("jaccard"))
+  }
+
+  /** Per-doc 32-bit SimHash (near-dup = small hamming distance). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      HashFunctions.simhash32(TextFunctions.tokenize(col(textCol))).as("simhash"))
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.ops.{Ann, Dedup, Multimodal}
+import QueryDef._
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact / MinHash+LSH / SimHash / n-gram jaccard), similarity
+  * search (brute-force + SRP-bucketed ANN), text analysis (lang-id,
+  * quality, token counts, fingerprints) and multimodal binary plumbing.
+  * Oracles mirror the md5-based hash families exactly, so even the LSH
+  * candidate sets are reproducible in DuckDB. */
+object DocQueries {
+
+  /** DuckDB tokenizer identical to TextFunctions.tokenize. */
+  private val tok =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+  /** DuckDB 3-gram shingles identical to TextFunctions.shingles(_, 3). */
+  private val shingle3 =
+    """list_distinct(CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+      |  ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+
+  private val K = 12; private val BANDS = 6; private val ROWS = 2
+
+  private def sigExprs: String =
+    (0 until K).map(i =>
+      s"list_min(list_transform(sh, s -> md5('$i:' || s)))").mkString("[", ", ", "]")
+
+  private def bandExprs: String =
+    (0 until BANDS).map(b =>
+      s"'$b|' || md5(array_to_string(list_slice(sig, ${b * ROWS + 1}, ${b * ROWS + 2}), ','))")
+      .mkString("[", ", ", "]")
+
+  def minhashSql: String =
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, $tok AS toks FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id, $shingle3 AS sh FROM toks),
+       |sig AS MATERIALIZED (SELECT doc_id, sh, $sigExprs AS sig FROM sh),
+       |bk AS MATERIALIZED (SELECT doc_id, unnest($bandExprs) AS bucket FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |j AS (SELECT a, b,
+       |        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |        len(list_distinct(sa.sh || sb.sh)) AS jaccard
+       |      FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b)
+       |SELECT a, b, round(jaccard, 9) AS jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+
+  def simhashSql: String = {
+    val bits = (0 until 32).map { j =>
+      val nib = j / 4 + 1; val off = 3 - (j % 4)
+      s"""CASE WHEN list_sum(list_transform(toks,
+         |  t -> (((strpos('0123456789abcdef', substr(md5(t), $nib, 1)) - 1) >> $off) & 1) * 2 - 1)) > 0
+         |THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" || ")
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $tok AS toks FROM documents)
+       |SELECT doc_id, $bits AS simhash FROM t""".stripMargin
+  }
+
+  private val allStops =
+    TextFunctions.langStopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+
+  private def stopCount(lang: String): String = {
+    val ws = TextFunctions.langStopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> t IN ($ws)))"
+  }
+
+  def cosineSql(topK: Int, qFilter: String, cFilter: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE $qFilter),
+       |c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE $cFilter),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+       |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b) z) /
+       |    sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(q.qe) AS a) z2) *
+       |         (SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(c.ce) AS b) z3)) AS sim
+       |  FROM q CROSS JOIN c)
+       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+
+  /** SRP bucket expression with the plane-sign literals baked in. */
+  def srpBucketSqlExpr(colName: String, bits: Int, dims: Int): String =
+    VectorFunctions.planeSigns(bits, dims).map { signs =>
+      val lits = signs.map(s => s"CAST($s AS DOUBLE)").mkString("[", ", ", "]")
+      s"""CASE WHEN (SELECT sum(CAST(a AS DOUBLE) * s)
+         |FROM (SELECT unnest($colName) AS a, unnest($lits) AS s) zz) >= 0
+         |THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" || ")
+
+  def srpSql(topK: Int, bits: Int, dims: Int): String =
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${srpBucketSqlExpr("embedding", bits, dims)} AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
+       |c AS (SELECT vec_id, embedding AS ce, bucket FROM b WHERE vec_id >= 5),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    (SELECT sum(CAST(a AS DOUBLE) * CAST(b2 AS DOUBLE))
+       |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b2) z) /
+       |    sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(q.qe) AS a) z2) *
+       |         (SELECT sum(CAST(b2 AS DOUBLE) * CAST(b2 AS DOUBLE)) FROM (SELECT unnest(c.ce) AS b2) z3)) AS sim
+       |  FROM q JOIN c USING (bucket))
+       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q_dedup_exact",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+        |       CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1""".stripMargin) { (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    q("q_fingerprint",
+      s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents)
+         |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+         |FROM t""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    },
+
+    q("q_minhash_lsh", minhashSql, bench = true) { (s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        ngram = 3, k = K, bands = BANDS, rows = ROWS, threshold = 0.5)
+    },
+
+    q("q_simhash", simhashSql) { (s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    q("q_ngram_jaccard",
+      s"""WITH toks AS (SELECT doc_id, $tok AS toks FROM documents WHERE doc_id < 50),
+         |sh AS (SELECT doc_id, $shingle3 AS sh FROM toks),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |        CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |        len(list_distinct(x.sh || y.sh)) AS jaccard
+         |      FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+         |SELECT a, b, round(jaccard, 9) AS jaccard FROM p WHERE jaccard > 0""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", ngram = 3, maxId = 50L)
+    },
+
+    q("q_ann_cosine_topk",
+      cosineSql(10, "vec_id < 5", "vec_id >= 5"), bench = true) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), k = 10)
+    },
+
+    q("q_ann_srp_topk", srpSql(3, 8, 64)) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Ann.srpBucketTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        k = 3, bits = 8, dims = 64)
+    },
+
+    q("q_lang_id",
+      s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  ${stopCount("en")} AS s_en, ${stopCount("es")} AS s_es,
+         |  ${stopCount("de")} AS s_de, ${stopCount("fr")} AS s_fr FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         |       WHEN s_fr > s_en AND s_fr > s_es AND s_fr > s_de THEN 'fr'
+         |       WHEN s_de > s_en AND s_de > s_es THEN 'de'
+         |       WHEN s_es > s_en THEN 'es'
+         |       ELSE 'en' END AS lang_pred
+         |FROM s""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+    },
+
+    q("q_quality_score",
+      s"""WITH t AS (SELECT doc_id, text, $tok AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(toks) AS DOUBLE) AS n_tokens,
+         |  round(CASE WHEN len(toks) > 0
+         |    THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+         |    ELSE 0 END, 4) AS mean_token_len,
+         |  round(CASE WHEN length(text) > 0
+         |    THEN CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         |    ELSE 0 END, 4) AS punct_ratio,
+         |  round(CASE WHEN len(toks) > 0
+         |    THEN CAST(len(list_filter(toks, x -> x IN ($allStops))) AS DOUBLE) / len(toks)
+         |    ELSE 0 END, 4) AS stopword_ratio
+         |FROM t""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.qualityStruct(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_chars").as("n_chars"), col("q.n_tokens").as("n_tokens"),
+          col("q.mean_token_len").as("mean_token_len"), col("q.punct_ratio").as("punct_ratio"),
+          col("q.stopword_ratio").as("stopword_ratio"))
+    },
+
+    q("q_token_count",
+      s"""WITH t AS (SELECT doc_id, text, $tok AS toks FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe
+         |FROM t""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_ws"),
+        TextFunctions.tokenCountBpe(col("text")).cast("long").as("n_bpe"))
+    },
+
+    q("q_multimodal_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(unhex(repeat(md5(text), 1 + CAST(doc_id % 3 AS INT)))) AS BIGINT) AS n_bytes,
+        |  substr(md5(text), 1, 8) AS header_hex
+        |FROM documents""".stripMargin) { (s, d) =>
+      Multimodal.fakeAssets(Tables.documents(s, d))
+        .select(col("doc_id"),
+          length(col("bytes")).cast("long").as("n_bytes"),
+          lower(hex(substring(col("bytes"), 1, 4))).as("header_hex"))
+    })
+}
