@@ -9,11 +9,13 @@ import graft.queries._
 object SparkEntry {
 
   def registries: Seq[QueryDef] =
-    RelationalQueries.defs ++ GraphQueries.defs ++ OlapQueries.defs ++ DocQueries.defs
+    RelationalQueries.defs ++ GraphQueries.defs ++ OlapQueries.defs ++
+      DocQueries.defs ++ EventQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * 3-hop kneighbor over the TPC-H property-graph projection. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_join_multihop")(spark, "/root/testdata/sf0.001")
+    queries("q_kneighbor")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,153 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+import graft.core.{Cond, Direction, EdgeStep, PropertyGraph}
+
+/** Gremlin-flavoured fluent DSL over DataFrames (SURVEY §2.9) — the
+  * TinkerPop step surface re-expressed declaratively: every step is a lazy
+  * DataFrame transformation, so a whole traversal compiles to ONE Catalyst
+  * plan (scan → filters → joins → aggregates) instead of the reference's
+  * iterator pipeline (`HugeGraphStep`/`HugeVertexStep` pushdown steps become
+  * plain pushed-down predicates here).
+  *
+  * {{{
+  *   Graft.g(graph).V().hasLabel("person").has("age", Cond.gt("age", 29))
+  *     .out("knows").values("name")
+  * }}}
+  *
+  * Path tracking (`path()`, `simplePath()`, `cyclicPath()`) is carried as an
+  * `array<string>` column only when requested via `withPath` — the reference
+  * pays the Records bookkeeping on every traversal; we only materialize it
+  * on demand.
+  */
+final case class GraphTraversal(
+    g: PropertyGraph,
+    df: DataFrame,
+    isVertex: Boolean,
+    pathTracked: Boolean = false) {
+
+  private def vcols = g.vertices.columns
+
+  // ------------------------------------------------------------- filter steps
+  def hasLabel(labels: String*): GraphTraversal =
+    copy(df = df.filter(col("label").isin(labels: _*)))
+
+  def has(key: String, value: Any): GraphTraversal =
+    copy(df = df.filter(col(key) === lit(value)))
+
+  def has(cond: Cond): GraphTraversal = copy(df = df.filter(cond.compile))
+
+  def hasNot(key: String): GraphTraversal = copy(df = df.filter(col(key).isNull))
+
+  def hasId(ids: String*): GraphTraversal =
+    copy(df = df.filter(col("id").isin(ids: _*)))
+
+  def filter(c: Column): GraphTraversal = copy(df = df.filter(c))
+
+  def dedup(): GraphTraversal =
+    copy(df = if (pathTracked) df.dropDuplicates("id") else df.distinct())
+
+  def limit(n: Int): GraphTraversal = copy(df = df.limit(n))
+  def range(lo: Int, hi: Int): GraphTraversal = copy(df = df.offset(lo).limit(hi - lo))
+  def sample(fraction: Double, seed: Long = 42L): GraphTraversal =
+    copy(df = df.sample(fraction, seed))
+
+  /** `simplePath()` — drop walkers that revisit a vertex. */
+  def simplePath(): GraphTraversal = {
+    require(pathTracked, "simplePath() requires withPath()")
+    copy(df = df.filter(size(col("~path")) === size(array_distinct(col("~path")))))
+  }
+
+  /** `cyclicPath()` — keep only walkers that revisit a vertex. */
+  def cyclicPath(): GraphTraversal = {
+    require(pathTracked, "cyclicPath() requires withPath()")
+    copy(df = df.filter(size(col("~path")) =!= size(array_distinct(col("~path")))))
+  }
+
+  // ---------------------------------------------------------- traversal steps
+  private def step(dir: Direction.Value, labels: Seq[String]): GraphTraversal = {
+    val e = EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst"))
+    val carried = if (pathTracked) Seq(col("~path")) else Nil
+    val next = df.select((col("id").as("src") +: carried): _*)
+      .join(e, Seq("src"))
+      .select((col("dst").as("id") +:
+        (if (pathTracked) Seq(concat(col("~path"), array(col("dst"))).as("~path")) else Nil)): _*)
+    val withProps = next.join(g.vertices, Seq("id"), "left")
+    copy(df = withProps, isVertex = true)
+  }
+
+  def out(labels: String*): GraphTraversal = step(Direction.OUT, labels)
+  def in(labels: String*): GraphTraversal = step(Direction.IN, labels)
+  def both(labels: String*): GraphTraversal = step(Direction.BOTH, labels)
+
+  /** Edge steps: outE/inE/bothE → an edge-positioned traversal; inV/outV
+    * move back to the adjacent vertex. */
+  def outE(labels: String*): GraphTraversal = {
+    val e = EdgeStep(Direction.OUT, labels).edgesFor(g)
+    copy(df = df.select(col("id").as("src")).join(e, Seq("src")), isVertex = false)
+  }
+  def inE(labels: String*): GraphTraversal = {
+    val e = g.inEdges
+    val filtered = if (labels.isEmpty) e else e.filter(col("label").isin(labels: _*))
+    copy(df = df.select(col("id").as("src")).join(filtered, Seq("src")), isVertex = false)
+  }
+  def inV(): GraphTraversal = // edge → head vertex
+    copy(df = df.select(col("dst").as("id")).join(g.vertices, Seq("id"), "left"), isVertex = true)
+  def outV(): GraphTraversal =
+    copy(df = df.select(col("src").as("id")).join(g.vertices, Seq("id"), "left"), isVertex = true)
+
+  /** `repeat(n)(…)` — bounded repetition (the reference's repeat/times). */
+  def repeat(times: Int)(f: GraphTraversal => GraphTraversal): GraphTraversal =
+    (0 until times).foldLeft(this)((t, _) => f(t))
+
+  // ------------------------------------------------------------- map steps
+  def id(): DataFrame = df.select(col("id"))
+  def values(key: String): DataFrame = df.select(col(key)).filter(col(key).isNotNull)
+  def valueMap(keys: String*): DataFrame = df.select(col("id") +: keys.map(col): _*)
+  def path(): DataFrame = {
+    require(pathTracked, "path() requires withPath()")
+    df.select(concat_ws("->", col("~path")).as("path"))
+  }
+  def project(cols: Column*): DataFrame = df.select(cols: _*)
+
+  // ------------------------------------------------------- aggregation steps
+  def count(): DataFrame = df.agg(F.count(lit(1)).as("n"))
+  def groupCount(key: String): DataFrame =
+    df.groupBy(col(key)).agg(F.count(lit(1)).as("n"))
+  def group(key: String, valueKey: String): DataFrame =
+    df.groupBy(col(key)).agg(sort_array(collect_list(col(valueKey))).as("values"))
+  def fold(): DataFrame = df.agg(sort_array(collect_list(col("id"))).as("ids"))
+  def max(key: String): DataFrame = df.agg(F.max(col(key)).as("max"))
+  def min(key: String): DataFrame = df.agg(F.min(col(key)).as("min"))
+  def sum(key: String): DataFrame = df.agg(F.sum(col(key)).as("sum"))
+  def mean(key: String): DataFrame = df.agg(F.avg(col(key)).as("mean"))
+
+  def order(key: String, asc: Boolean = true): GraphTraversal =
+    copy(df = df.orderBy(if (asc) col(key).asc else col(key).desc))
+
+  def union(other: GraphTraversal): GraphTraversal =
+    copy(df = df.unionByName(other.df, allowMissingColumns = true))
+
+  def toDF: DataFrame = df
+}
+
+object Graft {
+  final class Source(g: PropertyGraph) {
+    def V(ids: String*): GraphTraversal = {
+      val base = if (ids.isEmpty) g.vertices else g.vertices.filter(col("id").isin(ids: _*))
+      GraphTraversal(g, base, isVertex = true)
+    }
+    /** V() with path tracking enabled from the start. */
+    def withPath(ids: String*): GraphTraversal = {
+      val base = if (ids.isEmpty) g.vertices else g.vertices.filter(col("id").isin(ids: _*))
+      GraphTraversal(g, base.withColumn("~path", array(col("id"))),
+        isVertex = true, pathTracked = true)
+    }
+    def E(labels: String*): GraphTraversal = {
+      val base = if (labels.isEmpty) g.edges else g.edges.filter(col("label").isin(labels: _*))
+      GraphTraversal(g, base, isVertex = false)
+    }
+  }
+  def g(graph: PropertyGraph): Source = new Source(graph)
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming extension surface (the reference has no streaming —
+  * SURVEY §2.10 — its nearest analogues are the async task queue and TTL
+  * expiry; this module is the engine's forward-looking ingest path).
+  *
+  * Batch/stream parity: every transform here mirrors a batch query in
+  * graft.queries.EventQueries, so the DuckDB-verified batch result is also
+  * the specification for the incremental one.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+  final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
+  private val dec = DecimalType(18, 2)
+
+  /** Watermarked hourly tumbling aggregation — the streaming twin of
+    * q_event_tumbling. Late events beyond 2h are dropped at the watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Built-in session windows (gap-based), watermarked. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+
+  /** Custom per-key state: running session counter per user via
+    * flatMapGroupsWithState — the `KeyValueGroupedDataset` stateful surface
+    * (counts a new session when >30 min passed since the user's last event). */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionSummary](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
+          var (lastMicros, sessions, total) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val micros = e.ts.getTime * 1000L
+            if (lastMicros == Long.MinValue || micros - lastMicros > 1800000000L)
+              sessions += 1
+            lastMicros = micros
+            total += 1
+          }
+          state.update((lastMicros, sessions, total))
+          Iterator(SessionSummary(userId, sessions, total))
+      }
+  }
+
+  /** Streaming graph ingest: micro-batch append of event-derived edges into
+    * a parquet-backed edge table — the Structured Streaming `foreachBatch`
+    * ingest path for the property graph (TTL stamped per edge, mirroring
+    * reference schema TTL semantics as an event-time filter downstream). */
+  def edgeIngest(events: DataFrame, targetDir: String, ttlMillis: Long)(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val edges = events.select(
+      concat(lit("user:"), col("user_id").cast("string")).as("src"),
+      concat(lit("event:"), col("event_id").cast("string")).as("dst"),
+      col("event_type").as("label"),
+      col("ts"),
+      (unix_millis(col("ts")) + ttlMillis).as("~ttl_expiry"))
+    edges.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val df = batch.toDF()
+        df.write.mode("append").parquet(targetDir)
+        onBatch(df, id)
+      }
+      .start()
+  }
+
+  /** Schema for reading the events table as a file stream. */
+  def eventSchema: StructType = new StructType()
+    .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
+    .add("event_type", "string").add("value", "double").add("props", "string")
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.core.{Direction, ModernGraph}
+import graft.olap.Algorithms
+import org.apache.spark.sql.functions._
+
+/** Unit tests of OLAP algorithms on hand-computable fixtures
+  * (FIXTURES.md §3 synthetic shapes). */
+class AlgorithmsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val g = ModernGraph.build(spark)
+
+  // triangle fixture: a-b-c triangle plus pendant d
+  lazy val triEdges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    .toDF("src", "dst")
+  lazy val triVerts = Seq("a", "b", "c", "d").toDF("id")
+
+  test("degree centrality on modern graph") {
+    val m = Algorithms.degreeCentrality(g, Direction.BOTH)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("person:marko") === 3L)
+    assert(m("software:lop") === 3L)
+    assert(m("person:vadas") === 1L)
+  }
+
+  test("pagerank sums to ~1 minus dangling leakage and ranks sinks highest") {
+    val pr = Algorithms.pageRank(g, 0.85, 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // lop (3 in-edges) must outrank every person
+    assert(pr("software:lop") > pr.filterKeys(_.startsWith("person:")).values.max)
+    assert(pr.values.forall(_ > 0))
+  }
+
+  test("wcc: two components") {
+    val verts = Seq("a", "b", "c", "x", "y", "z").toDF("id")
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val m = Algorithms.wcc(verts, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("a") === "a" && m("b") === "a" && m("c") === "a")
+    assert(m("x") === "x" && m("y") === "x")
+    assert(m("z") === "z") // isolated vertex is its own component
+  }
+
+  test("triangle count on triangle+pendant") {
+    val m = Algorithms.triangleCount(Algorithms.canonical(triEdges))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("clustering coefficient: triangle corners 1.0 (deg 2), c lower, pendant 0") {
+    val m = Algorithms.clusterCoefficient(Algorithms.canonical(triEdges))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("a") === 1.0 && m("b") === 1.0)
+    assert(math.abs(m("c") - 1.0 / 3.0) < 1e-8) // deg 3, one closed pair of 3
+    assert(m("d") === 0.0)
+  }
+
+  test("kcore k=2 peels the pendant") {
+    val surv = Algorithms.kcore(Algorithms.canonical(triEdges), 2)
+      .collect().map(_.getString(0)).toSet
+    assert(surv === Set("a", "b", "c"))
+  }
+
+  test("closeness on line graph a-b-c") {
+    val verts = Seq("a", "b", "c").toDF("id")
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val m = Algorithms.closenessCentrality(verts, edges, 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m("b") - 2.0) < 1e-9)       // 1/1 + 1/1
+    assert(math.abs(m("a") - 1.5) < 1e-9)       // 1/1 + 1/2
+  }
+
+  test("eigenvector concentrates on the best-connected corner") {
+    // triangle+pendant is non-bipartite, so undamped power iteration
+    // converges (a star would oscillate between its two sides)
+    val m = Algorithms.eigenvector(triVerts, Algorithms.canonical(triEdges), 12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("c") > m("a") && m("c") > m("d"))
+    assert(math.abs(m("a") - m("b")) < 1e-6)
+  }
+
+  test("lpa converges on two cliques joined weakly") {
+    val verts = Seq("a1", "a2", "a3", "b1", "b2", "b3").toDF("id")
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3")).toDF("src", "dst")
+    val m = Algorithms.lpa(verts, edges, 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set(m("a1"), m("a2"), m("a3")).size === 1)
+    assert(Set(m("b1"), m("b2"), m("b3")).size === 1)
+    assert(m("a1") !== m("b1"))
+  }
+}

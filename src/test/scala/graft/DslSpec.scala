@@ -1,0 +1,88 @@
+package graft
+
+import graft.api.Graft
+import graft.core.{Cond, ModernGraph}
+import org.apache.spark.sql.functions._
+
+/** Gremlin-step DSL semantics on the modern graph — mirrors the TinkerPop
+  * process-suite shapes the reference runs (SURVEY §2.9). */
+class DslSpec extends SparkSpec {
+  lazy val g = ModernGraph.build(spark)
+  def t = Graft.g(g)
+
+  test("g.V().hasLabel(person).has(age>29).values(name)") {
+    val names = t.V().hasLabel("person").has(Cond.gt("age", 29))
+      .values("name").collect().map(_.getString(0)).toSet
+    assert(names === Set("josh", "peter"))
+  }
+
+  test("g.V(marko).out(knows).values(name)") {
+    val names = t.V("person:marko").out("knows")
+      .values("name").collect().map(_.getString(0)).toSet
+    assert(names === Set("vadas", "josh"))
+  }
+
+  test("g.V(marko).out().out() reaches software only") {
+    assert(ids(t.V("person:marko").out().out().dedup().id()) ===
+      Set("software:lop", "software:ripple"))
+  }
+
+  test("in() reverses created") {
+    val creators = t.V("software:lop").in("created").values("name")
+      .collect().map(_.getString(0)).toSet
+    assert(creators === Set("marko", "josh", "peter"))
+  }
+
+  test("groupCount by label") {
+    val m = t.V().both().toDF.groupBy(col("label")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("person") > 0 && m("software") > 0)
+  }
+
+  test("count/sum/mean aggregation steps") {
+    assert(t.V().hasLabel("person").count().head().getLong(0) === 4L)
+    assert(t.V().hasLabel("software").sum("price").head().getLong(0) === 527L)
+  }
+
+  test("outE/inV edge traversal with properties") {
+    val w = t.V("person:marko").outE("knows").toDF
+      .agg(sum(col("weight"))).head().getDouble(0)
+    assert(math.abs(w - 1.5) < 1e-9)
+    assert(ids(t.V("person:marko").outE("knows").inV().id()) ===
+      Set("person:vadas", "person:josh"))
+  }
+
+  test("repeat(2)(out) == out().out()") {
+    assert(ids(t.V("person:marko").repeat(2)(_.out()).dedup().id()) ===
+      ids(t.V("person:marko").out().out().dedup().id()))
+  }
+
+  test("path tracking + simplePath") {
+    val paths = t.withPath("person:marko").out().out().simplePath()
+      .path().collect().map(_.getString(0)).toSet
+    assert(paths === Set(
+      "person:marko->person:josh->software:lop",
+      "person:marko->person:josh->software:ripple"))
+  }
+
+  test("order + limit + range") {
+    val top = t.V().hasLabel("person").order("age", asc = false).limit(2)
+      .values("name").collect().map(_.getString(0))
+    assert(top.toSeq === Seq("peter", "josh"))
+  }
+
+  test("union of traversals") {
+    val u = t.V("person:marko").out("knows")
+      .union(t.V("person:marko").out("created"))
+    assert(ids(u.dedup().id()) === Set("person:vadas", "person:josh", "software:lop"))
+  }
+
+  test("E() with label filter") {
+    assert(t.E("knows").toDF.count() === 2L)
+  }
+
+  test("valueMap projects requested keys") {
+    val row = t.V("person:marko").valueMap("name", "age").head()
+    assert(row.getString(1) === "marko" && row.getInt(2) === 29)
+  }
+}

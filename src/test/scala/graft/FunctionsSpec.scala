@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenize lowercases and splits on non-alnum") {
+    val got = Seq("Hello, World! 42-foo").toDF("text")
+      .select(TextFunctions.tokenize(col("text"))).head().getSeq[String](0)
+    assert(got === Seq("hello", "world", "42", "foo"))
+  }
+
+  test("textContains matches whole tokens only") {
+    val df = Seq("a widget factory", "widgets only").toDF("t")
+    assert(df.filter(TextFunctions.textContains(col("t"), "widget")).count() === 1L)
+  }
+
+  test("shingles produces distinct 3-grams, short-doc fallback") {
+    val got = Seq("a b c d", "x y").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq("x y"))
+  }
+
+  test("minhash signature is permutation-stable: identical docs, identical sigs") {
+    val df = Seq("the quick brown fox", "the quick brown fox", "something else entirely")
+      .toDF("t")
+      .select(HashFunctions.minhashSignature(TextFunctions.shingles(col("t"), 2), 8).as("sig"))
+    val sigs = df.collect().map(_.getSeq[String](0))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2))
+  }
+
+  test("simhash: similar docs closer than dissimilar ones") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy cat"),
+      ("c", "completely different words appear here instead now")).toDF("id", "t")
+      .select(col("id"), HashFunctions.simhash32(TextFunctions.tokenize(col("t"))).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def ham(x: String, y: String) = x.zip(y).count { case (a, b) => a != b }
+    assert(m("a").length === 32)
+    assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
+  }
+
+  test("cosine expression agrees with builtin composition and handles zero vectors") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))).toDF("a", "b")
+      .select(
+        VectorFunctions.cosineSim(col("a"), col("b")).as("native"),
+        VectorFunctions.cosineSimBuiltin(col("a"), col("b")).as("builtin"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+    assert(df.collect()(1).getDouble(0) === 0.0)
+  }
+
+  test("dot product expression") {
+    VectorFunctions.register(spark)
+    val d = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .select(VectorFunctions.dotProduct(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(d - 11.0) < 1e-12)
+  }
+
+  test("langId picks dominant stopword language, und when none") {
+    val df = Seq("the cat and the dog is in a house",
+      "el gato y la casa es de madera que",
+      "zzz qqq xxx").toDF("t")
+      .select(TextFunctions.langId(col("t")))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "es", "und"))
+  }
+
+  test("hammingBits") {
+    val d = Seq(("1010", "1001")).toDF("a", "b")
+      .select(HashFunctions.hammingBits(col("a"), col("b"))).head().getInt(0)
+    assert(d === 2)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.{Ann, Dedup, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Dedup / ANN / multimodal operator semantics on tiny fixtures. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat today"),   // near dup of 1
+    (4L, "completely unrelated text with other words entirely here"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 1)
+    assert(g(0).getAs[Long]("canonical_id") === 1L)
+    assert(g(0).getAs[Long]("n_dups") === 2L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      ngram = 2, k = 12, bands = 6, rows = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical → always collides, jaccard 1
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("ngram jaccard: dup pair = 1.0, near pair in (0,1)") {
+    val m = Dedup.ngramJaccardPairs(docs, "doc_id", "text", ngram = 2, maxId = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 2L)) === 1.0)
+    assert(m((1L, 3L)) > 0.4 && m((1L, 3L)) < 1.0)
+  }
+
+  test("simhash of exact dups identical") {
+    val hs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hs(1L) === hs(2L))
+    assert(hs(1L).length === 32)
+  }
+
+  test("brute-force ANN ranks the self-similar vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f)),
+      (12L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs.filter(col("vec_id") === 0),
+      vecs.filter(col("vec_id") > 0), k = 2).collect()
+    assert(top.map(_.getLong(1)).toSeq === Seq(10L, 11L))
+    assert(top(0).getDouble(2) > 0.99)
+  }
+
+  test("SRP bucketing puts identical vectors in the same bucket") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (10L, Array.fill(8)(0.5f)),
+      (11L, Array.fill(8)(-0.5f))).toDF("vec_id", "embedding")
+    val top = Ann.srpBucketTopK(vecs.filter(col("vec_id") === 0),
+      vecs.filter(col("vec_id") > 0), k = 5, bits = 4, dims = 8).collect()
+    assert(top.map(_.getLong(1)).toSet === Set(10L)) // opposite vector: other bucket
+  }
+
+  test("multimodal decode stub is deterministic and distributed") {
+    val assets = Multimodal.fakeAssets(docs)
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.Asset]
+    val feats = Multimodal.decodeFeatures(
+      assets.select(col("doc_id"), col("bytes")).as[Multimodal.Asset])
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes === 32)  // doc_id%3==1 → md5 repeated twice
+    assert(feats(2L).n_bytes === 48)  // same text, repeated three times
+    // same underlying md5: checksums scale with the repeat count
+    assert(feats(1L).checksum * 3L === feats(2L).checksum * 2L)
+    assert(feats(3L).n_bytes === 16)
+  }
+
+  test("frame sampling slices the binary column") {
+    val frames = Multimodal.frameSample(Multimodal.fakeAssets(docs), frameSize = 8, stride = 2)
+    val f1 = frames.filter(col("doc_id") === 1).collect()
+    assert(f1.map(_.getInt(1)).toSeq === Seq(0, 2)) // 32 bytes → frames 0..3, stride 2
+    assert(f1.forall(_.getAs[Array[Byte]]("frame").length === 8))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured-Streaming extension: incremental results must equal the
+  * DuckDB-verified batch semantics. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1704067200000L + min * 60000L)
+
+  private val sample = Seq(
+    Event(1, ts(0), 7, "purchase", 10.0, "{}"),
+    Event(2, ts(10), 7, "purchase", 5.0, "{}"),
+    Event(3, ts(75), 7, "click", 1.0, "{}"),    // new hour, new session (65' gap)
+    Event(4, ts(80), 8, "click", 2.0, "{}"))
+
+  test("tumbling window agg over a memory stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.tumblingCounts(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("tumbling").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    val rows = spark.table("tumbling")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows === Set(
+      ("2024-01-01 00:00:00", "purchase", 2L),
+      ("2024-01-01 01:00:00", "click", 2L)))
+  }
+
+  test("stateful sessionize counts gap-separated sessions per user") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionizeStateful(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("sessions").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    val m = spark.table("sessions")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    q.stop()
+    assert(m(7L) === (2L, 3L)) // two sessions (65-min gap), three events
+    assert(m(8L) === (1L, 1L))
+  }
+
+  test("session windows built-in") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionWindows(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("sw").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    val rows = spark.table("sw").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows === Set(
+      (7L, "2024-01-01 00:00:00", 2L),
+      (7L, "2024-01-01 01:15:00", 1L),
+      (8L, "2024-01-01 01:20:00", 1L)))
+  }
+
+  test("streaming edge ingest appends parquet with TTL stamps") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val mem = MemoryStream[Event]
+    var batches = 0
+    val q = Streams.edgeIngest(mem.toDF(), dir, ttlMillis = 60000L)((_, _) => batches += 1)
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 4L)
+    assert(out.columns.contains("~ttl_expiry"))
+    val r = out.filter(col("dst") === "event:1").head()
+    assert(r.getAs[Long]("~ttl_expiry") === 1704067200000L + 60000L)
+    assert(batches >= 1)
+  }
+}

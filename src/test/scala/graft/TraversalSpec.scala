@@ -1,0 +1,105 @@
+package graft
+
+import graft.core._
+import graft.traverse.Traversals
+import org.apache.spark.sql.functions._
+
+/** Golden tests of the traverser semantics on the modern-graph fixture —
+  * mirrors the reference's api/traversers ApiTest expectations. */
+class TraversalSpec extends SparkSpec {
+  lazy val g = ModernGraph.build(spark)
+
+  test("kneighbor depth 1 OUT from marko") {
+    assert(ids(Traversals.kneighbor(g, "person:marko", Direction.OUT, Nil, 1)) ===
+      Set("person:vadas", "person:josh", "software:lop"))
+  }
+
+  test("kneighbor depth 2 OUT from marko includes ripple, excludes source") {
+    assert(ids(Traversals.kneighbor(g, "person:marko", Direction.OUT, Nil, 2)) ===
+      Set("person:vadas", "person:josh", "software:lop", "software:ripple"))
+  }
+
+  test("kneighbor respects edge label filter") {
+    assert(ids(Traversals.kneighbor(g, "person:marko", Direction.OUT, Seq("knows"), 2)) ===
+      Set("person:vadas", "person:josh"))
+  }
+
+  test("kout nearest depth 2 excludes depth-1 vertices") {
+    assert(ids(Traversals.koutNearest(g, "person:marko", Direction.OUT, Nil, 2)) ===
+      Set("software:ripple")) // lop is already at depth 1 via created
+  }
+
+  test("kout all depth 2 keeps re-reachable vertices") {
+    assert(ids(Traversals.koutAll(g, "person:marko", Direction.OUT, Nil, 2)) ===
+      Set("software:lop", "software:ripple")) // lop via marko->josh->lop
+  }
+
+  test("kneighbor BOTH reaches everything within 2") {
+    assert(ids(Traversals.kneighbor(g, "person:vadas", Direction.BOTH, Nil, 2)) ===
+      Set("person:marko", "person:josh", "software:lop"))
+  }
+
+  test("sameNeighbors of marko and josh OUT") {
+    assert(ids(Traversals.sameNeighbors(g, "person:marko", "person:josh", Direction.OUT)) ===
+      Set("software:lop"))
+  }
+
+  test("jaccard similarity marko/josh OUT = 1/4") {
+    val sim = Traversals.jaccardSimilarity(g, "person:marko", "person:josh", Direction.OUT)
+      .head().getDouble(0)
+    assert(math.abs(sim - 0.25) < 1e-9) // ∩={lop}, ∪={vadas,josh,lop,ripple}
+  }
+
+  test("shortest path vadas→ripple BOTH = 3") {
+    val d = Traversals.shortestPathDist(g, "person:vadas", "software:ripple",
+      Direction.BOTH, Nil, 5)
+    assert(d.head().getLong(0) === 3L) // vadas-marko-josh-ripple
+  }
+
+  test("shortest path unreachable within maxDepth → empty") {
+    val d = Traversals.shortestPathDist(g, "person:vadas", "software:ripple",
+      Direction.OUT, Nil, 5)
+    assert(d.count() === 0L) // vadas has no OUT edges
+  }
+
+  test("shortest path source==target → 0") {
+    val d = Traversals.shortestPathDist(g, "person:marko", "person:marko",
+      Direction.BOTH, Nil, 3)
+    assert(d.head().getLong(0) === 0L)
+  }
+
+  test("paths marko→lop within 3 hops") {
+    val p = Traversals.paths(g, "person:marko", "software:lop", Direction.OUT, Nil, 3)
+      .collect().map(_.getString(0)).toSet
+    assert(p === Set(
+      "person:marko->software:lop",
+      "person:marko->person:josh->software:lop"))
+  }
+
+  test("countWalks marko out-out") {
+    val n = Traversals.countWalks(g, "person:marko",
+      Seq(EdgeStep(Direction.OUT), EdgeStep(Direction.OUT))).head().getLong(0)
+    assert(n === 2L) // marko->josh->{lop,ripple}; vadas/lop have no OUT
+  }
+
+  test("edgeExistence finds the marko-knows-vadas edge") {
+    val e = Traversals.edgeExistence(g, "person:marko", "person:vadas", Some("knows"))
+    assert(e.count() === 1L)
+    assert(e.head().getString(3) === "20160110") // sort_values = date sortKey
+  }
+
+  test("degree cap truncates deterministically") {
+    val e = EdgeStep(Direction.OUT, Nil, degree = 1).edgesFor(g)
+      .filter(col("src") === "person:marko")
+    // marko has 3 OUT edges; cap 1 keeps the (label,dst)-smallest: created→lop
+    assert(e.count() === 1L)
+    assert(e.head().getAs[String]("dst") === "software:lop")
+  }
+
+  test("skipDegree drops supernodes entirely") {
+    val e = EdgeStep(Direction.OUT, Nil, skipDegree = 2).edgesFor(g)
+    // marko (3 out-edges) skipped; josh (2) and peter (1) kept
+    assert(e.select("src").distinct().collect().map(_.getString(0)).toSet ===
+      Set("person:josh", "person:peter"))
+  }
+}
