@@ -13,20 +13,39 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  /** MinHash signature over a shingle array: element `i` is the
-    * lexicographic min of `md5(i ":" shingle)` — a valid permutation-family
-    * minhash (each seed induces an independent pseudo-random order). */
-  def minhashSignature(shingleArr: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingleArr,
-        s => md5(concat(seed.cast("string"), lit(":"), s)))))
+  /** MinHash permutation family: one md5 per shingle parsed to a base
+    * integer, then k affine permutations h_i(x) = (a_i·x + b_i) mod p over
+    * the prime p = 2^31-1. One cryptographic hash per shingle instead of k —
+    * the k permutations are integer arithmetic (codegen-cheap), and the
+    * whole family reproduces exactly in any engine with 64-bit ints. */
+  val MinhashPrime = 2147483647L // 2^31 - 1
+  def minhashA(i: Int): Long = ((i + 1).toLong * 2654435761L) % MinhashPrime
+  def minhashB(i: Int): Long = ((i + 1).toLong * 40503L) % MinhashPrime
 
-  /** LSH band keys: split the k-element signature into `bands` groups of
-    * `rows` and hash each group; docs sharing any band key are candidates. */
+  /** Base integer per shingle: first 15 hex chars of md5 → int64, mod p. */
+  def shingleBase(shingleArr: Column): Column =
+    transform(shingleArr,
+      s => pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinhashPrime)))
+
+  /** Signature from a pre-computed base array (array<long> of length k). */
+  def minhashSignatureFromBase(baseArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(baseArr,
+        h => pmod(minhashAExpr(i) * h + minhashBExpr(i), lit(MinhashPrime)))))
+
+  private def minhashAExpr(i: Column): Column =
+    pmod((i + 1).cast("long") * lit(2654435761L), lit(MinhashPrime))
+  private def minhashBExpr(i: Column): Column =
+    pmod((i + 1).cast("long") * lit(40503L), lit(MinhashPrime))
+
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    minhashSignatureFromBase(shingleBase(shingleArr), k)
+
+  /** LSH band keys over the integer signature: `b|sig[b·r+1]|…` strings. */
   def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => concat(b.cast("string"), lit("|"),
-        md5(concat_ws(",", slice(sig, b * rows + 1, lit(rows))))))
+      b => concat_ws("|", (b.cast("string") +:
+        (0 until rows).map(r => element_at(sig, b * rows + r + 1).cast("string"))): _*))
 
   /** 32-bit SimHash over a token array, returned as a 32-char '0'/'1'
     * string (MSB first). Bit j comes from nibble j/4 of md5(token); the

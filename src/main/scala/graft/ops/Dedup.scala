@@ -23,14 +23,21 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") > 1)
 
-  /** Per-doc word n-gram shingle set + MinHash signature + LSH band keys. */
+  /** Per-doc word n-gram shingle set + MinHash signature + LSH band keys.
+    * The md5 base array is materialized (localCheckpoint) before the k
+    * permutations reference it — otherwise Catalyst inlines the md5 subtree
+    * into every permutation lambda and the hash work multiplies by k. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  ngram: Int, k: Int, bands: Int, rows: Int): DataFrame = {
     require(bands * rows == k, s"bands*rows must equal k ($bands*$rows != $k)")
-    docs.select(col(idCol).as("doc_id"),
+    val base = docs.select(col(idCol).as("doc_id"),
         TextFunctions.shingles(col(textCol), ngram).as("sh"))
-      .withColumn("sig", HashFunctions.minhashSignature(col("sh"), k))
+      .withColumn("base", HashFunctions.shingleBase(col("sh")))
+      .localCheckpoint(true)
+    base
+      .withColumn("sig", HashFunctions.minhashSignatureFromBase(col("base"), k))
       .withColumn("band_keys", HashFunctions.lshBandKeys(col("sig"), bands, rows))
+      .drop("base")
   }
 
   /** Candidate pairs (a < b) that collide in ≥1 LSH band. `bucketCap`

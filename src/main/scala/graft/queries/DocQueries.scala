@@ -25,20 +25,35 @@ object DocQueries {
       |  ELSE [array_to_string(toks, ' ')] END)""".stripMargin
 
   private val K = 12; private val BANDS = 6; private val ROWS = 2
+  private val P = graft.functions.HashFunctions.MinhashPrime
+
+  /** md5-hex(15 chars) → int64 mod p, identical to HashFunctions.shingleBase. */
+  private def hexBaseExpr: String = {
+    val terms = (0 until 15).map { j =>
+      val mult = math.pow(16, 14 - j).toLong
+      s"(strpos('0123456789abcdef', substr(md5(s), ${j + 1}, 1)) - 1) * CAST($mult AS BIGINT)"
+    }.mkString(" + ")
+    s"list_transform(sh, s -> ($terms) % $P)"
+  }
 
   private def sigExprs: String =
-    (0 until K).map(i =>
-      s"list_min(list_transform(sh, s -> md5('$i:' || s)))").mkString("[", ", ", "]")
+    (0 until K).map { i =>
+      val a = graft.functions.HashFunctions.minhashA(i)
+      val b = graft.functions.HashFunctions.minhashB(i)
+      s"list_min(list_transform(base, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
 
   private def bandExprs: String =
-    (0 until BANDS).map(b =>
-      s"'$b|' || md5(array_to_string(list_slice(sig, ${b * ROWS + 1}, ${b * ROWS + 2}), ','))")
-      .mkString("[", ", ", "]")
+    (0 until BANDS).map { b =>
+      val parts = (0 until ROWS).map(r => s"CAST(sig[${b * ROWS + r + 1}] AS VARCHAR)")
+      (s"'$b'" +: parts).mkString(" || '|' || ")
+    }.mkString("[", ", ", "]")
 
   def minhashSql: String =
     s"""WITH toks AS MATERIALIZED (SELECT doc_id, $tok AS toks FROM documents),
        |sh AS MATERIALIZED (SELECT doc_id, $shingle3 AS sh FROM toks),
-       |sig AS MATERIALIZED (SELECT doc_id, sh, $sigExprs AS sig FROM sh),
+       |base AS MATERIALIZED (SELECT doc_id, sh, $hexBaseExpr AS base FROM sh),
+       |sig AS MATERIALIZED (SELECT doc_id, sh, $sigExprs AS sig FROM base),
        |bk AS MATERIALIZED (SELECT doc_id, unnest($bandExprs) AS bucket FROM sig),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |         FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),

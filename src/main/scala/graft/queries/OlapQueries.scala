@@ -23,19 +23,19 @@ object OlapQueries {
       |UNION ALL SELECT 'order:' || CAST(o_orderkey AS VARCHAR) FROM orders""".stripMargin
 
   /** Undirected supplier co-purchase graph: suppliers linked when they supply
-    * a common part (restricted to p_partkey < 500 so the pair-join stays
-    * bounded at bench SF — the full graph would be quadratic in supplies per
-    * part). */
+    * a common part (restricted to p_partkey < 100 so the pair-join stays
+    * bounded and the graph non-complete at bench SF — co-occurrence graphs
+    * are quadratic in supplies per part). */
   val coSupplierSql: String =
     """SELECT DISTINCT
       |  least('supplier:' || CAST(a.l_suppkey AS VARCHAR), 'supplier:' || CAST(b.l_suppkey AS VARCHAR)) AS src,
       |  greatest('supplier:' || CAST(a.l_suppkey AS VARCHAR), 'supplier:' || CAST(b.l_suppkey AS VARCHAR)) AS dst
       |FROM lineitem a JOIN lineitem b
       |  ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
-      |WHERE a.l_partkey < 500 AND b.l_partkey < 500""".stripMargin
+      |WHERE a.l_partkey < 100 AND b.l_partkey < 100""".stripMargin
 
   private def coSupplierEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).filter(col("l_partkey") < 500)
+    val li = Tables.lineitem(s, d).filter(col("l_partkey") < 100)
       .select(col("l_partkey"),
         concat(lit("supplier:"), col("l_suppkey").cast("string")).as("sup"))
     val a = li.withColumnRenamed("sup", "sa")

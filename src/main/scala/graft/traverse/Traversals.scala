@@ -43,10 +43,16 @@ object Traversals {
     * the source itself (reference `KneighborTraverser.kneighbor:39`,
     * `KneighborRecords.getRecords` skips record 0). Layered BFS with
     * first-visit semantics. Returns DF(id). */
+  /** Materialize the per-traversal edge view once — iterative loops would
+    * otherwise re-evaluate the 6-table union scan every layer. On a cluster
+    * this is `persist(MEMORY_AND_DISK)` over the adjacency; localCheckpoint
+    * plays that role in local mode. */
+  private def pinned(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
   def kneighbor(g: PropertyGraph, source: String, dir: Direction.Value,
                 labels: Seq[String] = Nil, maxDepth: Int, degree: Long = -1L): DataFrame = {
-    val edges = EdgeStep(dir, labels, degree = degree).edgesFor(g)
-      .select(col("src"), col("dst"))
+    val edges = pinned(EdgeStep(dir, labels, degree = degree).edgesFor(g)
+      .select(col("src"), col("dst")))
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var visited = Seq(source).toDF("id")
@@ -64,7 +70,7 @@ object Traversals {
     * sooner (reference `KoutTraverser.kout:43` with visited set). */
   def koutNearest(g: PropertyGraph, source: String, dir: Direction.Value,
                   labels: Seq[String] = Nil, depth: Int): DataFrame = {
-    val edges = EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst"))
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst")))
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var visited = Seq(source).toDF("id")
@@ -82,7 +88,7 @@ object Traversals {
     * steps (source excluded — `ConcurrentVerticesConsumer` always drops it). */
   def koutAll(g: PropertyGraph, source: String, dir: Direction.Value,
               labels: Seq[String] = Nil, depth: Int): DataFrame = {
-    val edges = EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst"))
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst")))
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var frontier = Seq(source).toDF("id")
@@ -149,13 +155,15 @@ object Traversals {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     if (source == target) return Seq(0L).toDF("dist")
-    val fwdEdges = EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst"))
+    val fwdEdges = pinned(EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst")))
     val revDir = dir match {
       case Direction.OUT  => Direction.IN
       case Direction.IN   => Direction.OUT
       case Direction.BOTH => Direction.BOTH
     }
-    val bwdEdges = EdgeStep(revDir, labels).edgesFor(g).select(col("src"), col("dst"))
+    val bwdEdges =
+      if (dir == Direction.BOTH) fwdEdges // symmetric: reuse the pinned view
+      else pinned(EdgeStep(revDir, labels).edgesFor(g).select(col("src"), col("dst")))
 
     var fwd = Seq(source).toDF("id"); var fwdSeen = fwd; var fwdDepth = 0
     var bwd = Seq(target).toDF("id"); var bwdSeen = bwd; var bwdDepth = 0
@@ -184,16 +192,21 @@ object Traversals {
     * reference's Path.contains check does. */
   def paths(g: PropertyGraph, source: String, target: String, dir: Direction.Value,
             labels: Seq[String] = Nil, maxDepth: Int): DataFrame = {
-    val edges = EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct()
+    // NO global edges.distinct(): that would shuffle the whole edge table
+    // before a single-source expansion touches a handful of vertices.
+    // Parallel multi-edges collapse per layer instead, on the (tiny)
+    // frontier×edges join output.
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst")))
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var frontier = Seq(Tuple2(source, Seq(source))).toDF("id", "path")
     var acc = frontier.filter(lit(false))
     for (d <- 1 to maxDepth) {
-      frontier = frontier.join(edges, frontier("id") === edges("src"))
+      frontier = frontier.select(col("id").as("src"), col("path"))
+        .join(edges, Seq("src"))
         .filter(!array_contains(col("path"), col("dst"))) // simple paths
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
+        .distinct() // layer-local vertex-path dedup
         .localCheckpoint(true)
       acc = acc.unionByName(frontier.filter(col("id") === target))
     }
@@ -239,9 +252,9 @@ object Traversals {
     // directed edges of the bipartite label, kept once; "forward" = src side
     val fwd = g.outEdges.filter(col("label") === label).select(col("src"), col("dst"))
     val bwd = fwd.select(col("dst").as("src"), col("src").as("dst"))
-    val walk = fwd.select(col("src"), col("dst"))
-      .unionByName(bwd) // every vertex walks along its own side's direction
-    val deg = walk.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val walk = pinned(fwd.select(col("src"), col("dst"))
+      .unionByName(bwd)) // every vertex walks along its own side's direction
+    val deg = pinned(walk.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
 
     var ranks = Seq((source, 1.0)).toDF("id", "rank")
     var rootAdj: DataFrame = null
