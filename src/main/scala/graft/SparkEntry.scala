@@ -9,8 +9,8 @@ import graft.queries._
 object SparkEntry {
 
   def registries: Seq[QueryDef] =
-    RelationalQueries.defs ++ GraphQueries.defs ++ OlapQueries.defs ++
-      DocQueries.defs ++ EventQueries.defs
+    RelationalQueries.defs ++ GraphQueries.defs ++ GraphQueries2.defs ++
+      OlapQueries.defs ++ DocQueries.defs ++ EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * 3-hop kneighbor over the TPC-H property-graph projection. */

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.traverse.{PathTraversals, SimilarityTraversals, Traversals}
+import graft.traverse.PathTraversals.TemplateStep
+import QueryDef._
+import GraphSql._
+
+/** Second traverser batch (SURVEY §2.12 completion): fusiform similarity,
+  * jaccard top-similar, neighborRank, allShortestPaths, rays/rings, template
+  * + customized + collection paths, multi-node shortest path, crosspoints,
+  * bounded weighted SSSP, plus mutation-semantics checks (UNIQUE, TTL). */
+object GraphQueries2 {
+
+  private def g(s: SparkSession, d: String) = TpchGraph.build(s, d)
+
+  def weightedSsspSql(rounds: Int): String = {
+    val iters = (0 until rounds).map { i =>
+      s"""d${i + 1} AS MATERIALIZED (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d$i
+         |    UNION ALL
+         |    SELECT w.dst AS id, d.dist + w.w AS dist
+         |    FROM d$i d JOIN wedges w ON w.src = d.id) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |ew AS (
+       |  SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS src,
+       |         'part:' || CAST(l_partkey AS VARCHAR) AS dst, l_quantity AS w FROM lineitem
+       |  UNION ALL
+       |  SELECT 'part:' || CAST(l_partkey AS VARCHAR),
+       |         'supplier:' || CAST(l_suppkey AS VARCHAR), l_quantity FROM lineitem
+       |  UNION ALL
+       |  SELECT src, dst, 1.0 FROM edges WHERE label IN ('in_nation', 'in_region', 'placed')),
+       |wedges AS MATERIALIZED (SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew),
+       |d0 AS (SELECT 'customer:1' AS id, CAST(0.0 AS DOUBLE) AS dist),
+       |$iters
+       |SELECT id, round(dist, 6) AS dist FROM d$rounds""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q_fusiform_similarity",
+      """WITH nb AS (SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR) AS v,
+        |                            'part:' || CAST(l_partkey AS VARCHAR) AS t
+        |            FROM lineitem WHERE l_orderkey < 50),
+        |nc AS (SELECT v, count(*) AS n FROM nb GROUP BY v HAVING count(*) >= 2),
+        |back AS (SELECT DISTINCT 'part:' || CAST(l_partkey AS VARCHAR) AS t,
+        |                         'order:' || CAST(l_orderkey AS VARCHAR) AS cand FROM lineitem),
+        |sim AS (SELECT nb.v, back.cand, count(*) AS c
+        |        FROM nb JOIN nc ON nc.v = nb.v JOIN back ON back.t = nb.t
+        |        WHERE back.cand <> nb.v GROUP BY nb.v, back.cand)
+        |SELECT sim.v AS source, sim.cand AS similar,
+        |       round(CAST(c AS DOUBLE) / nc.n, 9) AS score
+        |FROM sim JOIN nc ON nc.v = sim.v
+        |WHERE CAST(c AS DOUBLE) / nc.n >= 0.4""".stripMargin,
+      bench = true) { (s, d) =>
+      val sources = Tables.orders(s, d).filter(col("o_orderkey") < 50)
+        .select(concat(lit("order:"), col("o_orderkey").cast("string")).as("id"))
+      SimilarityTraversals.fusiformSimilarity(g(s, d), sources, Direction.OUT,
+        "contains", minNeighbors = 2, alpha = 0.4, minSimilars = 1, top = 0)
+    },
+
+    q("q_jaccard_similar",
+      """WITH adj AS MATERIALIZED (SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR) AS src,
+        |                          'part:' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+        |srcn AS (SELECT dst FROM adj WHERE src = 'order:42'),
+        |cand AS (SELECT DISTINCT a.src AS cand FROM adj a JOIN srcn s ON a.dst = s.dst
+        |         WHERE a.src <> 'order:42'),
+        |i AS (SELECT a.src AS cand, count(*) AS inter
+        |      FROM adj a JOIN srcn s ON s.dst = a.dst JOIN cand c ON c.cand = a.src
+        |      GROUP BY a.src),
+        |dg AS (SELECT a.src AS cand, count(*) AS deg
+        |       FROM adj a JOIN cand c ON c.cand = a.src GROUP BY a.src),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS sn FROM srcn)
+        |SELECT i.cand AS id,
+        |       round(CAST(i.inter AS DOUBLE) / (dg.deg + n.sn - i.inter), 9) AS similarity
+        |FROM i JOIN dg ON dg.cand = i.cand CROSS JOIN n
+        |WHERE i.inter > 0""".stripMargin) { (s, d) =>
+      SimilarityTraversals.jaccardSimilar(g(s, d), "order:42", Direction.OUT, "contains")
+    },
+
+    q("q_neighbor_rank",
+      """WITH e1 AS (SELECT 'customer:' || CAST(o_custkey AS VARCHAR) AS src,
+        |                   'order:' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders),
+        |oc1 AS (SELECT src, CAST(count(*) AS DOUBLE) AS oc FROM e1 GROUP BY src),
+        |r1 AS (SELECT e1.dst AS id, sum(1.0 * 0.9 / oc1.oc) AS rank
+        |       FROM e1 JOIN oc1 ON oc1.src = e1.src WHERE e1.src = 'customer:1'
+        |       GROUP BY e1.dst),
+        |e2 AS (SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS src,
+        |              'part:' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+        |oc2 AS (SELECT src, CAST(count(*) AS DOUBLE) AS oc FROM e2 GROUP BY src),
+        |r2 AS (SELECT e2.dst AS id, sum(r.rank * 0.9 / oc2.oc) AS rank
+        |       FROM r1 r JOIN oc2 ON oc2.src = r.id JOIN e2 ON e2.src = r.id
+        |       GROUP BY e2.dst)
+        |SELECT 0 AS layer, 'customer:1' AS id, CAST(1.0 AS DOUBLE) AS rank
+        |UNION ALL SELECT 1, id, round(rank, 9) FROM r1
+        |UNION ALL SELECT 2, id, round(rank, 9) FROM r2""".stripMargin) { (s, d) =>
+      SimilarityTraversals.neighborRankLayered(g(s, d), "customer:1", alpha = 0.9,
+        steps = Seq(EdgeStep(Direction.OUT, Seq("placed")),
+          EdgeStep(Direction.OUT, Seq("contains"))))
+    },
+
+    q("q_all_shortest_paths",
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |adj AS ($bothEdgesSql),
+         |p(id, path, d) AS (
+         |  SELECT 'customer:1', ['customer:1'], 0
+         |  UNION ALL
+         |  SELECT a.dst, p.path || [a.dst], p.d + 1
+         |  FROM p JOIN adj a ON a.src = p.id
+         |  WHERE p.d < 3 AND NOT list_contains(p.path, a.dst)),
+         |hits AS (SELECT * FROM p WHERE id = 'supplier:3')
+         |SELECT DISTINCT array_to_string(path, '->') AS path FROM hits
+         |WHERE d = (SELECT min(d) FROM hits)""".stripMargin) { (s, d) =>
+      PathTraversals.allShortestPaths(g(s, d), "customer:1", "supplier:3",
+        Direction.BOTH, Nil, maxDepth = 3)
+    },
+
+    q("q_rays",
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |adj AS (SELECT DISTINCT src, dst FROM edges),
+         |p(id, path, d) AS (
+         |  SELECT 'customer:1', ['customer:1'], 0
+         |  UNION ALL
+         |  SELECT a.dst, p.path || [a.dst], p.d + 1
+         |  FROM p JOIN adj a ON a.src = p.id
+         |  WHERE p.d < 5 AND NOT list_contains(p.path, a.dst))
+         |SELECT DISTINCT array_to_string(path, '->') AS path FROM p
+         |WHERE d = 5 OR id NOT IN (SELECT src FROM adj)""".stripMargin) { (s, d) =>
+      PathTraversals.rays(g(s, d), "customer:1", Direction.OUT, Nil, maxDepth = 5)
+    },
+
+    q("q_rings",
+      // the OUT projection is a DAG — rings is verified non-trivially on a
+      // cyclic fixture in PathTraversalSpec; here both sides must agree on
+      // "no cycles".
+      "SELECT CAST(NULL AS VARCHAR) AS path WHERE 1 = 0") { (s, d) =>
+      PathTraversals.rings(g(s, d), "customer:1", Direction.OUT, Nil, maxDepth = 4)
+    },
+
+    q("q_template_paths",
+      """SELECT DISTINCT 'customer:1->order:' || CAST(o.o_orderkey AS VARCHAR) ||
+        |       '->part:' || CAST(l.l_partkey AS VARCHAR) AS path
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE o.o_custkey = 1 AND o.o_totalprice > 200000 AND p.p_size > 30""".stripMargin) { (s, d) =>
+      PathTraversals.templatePaths(g(s, d), Seq("customer:1"), Seq(
+        TemplateStep(EdgeStep(Direction.OUT, Seq("placed")),
+          Some(Cond.gt("totalprice", 200000.0))),
+        TemplateStep(EdgeStep(Direction.OUT, Seq("contains")),
+          Some(Cond.gt("size", 30)))))
+    },
+
+    q("q_customized_paths",
+      """WITH walks AS (
+        |  SELECT 'customer:1->order:' || CAST(o.o_orderkey AS VARCHAR) ||
+        |         '->part:' || CAST(l.l_partkey AS VARCHAR) AS path,
+        |         1.0 + l.l_quantity AS w
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey = 1),
+        |totals AS (SELECT path, sum(w) AS total_weight FROM walks GROUP BY path)
+        |SELECT path, round(total_weight, 6) AS total_weight FROM (
+        |  SELECT *, row_number() OVER (ORDER BY total_weight DESC, path ASC) AS rn
+        |  FROM totals) WHERE rn <= 5""".stripMargin) { (s, d) =>
+      PathTraversals.customizedPaths(g(s, d), Seq("customer:1"), Seq(
+        (EdgeStep(Direction.OUT, Seq("placed")), None),
+        (EdgeStep(Direction.OUT, Seq("contains")), Some("quantity"))), topN = 5)
+    },
+
+    q("q_collection_paths",
+      """SELECT DISTINCT 'customer:' || CAST(o.o_custkey AS VARCHAR) ||
+        |       '->order:' || CAST(o.o_orderkey AS VARCHAR) ||
+        |       '->part:' || CAST(l.l_partkey AS VARCHAR) AS path
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_custkey IN (1, 2) AND l.l_partkey IN (32, 68)""".stripMargin) { (s, d) =>
+      PathTraversals.collectionPaths(g(s, d), Seq("customer:1", "customer:2"),
+        Seq("part:32", "part:68"), Direction.OUT, Nil, maxDepth = 3)
+    },
+
+    q("q_multinode_shortest",
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |adj AS (SELECT DISTINCT src, dst FROM ($bothEdgesSql)),
+         |bfs(root, id, dist) AS (
+         |  SELECT id, id, CAST(0 AS BIGINT)
+         |  FROM (SELECT 'customer:1' AS id UNION ALL SELECT 'customer:2' UNION ALL SELECT 'customer:3')
+         |  UNION
+         |  SELECT b.root, a.dst, b.dist + 1 FROM bfs b JOIN adj a ON a.src = b.id
+         |  WHERE b.dist < 4),
+         |d AS (SELECT root, id, min(dist) AS dist FROM bfs GROUP BY root, id)
+         |SELECT root AS a, id AS b, dist FROM d
+         |WHERE id IN ('customer:1', 'customer:2', 'customer:3') AND root < id""".stripMargin) { (s, d) =>
+      PathTraversals.multiNodeShortestDist(g(s, d),
+        Seq("customer:1", "customer:2", "customer:3"), Direction.BOTH, Nil, maxDepth = 4)
+    },
+
+    q("q_crosspoints",
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |adj AS (SELECT src, dst FROM edges),
+         |b1(id, dist) AS (
+         |  SELECT 'customer:1', CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT a.dst, b.dist + 1 FROM b1 b JOIN adj a ON a.src = b.id WHERE b.dist < 3),
+         |b2(id, dist) AS (
+         |  SELECT 'customer:2', CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT a.dst, b.dist + 1 FROM b2 b JOIN adj a ON a.src = b.id WHERE b.dist < 3)
+         |SELECT id FROM (
+         |  SELECT DISTINCT id FROM b1 WHERE id <> 'customer:1'
+         |  INTERSECT
+         |  SELECT DISTINCT id FROM b2 WHERE id <> 'customer:2')
+         |WHERE id NOT IN ('customer:1', 'customer:2')""".stripMargin) { (s, d) =>
+      PathTraversals.crosspoints(g(s, d), Seq("customer:1", "customer:2"),
+        Direction.OUT, Nil, maxDepth = 3)
+    },
+
+    q("q_weighted_sssp", weightedSsspSql(4), bench = true) { (s, d) =>
+      PathTraversals.weightedSssp(g(s, d), "customer:1", Direction.BOTH, Nil,
+        weightCol = "quantity", rounds = 4)
+    },
+
+    q("q_unique_check",
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       list_sort(list('customer:' || CAST(c_custkey AS VARCHAR))) AS ids
+        |FROM customer GROUP BY c_nationkey, c_mktsegment HAVING count(*) > 1""".stripMargin) { (s, d) =>
+      // UNIQUE-index semantics as constraint check (no physical index)
+      Mutations.uniqueViolations(
+        Tables.customer(s, d).withColumn("id",
+          concat(lit("customer:"), col("c_custkey").cast("string"))),
+        Seq("c_nationkey", "c_mktsegment"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("ids"))
+    },
+
+    q("q_ttl_filter",
+      """SELECT event_id FROM events
+        |WHERE epoch_ms(ts) + 2592000000 > epoch_ms(TIMESTAMP '2024-01-15 00:00:00')""".stripMargin) { (s, d) =>
+      // TTL-at-read semantics: 30-day TTL against a fixed "now"
+      val withTtl = Tables.events(s, d)
+        .withColumn("~ttl_expiry", unix_millis(col("ts")) + 2592000000L)
+      Mutations.vacuumExpired(withTtl,
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime)
+        .select(col("event_id"))
+    })
+}

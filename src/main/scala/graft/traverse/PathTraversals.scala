@@ -1,0 +1,210 @@
+package graft.traverse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+
+/** Path-producing traversers (SURVEY §2.12): allShortestPaths, rays, rings,
+  * template/customized paths, collection paths, multi-node shortest path,
+  * crosspoints, bounded weighted SSSP. All share the simple-path frontier
+  * shape: a DataFrame of (id, path array) expanded one join per hop. */
+object PathTraversals {
+
+  private def pinned(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
+  private def pathCol = concat_ws("->", col("path"))
+
+  private def seed(g: PropertyGraph, sources: Seq[String]): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    sources.map(s => (s, Seq(s))).toDF("id", "path")
+  }
+
+  /** All shortest (simple, vertex-distinct) paths source→target within
+    * maxDepth (reference `ShortestPathTraverser.allShortestPaths:104`):
+    * enumerate simple paths breadth-first, stop at the first depth where the
+    * target appears, return every path of that depth. */
+  def allShortestPaths(g: PropertyGraph, source: String, target: String,
+                       dir: Direction.Value, labels: Seq[String] = Nil,
+                       maxDepth: Int): DataFrame = {
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct())
+    var frontier = seed(g, Seq(source))
+    var result: Option[DataFrame] = None
+    var d = 0
+    while (result.isEmpty && d < maxDepth) {
+      d += 1
+      frontier = frontier.select(col("id").as("src"), col("path"))
+        .join(edges, Seq("src"))
+        .filter(!array_contains(col("path"), col("dst")))
+        .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
+        .localCheckpoint(true)
+      val hits = frontier.filter(col("id") === target)
+      if (hits.limit(1).count() > 0) result = Some(hits)
+    }
+    result.map(_.select(pathCol.as("path")).distinct())
+      .getOrElse(seed(g, Nil).select(pathCol.as("path")))
+  }
+
+  /** Rays: root-to-leaf simple paths — expansion stops at vertices with no
+    * outgoing step edges or at maxDepth (reference `SubGraphTraverser.rays:59`). */
+  def rays(g: PropertyGraph, source: String, dir: Direction.Value,
+           labels: Seq[String] = Nil, maxDepth: Int): DataFrame = {
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct())
+    var frontier = seed(g, Seq(source))
+    var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
+    for (_ <- 1 to maxDepth) {
+      val expanded = frontier.select(col("id").as("src"), col("path"))
+        .join(edges, Seq("src"), "left")
+        .localCheckpoint(true)
+      // leaves: no out-edge (dst null) → the walk ends here
+      acc = acc.unionByName(
+        expanded.filter(col("dst").isNull).select(pathCol.as("path")))
+      frontier = expanded.filter(col("dst").isNotNull)
+        .filter(!array_contains(col("path"), col("dst")))
+        .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
+        .localCheckpoint(true)
+    }
+    // paths cut off at maxDepth count as rays too
+    acc.unionByName(frontier.select(pathCol.as("path"))).distinct()
+  }
+
+  /** Rings: simple cycles source→…→source up to maxDepth
+    * (reference `SubGraphTraverser.rings:65`). */
+  def rings(g: PropertyGraph, source: String, dir: Direction.Value,
+            labels: Seq[String] = Nil, maxDepth: Int): DataFrame = {
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct())
+    var frontier = seed(g, Seq(source))
+    var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
+    for (_ <- 1 to maxDepth) {
+      val expanded = frontier.select(col("id").as("src"), col("path"))
+        .join(edges, Seq("src"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(expanded.filter(col("dst") === source)
+        .select(concat_ws("->", concat(col("path"), array(col("dst")))).as("path")))
+      frontier = expanded
+        .filter(col("dst") =!= source && !array_contains(col("path"), col("dst")))
+        .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
+        .localCheckpoint(true)
+    }
+    acc.distinct()
+  }
+
+  /** Template paths: one typed step per hop — direction, labels and a
+    * vertex predicate on the step's target (reference
+    * `TemplatePathsTraverser.templatePaths:42`, `steps/RepeatEdgeStep`). */
+  final case class TemplateStep(step: EdgeStep, targetFilter: Option[Cond] = None)
+
+  def templatePaths(g: PropertyGraph, sources: Seq[String],
+                    steps: Seq[TemplateStep]): DataFrame = {
+    var frontier = seed(g, sources)
+    steps.foreach { ts =>
+      val e = ts.step.edgesFor(g).select(col("src"), col("dst")).distinct()
+      var next = frontier.select(col("id").as("src"), col("path"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
+      ts.targetFilter.foreach { c =>
+        next = next.join(g.vertices.filter(c.compile).select(col("id")), Seq("id"), "left_semi")
+      }
+      frontier = next.localCheckpoint(true)
+    }
+    frontier.select(pathCol.as("path")).distinct()
+  }
+
+  /** Customized (weighted) paths: per-step weight property summed along the
+    * path, global top-N by total weight (reference
+    * `CustomizePathsTraverser.customizedPaths:76`, `topNPath:49`).
+    * Deterministic tiebreak on the path string. */
+  def customizedPaths(g: PropertyGraph, sources: Seq[String],
+                      steps: Seq[(EdgeStep, Option[String])], // (step, weight prop)
+                      topN: Int): DataFrame = {
+    var frontier = seed(g, sources).withColumn("w", lit(0.0))
+    steps.foreach { case (st, weightProp) =>
+      val wcol = weightProp.map(p => coalesce(col(p), lit(0.0))).getOrElse(lit(1.0))
+      val e = st.edgesFor(g).select(col("src"), col("dst"), wcol.as("ew"))
+      frontier = frontier.select(col("id").as("src"), col("path"), col("w"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"),
+          (col("w") + col("ew")).as("w"))
+        .localCheckpoint(true)
+    }
+    val paths = frontier
+      .groupBy(pathCol.as("path")).agg(sum(col("w")).as("total_weight"))
+    val w = Window.orderBy(col("total_weight").desc, col("path").asc)
+    paths.withColumn("rn", row_number().over(w)).filter(col("rn") <= topN)
+      .select(col("path"), round(col("total_weight"), 6).as("total_weight"))
+  }
+
+  /** Paths between two vertex sets (reference
+    * `CollectionPathsTraverser.paths:43`). */
+  def collectionPaths(g: PropertyGraph, sources: Seq[String], targets: Seq[String],
+                      dir: Direction.Value, labels: Seq[String], maxDepth: Int): DataFrame = {
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct())
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val targetDf = targets.toDF("id")
+    var frontier = seed(g, sources)
+    var acc = frontier.filter(lit(false))
+    for (_ <- 1 to maxDepth) {
+      frontier = frontier.select(col("id").as("src"), col("path"))
+        .join(edges, Seq("src"))
+        .filter(!array_contains(col("path"), col("dst")))
+        .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
+        .distinct()
+        .localCheckpoint(true)
+      acc = acc.unionByName(frontier.join(targetDf, Seq("id"), "left_semi"))
+    }
+    acc.select(pathCol.as("path")).distinct()
+  }
+
+  /** Pairwise shortest distances among a vertex set (reference
+    * `MultiNodeShortestPathTraverser:68`): one multi-source BFS, every
+    * source tagged, min first-visit distance per ordered pair a<b. */
+  def multiNodeShortestDist(g: PropertyGraph, nodes: Seq[String],
+                            dir: Direction.Value, labels: Seq[String],
+                            maxDepth: Int): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val verts = nodes.toDF("id")
+    val edges = EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst"))
+    val dists = graft.olap.Algorithms.multiSourceBfs(verts, edges, maxDepth)
+    dists.join(verts.withColumnRenamed("id", "root2"), col("id") === col("root2"), "left_semi")
+      .filter(col("root") < col("id"))
+      .select(col("root").as("a"), col("id").as("b"), col("dist"))
+  }
+
+  /** Crosspoints: vertices reachable from ALL sources within maxDepth,
+    * sources excluded (reference `Path.crosspoint`, CrosspointsAPI). */
+  def crosspoints(g: PropertyGraph, sources: Seq[String], dir: Direction.Value,
+                  labels: Seq[String], maxDepth: Int): DataFrame =
+    sources.map(s => Traversals.kneighbor(g, s, dir, labels, maxDepth))
+      .reduce(_ intersect _)
+      .filter(!col("id").isin(sources: _*))
+
+  /** Bounded weighted SSSP: Bellman-Ford relaxation for `rounds` rounds —
+    * equals the reference's Dijkstra result (`SingleSourceShortestPath
+    * Traverser:49`) whenever rounds ≥ weighted-path hop diameter. Weight =
+    * `weightCol` (missing → 1.0), must be non-negative. */
+  def weightedSssp(g: PropertyGraph, source: String, dir: Direction.Value,
+                   labels: Seq[String], weightCol: String, rounds: Int): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst"),
+        coalesce(col(weightCol).cast("double"), lit(1.0)).as("w")))
+    var dist = Seq((source, 0.0)).toDF("id", "dist")
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.select(col("id").as("src"), col("dist"))
+        .join(edges, Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("id"), round(col("dist"), 6).as("dist"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.core._
+import graft.traverse.{PathTraversals, SimilarityTraversals}
+import graft.traverse.PathTraversals.TemplateStep
+import org.apache.spark.sql.functions._
+
+class PathTraversalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** cycle fixture: a→b→c→a plus tail c→d (FIXTURES.md §3). */
+  lazy val cyclic: PropertyGraph = {
+    val verts = Seq("a", "b", "c", "d").map(v => (v, "node")).toDF("id", "label")
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "dst")
+      .withColumn("label", lit("e"))
+      .withColumn("sort_values", lit(null).cast("string"))
+    PropertyGraph(verts, edges, GraphSchema(Nil,
+      Seq(VertexLabelDef("node", Nil)), Seq(EdgeLabelDef("e", "node", "node"))))
+  }
+
+  lazy val modern = ModernGraph.build(spark)
+
+  test("rings finds the 3-cycle, rays stop at leaves") {
+    val r = PathTraversals.rings(cyclic, "a", Direction.OUT, Nil, 4)
+      .collect().map(_.getString(0)).toSet
+    assert(r === Set("a->b->c->a"))
+    val rays = PathTraversals.rays(cyclic, "a", Direction.OUT, Nil, 5)
+      .collect().map(_.getString(0)).toSet
+    assert(rays === Set("a->b->c->d")) // the cycle branch dies (revisit), tail is the leaf
+  }
+
+  test("rings empty on a DAG") {
+    assert(PathTraversals.rings(modern, "person:marko", Direction.OUT, Nil, 4).count() === 0L)
+  }
+
+  test("allShortestPaths returns all equal-length paths") {
+    // marko→lop direct (1 hop) is strictly shorter than via josh
+    val p = PathTraversals.allShortestPaths(modern, "person:marko", "software:lop",
+      Direction.OUT, Nil, 3).collect().map(_.getString(0)).toSet
+    assert(p === Set("person:marko->software:lop"))
+    // vadas→ripple BOTH: both 3-hop paths? vadas-marko-josh-ripple only
+    val p2 = PathTraversals.allShortestPaths(modern, "person:vadas", "software:ripple",
+      Direction.BOTH, Nil, 4).collect().map(_.getString(0)).toSet
+    assert(p2 === Set("person:vadas->person:marko->person:josh->software:ripple"))
+  }
+
+  test("templatePaths applies per-step vertex filters") {
+    val p = PathTraversals.templatePaths(modern, Seq("person:marko"), Seq(
+      TemplateStep(EdgeStep(Direction.OUT, Seq("knows")), Some(Cond.gt("age", 30))),
+      TemplateStep(EdgeStep(Direction.OUT, Seq("created")), None)))
+      .collect().map(_.getString(0)).toSet
+    assert(p === Set(
+      "person:marko->person:josh->software:lop",
+      "person:marko->person:josh->software:ripple"))
+  }
+
+  test("customizedPaths ranks by summed weight") {
+    val p = PathTraversals.customizedPaths(modern, Seq("person:marko"), Seq(
+      (EdgeStep(Direction.OUT, Seq("knows")), Some("weight")),
+      (EdgeStep(Direction.OUT, Seq("created")), Some("weight"))), topN = 1)
+      .collect()
+    assert(p.length === 1)
+    assert(p(0).getString(0) === "person:marko->person:josh->software:ripple") // 1.0+1.0
+    assert(math.abs(p(0).getDouble(1) - 2.0) < 1e-9)
+  }
+
+  test("weightedSssp relaxes to cheapest weighted route") {
+    val m = PathTraversals.weightedSssp(modern, "person:marko", Direction.OUT,
+      Nil, "weight", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m("software:lop") - 0.4) < 1e-9)      // direct 0.4 < via josh 1.4
+    assert(math.abs(m("software:ripple") - 2.0) < 1e-9)   // knows 1.0 + created 1.0
+    assert(m("person:marko") === 0.0)
+  }
+
+  test("multiNodeShortestDist pairwise distances") {
+    val m = PathTraversals.multiNodeShortestDist(modern,
+      Seq("person:marko", "person:peter", "person:vadas"), Direction.BOTH, Nil, 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("person:marko", "person:vadas")) === 1L)
+    assert(m(("person:marko", "person:peter")) === 2L)  // via lop
+    assert(m(("person:peter", "person:vadas")) === 3L)
+  }
+
+  test("crosspoints of marko and peter forward trees") {
+    val c = PathTraversals.crosspoints(modern, Seq("person:marko", "person:peter"),
+      Direction.OUT, Nil, 2)
+    assert(ids(c) === Set("software:lop"))
+  }
+
+  test("fusiform similarity on bipartite person→software") {
+    // sources josh (created lop+ripple). lop also created by marko,peter.
+    // neighbors(josh)=2; candidates: marko (1/2), peter (1/2)
+    val src = Seq("person:josh").toDF("id")
+    val f = SimilarityTraversals.fusiformSimilarity(modern, src, Direction.OUT,
+      "created", minNeighbors = 2, alpha = 0.5, minSimilars = 1, top = 0)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSet
+    assert(f === Set(("person:marko", 0.5), ("person:peter", 0.5)))
+  }
+
+  test("neighborRank layered walk conserves alpha-damped mass") {
+    val r = SimilarityTraversals.neighborRankLayered(modern, "person:marko", 0.9,
+      Seq(EdgeStep(Direction.OUT, Seq("knows")), EdgeStep(Direction.OUT, Seq("created"))))
+      .collect().map(x => (x.getInt(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(r((0, "person:marko")) === 1.0)
+    assert(math.abs(r((1, "person:josh")) - 0.45) < 1e-9)  // 0.9/2
+    assert(math.abs(r((2, "software:lop")) - 0.2025) < 1e-9) // 0.45*0.9/2
+  }
+}
