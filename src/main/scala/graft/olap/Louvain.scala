@@ -1,0 +1,103 @@
+package graft.olap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Louvain-style modularity community detection (reference
+  * `comm/LouvainAlgorithm.java:52` + `LouvainTraverser.java` — SURVEY's
+  * hardest OLAP item).
+  *
+  * Deterministic synchronous variant: every local-move round evaluates ALL
+  * vertices at once (one join+groupBy dataflow), each vertex picks the
+  * neighbor community with the best modularity gain
+  * ΔQ ∝ w(v→C) − k_v·Σtot(C\v)/(2m), ties broken by smallest community id.
+  * After `localRounds` rounds the graph is coarsened (communities become
+  * vertices, parallel edges sum their weights) and the process repeats.
+  * The reference iterates vertices sequentially with arbitrary order —
+  * results there depend on iteration order; the synchronous variant is
+  * reproducible, which the correctness gate requires.
+  */
+object Louvain {
+
+  /** @param undirectedEdges (src, dst) — canonical, no self loops
+    * @return (id, community) */
+  def louvain(verts: DataFrame, undirectedEdges: DataFrame,
+              localRounds: Int = 4, passes: Int = 2): DataFrame = {
+    var mapping = verts.select(col("id"), col("id").as("community"))
+    var curVerts = verts.select(col("id"))
+    var curEdges = undirectedEdges.select(col("src"), col("dst"), lit(1.0).as("w"))
+      .localCheckpoint(true)
+
+    for (_ <- 0 until passes) {
+      val comm = localMoves(curVerts, curEdges, localRounds)
+      // compose the global mapping through this pass's assignment
+      mapping = mapping.withColumnRenamed("community", "mid")
+        .join(comm.withColumnRenamed("id", "mid"), Seq("mid"))
+        .select(col("id"), col("community"))
+        .localCheckpoint(true)
+      // coarsen: communities → vertices, aggregate edge weights. Self-loops
+      // are KEPT — they carry the community's internal weight; dropping them
+      // would zero supernode degrees and make any cross-community merge look
+      // like a modularity gain.
+      curEdges = curEdges
+        .join(comm.withColumnRenamed("id", "src").withColumnRenamed("community", "cs"), Seq("src"))
+        .join(comm.withColumnRenamed("id", "dst").withColumnRenamed("community", "cd"), Seq("dst"))
+        .select(least(col("cs"), col("cd")).as("src"),
+          greatest(col("cs"), col("cd")).as("dst"), col("w"))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .localCheckpoint(true)
+      curVerts = comm.select(col("community").as("id")).distinct().localCheckpoint(true)
+    }
+    mapping
+  }
+
+  private def localMoves(verts: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val adj = edges.select(col("src"), col("dst"), col("w"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint(true)
+    val m2 = {
+      val t = edges.agg(sum(col("w"))).head()
+      2.0 * (if (t.isNullAt(0)) 0.0 else t.getDouble(0))
+    }
+    if (m2 == 0.0) return verts.select(col("id"), col("id").as("community"))
+    val k = adj.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
+      .localCheckpoint(true)
+
+    var comm = verts.select(col("id"), col("id").as("community"))
+    for (r <- 0 until rounds) {
+      val commTot = comm.join(k, Seq("id"))
+        .groupBy(col("community")).agg(sum(col("k")).as("tot"))
+      // weight from v to each neighbouring community (and its own)
+      val vToComm = adj
+        .join(comm.withColumnRenamed("id", "dst").withColumnRenamed("community", "nc"), Seq("dst"))
+        .groupBy(col("src").as("id"), col("nc")).agg(sum(col("w")).as("w_vc"))
+      val own = comm.withColumnRenamed("community", "oc")
+      val gains = vToComm
+        .join(own, Seq("id"))
+        .join(k, Seq("id"))
+        .join(commTot.withColumnRenamed("community", "nc"), Seq("nc"))
+        .withColumn("tot_excl",
+          when(col("nc") === col("oc"), col("tot") - col("k")).otherwise(col("tot")))
+        .withColumn("gain", col("w_vc") - col("k") * col("tot_excl") / m2)
+      // Directional gating breaks synchronous-swap oscillation: even rounds
+      // only allow moves to a SMALLER community id, odd rounds to a larger
+      // one. The relation is antisymmetric, so two vertices can never trade
+      // communities in the same round. Staying is always allowed.
+      val gated = gains.select(col("id"), col("nc"), col("gain"), col("oc"))
+        .filter(col("nc") === col("oc") ||
+          (if (r % 2 == 0) col("nc") < col("oc") else col("nc") > col("oc")))
+      // zero-weight stay fallback for vertices with no intra-community edge
+      val withStay = gated.select(col("id"), col("nc"), col("gain"))
+        .unionByName(own.join(k, Seq("id"))
+          .join(commTot.withColumnRenamed("community", "oc"), Seq("oc"))
+          .select(col("id"), col("oc").as("nc"),
+            (lit(0.0) - col("k") * (col("tot") - col("k")) / m2).as("gain")))
+      comm = withStay
+        .groupBy(col("id"))
+        .agg(min(struct((col("gain") * -1).as("ng"), col("nc"))).as("best"))
+        .select(col("id"), col("best.nc").as("community"))
+        .localCheckpoint(true)
+    }
+    comm
+  }
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.olap.{Algorithms, Centrality, Louvain}
+import graft.traverse.PathTraversals
+import graft.traverse.PathTraversals.TemplateStep
+import QueryDef._
+import GraphSql._
+
+/** OLAP completion: betweenness/stress (Brandes sweep), Louvain, subgraph
+  * stats, customized crosspoints, weighted s→t distance. */
+object OlapQueries2 {
+
+  private def g(s: SparkSession, d: String) = TpchGraph.build(s, d)
+
+  private def nationRegionVerts(s: SparkSession, d: String): DataFrame =
+    g(s, d).vertices.filter(col("label").isin("nation", "region")).select(col("id"))
+  private def nationRegionEdges(s: SparkSession, d: String): DataFrame =
+    g(s, d).outEdges.filter(col("label") === "in_region").select(col("src"), col("dst"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q_betweenness_stress",
+      // nation–region forest: shortest paths are the unique simple paths, so
+      // betweenness == stress == #pairs whose path passes through v
+      """WITH RECURSIVE e2 AS (
+        |  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+        |         'region:' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation),
+        |adj AS (SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2),
+        |verts AS (SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS id FROM nation
+        |          UNION ALL SELECT 'region:' || CAST(r_regionkey AS VARCHAR) FROM region),
+        |p(root, id, path) AS (
+        |  SELECT id, id, [id] FROM verts
+        |  UNION ALL
+        |  SELECT p.root, a.dst, p.path || [a.dst] FROM p JOIN adj a ON a.src = p.id
+        |  WHERE NOT list_contains(p.path, a.dst)),
+        |pairs AS (SELECT path FROM p WHERE root < id),
+        |interior AS (SELECT unnest(list_slice(path, 2, len(path) - 1)) AS id FROM pairs),
+        |counts AS (SELECT id, count(*) AS c FROM interior GROUP BY id)
+        |SELECT v.id, round(CAST(coalesce(c.c, 0) AS DOUBLE), 9) AS betweenness,
+        |       CAST(coalesce(c.c, 0) AS BIGINT) AS stress
+        |FROM verts v LEFT JOIN counts c ON c.id = v.id""".stripMargin) { (s, d) =>
+      Centrality.betweennessStress(nationRegionVerts(s, d), nationRegionEdges(s, d),
+        maxDepth = 6)
+    },
+
+    qNoOracle("q_louvain") { (s, d) =>
+      // deterministic synchronous Louvain on the co-supplier graph (the
+      // reference's sequential tie-breaking has no stable SQL restatement);
+      // semantics verified on clique fixtures in LouvainSpec
+      val spark = s; import spark.implicits._
+      val edges = {
+        val li = Tables.lineitem(s, d).filter(col("l_partkey") < 100)
+          .select(col("l_partkey"),
+            concat(lit("supplier:"), col("l_suppkey").cast("string")).as("sup"))
+        Algorithms.canonical(
+          li.withColumnRenamed("sup", "sa").join(li.withColumnRenamed("sup", "sb"), Seq("l_partkey"))
+            .filter(col("sa") =!= col("sb"))
+            .select(col("sa").as("src"), col("sb").as("dst")))
+      }
+      val verts = Tables.supplier(s, d)
+        .select(concat(lit("supplier:"), col("s_suppkey").cast("string")).as("id"))
+      Louvain.louvain(verts, edges, localRounds = 4, passes = 2)
+    },
+
+    q("q_subgraph_stat",
+      """WITH RECURSIVE e2 AS (
+        |  SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS src,
+        |         'nation:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+        |         'nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL
+        |  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+        |         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        |verts AS (SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS id FROM region
+        |  UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+        |adj AS (SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT r.a, adj.dst FROM reach r JOIN adj ON adj.src = r.b),
+        |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+        |deg AS (SELECT src AS id, count(*) AS dg FROM adj GROUP BY src)
+        |SELECT CAST((SELECT count(*) FROM verts) AS BIGINT) AS n_vertices,
+        |       CAST((SELECT count(*) FROM e2) AS BIGINT) AS n_edges,
+        |       CAST((SELECT count(DISTINCT component) FROM comp) AS BIGINT) AS n_components,
+        |       CAST((SELECT max(dg) FROM deg) AS BIGINT) AS max_degree""".stripMargin) { (s, d) =>
+      // stats bundle over a subgraph (reference SubgraphStatAlgorithm)
+      val graph = g(s, d)
+      val verts = graph.vertices
+        .filter(col("label").isin("region", "nation", "customer", "supplier"))
+        .select(col("id")).localCheckpoint(true)
+      val edges = graph.outEdges
+        .filter(col("label").isin("in_nation", "in_region"))
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      val nV = verts.count(); val nE = edges.count()
+      val nC = Algorithms.wcc(verts, edges).agg(countDistinct(col("component"))).head().getLong(0)
+      val maxDeg = edges.select(col("src")).union(edges.select(col("dst")))
+        .groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .agg(max(col("dg"))).head().getLong(0)
+      val spark = s; import spark.implicits._
+      Seq((nV, nE, nC, maxDeg)).toDF("n_vertices", "n_edges", "n_components", "max_degree")
+    },
+
+    q("q_customized_crosspoints",
+      """SELECT id FROM (
+        |  SELECT DISTINCT 'part:' || CAST(l.l_partkey AS VARCHAR) AS id
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey = 1
+        |  INTERSECT
+        |  SELECT DISTINCT 'part:' || CAST(l.l_partkey AS VARCHAR)
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey = 2)""".stripMargin) { (s, d) =>
+      // crosspoints over multiple path patterns (reference
+      // CustomizedCrosspointsTraverser): terminal-id intersection of the
+      // per-pattern template walks
+      val steps = Seq(
+        TemplateStep(EdgeStep(Direction.OUT, Seq("placed"))),
+        TemplateStep(EdgeStep(Direction.OUT, Seq("contains"))))
+      def terminals(src: String): DataFrame =
+        PathTraversals.templatePaths(g(s, d), Seq(src), steps)
+          .select(element_at(split(col("path"), "->"), -1).as("id")).distinct()
+      terminals("customer:1").intersect(terminals("customer:2"))
+    },
+
+    q("q_weighted_path",
+      s"""SELECT dist FROM (${GraphQueries2.weightedSsspSql(4)}) WHERE id = 'supplier:3'""") { (s, d) =>
+      // weighted s→t distance (reference weightedShortestPath) — the SSSP
+      // frontier filtered at the target
+      PathTraversals.weightedSssp(g(s, d), "customer:1", Direction.BOTH, Nil,
+        weightCol = "quantity", rounds = 4)
+        .filter(col("id") === "supplier:3").select(col("dist"))
+    })
+}
