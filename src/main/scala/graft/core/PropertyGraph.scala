@@ -181,4 +181,20 @@ object TpchGraph {
 
   def build(spark: SparkSession, dir: String): PropertyGraph =
     PropertyGraph(vertices(spark, dir), edges(spark, dir), schema)
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), PropertyGraph]()
+
+  /** Memoized, materialized projection — the deployment shape: the graph
+    * tables are loaded/cached once per session and every query plans against
+    * the pinned view instead of re-reading the 6-table union. On a cluster
+    * this is the `persist(MEMORY_AND_DISK)` (or bucketed-table) load step. */
+  def cached(spark: SparkSession, dir: String): PropertyGraph =
+    cache.computeIfAbsent((System.identityHashCode(spark), dir), _ => {
+      val g = build(spark, dir)
+      PropertyGraph(
+        g.vertices.localCheckpoint(eager = true),
+        g.edges.localCheckpoint(eager = true),
+        g.schema)
+    })
 }

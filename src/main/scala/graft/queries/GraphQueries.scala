@@ -12,7 +12,7 @@ import GraphSql._
   * correctness SF); results at other SFs may legitimately differ in size. */
 object GraphQueries {
 
-  private def g(s: org.apache.spark.sql.SparkSession, d: String) = TpchGraph.build(s, d)
+  private def g(s: org.apache.spark.sql.SparkSession, d: String) = TpchGraph.cached(s, d)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -14,7 +14,7 @@ import GraphSql._
   * bounded weighted SSSP, plus mutation-semantics checks (UNIQUE, TTL). */
 object GraphQueries2 {
 
-  private def g(s: SparkSession, d: String) = TpchGraph.build(s, d)
+  private def g(s: SparkSession, d: String) = TpchGraph.cached(s, d)
 
   def weightedSsspSql(rounds: Int): String = {
     val iters = (0 until rounds).map { i =>
@@ -181,8 +181,13 @@ object GraphQueries2 {
     },
 
     q("q_multinode_shortest",
+      // pairwise customer proximity over the geography subgraph
+      // (in_nation/in_region) — restricting the labels keeps the BFS on the
+      // 1.5k-vertex geo graph instead of sweeping all 186k vertices
       s"""WITH RECURSIVE edges AS ($edgesSql),
-         |adj AS (SELECT DISTINCT src, dst FROM ($bothEdgesSql)),
+         |geo AS (SELECT src, dst FROM edges WHERE label IN ('in_nation', 'in_region')),
+         |adj AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM geo
+         |                                       UNION ALL SELECT dst, src FROM geo)),
          |bfs(root, id, dist) AS (
          |  SELECT id, id, CAST(0 AS BIGINT)
          |  FROM (SELECT 'customer:1' AS id UNION ALL SELECT 'customer:2' UNION ALL SELECT 'customer:3')
@@ -193,7 +198,8 @@ object GraphQueries2 {
          |SELECT root AS a, id AS b, dist FROM d
          |WHERE id IN ('customer:1', 'customer:2', 'customer:3') AND root < id""".stripMargin) { (s, d) =>
       PathTraversals.multiNodeShortestDist(g(s, d),
-        Seq("customer:1", "customer:2", "customer:3"), Direction.BOTH, Nil, maxDepth = 4)
+        Seq("customer:1", "customer:2", "customer:3"), Direction.BOTH,
+        Seq("in_nation", "in_region"), maxDepth = 4)
     },
 
     q("q_crosspoints",

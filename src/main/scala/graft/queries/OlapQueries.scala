@@ -12,7 +12,7 @@ import GraphSql._
   * round to 9 decimals on both sides. */
 object OlapQueries {
 
-  private def g(s: SparkSession, d: String) = TpchGraph.build(s, d)
+  private def g(s: SparkSession, d: String) = TpchGraph.cached(s, d)
 
   val vertsSql: String =
     """SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS id FROM region

@@ -13,7 +13,7 @@ import GraphSql._
   * stats, customized crosspoints, weighted s→t distance. */
 object OlapQueries2 {
 
-  private def g(s: SparkSession, d: String) = TpchGraph.build(s, d)
+  private def g(s: SparkSession, d: String) = TpchGraph.cached(s, d)
 
   private def nationRegionVerts(s: SparkSession, d: String): DataFrame =
     g(s, d).vertices.filter(col("label").isin("nation", "region")).select(col("id"))

@@ -28,8 +28,9 @@ object PathTraversals {
   def allShortestPaths(g: PropertyGraph, source: String, target: String,
                        dir: Direction.Value, labels: Seq[String] = Nil,
                        maxDepth: Int): DataFrame = {
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+    // no global edges.distinct(): dedup happens layer-locally on the (tiny)
+    // frontier output instead of shuffling the whole edge table up front
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst")))
     var frontier = seed(g, Seq(source))
     var result: Option[DataFrame] = None
     var d = 0
@@ -39,6 +40,7 @@ object PathTraversals {
         .join(edges, Seq("src"))
         .filter(!array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
+        .distinct()
         .localCheckpoint(true)
       val hits = frontier.filter(col("id") === target)
       if (hits.limit(1).count() > 0) result = Some(hits)
@@ -52,7 +54,7 @@ object PathTraversals {
   def rays(g: PropertyGraph, source: String, dir: Direction.Value,
            labels: Seq[String] = Nil, maxDepth: Int): DataFrame = {
     val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+      .select(col("src"), col("dst")))
     var frontier = seed(g, Seq(source))
     var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
     for (_ <- 1 to maxDepth) {
@@ -65,6 +67,7 @@ object PathTraversals {
       frontier = expanded.filter(col("dst").isNotNull)
         .filter(!array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
+        .distinct()
         .localCheckpoint(true)
     }
     // paths cut off at maxDepth count as rays too
@@ -76,7 +79,7 @@ object PathTraversals {
   def rings(g: PropertyGraph, source: String, dir: Direction.Value,
             labels: Seq[String] = Nil, maxDepth: Int): DataFrame = {
     val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+      .select(col("src"), col("dst")))
     var frontier = seed(g, Seq(source))
     var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
     for (_ <- 1 to maxDepth) {
@@ -88,6 +91,7 @@ object PathTraversals {
       frontier = expanded
         .filter(col("dst") =!= source && !array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
+        .distinct()
         .localCheckpoint(true)
     }
     acc.distinct()
@@ -102,10 +106,11 @@ object PathTraversals {
                     steps: Seq[TemplateStep]): DataFrame = {
     var frontier = seed(g, sources)
     steps.foreach { ts =>
-      val e = ts.step.edgesFor(g).select(col("src"), col("dst")).distinct()
+      val e = ts.step.edgesFor(g).select(col("src"), col("dst"))
       var next = frontier.select(col("id").as("src"), col("path"))
         .join(e, Seq("src"))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
+        .distinct() // layer-local multi-edge collapse, not a full-table one
       ts.targetFilter.foreach { c =>
         next = next.join(g.vertices.filter(c.compile).select(col("id")), Seq("id"), "left_semi")
       }
@@ -143,7 +148,7 @@ object PathTraversals {
   def collectionPaths(g: PropertyGraph, sources: Seq[String], targets: Seq[String],
                       dir: Direction.Value, labels: Seq[String], maxDepth: Int): DataFrame = {
     val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+      .select(col("src"), col("dst")))
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val targetDf = targets.toDF("id")
