@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GraphSchema, PropertyGraph}
+
+/** Parquet-backed graph storage (SURVEY §2.1 sinks / §1.5 layout).
+  *
+  * Layout decisions, with the 100 TB rationale:
+  *  - vertices and edges are parquet datasets PARTITIONED BY `label`: a
+  *    label-filtered scan (every traversal step has one) prunes to its
+  *    partition directories — the columnar replacement for the reference's
+  *    per-label row prefixes;
+  *  - edges are additionally REPARTITIONED by `src` within each label so a
+  *    frontier join reads co-located adjacency runs (at cluster scale this
+  *    becomes `bucketBy(src)` on a catalog table, giving shuffle-free
+  *    frontier joins);
+  *  - edges are stored ONCE (no IN duplication — PropertyGraph derives the
+  *    reversed view);
+  *  - the schema document rides along as JSON, so a store is self-describing.
+  */
+object GraphStore {
+
+  def save(g: PropertyGraph, dir: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    g.vertices.write.mode(mode).partitionBy("label").parquet(s"$dir/vertices")
+    g.edges.repartition(col("src")).write.mode(mode)
+      .partitionBy("label").parquet(s"$dir/edges")
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    Seq(g.schema.toJson).toDF("schema_json").coalesce(1)
+      .write.mode(mode).json(s"$dir/schema")
+  }
+
+  def load(spark: SparkSession, dir: String, schema: GraphSchema): PropertyGraph =
+    PropertyGraph(
+      spark.read.parquet(s"$dir/vertices"),
+      spark.read.parquet(s"$dir/edges"),
+      schema)
+
+  /** Append a mutation batch to the edge log; readers see it immediately,
+    * compaction is Mutations.reconcile over the unioned log. */
+  def appendEdges(batch: DataFrame, dir: String): Unit =
+    batch.write.mode(SaveMode.Append).partitionBy("label").parquet(s"$dir/edges")
+
+  /** CSV/JSON ingestion of external vertex/edge files into the graph layout
+    * (the hugegraph-loader role). */
+  def ingestCsv(spark: SparkSession, path: String, headerTrue: Boolean = true): DataFrame =
+    spark.read.option("header", headerTrue.toString).option("inferSchema", "true").csv(path)
+  def ingestJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}
