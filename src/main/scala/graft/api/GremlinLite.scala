@@ -1,0 +1,180 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import graft.core.{Cond, PropertyGraph}
+
+/** Text frontend for a practical Gremlin subset — the reference's primary
+  * entry point is a Gremlin script POST (`api/gremlin/GremlinAPI.java:51-88`
+  * → Groovy engine → traversal). Arbitrary Groovy is out of scope by design
+  * (SURVEY §2.11); this parser covers the declarative step chains that make
+  * up the overwhelming majority of analytic Gremlin:
+  *
+  * {{{
+  *   g.V().hasLabel('person').has('age', gt(29)).out('knows').values('name')
+  *   g.V('person:marko').repeat(out()).times(2).dedup().count()
+  *   g.E('created').groupCount('label')
+  * }}}
+  *
+  * Supported: V(ids…), E(labels…), hasLabel, has(k,v), has(k,pred) with
+  * gt/gte/lt/lte/neq/within, hasNot, out/in/both(labels…), outE/inE,
+  * inV/outV, dedup, limit(n), range(a,b), sample(f), order().by(k[,decr]),
+  * repeat(step).times(n), values(k), valueMap(k…), id(), path() via
+  * pathed(), count, groupCount(k), group(k,v), fold, sum/max/min/mean(k).
+  * The whole chain compiles to ONE Catalyst plan.
+  */
+object GremlinLite {
+
+  // ------------------------------------------------------------------ lexer
+  private[api] final case class Step(name: String, args: List[Arg])
+  private[api] sealed trait Arg
+  private[api] final case class SArg(v: String) extends Arg
+  private[api] final case class NArg(v: Double) extends Arg
+  private[api] final case class PArg(op: String, args: List[Arg]) extends Arg
+
+  /** split a chain on top-level dots (quotes and parens respected) */
+  private def splitSteps(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var depth = 0; var inQ = false; val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case '.' if !inQ && depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.toList.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def splitArgs(s: String): List[String] = {
+    if (s.trim.isEmpty) return Nil
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var depth = 0; var inQ = false; val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case ',' if !inQ && depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.toList.map(_.trim)
+  }
+
+  private def parseArg(s: String): Arg = s match {
+    case q if q.startsWith("'") && q.endsWith("'") => SArg(q.substring(1, q.length - 1))
+    case f if f.matches("[a-zA-Z]+\\(.*\\)") =>
+      val op = f.substring(0, f.indexOf('('))
+      PArg(op, splitArgs(f.substring(f.indexOf('(') + 1, f.lastIndexOf(')'))).map(parseArg))
+    case n => NArg(n.toDouble)
+  }
+
+  private[api] def parse(script: String): List[Step] = {
+    val body = script.trim.stripPrefix("g.")
+    splitSteps(body).map { st =>
+      val p = st.indexOf('(')
+      require(p > 0 && st.endsWith(")"), s"malformed step: $st")
+      Step(st.substring(0, p), splitArgs(st.substring(p + 1, st.length - 1)).map(parseArg))
+    }
+  }
+
+  // -------------------------------------------------------------- evaluator
+  private def num(a: Arg): Double = a match {
+    case NArg(v) => v
+    case SArg(v) => v.toDouble
+    case _ => sys.error("expected number")
+  }
+  private def str(a: Arg): String = a match {
+    case SArg(v) => v
+    case other => sys.error(s"expected string, got $other")
+  }
+
+  private def pred(key: String, a: Arg): Cond = a match {
+    case SArg(v) => Cond.eq(key, v)
+    case NArg(v) => if (v == v.floor) Cond.eq(key, v.toLong) else Cond.eq(key, v)
+    case PArg("gt", List(x)) => Cond.gt(key, num(x))
+    case PArg("gte", List(x)) => Cond.gte(key, num(x))
+    case PArg("lt", List(x)) => Cond.lt(key, num(x))
+    case PArg("lte", List(x)) => Cond.lte(key, num(x))
+    case PArg("neq", List(x)) => x match {
+      case SArg(v) => Cond.neq(key, v); case _ => Cond.neq(key, num(x))
+    }
+    case PArg("within", xs) => Cond.in(key, xs.map { case SArg(v) => v; case n => num(n) })
+    case PArg("textContains", List(x)) => Cond.textContains(key, str(x))
+    case other => sys.error(s"unsupported predicate: $other")
+  }
+
+  /** Evaluate a script against a graph; returns a DataFrame. */
+  def eval(g: PropertyGraph, script: String): DataFrame = {
+    val steps = parse(script)
+    require(steps.nonEmpty, "empty traversal")
+    val src = Graft.g(g)
+    var t: GraphTraversal = steps.head match {
+      case Step("V", args) => src.V(args.map(str): _*)
+      case Step("withPath", args) => src.withPath(args.map(str): _*)
+      case Step("E", args) => src.E(args.map(str): _*)
+      case other => sys.error(s"traversal must start with V()/E(), got $other")
+    }
+    var result: Option[DataFrame] = None
+    var i = 1
+    val n = steps.length
+    while (i < n) {
+      val Step(name, args) = steps(i)
+      (name, args) match {
+        case ("hasLabel", as) => t = t.hasLabel(as.map(str): _*)
+        case ("has", List(k, v)) => t = t.has(pred(str(k), v))
+        case ("has", List(k)) => t = t.filter(org.apache.spark.sql.functions.col(str(k)).isNotNull)
+        case ("hasNot", List(k)) => t = t.hasNot(str(k))
+        case ("out", as) => t = t.out(as.map(str): _*)
+        case ("in", as) => t = t.in(as.map(str): _*)
+        case ("both", as) => t = t.both(as.map(str): _*)
+        case ("outE", as) => t = t.outE(as.map(str): _*)
+        case ("inE", as) => t = t.inE(as.map(str): _*)
+        case ("inV", Nil) => t = t.inV()
+        case ("outV", Nil) => t = t.outV()
+        case ("dedup", Nil) => t = t.dedup()
+        case ("simplePath", Nil) => t = t.simplePath()
+        case ("cyclicPath", Nil) => t = t.cyclicPath()
+        case ("limit", List(x)) => t = t.limit(num(x).toInt)
+        case ("range", List(a, b)) => t = t.range(num(a).toInt, num(b).toInt)
+        case ("sample", List(x)) => t = t.sample(num(x))
+        case ("order", Nil) =>
+          // look ahead for .by(key[, 'decr'])
+          if (i + 1 < n && steps(i + 1).name == "by") {
+            val by = steps(i + 1)
+            val asc = by.args.length < 2 || str(by.args(1)) != "decr"
+            t = t.order(str(by.args.head), asc)
+            i += 1
+          }
+        case ("repeat", List(PArg(step, stepArgs))) =>
+          // followed by .times(n)
+          require(i + 1 < n && steps(i + 1).name == "times", "repeat() needs .times(n)")
+          val times = num(steps(i + 1).args.head).toInt
+          val labels = stepArgs.map(str)
+          t = step match {
+            case "out" => t.repeat(times)(_.out(labels: _*))
+            case "in" => t.repeat(times)(_.in(labels: _*))
+            case "both" => t.repeat(times)(_.both(labels: _*))
+            case other => sys.error(s"unsupported repeat body: $other")
+          }
+          i += 1
+        // terminal steps
+        case ("values", List(k)) => result = Some(t.values(str(k)))
+        case ("valueMap", as) => result = Some(t.valueMap(as.map(str): _*))
+        case ("id", Nil) => result = Some(t.id())
+        case ("path", Nil) => result = Some(t.path())
+        case ("count", Nil) => result = Some(t.count())
+        case ("groupCount", List(k)) => result = Some(t.groupCount(str(k)))
+        case ("group", List(k, v)) => result = Some(t.group(str(k), str(v)))
+        case ("fold", Nil) => result = Some(t.fold())
+        case ("sum", List(k)) => result = Some(t.sum(str(k)))
+        case ("max", List(k)) => result = Some(t.max(str(k)))
+        case ("min", List(k)) => result = Some(t.min(str(k)))
+        case ("mean", List(k)) => result = Some(t.mean(str(k)))
+        case other => sys.error(s"unsupported step: $other")
+      }
+      i += 1
+    }
+    result.getOrElse(t.id())
+  }
+}

@@ -239,6 +239,18 @@ object GraphQueries2 {
         .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("ids"))
     },
 
+    q("q_gremlin_frontend",
+      """SELECT o.o_orderstatus AS orderstatus, CAST(count(*) AS BIGINT) AS n
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderstatus""".stripMargin) { (s, d) =>
+      // the §3.1 script entry point, end to end: text → parsed steps →
+      // DSL → one Catalyst plan
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('customer').has('mktsegment', 'BUILDING')" +
+          ".out('placed').groupCount('orderstatus')")
+    },
+
     q("q_ttl_filter",
       """SELECT event_id FROM events
         |WHERE epoch_ms(ts) + 2592000000 > epoch_ms(TIMESTAMP '2024-01-15 00:00:00')""".stripMargin) { (s, d) =>

@@ -1,0 +1,66 @@
+package graft
+
+import graft.api.GremlinLite
+import graft.core.ModernGraph
+
+/** Gremlin-text frontend on the modern graph — mirrors the reference's
+  * §3.1 script entry point for declarative chains. */
+class GremlinLiteSpec extends SparkSpec {
+  lazy val g = ModernGraph.build(spark)
+  def run(s: String) = GremlinLite.eval(g, s)
+
+  test("filter + traverse + values") {
+    val names = run("g.V().hasLabel('person').has('age', gt(29)).values('name')")
+      .collect().map(_.getString(0)).toSet
+    assert(names === Set("josh", "peter"))
+  }
+
+  test("start from id, out with label") {
+    assert(ids(run("g.V('person:marko').out('knows').id()")) ===
+      Set("person:vadas", "person:josh"))
+  }
+
+  test("repeat().times() + dedup + count") {
+    assert(run("g.V('person:marko').repeat(out()).times(2).dedup().count()")
+      .head().getLong(0) === 2L)
+  }
+
+  test("within predicate and groupCount") {
+    val m = run("g.V().has('name', within('lop','ripple','marko')).groupCount('label')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("person" -> 1L, "software" -> 2L))
+  }
+
+  test("edge traversal: outE/inV") {
+    assert(ids(run("g.V('person:marko').outE('knows').inV().id()")) ===
+      Set("person:vadas", "person:josh"))
+  }
+
+  test("order().by(decr) + limit") {
+    val top = run("g.V().hasLabel('person').order().by('age', 'decr').limit(1).values('name')")
+      .head().getString(0)
+    assert(top === "peter")
+  }
+
+  test("aggregations: sum and mean") {
+    assert(run("g.V().hasLabel('software').sum('price')").head().getLong(0) === 527L)
+    assert(run("g.V().hasLabel('person').mean('age')").head().getDouble(0) === 30.75)
+  }
+
+  test("path tracking via withPath") {
+    val p = run("g.withPath('person:marko').out('knows').out('created').simplePath().path()")
+      .collect().map(_.getString(0)).toSet
+    assert(p === Set(
+      "person:marko->person:josh->software:lop",
+      "person:marko->person:josh->software:ripple"))
+  }
+
+  test("textContains predicate through the frontend") {
+    assert(ids(run("g.V().has('name', textContains('lop')).id()")) === Set("software:lop"))
+  }
+
+  test("malformed scripts fail cleanly") {
+    intercept[Exception](run("g.V().nonsenseStep()"))
+    intercept[Exception](run("notatraversal"))
+  }
+}
