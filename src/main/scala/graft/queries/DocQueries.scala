@@ -97,6 +97,42 @@ object DocQueries {
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
 
+  /** Correlated-subquery cosine over two list columns, double math in the
+    * exact same op order as VectorFunctions.cosine. */
+  private def cosExpr(x: String, y: String): String =
+    s"""((SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+       |  FROM (SELECT unnest($x) AS a, unnest($y) AS b) zz1) /
+       | sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest($x) AS a) zz2) *
+       |      (SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest($y) AS b) zz3)))""".stripMargin
+
+  def ivfSql(topK: Int, nCentroids: Int, nProbe: Int): String =
+    s"""WITH cents AS MATERIALIZED (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id >= 5 ORDER BY vec_id LIMIT $nCentroids),
+       |cand_scored AS MATERIALIZED (
+       |  SELECT c.vec_id, c.embedding, ct.cid, ${cosExpr("c.embedding", "ct.ce")} AS csim
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5) c
+       |  CROSS JOIN cents ct),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+       |    FROM cand_scored) WHERE rn = 1),
+       |probe_scored AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, q.embedding AS qe, ct.cid, ${cosExpr("q.embedding", "ct.ce")} AS csim
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+       |  CROSS JOIN cents ct),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, qe, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cid) AS rn
+       |    FROM probe_scored) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id, ${cosExpr("p.qe", "a.embedding")} AS sim
+       |  FROM assigned a JOIN probes p USING (cid))
+       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+
   /** SRP bucket expression with the plane-sign literals baked in. */
   def srpBucketSqlExpr(colName: String, bits: Int, dims: Int): String =
     VectorFunctions.planeSigns(bits, dims).map { signs =>
@@ -171,6 +207,12 @@ object DocQueries {
       val e = Tables.embeddings(s, d)
       Ann.srpBucketTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         k = 3, bits = 8, dims = 64)
+    },
+
+    q("q_ann_ivf_topk", ivfSql(10, 16, 2)) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Ann.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        k = 10, nCentroids = 16, nProbe = 2)
     },
 
     q("q_lang_id",

@@ -239,6 +239,21 @@ object GraphQueries2 {
         .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("ids"))
     },
 
+    q("q_sortkey_range",
+      // edge sort-key prefix/range semantics (EdgeId 6-part identity,
+      // reference EdgeId.java:31-43 + optimizeQuery sort-key rewrite): the
+      // sort-key values are part of edge identity and range-filterable
+      """SELECT 'order:42' AS src, 'part:' || CAST(l_partkey AS VARCHAR) AS dst,
+        |       CAST(l_linenumber AS VARCHAR) AS sort_values, l_quantity AS quantity
+        |FROM lineitem
+        |WHERE l_orderkey = 42 AND l_linenumber >= 2 AND l_linenumber <= 5""".stripMargin) { (s, d) =>
+      EdgeStep(Direction.OUT, Seq("contains"),
+        cond = Some(Cond.gte("linenumber", 2) and Cond.lte("linenumber", 5)))
+        .edgesFor(g(s, d))
+        .filter(col("src") === "order:42")
+        .select(col("src"), col("dst"), col("sort_values"), col("quantity"))
+    },
+
     q("q_gremlin_frontend",
       """SELECT o.o_orderstatus AS orderstatus, CAST(count(*) AS BIGINT) AS n
         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey

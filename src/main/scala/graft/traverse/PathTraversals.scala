@@ -183,12 +183,29 @@ object PathTraversals {
   }
 
   /** Crosspoints: vertices reachable from ALL sources within maxDepth,
-    * sources excluded (reference `Path.crosspoint`, CrosspointsAPI). */
+    * sources excluded (reference `Path.crosspoint`, CrosspointsAPI).
+    * One tagged multi-source BFS over a single pinned edge view — not one
+    * BFS per source. */
   def crosspoints(g: PropertyGraph, sources: Seq[String], dir: Direction.Value,
-                  labels: Seq[String], maxDepth: Int): DataFrame =
-    sources.map(s => Traversals.kneighbor(g, s, dir, labels, maxDepth))
-      .reduce(_ intersect _)
+                  labels: Seq[String], maxDepth: Int): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst")))
+    var seen = sources.map(s => (s, s)).toDF("root", "id")
+    var frontier = seen
+    for (d <- 1 to maxDepth) {
+      frontier = frontier.select(col("root"), col("id").as("src"))
+        .join(edges, Seq("src"))
+        .select(col("root"), col("dst").as("id")).distinct()
+        .join(seen, Seq("root", "id"), "left_anti")
+        .localCheckpoint(true)
+      seen = seen.union(frontier)
+    }
+    seen.groupBy(col("id")).agg(countDistinct(col("root")).as("nroots"))
+      .filter(col("nroots") === sources.length)
+      .select(col("id"))
       .filter(!col("id").isin(sources: _*))
+  }
 
   /** Bounded weighted SSSP: Bellman-Ford relaxation for `rounds` rounds —
     * equals the reference's Dijkstra result (`SingleSourceShortestPath
