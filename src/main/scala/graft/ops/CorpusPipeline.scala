@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** End-to-end corpus cleaning — the composed training-data pipeline:
+  * exact-dedup → near-dedup (MinHash+LSH) → quality gate → language
+  * distribution. Each stage is the already-verified operator; this module is
+  * the composition a 100 TB data-curation job would run.
+  *
+  * Dedup policy: within an exact or near-duplicate pair, the SMALLER doc_id
+  * survives (deterministic canonical pick; near-dup removal drops `b` of
+  * every surviving (a<b) pair transitively via one pass — pairs are already
+  * exact-verified ≥ threshold).
+  */
+object CorpusPipeline {
+
+  final case class Params(
+      ngram: Int = 3, k: Int = 12, bands: Int = 6, rows: Int = 2,
+      nearDupThreshold: Double = 0.5,
+      minTokens: Int = 10, maxStopwordRatio: Double = 0.9)
+
+  /** Surviving documents with quality features attached. */
+  def cleaned(docs: DataFrame, p: Params = Params()): DataFrame = {
+    // 1. exact dedup: keep min doc_id per content hash
+    val canonical = docs
+      .withColumn("__h", md5(col("text")))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+          .orderBy(col("doc_id").asc)))
+      .filter(col("__rk") === 1).drop("__h", "__rk")
+    // 2. near-dedup: drop the larger id of every verified near-dup pair
+    val nearDupLosers = Dedup.minhashNearDups(canonical, "doc_id", "text",
+        p.ngram, p.k, p.bands, p.rows, p.nearDupThreshold)
+      .select(col("b").as("doc_id")).distinct()
+    val deduped = canonical.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    // 3. quality gate
+    deduped
+      .withColumn("q", TextFunctions.qualityStruct(col("text")))
+      .filter(col("q.n_tokens") >= p.minTokens &&
+        col("q.stopword_ratio") <= p.maxStopwordRatio)
+  }
+
+  /** The pipeline's summary: surviving docs per predicted language. */
+  def langDistribution(docs: DataFrame, p: Params = Params()): DataFrame =
+    cleaned(docs, p)
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_docs"))
+}

@@ -160,7 +160,50 @@ object DocQueries {
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
 
+  /** Full corpus-cleaning pipeline restated in SQL: exact dedup → MinHash
+    * near-dedup (same CTE chain as minhashSql, over the canon set) →
+    * quality gate → language distribution. */
+  def pipelineSql: String =
+    s"""WITH canon AS MATERIALIZED (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+       |    FROM documents) WHERE rk = 1),
+       |toks AS MATERIALIZED (SELECT doc_id, text, $tok AS toks FROM canon),
+       |sh AS MATERIALIZED (SELECT doc_id, $shingle3 AS sh FROM toks),
+       |base AS MATERIALIZED (SELECT doc_id, sh, $hexBaseExpr AS base FROM sh),
+       |sig AS MATERIALIZED (SELECT doc_id, sh, $sigExprs AS sig FROM base),
+       |bk AS MATERIALIZED (SELECT doc_id, unnest($bandExprs) AS bucket FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |losers AS (SELECT DISTINCT cand.b AS doc_id
+       |           FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b
+       |           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |                 len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+       |surv AS (SELECT t.doc_id, t.toks FROM toks t
+       |         WHERE t.doc_id NOT IN (SELECT doc_id FROM losers)),
+       |qual AS (SELECT doc_id, toks FROM surv
+       |         WHERE len(toks) >= 10 AND
+       |               round(CASE WHEN len(toks) > 0
+       |                 THEN CAST(len(list_filter(toks, x -> x IN ($allStops))) AS DOUBLE) / len(toks)
+       |                 ELSE 0 END, 4) <= 0.9),
+       |s AS (SELECT doc_id,
+       |  ${stopCount("en")} AS s_en, ${stopCount("es")} AS s_es,
+       |  ${stopCount("de")} AS s_de, ${stopCount("fr")} AS s_fr FROM qual)
+       |SELECT CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+       |            WHEN s_fr > s_en AND s_fr > s_es AND s_fr > s_de THEN 'fr'
+       |            WHEN s_de > s_en AND s_de > s_es THEN 'de'
+       |            WHEN s_es > s_en THEN 'es'
+       |            ELSE 'en' END AS lang_pred,
+       |       CAST(count(*) AS BIGINT) AS n_docs
+       |FROM s GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+
+    q("q_corpus_pipeline", pipelineSql, bench = true) { (s, d) =>
+      graft.ops.CorpusPipeline.langDistribution(Tables.documents(s, d),
+        graft.ops.CorpusPipeline.Params(minTokens = 10, maxStopwordRatio = 0.9))
+    },
 
     q("q_dedup_exact",
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,

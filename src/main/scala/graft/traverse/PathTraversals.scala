@@ -229,4 +229,35 @@ object PathTraversals {
     }
     dist.select(col("id"), round(col("dist"), 6).as("dist"))
   }
+
+  /** Weighted SSSP relaxed to FIXPOINT — the reference's Dijkstra semantics
+    * (`SingleSourceShortestPathTraverser:49`) without a round bound. Each
+    * round relaxes every edge once (distributed Bellman-Ford); terminates
+    * when no distance improves, ≤ |V|-1 rounds on non-negative weights.
+    * `maxRounds` is a runaway guard, not a semantic bound. */
+  def weightedSsspConverged(g: PropertyGraph, source: String, dir: Direction.Value,
+                            labels: Seq[String], weightCol: String,
+                            maxRounds: Int = 100): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst"),
+        coalesce(col(weightCol).cast("double"), lit(1.0)).as("w")))
+    var dist = Seq((source, 0.0)).toDF("id", "dist").localCheckpoint(true)
+    var changed = 1L
+    var r = 0
+    while (changed > 0 && r < maxRounds) {
+      r += 1
+      val relaxed = dist.select(col("id").as("src"), col("dist"))
+        .join(edges, Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      changed = next.join(dist.withColumnRenamed("dist", "old"), Seq("id"), "left")
+        .filter(col("old").isNull || col("dist") < col("old")).count()
+      dist = next
+    }
+    dist.select(col("id"), round(col("dist"), 6).as("dist"))
+  }
 }

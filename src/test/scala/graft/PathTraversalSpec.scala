@@ -74,6 +74,19 @@ class PathTraversalSpec extends SparkSpec {
     assert(m("person:marko") === 0.0)
   }
 
+  test("weightedSsspConverged reaches the Dijkstra fixpoint") {
+    val m = PathTraversals.weightedSsspConverged(modern, "person:marko",
+      Direction.OUT, Nil, "weight")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m("software:lop") - 0.4) < 1e-9)
+    assert(math.abs(m("software:ripple") - 2.0) < 1e-9)
+    // fixpoint equals a generously-bounded run
+    val bounded = PathTraversals.weightedSssp(modern, "person:marko",
+      Direction.OUT, Nil, "weight", rounds = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m === bounded)
+  }
+
   test("multiNodeShortestDist pairwise distances") {
     val m = PathTraversals.multiNodeShortestDist(modern,
       Seq("person:marko", "person:peter", "person:vadas"), Direction.BOTH, Nil, 4)
