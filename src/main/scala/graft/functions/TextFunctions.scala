@@ -84,13 +84,18 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokenize(c)))))
 
-  /** Word n-gram shingles (arrays of `n` consecutive tokens joined by space). */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokenize(c)
+  /** Shingles from an ALREADY-MATERIALIZED token array column. Callers on a
+    * hot path must stage the token array first (select + localCheckpoint):
+    * passing `tokenize(text)` directly makes Catalyst re-evaluate the
+    * tokenizer inside every lambda invocation — O(tokens²) splits per doc. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array(concat_ws(" ", toks))))
-  }
+
+  /** Word n-gram shingles (arrays of `n` consecutive tokens joined by space).
+    * Convenience form — see [[shinglesFromTokens]] for the hot-path variant. */
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokenize(c), n)
 }

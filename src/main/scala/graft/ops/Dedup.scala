@@ -30,8 +30,13 @@ object Dedup {
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  ngram: Int, k: Int, bands: Int, rows: Int): DataFrame = {
     require(bands * rows == k, s"bands*rows must equal k ($bands*$rows != $k)")
-    val base = docs.select(col(idCol).as("doc_id"),
-        TextFunctions.shingles(col(textCol), ngram).as("sh"))
+    // stage tokens BEFORE shingling: unstaged, the tokenizer re-runs inside
+    // every shingle-lambda invocation (quadratic per doc)
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenize(col(textCol)).as("toks"))
+      .localCheckpoint(true)
+    val base = toks.select(col("doc_id"),
+        TextFunctions.shinglesFromTokens(col("toks"), ngram).as("sh"))
       .withColumn("base", HashFunctions.shingleBase(col("sh")))
       .localCheckpoint(true)
     base
@@ -81,7 +86,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         ngram: Int, maxId: Long): DataFrame = {
     val sh = docs.filter(col(idCol) < maxId)
-      .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), ngram).as("sh"))
+      .select(col(idCol).as("id"), TextFunctions.tokenize(col(textCol)).as("toks"))
+      .localCheckpoint(true)
+      .select(col("id"), TextFunctions.shinglesFromTokens(col("toks"), ngram).as("sh"))
     sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
