@@ -66,13 +66,19 @@ final case class GraphTraversal(
   }
 
   // ---------------------------------------------------------- traversal steps
+  /** columns that ride along through traversal steps (path, where-anchor) */
+  private def carried: Seq[Column] =
+    (if (pathTracked) Seq(col("~path")) else Nil) ++
+      (if (df.columns.contains("~anchor")) Seq(col("~anchor")) else Nil)
+
   private def step(dir: Direction.Value, labels: Seq[String]): GraphTraversal = {
     val e = EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst"))
-    val carried = if (pathTracked) Seq(col("~path")) else Nil
+    val outCols = col("dst").as("id") +:
+      ((if (pathTracked) Seq(concat(col("~path"), array(col("dst"))).as("~path")) else Nil) ++
+        (if (df.columns.contains("~anchor")) Seq(col("~anchor")) else Nil))
     val next = df.select((col("id").as("src") +: carried): _*)
       .join(e, Seq("src"))
-      .select((col("dst").as("id") +:
-        (if (pathTracked) Seq(concat(col("~path"), array(col("dst"))).as("~path")) else Nil)): _*)
+      .select(outCols: _*)
     val withProps = next.join(g.vertices, Seq("id"), "left")
     copy(df = withProps, isVertex = true)
   }
@@ -100,6 +106,35 @@ final case class GraphTraversal(
   /** `repeat(n)(…)` — bounded repetition (the reference's repeat/times). */
   def repeat(times: Int)(f: GraphTraversal => GraphTraversal): GraphTraversal =
     (0 until times).foldLeft(this)((t, _) => f(t))
+
+  /** `where(sub)` — keep elements whose sub-traversal yields ≥1 result
+    * (Gremlin's filter-by-traversal; compiles to a left_semi join). */
+  def where(f: GraphTraversal => GraphTraversal): GraphTraversal = {
+    val anchored = copy(df = df.select(col("id")).distinct(), pathTracked = false)
+    // tag each anchor, run the sub-traversal, keep anchors that survive
+    val tagged = anchored.copy(df = anchored.df.withColumn("~anchor", col("id")))
+    val sub = f(tagged).df.select(col("~anchor").as("id")).distinct()
+    copy(df = df.join(sub, Seq("id"), "left_semi"))
+  }
+
+  /** `not(sub)` — the anti shape. */
+  def not(f: GraphTraversal => GraphTraversal): GraphTraversal = {
+    val anchored = copy(df = df.select(col("id")).distinct(), pathTracked = false)
+    val tagged = anchored.copy(df = anchored.df.withColumn("~anchor", col("id")))
+    val sub = f(tagged).df.select(col("~anchor").as("id")).distinct()
+    copy(df = df.join(sub, Seq("id"), "left_anti"))
+  }
+
+  /** `optional(sub)` — sub-traversal results plus the elements that had no
+    * result (Gremlin optional/coalesce-with-identity). */
+  def optional(f: GraphTraversal => GraphTraversal): GraphTraversal = {
+    val tagged = copy(df = df.select(col("id")).distinct()
+      .withColumn("~anchor", col("id")), pathTracked = false)
+    val sub = f(tagged)
+    val matchedAnchors = sub.df.select(col("~anchor").as("id")).distinct()
+    val kept = df.join(matchedAnchors, Seq("id"), "left_anti") // no result → keep self
+    copy(df = sub.df.drop("~anchor").unionByName(kept, allowMissingColumns = true))
+  }
 
   // ------------------------------------------------------------- map steps
   def id(): DataFrame = df.select(col("id"))

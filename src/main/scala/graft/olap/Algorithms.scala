@@ -35,10 +35,12 @@ object Algorithms {
     * redistributed (matches the reference's per-edge push). */
   def pageRank(g: PropertyGraph, alpha: Double, iterations: Int): DataFrame = {
     // Co-partition everything on the join keys ONCE: edges by src, verts by
-    // id. localCheckpoint preserves the hash partitioning, so each iteration
-    // has exactly ONE exchange (the groupBy(dst) of contributions) — the
-    // difference between O(iters) and O(1) shuffles of the edge table, which
-    // is what decides whether 3 PageRank rounds are feasible at 100 TB.
+    // id. localCheckpoint preserves the hash partitioning, so per iteration
+    // only the contribution rows move (groupBy(dst) + re-align to the verts
+    // partitioning — verified 2 hash exchanges in the physical plan); the
+    // EDGE TABLE itself never re-shuffles. That is the difference between
+    // O(iters) and O(1) shuffles of the big table — what decides whether
+    // PageRank rounds are feasible at 100 TB.
     val verts = g.vertices.select(col("id"))
       .repartition(col("id")).localCheckpoint(true)
     val edges = g.outEdges.select(col("src"), col("dst"))

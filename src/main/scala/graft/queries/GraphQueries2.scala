@@ -266,6 +266,17 @@ object GraphQueries2 {
           ".out('placed').groupCount('orderstatus')")
     },
 
+    q("q_cypher_frontend",
+      """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_suppliers
+        |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE s.s_acctbal > 0
+        |GROUP BY n.n_name""".stripMargin) { (s, d) =>
+      // §3.2 entry point: Cypher text → pattern joins on the same engine
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (s:supplier)-[:in_nation]->(n:nation) WHERE s.acctbal > 0 " +
+          "RETURN n.name AS nation, count(*) AS n_suppliers")
+    },
+
     q("q_ttl_filter",
       """SELECT event_id FROM events
         |WHERE epoch_ms(ts) + 2592000000 > epoch_ms(TIMESTAMP '2024-01-15 00:00:00')""".stripMargin) { (s, d) =>

@@ -1,0 +1,48 @@
+package graft
+
+import graft.api.CypherLite
+import graft.core.ModernGraph
+
+class CypherLiteSpec extends SparkSpec {
+  lazy val g = ModernGraph.build(spark)
+  def run(q: String) = CypherLite.eval(g, q)
+
+  test("MATCH-WHERE-RETURN over knows") {
+    val rows = run("MATCH (a:person)-[:knows]->(b:person) WHERE a.age > 25 RETURN a.name AS x, b.name AS y")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("marko", "vadas"), ("marko", "josh")))
+  }
+
+  test("two-hop chain with mixed directions") {
+    // people who know someone who created software s
+    val rows = run("MATCH (a:person)-[:knows]->(b:person)-[:created]->(s:software) RETURN a.name, s.name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("marko", "lop"), ("marko", "ripple")))
+    // reversed arrow: creators of lop that someone knows
+    val rev = run("MATCH (s:software)<-[:created]-(b:person)<-[:knows]-(a:person) WHERE s.name = 'lop' RETURN a.name")
+      .collect().map(_.getString(0)).toSet
+    assert(rev === Set("marko"))
+  }
+
+  test("grouped count(*)") {
+    val m = run("MATCH (p:person)-[:created]->(s:software) RETURN s.name AS sw, count(*) AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("lop" -> 3L, "ripple" -> 1L))
+  }
+
+  test("bare count(*)") {
+    assert(run("MATCH (p:person)-[:knows]->(q:person) RETURN count(*)")
+      .head().getLong(0) === 2L)
+  }
+
+  test("numeric and string predicates combine with AND") {
+    val rows = run("MATCH (p:person)-[:created]->(s:software) WHERE p.age >= 32 AND s.lang = 'java' RETURN p.name, s.name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("josh", "lop"), ("josh", "ripple"), ("peter", "lop")))
+  }
+
+  test("malformed queries fail cleanly") {
+    intercept[Exception](run("SELECT 1"))
+    intercept[Exception](run("MATCH (a)-[:x]-(b) RETURN a.name")) // no direction
+  }
+}

@@ -77,6 +77,28 @@ class DslSpec extends SparkSpec {
     assert(ids(u.dedup().id()) === Set("person:vadas", "person:josh", "software:lop"))
   }
 
+  test("where/not sub-traversal filters") {
+    // persons who created something
+    val creators = t.V().hasLabel("person").where(_.out("created"))
+      .values("name").collect().map(_.getString(0)).toSet
+    assert(creators === Set("marko", "josh", "peter"))
+    // persons who created nothing
+    val non = t.V().hasLabel("person").not(_.out("created"))
+      .values("name").collect().map(_.getString(0)).toSet
+    assert(non === Set("vadas"))
+    // nested: persons who know someone who created ripple
+    val knowsRippleDev = t.V().hasLabel("person")
+      .where(_.out("knows").has("name", "josh"))
+      .values("name").collect().map(_.getString(0)).toSet
+    assert(knowsRippleDev === Set("marko"))
+  }
+
+  test("optional keeps elements without a match") {
+    val r = ids(t.V().hasLabel("person").optional(_.out("created")).id())
+    // creators resolve to their software; vadas (no created) stays himself
+    assert(r === Set("software:lop", "software:ripple", "person:vadas"))
+  }
+
   test("E() with label filter") {
     assert(t.E("knows").toDF.count() === 2L)
   }
