@@ -164,6 +164,25 @@ final case class GraphTraversal(
   def union(other: GraphTraversal): GraphTraversal =
     copy(df = df.unionByName(other.df, allowMissingColumns = true))
 
+  /** `inject(ids…)` — add literal elements to the stream. */
+  def inject(idsToAdd: String*): GraphTraversal = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val injected = idsToAdd.toDF("id").join(g.vertices, Seq("id"), "left")
+    copy(df = df.unionByName(injected, allowMissingColumns = true))
+  }
+
+  /** `is(value)` on a single-column stream / current id. */
+  def is(value: String): GraphTraversal = copy(df = df.filter(col("id") === value))
+
+  /** `constant(v)` — map every element to a constant. */
+  def constant(v: String): DataFrame = df.select(lit(v).as("constant"))
+
+  /** `tail(n)` — last n by id order (deterministic; the reference's tail is
+    * stream-order which a distributed engine cannot reproduce). */
+  def tail(n: Int): GraphTraversal =
+    copy(df = df.orderBy(col("id").desc).limit(n).orderBy(col("id").asc))
+
   def toDF: DataFrame = df
 }
 

@@ -44,6 +44,13 @@ final case class PropertyGraph(
 
   def verticesOf(label: String): DataFrame = vertices.filter(col("label") === label)
 
+  /** OLAP read mode (reference `GraphReadMode.ALL` / writeType OLAP_*,
+    * SURVEY §1.2): algorithm outputs live in a separate olap_props table and
+    * are joined onto the vertices at read time. `olapProps` columns: id +
+    * one column per OLAP property. */
+  def withOlapProps(olapProps: DataFrame): PropertyGraph =
+    copy(vertices = vertices.join(olapProps, Seq("id"), "left"))
+
   /** TTL view — elements past their expiry are invisible at read, mirroring
     * `Query.showExpired` (reference `.../backend/query/Query.java:70`). */
   def liveVertices(nowMillis: Long): DataFrame =

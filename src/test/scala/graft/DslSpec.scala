@@ -103,6 +103,25 @@ class DslSpec extends SparkSpec {
     assert(t.E("knows").toDF.count() === 2L)
   }
 
+  test("inject/is/constant/tail steps") {
+    assert(ids(t.V("person:marko").inject("software:lop").id()) ===
+      Set("person:marko", "software:lop"))
+    assert(t.V().is("person:vadas").toDF.count() === 1L)
+    assert(t.V().hasLabel("person").constant("x").distinct().count() === 1L)
+    assert(ids(t.V().hasLabel("person").tail(2).id()) ===
+      Set("person:peter", "person:vadas"))
+  }
+
+  test("OLAP property read-mode join") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark2 = spark; import spark2.implicits._
+    val olap = Seq(("person:marko", 0.42)).toDF("id", "pagerank")
+    val enriched = g.withOlapProps(olap)
+    val r = enriched.vertices.filter(col("id") === "person:marko").head()
+    assert(r.getAs[Double]("pagerank") === 0.42)
+    assert(enriched.vertices.filter(col("pagerank").isNull).count() === 5L)
+  }
+
   test("valueMap projects requested keys") {
     val row = t.V("person:marko").valueMap("name", "age").head()
     assert(row.getString(1) === "marko" && row.getInt(2) === 29)
