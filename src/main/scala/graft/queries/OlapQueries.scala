@@ -84,6 +84,26 @@ object OlapQueries {
        |SELECT id, round(x, 9) AS x FROM x$iters""".stripMargin
   }
 
+  def lpaSql(rounds: Int): String = {
+    val itersSql = (0 until rounds).map { i =>
+      s"""freq$i AS MATERIALIZED (
+         |  SELECT a.dst AS id, l.lbl, count(*) AS n
+         |  FROM l$i l JOIN adj a ON a.src = l.id GROUP BY a.dst, l.lbl),
+         |pick$i AS (SELECT id, lbl FROM (
+         |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY n DESC, lbl ASC) AS rn
+         |  FROM freq$i) WHERE rn = 1),
+         |l${i + 1} AS MATERIALIZED (
+         |  SELECT v.id, coalesce(p.lbl, v.id) AS lbl
+         |  FROM verts v LEFT JOIN pick$i p ON p.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($coSupplierSql),
+       |adj AS MATERIALIZED (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+       |verts AS (SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) AS id FROM supplier),
+       |l0 AS (SELECT id, id AS lbl FROM verts),
+       |$itersSql
+       |SELECT id, lbl FROM l$rounds""".stripMargin
+  }
+
   def kcoreSql(k: Int, rounds: Int): String = {
     // every CTE MATERIALIZED: each round references the previous one twice —
     // inlined expansion would be exponential in `rounds`
@@ -233,9 +253,9 @@ object OlapQueries {
           coalesce(col("degree"), lit(0L)).as("degree"))
     },
 
-    qNoOracle("q_lpa") { (s, d) =>
-      // deterministic min-label LPA on the co-supplier graph; rows-only check
-      // (reference LPA breaks ties randomly — no stable SQL restatement)
+    q("q_lpa", lpaSql(3)) { (s, d) =>
+      // deterministic min-label LPA (the reference breaks ties randomly; our
+      // deterministic variant IS SQL-expressible, so it gets a full oracle)
       val verts = supplierVerts(s, d)
       Algorithms.lpa(verts, coSupplierEdges(s, d), iterations = 3)
     })

@@ -20,6 +20,61 @@ object OlapQueries2 {
   private def nationRegionEdges(s: SparkSession, d: String): DataFrame =
     g(s, d).outEdges.filter(col("label") === "in_region").select(col("src"), col("dst"))
 
+  /** Full SQL restatement of olap.Louvain (same recurrence, same gating,
+    * same double arithmetic — gains are bit-equal so tie-breaks agree). */
+  def louvainSql(rounds: Int, passes: Int): String = {
+    def passSql(p: Int): String = {
+      val roundsSql = (0 until rounds).map { r =>
+        val gate = if (r % 2 == 0) "v.nc < o.lbl" else "v.nc > o.lbl"
+        s"""tot_${p}_$r AS MATERIALIZED (
+           |  SELECT c.lbl, sum(k.k) AS tot FROM c_${p}_$r c JOIN k_$p k ON k.id = c.id GROUP BY c.lbl),
+           |v2c_${p}_$r AS MATERIALIZED (
+           |  SELECT a.src AS id, c.lbl AS nc, sum(a.w) AS w_vc
+           |  FROM adj_$p a JOIN c_${p}_$r c ON c.id = a.dst GROUP BY a.src, c.lbl),
+           |cand_${p}_$r AS (
+           |  SELECT v.id, v.nc,
+           |         v.w_vc - k.k * (CASE WHEN v.nc = o.lbl THEN t.tot - k.k ELSE t.tot END) / m.m2 AS gain
+           |  FROM v2c_${p}_$r v
+           |  JOIN c_${p}_$r o ON o.id = v.id
+           |  JOIN k_$p k ON k.id = v.id
+           |  JOIN tot_${p}_$r t ON t.lbl = v.nc
+           |  CROSS JOIN m2_$p m
+           |  WHERE v.nc = o.lbl OR $gate),
+           |stay_${p}_$r AS (
+           |  SELECT o.id, o.lbl AS nc, 0 - k.k * (t.tot - k.k) / m.m2 AS gain
+           |  FROM c_${p}_$r o JOIN k_$p k ON k.id = o.id
+           |  JOIN tot_${p}_$r t ON t.lbl = o.lbl CROSS JOIN m2_$p m),
+           |c_${p}_${r + 1} AS MATERIALIZED (
+           |  SELECT id, nc AS lbl FROM (
+           |    SELECT id, nc, row_number() OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn
+           |    FROM (SELECT * FROM cand_${p}_$r UNION ALL SELECT * FROM stay_${p}_$r))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""adj_$p AS MATERIALIZED (SELECT src, dst, w FROM e_$p UNION ALL SELECT dst, src, w FROM e_$p),
+         |k_$p AS MATERIALIZED (SELECT src AS id, sum(w) AS k FROM adj_$p GROUP BY src),
+         |m2_$p AS (SELECT 2.0 * sum(w) AS m2 FROM e_$p),
+         |c_${p}_0 AS (SELECT id, id AS lbl FROM verts_$p),
+         |$roundsSql""".stripMargin
+    }
+    val coarsenSql = (1 until passes).map { p =>
+      s"""e_$p AS MATERIALIZED (
+         |  SELECT least(ca.lbl, cb.lbl) AS src, greatest(ca.lbl, cb.lbl) AS dst, sum(e.w) AS w
+         |  FROM e_${p - 1} e JOIN c_${p - 1}_$rounds ca ON ca.id = e.src
+         |  JOIN c_${p - 1}_$rounds cb ON cb.id = e.dst GROUP BY 1, 2),
+         |verts_$p AS (SELECT DISTINCT lbl AS id FROM c_${p - 1}_$rounds),
+         |${passSql(p)}""".stripMargin
+    }.mkString(",\n")
+    val mappingJoins = (1 until passes).map(p =>
+      s"JOIN c_${p}_$rounds m$p ON m$p.id = m${p - 1}.lbl").mkString(" ")
+    s"""WITH pairs AS MATERIALIZED (${OlapQueries.coSupplierSql}),
+       |e_0 AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM pairs),
+       |verts_0 AS (SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) AS id FROM supplier),
+       |${passSql(0)},
+       |$coarsenSql
+       |SELECT m0.id, m${passes - 1}.lbl AS community
+       |FROM c_0_$rounds m0 $mappingJoins""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     q("q_betweenness_stress",
@@ -46,10 +101,10 @@ object OlapQueries2 {
         maxDepth = 6)
     },
 
-    qNoOracle("q_louvain") { (s, d) =>
-      // deterministic synchronous Louvain on the co-supplier graph (the
-      // reference's sequential tie-breaking has no stable SQL restatement);
-      // semantics verified on clique fixtures in LouvainSpec
+    q("q_louvain", louvainSql(rounds = 4, passes = 2)) { (s, d) =>
+      // deterministic synchronous Louvain (directional gating) — exactly
+      // reproducible, so even this gets a full SQL oracle; clique-fixture
+      // semantics in CentralitySpec
       val spark = s; import spark.implicits._
       val edges = {
         val li = Tables.lineitem(s, d).filter(col("l_partkey") < 100)

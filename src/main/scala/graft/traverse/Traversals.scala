@@ -49,8 +49,15 @@ object Traversals {
     * plays that role in local mode. */
   private def pinned(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 
+  /** Thrown when a traversal touches more elements than its capacity guard
+    * allows (reference `Query.DEFAULT_CAPACITY` = 800 000,
+    * `HugeTraverser.checkCapacity`). */
+  final class CapacityExceededException(n: Long, capacity: Long)
+    extends RuntimeException(s"traversal touched $n elements, capacity $capacity")
+
   def kneighbor(g: PropertyGraph, source: String, dir: Direction.Value,
-                labels: Seq[String] = Nil, maxDepth: Int, degree: Long = -1L): DataFrame = {
+                labels: Seq[String] = Nil, maxDepth: Int, degree: Long = -1L,
+                capacity: Long = -1L): DataFrame = {
     val edges = pinned(EdgeStep(dir, labels, degree = degree).edgesFor(g)
       .select(col("src"), col("dst")))
     val spark = g.vertices.sparkSession
@@ -62,6 +69,10 @@ object Traversals {
         .join(visited, Seq("id"), "left_anti")
       frontier = checkpointIfNeeded(frontier, depth)
       visited = visited.union(frontier)
+      if (capacity >= 0) {
+        val n = visited.count()
+        if (n > capacity) throw new CapacityExceededException(n, capacity)
+      }
     }
     visited.filter(col("id") =!= source).distinct()
   }

@@ -88,6 +88,16 @@ class TraversalSpec extends SparkSpec {
     assert(e.head().getString(3) === "20160110") // sort_values = date sortKey
   }
 
+  test("capacity guard aborts oversized traversals") {
+    intercept[graft.traverse.Traversals.CapacityExceededException] {
+      Traversals.kneighbor(g, "person:marko", Direction.BOTH, Nil,
+        maxDepth = 3, capacity = 2L).count()
+    }
+    // generous capacity → normal result
+    assert(Traversals.kneighbor(g, "person:marko", Direction.BOTH, Nil,
+      maxDepth = 2, capacity = 100L).count() > 0)
+  }
+
   test("degree cap truncates deterministically") {
     val e = EdgeStep(Direction.OUT, Nil, degree = 1).edgesFor(g)
       .filter(col("src") === "person:marko")
