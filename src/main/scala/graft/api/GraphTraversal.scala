@@ -136,6 +136,30 @@ final case class GraphTraversal(
     copy(df = sub.df.drop("~anchor").unionByName(kept, allowMissingColumns = true))
   }
 
+  /** `choose(pred, ifTrue, ifFalse)` — per-element branch: elements matching
+    * the predicate take the first branch, the rest the second. */
+  def choose(predicate: Cond)(ifTrue: GraphTraversal => GraphTraversal)(
+      ifFalse: GraphTraversal => GraphTraversal): GraphTraversal = {
+    val hit = ifTrue(copy(df = df.filter(predicate.compile)))
+    val miss = ifFalse(copy(df = df.filter(!predicate.compile)))
+    hit.union(miss)
+  }
+
+  /** `coalesce(sub1, sub2)` — per element, the first branch's results if it
+    * yields any; otherwise the second branch's. */
+  def coalesceT(first: GraphTraversal => GraphTraversal)(
+      second: GraphTraversal => GraphTraversal): GraphTraversal = {
+    val tagged = copy(df = df.select(col("id")).distinct()
+      .withColumn("~anchor", col("id")), pathTracked = false)
+    val r1 = first(tagged)
+    val matched = r1.df.select(col("~anchor").as("id")).distinct()
+    val fallbackAnchors = df.join(matched, Seq("id"), "left_anti")
+      .select(col("id")).distinct().withColumn("~anchor", col("id"))
+    val r2 = second(copy(df = fallbackAnchors, pathTracked = false))
+    copy(df = r1.df.drop("~anchor")
+      .unionByName(r2.df.drop("~anchor"), allowMissingColumns = true))
+  }
+
   // ------------------------------------------------------------- map steps
   def id(): DataFrame = df.select(col("id"))
   def values(key: String): DataFrame = df.select(col(key)).filter(col(key).isNotNull)

@@ -239,6 +239,43 @@ object GraphQueries2 {
         .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("ids"))
     },
 
+    q("q_rings_cycle",
+      // non-trivial rings: the derived "nation ring" graph (each nation →
+      // next nationkey within its region, wrapping) has exactly one directed
+      // cycle per region; rings from a member must find it
+      """WITH RECURSIVE ring AS (
+        |  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+        |         'nation:' || CAST(coalesce(
+        |           lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey),
+        |           min(n_nationkey) OVER (PARTITION BY n_regionkey)) AS VARCHAR) AS dst
+        |  FROM nation),
+        |p(id, path, d) AS (
+        |  SELECT 'nation:0', ['nation:0'], 0
+        |  UNION ALL
+        |  SELECT r.dst, p.path || [r.dst], p.d + 1
+        |  FROM p JOIN ring r ON r.src = p.id
+        |  WHERE p.d < 10 AND r.dst <> 'nation:0' AND NOT list_contains(p.path, r.dst))
+        |,hits AS (
+        |  SELECT p.path || ['nation:0'] AS path FROM p JOIN ring r ON r.src = p.id
+        |  WHERE r.dst = 'nation:0')
+        |SELECT DISTINCT array_to_string(path, '->') AS path FROM hits""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+      val wAll = Window.partitionBy(col("n_regionkey"))
+      val ring = Tables.nation(s, d).select(
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("src"),
+        concat(lit("nation:"),
+          coalesce(lead(col("n_nationkey"), 1).over(wOrd),
+            min(col("n_nationkey")).over(wAll)).cast("string")).as("dst"))
+        .withColumn("label", lit("next"))
+        .withColumn("sort_values", lit(null).cast("string"))
+      val verts = Tables.nation(s, d).select(
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("id"),
+        lit("nation").as("label"))
+      val rg = PropertyGraph(verts, ring, TpchGraph.schema)
+      PathTraversals.rings(rg, "nation:0", Direction.OUT, Nil, maxDepth = 10)
+    },
+
     q("q_sortkey_range",
       // edge sort-key prefix/range semantics (EdgeId 6-part identity,
       // reference EdgeId.java:31-43 + optimizeQuery sort-key rewrite): the

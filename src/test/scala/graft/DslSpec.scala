@@ -103,6 +103,26 @@ class DslSpec extends SparkSpec {
     assert(t.E("knows").toDF.count() === 2L)
   }
 
+  test("choose branches per element") {
+    // persons over 30 resolve to their creations; others to who they know
+    val r = ids(t.V().hasLabel("person")
+      .choose(Cond.gt("age", 30))(_.out("created"))(_.out("knows"))
+      .dedup().id())
+    assert(r === Set("software:lop", "software:ripple", "person:vadas", "person:josh"))
+  }
+
+  test("coalesce takes the first non-empty branch per element") {
+    // created if any, else knows: vadas has neither → disappears;
+    // marko has created → lop (knows branch NOT taken)
+    val r = ids(t.V().hasLabel("person")
+      .coalesceT(_.out("created"))(_.out("knows"))
+      .dedup().id())
+    assert(r === Set("software:lop", "software:ripple"))
+    // restrict to marko: only the created branch fires
+    val m = ids(t.V("person:marko").coalesceT(_.out("created"))(_.out("knows")).id())
+    assert(m === Set("software:lop"))
+  }
+
   test("inject/is/constant/tail steps") {
     assert(ids(t.V("person:marko").inject("software:lop").id()) ===
       Set("person:marko", "software:lop"))
