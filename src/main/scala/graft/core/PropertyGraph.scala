@@ -44,6 +44,17 @@ final case class PropertyGraph(
 
   def verticesOf(label: String): DataFrame = vertices.filter(col("label") === label)
 
+  /** Gremlin `subgraph` step: the edge-induced subgraph — edges matching the
+    * predicate plus the vertices they touch (reference TinkerPop subgraph
+    * side-effect; SubgraphStrategy's filtered-view semantics). */
+  def subgraph(edgePredicate: org.apache.spark.sql.Column): PropertyGraph = {
+    val keptEdges = edges.filter(edgePredicate)
+    val touched = keptEdges.select(col("src").as("id"))
+      .union(keptEdges.select(col("dst").as("id"))).distinct()
+    copy(vertices = vertices.join(touched, Seq("id"), "left_semi"),
+      edges = keptEdges)
+  }
+
   /** OLAP read mode (reference `GraphReadMode.ALL` / writeType OLAP_*,
     * SURVEY §1.2): algorithm outputs live in a separate olap_props table and
     * are joined onto the vertices at read time. `olapProps` columns: id +

@@ -132,6 +132,16 @@ class DslSpec extends SparkSpec {
       Set("person:peter", "person:vadas"))
   }
 
+  test("subgraph step: edge-induced view") {
+    import org.apache.spark.sql.functions.col
+    val sub = g.subgraph(col("label") === "knows")
+    assert(sub.edges.count() === 2L)
+    assert(ids(sub.vertices) === Set("person:marko", "person:vadas", "person:josh"))
+    // traversals on the induced view stay inside it
+    assert(ids(graft.api.Graft.g(sub).V("person:marko").out().id()) ===
+      Set("person:vadas", "person:josh"))
+  }
+
   test("OLAP property read-mode join") {
     import org.apache.spark.sql.functions.{col, lit}
     val spark2 = spark; import spark2.implicits._
