@@ -229,14 +229,16 @@ object GraphQueries2 {
 
     q("q_unique_check",
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-        |       list_sort(list('customer:' || CAST(c_custkey AS VARCHAR))) AS ids
+        |       array_to_string(list_sort(list('customer:' || CAST(c_custkey AS VARCHAR))), ',') AS ids
         |FROM customer GROUP BY c_nationkey, c_mktsegment HAVING count(*) > 1""".stripMargin) { (s, d) =>
-      // UNIQUE-index semantics as constraint check (no physical index)
+      // UNIQUE-index semantics as constraint check (no physical index).
+      // ids joined to csv: the driver's comparator can't sort array columns.
       Mutations.uniqueViolations(
         Tables.customer(s, d).withColumn("id",
           concat(lit("customer:"), col("c_custkey").cast("string"))),
         Seq("c_nationkey", "c_mktsegment"))
-        .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("ids"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          concat_ws(",", col("ids")).as("ids"))
     },
 
     q("q_rings_cycle",

@@ -132,8 +132,8 @@ object RelationalQueries {
         |       min(l_quantity) AS min_qty,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       substr(min(lpad(CAST(l_linenumber AS VARCHAR), 3, '0') || l_returnflag), 4) AS old_flag,
-        |       list_sort(list_distinct(list(l_returnflag))) AS set_flags,
-        |       list_sort(list(l_linenumber)) AS list_lines
+        |       array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS set_flags,
+        |       array_to_string(list_sort(list(l_linenumber)), ',') AS list_lines
         |FROM lineitem GROUP BY l_orderkey""".stripMargin) { (s, d) =>
       // Merge-on-write aggregate properties (AggregateType MAX/MIN/SUM/OLD/
       // SET/LIST, reference HugeProperty.java:84): re-writing a property
@@ -148,8 +148,10 @@ object RelationalQueries {
           // duplicate linenumbers can't tie-break differently across engines
           substring(min(concat(lpad(col("l_linenumber").cast("string"), 3, "0"),
             col("l_returnflag"))), 4, 100).as("old_flag"),
-          array_sort(collect_set(col("l_returnflag"))).as("set_flags"),
-          array_sort(collect_list(col("l_linenumber"))).as("list_lines"))
+          // serialize SET/LIST merges to csv: the driver's comparator sorts
+          // scalar columns only, and the string form is engine-portable
+          concat_ws(",", array_sort(collect_set(col("l_returnflag")))).as("set_flags"),
+          concat_ws(",", array_sort(collect_list(col("l_linenumber")))).as("list_lines"))
     },
 
     // ---------------------- joins (SURVEY §2.3) ----------------------------
