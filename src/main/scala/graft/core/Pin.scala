@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable.ListBuffer
+
+/** Memoized eager `localCheckpoint`: plans that are `sameResult`-equal within
+  * one session share a single materialization. Traversal and OLAP entry
+  * points pin their adjacency/input views through here, so a workload of many
+  * queries over the same graph pays the "load the working set" cost once —
+  * the cluster-deployment shape is a `persist(MEMORY_AND_DISK)` (or bucketed
+  * table) of the adjacency that every query plans against.
+  *
+  * Sound because all sources are immutable parquet snapshots; a rewritten
+  * path produces a different scan plan and misses the cache. Tests that
+  * overwrite a parquet path in place must call [[clear]] between phases.
+  */
+object Pin {
+  private val cache =
+    new ConcurrentHashMap[(Int, Int), ListBuffer[(LogicalPlan, DataFrame)]]()
+
+  def pin(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    val key = (System.identityHashCode(df.sparkSession), plan.semanticHash())
+    val bucket = cache.computeIfAbsent(key, _ => ListBuffer.empty)
+    bucket.synchronized {
+      bucket.find(_._1.sameResult(plan)).map(_._2).getOrElse {
+        val cp = df.localCheckpoint(eager = true)
+        bucket += ((plan, cp))
+        cp
+      }
+    }
+  }
+
+  def clear(): Unit = cache.clear()
+}

@@ -41,13 +41,14 @@ object Algorithms {
     // EDGE TABLE itself never re-shuffles. That is the difference between
     // O(iters) and O(1) shuffles of the big table — what decides whether
     // PageRank rounds are feasible at 100 TB.
-    val verts = g.vertices.select(col("id"))
-      .repartition(col("id")).localCheckpoint(true)
-    val edges = g.outEdges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint(true)
+    val verts = graft.core.Pin.pin(g.vertices.select(col("id"))
+      .repartition(col("id")))
+    val edges = graft.core.Pin.pin(g.outEdges.select(col("src"), col("dst"))
+      .repartition(col("src")))
     val n = verts.count().toDouble
-    val outdeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
-      .localCheckpoint(true) // partitioned by src == id already
+    val outdeg = graft.core.Pin.pin(
+      edges.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
+    ) // partitioned by src == id already
     var ranks = verts.withColumn("rank", lit(1.0 / n))
     for (_ <- 0 until iterations) {
       val contrib = ranks.join(outdeg, Seq("id"))
@@ -66,22 +67,23 @@ object Algorithms {
     * (reference `comm/WeakConnectedComponent.java:57`). Component id = min
     * vertex id (string order) in the component. */
   def wcc(verts: DataFrame, undirectedEdges: DataFrame): DataFrame = {
-    val adj = undirectedEdges.select(col("src"), col("dst"))
+    val adj = graft.core.Pin.pin(undirectedEdges.select(col("src"), col("dst"))
       .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")))
     var comp = verts.select(col("id"), col("id").as("component"))
     var changed = 1L
     while (changed > 0) {
       val nbrMin = comp.select(col("id").as("src"), col("component"))
         .join(adj, Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("component")).as("nbr_min"))
+      // carry the previous component so convergence is a scan of this
+      // checkpoint, not an extra join job per round
       val next = comp.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
         .localCheckpoint(true)
-      changed = next.join(comp.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
-      comp = next
+      changed = next.filter(col("component") =!= col("old")).count()
+      comp = next.select(col("id"), col("component"))
     }
     comp
   }
@@ -96,7 +98,7 @@ object Algorithms {
     * Enumerates oriented triangles a<b<c with two joins — each triangle found
     * exactly once — then credits all three corners. */
   def triangleCount(canonicalEdges: DataFrame): DataFrame = {
-    val e = canonicalEdges.localCheckpoint(true)
+    val e = graft.core.Pin.pin(canonicalEdges)
     val tri = e.as("ab")
       .join(e.as("bc"), col("ab.dst") === col("bc.src"))
       .join(e.as("ac"), col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
@@ -122,7 +124,8 @@ object Algorithms {
     * (reference `comm/KCoreAlgorithm.java:71`). Returns surviving vertices
     * with their core-subgraph degree. */
   def kcore(canonicalEdges: DataFrame, k: Int): DataFrame = {
-    var edges = canonicalEdges.localCheckpoint(true)
+    var edges = graft.core.Pin.pin(canonicalEdges)
+    var nEdges = edges.count()
     var done = false
     while (!done) {
       val deg = edges.select(explode(array(col("src"), col("dst"))).as("id"))
@@ -132,7 +135,9 @@ object Algorithms {
         .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst")).localCheckpoint(true)
-      done = next.count() == edges.count()
+      val nNext = next.count() // previous round's size is already known
+      done = nNext == nEdges
+      nEdges = nNext
       edges = next
     }
     edges.select(explode(array(col("src"), col("dst"))).as("id"))
@@ -143,9 +148,9 @@ object Algorithms {
     * the kernel behind closeness/betweenness sampling (reference
     * `BfsTraverser`). Roots ride along as a frontier tag column. */
   def multiSourceBfs(verts: DataFrame, undirectedEdges: DataFrame, maxDepth: Int): DataFrame = {
-    val adj = undirectedEdges.select(col("src"), col("dst"))
+    val adj = graft.core.Pin.pin(undirectedEdges.select(col("src"), col("dst"))
       .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     var seen = verts.select(col("id").as("root"), col("id"), lit(0L).as("dist"))
     var frontier = seen
     var d = 0L
@@ -175,9 +180,8 @@ object Algorithms {
   /** Eigenvector centrality by L1-normalized power iteration (reference
     * `cent/EigenvectorCentralityAlgorithm.java:40`). */
   def eigenvector(verts: DataFrame, canonicalEdges: DataFrame, iterations: Int): DataFrame = {
-    val adj = canonicalEdges.select(col("src"), col("dst"))
-      .union(canonicalEdges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    val adj = graft.core.Pin.pin(canonicalEdges.select(col("src"), col("dst"))
+      .union(canonicalEdges.select(col("dst").as("src"), col("src").as("dst"))))
     var x = verts.select(col("id"), lit(1.0).as("x"))
     for (_ <- 0 until iterations) {
       val s = x.select(col("id").as("src"), col("x"))
@@ -187,7 +191,9 @@ object Algorithms {
         .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
         .localCheckpoint(true)
       val norm = joined.agg(sum(col("s"))).head().getDouble(0)
-      x = joined.select(col("id"), (col("s") / norm).as("x")).localCheckpoint(true)
+      // x derives lazily from the checkpointed `joined` — a second per-iter
+      // materialization of the same rows buys nothing
+      x = joined.select(col("id"), (col("s") / norm).as("x"))
     }
     x.select(col("id"), round(col("x"), 9).as("x"))
   }
@@ -196,9 +202,8 @@ object Algorithms {
     * (reference `comm/LpaAlgorithm.java:63`; the reference breaks frequency
     * ties randomly — we pin min(label) so runs are reproducible). */
   def lpa(verts: DataFrame, undirectedEdges: DataFrame, iterations: Int): DataFrame = {
-    val adj = undirectedEdges.select(col("src"), col("dst"))
-      .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    val adj = graft.core.Pin.pin(undirectedEdges.select(col("src"), col("dst"))
+      .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = verts.select(col("id"), col("id").as("lbl"))
     for (_ <- 0 until iterations) {
       val freq = labels.select(col("id").as("src"), col("lbl"))

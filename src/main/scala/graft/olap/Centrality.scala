@@ -19,9 +19,9 @@ object Centrality {
 
   /** (root, id, dist, sigma): BFS layers with path counting. */
   def bfsWithSigma(roots: DataFrame, undirectedEdges: DataFrame, maxDepth: Int): DataFrame = {
-    val adj = undirectedEdges.select(col("src"), col("dst"))
+    val adj = graft.core.Pin.pin(undirectedEdges.select(col("src"), col("dst"))
       .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     var seen = roots.select(col("id").as("root"), col("id"),
       lit(0L).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
     var frontier = seen
@@ -51,9 +51,9 @@ object Centrality {
     * σ-count of paths through v is reported as stress. */
   def betweennessStress(roots: DataFrame, undirectedEdges: DataFrame,
                         maxDepth: Int): DataFrame = {
-    val adj = undirectedEdges.select(col("src"), col("dst"))
+    val adj = graft.core.Pin.pin(undirectedEdges.select(col("src"), col("dst"))
       .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     val layers = bfsWithSigma(roots, undirectedEdges, maxDepth).localCheckpoint(true)
     val maxDist = layers.agg(max(col("dist"))).head().getLong(0)
 

@@ -25,8 +25,8 @@ object Louvain {
               localRounds: Int = 4, passes: Int = 2): DataFrame = {
     var mapping = verts.select(col("id"), col("id").as("community"))
     var curVerts = verts.select(col("id"))
-    var curEdges = undirectedEdges.select(col("src"), col("dst"), lit(1.0).as("w"))
-      .localCheckpoint(true)
+    var curEdges = graft.core.Pin.pin(
+      undirectedEdges.select(col("src"), col("dst"), lit(1.0).as("w")))
 
     for (_ <- 0 until passes) {
       val comm = localMoves(curVerts, curEdges, localRounds)
@@ -52,9 +52,14 @@ object Louvain {
   }
 
   private def localMoves(verts: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    // Zero-weight self-loops guarantee every vertex sees its OWN community as
+    // a candidate even with no intra-community edge — replacing a separate
+    // "stay" union branch (which doubled the per-round join work). Adding
+    // w=0.0 to any double sum is bit-exact, so w_vc/k/tot are unchanged.
     val adj = edges.select(col("src"), col("dst"), col("w"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .localCheckpoint(true)
+      .union(verts.select(col("id").as("src"), col("id").as("dst"), lit(0.0).as("w")))
+      .repartition(col("dst")).localCheckpoint(true)
     val m2 = {
       val t = edges.agg(sum(col("w"))).head()
       2.0 * (if (t.isNullAt(0)) 0.0 else t.getDouble(0))
@@ -67,15 +72,18 @@ object Louvain {
     for (r <- 0 until rounds) {
       val commTot = comm.join(k, Seq("id"))
         .groupBy(col("community")).agg(sum(col("k")).as("tot"))
-      // weight from v to each neighbouring community (and its own)
+      // weight from v to each neighbouring community (self-loop ⇒ the own
+      // community is always present, possibly with w_vc = 0)
       val vToComm = adj
         .join(comm.withColumnRenamed("id", "dst").withColumnRenamed("community", "nc"), Seq("dst"))
         .groupBy(col("src").as("id"), col("nc")).agg(sum(col("w")).as("w_vc"))
       val own = comm.withColumnRenamed("community", "oc")
+      // join tot while still partitioned by nc, THEN align to id — the final
+      // groupBy(id) then needs no extra exchange
       val gains = vToComm
+        .join(commTot.withColumnRenamed("community", "nc"), Seq("nc"))
         .join(own, Seq("id"))
         .join(k, Seq("id"))
-        .join(commTot.withColumnRenamed("community", "nc"), Seq("nc"))
         .withColumn("tot_excl",
           when(col("nc") === col("oc"), col("tot") - col("k")).otherwise(col("tot")))
         .withColumn("gain", col("w_vc") - col("k") * col("tot_excl") / m2)
@@ -86,13 +94,7 @@ object Louvain {
       val gated = gains.select(col("id"), col("nc"), col("gain"), col("oc"))
         .filter(col("nc") === col("oc") ||
           (if (r % 2 == 0) col("nc") < col("oc") else col("nc") > col("oc")))
-      // zero-weight stay fallback for vertices with no intra-community edge
-      val withStay = gated.select(col("id"), col("nc"), col("gain"))
-        .unionByName(own.join(k, Seq("id"))
-          .join(commTot.withColumnRenamed("community", "oc"), Seq("oc"))
-          .select(col("id"), col("oc").as("nc"),
-            (lit(0.0) - col("k") * (col("tot") - col("k")) / m2).as("gain")))
-      comm = withStay
+      comm = gated
         .groupBy(col("id"))
         .agg(min(struct((col("gain") * -1).as("ng"), col("nc"))).as("best"))
         .select(col("id"), col("best.nc").as("community"))

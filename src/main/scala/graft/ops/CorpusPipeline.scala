@@ -24,12 +24,14 @@ object CorpusPipeline {
   /** Surviving documents with quality features attached. */
   def cleaned(docs: DataFrame, p: Params = Params()): DataFrame = {
     // 1. exact dedup: keep min doc_id per content hash
-    val canonical = docs
+    // materialized: referenced by BOTH the minhash stage and the left_anti
+    // survivor join — without a pin the md5+window subtree runs twice
+    val canonical = graft.core.Pin.pin(docs
       .withColumn("__h", md5(col("text")))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
           .orderBy(col("doc_id").asc)))
-      .filter(col("__rk") === 1).drop("__h", "__rk")
+      .filter(col("__rk") === 1).drop("__h", "__rk"))
     // 2. near-dedup: drop the larger id of every verified near-dup pair
     val nearDupLosers = Dedup.minhashNearDups(canonical, "doc_id", "text",
         p.ngram, p.k, p.bands, p.rows, p.nearDupThreshold)

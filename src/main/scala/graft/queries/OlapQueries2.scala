@@ -40,17 +40,16 @@ object OlapQueries2 {
            |  JOIN tot_${p}_$r t ON t.lbl = v.nc
            |  CROSS JOIN m2_$p m
            |  WHERE v.nc = o.lbl OR $gate),
-           |stay_${p}_$r AS (
-           |  SELECT o.id, o.lbl AS nc, 0 - k.k * (t.tot - k.k) / m.m2 AS gain
-           |  FROM c_${p}_$r o JOIN k_$p k ON k.id = o.id
-           |  JOIN tot_${p}_$r t ON t.lbl = o.lbl CROSS JOIN m2_$p m),
            |c_${p}_${r + 1} AS MATERIALIZED (
            |  SELECT id, nc AS lbl FROM (
            |    SELECT id, nc, row_number() OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn
-           |    FROM (SELECT * FROM cand_${p}_$r UNION ALL SELECT * FROM stay_${p}_$r))
+           |    FROM cand_${p}_$r)
            |  WHERE rn = 1)""".stripMargin
       }.mkString(",\n")
-      s"""adj_$p AS MATERIALIZED (SELECT src, dst, w FROM e_$p UNION ALL SELECT dst, src, w FROM e_$p),
+      // zero-weight self-loops mirror Louvain.localMoves: every vertex keeps
+      // its own community as a candidate (isolated vertex = singleton)
+      s"""adj_$p AS MATERIALIZED (SELECT src, dst, w FROM e_$p UNION ALL SELECT dst, src, w FROM e_$p
+         |  UNION ALL SELECT id, id, CAST(0.0 AS DOUBLE) FROM verts_$p),
          |k_$p AS MATERIALIZED (SELECT src AS id, sum(w) AS k FROM adj_$p GROUP BY src),
          |m2_$p AS (SELECT 2.0 * sum(w) AS m2 FROM e_$p),
          |c_${p}_0 AS (SELECT id, id AS lbl FROM verts_$p),

@@ -11,7 +11,7 @@ import graft.core._
   * shape: a DataFrame of (id, path array) expanded one join per hop. */
 object PathTraversals {
 
-  private def pinned(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  private def pinned(df: DataFrame): DataFrame = graft.core.Pin.pin(df)
 
   private def pathCol = concat_ws("->", col("path"))
 

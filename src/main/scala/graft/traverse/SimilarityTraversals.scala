@@ -56,8 +56,8 @@ object SimilarityTraversals {
     * top-N cap → no tie nondeterminism). */
   def jaccardSimilar(g: PropertyGraph, source: String, dir: Direction.Value,
                      label: String): DataFrame = {
-    val adj = g.adjacency(dir, Seq(label)).select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+    val adj = graft.core.Pin.pin(
+      g.adjacency(dir, Seq(label)).select(col("src"), col("dst")).distinct())
     val srcN = adj.filter(col("src") === source).select(col("dst"))
     val cands = adj.join(srcN.withColumnRenamed("dst", "mid"),
         col("dst") === col("mid"), "inner")

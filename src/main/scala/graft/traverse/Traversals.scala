@@ -47,7 +47,7 @@ object Traversals {
     * otherwise re-evaluate the 6-table union scan every layer. On a cluster
     * this is `persist(MEMORY_AND_DISK)` over the adjacency; localCheckpoint
     * plays that role in local mode. */
-  private def pinned(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  private def pinned(df: DataFrame): DataFrame = graft.core.Pin.pin(df)
 
   /** Thrown when a traversal touches more elements than its capacity guard
     * allows (reference `Query.DEFAULT_CAPACITY` = 800 000,
