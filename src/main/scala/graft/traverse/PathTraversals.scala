@@ -28,9 +28,11 @@ object PathTraversals {
   def allShortestPaths(g: PropertyGraph, source: String, target: String,
                        dir: Direction.Value, labels: Seq[String] = Nil,
                        maxDepth: Int): DataFrame = {
-    // no global edges.distinct(): dedup happens layer-locally on the (tiny)
-    // frontier output instead of shuffling the whole edge table up front
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst")))
+    // distinct edge view, pinned once and shared across queries: with a
+    // distinct seed, extended paths (path ++ [dst]) stay distinct by
+    // construction, so NO per-hop distinct shuffle of the path frontier
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct())
     var frontier = seed(g, Seq(source))
     var result: Option[DataFrame] = None
     var d = 0
@@ -40,7 +42,6 @@ object PathTraversals {
         .join(edges, Seq("src"))
         .filter(!array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
-        .distinct()
         .localCheckpoint(true)
       val hits = frontier.filter(col("id") === target)
       if (hits.limit(1).count() > 0) result = Some(hits)
@@ -54,10 +55,12 @@ object PathTraversals {
   def rays(g: PropertyGraph, source: String, dir: Direction.Value,
            labels: Seq[String] = Nil, maxDepth: Int): DataFrame = {
     val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")))
+      .select(col("src"), col("dst")).distinct())
     var frontier = seed(g, Seq(source))
     var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
     for (_ <- 1 to maxDepth) {
+      // single materialization per hop: leaves and the next frontier both
+      // derive from this checkpoint; distinct edges keep paths distinct
       val expanded = frontier.select(col("id").as("src"), col("path"))
         .join(edges, Seq("src"), "left")
         .localCheckpoint(true)
@@ -67,8 +70,6 @@ object PathTraversals {
       frontier = expanded.filter(col("dst").isNotNull)
         .filter(!array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
-        .distinct()
-        .localCheckpoint(true)
     }
     // paths cut off at maxDepth count as rays too
     acc.unionByName(frontier.select(pathCol.as("path"))).distinct()
@@ -79,7 +80,7 @@ object PathTraversals {
   def rings(g: PropertyGraph, source: String, dir: Direction.Value,
             labels: Seq[String] = Nil, maxDepth: Int): DataFrame = {
     val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")))
+      .select(col("src"), col("dst")).distinct())
     var frontier = seed(g, Seq(source))
     var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
     for (_ <- 1 to maxDepth) {
@@ -91,8 +92,6 @@ object PathTraversals {
       frontier = expanded
         .filter(col("dst") =!= source && !array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
-        .distinct()
-        .localCheckpoint(true)
     }
     acc.distinct()
   }
@@ -148,7 +147,7 @@ object PathTraversals {
   def collectionPaths(g: PropertyGraph, sources: Seq[String], targets: Seq[String],
                       dir: Direction.Value, labels: Seq[String], maxDepth: Int): DataFrame = {
     val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")))
+      .select(col("src"), col("dst")).distinct())
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val targetDf = targets.toDF("id")
@@ -159,7 +158,6 @@ object PathTraversals {
         .join(edges, Seq("src"))
         .filter(!array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
-        .distinct()
         .localCheckpoint(true)
       acc = acc.unionByName(frontier.join(targetDf, Seq("id"), "left_semi"))
     }

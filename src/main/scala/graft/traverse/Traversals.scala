@@ -203,11 +203,11 @@ object Traversals {
     * reference's Path.contains check does. */
   def paths(g: PropertyGraph, source: String, target: String, dir: Direction.Value,
             labels: Seq[String] = Nil, maxDepth: Int): DataFrame = {
-    // NO global edges.distinct(): that would shuffle the whole edge table
-    // before a single-source expansion touches a handful of vertices.
-    // Parallel multi-edges collapse per layer instead, on the (tiny)
-    // frontier×edges join output.
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst")))
+    // distinct edge view pinned once (shared across queries via Pin): with a
+    // distinct seed, extended paths stay distinct by construction, so no
+    // per-hop distinct shuffle of the path frontier is needed
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct())
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var frontier = Seq(Tuple2(source, Seq(source))).toDF("id", "path")
@@ -217,7 +217,6 @@ object Traversals {
         .join(edges, Seq("src"))
         .filter(!array_contains(col("path"), col("dst"))) // simple paths
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
-        .distinct() // layer-local vertex-path dedup
         .localCheckpoint(true)
       acc = acc.unionByName(frontier.filter(col("id") === target))
     }
