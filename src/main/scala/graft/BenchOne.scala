@@ -17,7 +17,8 @@ object BenchOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUF", cpus))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", sys.env.getOrElse("SPARK_GRAFT_PF", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", sys.env.getOrElse("SPARK_GRAFT_PF", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", sys.env.getOrElse("SPARK_GRAFT_ADV", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -34,18 +35,20 @@ object BenchOne {
         })
     })
 
-    val fn = SparkEntry.queries(name)
     // warm-up: session + parquet footers + graph cache
     spark.range(100000L).selectExpr("sum(id)").collect()
-    for (r <- 0 until reps) {
-      jobs.synchronized(jobs.clear())
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val js = jobs.synchronized(jobs.toList)
-      println(f"[benchone] rep=$r $name rows=$n total=$sec%.2fs jobs=${js.size}")
-      js.sortBy(-_._2).take(12).foreach { case (id, ms, _) =>
-        println(f"[benchone]   job $id%3d  ${ms / 1000.0}%6.2fs")
+    for (nm <- name.split(',')) {
+      val fn = SparkEntry.queries(nm)
+      for (r <- 0 until reps) {
+        jobs.synchronized(jobs.clear())
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val js = jobs.synchronized(jobs.toList)
+        println(f"[benchone] rep=$r $nm rows=$n total=$sec%.2fs jobs=${js.size}")
+        js.sortBy(-_._2).take(12).foreach { case (id, ms, _) =>
+          println(f"[benchone]   job $id%3d  ${ms / 1000.0}%6.2fs")
+        }
       }
     }
     spark.stop()

@@ -25,13 +25,19 @@ object Pin {
     val key = (System.identityHashCode(df.sparkSession), plan.semanticHash())
     val bucket = cache.computeIfAbsent(key, _ => ListBuffer.empty)
     bucket.synchronized {
-      bucket.find(_._1.sameResult(plan)).map(_._2).getOrElse {
+      bucket.find(_._1.sameResult(plan)).map { hit =>
+        if (debug) System.err.println(s"[pin] HIT ${plan.nodeName} hash=${key._2}")
+        hit._2
+      }.getOrElse {
         val cp = df.localCheckpoint(eager = true)
+        if (debug) System.err.println(s"[pin] MISS ${plan.nodeName} hash=${key._2} (${cache.size} buckets)")
         bucket += ((plan, cp))
         cp
       }
     }
   }
+
+  private val debug = sys.env.get("GRAFT_PIN_DEBUG").contains("1")
 
   def clear(): Unit = cache.clear()
 }

@@ -173,7 +173,8 @@ object PathTraversals {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val verts = nodes.toDF("id")
-    val edges = EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst"))
+    val edges = EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct()
     val dists = graft.olap.Algorithms.multiSourceBfs(verts, edges, maxDepth)
     dists.join(verts.withColumnRenamed("id", "root2"), col("id") === col("root2"), "left_semi")
       .filter(col("root") < col("id"))
@@ -188,7 +189,8 @@ object PathTraversals {
                   labels: Seq[String], maxDepth: Int): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst")))
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct())
     var seen = sources.map(s => (s, s)).toDF("root", "id")
     var frontier = seen
     for (d <- 1 to maxDepth) {

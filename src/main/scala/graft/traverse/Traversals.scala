@@ -58,8 +58,11 @@ object Traversals {
   def kneighbor(g: PropertyGraph, source: String, dir: Direction.Value,
                 labels: Seq[String] = Nil, maxDepth: Int, degree: Long = -1L,
                 capacity: Long = -1L): DataFrame = {
-    val edges = pinned(EdgeStep(dir, labels, degree = degree).edgesFor(g)
-      .select(col("src"), col("dst")))
+    val edges =
+      if (degree >= 0L) pinned(EdgeStep(dir, labels, degree = degree).edgesFor(g)
+        .select(col("src"), col("dst")))
+      else pinned(EdgeStep(dir, labels).edgesFor(g)
+        .select(col("src"), col("dst")).distinct())
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var visited = Seq(source).toDF("id")
@@ -81,7 +84,8 @@ object Traversals {
     * sooner (reference `KoutTraverser.kout:43` with visited set). */
   def koutNearest(g: PropertyGraph, source: String, dir: Direction.Value,
                   labels: Seq[String] = Nil, depth: Int): DataFrame = {
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst")))
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct())
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var visited = Seq(source).toDF("id")
@@ -99,7 +103,8 @@ object Traversals {
     * steps (source excluded — `ConcurrentVerticesConsumer` always drops it). */
   def koutAll(g: PropertyGraph, source: String, dir: Direction.Value,
               labels: Seq[String] = Nil, depth: Int): DataFrame = {
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst")))
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct())
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var frontier = Seq(source).toDF("id")
@@ -166,7 +171,8 @@ object Traversals {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     if (source == target) return Seq(0L).toDF("dist")
-    val fwdEdges = pinned(EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst")))
+    val fwdEdges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct())
     val revDir = dir match {
       case Direction.OUT  => Direction.IN
       case Direction.IN   => Direction.OUT
@@ -174,7 +180,8 @@ object Traversals {
     }
     val bwdEdges =
       if (dir == Direction.BOTH) fwdEdges // symmetric: reuse the pinned view
-      else pinned(EdgeStep(revDir, labels).edgesFor(g).select(col("src"), col("dst")))
+      else pinned(EdgeStep(revDir, labels).edgesFor(g)
+        .select(col("src"), col("dst")).distinct())
 
     var fwd = Seq(source).toDF("id"); var fwdSeen = fwd; var fwdDepth = 0
     var bwd = Seq(target).toDF("id"); var bwdSeen = bwd; var bwdDepth = 0
