@@ -101,4 +101,27 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       HashFunctions.simhash32(TextFunctions.tokenize(col(textCol))).as("simhash"))
+
+  /** Embedding-cosine near-duplicate pairs: SRP-LSH bucketing (same
+    * signed-random-projection cell → candidate pair) then exact cosine
+    * verification. Returns (a, b, sim) with a < b and sim ≥ threshold.
+    *
+    * Scale shape mirrors MinHash+LSH: signature is a narrow map, the only
+    * shuffle is the self-join on the bucket key — candidates within a cell —
+    * never the quadratic all-pairs cross join. Recall follows the standard
+    * SRP collision bound (P[same bucket] = (1 - θ/π)^bits); fewer bits →
+    * more candidates → higher recall at higher cost. */
+  def embeddingNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bits: Int, dims: Int): DataFrame = {
+    graft.ops.Ann.registerKernels(embeddings)
+    val b = embeddings.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      graft.functions.VectorFunctions.srpBucket(col(vecCol), bits, dims).as("bucket"))
+      .localCheckpoint(true)
+    b.select(col("vid").as("a"), col("vec").as("va"), col("bucket"))
+      .join(b.select(col("vid").as("b"), col("vec").as("vb"), col("bucket")), Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+  }
 }

@@ -142,6 +142,20 @@ object DocQueries {
          |THEN '1' ELSE '0' END""".stripMargin
     }.mkString(" || ")
 
+  /** Embedding-cosine near-dup oracle: SRP-bucketed candidate pairs, exact
+    * cosine verify, threshold on the UNROUNDED sim (mirrors
+    * `Dedup.embeddingNearDups` double-op order exactly). */
+  def embedDedupSql(threshold: Double, bits: Int, dims: Int): String = {
+    val t = java.lang.Double.toString(threshold)
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${srpBucketSqlExpr("embedding", bits, dims)} AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b, ${cosExpr("x.embedding", "y.embedding")} AS sim
+       |  FROM b x JOIN b y ON y.bucket = x.bucket AND x.vec_id < y.vec_id)
+       |SELECT a, b, round(sim, 6) AS sim FROM pairs WHERE sim >= $t""".stripMargin
+  }
+
   def srpSql(topK: Int, bits: Int, dims: Int): String =
     s"""WITH b AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${srpBucketSqlExpr("embedding", bits, dims)} AS bucket
@@ -250,6 +264,12 @@ object DocQueries {
       val e = Tables.embeddings(s, d)
       Ann.srpBucketTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         k = 3, bits = 8, dims = 64)
+    },
+
+    q("q_dedup_embed", embedDedupSql(0.3, 4, 64)) { (s, d) =>
+      // embedding-cosine near-dup: SRP-LSH candidates + exact verify
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3, bits = 4, dims = 64)
     },
 
     q("q_ann_ivf_topk", ivfSql(10, 16, 2)) { (s, d) =>

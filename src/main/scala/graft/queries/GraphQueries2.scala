@@ -16,6 +16,98 @@ object GraphQueries2 {
 
   private def g(s: SparkSession, d: String) = TpchGraph.cached(s, d)
 
+  /** Unrolled oracle for the GENERAL neighborRank (cyclic walks): mirrors
+    * `SimilarityTraversals.neighborRank` step for step — path-instance
+    * frontier, same/prev/on-path classification, the reference's degree
+    * formula (distinct same targets + distinct prev LAYERS + new instances),
+    * sameLayerTransfer-first update order, per-layer (rank desc, id) top-N. */
+  def neighborRankGeneralSql(source: String, alpha: Double, tops: Seq[Int]): String = {
+    val a = java.lang.Double.toString(alpha)
+    val S = tops.length
+    def lastR(s: Int): String = if (s == 0) "r_0" else s"r_${s}_$s"
+    val steps = (0 until S).map { s =>
+      val prevCtes = if (s >= 2) {
+        val keys = (1 until s).map(i => s"SELECT id AS t, $i AS lyr FROM r_${i}_$s")
+          .mkString(" UNION ALL ")
+        s"""prevk_$s AS ($keys),
+           |pk_$s AS (SELECT t, max(lyr) AS lyr FROM prevk_$s GROUP BY t),
+           |""".stripMargin
+      } else ""
+      val lyrJoin = if (s >= 2) "LEFT JOIN pk_$S ON pk_$S.t = x.t".replace("$S", s.toString)
+      else ""
+      val lyrExpr = if (s >= 2) s"pk_$s.lyr" else "CAST(NULL AS INT)"
+      val prevUpdates = if (s >= 2) {
+        val previ =
+          s"""previ_$s AS (
+             |  SELECT q.lyr, q.t, sum(i.incr) AS pi FROM (
+             |    SELECT DISTINCT v, lyr, t FROM cls_$s WHERE cls = 'prev') q
+             |  JOIN incr_$s i ON i.v = q.v GROUP BY q.lyr, q.t),
+             |""".stripMargin
+        previ + (1 until s).map { i =>
+          s"""r_${i}_${s + 1} AS MATERIALIZED (
+             |  SELECT r.id, r.rank + coalesce(p.pi, CAST(0.0 AS DOUBLE)) AS rank
+             |  FROM r_${i}_$s r LEFT JOIN (SELECT t, pi FROM previ_$s WHERE lyr = $i) p
+             |  ON p.t = r.id),
+             |""".stripMargin
+        }.mkString
+      } else ""
+      s"""x_$s AS MATERIALIZED (
+         |  SELECT f.id AS v, f.path, a.dst AS t
+         |  FROM f_$s f JOIN adj a ON a.src = f.id),
+         |cur_$s AS (SELECT DISTINCT id AS t FROM f_$s),
+         |${prevCtes}cls_$s AS MATERIALIZED (
+         |  SELECT x.v, x.path, x.t,
+         |    CASE WHEN c.t IS NOT NULL THEN 'same'
+         |         WHEN $lyrExpr IS NOT NULL THEN 'prev'
+         |         WHEN list_contains(x.path, x.t) THEN 'skip'
+         |         ELSE 'new' END AS cls,
+         |    $lyrExpr AS lyr
+         |  FROM x_$s x LEFT JOIN cur_$s c ON c.t = x.t $lyrJoin),
+         |deg_$s AS MATERIALIZED (
+         |  SELECT v,
+         |    CAST(count(DISTINCT t) FILTER (WHERE cls = 'same')
+         |       + count(DISTINCT lyr) FILTER (WHERE cls = 'prev')
+         |       + count(*) FILTER (WHERE cls = 'new') AS DOUBLE) AS deg
+         |  FROM cls_$s GROUP BY v
+         |  HAVING CAST(count(DISTINCT t) FILTER (WHERE cls = 'same')
+         |       + count(DISTINCT lyr) FILTER (WHERE cls = 'prev')
+         |       + count(*) FILTER (WHERE cls = 'new') AS DOUBLE) > 0),
+         |incr_$s AS MATERIALIZED (
+         |  SELECT d.v, d.deg, r.rank * $a / d.deg AS incr
+         |  FROM deg_$s d JOIN ${lastR(s)} r ON r.id = d.v),
+         |samei_$s AS (
+         |  SELECT q.t AS id, sum(i.incr) AS si FROM (
+         |    SELECT DISTINCT v, t FROM cls_$s WHERE cls = 'same') q
+         |  JOIN incr_$s i ON i.v = q.v GROUP BY q.t),
+         |r_${s}_${s + 1} AS MATERIALIZED (
+         |  SELECT r.id, r.rank + coalesce(s2.si, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM ${lastR(s)} r LEFT JOIN samei_$s s2 ON s2.id = r.id),
+         |${prevUpdates}newm_$s AS (
+         |  SELECT v, t, CAST(count(*) AS DOUBLE) AS m
+         |  FROM cls_$s WHERE cls = 'new' GROUP BY v, t),
+         |r_${s + 1}_${s + 1} AS MATERIALIZED (
+         |  SELECT n.t AS id, sum(n.m * r.rank * $a / d.deg) AS rank
+         |  FROM newm_$s n JOIN r_${s}_${s + 1} r ON r.id = n.v
+         |  JOIN deg_$s d ON d.v = n.v GROUP BY n.t),
+         |f_${s + 1} AS MATERIALIZED (
+         |  SELECT t AS id, path || [t] AS path FROM cls_$s WHERE cls = 'new')""".stripMargin
+    }.mkString(",\n")
+    val layers = (0 to S).map { i =>
+      val name = if (i == 0) "r_0" else s"r_${i}_$S"
+      val top = if (i == 0) Int.MaxValue else tops(i - 1)
+      s"""SELECT layer, id, round(rank, 9) AS rank FROM (
+         |  SELECT $i AS layer, id, rank,
+         |         row_number() OVER (ORDER BY rank DESC, id ASC) AS rn FROM $name) z$i
+         |WHERE rn <= $top""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       |adj AS MATERIALIZED ($bothEdgesSql),
+       |f_0(id, path) AS (SELECT '$source', ['$source']),
+       |r_0(id, rank) AS (SELECT '$source', CAST(1.0 AS DOUBLE)),
+       |$steps
+       |$layers""".stripMargin
+  }
+
   def weightedSsspSql(rounds: Int): String = {
     val iters = (0 until rounds).map { i =>
       s"""d${i + 1} AS MATERIALIZED (
@@ -80,6 +172,14 @@ object GraphQueries2 {
         |FROM i JOIN dg ON dg.cand = i.cand CROSS JOIN n
         |WHERE i.inter > 0""".stripMargin) { (s, d) =>
       SimilarityTraversals.jaccardSimilar(g(s, d), "order:42", Direction.OUT, "contains")
+    },
+
+    q("q_neighbor_rank_general",
+      neighborRankGeneralSql("customer:1", 0.85, Seq(1000, 1000, 1000))) { (s, d) =>
+      // general cyclic-walk neighborRank: BOTH-direction steps make the
+      // same-layer / prev-layer / on-path transfer rules all fire
+      SimilarityTraversals.neighborRank(g(s, d), "customer:1", alpha = 0.85,
+        steps = Seq.fill(3)(SimilarityTraversals.RankStep(EdgeStep(Direction.BOTH))))
     },
 
     q("q_neighbor_rank",

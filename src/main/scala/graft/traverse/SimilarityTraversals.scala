@@ -85,6 +85,125 @@ object SimilarityTraversals {
     *   rank_i(t) = Σ_{edges v→t in step i} rank_{i-1}(v) · α / outEdges_i(v)
     * (path multiplicities cancel; see NeighborRankTraverser.java:104-140).
     * Returns (layer, id, rank) for every layer including the source layer. */
+  /** One neighborRank walk step: the edge step plus the per-layer top-N cap
+    * (reference `NeighborRankTraverser.Step`, MAX_TOP = 1000). */
+  final case class RankStep(step: EdgeStep, top: Int = 1000)
+
+  /** General neighborRank (reference `NeighborRankTraverser.neighborRank:50`)
+    * — exact for ARBITRARY walks, including cyclic ones where the layered
+    * shortcut does not apply. Reproduces the reference's stateful rules as
+    * batch dataflow, one pass per step:
+    *
+    *  - the frontier is a multiset of path instances (id, path) — per-path
+    *    loop checks (`Node.contains`) and path-multiplied contributions are
+    *    what the reference's Node lists encode (file:96-109);
+    *  - a step target is classified per reference order: current-layer
+    *    member → same-layer transfer; member of an earlier layer (highest
+    *    layer wins, root layer 0 excluded — file:158-170) → prev-layer
+    *    transfer; on the current path → skipped entirely; else new-layer;
+    *  - degree(v) = |distinct same-layer targets| + |distinct PREV LAYERS
+    *    hit| + #new-layer path instances — `prevLayerNodesV.size()` counts
+    *    layers, not vertices (file:110-112), reproduced faithfully;
+    *  - sameLayerTransfer = true: same-layer increments (computed from the
+    *    PRE-update last layer) are applied to the last layer BEFORE the new
+    *    layer reads it (file:127-133);
+    *  - per-layer top-N by (rank desc, id asc) — `OrderLimitMap` orders by
+    *    value desc compounded with natural key order.
+    *
+    * Step capacity guards are not enforced (capacity is a memory guard in
+    * the reference, not a semantic parameter). Returns (layer, id, rank). */
+  def neighborRank(g: PropertyGraph, source: String, alpha: Double,
+                   steps: Seq[RankStep]): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    var frontier = Seq((source, Seq(source))).toDF("id", "path")
+    val ranks = scala.collection.mutable.ArrayBuffer[DataFrame](
+      Seq((source, 1.0)).toDF("id", "rank"))
+
+    steps.zipWithIndex.foreach { case (rs, si) =>
+      val e = graft.core.Pin.pin(rs.step.edgesFor(g).select(col("src"), col("dst")))
+      val x = frontier.select(col("id").as("v"), col("path"))
+        .join(e, col("v") === col("src"))
+        .select(col("v"), col("path"), col("dst").as("t"))
+      val cur = frontier.select(col("id").as("t")).distinct()
+        .withColumn("__same", lit(1))
+      val prevK = if (si >= 2)
+        Some((1 until si).map(i =>
+            ranks(i).select(col("id").as("t"), lit(i).as("lyr")))
+          .reduce(_ unionByName _)
+          .groupBy(col("t")).agg(max(col("lyr")).as("lyr")))
+      else None
+      var cls = x.join(cur, Seq("t"), "left")
+      cls = prevK.map(pk => cls.join(pk, Seq("t"), "left"))
+        .getOrElse(cls.withColumn("lyr", lit(null).cast("int")))
+      cls = cls.withColumn("cls",
+          when(col("__same") === 1, "same")
+            .when(col("lyr").isNotNull, "prev")
+            .when(array_contains(col("path"), col("t")), "skip")
+            .otherwise("new"))
+        .select(col("v"), col("path"), col("t"), col("cls"), col("lyr"))
+        .localCheckpoint(true)
+
+      val deg = cls.groupBy(col("v")).agg(
+          (countDistinct(when(col("cls") === "same", col("t"))) +
+            countDistinct(when(col("cls") === "prev", col("lyr"))) +
+            count(when(col("cls") === "new", lit(1)))).cast("double").as("deg"))
+        .filter(col("deg") > 0)
+      // incr uses the PRE-update last-layer rank
+      val incr = deg.join(ranks(si).withColumnRenamed("id", "v"), Seq("v"))
+        .select(col("v"), col("deg"), (col("rank") * alpha / col("deg")).as("incr"))
+        .localCheckpoint(true)
+
+      // same-layer transfer: one incr per DISTINCT (v, t) pair
+      val samei = cls.filter(col("cls") === "same")
+        .select(col("v"), col("t")).distinct()
+        .join(incr, Seq("v"))
+        .groupBy(col("t").as("id")).agg(sum(col("incr")).as("si"))
+      val lastUpd = ranks(si).join(samei, Seq("id"), "left")
+        .select(col("id"), (col("rank") + coalesce(col("si"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      ranks(si) = lastUpd
+
+      // prev-layer transfer: one incr per DISTINCT (v, layer, t)
+      prevK.foreach { _ =>
+        val previ = cls.filter(col("cls") === "prev")
+          .select(col("v"), col("lyr"), col("t")).distinct()
+          .join(incr, Seq("v"))
+          .groupBy(col("lyr"), col("t")).agg(sum(col("incr")).as("pi"))
+          .localCheckpoint(true)
+        for (i <- 1 until si) {
+          ranks(i) = ranks(i).join(
+              previ.filter(col("lyr") === i).select(col("t").as("id"), col("pi")),
+              Seq("id"), "left")
+            .select(col("id"), (col("rank") + coalesce(col("pi"), lit(0.0))).as("rank"))
+            .localCheckpoint(true)
+        }
+      }
+
+      // new layer: path-instance multiplicity × UPDATED last-layer rank
+      val newm = cls.filter(col("cls") === "new")
+        .groupBy(col("v"), col("t")).agg(count(lit(1)).as("m"))
+      val newR = newm
+        .join(lastUpd.withColumnRenamed("id", "v"), Seq("v"))
+        .join(deg, Seq("v"))
+        .select(col("t"),
+          (col("m").cast("double") * col("rank") * lit(alpha) / col("deg")).as("c"))
+        .groupBy(col("t").as("id")).agg(sum(col("c")).as("rank"))
+        .localCheckpoint(true)
+      ranks += newR
+      frontier = cls.filter(col("cls") === "new")
+        .select(col("t").as("id"), concat(col("path"), array(col("t"))).as("path"))
+        .localCheckpoint(true)
+    }
+
+    ranks.zipWithIndex.map { case (r, i) =>
+      val top = if (i == 0) Int.MaxValue else steps(i - 1).top
+      val w = Window.orderBy(col("rank").desc, col("id").asc)
+      r.withColumn("rn", row_number().over(w)).filter(col("rn") <= top)
+        .select(lit(i).as("layer"), col("id"), round(col("rank"), 9).as("rank"))
+    }.reduce(_ unionByName _)
+  }
+
   def neighborRankLayered(g: PropertyGraph, source: String, alpha: Double,
                           steps: Seq[EdgeStep]): DataFrame = {
     val spark = g.vertices.sparkSession

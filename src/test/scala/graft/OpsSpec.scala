@@ -65,6 +65,20 @@ class OpsSpec extends SparkSpec {
     assert(top.map(_.getLong(1)).toSet === Set(10L)) // opposite vector: other bucket
   }
 
+  test("embedding-cosine near-dup finds identical vectors, not opposite ones") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.5f)),              // exact duplicate of 0
+      (2L, Array.tabulate(8)(i => if (i == 0) 0.51f else 0.5f)), // near-dup
+      (3L, Array.fill(8)(-0.5f))).toDF("vec_id", "embedding")    // opposite
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.9, bits = 4, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) === 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.99)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("multimodal decode stub is deterministic and distributed") {
     val assets = Multimodal.fakeAssets(docs)
     implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.Asset]

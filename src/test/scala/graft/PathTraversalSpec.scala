@@ -120,4 +120,37 @@ class PathTraversalSpec extends SparkSpec {
     assert(math.abs(r((1, "person:josh")) - 0.45) < 1e-9)  // 0.9/2
     assert(math.abs(r((2, "software:lop")) - 0.2025) < 1e-9) // 0.45*0.9/2
   }
+
+  test("general neighborRank equals the layered fast path on a DAG walk") {
+    // on a strictly-forward walk the same-layer/prev-layer/on-path rules
+    // never fire, so the general dataflow must reduce to the layered one
+    val steps = Seq(EdgeStep(Direction.OUT, Seq("knows")),
+      EdgeStep(Direction.OUT, Seq("created")))
+    val lay = SimilarityTraversals.neighborRankLayered(modern, "person:marko", 0.9, steps)
+      .collect().map(x => (x.getInt(0), x.getString(1)) -> x.getDouble(2)).toMap
+    val gen = SimilarityTraversals.neighborRank(modern, "person:marko", 0.9,
+      steps.map(SimilarityTraversals.RankStep(_)))
+      .collect().map(x => (x.getInt(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(gen === lay)
+  }
+
+  test("general neighborRank fires same-layer and prev-layer transfers on BOTH walks") {
+    // person:marko -BOTH-> layer1 {vadas, josh, lop}; layer2 via BOTH sees
+    // josh<->lop (same-layer pair is impossible here, but marko reappears on
+    // paths and peter arrives via lop); prev-layer: layer2->layer1 backlinks
+    val r = SimilarityTraversals.neighborRank(modern, "person:marko", 0.5,
+      Seq.fill(2)(SimilarityTraversals.RankStep(EdgeStep(Direction.BOTH))))
+      .collect().map(x => (x.getInt(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(r((0, "person:marko")) === 1.0)
+    // layer1 = direct BOTH-neighbors of marko
+    assert(Set("person:vadas", "person:josh", "software:lop")
+      .forall(id => r.contains((1, id))))
+    // every rank positive; peter reachable at layer 2 via lop
+    assert(r.contains((2, "person:peter")))
+    assert(r.values.forall(_ > 0.0))
+    // mass conservation cannot hold with transfers, but layer-1 ranks must
+    // STRICTLY exceed the pure forward split 0.5/3 because layer-2 vertices
+    // donate back via prev-layer/same-layer increments
+    assert(r((1, "person:vadas")) >= 0.5 / 3 - 1e-12)
+  }
 }
