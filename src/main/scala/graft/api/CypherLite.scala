@@ -7,44 +7,44 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
 /** OpenCypher-subset frontend. The reference serves Cypher by translating to
   * Gremlin and reusing the same engine (`api/cypher/CypherAPI.java:49-95`,
   * SURVEY §3.2 — "a frontend translation, not a second engine"); likewise
-  * here: a linear MATCH pattern compiles onto the same DataFrame joins the
-  * DSL uses.
+  * here: MATCH patterns compile onto the same DataFrame joins the DSL uses.
   *
-  * Supported grammar (linear chains):
+  * Supported grammar:
   * {{{
-  *   MATCH (a:person)-[:knows]->(b)<-[:created]-(c) …
-  *   WHERE a.age > 29 AND b.name = 'lop'
+  *   MATCH (a:person)-[:knows]->(b)<-[:created]-(c)
+  *   [ MATCH …  |  OPTIONAL MATCH … ]*
+  *   [ WHERE a.age > 29 AND b.name = 'lop' ]
   *   RETURN a.name AS who, b.price [ , count(*) AS n ]
+  *   [ ORDER BY who [ASC|DESC], b.price … ] [ SKIP s ] [ LIMIT n ]
   * }}}
-  * Directions `->` and `<-`, optional node labels, conjunctive WHERE with
-  * `= <> > >= < <=` against string/number literals, RETURN of `var.prop`
-  * projections with aliases and an optional trailing `count(*)` that turns
-  * the projection into a grouped count.
+  * Multiple MATCH clauses join on shared variables (cartesian when none are
+  * shared, as in Cypher); OPTIONAL MATCH is a left outer join on the shared
+  * variables. Directions `->` and `<-`, optional node labels, conjunctive
+  * WHERE with `= <> > >= < <=` against string/number literals, RETURN of
+  * `var.prop` projections with aliases and an optional `count(*)` that turns
+  * the projection into a grouped count. ORDER BY accepts RETURN aliases or
+  * `var.prop` references; SKIP/LIMIT follow Cypher order (skip first).
   */
 object CypherLite {
 
   private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
   private val relRe = """(<?)-\[\s*:\s*(\w+)\s*\]-(>?)""".r
+  private val clauseRe = """(?i)\b(OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|SKIP|LIMIT)\b""".r
 
   private[api] final case class NodePat(v: String, label: Option[String])
   private[api] final case class RelPat(label: String, forward: Boolean)
+  private[api] final case class MatchClause(nodes: List[NodePat], rels: List[RelPat],
+                                            optional: Boolean)
   private[api] final case class WherePred(v: String, prop: String, op: String, value: Any)
   private[api] final case class Ret(v: String, prop: String, alias: String)
-  private[api] final case class Query(nodes: List[NodePat], rels: List[RelPat],
+  private[api] final case class OrderKey(ref: String, asc: Boolean)
+  private[api] final case class Query(matches: List[MatchClause],
                                       preds: List[WherePred], rets: List[Ret],
-                                      countAlias: Option[String])
+                                      countAlias: Option[String],
+                                      orderBy: List[OrderKey],
+                                      skip: Option[Int], limit: Option[Int])
 
-  private[api] def parse(q: String): Query = {
-    val s = q.trim.replaceAll("\\s+", " ")
-    val mIdx = s.toUpperCase.indexOf("MATCH ")
-    require(mIdx == 0, "query must start with MATCH")
-    val wIdx = s.toUpperCase.indexOf(" WHERE ")
-    val rIdx = s.toUpperCase.indexOf(" RETURN ")
-    require(rIdx > 0, "query must have RETURN")
-    val pattern = s.substring(6, if (wIdx > 0) wIdx else rIdx).trim
-    val whereStr = if (wIdx > 0) s.substring(wIdx + 7, rIdx).trim else ""
-    val retStr = s.substring(rIdx + 8).trim
-
+  private def parsePattern(pattern: String, optional: Boolean): MatchClause = {
     val nodes = nodeRe.findAllMatchIn(pattern).map(m =>
       NodePat(m.group(1), Option(m.group(2)))).toList
     val rels = relRe.findAllMatchIn(pattern).map { m =>
@@ -54,42 +54,76 @@ object CypherLite {
       RelPat(m.group(2), forward = fwd)
     }.toList
     require(nodes.length == rels.length + 1, s"malformed pattern: $pattern")
-
-    val preds = if (whereStr.isEmpty) Nil else
-      whereStr.split("(?i) AND ").toList.map { p =>
-        val m = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(.+)""".r
-          .findFirstMatchIn(p.trim).getOrElse(sys.error(s"bad predicate: $p"))
-        val raw = m.group(4).trim
-        val value: Any =
-          if (raw.startsWith("'")) raw.stripPrefix("'").stripSuffix("'")
-          else raw.toDouble
-        WherePred(m.group(1), m.group(2), m.group(3), value)
-      }
-
-    var countAlias: Option[String] = None
-    val rets = retStr.split(",").toList.map(_.trim).flatMap { r =>
-      val cm = """(?i)count\(\*\)(?:\s+AS\s+(\w+))?""".r.findFirstMatchIn(r)
-      if (cm.isDefined) { countAlias = Some(cm.get.group(1)).map(Option(_).getOrElse("n")); None }
-      else {
-        val m = """(\w+)\.(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r.findFirstMatchIn(r)
-          .getOrElse(sys.error(s"bad return item: $r"))
-        Some(Ret(m.group(1), m.group(2), Option(m.group(3)).getOrElse(s"${m.group(1)}_${m.group(2)}")))
-      }
-    }
-    Query(nodes, rels, preds, rets, countAlias)
+    MatchClause(nodes, rels, optional)
   }
 
-  def eval(g: PropertyGraph, cypher: String): DataFrame = {
-    val q = parse(cypher)
-    // bind node 0
-    val n0 = q.nodes.head
+  private[api] def parse(q: String): Query = {
+    val s = q.trim.replaceAll("\\s+", " ")
+    // split into (keyword, body) clause pairs in textual order
+    val ms = clauseRe.findAllMatchIn(s).toList
+    require(ms.nonEmpty && ms.head.start == 0 &&
+      ms.head.group(1).toUpperCase.endsWith("MATCH"), "query must start with MATCH")
+    val clauses = ms.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < ms.length) ms(i + 1).start else s.length
+      (m.group(1).toUpperCase.replaceAll("\\s+", " "), s.substring(m.end, end).trim)
+    }
+
+    var matches = List.empty[MatchClause]
+    var preds = List.empty[WherePred]
+    var rets = List.empty[Ret]
+    var countAlias: Option[String] = None
+    var orderBy = List.empty[OrderKey]
+    var skip: Option[Int] = None
+    var limit: Option[Int] = None
+
+    clauses.foreach {
+      case ("MATCH", body) => matches :+= parsePattern(body, optional = false)
+      case ("OPTIONAL MATCH", body) => matches :+= parsePattern(body, optional = true)
+      case ("WHERE", body) =>
+        preds = body.split("(?i) AND ").toList.map { p =>
+          val m = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(.+)""".r
+            .findFirstMatchIn(p.trim).getOrElse(sys.error(s"bad predicate: $p"))
+          val raw = m.group(4).trim
+          val value: Any =
+            if (raw.startsWith("'")) raw.stripPrefix("'").stripSuffix("'")
+            else raw.toDouble
+          WherePred(m.group(1), m.group(2), m.group(3), value)
+        }
+      case ("RETURN", body) =>
+        body.split(",").toList.map(_.trim).foreach { r =>
+          val cm = """(?i)count\(\*\)(?:\s+AS\s+(\w+))?""".r.findFirstMatchIn(r)
+          if (cm.isDefined)
+            countAlias = Some(Option(cm.get.group(1)).getOrElse("n"))
+          else {
+            val m = """(\w+)\.(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r.findFirstMatchIn(r)
+              .getOrElse(sys.error(s"bad return item: $r"))
+            rets :+= Ret(m.group(1), m.group(2),
+              Option(m.group(3)).getOrElse(s"${m.group(1)}_${m.group(2)}"))
+          }
+        }
+      case ("ORDER BY", body) =>
+        orderBy = body.split(",").toList.map(_.trim).map { k =>
+          val m = """(\S+)(?:\s+(?i)(ASC|DESC))?""".r.findFirstMatchIn(k)
+            .getOrElse(sys.error(s"bad order key: $k"))
+          OrderKey(m.group(1), !Option(m.group(2)).exists(_.equalsIgnoreCase("DESC")))
+        }
+      case ("SKIP", body) => skip = Some(body.trim.toInt)
+      case ("LIMIT", body) => limit = Some(body.trim.toInt)
+      case (kw, _) => sys.error(s"unsupported clause: $kw")
+    }
+    require(rets.nonEmpty || countAlias.isDefined, "query must have RETURN")
+    Query(matches, preds, rets, countAlias, orderBy, skip, limit)
+  }
+
+  /** One linear chain → DataFrame of variable columns (vertex ids). */
+  private def evalChain(g: PropertyGraph, mc: MatchClause): DataFrame = {
+    val n0 = mc.nodes.head
     var frontier: DataFrame = {
       val base = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
       base.select(col("id").as(n0.v))
     }
-    // one join per relationship hop
-    q.nodes.tail.zip(q.rels).zipWithIndex.foreach { case ((node, rel), i) =>
-      val prevVar = q.nodes(i).v
+    mc.nodes.tail.zip(mc.rels).zipWithIndex.foreach { case ((node, rel), i) =>
+      val prevVar = mc.nodes(i).v
       val dir = if (rel.forward) Direction.OUT else Direction.IN
       val e = EdgeStep(dir, Seq(rel.label)).edgesFor(g).select(col("src"), col("dst"))
       frontier = frontier
@@ -100,8 +134,33 @@ object CypherLite {
           g.verticesOf(l).select(col("id").as(node.v)), Seq(node.v), "left_semi")
       }
     }
-    // attach the properties referenced by WHERE/RETURN, one join per (var, prop)
-    val needed = (q.preds.map(p => (p.v, p.prop)) ++ q.rets.map(r => (r.v, r.prop))).distinct
+    frontier
+  }
+
+  def eval(g: PropertyGraph, cypher: String): DataFrame = {
+    val q = parse(cypher)
+    var frontier = evalChain(g, q.matches.head)
+    q.matches.tail.foreach { mc =>
+      val df = evalChain(g, mc)
+      val shared = frontier.columns.intersect(df.columns).toSeq
+      frontier =
+        if (mc.optional) {
+          require(shared.nonEmpty, "OPTIONAL MATCH must share a variable")
+          frontier.join(df, shared, "left")
+        }
+        else if (shared.nonEmpty) frontier.join(df, shared)
+        else frontier.crossJoin(df)
+    }
+    // attach properties referenced by WHERE/RETURN/ORDER BY, one join per
+    // (var, prop); left joins so OPTIONAL-introduced nulls survive
+    val orderProps = q.orderBy.flatMap { k =>
+      k.ref.split("\\.") match {
+        case Array(v, p) if frontier.columns.contains(v) => Some((v, p))
+        case _ => None
+      }
+    }
+    val needed = (q.preds.map(p => (p.v, p.prop)) ++
+      q.rets.map(r => (r.v, r.prop)) ++ orderProps).distinct
     needed.foreach { case (v, prop) =>
       frontier = frontier.join(
         g.vertices.select(col("id").as(v), col(prop).as(s"${v}_$prop")),
@@ -120,13 +179,39 @@ object CypherLite {
       frontier = frontier.filter(cond)
     }
     val projections = q.rets.map(r => col(s"${r.v}_${r.prop}").as(r.alias))
-    q.countAlias match {
+    def orderCol(k: OrderKey): Column = {
+      val base =
+        if (q.rets.exists(_.alias == k.ref) || q.countAlias.contains(k.ref)) col(k.ref)
+        else k.ref.split("\\.") match {
+          // a var.prop that is also RETURNed resolves to its alias — the
+          // source column is projected away
+          case Array(v, p) => q.rets.find(r => r.v == v && r.prop == p)
+            .map(r => col(r.alias)).getOrElse(col(s"${v}_$p"))
+          case _ => sys.error(s"unknown order key: ${k.ref}")
+        }
+      if (k.asc) base.asc else base.desc
+    }
+    var result = q.countAlias match {
       case Some(alias) if q.rets.isEmpty =>
         frontier.agg(count(lit(1)).as(alias))
       case Some(alias) =>
         frontier.groupBy(projections: _*).agg(count(lit(1)).as(alias))
       case None =>
-        frontier.select(projections: _*)
+        // keep the order keys' source columns through the projection
+        val retSources = q.rets.map(r => s"${r.v}_${r.prop}").toSet
+        val extra = orderProps.map { case (v, p) => s"${v}_$p" }
+          .distinct.filterNot(retSources).map(col)
+        frontier.select((projections ++ extra): _*)
     }
+    if (q.orderBy.nonEmpty) result = result.orderBy(q.orderBy.map(orderCol): _*)
+    // project down to the declared aliases (drops order-only carry columns)
+    result = q.countAlias match {
+      case Some(alias) if q.rets.isEmpty => result
+      case Some(alias) => result.select((q.rets.map(r => col(r.alias)) :+ col(alias)): _*)
+      case None => result.select(q.rets.map(r => col(r.alias)): _*)
+    }
+    q.skip.foreach(n => result = result.offset(n))
+    q.limit.foreach(n => result = result.limit(n))
+    result
   }
 }

@@ -416,6 +416,24 @@ object GraphQueries2 {
           "RETURN n.name AS nation, count(*) AS n_suppliers")
     },
 
+    q("q_cypher_multi",
+      """SELECT cust, price FROM (
+        |  SELECT c.c_name AS cust, o.o_totalprice AS price
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE n.n_name = 'NATION_2'
+        |  ORDER BY cust ASC, price DESC
+        |  LIMIT 20 OFFSET 5) z""".stripMargin) { (s, d) =>
+      // multi-clause Cypher: MATCH + OPTIONAL MATCH joined on the shared
+      // variable, ORDER BY over aliases, SKIP/LIMIT paging
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:in_nation]->(n:nation) " +
+          "OPTIONAL MATCH (c)-[:placed]->(o:order) " +
+          "WHERE n.name = 'NATION_2' " +
+          "RETURN c.name AS cust, o.totalprice AS price " +
+          "ORDER BY cust ASC, price DESC SKIP 5 LIMIT 20")
+    },
+
     q("q_ttl_filter",
       """SELECT event_id FROM events
         |WHERE epoch_ms(ts) + 2592000000 > epoch_ms(TIMESTAMP '2024-01-15 00:00:00')""".stripMargin) { (s, d) =>

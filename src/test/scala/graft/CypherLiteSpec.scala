@@ -41,6 +41,38 @@ class CypherLiteSpec extends SparkSpec {
     assert(rows === Set(("josh", "lop"), ("josh", "ripple"), ("peter", "lop")))
   }
 
+  test("multiple MATCH clauses join on shared variables") {
+    // who created software AND knows someone
+    val rows = run("MATCH (a:person)-[:created]->(s:software) " +
+      "MATCH (a)-[:knows]->(b:person) RETURN a.name AS who, s.name AS sw, b.name AS other")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set(("marko", "lop", "vadas"), ("marko", "lop", "josh")))
+  }
+
+  test("OPTIONAL MATCH keeps unmatched rows with nulls") {
+    val rows = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "OPTIONAL MATCH (b)-[:created]->(s:software) " +
+      "RETURN b.name AS who, s.name AS sw")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    // vadas created nothing → null; josh created lop and ripple
+    assert(rows === Set(("vadas", None), ("josh", Some("lop")), ("josh", Some("ripple"))))
+  }
+
+  test("ORDER BY alias with SKIP and LIMIT pages deterministically") {
+    val names = run("MATCH (p:person)-[:created]->(s:software) " +
+      "RETURN p.name AS who, s.name AS sw ORDER BY who ASC, sw ASC SKIP 1 LIMIT 2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // full order: (josh,lop),(josh,ripple),(marko,lop),(peter,lop)
+    assert(names === Seq(("josh", "ripple"), ("marko", "lop")))
+  }
+
+  test("ORDER BY var.prop not in RETURN") {
+    val ages = run("MATCH (p:person)-[:knows]->(q:person) " +
+      "RETURN q.name AS who ORDER BY q.age DESC")
+      .collect().map(_.getString(0)).toSeq
+    assert(ages === Seq("josh", "vadas")) // josh 32 > vadas 27
+  }
+
   test("malformed queries fail cleanly") {
     intercept[Exception](run("SELECT 1"))
     intercept[Exception](run("MATCH (a)-[:x]-(b) RETURN a.name")) // no direction
