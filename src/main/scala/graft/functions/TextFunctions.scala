@@ -21,10 +21,44 @@ object TextFunctions {
   def tokenize(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** CJK unigram analyzer: each Han character is its own token; Latin runs
+    * tokenize as in [[tokenize]]. The reference plugs external segmenters
+    * (`analyzer/AnalyzerFactory.java:34-53` — ansj/jieba/smartcn/…); absent
+    * those dictionaries, unigram/bigram segmentation is the standard
+    * dictionary-free CJK strategy (Lucene's CJKAnalyzer), expressed as
+    * codegen-friendly Spark SQL functions — no UDFs. */
+  def tokenizeCjkUnigram(c: Column): Column =
+    filter(regexp_extract_all(lower(c), lit("([a-z0-9]+|\\p{IsHan})"), lit(1)),
+      t => length(t) > 0)
+
+  /** CJK bigram analyzer: overlapping 2-grams within each Han run (a lone
+    * Han char stays a unigram); Latin runs tokenize as in [[tokenize]]. */
+  def tokenizeCjkBigram(c: Column): Column = {
+    val runs = regexp_extract_all(lower(c), lit("([a-z0-9]+|\\p{IsHan}+)"), lit(1))
+    flatten(transform(runs, r =>
+      when(r.rlike("^\\p{IsHan}{2,}$"),
+        transform(sequence(lit(1), length(r) - 1), i => r.substr(i, lit(2))))
+        .otherwise(array(r))))
+  }
+
+  /** Analyzer registry (reference `AnalyzerFactory.analyzer(name, mode)`):
+    * tokenizers are named, pluggable Column transforms. */
+  val analyzers: Map[String, Column => Column] = Map(
+    "english" -> tokenize,
+    "cjk-unigram" -> tokenizeCjkUnigram,
+    "cjk-bigram" -> tokenizeCjkBigram)
+
+  def analyzer(name: String): Column => Column =
+    analyzers.getOrElse(name, sys.error(s"not exists analyzer: $name"))
+
   /** Tokenized word containment (reference `Text.contains`,
     * `.../traversal/optimize/Text.java:23-32`). */
   def textContains(c: Column, word: String): Column =
     array_contains(tokenize(c), word.toLowerCase)
+
+  /** Containment under a named analyzer (CJK-aware). */
+  def textContains(c: Column, word: String, analyzerName: String): Column =
+    array_contains(analyzer(analyzerName)(c), word.toLowerCase)
 
   def textContainsAny(c: Column, words: Seq[String]): Column =
     arrays_overlap(tokenize(c), lit(words.map(_.toLowerCase).toArray))

@@ -272,6 +272,26 @@ object DocQueries {
         threshold = 0.3, bits = 4, dims = 64)
     },
 
+    q("q_tokenize_cjk",
+      """WITH t AS (SELECT doc_id,
+        |    '图数据库' || source || '分词引擎' || CAST(doc_id % 10 AS VARCHAR) AS zh
+        |  FROM documents WHERE doc_id < 200),
+        |runs AS (SELECT doc_id,
+        |    regexp_extract_all(lower(zh), '([a-z0-9]+|\p{Han}+)', 1) AS rs FROM t),
+        |tk AS (SELECT doc_id,
+        |  flatten(list_transform(rs, r -> CASE WHEN regexp_full_match(r, '\p{Han}{2,}')
+        |    THEN list_transform(range(1, length(r)), i -> substr(r, i, 2))
+        |    ELSE [r] END)) AS toks FROM runs)
+        |SELECT doc_id, array_to_string(toks, ' ') AS toks FROM tk""".stripMargin) { (s, d) =>
+      // CJK bigram analyzer over a mixed Han/Latin column derived from the
+      // documents table (the reference's pluggable-analyzer surface, §2.8)
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat_ws(" ", TextFunctions.tokenizeCjkBigram(
+            concat(lit("图数据库"), col("source"), lit("分词引擎"),
+              (col("doc_id") % 10).cast("string")))).as("toks"))
+    },
+
     q("q_ann_ivf_topk", ivfSql(10, 16, 2)) { (s, d) =>
       val e = Tables.embeddings(s, d)
       Ann.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),

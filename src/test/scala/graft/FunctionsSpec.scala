@@ -17,6 +17,33 @@ class FunctionsSpec extends SparkSpec {
     assert(df.filter(TextFunctions.textContains(col("t"), "widget")).count() === 1L)
   }
 
+  test("CJK unigram analyzer splits Han chars, keeps latin runs") {
+    val got = Seq("Spark处理中文text123").toDF("t")
+      .select(TextFunctions.tokenizeCjkUnigram(col("t"))).head().getSeq[String](0)
+    assert(got === Seq("spark", "处", "理", "中", "文", "text123"))
+  }
+
+  test("CJK bigram analyzer emits overlapping 2-grams per Han run") {
+    val got = Seq("图数据库用spark分词").toDF("t")
+      .select(TextFunctions.tokenizeCjkBigram(col("t"))).head().getSeq[String](0)
+    assert(got === Seq("图数", "数据", "据库", "库用", "spark", "分词"))
+    // a lone Han char between latin runs stays a unigram
+    val lone = Seq("abc中def").toDF("t")
+      .select(TextFunctions.tokenizeCjkBigram(col("t"))).head().getSeq[String](0)
+    assert(lone === Seq("abc", "中", "def"))
+    // pure latin unaffected
+    val latin = Seq("Hello World").toDF("t")
+      .select(TextFunctions.tokenizeCjkBigram(col("t"))).head().getSeq[String](0)
+    assert(latin === Seq("hello", "world"))
+  }
+
+  test("analyzer registry dispatches and textContains is analyzer-aware") {
+    val df = Seq("图数据库很强").toDF("t")
+    assert(df.filter(TextFunctions.textContains(col("t"), "数据", "cjk-bigram")).count() === 1L)
+    assert(df.filter(TextFunctions.textContains(col("t"), "数", "cjk-unigram")).count() === 1L)
+    intercept[Exception](TextFunctions.analyzer("nope"))
+  }
+
   test("shingles produces distinct 3-grams, short-doc fallback") {
     val got = Seq("a b c d", "x y").toDF("t")
       .select(TextFunctions.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
