@@ -37,6 +37,19 @@ object GraphStore {
       spark.read.parquet(s"$dir/edges"),
       schema)
 
+  /** Catalog-table edge store bucketed by `src` — the cluster-scale layout:
+    * a frontier ⋈ edges join hash-partitions only the (small) frontier side;
+    * the edge table's bucketing IS its partitioning, so the big side never
+    * shuffles, on any number of frontier joins against it. `sortBy(src)`
+    * additionally gives sort-merge joins pre-sorted runs. */
+  def saveBucketedEdges(edges: DataFrame, table: String, buckets: Int): Unit =
+    edges.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(table)
+
+  def loadBucketedEdges(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Append a mutation batch to the edge log; readers see it immediately,
     * compaction is Mutations.reconcile over the unioned log. */
   def appendEdges(batch: DataFrame, dir: String): Unit =

@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{GraphXBridge, ModernGraph}
+import graft.core.{Direction, GraphXBridge, ModernGraph}
 import graft.olap.Algorithms
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,16 @@ class GraphXSpec extends SparkSpec {
     // same partition into components (representatives may differ)
     def groups(m: Map[String, String]) = m.groupBy(_._2).values.map(_.keySet).toSet
     assert(groups(gx) === groups(df))
+  }
+
+  test("Pregel SSSP agrees with the converged Bellman-Ford dataflow") {
+    val px = GraphXBridge.ssspPregel(g, "person:marko", Direction.OUT, Nil, "weight")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bf = graft.traverse.PathTraversals.weightedSsspConverged(
+        g, "person:marko", Direction.OUT, Nil, "weight")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(px === bf)
+    assert(px("person:marko") === 0.0)
   }
 
   test("GraphX pagerank ranks lop above persons") {

@@ -39,6 +39,33 @@ class StoreAndPlansSpec extends SparkSpec {
     } finally GraftExtensions.clearSchema()
   }
 
+  test("bucketed edge table joins a frontier with zero shuffle on the edge side") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bucketed_edges_spec")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "bucketed_edges_spec")
+    org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    GraphStore.saveBucketedEdges(g.edges.select(col("src"), col("dst")),
+      "bucketed_edges_spec", buckets = 4)
+    val edges = GraphStore.loadBucketedEdges(spark, "bucketed_edges_spec")
+    val frontier = Seq("person:marko", "person:josh").toDF("src")
+    // force a non-broadcast join so the exchange structure is observable
+    val joined = spark.sessionState.conf
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = edges.join(frontier, Seq("src"))
+      val plan = df.queryExecution.executedPlan.toString
+      // exactly one Exchange — the frontier side; the bucketed edge scan
+      // must NOT re-shuffle
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges === 1, s"expected 1 exchange (frontier only), plan:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"edge scan not bucketed:\n$plan")
+      assert(df.count() === 5L) // marko: 2 knows + 1 created; josh: 2 created
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("native expressions callable from SQL after registration") {
     VectorFunctions.register(spark)
     val v = spark.sql(
