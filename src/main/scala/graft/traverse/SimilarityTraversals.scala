@@ -149,10 +149,12 @@ object SimilarityTraversals {
             countDistinct(when(col("cls") === "prev", col("lyr"))) +
             count(when(col("cls") === "new", lit(1)))).cast("double").as("deg"))
         .filter(col("deg") > 0)
-      // incr uses the PRE-update last-layer rank
+      // incr uses the PRE-update last-layer rank. Only `cls` is
+      // materialized per step — every other relation is id-level tiny and
+      // derives from it in one hop, so lazy evaluation keeps the job count
+      // at one action per step instead of ten.
       val incr = deg.join(ranks(si).withColumnRenamed("id", "v"), Seq("v"))
         .select(col("v"), col("deg"), (col("rank") * alpha / col("deg")).as("incr"))
-        .localCheckpoint(true)
 
       // same-layer transfer: one incr per DISTINCT (v, t) pair
       val samei = cls.filter(col("cls") === "same")
@@ -161,7 +163,6 @@ object SimilarityTraversals {
         .groupBy(col("t").as("id")).agg(sum(col("incr")).as("si"))
       val lastUpd = ranks(si).join(samei, Seq("id"), "left")
         .select(col("id"), (col("rank") + coalesce(col("si"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
       ranks(si) = lastUpd
 
       // prev-layer transfer: one incr per DISTINCT (v, layer, t)
@@ -170,13 +171,11 @@ object SimilarityTraversals {
           .select(col("v"), col("lyr"), col("t")).distinct()
           .join(incr, Seq("v"))
           .groupBy(col("lyr"), col("t")).agg(sum(col("incr")).as("pi"))
-          .localCheckpoint(true)
         for (i <- 1 until si) {
           ranks(i) = ranks(i).join(
               previ.filter(col("lyr") === i).select(col("t").as("id"), col("pi")),
               Seq("id"), "left")
             .select(col("id"), (col("rank") + coalesce(col("pi"), lit(0.0))).as("rank"))
-            .localCheckpoint(true)
         }
       }
 
@@ -189,11 +188,9 @@ object SimilarityTraversals {
         .select(col("t"),
           (col("m").cast("double") * col("rank") * lit(alpha) / col("deg")).as("c"))
         .groupBy(col("t").as("id")).agg(sum(col("c")).as("rank"))
-        .localCheckpoint(true)
       ranks += newR
       frontier = cls.filter(col("cls") === "new")
         .select(col("t").as("id"), concat(col("path"), array(col("t"))).as("path"))
-        .localCheckpoint(true)
     }
 
     ranks.zipWithIndex.map { case (r, i) =>
