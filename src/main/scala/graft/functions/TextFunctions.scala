@@ -82,8 +82,12 @@ object TextFunctions {
 
   /** Language-ID: argmax over per-language stopword hit counts; ties broken
     * by the fixed language order above; no hits at all → "und" (undetermined). */
-  def langId(c: Column): Column = {
-    val toks = tokenize(c)
+  def langId(c: Column): Column = langIdFromToks(tokenize(c))
+
+  /** langId over an ALREADY-MATERIALIZED token array column — the hot-path
+    * variant: four per-language filters over `tokenize(text)` would make
+    * Catalyst re-run the tokenizer once per language. */
+  def langIdFromToks(toks: Column): Column = {
     val scores = langStopwords.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words: _*)))
     }
@@ -96,8 +100,10 @@ object TextFunctions {
 
   /** Quality features: chars, tokens, mean token length, punctuation ratio,
     * stopword ratio, and a composite score in [0,1]. */
-  def qualityStruct(c: Column): Column = {
-    val toks = tokenize(c)
+  def qualityStruct(c: Column): Column = qualityStructFromToks(c, tokenize(c))
+
+  /** qualityStruct over a pre-materialized token column (hot-path twin). */
+  def qualityStructFromToks(c: Column, toks: Column): Column = {
     val nChars = length(c).cast("double")
     val nToks = size(toks).cast("double")
     val punct = length(regexp_replace(lower(c), "[a-z0-9\\s]", "")).cast("double")

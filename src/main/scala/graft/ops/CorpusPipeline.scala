@@ -37,9 +37,13 @@ object CorpusPipeline {
         p.ngram, p.k, p.bands, p.rows, p.nearDupThreshold)
       .select(col("b").as("doc_id")).distinct()
     val deduped = canonical.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    // 3. quality gate
-    deduped
-      .withColumn("q", TextFunctions.qualityStruct(col("text")))
+    // 3. quality gate — tokens materialized ONCE; quality + language-id
+    // would otherwise each re-run the tokenizer per referencing lambda
+    val withToks = deduped
+      .withColumn("toks", TextFunctions.tokenize(col("text")))
+      .localCheckpoint(true)
+    withToks
+      .withColumn("q", TextFunctions.qualityStructFromToks(col("text"), col("toks")))
       .filter(col("q.n_tokens") >= p.minTokens &&
         col("q.stopword_ratio") <= p.maxStopwordRatio)
   }
@@ -47,6 +51,6 @@ object CorpusPipeline {
   /** The pipeline's summary: surviving docs per predicted language. */
   def langDistribution(docs: DataFrame, p: Params = Params()): DataFrame =
     cleaned(docs, p)
-      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .withColumn("lang_pred", TextFunctions.langIdFromToks(col("toks")))
       .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_docs"))
 }
