@@ -277,19 +277,17 @@ object Traversals {
     var rootAdj: DataFrame = null
     for (i <- 0 until maxDepth) {
       val withDeg = ranks.join(deg, Seq("id"), "left")
-      val pushed = withDeg.filter(col("deg").isNotNull)
+      // single flat aggregation per round (one shuffle): per-edge pushes,
+      // no-out-edge keeps, and the root compensation all sum in one groupBy
+      val contribs = withDeg.filter(col("deg").isNotNull)
         .join(walk.withColumnRenamed("src", "id"), Seq("id"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("rank") * alpha / col("deg")).as("rank"))
+        .select(col("dst").as("id"), (col("rank") * alpha / col("deg")).as("rank"))
       val kept = withDeg.filter(col("deg").isNull).select(col("id"), col("rank"))
-      val merged = pushed.unionByName(kept)
-        .groupBy(col("id")).agg(sum(col("rank")).as("rank"))
-      // compensate root
       val rootRow = Seq((source, 1.0 - alpha)).toDF("id", "rank")
-      ranks = merged.unionByName(rootRow)
+      ranks = contribs.unionByName(kept).unionByName(rootRow)
         .groupBy(col("id")).agg(sum(col("rank")).as("rank"))
         .localCheckpoint(true)
-      if (i == 0) rootAdj = ranks.select(col("id")).localCheckpoint(true)
+      if (i == 0) rootAdj = ranks.select(col("id"))
     }
     ranks.join(rootAdj, Seq("id"), "left_anti")
       .select(col("id"), round(col("rank"), 9).as("rank"))
