@@ -48,6 +48,39 @@ object GraphQueries {
       Traversals.sameNeighbors(g(s, d), "order:3", "order:6771", Direction.OUT, Seq("contains"))
     },
 
+    q("q_same_neighbors_batch",
+      """SELECT t AS id FROM (
+        |  SELECT 'part:' || CAST(l_partkey AS VARCHAR) AS t,
+        |         count(DISTINCT l_suppkey) AS n
+        |  FROM lineitem WHERE l_suppkey IN (1, 2, 3)
+        |  GROUP BY 1) z
+        |WHERE n = 3""".stripMargin) { (s, d) =>
+      // N-vertex variant (reference SameNeighborTraverser:68): parts every
+      // one of the three suppliers supplies
+      Traversals.sameNeighborsBatch(g(s, d),
+        Seq("supplier:1", "supplier:2", "supplier:3"),
+        Direction.IN, Seq("supplied_by"))
+    },
+
+    q("q_shortest_path_trace",
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |adj AS ($bothEdgesSql),
+         |p(id, path, d) AS (
+         |  SELECT 'customer:1', ['customer:1'], 0
+         |  UNION ALL
+         |  SELECT a.dst, p.path || [a.dst], p.d + 1
+         |  FROM p JOIN adj a ON a.src = p.id
+         |  WHERE p.d < 3 AND NOT list_contains(p.path, a.dst)),
+         |hits AS (SELECT * FROM p WHERE id = 'supplier:3')
+         |SELECT array_to_string(path, '->') AS path FROM hits
+         |WHERE d = (SELECT min(d) FROM hits)
+         |ORDER BY array_to_string(list_reverse(path), '->') LIMIT 1""".stripMargin) { (s, d) =>
+      // path reconstruction via layered min-parent pointers == the shortest
+      // path with lexicographically-smallest REVERSED id sequence
+      Traversals.shortestPathTrace(g(s, d), "customer:1", "supplier:3",
+        Direction.BOTH, Nil, maxDepth = 3)
+    },
+
     q("q_jaccard_similarity",
       """WITH na AS (SELECT DISTINCT 'part:' || CAST(l_partkey AS VARCHAR) AS id FROM lineitem WHERE l_orderkey = 3),
         |nb AS (SELECT DISTINCT 'part:' || CAST(l_partkey AS VARCHAR) AS id FROM lineitem WHERE l_orderkey = 6771),

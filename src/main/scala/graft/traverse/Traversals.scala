@@ -126,6 +126,67 @@ object Traversals {
                     labels: Seq[String] = Nil): DataFrame =
     neighbors(g, a, dir, labels).intersect(neighbors(g, b, dir, labels))
 
+  /** Common neighbors of N ≥ 2 vertices (reference
+    * `SameNeighborTraverser.sameNeighbors:68` — iterated set intersection).
+    * One aggregation instead of N−1 set intersections: a neighbor is common
+    * iff its distinct-source count over the N sources equals N. */
+  def sameNeighborsBatch(g: PropertyGraph, vertexIds: Seq[String],
+                         dir: Direction.Value, labels: Seq[String] = Nil): DataFrame = {
+    require(vertexIds.size >= 2, "vertex_list size can't be less than 2")
+    EdgeStep(dir, labels).edgesFor(g)
+      .filter(col("src").isin(vertexIds: _*))
+      .select(col("src"), col("dst")).distinct()
+      .groupBy(col("dst").as("id")).agg(countDistinct(col("src")).as("n"))
+      .filter(col("n") === vertexIds.size)
+      .select(col("id"))
+  }
+
+  /** Single shortest path WITH reconstruction, via layered parent pointers —
+    * the reference's `ShortestPathRecords` machinery (SURVEY §2.12): BFS
+    * layers store one deterministic (min) parent per first-visited vertex;
+    * the path walks the pointers backward. The greedy min-parent walk yields
+    * exactly the shortest path whose REVERSED id sequence is
+    * lexicographically smallest — the property the oracle states directly.
+    * Returns DF(path) with 0 or 1 row. */
+  def shortestPathTrace(g: PropertyGraph, source: String, target: String,
+                        dir: Direction.Value, labels: Seq[String] = Nil,
+                        maxDepth: Int): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    if (source == target) return Seq(source).toDF("path")
+    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct())
+    var visited = Seq(source).toDF("id")
+    var frontier = visited
+    var layers = List.empty[DataFrame] // head = deepest layer, (id, parent)
+    var foundAt = -1
+    var d = 0
+    var cnt = 1L
+    while (foundAt < 0 && d < maxDepth && cnt > 0) {
+      d += 1
+      val next = frontier.select(col("id").as("src"))
+        .join(edges, Seq("src"))
+        .select(col("dst").as("id"), col("src").as("parent"))
+        .join(visited, Seq("id"), "left_anti")
+        .groupBy(col("id")).agg(min(col("parent")).as("parent"))
+        .localCheckpoint(true)
+      layers ::= next
+      frontier = next.select(col("id"))
+      visited = visited.union(frontier)
+      cnt = next.count()
+      if (next.filter(col("id") === target).limit(1).count() > 0) foundAt = d
+    }
+    if (foundAt < 0) return Seq.empty[String].toDF("path")
+    // backward walk: `foundAt` single-row lookups against checkpointed layers
+    var cur = target
+    var path = List(target)
+    layers.foreach { l =>
+      cur = l.filter(col("id") === cur).head().getAs[String]("parent")
+      path = cur :: path
+    }
+    Seq(path.mkString("->")).toDF("path")
+  }
+
   /** |N(a)∩N(b)| / |N(a)∪N(b)| (reference `JaccardSimilarTraverser:48`). */
   def jaccardSimilarity(g: PropertyGraph, a: String, b: String, dir: Direction.Value,
                         labels: Seq[String] = Nil): DataFrame = {

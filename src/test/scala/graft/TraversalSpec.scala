@@ -1,7 +1,7 @@
 package graft
 
 import graft.core._
-import graft.traverse.Traversals
+import graft.traverse.{PathTraversals, Traversals}
 import org.apache.spark.sql.functions._
 
 /** Golden tests of the traverser semantics on the modern-graph fixture —
@@ -42,6 +42,30 @@ class TraversalSpec extends SparkSpec {
   test("sameNeighbors of marko and josh OUT") {
     assert(ids(Traversals.sameNeighbors(g, "person:marko", "person:josh", Direction.OUT)) ===
       Set("software:lop"))
+  }
+
+  test("sameNeighborsBatch over N vertices = iterated intersection") {
+    // neighbors via BOTH: lop's are {marko, josh, peter}; common BOTH-
+    // neighbors of (marko, josh, peter) = {lop}
+    assert(ids(Traversals.sameNeighborsBatch(g,
+      Seq("person:marko", "person:josh", "person:peter"), Direction.OUT)) ===
+      Set("software:lop"))
+    intercept[IllegalArgumentException](
+      Traversals.sameNeighborsBatch(g, Seq("person:marko"), Direction.OUT))
+  }
+
+  test("shortestPathTrace reconstructs the reversed-lex-min shortest path") {
+    val trace = Traversals.shortestPathTrace(g, "person:marko", "software:ripple",
+      Direction.OUT, Nil, maxDepth = 3).head().getString(0)
+    assert(trace === "person:marko->person:josh->software:ripple")
+    // equals the min-reversed choice among ALL shortest paths
+    val all = PathTraversals.allShortestPaths(g, "person:marko", "software:ripple",
+      Direction.OUT, Nil, maxDepth = 3)
+      .collect().map(_.getString(0))
+    assert(all.contains(trace))
+    // unreachable → empty
+    assert(Traversals.shortestPathTrace(g, "software:lop", "person:marko",
+      Direction.OUT, Nil, maxDepth = 3).count() === 0L)
   }
 
   test("jaccard similarity marko/josh OUT = 1/4") {
