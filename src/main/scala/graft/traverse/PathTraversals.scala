@@ -250,13 +250,17 @@ object PathTraversals {
       r += 1
       val relaxed = dist.select(col("id").as("src"), col("dist"))
         .join(edges, Seq("src"))
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      val next = dist.unionByName(relaxed)
-        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"),
+          lit(null).cast("double").as("old"))
+      // carry the previous distance through the aggregation so convergence
+      // is a scan of this round's checkpoint, not an extra join job
+      val next = dist
+        .select(col("id"), col("dist"), col("dist").as("old"))
+        .unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"), max(col("old")).as("old"))
         .localCheckpoint(true)
-      changed = next.join(dist.withColumnRenamed("dist", "old"), Seq("id"), "left")
-        .filter(col("old").isNull || col("dist") < col("old")).count()
-      dist = next
+      changed = next.filter(col("old").isNull || col("dist") < col("old")).count()
+      dist = next.select(col("id"), col("dist"))
     }
     dist.select(col("id"), round(col("dist"), 6).as("dist"))
   }

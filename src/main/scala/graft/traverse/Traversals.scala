@@ -173,8 +173,11 @@ object Traversals {
       layers ::= next
       frontier = next.select(col("id"))
       visited = visited.union(frontier)
-      cnt = next.count()
-      if (next.filter(col("id") === target).limit(1).count() > 0) foundAt = d
+      // one job per layer: frontier size and target-hit in a single agg
+      val stats = next.agg(count(lit(1)),
+        max(when(col("id") === target, 1)).as("hit")).head()
+      cnt = stats.getLong(0)
+      if (!stats.isNullAt(1)) foundAt = d
     }
     if (foundAt < 0) return Seq.empty[String].toDF("path")
     // backward walk: `foundAt` single-row lookups against checkpointed layers
