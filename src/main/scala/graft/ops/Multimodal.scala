@@ -54,6 +54,28 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: deterministic nearest-neighbor-style downsample of the
+    * media bytes to the byte budget implied by (targetW × targetH ×
+    * meta.channels) — every k-th byte is kept, k = ceil(orig/target). A real
+    * build swaps the byte arithmetic for an image scaler; the Spark shape
+    * (binary in → smaller binary out + updated metadata, all built-ins, no
+    * UDF) is the part that matters at 100 TB. */
+  def resize(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val tgt = s"greatest(1, $targetW * $targetH * greatest(meta.channels, 1))"
+    assets.select(col("doc_id"),
+      expr(
+        s"""case when length(bytes) <= $tgt then bytes else
+           |  aggregate(
+           |    filter(sequence(0, length(bytes) - 1),
+           |           i -> i % cast(ceil(length(bytes) / $tgt) as int) = 0),
+           |    cast('' as binary),
+           |    (acc, i) -> concat(acc, substring(bytes, i + 1, 1)))
+           |end""".stripMargin).as("bytes"),
+      struct(lit(targetW).as("width"), lit(targetH).as("height"),
+        col("meta.channels").as("channels"),
+        length(col("bytes")).as("orig_bytes")).as("meta"))
+  }
+
   /** Frame sampling: every `stride`-th `frameSize`-byte slice of the media
     * column — pure built-ins, stays in codegen. */
   def frameSample(assets: DataFrame, frameSize: Int, stride: Int): DataFrame =

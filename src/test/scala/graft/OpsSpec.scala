@@ -92,6 +92,22 @@ class OpsSpec extends SparkSpec {
     assert(feats(3L).n_bytes === 16)
   }
 
+  test("resize downsamples the byte budget and stamps target metadata") {
+    val assets = Multimodal.fakeAssets(docs)
+    val small = Multimodal.resize(assets, targetW = 2, targetH = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 2 has 48 original bytes, budget 2*2*channels(2)=8 → every 6th byte
+    val r2 = small(2L)
+    assert(r2.getAs[Array[Byte]]("bytes").length === 8)
+    val meta = r2.getStruct(2)
+    assert(meta.getAs[Int]("width") === 2 && meta.getAs[Int]("height") === 2)
+    assert(meta.getAs[Int]("orig_bytes") === 48)
+    // already-small assets pass through untouched
+    val noop = Multimodal.resize(assets, targetW = 64, targetH = 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes").length).toMap
+    assert(noop(3L) === 16)
+  }
+
   test("frame sampling slices the binary column") {
     val frames = Multimodal.frameSample(Multimodal.fakeAssets(docs), frameSize = 8, stride = 2)
     val f1 = frames.filter(col("doc_id") === 1).collect()
