@@ -34,6 +34,14 @@ object Bench {
       graft.core.Pin.pin(graft.core.EdgeStep(dir).edgesFor(graph)
         .select(org.apache.spark.sql.functions.col("src"),
           org.apache.spark.sql.functions.col("dst")).distinct())
+    // JIT-warm the text/hash codegen paths on a small sample
+    locally {
+      import org.apache.spark.sql.functions._
+      graft.core.Tables.documents(spark, sfDir).limit(200)
+        .select(md5(col("text")).as("h"),
+          graft.functions.TextFunctions.tokenize(col("text")).as("t"))
+        .agg(count(col("h")), sum(size(col("t")))).collect()
+    }
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
