@@ -19,17 +19,6 @@ import graft.core.{Direction, PropertyGraph}
   */
 object Algorithms {
 
-  /** Run `body` with AQE disabled. Wins ONLY for fixed-iteration loops over
-    * LARGE co-partitioned inputs (pagerank's full graph): the plan is known
-    * good, so adaptive re-planning just adds a stage-materialization job per
-    * exchange. On small working sets AQE's partition coalescing outweighs
-    * that cost — measured, do not blanket-apply. */
-  private def withoutAqe[T](spark: SparkSession)(body: => T): T = {
-    val was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally spark.conf.set("spark.sql.adaptive.enabled", was)
-  }
-
   /** Per-vertex degree (reference `cent/DegreeCentralityAlgorithm.java:48`). */
   def degreeCentrality(g: PropertyGraph, dir: Direction.Value): DataFrame =
     g.adjacency(dir).groupBy(col("src").as("id"))
@@ -61,18 +50,15 @@ object Algorithms {
       edges.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
     ) // partitioned by src == id already
     var ranks = verts.withColumn("rank", lit(1.0 / n))
-    // iterations run with AQE off: each round's fixed plan is ONE job
-    withoutAqe(g.vertices.sparkSession) {
-      for (_ <- 0 until iterations) {
-        val contrib = ranks.join(outdeg, Seq("id"))
-          .select(col("id").as("src"), (col("rank") / col("deg")).as("c"))
-          .join(edges, Seq("src"))
-          .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
-        ranks = verts.join(contrib, Seq("id"), "left")
-          .select(col("id"),
-            (lit((1.0 - alpha) / n) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("rank"))
-          .localCheckpoint(true)
-      }
+    for (_ <- 0 until iterations) {
+      val contrib = ranks.join(outdeg, Seq("id"))
+        .select(col("id").as("src"), (col("rank") / col("deg")).as("c"))
+        .join(edges, Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
+      ranks = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - alpha) / n) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
     }
     ranks.select(col("id"), round(col("rank"), 9).as("rank"))
   }
