@@ -211,8 +211,20 @@ object PathTraversals {
     * equals the reference's Dijkstra result (`SingleSourceShortestPath
     * Traverser:49`) whenever rounds ≥ weighted-path hop diameter. Weight =
     * `weightCol` (missing → 1.0), must be non-negative. */
+  private val ssspMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Direction.Value, Seq[String], String, Int), DataFrame]()
+
   def weightedSssp(g: PropertyGraph, source: String, dir: Direction.Value,
-                   labels: Seq[String], weightCol: String, rounds: Int): DataFrame = {
+                   labels: Seq[String], weightCol: String, rounds: Int): DataFrame =
+    // memoized per (graph, params): weightedShortestPath s→t is SSSP
+    // filtered at the target — the distance table is the shared working set
+    // (checkpoint-backed, so reuse costs nothing)
+    ssspMemo.computeIfAbsent(
+      (System.identityHashCode(g.edges), source, dir, labels, weightCol, rounds),
+      _ => weightedSsspCompute(g, source, dir, labels, weightCol, rounds))
+
+  private def weightedSsspCompute(g: PropertyGraph, source: String, dir: Direction.Value,
+                                  labels: Seq[String], weightCol: String, rounds: Int): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
