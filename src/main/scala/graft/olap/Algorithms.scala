@@ -103,8 +103,11 @@ object Algorithms {
       .join(e.as("bc"), col("ab.dst") === col("bc.src"))
       .join(e.as("ac"), col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
       .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    // pinned: both the triangle-count query and clusterCoefficient derive
+    // from the same enumeration — one materialization per session
+    graft.core.Pin.pin(
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("triangles")))
   }
 
   /** Local clustering coefficient = 2T / (deg·(deg-1)) over the same
