@@ -24,7 +24,10 @@ object SimilarityTraversals {
   def fusiformSimilarity(g: PropertyGraph, sources: DataFrame, dir: Direction.Value,
                          label: String, minNeighbors: Int, alpha: Double,
                          minSimilars: Int, top: Int): DataFrame = {
-    val fwd = g.adjacency(dir, Seq(label)).select(col("src"), col("dst")).distinct()
+    // pinned: referenced twice below (nbrs + back), and shared with any
+    // other traversal over the same (direction, label) distinct view
+    val fwd = graft.core.Pin.pin(
+      g.adjacency(dir, Seq(label)).select(col("src"), col("dst")).distinct())
     val nbrs = fwd.join(sources.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .select(col("src").as("v"), col("dst").as("t"))
     val nbrCount = nbrs.groupBy(col("v")).agg(count(lit(1)).as("n"))
