@@ -1,0 +1,42 @@
+package graft
+
+import graft.core.Pin
+import org.apache.spark.sql.functions._
+
+/** The pin cache must NEVER false-share: distinct plans get distinct
+  * materializations; same-result plans share one. */
+class PinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("same-result plans share one materialization") {
+    val df = Seq(1, 2, 3, 4).toDF("x")
+    val a = Pin.pin(df.filter(col("x") > 1))
+    val b = Pin.pin(df.filter(col("x") > 1))
+    assert(a.rdd.id === b.rdd.id) // literally the same checkpointed RDD
+    assert(a.collect().map(_.getInt(0)).sorted === Array(2, 3, 4))
+  }
+
+  test("different predicates never false-share") {
+    val df = Seq(1, 2, 3, 4).toDF("x")
+    val gt = Pin.pin(df.filter(col("x") > 2))
+    val lt = Pin.pin(df.filter(col("x") < 2))
+    assert(gt.collect().map(_.getInt(0)).sorted === Array(3, 4))
+    assert(lt.collect().map(_.getInt(0)).sorted === Array(1))
+  }
+
+  test("different literals and column sets never false-share") {
+    val df = Seq((1, "a"), (2, "b")).toDF("x", "s")
+    val one = Pin.pin(df.filter(col("x") === 1).select(col("s")))
+    val two = Pin.pin(df.filter(col("x") === 2).select(col("s")))
+    val wide = Pin.pin(df.filter(col("x") === 1))
+    assert(one.head().getString(0) === "a")
+    assert(two.head().getString(0) === "b")
+    assert(wide.columns.toSeq === Seq("x", "s"))
+  }
+
+  test("distinct vs non-distinct plans are distinct entries") {
+    val df = Seq(1, 1, 2).toDF("x")
+    assert(Pin.pin(df).count() === 3L)
+    assert(Pin.pin(df.distinct()).count() === 2L)
+  }
+}
