@@ -43,18 +43,19 @@ object Algorithms {
     // PageRank rounds are feasible at 100 TB.
     val verts = graft.core.Pin.pin(g.vertices.select(col("id"))
       .repartition(col("id")))
-    val edges = graft.core.Pin.pin(g.outEdges.select(col("src"), col("dst"))
+    val rawEdges = g.outEdges.select(col("src"), col("dst"))
+    // out-degree rides ON the edge row (one pin, one less join per round);
+    // rank/deg stays the exact same double op, evaluated per edge
+    val edges = graft.core.Pin.pin(rawEdges
+      .join(rawEdges.groupBy(col("src"))
+        .agg(count(lit(1)).cast("double").as("deg")), Seq("src"))
       .repartition(col("src")))
     val n = verts.count().toDouble
-    val outdeg = graft.core.Pin.pin(
-      edges.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
-    ) // partitioned by src == id already
     var ranks = verts.withColumn("rank", lit(1.0 / n))
     for (_ <- 0 until iterations) {
-      val contrib = ranks.join(outdeg, Seq("id"))
-        .select(col("id").as("src"), (col("rank") / col("deg")).as("c"))
+      val contrib = ranks.select(col("id").as("src"), col("rank"))
         .join(edges, Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
+        .groupBy(col("dst").as("id")).agg(sum(col("rank") / col("deg")).as("s"))
       ranks = verts.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - alpha) / n) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("rank"))
