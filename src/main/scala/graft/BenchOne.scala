@@ -35,8 +35,9 @@ object BenchOne {
         })
     })
 
-    // warm-up: session + parquet footers + graph cache
-    spark.range(100000L).selectExpr("sum(id)").collect()
+    // identical warm-up to the driver-facing Bench, so rep-0 here matches
+    // the cold state the driver actually measures
+    Bench.warmup(spark, sfDir)
     for (nm <- name.split(',')) {
       val fn = SparkEntry.queries(nm)
       for (r <- 0 until reps) {
