@@ -137,8 +137,9 @@ object PathTraversals {
     }
     val paths = frontier
       .groupBy(pathCol.as("path")).agg(sum(col("w")).as("total_weight"))
-    val w = Window.orderBy(col("total_weight").desc, col("path").asc)
-    paths.withColumn("rn", row_number().over(w)).filter(col("rn") <= topN)
+    // orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    // partial top-k per partition, not a single-partition global Window sort
+    paths.orderBy(col("total_weight").desc, col("path").asc).limit(topN)
       .select(col("path"), round(col("total_weight"), 6).as("total_weight"))
   }
 

@@ -122,22 +122,36 @@ object SimilarityTraversals {
     var frontier = Seq((source, Seq(source))).toDF("id", "path")
     val ranks = scala.collection.mutable.ArrayBuffer[DataFrame](
       Seq((source, 1.0)).toDF("id", "rank"))
+    // Layer MEMBERSHIP for the prev-layer classifier. Identical id set to
+    // ranks(i) (layer i's ids = step i-1's distinct "new" targets), but
+    // derived from the per-step CHECKPOINTED cls — a shallow plan. Sourcing
+    // these from ranks(i) instead would drag every prior step's rank-value
+    // join chain into each step's eager cls materialization (O(steps²)
+    // plan growth re-optimized and re-executed per step).
+    val layerIds = scala.collection.mutable.ArrayBuffer[DataFrame](
+      Seq(source).toDF("id"))
 
     steps.zipWithIndex.foreach { case (rs, si) =>
       val e = graft.core.Pin.pin(rs.step.edgesFor(g).select(col("src"), col("dst")))
-      val x = frontier.select(col("id").as("v"), col("path"))
+      // broadcast the FRONTIER into the edge join — the edge table (the
+      // 100 TB side) never shuffles; same pattern as Traversals.expand.
+      // Every other join side below is a per-layer id-level relation, so
+      // broadcast hints keep each step free of shuffle exchanges entirely
+      // (each removed exchange is also one fewer AQE stage-job — this query
+      // is overhead-bound: its largest relation is the frontier itself).
+      val x = broadcast(frontier.select(col("id").as("v"), col("path")))
         .join(e, col("v") === col("src"))
         .select(col("v"), col("path"), col("dst").as("t"))
       val cur = frontier.select(col("id").as("t")).distinct()
         .withColumn("__same", lit(1))
       val prevK = if (si >= 2)
         Some((1 until si).map(i =>
-            ranks(i).select(col("id").as("t"), lit(i).as("lyr")))
+            layerIds(i).select(col("id").as("t"), lit(i).as("lyr")))
           .reduce(_ unionByName _)
           .groupBy(col("t")).agg(max(col("lyr")).as("lyr")))
       else None
-      var cls = x.join(cur, Seq("t"), "left")
-      cls = prevK.map(pk => cls.join(pk, Seq("t"), "left"))
+      var cls = x.join(broadcast(cur), Seq("t"), "left")
+      cls = prevK.map(pk => cls.join(broadcast(pk), Seq("t"), "left"))
         .getOrElse(cls.withColumn("lyr", lit(null).cast("int")))
       cls = cls.withColumn("cls",
           when(col("__same") === 1, "same")
@@ -146,61 +160,86 @@ object SimilarityTraversals {
             .otherwise("new"))
         .select(col("v"), col("path"), col("t"), col("cls"), col("lyr"))
         .localCheckpoint(true)
+      if (sys.env.get("GRAFT_NR_DEBUG").contains("1")) {
+        val t0 = System.nanoTime()
+        System.err.println(s"[nr] step=$si cls=${cls.count()} " +
+          f"countSec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
 
-      val deg = cls.groupBy(col("v")).agg(
+      // All rank math below needs only per-(v, t, cls, lyr) path-instance
+      // MULTIPLICITIES, never the paths themselves — so fold the big cls
+      // relation down once and derive deg/samei/previ/newm from the tiny
+      // fold instead of re-scanning cls four times per step. The small
+      // reused relations get LAZY localCheckpoints: materialized at most
+      // once on first use, no extra per-step sync job (eager checkpoints
+      // here measured slower in round 2), and the cross-step rank lineage
+      // stays truncated — the DuckDB oracle marks the same CTEs
+      // MATERIALIZED for the same reason.
+      val clsAgg = cls.groupBy(col("v"), col("t"), col("cls"), col("lyr"))
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint(false)
+      val deg = clsAgg.groupBy(col("v")).agg(
           (countDistinct(when(col("cls") === "same", col("t"))) +
             countDistinct(when(col("cls") === "prev", col("lyr"))) +
-            count(when(col("cls") === "new", lit(1)))).cast("double").as("deg"))
+            coalesce(sum(when(col("cls") === "new", col("m"))), lit(0L)))
+            .cast("double").as("deg"))
         .filter(col("deg") > 0)
-      // incr uses the PRE-update last-layer rank. Only `cls` is
-      // materialized per step — every other relation is id-level tiny and
-      // derives from it in one hop, so lazy evaluation keeps the job count
-      // at one action per step instead of ten.
-      val incr = deg.join(ranks(si).withColumnRenamed("id", "v"), Seq("v"))
+        .localCheckpoint(false)
+      // incr uses the PRE-update last-layer rank
+      val incr = deg.join(broadcast(ranks(si).withColumnRenamed("id", "v")), Seq("v"))
         .select(col("v"), col("deg"), (col("rank") * alpha / col("deg")).as("incr"))
+        .localCheckpoint(false)
 
-      // same-layer transfer: one incr per DISTINCT (v, t) pair
-      val samei = cls.filter(col("cls") === "same")
-        .select(col("v"), col("t")).distinct()
-        .join(incr, Seq("v"))
+      // same-layer transfer: one incr per DISTINCT (v, t) pair — clsAgg
+      // rows are already distinct per (v, t, cls)
+      val samei = clsAgg.filter(col("cls") === "same")
+        .select(col("v"), col("t"))
+        .join(broadcast(incr), Seq("v"))
         .groupBy(col("t").as("id")).agg(sum(col("incr")).as("si"))
-      val lastUpd = ranks(si).join(samei, Seq("id"), "left")
+      val lastUpd = ranks(si).join(broadcast(samei), Seq("id"), "left")
         .select(col("id"), (col("rank") + coalesce(col("si"), lit(0.0))).as("rank"))
+        .localCheckpoint(false)
       ranks(si) = lastUpd
 
-      // prev-layer transfer: one incr per DISTINCT (v, layer, t)
+      // prev-layer transfer: one incr per DISTINCT (v, layer, t) — lyr is
+      // functionally determined by t, so clsAgg rows are distinct here too
       prevK.foreach { _ =>
-        val previ = cls.filter(col("cls") === "prev")
-          .select(col("v"), col("lyr"), col("t")).distinct()
-          .join(incr, Seq("v"))
+        val previ = clsAgg.filter(col("cls") === "prev")
+          .select(col("v"), col("lyr"), col("t"))
+          .join(broadcast(incr), Seq("v"))
           .groupBy(col("lyr"), col("t")).agg(sum(col("incr")).as("pi"))
+          .localCheckpoint(false)
         for (i <- 1 until si) {
           ranks(i) = ranks(i).join(
-              previ.filter(col("lyr") === i).select(col("t").as("id"), col("pi")),
+              broadcast(previ.filter(col("lyr") === i).select(col("t").as("id"), col("pi"))),
               Seq("id"), "left")
             .select(col("id"), (col("rank") + coalesce(col("pi"), lit(0.0))).as("rank"))
         }
       }
 
       // new layer: path-instance multiplicity × UPDATED last-layer rank
-      val newm = cls.filter(col("cls") === "new")
-        .groupBy(col("v"), col("t")).agg(count(lit(1)).as("m"))
+      val newm = clsAgg.filter(col("cls") === "new")
+        .select(col("v"), col("t"), col("m"))
       val newR = newm
-        .join(lastUpd.withColumnRenamed("id", "v"), Seq("v"))
-        .join(deg, Seq("v"))
+        .join(broadcast(lastUpd.withColumnRenamed("id", "v")), Seq("v"))
+        .join(broadcast(deg), Seq("v"))
         .select(col("t"),
           (col("m").cast("double") * col("rank") * lit(alpha) / col("deg")).as("c"))
         .groupBy(col("t").as("id")).agg(sum(col("c")).as("rank"))
+        .localCheckpoint(false)
       ranks += newR
       frontier = cls.filter(col("cls") === "new")
         .select(col("t").as("id"), concat(col("path"), array(col("t"))).as("path"))
+      layerIds += frontier.select(col("id")).distinct()
     }
 
     ranks.zipWithIndex.map { case (r, i) =>
       val top = if (i == 0) Int.MaxValue else steps(i - 1).top
-      val w = Window.orderBy(col("rank").desc, col("id").asc)
-      r.withColumn("rn", row_number().over(w)).filter(col("rn") <= top)
-        .select(lit(i).as("layer"), col("id"), round(col("rank"), 9).as("rank"))
+      // orderBy+limit = TakeOrderedAndProject: distributed partial top-k,
+      // not a single-partition global Window sort
+      val kept = if (top == Int.MaxValue) r
+        else r.orderBy(col("rank").desc, col("id").asc).limit(top)
+      kept.select(lit(i).as("layer"), col("id"), round(col("rank"), 9).as("rank"))
     }.reduce(_ unionByName _)
   }
 
