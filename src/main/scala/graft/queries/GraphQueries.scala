@@ -41,6 +41,21 @@ object GraphQueries {
       Traversals.koutAll(g(s, d), "customer:1", Direction.OUT, Nil, depth = 2)
     },
 
+    // DFS kout over the deterministic degree-truncated adjacency (degree=3
+    // keeps the 3 smallest (label, dst) neighbors per vertex — the
+    // order-canonical version of the reference's storage-order truncation)
+    q("q_kout_dfs",
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |adj AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src ORDER BY label, dst) AS rn
+         |  FROM edges) t WHERE rn <= 3),
+         |${bfsSql("customer:1", 2)}
+         |SELECT DISTINCT id FROM bfs WHERE dist = 2 AND id <> 'customer:1'""".stripMargin) { (s, d) =>
+      Traversals.koutDfs(g(s, d), "customer:1", Direction.OUT, Nil,
+        depth = 2, nearest = false, degree = 3)
+    },
+
     q("q_same_neighbors",
       """SELECT DISTINCT 'part:' || CAST(l_partkey AS VARCHAR) AS id FROM lineitem WHERE l_orderkey = 3
         |INTERSECT

@@ -80,12 +80,32 @@ object Traversals {
     visited.filter(col("id") =!= source).distinct()
   }
 
+  /** The per-traversal adjacency for the kout family: degree ≥ 0 keeps the
+    * deterministic per-vertex truncation (reference `degree` arg of
+    * `KoutTraverser.kout:44`); otherwise the shared distinct view. */
+  private def koutEdges(g: PropertyGraph, dir: Direction.Value,
+                        labels: Seq[String], degree: Long): DataFrame =
+    if (degree >= 0L)
+      pinned(EdgeStep(dir, labels, degree = degree).edgesFor(g)
+        .select(col("src"), col("dst")).distinct())
+    else
+      pinned(EdgeStep(dir, labels).edgesFor(g)
+        .select(col("src"), col("dst")).distinct())
+
+  private def checkKoutCapacity(visited: DataFrame, capacity: Long): Unit =
+    if (capacity >= 0L) {
+      val n = visited.count()
+      if (n > capacity) throw new CapacityExceededException(n, capacity)
+    }
+
   /** k-out nearest=true: vertices at exactly `depth` hops and not reachable
-    * sooner (reference `KoutTraverser.kout:43` with visited set). */
+    * sooner (reference `KoutTraverser.kout:43` with visited set); `degree`
+    * truncates per-vertex fan-out, `capacity` guards total touched elements
+    * (both as in kneighbor / `KoutTraverser.kout:44-45`). */
   def koutNearest(g: PropertyGraph, source: String, dir: Direction.Value,
-                  labels: Seq[String] = Nil, depth: Int): DataFrame = {
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+                  labels: Seq[String] = Nil, depth: Int,
+                  degree: Long = -1L, capacity: Long = -1L): DataFrame = {
+    val edges = koutEdges(g, dir, labels, degree)
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var visited = Seq(source).toDF("id")
@@ -95,6 +115,7 @@ object Traversals {
         .join(visited, Seq("id"), "left_anti")
       frontier = checkpointIfNeeded(frontier, d)
       visited = visited.union(frontier)
+      checkKoutCapacity(visited, capacity)
     }
     frontier
   }
@@ -102,18 +123,42 @@ object Traversals {
   /** k-out nearest=false: vertices reachable by SOME walk of exactly `depth`
     * steps (source excluded — `ConcurrentVerticesConsumer` always drops it). */
   def koutAll(g: PropertyGraph, source: String, dir: Direction.Value,
-              labels: Seq[String] = Nil, depth: Int): DataFrame = {
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+              labels: Seq[String] = Nil, depth: Int,
+              degree: Long = -1L, capacity: Long = -1L): DataFrame = {
+    val edges = koutEdges(g, dir, labels, degree)
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var frontier = Seq(source).toDF("id")
+    var touched = frontier
     for (d <- 1 to depth) {
       frontier = expand(frontier, edges).distinct()
       frontier = checkpointIfNeeded(frontier, d)
+      if (capacity >= 0L) {
+        touched = touched.union(frontier)
+        checkKoutCapacity(touched.distinct(), capacity)
+      }
     }
     frontier.filter(col("id") =!= source)
   }
+
+  /** DFS k-out (reference `KoutTraverser.dfsKout:147`, nested-iterator
+    * depth-first edge walk). Depth-first vs breadth-first is an ENUMERATION
+    * ORDER distinction in the reference's row-at-a-time OLTP engine — it
+    * exists there to bound memory (one nested iterator instead of layer
+    * sets), not to define a different result. A declarative dataflow has no
+    * traversal order, so the Spark operator implements the order-independent
+    * result contract: nearest=false → targets of some walk of exactly
+    * `depth` steps (identical to the DFS full-path records); nearest=true →
+    * first-visit-at-`depth` semantics (the reference's `all`-set check is
+    * DFS-visit-order dependent — `createNestedIterator` mutates `all` while
+    * iterating — so we canonicalize to the BFS fixpoint, the only
+    * deterministic reading). ScalaTest asserts set-equality with the BFS
+    * variants; `degree` and `capacity` behave as in kout. */
+  def koutDfs(g: PropertyGraph, source: String, dir: Direction.Value,
+              labels: Seq[String] = Nil, depth: Int, nearest: Boolean,
+              degree: Long = -1L, capacity: Long = -1L): DataFrame =
+    if (nearest) koutNearest(g, source, dir, labels, depth, degree, capacity)
+    else koutAll(g, source, dir, labels, depth, degree, capacity)
 
   /** Distinct neighbor set of one vertex. */
   def neighbors(g: PropertyGraph, v: String, dir: Direction.Value,

@@ -34,6 +34,29 @@ class TraversalSpec extends SparkSpec {
       Set("software:lop", "software:ripple")) // lop via marko->josh->lop
   }
 
+  test("kout DFS variants are set-equal to the BFS fixpoint") {
+    assert(ids(Traversals.koutDfs(g, "person:marko", Direction.OUT, Nil, 2, nearest = false)) ===
+      ids(Traversals.koutAll(g, "person:marko", Direction.OUT, Nil, 2)))
+    assert(ids(Traversals.koutDfs(g, "person:marko", Direction.OUT, Nil, 2, nearest = true)) ===
+      ids(Traversals.koutNearest(g, "person:marko", Direction.OUT, Nil, 2)))
+  }
+
+  test("kout degree knob truncates fan-out deterministically") {
+    // marko's OUT neighbors ordered by (label, dst): created->lop,
+    // knows->josh, knows->vadas; degree=1 keeps only created->lop
+    assert(ids(Traversals.koutNearest(g, "person:marko", Direction.OUT, Nil, 1, degree = 1L)) ===
+      Set("software:lop"))
+  }
+
+  test("kout capacity guard throws when exceeded") {
+    intercept[Traversals.CapacityExceededException] {
+      Traversals.koutNearest(g, "person:marko", Direction.OUT, Nil, 2, capacity = 2L).count()
+    }
+    intercept[Traversals.CapacityExceededException] {
+      Traversals.koutAll(g, "person:marko", Direction.OUT, Nil, 2, capacity = 2L).count()
+    }
+  }
+
   test("kneighbor BOTH reaches everything within 2") {
     assert(ids(Traversals.kneighbor(g, "person:vadas", Direction.BOTH, Nil, 2)) ===
       Set("person:marko", "person:josh", "software:lop"))
