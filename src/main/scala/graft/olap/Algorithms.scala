@@ -74,6 +74,35 @@ object Algorithms {
     ranks.select(col("id"), round(col("rank"), 9).as("rank"))
   }
 
+  /** Converge-or-max-times PageRank (reference
+    * `rank/PageRankAlgorithm.java:97-166` with the `precision` parameter:
+    * stop when the L1 rank delta Σ_v |Δrank| drops below `precision`, or
+    * after `maxTimes` rounds). Same 2-exchange round as [[pageRank]]; the
+    * previous rank rides on the checkpointed row so the convergence check
+    * is a scan of the checkpoint, not an extra join job per round. */
+  def pageRankConverged(g: PropertyGraph, alpha: Double, precision: Double,
+                        maxTimes: Int): DataFrame = {
+    val (verts, edges) = pageRankViews(g)
+    val n = verts.count().toDouble
+    var ranks = verts.withColumn("rank", lit(1.0 / n))
+    var times = 0
+    var changed = Double.MaxValue
+    while (times < maxTimes && changed >= precision) {
+      val contrib = ranks.select(col("id").as("src"), col("rank"))
+        .join(edges, Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("rank") / col("deg")).as("s"))
+      val next = ranks.select(col("id"), col("rank").as("old"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          (lit((1.0 - alpha) / n) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      changed = next.agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
+      ranks = next.select(col("id"), col("rank"))
+      times += 1
+    }
+    ranks.select(col("id"), round(col("rank"), 9).as("rank"))
+  }
+
   /** Weakly-connected components by iterative min-id propagation to fixpoint
     * (reference `comm/WeakConnectedComponent.java:57`). Component id = min
     * vertex id (string order) in the component. */
