@@ -42,6 +42,30 @@ class AlgorithmsSpec extends SparkSpec {
     assert(m("z") === "z") // isolated vertex is its own component
   }
 
+  test("wcc pointer jumping: chain of 65 converges in O(log n) rounds") {
+    // min-label alone needs ~64 rounds to push v000 down a 65-chain;
+    // pointer jumping must land in ~log2(64)+slack
+    val n = 65
+    val idsSeq = (0 until n).map(i => f"v$i%03d")
+    val verts = idsSeq.toDF("id")
+    val edges = idsSeq.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("src", "dst")
+    val (comp, rounds) = Algorithms.wccWithRounds(verts, edges)
+    val m = comp.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.values.toSet === Set("v000"))
+    assert(rounds <= 10, s"expected O(log n) rounds, got $rounds")
+  }
+
+  test("wcc partition equals GraphX connectedComponents partition on modern graph") {
+    val edges = g.edges.select(col("src"), col("dst"))
+    val df = Algorithms.wcc(g.vertices.select(col("id")), edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val gx = graft.core.GraphXBridge.connectedComponents(g)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // same grouping (labels may differ in representation)
+    assert(df.groupBy(_._2).values.map(_.map(_._1).toSet).toSet ===
+      gx.groupBy(_._2).values.map(_.map(_._1).toSet).toSet)
+  }
+
   test("triangle count on triangle+pendant") {
     val m = Algorithms.triangleCount(Algorithms.canonical(triEdges))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
