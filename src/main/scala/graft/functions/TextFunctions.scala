@@ -41,12 +41,51 @@ object TextFunctions {
         .otherwise(array(r))))
   }
 
+  /** Public demo wordlist for the dictionary CJK analyzer — deliberately
+    * tiny; a production deployment swaps in a real lexicon (the reference
+    * loads ansj/jieba dictionaries the same way). Longest-match wins. */
+  val cjkDict: Seq[String] = Seq(
+    "图数据库", "数据库", "数据", "分词", "引擎", "查询", "索引", "分析")
+
+  /** Dictionary CJK analyzer: greedy forward-maximum-matching (FMM) inside
+    * each Han run, longest dictionary word first, unigram fallback; Latin
+    * runs tokenize whole (reference `analyzer/Analyzer.segment` with a
+    * dictionary segmenter such as `JiebaAnalyzer`/`AnsjAnalyzer`,
+    * `AnalyzerFactory.java:34-53`). The sequential scan is expressed with
+    * the `aggregate` higher-order function over character positions —
+    * per-row state (next position, emitted tokens), no UDF. */
+  def tokenizeCjkDict(c: Column, dict: Seq[String] = cjkDict): Column = {
+    val byLen = dict.groupBy(_.length).toSeq.sortBy(-_._1)
+    def fmm(r: Column): Column = {
+      def matchLen(i: Column): Column =
+        byLen.foldRight(lit(1): Column) { case ((n, ws), els) =>
+          when(r.substr(i, lit(n)).isin(ws: _*), lit(n)).otherwise(els)
+        }
+      val empty = array_remove(array(lit("")), "")
+      aggregate(
+        sequence(lit(1), length(r)),
+        struct(lit(1).as("next"), empty.as("toks")),
+        (st, i) => {
+          val ml = matchLen(i)
+          when(i === st.getField("next"),
+            struct((st.getField("next") + ml).as("next"),
+              concat(st.getField("toks"), array(r.substr(i, ml))).as("toks")))
+            .otherwise(st)
+        },
+        st => st.getField("toks"))
+    }
+    val runs = regexp_extract_all(lower(c), lit("([a-z0-9]+|\\p{IsHan}+)"), lit(1))
+    flatten(transform(runs, r =>
+      when(r.rlike("^\\p{IsHan}+$"), fmm(r)).otherwise(array(r))))
+  }
+
   /** Analyzer registry (reference `AnalyzerFactory.analyzer(name, mode)`):
     * tokenizers are named, pluggable Column transforms. */
   val analyzers: Map[String, Column => Column] = Map(
     "english" -> tokenize,
     "cjk-unigram" -> tokenizeCjkUnigram,
-    "cjk-bigram" -> tokenizeCjkBigram)
+    "cjk-bigram" -> tokenizeCjkBigram,
+    "cjk-dict" -> (c => tokenizeCjkDict(c)))
 
   def analyzer(name: String): Column => Column =
     analyzers.getOrElse(name, sys.error(s"not exists analyzer: $name"))

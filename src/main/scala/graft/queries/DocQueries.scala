@@ -292,6 +292,38 @@ object DocQueries {
               (col("doc_id") % 10).cast("string")))).as("toks"))
     },
 
+    // dictionary (FMM) CJK analyzer: the oracle replays the same greedy
+    // longest-match scan as a recursive CTE over (doc, run, pos) states
+    q("q_tokenize_cjk_dict",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    '图数据库' || source || '分词引擎' || CAST(doc_id % 10 AS VARCHAR) AS zh
+        |  FROM documents WHERE doc_id < 200),
+        |rl AS (SELECT doc_id,
+        |    regexp_extract_all(lower(zh), '([a-z0-9]+|\p{Han}+)', 1) AS rs FROM t),
+        |runs AS (SELECT doc_id, generate_subscripts(rs, 1) AS ord, unnest(rs) AS r FROM rl),
+        |seg(doc_id, ord, r, pos, toks) AS (
+        |  SELECT doc_id, ord, r, CAST(1 AS BIGINT), CAST([] AS VARCHAR[])
+        |  FROM runs WHERE regexp_full_match(r, '\p{Han}+')
+        |  UNION ALL
+        |  SELECT doc_id, ord, r, pos + ml, toks || [substr(r, pos, ml)]
+        |  FROM (SELECT doc_id, ord, r, pos, toks,
+        |          CASE WHEN substr(r, pos, 4) IN ('图数据库') THEN CAST(4 AS BIGINT)
+        |               WHEN substr(r, pos, 3) IN ('数据库') THEN 3
+        |               WHEN substr(r, pos, 2) IN ('数据','分词','引擎','查询','索引','分析') THEN 2
+        |               ELSE 1 END AS ml
+        |        FROM seg WHERE pos <= length(r)) z),
+        |fin AS (SELECT doc_id, ord, toks FROM seg WHERE pos > length(r)
+        |        UNION ALL
+        |        SELECT doc_id, ord, [r] FROM runs WHERE NOT regexp_full_match(r, '\p{Han}+')),
+        |agg AS (SELECT doc_id, flatten(list(toks ORDER BY ord)) AS toks FROM fin GROUP BY doc_id)
+        |SELECT doc_id, array_to_string(toks, ' ') AS toks FROM agg""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat_ws(" ", TextFunctions.tokenizeCjkDict(
+            concat(lit("图数据库"), col("source"), lit("分词引擎"),
+              (col("doc_id") % 10).cast("string")))).as("toks"))
+    },
+
     q("q_ann_ivf_topk", ivfSql(10, 16, 2)) { (s, d) =>
       val e = Tables.embeddings(s, d)
       Ann.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),

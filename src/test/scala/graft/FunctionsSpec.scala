@@ -37,6 +37,21 @@ class FunctionsSpec extends SparkSpec {
     assert(latin === Seq("hello", "world"))
   }
 
+  test("CJK dictionary analyzer: greedy longest match with unigram fallback") {
+    // 图数据库 is in the dict whole (longest wins over 数据库/数据);
+    // 分词 and 引擎 match as words; 很强 falls back to unigrams
+    val got = Seq("图数据库分词引擎很强yes").toDF("t")
+      .select(TextFunctions.tokenizeCjkDict(col("t"))).head().getSeq[String](0)
+    assert(got === Seq("图数据库", "分词", "引擎", "很", "强", "yes"))
+    // longest-match is positional: starting mid-word matches the shorter entry
+    val mid = Seq("大数据库x").toDF("t")
+      .select(TextFunctions.tokenizeCjkDict(col("t"))).head().getSeq[String](0)
+    assert(mid === Seq("大", "数据库", "x"))
+    // registry dispatch
+    assert(Seq("图数据库").toDF("t")
+      .filter(TextFunctions.textContains(col("t"), "图数据库", "cjk-dict")).count() === 1L)
+  }
+
   test("analyzer registry dispatches and textContains is analyzer-aware") {
     val df = Seq("图数据库很强").toDF("t")
     assert(df.filter(TextFunctions.textContains(col("t"), "数据", "cjk-bigram")).count() === 1L)
