@@ -19,10 +19,43 @@ import org.apache.spark.sql.functions._
   */
 object Louvain {
 
+  /** Modularity Q of an assignment over the ORIGINAL canonical edge set:
+    * Q = W_int/m − Σ_C (tot_C / 2m)², unit edge weights (reference
+    * `LouvainTraverser.modularity`; the `show_modularity` reporting knob of
+    * `comm/LouvainAlgorithm.java:52`). */
+  def modularity(assignment: DataFrame, undirectedEdges: DataFrame): Double = {
+    val e = undirectedEdges.select(col("src"), col("dst"), lit(1.0).as("w"))
+    val mRow = e.agg(sum(col("w"))).head()
+    if (mRow.isNullAt(0) || mRow.getDouble(0) == 0.0) return 0.0
+    val m = mRow.getDouble(0)
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val k = sym.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
+    val totSq = assignment.join(k, Seq("id"))
+      .groupBy(col("community")).agg(sum(col("k")).as("tot"))
+      .agg(sum(col("tot") * col("tot"))).head().getDouble(0)
+    val internal = e
+      .join(assignment.select(col("id").as("src"), col("community").as("cs")), Seq("src"))
+      .join(assignment.select(col("id").as("dst"), col("community").as("cd")), Seq("dst"))
+      .filter(col("cs") === col("cd"))
+      .agg(coalesce(sum(col("w")), lit(0.0))).head().getDouble(0)
+    internal / m - totSq / (4.0 * m * m)
+  }
+
   /** @param undirectedEdges (src, dst) — canonical, no self loops
     * @return (id, community) */
   def louvain(verts: DataFrame, undirectedEdges: DataFrame,
-              localRounds: Int = 4, passes: Int = 2): DataFrame = {
+              localRounds: Int = 4, passes: Int = 2): DataFrame =
+    louvainWithModularity(verts, undirectedEdges, localRounds, passes,
+      showModularity = false)._1
+
+  /** [[louvain]] plus the per-pass modularity trace of the reference's
+    * `show_modularity` option — one Q evaluation of the composed mapping
+    * against the ORIGINAL graph after each pass (only when requested: the
+    * trace costs three extra aggregations per pass). */
+  def louvainWithModularity(verts: DataFrame, undirectedEdges: DataFrame,
+                            localRounds: Int = 4, passes: Int = 2,
+                            showModularity: Boolean = true): (DataFrame, Seq[Double]) = {
+    val trace = scala.collection.mutable.ArrayBuffer[Double]()
     var mapping = verts.select(col("id"), col("id").as("community"))
     var curVerts = verts.select(col("id"))
     var curEdges = graft.core.Pin.pin(
@@ -47,8 +80,9 @@ object Louvain {
         .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
         .localCheckpoint(true)
       curVerts = comm.select(col("community").as("id")).distinct().localCheckpoint(true)
+      if (showModularity) trace += modularity(mapping, undirectedEdges)
     }
-    mapping
+    (mapping, trace.toSeq)
   }
 
   private def localMoves(verts: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {

@@ -40,6 +40,24 @@ class CentralitySpec extends SparkSpec {
     assert(m("a1") !== m("b1"))
   }
 
+  test("louvain modularity trace is non-decreasing and ends positive") {
+    val verts = Seq("a1", "a2", "a3", "b1", "b2", "b3").toDF("id")
+    val edges = Algorithms.canonical(Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+      ("a1", "b1")).toDF("src", "dst"))
+    val (m, trace) = Louvain.louvainWithModularity(verts, edges, 4, 2)
+    assert(trace.size === 2)
+    assert(trace.sliding(2).forall(p => p.size < 2 || p(1) >= p(0) - 1e-12),
+      s"modularity decreased across passes: $trace")
+    assert(trace.last > 0.0) // two cliques + bridge: clearly positive Q
+    // the singleton partition of pass 0's input scores 0 or less; sanity:
+    val singleton = verts.select(org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("id").as("community"))
+    assert(Louvain.modularity(singleton, edges) < trace.last)
+    assert(m.collect().length === 6)
+  }
+
   test("louvain is deterministic across runs") {
     val verts = Seq("a", "b", "c", "d").toDF("id")
     val edges = Seq(("a", "b"), ("c", "d")).toDF("src", "dst")
