@@ -235,17 +235,19 @@ object Traversals {
     Seq(path.mkString("->")).toDF("path")
   }
 
-  /** |N(a)∩N(b)| / |N(a)∪N(b)| (reference `JaccardSimilarTraverser:48`). */
+  /** |N(a)∩N(b)| / |N(a)∪N(b)| (reference `JaccardSimilarTraverser:48`).
+    * One distributed aggregation — side-tag the two neighbor sets, dedup by
+    * vertex, count both/any — instead of two driver count() actions. */
   def jaccardSimilarity(g: PropertyGraph, a: String, b: String, dir: Direction.Value,
                         labels: Seq[String] = Nil): DataFrame = {
-    val na = neighbors(g, a, dir, labels)
-    val nb = neighbors(g, b, dir, labels)
-    val inter = na.intersect(nb).count().toDouble
-    val union = na.union(nb).distinct().count().toDouble
-    val spark = g.vertices.sparkSession
-    import spark.implicits._
-    Seq(if (union == 0.0) 0.0 else inter / union).toDF("similarity")
-      .select(round(col("similarity"), 9).as("similarity"))
+    val na = neighbors(g, a, dir, labels).select(col("id"), lit(1).as("sa"), lit(0).as("sb"))
+    val nb = neighbors(g, b, dir, labels).select(col("id"), lit(0).as("sa"), lit(1).as("sb"))
+    na.unionByName(nb)
+      .groupBy(col("id")).agg(max(col("sa")).as("sa"), max(col("sb")).as("sb"))
+      .agg(coalesce(sum(col("sa") * col("sb")), lit(0L)).cast("double").as("inter"),
+        count(lit(1)).cast("double").as("uni"))
+      .select(round(when(col("uni") > 0, col("inter") / col("uni"))
+        .otherwise(lit(0.0)), 9).as("similarity"))
   }
 
   /** Common-neighbor link-prediction scores
