@@ -228,9 +228,13 @@ object PathTraversals {
                                   labels: Seq[String], weightCol: String, rounds: Int): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
+    // co-partitioned by src once (the pageRank shape): rounds join on src,
+    // so only the small dist side ever moves — the edge table never
+    // re-shuffles across rounds
     val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
       .select(col("src"), col("dst"),
-        coalesce(col(weightCol).cast("double"), lit(1.0)).as("w")))
+        coalesce(col(weightCol).cast("double"), lit(1.0)).as("w"))
+      .repartition(col("src")))
     var dist = Seq((source, 0.0)).toDF("id", "dist")
     for (_ <- 1 to rounds) {
       val relaxed = dist.select(col("id").as("src"), col("dist"))
@@ -255,7 +259,8 @@ object PathTraversals {
     import spark.implicits._
     val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
       .select(col("src"), col("dst"),
-        coalesce(col(weightCol).cast("double"), lit(1.0)).as("w")))
+        coalesce(col(weightCol).cast("double"), lit(1.0)).as("w"))
+      .repartition(col("src")))
     var dist = Seq((source, 0.0)).toDF("id", "dist").localCheckpoint(true)
     var changed = 1L
     var r = 0
