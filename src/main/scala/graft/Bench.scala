@@ -17,13 +17,12 @@ object Bench {
     // the shared distinct adjacency views every traversal plans against
     // (pinned once per session — the persist-once working set)
     for (dir <- Seq(graft.core.Direction.OUT, graft.core.Direction.BOTH)) {
-      val ev = graft.core.EdgeStep(dir).edgesFor(graph)
-        .select(org.apache.spark.sql.functions.col("src"),
-          org.apache.spark.sql.functions.col("dst"))
-      graft.core.Pin.pin(ev.distinct())
+      graft.traverse.Traversals.adjacencyView(graph, dir)
       // multiplicity-preserving view (walk-counting traversals plan
       // against the NON-distinct adjacency)
-      graft.core.Pin.pin(ev)
+      graft.core.Pin.pin(graft.core.EdgeStep(dir).edgesFor(graph)
+        .select(org.apache.spark.sql.functions.col("src"),
+          org.apache.spark.sql.functions.col("dst")))
     }
     // the co-partitioned edge+degree view PageRank rounds plan against —
     // part of the same persist-once working set as the BFS views above

@@ -31,8 +31,7 @@ object PathTraversals {
     // distinct edge view, pinned once and shared across queries: with a
     // distinct seed, extended paths (path ++ [dst]) stay distinct by
     // construction, so NO per-hop distinct shuffle of the path frontier
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+    val edges = Traversals.adjacencyView(g, dir, labels)
     var frontier = seed(g, Seq(source))
     var result: Option[DataFrame] = None
     var d = 0
@@ -54,8 +53,7 @@ object PathTraversals {
     * outgoing step edges or at maxDepth (reference `SubGraphTraverser.rays:59`). */
   def rays(g: PropertyGraph, source: String, dir: Direction.Value,
            labels: Seq[String] = Nil, maxDepth: Int): DataFrame = {
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+    val edges = Traversals.adjacencyView(g, dir, labels)
     var frontier = seed(g, Seq(source))
     var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
     for (_ <- 1 to maxDepth) {
@@ -79,8 +77,7 @@ object PathTraversals {
     * (reference `SubGraphTraverser.rings:65`). */
   def rings(g: PropertyGraph, source: String, dir: Direction.Value,
             labels: Seq[String] = Nil, maxDepth: Int): DataFrame = {
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+    val edges = Traversals.adjacencyView(g, dir, labels)
     var frontier = seed(g, Seq(source))
     var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
     for (_ <- 1 to maxDepth) {
@@ -147,8 +144,7 @@ object PathTraversals {
     * `CollectionPathsTraverser.paths:43`). */
   def collectionPaths(g: PropertyGraph, sources: Seq[String], targets: Seq[String],
                       dir: Direction.Value, labels: Seq[String], maxDepth: Int): DataFrame = {
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+    val edges = Traversals.adjacencyView(g, dir, labels)
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val targetDf = targets.toDF("id")
@@ -190,8 +186,7 @@ object PathTraversals {
                   labels: Seq[String], maxDepth: Int): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+    val edges = Traversals.adjacencyView(g, dir, labels)
     var seen = sources.map(s => (s, s)).toDF("root", "id")
     var frontier = seen
     for (d <- 1 to maxDepth) {

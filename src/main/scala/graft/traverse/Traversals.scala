@@ -49,6 +49,21 @@ object Traversals {
     * plays that role in local mode. */
   private def pinned(df: DataFrame): DataFrame = graft.core.Pin.pin(df)
 
+  /** THE shared distinct adjacency view for (dir, labels) — pinned once per
+    * session (the Bench warmup pre-materializes the label-free OUT/BOTH
+    * instances). All set-semantics traversals build their edge view through
+    * here: the plans must stay `sameResult`-equal across queries for the
+    * pin to be shared. Deliberately NOT pre-partitioned by src: OLTP
+    * frontiers are small, and AQE's runtime broadcast of the frontier beats
+    * a sort-merge join that a declared edge partitioning would bias the
+    * planner toward (measured: pre-partitioning regressed every BFS query;
+    * iterative ALGORITHMS whose small side grows to |V| — pageRank,
+    * weighted SSSP — pin their own src-partitioned views instead). */
+  private[graft] def adjacencyView(g: PropertyGraph, dir: Direction.Value,
+                                   labels: Seq[String] = Nil): DataFrame =
+    pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("dst")).distinct())
+
   /** Thrown when a traversal touches more elements than its capacity guard
     * allows (reference `Query.DEFAULT_CAPACITY` = 800 000,
     * `HugeTraverser.checkCapacity`). */
@@ -61,8 +76,7 @@ object Traversals {
     val edges =
       if (degree >= 0L) pinned(EdgeStep(dir, labels, degree = degree).edgesFor(g)
         .select(col("src"), col("dst")))
-      else pinned(EdgeStep(dir, labels).edgesFor(g)
-        .select(col("src"), col("dst")).distinct())
+      else Traversals.adjacencyView(g, dir, labels)
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var visited = Seq(source).toDF("id")
@@ -89,8 +103,7 @@ object Traversals {
       pinned(EdgeStep(dir, labels, degree = degree).edgesFor(g)
         .select(col("src"), col("dst")).distinct())
     else
-      pinned(EdgeStep(dir, labels).edgesFor(g)
-        .select(col("src"), col("dst")).distinct())
+      Traversals.adjacencyView(g, dir, labels)
 
   private def checkKoutCapacity(visited: DataFrame, capacity: Long): Unit =
     if (capacity >= 0L) {
@@ -199,8 +212,7 @@ object Traversals {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     if (source == target) return Seq(source).toDF("path")
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+    val edges = Traversals.adjacencyView(g, dir, labels)
     var visited = Seq(source).toDF("id")
     var frontier = visited
     var layers = List.empty[DataFrame] // head = deepest layer, (id, parent)
@@ -282,8 +294,7 @@ object Traversals {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     if (source == target) return Seq(0L).toDF("dist")
-    val fwdEdges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+    val fwdEdges = Traversals.adjacencyView(g, dir, labels)
     val revDir = dir match {
       case Direction.OUT  => Direction.IN
       case Direction.IN   => Direction.OUT
@@ -291,8 +302,7 @@ object Traversals {
     }
     val bwdEdges =
       if (dir == Direction.BOTH) fwdEdges // symmetric: reuse the pinned view
-      else pinned(EdgeStep(revDir, labels).edgesFor(g)
-        .select(col("src"), col("dst")).distinct())
+      else Traversals.adjacencyView(g, revDir, labels)
 
     var fwd = Seq(source).toDF("id"); var fwdSeen = fwd; var fwdDepth = 0
     var bwd = Seq(target).toDF("id"); var bwdSeen = bwd; var bwdDepth = 0
@@ -324,8 +334,7 @@ object Traversals {
     // distinct edge view pinned once (shared across queries via Pin): with a
     // distinct seed, extended paths stay distinct by construction, so no
     // per-hop distinct shuffle of the path frontier is needed
-    val edges = pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+    val edges = Traversals.adjacencyView(g, dir, labels)
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var frontier = Seq(Tuple2(source, Seq(source))).toDF("id", "path")
