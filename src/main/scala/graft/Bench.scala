@@ -17,16 +17,19 @@ object Bench {
     // the shared distinct adjacency views every traversal plans against
     // (pinned once per session — the persist-once working set)
     for (dir <- Seq(graft.core.Direction.OUT, graft.core.Direction.BOTH)) {
-      graft.traverse.Traversals.adjacencyView(graph, dir)
+      if (!sys.env.get("SPARK_GRAFT_SKIP_ADJ").contains("1"))
+        graft.traverse.Traversals.adjacencyView(graph, dir)
       // multiplicity-preserving view (walk-counting traversals plan
       // against the NON-distinct adjacency)
-      graft.core.Pin.pin(graft.core.EdgeStep(dir).edgesFor(graph)
-        .select(org.apache.spark.sql.functions.col("src"),
-          org.apache.spark.sql.functions.col("dst")))
+      if (!sys.env.get("SPARK_GRAFT_SKIP_MULT").contains("1"))
+        graft.core.Pin.pin(graft.core.EdgeStep(dir).edgesFor(graph)
+          .select(org.apache.spark.sql.functions.col("src"),
+            org.apache.spark.sql.functions.col("dst")))
     }
     // the co-partitioned edge+degree view PageRank rounds plan against —
     // part of the same persist-once working set as the BFS views above
-    graft.olap.Algorithms.pageRankViews(graph)
+    if (!sys.env.get("SPARK_GRAFT_SKIP_PRV").contains("1"))
+      graft.olap.Algorithms.pageRankViews(graph)
     // JIT-warm the text/hash codegen paths on a small sample
     locally {
       import org.apache.spark.sql.functions._

@@ -36,8 +36,12 @@ object BenchOne {
     })
 
     // identical warm-up to the driver-facing Bench, so rep-0 here matches
-    // the cold state the driver actually measures
-    Bench.warmup(spark, sfDir)
+    // the cold state the driver actually measures (SPARK_GRAFT_NOWARM=1
+    // skips it, to isolate a query from the shared working set)
+    if (!sys.env.get("SPARK_GRAFT_NOWARM").contains("1"))
+      Bench.warmup(spark, sfDir)
+    else
+      spark.range(100000L).selectExpr("sum(id)").collect()
     for (nm <- name.split(',')) {
       val fn = SparkEntry.queries(nm)
       for (r <- 0 until reps) {

@@ -32,16 +32,19 @@ object CorpusPipeline {
         org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
           .orderBy(col("doc_id").asc)))
       .filter(col("__rk") === 1).drop("__h", "__rk"))
-    // 2. near-dedup: drop the larger id of every verified near-dup pair
+    // 2. near-dedup: drop the larger id of every verified near-dup pair.
+    // minhashNearDups tokenizes `canonical` through the session-shared
+    // Corpus.tokens pin, so the quality gate below reads the SAME
+    // materialization instead of re-running the tokenizer over the corpus.
     val nearDupLosers = Dedup.minhashNearDups(canonical, "doc_id", "text",
         p.ngram, p.k, p.bands, p.rows, p.nearDupThreshold)
       .select(col("b").as("doc_id")).distinct()
     val deduped = canonical.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    // 3. quality gate — tokens materialized ONCE; quality + language-id
-    // would otherwise each re-run the tokenizer per referencing lambda
+    // 3. quality gate — tokens joined in from the pinned corpus view
+    // (tokenized once per session across the whole pipeline)
     val withToks = deduped
-      .withColumn("toks", TextFunctions.tokenize(col("text")))
-      .localCheckpoint(true)
+      .join(Corpus.tokens(canonical, "doc_id", "text").select(col("doc_id"), col("toks")),
+        Seq("doc_id"))
     withToks
       .withColumn("q", TextFunctions.qualityStructFromToks(col("text"), col("toks")))
       .filter(col("q.n_tokens") >= p.minTokens &&

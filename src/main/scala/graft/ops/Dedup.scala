@@ -30,11 +30,13 @@ object Dedup {
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  ngram: Int, k: Int, bands: Int, rows: Int): DataFrame = {
     require(bands * rows == k, s"bands*rows must equal k ($bands*$rows != $k)")
-    // stage tokens BEFORE shingling: unstaged, the tokenizer re-runs inside
-    // every shingle-lambda invocation (quadratic per doc)
-    val toks = docs.select(col(idCol).as("doc_id"),
-        TextFunctions.tokenize(col(textCol)).as("toks"))
-      .localCheckpoint(true)
+    // tokens come from the session-shared pinned corpus view: staged before
+    // shingling (unstaged, the tokenizer re-runs inside every shingle-lambda
+    // invocation — quadratic per doc) and shared with any other operator
+    // tokenizing the same document set (e.g. the quality gate of
+    // [[CorpusPipeline]])
+    val toks = Corpus.tokens(docs, idCol, textCol)
+      .select(col(idCol).as("doc_id"), col("toks"))
     val base = toks.select(col("doc_id"),
         TextFunctions.shinglesFromTokens(col("toks"), ngram).as("sh"))
       .withColumn("base", HashFunctions.shingleBase(col("sh")))
