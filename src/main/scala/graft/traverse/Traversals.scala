@@ -36,6 +36,42 @@ object Traversals {
       .join(edges.select(col("src"), col("dst")), Seq("src"))
       .select(col("dst").as("id"))
 
+  /** Labeled adjacency (src, label, dst) pinned per (dir, labels) — the
+    * base relation per-hop degree truncation windows over. */
+  private def labeledAdjacency(g: PropertyGraph, dir: Direction.Value,
+                               labels: Seq[String]): DataFrame =
+    pinned(EdgeStep(dir, labels).edgesFor(g)
+      .select(col("src"), col("label"), col("dst")))
+
+  /** Degree-capped frontier expansion: join FIRST, then truncate per vertex.
+    * The per-src (label, dst)-ordered row_number is identical to
+    * `EdgeStep.degree`'s table-level truncation restricted to the frontier
+    * (the join preserves every edge of each frontier vertex), but the window
+    * only sorts the frontier's fan-out — O(frontier edges), not O(|E|). At
+    * cluster scale this is the difference between a kout paying one full
+    * edge-table shuffle up front and paying only for what it touches. */
+  private def expandDegreeCapped(frontier: DataFrame, labeled: DataFrame,
+                                 degree: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src")).orderBy(col("label"), col("dst"))
+    frontier.select(col("id").as("src"))
+      .join(labeled, Seq("src"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= degree)
+      .select(col("dst").as("id"))
+  }
+
+  /** One BFS expansion step for the kneighbor/kout family: degree ≥ 0 uses
+    * the frontier-local truncation, otherwise the shared distinct view. */
+  private def stepFn(g: PropertyGraph, dir: Direction.Value,
+                     labels: Seq[String], degree: Long): DataFrame => DataFrame =
+    if (degree >= 0L) {
+      val la = labeledAdjacency(g, dir, labels)
+      f => expandDegreeCapped(f, la, degree)
+    } else {
+      val e = adjacencyView(g, dir, labels)
+      f => expand(f, e)
+    }
+
   private def checkpointIfNeeded(df: DataFrame, layer: Int, every: Int = 3): DataFrame =
     if (layer > 0 && layer % every == 0) df.localCheckpoint(eager = true) else df
 
@@ -73,16 +109,13 @@ object Traversals {
   def kneighbor(g: PropertyGraph, source: String, dir: Direction.Value,
                 labels: Seq[String] = Nil, maxDepth: Int, degree: Long = -1L,
                 capacity: Long = -1L): DataFrame = {
-    val edges =
-      if (degree >= 0L) pinned(EdgeStep(dir, labels, degree = degree).edgesFor(g)
-        .select(col("src"), col("dst")))
-      else Traversals.adjacencyView(g, dir, labels)
+    val step = stepFn(g, dir, labels, degree)
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var visited = Seq(source).toDF("id")
     var frontier = visited
     for (depth <- 1 to maxDepth) {
-      frontier = expand(frontier, edges).distinct()
+      frontier = step(frontier).distinct()
         .join(visited, Seq("id"), "left_anti")
       frontier = checkpointIfNeeded(frontier, depth)
       visited = visited.union(frontier)
@@ -93,17 +126,6 @@ object Traversals {
     }
     visited.filter(col("id") =!= source).distinct()
   }
-
-  /** The per-traversal adjacency for the kout family: degree ≥ 0 keeps the
-    * deterministic per-vertex truncation (reference `degree` arg of
-    * `KoutTraverser.kout:44`); otherwise the shared distinct view. */
-  private def koutEdges(g: PropertyGraph, dir: Direction.Value,
-                        labels: Seq[String], degree: Long): DataFrame =
-    if (degree >= 0L)
-      pinned(EdgeStep(dir, labels, degree = degree).edgesFor(g)
-        .select(col("src"), col("dst")).distinct())
-    else
-      Traversals.adjacencyView(g, dir, labels)
 
   private def checkKoutCapacity(visited: DataFrame, capacity: Long): Unit =
     if (capacity >= 0L) {
@@ -118,13 +140,13 @@ object Traversals {
   def koutNearest(g: PropertyGraph, source: String, dir: Direction.Value,
                   labels: Seq[String] = Nil, depth: Int,
                   degree: Long = -1L, capacity: Long = -1L): DataFrame = {
-    val edges = koutEdges(g, dir, labels, degree)
+    val step = stepFn(g, dir, labels, degree)
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var visited = Seq(source).toDF("id")
     var frontier = visited
     for (d <- 1 to depth) {
-      frontier = expand(frontier, edges).distinct()
+      frontier = step(frontier).distinct()
         .join(visited, Seq("id"), "left_anti")
       frontier = checkpointIfNeeded(frontier, d)
       visited = visited.union(frontier)
@@ -138,13 +160,13 @@ object Traversals {
   def koutAll(g: PropertyGraph, source: String, dir: Direction.Value,
               labels: Seq[String] = Nil, depth: Int,
               degree: Long = -1L, capacity: Long = -1L): DataFrame = {
-    val edges = koutEdges(g, dir, labels, degree)
+    val step = stepFn(g, dir, labels, degree)
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var frontier = Seq(source).toDF("id")
     var touched = frontier
     for (d <- 1 to depth) {
-      frontier = expand(frontier, edges).distinct()
+      frontier = step(frontier).distinct()
       frontier = checkpointIfNeeded(frontier, d)
       if (capacity >= 0L) {
         touched = touched.union(frontier)
