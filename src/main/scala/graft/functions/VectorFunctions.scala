@@ -23,13 +23,49 @@ object VectorFunctions {
   /** Static kernels referenced from generated code — must be `public static`
     * (object methods compile to static under a `$` class; we expose a Java
     * static-friendly forwarder below). */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  def cosine(a: ArrayData, b: ArrayData): Double = cosineFF(a, b)
+
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       // widen to double BEFORE multiplying — float*float would round twice
       // and diverge from any double-precision re-computation of the result
       val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Mixed-element-type kernels (float embedding × double centroid etc.) —
+    * k-means centroids are double arrays (the per-dimension mean leaves
+    * float space), so each (left, right) element-type pair gets its own
+    * static codegen target; same fold order as [[cosineFF]]. */
+  def cosineFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def cosineDF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def cosineDD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
@@ -43,10 +79,18 @@ object VectorFunctions {
   }
 
   abstract class VecBinary extends BinaryExpression {
-    // inputs are array<float>; callers pass embedding columns directly
+    // inputs are array<float> / array<double>; callers pass embedding
+    // columns (or trained centroids) directly
     override def dataType: DataType = DoubleType
     protected def kernel: String // fully-qualified static call target
     protected def compute(a: ArrayData, b: ArrayData): Double
+    /** "F"/"D" element-type tag used to pick the static kernel overload. */
+    protected def elemTag(e: Expression): String = e.dataType match {
+      case ArrayType(FloatType, _)  => "F"
+      case ArrayType(DoubleType, _) => "D"
+      case dt => throw new IllegalArgumentException(
+        s"$prettyName expects array<float|double>, got $dt")
+    }
     override def nullSafeEval(a: Any, b: Any): Any =
       compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -54,8 +98,15 @@ object VectorFunctions {
   }
 
   case class CosineSimExpr(left: Expression, right: Expression) extends VecBinary {
-    override protected def kernel: String = "graft.functions.VectorFunctions.cosine"
-    override protected def compute(a: ArrayData, b: ArrayData): Double = cosine(a, b)
+    private lazy val tags = (elemTag(left), elemTag(right))
+    override protected def kernel: String =
+      s"graft.functions.VectorFunctions.cosine${tags._1}${tags._2}"
+    override protected def compute(a: ArrayData, b: ArrayData): Double = tags match {
+      case ("F", "F") => cosineFF(a, b)
+      case ("F", "D") => cosineFD(a, b)
+      case ("D", "F") => cosineDF(a, b)
+      case _          => cosineDD(a, b)
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
     override def prettyName: String = "cosine_sim"

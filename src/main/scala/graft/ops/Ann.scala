@@ -53,15 +53,29 @@ object Ann {
     val centroids = cands.orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       .localCheckpoint(true)
-    def nearestCells(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("csim", VectorFunctions.cosineSim(col(vecCol), col("ce")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid").asc)
-      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= n)
-        .drop("ce", "csim", "crank")
-    }
-    val assigned = nearestCells(cands, "vec_id", "embedding", 1) // cell per candidate
-    val probes = nearestCells(
+    ivfProbe(queries, cands, centroids, k, nProbe)
+  }
+
+  /** Nearest `n` cells per vector under the given (small, broadcast)
+    * centroid table; ties break on smallest cid. */
+  private def nearestCells(centroids: DataFrame)(df: DataFrame, idCol: String,
+                                                 vecCol: String, n: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .withColumn("csim", VectorFunctions.cosineSim(col(vecCol), col("ce")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid").asc)
+    scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= n)
+      .drop("ce", "csim", "crank")
+  }
+
+  /** The shared IVF probe dataflow: assign candidates to their cell, probe
+    * each query's `nProbe` closest cells, exact-score only within probed
+    * cells. `centroids` is any small (cid, ce) table — lowest-id seeds or
+    * trained k-means means. */
+  private def ivfProbe(queries: DataFrame, cands: DataFrame, centroids: DataFrame,
+                       k: Int, nProbe: Int): DataFrame = {
+    val cells = nearestCells(centroids) _
+    val assigned = cells(cands, "vec_id", "embedding", 1) // cell per candidate
+    val probes = cells(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
       "query_id", "qe", nProbe)
     val scored = assigned.join(probes, Seq("cid")) // probe only matching cells
@@ -70,6 +84,54 @@ object Ann {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Spherical-k-means coarse quantizer: Lloyd's iterations with cosine
+    * assignment and per-dimension mean update, seeded from the `nCentroids`
+    * lowest-id candidates. Returns (cid, ce: array<double>).
+    *
+    * Determinism (the oracle contract): assignment ties break on smallest
+    * cid; every updated centroid component is rounded to 6 decimals — the
+    * cross-engine fp-stabilization that makes the UNORDERED per-cell mean
+    * reproducible in DuckDB (a double sum over ~|cell| members differs by
+    * ~1e-13 between engines' fold orders; rounding at 1e-6 absorbs it; the
+    * per-pair cosine folds themselves are sequential and exact). Cells that
+    * lose all members keep their previous centroid.
+    *
+    * Scale shape: assign = broadcast(k centroids) against the candidate
+    * stream + per-vector top-1 window partitioned by vec_id — the big side
+    * never shuffles; update = one aggregation keyed by (cid, dim), k·dims
+    * groups. O(iters) passes over the data, O(iters) shuffles of k·dims
+    * rows. */
+  def kmeansCentroids(candidates: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    registerKernels(candidates)
+    val cands = candidates.select(col("vec_id"), col("embedding"))
+    var cents = cands.orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("ce"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val members = nearestCells(cents)(cands, "vec_id", "embedding", 1)
+      val means = members.select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("ce_new"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ce_new"), col("ce")).as("ce"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** IVF with a trained spherical-k-means quantizer — [[ivfTopK]]'s probe
+    * dataflow over [[kmeansCentroids]] instead of lowest-id seeds. */
+  def ivfKmeansTopK(queries: DataFrame, candidates: DataFrame,
+                    k: Int, nCentroids: Int, nProbe: Int, iters: Int): DataFrame = {
+    registerKernels(queries)
+    val cands = candidates.select(col("vec_id"), col("embedding"))
+    ivfProbe(queries, cands, kmeansCentroids(cands, nCentroids, iters), k, nProbe)
   }
 
   /** LSH-bucketed variant: neighbors are only searched within the query's

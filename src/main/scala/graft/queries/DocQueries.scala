@@ -133,6 +133,56 @@ object DocQueries {
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
 
+  /** k-means-trained IVF oracle: Lloyd's iterations unrolled as CTE blocks —
+    * cosine assignment (ties → smallest cid), per-dimension mean rounded to
+    * 6 decimals (the fp-stabilization contract of `Ann.kmeansCentroids`),
+    * empty cells keep their centroid — then the standard IVF probe. */
+  def ivfKmeansSql(topK: Int, nCentroids: Int, nProbe: Int): String = {
+    def iter(prev: String, n: Int): String =
+      s"""a${n}_scored AS MATERIALIZED (
+         |  SELECT c.vec_id, c.embedding, t.cid, ${cosExpr("c.embedding", "t.ce")} AS csim
+         |  FROM cands c CROSS JOIN $prev t),
+         |a$n AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+         |    FROM a${n}_scored) WHERE rn = 1),
+         |m$n AS MATERIALIZED (
+         |  SELECT cid, list(m ORDER BY i) AS cem FROM (
+         |    SELECT cid, i, round(avg(CAST(v AS DOUBLE)), 6) AS m
+         |    FROM (SELECT cid, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+         |          FROM a$n) z
+         |    GROUP BY cid, i) zz GROUP BY cid),
+         |c$n AS MATERIALIZED (
+         |  SELECT p.cid, COALESCE(m$n.cem, p.ce) AS ce FROM $prev p LEFT JOIN m$n USING (cid)),"""
+    s"""WITH cands AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM cands ORDER BY vec_id LIMIT $nCentroids),
+       |${iter("c0", 1)}
+       |${iter("c1", 2)}
+       |fin_scored AS MATERIALIZED (
+       |  SELECT c.vec_id, c.embedding, t.cid, ${cosExpr("c.embedding", "t.ce")} AS csim
+       |  FROM cands c CROSS JOIN c2 t),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+       |    FROM fin_scored) WHERE rn = 1),
+       |probe_scored AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, q.embedding AS qe, t.cid, ${cosExpr("q.embedding", "t.ce")} AS csim
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q CROSS JOIN c2 t),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, qe, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cid) AS rn
+       |    FROM probe_scored) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id, ${cosExpr("p.qe", "a.embedding")} AS sim
+       |  FROM assigned a JOIN probes p USING (cid))
+       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+  }
+
   /** SRP bucket expression with the plane-sign literals baked in. */
   def srpBucketSqlExpr(colName: String, bits: Int, dims: Int): String =
     VectorFunctions.planeSigns(bits, dims).map { signs =>
@@ -328,6 +378,15 @@ object DocQueries {
       val e = Tables.embeddings(s, d)
       Ann.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         k = 10, nCentroids = 16, nProbe = 2)
+    },
+
+    // IVF with a TRAINED coarse quantizer: 2 Lloyd's rounds of spherical
+    // k-means (cosine assignment, rounded per-dim mean update) — the
+    // production swap-in the lowest-id-seed variant documents
+    q("q_ann_ivf_kmeans", ivfKmeansSql(10, 8, 2)) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Ann.ivfKmeansTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        k = 10, nCentroids = 8, nProbe = 2, iters = 2)
     },
 
     q("q_lang_id",

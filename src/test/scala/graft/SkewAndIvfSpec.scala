@@ -43,4 +43,67 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(byQuery(0L).forall(r => r.getLong(1) % 4 === 0L))
     assert(byQuery(0L).head.getDouble(2) > 0.99)
   }
+
+  private def clusteredVecs = (0L until 60L).map { i =>
+    // 4 well-separated directions with per-vector jitter — the k-means
+    // fixture: lowest-id seeds all land in direction 0/1, so the trained
+    // quantizer must MOVE to recover the other clusters
+    val base = Array.fill(8)(0.01f * ((i % 5) + 1))
+    base((i % 4).toInt * 2) = 1.0f
+    (i, base)
+  }.toDF("vec_id", "embedding")
+
+  test("k-means centroids: assignment objective is non-decreasing and cells separate the clusters") {
+    val cands = clusteredVecs.filter(col("vec_id") >= 4)
+    def objective(cents: org.apache.spark.sql.DataFrame): Double = {
+      val scored = cands.crossJoin(broadcast(cents))
+        .withColumn("csim", graft.functions.VectorFunctions.cosineSim(col("embedding"), col("ce")))
+      scored.groupBy(col("vec_id")).agg(max(col("csim")).as("best"))
+        .agg(avg(col("best"))).head().getDouble(0)
+    }
+    val obj = (0 to 2).map(t => objective(Ann.kmeansCentroids(cands, nCentroids = 4, iters = t)))
+    assert(obj(1) >= obj(0) - 1e-9); assert(obj(2) >= obj(1) - 1e-9)
+    // after training, the 4 cells must partition the 4 directions exactly:
+    // every member of a cell shares its direction
+    val cents = Ann.kmeansCentroids(cands, nCentroids = 4, iters = 3)
+    val assigned = cands.crossJoin(broadcast(cents))
+      .withColumn("csim", graft.functions.VectorFunctions.cosineSim(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid")).collect()
+    val dirsPerCell = assigned.groupBy(_.getLong(1)).values.map(_.map(_.getLong(0) % 4).toSet)
+    assert(dirsPerCell.forall(_.size == 1), s"mixed cells: $dirsPerCell")
+  }
+
+  test("mixed-type cosine kernels match the builtin composition") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5, -1.0, 2.0)))
+      .toDF("f", "d")
+      .withColumn("d2", transform(col("f"), _.cast("double") * 2.0))
+    graft.functions.VectorFunctions.register(spark)
+    val r = df.select(
+      graft.functions.VectorFunctions.cosineSim(col("f"), col("d")).as("fd"),
+      graft.functions.VectorFunctions.cosineSim(col("d"), col("f")).as("df"),
+      graft.functions.VectorFunctions.cosineSim(col("d"), col("d2")).as("dd"),
+      graft.functions.VectorFunctions.cosineSimBuiltin(col("f"), col("d")).as("ref"))
+      .head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(3)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-12)
+    // d2 = 2·f is parallel to f: cosine(d, d2) == cosine(d, f) == cosine(f, d)
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12)
+  }
+
+  test("k-means IVF recall: trained quantizer beats lowest-id seeds on clustered data") {
+    val q = clusteredVecs.filter(col("vec_id") < 4)
+    val c = clusteredVecs.filter(col("vec_id") >= 4)
+    val exact = Ann.bruteForceTopK(q, c, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(res: Array[org.apache.spark.sql.Row]): Double =
+      res.map(r => (r.getLong(0), r.getLong(1))).count(exact) / exact.size.toDouble
+    val seeded = recall(Ann.ivfTopK(q, c, k = 5, nCentroids = 4, nProbe = 1).collect())
+    val trained = recall(Ann.ivfKmeansTopK(q, c, k = 5, nCentroids = 4, nProbe = 1, iters = 3).collect())
+    assert(trained >= seeded)
+    assert(trained === 1.0) // separated clusters: trained cells recover everything
+  }
 }
