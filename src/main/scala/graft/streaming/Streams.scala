@@ -91,4 +91,28 @@ object Streams {
   def eventSchema: StructType = new StructType()
     .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
     .add("event_type", "string").add("value", "double").add("props", "string")
+
+  /** Streaming corpus ingest with in-flight exact dedup + quality gate —
+    * the incremental twin of the batch pipeline's first and third stages
+    * (`ops.CorpusPipeline`; batch semantics oracled by q_dedup_exact /
+    * q_quality_score). A document is dropped if a copy with the same
+    * content hash arrived within `dedupWindow` of it
+    * (`dropDuplicatesWithinWatermark`: state is BOUNDED by the watermark —
+    * the trade every streaming dedup makes vs the batch hash-groupBy; a
+    * re-arrival after the window re-enters, exactly like re-running the
+    * batch dedup on a later partition of the corpus). Quality filtering is
+    * stateless and runs post-dedup, so state stores only survivors' hashes.
+    * Expects (doc_id, ts, text). */
+  def dedupedDocIngest(docs: DataFrame, dedupWindow: String = "1 hour",
+                       minTokens: Int = 2, maxStopwordRatio: Double = 0.9): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokenize(col("text"))
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", dedupWindow)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .withColumn("q", graft.functions.TextFunctions.qualityStructFromToks(col("text"), toks))
+      .filter(col("q.n_tokens") >= minTokens && col("q.stopword_ratio") <= maxStopwordRatio)
+      .withColumn("lang_pred", graft.functions.TextFunctions.langId(col("text")))
+      .drop("q")
+  }
 }

@@ -80,4 +80,31 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("~ttl_expiry") === 1704067200000L + 60000L)
     assert(batches >= 1)
   }
+
+  test("streaming corpus ingest dedups in-flight and gates on quality") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.dedupedDocIngest(docs, dedupWindow = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("corpus").start()
+    val good = "the quick brown fox jumps over the lazy dog"
+    mem.addData(
+      (1L, ts(0), good),
+      (2L, ts(5), good),            // exact dup within the window -> dropped
+      (3L, ts(10), "x"),            // fails the min-token quality gate
+      (4L, ts(15), "el perro y el gato y la casa son de la familia"))
+    q.processAllAvailable()
+    // advance the watermark far past the dedup window, then re-send the
+    // duplicate: its state has aged out, so it re-enters (the bounded-state
+    // trade vs batch dedup, asserted not just documented)
+    mem.addData((5L, ts(120), "completely different words arrive here"))
+    q.processAllAvailable()
+    mem.addData((6L, ts(125), good))
+    q.processAllAvailable()
+    val out = spark.table("corpus").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang_pred"))).toSet
+    q.stop()
+    assert(out.map(_._1) === Set(1L, 4L, 5L, 6L))
+    assert(out.contains((1L, "en")) && out.contains((4L, "es")))
+  }
 }
