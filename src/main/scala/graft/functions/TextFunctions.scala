@@ -111,6 +111,21 @@ object TextFunctions {
   def tokenCountBpe(c: Column): Column =
     size(regexp_extract_all(lower(c), lit(bpeTokenPattern), lit(0)))
 
+  /** Training-data PII scrub: emails → `<email>`, then URLs → `<url>`,
+    * then phone-like digit runs → `<phone>` (order matters — emails carry
+    * no scheme, URL digits must be gone before the phone pass). Patterns
+    * stay in the RE2-compatible subset so the DuckDB oracle replays them
+    * verbatim (with its 'g' flag — Spark replaces all matches by default). */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val urlPattern = "https?://[^ ]+"
+  val phonePattern = "\\+?[0-9][0-9()\\- ]{5,}[0-9]"
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<email>"),
+        urlPattern, "<url>"),
+      phonePattern, "<phone>")
+
   /** Stopword sets for the n-gram language-id heuristic. Deterministic and
     * tiny on purpose — the point is the distributed shape, not NLP quality. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(

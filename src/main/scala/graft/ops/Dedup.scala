@@ -83,6 +83,25 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 9).as("jaccard"))
   }
 
+  /** Transitive near-duplicate clusters: connected components (min-id
+    * label) over the exact-verified LSH pair graph. The corpus pipeline's
+    * drop-the-larger-id rule is a per-pair approximation; this is the full
+    * closure — pairs (a,b) and (b,c) put a,b,c in ONE cluster even when
+    * (a,c) never collided in any band. Scale shape: the pair graph holds
+    * only near-duplicates (tiny vs the corpus), and the WCC over it is the
+    * pointer-jumping min-label rounds of `olap.Algorithms.wcc`. */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      ngram: Int = 3, k: Int = 12, bands: Int = 6, rows: Int = 2,
+                      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, ngram, k, bands, rows, threshold)
+      .select(col("a"), col("b"))
+    val verts = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct()
+    graft.olap.Algorithms.wcc(verts,
+        pairs.select(col("a").as("src"), col("b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+  }
+
   /** All-pairs n-gram jaccard over a bounded id range (the exact baseline
     * the LSH path approximates). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -49,8 +49,10 @@ object DocQueries {
       (s"'$b'" +: parts).mkString(" || '|' || ")
     }.mkString("[", ", ", "]")
 
-  def minhashSql: String =
-    s"""WITH toks AS MATERIALIZED (SELECT doc_id, $tok AS toks FROM documents),
+  /** The MinHash CTE chain up to verified pair scores (`j`), shared by the
+    * pair query and the transitive-cluster query. */
+  private def minhashPairsCtes: String =
+    s"""toks AS MATERIALIZED (SELECT doc_id, $tok AS toks FROM documents),
        |sh AS MATERIALIZED (SELECT doc_id, $shingle3 AS sh FROM toks),
        |base AS MATERIALIZED (SELECT doc_id, sh, $hexBaseExpr AS base FROM sh),
        |sig AS MATERIALIZED (SELECT doc_id, sh, $sigExprs AS sig FROM base),
@@ -60,8 +62,24 @@ object DocQueries {
        |j AS (SELECT a, b,
        |        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |        len(list_distinct(sa.sh || sb.sh)) AS jaccard
-       |      FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b)
+       |      FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b)""".stripMargin
+
+  def minhashSql: String =
+    s"""WITH $minhashPairsCtes
        |SELECT a, b, round(jaccard, 9) AS jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+
+  /** Transitive near-dup clusters: connected components (min-id label) over
+    * the verified pair graph, as a recursive reachability closure. */
+  def dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |pairs AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+       |verts AS (SELECT DISTINCT v FROM (SELECT a AS v FROM pairs UNION SELECT b FROM pairs) z),
+       |adjp AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT r.s, a.d FROM reach r JOIN adjp a ON a.s = r.d)
+       |SELECT s AS doc_id, min(d) AS cluster FROM reach GROUP BY s""".stripMargin
 
   def simhashSql: String = {
     val bits = (0 until 32).map { j =>
@@ -287,6 +305,37 @@ object DocQueries {
     q("q_minhash_lsh", minhashSql, bench = true) { (s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
         ngram = 3, k = K, bands = BANDS, rows = ROWS, threshold = 0.5)
+    },
+
+    // transitive closure of the verified near-dup pairs: WCC (min-id label)
+    // over the pair graph — pairs (a,b),(b,c) cluster a,b,c together
+    q("q_dedup_clusters", dedupClustersSql) { (s, d) =>
+      Dedup.nearDupClusters(Tables.documents(s, d), "doc_id", "text",
+        ngram = 3, k = K, bands = BANDS, rows = ROWS, threshold = 0.5)
+    },
+
+    // PII scrub over a deterministically synthesized contact line (the
+    // corpus has no natural PII — same synthesis precedent as the CJK
+    // analyzer queries)
+    q("q_redact_pii",
+      """WITH t AS (SELECT doc_id,
+        |  'contact ' || source || CAST(doc_id AS VARCHAR) ||
+        |  '@mail.example.com now, call +1 (555) 010-' ||
+        |  CAST(doc_id % 10000 AS VARCHAR) ||
+        |  ' or visit https://docs.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+        |  ' thanks' AS raw FROM documents)
+        |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(raw,
+        |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<email>', 'g'),
+        |  'https?://[^ ]+', '<url>', 'g'),
+        |  '\+?[0-9][0-9()\- ]{5,}[0-9]', '<phone>', 'g') AS redacted
+        |FROM t""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.redactPii(concat(
+          lit("contact "), col("source"), col("doc_id").cast("string"),
+          lit("@mail.example.com now, call +1 (555) 010-"),
+          (col("doc_id") % 10000).cast("string"),
+          lit(" or visit https://docs.example.com/p/"), col("doc_id").cast("string"),
+          lit(" thanks"))).as("redacted"))
     },
 
     q("q_simhash", simhashSql) { (s, d) =>

@@ -114,4 +114,32 @@ class OpsSpec extends SparkSpec {
     assert(f1.map(_.getInt(1)).toSeq === Seq(0, 2)) // 32 bytes → frames 0..3, stride 2
     assert(f1.forall(_.getAs[Array[Byte]]("frame").length === 8))
   }
+
+  test("near-dup clusters close transitively over the pair graph") {
+    // a~b and b~c overlap heavily pairwise, a~c less so — the chain must
+    // still land in ONE cluster labeled by the min id
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val chain = Seq(
+      (1L, base),
+      (2L, base + " lambda"),
+      (3L, "omega " + base.split(' ').drop(1).mkString(" ") + " lambda mu"),
+      (10L, "completely unrelated text about graphs and spark and parquet files"),
+      (11L, "completely unrelated text about graphs and spark and parquet data"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(chain, "doc_id", "text",
+        ngram = 2, k = 12, bands = 6, rows = 2, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(3L) === 1L)
+    assert(clusters.get(10L).forall(_ === 10L)) // separate cluster if paired at all
+  }
+
+  test("PII redaction scrubs emails, urls and phones in order") {
+    val r = Seq(Tuple1("mail a.b+c@ex-ample.org then https://x.io/p?q=1#f and call +44 (0) 20-7946 0958 done"))
+      .toDF("t").select(graft.functions.TextFunctions.redactPii(col("t"))).head().getString(0)
+    assert(r === "mail <email> then <url> and call <phone> done")
+    // text with none of the patterns passes through unchanged
+    val clean = Seq(Tuple1("no contact info here")).toDF("t")
+      .select(graft.functions.TextFunctions.redactPii(col("t"))).head().getString(0)
+    assert(clean === "no contact info here")
+  }
 }
