@@ -150,4 +150,34 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
+
+  /** Multi-probe SRP: each query also probes every bucket at Hamming
+    * distance 1 from its own (`bits`+1 probes) — the standard multi-probe
+    * LSH recall/cost dial: a near neighbor on the wrong side of ONE
+    * hyperplane is recovered without adding tables. The query side (small)
+    * explodes to its probe keys; candidates still sit in exactly one bucket,
+    * so the only shuffle stays the bucket-key join and no (query, candidate)
+    * pair can match twice. */
+  def srpMultiProbeTopK(queries: DataFrame, candidates: DataFrame,
+                        k: Int, bits: Int, dims: Int): DataFrame = {
+    registerKernels(queries)
+    val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      VectorFunctions.srpBucket(col("embedding"), bits, dims).as("b0"))
+    // own bucket + each single-bit flip
+    val probes = array(
+      col("b0") +: (1 to bits).map { i =>
+        concat(substring(col("b0"), 1, i - 1),
+          when(substring(col("b0"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+          substring(col("b0"), i + 1, bits))
+      }: _*)
+    val q = q0.select(col("query_id"), col("qe"), explode(probes).as("bucket"))
+    val c = candidates.select(col("vec_id"), col("embedding"),
+      VectorFunctions.srpBucket(col("embedding"), bits, dims).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
 }

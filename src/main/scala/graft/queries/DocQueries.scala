@@ -242,6 +242,32 @@ object DocQueries {
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
 
+  /** Multi-probe SRP oracle: the query side expands to its own bucket plus
+    * every single-bit flip; candidates keep exactly one bucket. */
+  def srpMultiSql(topK: Int, bits: Int, dims: Int): String =
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${srpBucketSqlExpr("embedding", bits, dims)} AS bucket
+       |  FROM embeddings),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS b0 FROM b WHERE vec_id < 5),
+       |q AS (SELECT query_id, qe,
+       |        unnest([b0] || list_transform(range(1, $bits + 1), i ->
+       |          substr(b0, 1, CAST(i - 1 AS INTEGER)) ||
+       |          (CASE WHEN substr(b0, CAST(i AS INTEGER), 1) = '1' THEN '0' ELSE '1' END) ||
+       |          substr(b0, CAST(i + 1 AS INTEGER)))) AS bucket
+       |      FROM q0),
+       |c AS (SELECT vec_id, embedding AS ce, bucket FROM b WHERE vec_id >= 5),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    (SELECT sum(CAST(a AS DOUBLE) * CAST(b2 AS DOUBLE))
+       |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b2) z) /
+       |    sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(q.qe) AS a) z2) *
+       |         (SELECT sum(CAST(b2 AS DOUBLE) * CAST(b2 AS DOUBLE)) FROM (SELECT unnest(c.ce) AS b2) z3)) AS sim
+       |  FROM q JOIN c USING (bucket))
+       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+
   /** Full corpus-cleaning pipeline restated in SQL: exact dedup → MinHash
     * near-dedup (same CTE chain as minhashSql, over the canon set) →
     * quality gate → language distribution. */
@@ -362,6 +388,14 @@ object DocQueries {
     q("q_ann_srp_topk", srpSql(3, 8, 64)) { (s, d) =>
       val e = Tables.embeddings(s, d)
       Ann.srpBucketTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        k = 3, bits = 8, dims = 64)
+    },
+
+    // multi-probe SRP: each query also probes the `bits` buckets one
+    // hyperplane-flip away — the recall/cost dial of LSH ANN
+    q("q_ann_srp_multiprobe", srpMultiSql(3, 8, 64)) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Ann.srpMultiProbeTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         k = 3, bits = 8, dims = 64)
     },
 

@@ -94,6 +94,24 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12)
   }
 
+  test("multi-probe SRP recovers neighbors one hyperplane-flip away") {
+    val q = clusteredVecs.filter(col("vec_id") < 4)
+    val c = clusteredVecs.filter(col("vec_id") >= 4)
+    def hits(res: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = hits(Ann.srpBucketTopK(q, c, k = 5, bits = 6, dims = 8).collect())
+    val multi = hits(Ann.srpMultiProbeTopK(q, c, k = 5, bits = 6, dims = 8).collect())
+    // multi-probe may only widen the candidate set: strictly more (or equal)
+    // results, and every single-probe hit whose rank survives is retained
+    assert(single.subsetOf(multi) || multi.size > single.size)
+    assert(multi.size >= single.size)
+    // a query probes bits+1 buckets: itself plus each one-bit flip
+    val probed = Ann.srpMultiProbeTopK(q.limit(1), c, k = 1000, bits = 6, dims = 8)
+    assert(probed.select(countDistinct(col("vec_id"))).head().getLong(0) >=
+      Ann.srpBucketTopK(q.limit(1), c, k = 1000, bits = 6, dims = 8)
+        .select(countDistinct(col("vec_id"))).head().getLong(0))
+  }
+
   test("k-means IVF recall: trained quantizer beats lowest-id seeds on clustered data") {
     val q = clusteredVecs.filter(col("vec_id") < 4)
     val c = clusteredVecs.filter(col("vec_id") >= 4)
