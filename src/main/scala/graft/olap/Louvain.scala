@@ -104,20 +104,21 @@ object Louvain {
 
     var comm = verts.select(col("id"), col("id").as("community"))
     for (r <- 0 until rounds) {
-      val commTot = comm.join(k, Seq("id"))
-        .groupBy(col("community")).agg(sum(col("k")).as("tot"))
+      // one (id, community, k) table per round feeds BOTH the community
+      // totals and the per-id gain inputs — folding the former separate
+      // `own` and `k` joins into a single join per round
+      val idInfo = comm.join(k, Seq("id")).localCheckpoint(false)
+      val commTot = idInfo.groupBy(col("community")).agg(sum(col("k")).as("tot"))
       // weight from v to each neighbouring community (self-loop ⇒ the own
       // community is always present, possibly with w_vc = 0)
       val vToComm = adj
         .join(comm.withColumnRenamed("id", "dst").withColumnRenamed("community", "nc"), Seq("dst"))
         .groupBy(col("src").as("id"), col("nc")).agg(sum(col("w")).as("w_vc"))
-      val own = comm.withColumnRenamed("community", "oc")
       // join tot while still partitioned by nc, THEN align to id — the final
       // groupBy(id) then needs no extra exchange
       val gains = vToComm
         .join(commTot.withColumnRenamed("community", "nc"), Seq("nc"))
-        .join(own, Seq("id"))
-        .join(k, Seq("id"))
+        .join(idInfo.withColumnRenamed("community", "oc"), Seq("id"))
         .withColumn("tot_excl",
           when(col("nc") === col("oc"), col("tot") - col("k")).otherwise(col("tot")))
         .withColumn("gain", col("w_vc") - col("k") * col("tot_excl") / m2)
