@@ -183,11 +183,24 @@ object TextFunctions {
     * passing `tokenize(text)` directly makes Catalyst re-evaluate the
     * tokenizer inside every lambda invocation — O(tokens²) splits per doc. */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks))))
+    array_distinct(rawShinglesFromTokens(toks, n))
+
+  /** RAW (non-distinct, in-order) word n-gram shingles — repetition
+    * analysis needs the multiset the dedup path throws away. */
+  def rawShinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    .otherwise(array(concat_ws(" ", toks)))
+
+  /** Repetition signal (the Gopher-style duplicate-n-gram quality rule):
+    * fraction of n-gram occurrences that repeat an earlier one,
+    * 1 − distinct/total, rounded to 4 decimals. The fallback shingle for
+    * sub-n docs makes the denominator ≥ 1 by construction. */
+  def repetitionRatio(toks: Column, n: Int): Column = {
+    val sh = rawShinglesFromTokens(toks, n)
+    round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4)
+  }
 
   /** Word n-gram shingles (arrays of `n` consecutive tokens joined by space).
     * Convenience form — see [[shinglesFromTokens]] for the hot-path variant. */

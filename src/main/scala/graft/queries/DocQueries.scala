@@ -368,6 +368,39 @@ object DocQueries {
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // Gopher-style duplicate-trigram quality signal, off the shared pinned
+    // token view (tokens staged once per session)
+    q("q_repetition_ratio",
+      s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         |    ELSE [array_to_string(toks, ' ')] END AS rsh FROM t)
+         |SELECT doc_id,
+         |  round(1.0 - CAST(len(list_distinct(rsh)) AS DOUBLE) / len(rsh), 4) AS rep_ratio
+         |FROM r""".stripMargin) { (s, d) =>
+      graft.ops.Corpus.tokens(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"),
+          TextFunctions.repetitionRatio(col("toks"), 3).as("rep_ratio"))
+    },
+
+    // corpus-level top bigrams: one explode + count, distributed partial
+    // top-k (TakeOrderedAndProject) with a deterministic tie-break
+    q("q_top_ngrams",
+      s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)), i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+         |    ELSE [array_to_string(toks, ' ')] END AS rsh FROM t),
+         |x AS (SELECT unnest(rsh) AS ngram FROM r)
+         |SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY ngram
+         |ORDER BY n DESC, ngram LIMIT 20""".stripMargin) { (s, d) =>
+      graft.ops.Corpus.tokens(Tables.documents(s, d), "doc_id", "text")
+        .select(explode(TextFunctions.rawShinglesFromTokens(col("toks"), 2)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc).limit(20)
+    },
+
     q("q_ngram_jaccard",
       s"""WITH toks AS (SELECT doc_id, $tok AS toks FROM documents WHERE doc_id < 50),
          |sh AS (SELECT doc_id, $shingle3 AS sh FROM toks),
