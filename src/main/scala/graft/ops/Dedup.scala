@@ -37,10 +37,12 @@ object Dedup {
     // [[CorpusPipeline]])
     val toks = Corpus.tokens(docs, idCol, textCol)
       .select(col(idCol).as("doc_id"), col("toks"))
-    val base = toks.select(col("doc_id"),
+    // pinned, not per-query checkpointed: every operator shingling the same
+    // (docs, ngram) — pair query, transitive clusters, pipeline — shares one
+    // materialization of the md5 base array
+    val base = graft.core.Pin.pin(toks.select(col("doc_id"),
         TextFunctions.shinglesFromTokens(col("toks"), ngram).as("sh"))
-      .withColumn("base", HashFunctions.shingleBase(col("sh")))
-      .localCheckpoint(true)
+      .withColumn("base", HashFunctions.shingleBase(col("sh"))))
     base
       .withColumn("sig", HashFunctions.minhashSignatureFromBase(col("base"), k))
       .withColumn("band_keys", HashFunctions.lshBandKeys(col("sig"), bands, rows))
@@ -69,9 +71,9 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       ngram: Int = 3, k: Int = 12, bands: Int = 6, rows: Int = 2,
                       threshold: Double = 0.5): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol, ngram, k, bands, rows)
-      .select(col("doc_id"), col("sh"), col("band_keys"))
-      .localCheckpoint(true)
+    val sigs = graft.core.Pin.pin(
+      signatures(docs, idCol, textCol, ngram, k, bands, rows)
+        .select(col("doc_id"), col("sh"), col("band_keys")))
     val cand = minhashCandidates(sigs)
     val shA = sigs.select(col("doc_id").as("a"), col("sh").as("sh_a"))
     val shB = sigs.select(col("doc_id").as("b"), col("sh").as("sh_b"))
