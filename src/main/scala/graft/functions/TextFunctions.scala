@@ -193,6 +193,19 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
     .otherwise(array(concat_ws(" ", toks)))
 
+  /** Context-window packing: split a token array into chunks of `size`
+    * tokens starting every `stride` tokens (overlap = size − stride),
+    * re-joined to text. Partial tail chunks are kept — downstream packing
+    * decides whether to drop or pad them. Empty token arrays chunk to
+    * nothing. */
+  def chunkTokens(toks: Column, size: Int, stride: Int): Column = {
+    require(stride > 0 && size > 0, "size and stride must be positive")
+    when(F.size(toks) >= 1,
+      transform(sequence(lit(1), F.size(toks), lit(stride)),
+        st => concat_ws(" ", slice(toks, st, lit(size)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Repetition signal (the Gopher-style duplicate-n-gram quality rule):
     * fraction of n-gram occurrences that repeat an earlier one,
     * 1 − distinct/total, rounded to 4 decimals. The fallback shingle for

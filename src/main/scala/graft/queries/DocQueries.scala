@@ -15,8 +15,9 @@ import QueryDef._
 object DocQueries {
 
   /** DuckDB tokenizer identical to TextFunctions.tokenize. */
-  private val tok =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+  private def tokOf(c: String) =
+    s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), t -> len(t) > 0)"
+  private val tok = tokOf("text")
 
   /** DuckDB 3-gram shingles identical to TextFunctions.shingles(_, 3). */
   private val shingle3 =
@@ -382,6 +383,27 @@ object DocQueries {
       graft.ops.Corpus.tokens(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"),
           TextFunctions.repetitionRatio(col("toks"), 3).as("rep_ratio"))
+    },
+
+    // context-window packing: 32-token chunks every 24 tokens (8 overlap),
+    // partial tails kept — the chunking stage of a training-data pipeline
+    q("q_chunk_tokens",
+      s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  generate_subscripts(list_transform(range(1, len(toks) + 1, 24), i ->
+         |    array_to_string(list_slice(toks, i, i + 31), ' ')), 1) AS chunk_idx,
+         |  unnest(list_transform(range(1, len(toks) + 1, 24), i ->
+         |    array_to_string(list_slice(toks, i, i + 31), ' '))) AS chunk
+         |  FROM t)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk,
+         |  CAST(len(${tokOf("chunk")}) AS BIGINT) AS n_tokens
+         |FROM c""".stripMargin) { (s, d) =>
+      graft.ops.Corpus.tokens(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.chunkTokens(col("toks"), size = 32, stride = 24)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_idx"),
+          col("col").as("chunk"),
+          TextFunctions.tokenCountWs(col("col")).cast("long").as("n_tokens"))
     },
 
     // corpus-level top bigrams: one explode + count, distributed partial
