@@ -121,4 +121,28 @@ class FunctionsSpec extends SparkSpec {
       .select(HashFunctions.hammingBits(col("a"), col("b"))).head().getInt(0)
     assert(d === 2)
   }
+
+  test("chunkTokens: stride windows, kept tail, empty input") {
+    val toks = (1 to 10).map(i => s"t$i")
+    val chunks = Seq(Tuple1(toks)).toDF("toks")
+      .select(TextFunctions.chunkTokens(col("toks"), size = 4, stride = 3))
+      .head().getSeq[String](0)
+    // starts 1,4,7,10: three full 4-token windows then a 1-token tail
+    assert(chunks === Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(TextFunctions.chunkTokens(col("toks"), size = 4, stride = 3))
+      .head().getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+
+  test("repetitionRatio: repeats raise it, distinct trigrams zero it") {
+    val r = Seq(
+      Tuple1(Seq("a", "b", "c", "a", "b", "c", "a", "b", "c")), // trigram "a b c" repeats
+      Tuple1(Seq("a", "b", "c", "d", "e")))                     // all trigrams distinct
+      .toDF("toks")
+      .select(TextFunctions.repetitionRatio(col("toks"), 3))
+      .collect().map(_.getDouble(0))
+    assert(r(0) > 0.5) // 7 trigram slots, 3 distinct → 1 - 3/7 ≈ 0.57
+    assert(r(1) === 0.0)
+  }
 }
