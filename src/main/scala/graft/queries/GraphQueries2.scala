@@ -219,6 +219,36 @@ object GraphQueries2 {
         Direction.BOTH, Nil, maxDepth = 3)
     },
 
+    // deterministic hash-guided walks: the graph→training-corpus bridge;
+    // next hop = argmin md5("wid:step:dst"), unrolled per step in the oracle
+    q("q_guided_walks", {
+      def step(n: Int): String =
+        s"""e$n AS (SELECT w.wid, w.path, a.dst, md5(w.wid || ':$n:' || a.dst) AS score
+           |  FROM w${n - 1} w LEFT JOIN adj a ON a.src = w.cur),
+           |t$n AS (SELECT wid, path FROM e$n WHERE dst IS NULL),
+           |w$n AS (SELECT wid, dst AS cur, path || '->' || dst AS path FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY wid ORDER BY score, dst) AS rn
+           |   FROM e$n WHERE dst IS NOT NULL) z WHERE rn = 1)""".stripMargin
+      s"""WITH edges AS ($edgesSql),
+         |adj AS (SELECT DISTINCT src, dst FROM edges),
+         |w0 AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS wid,
+         |              'customer:' || CAST(c_custkey AS VARCHAR) AS cur,
+         |              'customer:' || CAST(c_custkey AS VARCHAR) AS path
+         |       FROM customer WHERE c_custkey BETWEEN 1 AND 50),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)},
+         |${step(4)}
+         |SELECT wid AS walk_id, path FROM t1
+         |UNION ALL SELECT wid, path FROM t2
+         |UNION ALL SELECT wid, path FROM t3
+         |UNION ALL SELECT wid, path FROM t4
+         |UNION ALL SELECT wid, path FROM w4""".stripMargin
+    }) { (s, d) =>
+      PathTraversals.guidedWalks(g(s, d),
+        (1 to 50).map(i => s"customer:$i"), steps = 4, Direction.OUT)
+    },
+
     q("q_rays",
       s"""WITH RECURSIVE edges AS ($edgesSql),
          |adj AS (SELECT DISTINCT src, dst FROM edges),

@@ -49,6 +49,38 @@ object PathTraversals {
       .getOrElse(seed(g, Nil).select(pathCol.as("path")))
   }
 
+  /** Deterministic hash-guided random walks — DeepWalk/node2vec-style
+    * corpus generation from the graph (extension surface; the reference has
+    * no corpus generator). From each source, `steps` hops where the next
+    * vertex is the out-neighbor minimizing md5("walkId:step:dst") — a
+    * seeded uniform choice both engines reproduce bit-for-bit, so the walk
+    * corpus is exactly oracle-able. Dead-end walks emit their partial path.
+    * Scale shape: one adjacency join + one per-walk argmin aggregation per
+    * step; only the walk table (|sources| rows) ever shuffles. */
+  def guidedWalks(g: PropertyGraph, sources: Seq[String], steps: Int,
+                  dir: Direction.Value, labels: Seq[String] = Nil): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val edges = Traversals.adjacencyView(g, dir, labels)
+    var frontier = sources.toDF("wid")
+      .select(col("wid"), col("wid").as("cur"), col("wid").as("path"))
+    var acc = frontier.filter(lit(false)).select(col("wid"), col("path"))
+    for (s <- 1 to steps) {
+      val ex = frontier
+        .join(edges.withColumnRenamed("src", "cur"), Seq("cur"), "left")
+        .localCheckpoint(true)
+      acc = acc.unionByName(ex.filter(col("dst").isNull).select(col("wid"), col("path")))
+      frontier = ex.filter(col("dst").isNotNull)
+        .withColumn("score", md5(concat_ws(":", col("wid"), lit(s), col("dst"))))
+        .groupBy(col("wid"))
+        .agg(min(struct(col("score"), col("dst"), col("path"))).as("m"))
+        .select(col("wid"), col("m.dst").as("cur"),
+          concat(col("m.path"), lit("->"), col("m.dst")).as("path"))
+    }
+    acc.unionByName(frontier.select(col("wid"), col("path")))
+      .select(col("wid").as("walk_id"), col("path"))
+  }
+
   /** Rays: root-to-leaf simple paths — expansion stops at vertices with no
     * outgoing step edges or at maxDepth (reference `SubGraphTraverser.rays:59`). */
   def rays(g: PropertyGraph, source: String, dir: Direction.Value,

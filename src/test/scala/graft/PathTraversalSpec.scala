@@ -34,6 +34,18 @@ class PathTraversalSpec extends SparkSpec {
     assert(PathTraversals.rings(modern, "person:marko", Direction.OUT, Nil, 4).count() === 0L)
   }
 
+  test("guided walks: one path per source, deterministic, hop-bounded, dead ends emit partial paths") {
+    def run() = PathTraversals.guidedWalks(cyclic, Seq("a", "d"), steps = 3, Direction.OUT)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val w = run()
+    assert(w.keySet === Set("a", "d"))
+    assert(w("d") === "d") // no out-edges: the walk is just its source
+    // from a the walk is forced: a->b->c then the hash picks a or d
+    assert(w("a").startsWith("a->b->c->"))
+    assert(w("a").split("->").length === 4) // exactly `steps` hops
+    assert(run() === w) // bit-for-bit deterministic
+  }
+
   test("allShortestPaths returns all equal-length paths") {
     // marko→lop direct (1 hop) is strictly shorter than via josh
     val p = PathTraversals.allShortestPaths(modern, "person:marko", "software:lop",
