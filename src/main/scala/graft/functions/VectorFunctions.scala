@@ -139,6 +139,23 @@ object VectorFunctions {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / sqrt(na * nb))
   }
 
+  /** Symmetric int8 quantization: q_i = round(127·x_i / s), s = max|x_i|.
+    * The embedding-storage trade at scale (4× smaller vectors, ~0.5% cosine
+    * error); round-half-away-from-zero in BOTH Spark and DuckDB, so the
+    * quantized codes are exactly reproducible. Returns struct(q, scale). */
+  def quantizeInt8(v: Column): Column = {
+    val s = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+    struct(
+      when(s === 0.0, transform(v, _ => lit(0)))
+        .otherwise(transform(v, x => round(x.cast("double") * 127.0 / s).cast("int")))
+        .as("q"),
+      s.as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: x̂_i = q_i · scale / 127 (double array). */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, qi => qi.cast("double") * scale / 127.0)
+
   /** Sign-random-projection (SRP/LSH) bucket for cosine similarity: `bits`
     * hyperplanes with deterministic ±1 coefficients derived from md5 of
     * (plane, dim). Vectors in the same bucket are near-duplicate candidates —

@@ -454,6 +454,31 @@ object DocQueries {
         k = 3, bits = 8, dims = 64)
     },
 
+    // symmetric int8 embedding quantization + dequantized-cosine fidelity —
+    // the 4x-smaller storage format of an embedding store at scale
+    q("q_embed_quantize",
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+         |  FROM embeddings),
+         |qz AS (SELECT vec_id, embedding, sc,
+         |  CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0)
+         |       ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / sc) AS INTEGER))
+         |  END AS qv FROM s),
+         |dq AS (SELECT vec_id, embedding, sc, qv,
+         |  list_transform(qv, qi -> CAST(qi AS DOUBLE) * sc / 127.0) AS dv FROM qz)
+         |SELECT vec_id, array_to_string(qv, ',') AS qvec, round(sc, 9) AS scale,
+         |  round(${cosExpr("embedding", "dv")}, 6) AS fidelity
+         |FROM dq""".stripMargin) { (s, d) =>
+      VectorFunctions.register(s)
+      Tables.embeddings(s, d)
+        .withColumn("z", VectorFunctions.quantizeInt8(col("embedding")))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("z.q"), _.cast("string"))).as("qvec"),
+          round(col("z.scale"), 9).as("scale"),
+          round(VectorFunctions.cosineSim(col("embedding"),
+            VectorFunctions.dequantizeInt8(col("z.q"), col("z.scale"))), 6).as("fidelity"))
+    },
+
     q("q_dedup_embed", embedDedupSql(0.3, 4, 64)) { (s, d) =>
       // embedding-cosine near-dup: SRP-LSH candidates + exact verify
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",

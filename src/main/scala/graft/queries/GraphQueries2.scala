@@ -16,6 +16,34 @@ object GraphQueries2 {
 
   private def g(s: SparkSession, d: String) = TpchGraph.cached(s, d)
 
+  /** CTE chain re-deriving `PathTraversals.guidedWalks` (4 steps, customers
+    * 1..50, OUT): each step = left join + per-walk md5-argmin; terminal CTE
+    * `walks(wid, path)` unions dead-ends with full-length survivors. */
+  def guidedWalksCtes: String = {
+    def step(n: Int): String =
+      s"""e$n AS (SELECT w.wid, w.path, a.dst, md5(w.wid || ':$n:' || a.dst) AS score
+         |  FROM w${n - 1} w LEFT JOIN adj a ON a.src = w.cur),
+         |t$n AS (SELECT wid, path FROM e$n WHERE dst IS NULL),
+         |w$n AS (SELECT wid, dst AS cur, path || '->' || dst AS path FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY wid ORDER BY score, dst) AS rn
+         |   FROM e$n WHERE dst IS NOT NULL) z WHERE rn = 1)""".stripMargin
+    s"""edges AS ($edgesSql),
+       |adj AS (SELECT DISTINCT src, dst FROM edges),
+       |w0 AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS wid,
+       |              'customer:' || CAST(c_custkey AS VARCHAR) AS cur,
+       |              'customer:' || CAST(c_custkey AS VARCHAR) AS path
+       |       FROM customer WHERE c_custkey BETWEEN 1 AND 50),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)},
+       |${step(4)},
+       |walks AS (SELECT wid, path FROM t1
+       |  UNION ALL SELECT wid, path FROM t2
+       |  UNION ALL SELECT wid, path FROM t3
+       |  UNION ALL SELECT wid, path FROM t4
+       |  UNION ALL SELECT wid, path FROM w4)""".stripMargin
+  }
+
   /** Unrolled oracle for the GENERAL neighborRank (cyclic walks): mirrors
     * `SimilarityTraversals.neighborRank` step for step — path-instance
     * frontier, same/prev/on-path classification, the reference's degree
@@ -221,32 +249,26 @@ object GraphQueries2 {
 
     // deterministic hash-guided walks: the graph→training-corpus bridge;
     // next hop = argmin md5("wid:step:dst"), unrolled per step in the oracle
-    q("q_guided_walks", {
-      def step(n: Int): String =
-        s"""e$n AS (SELECT w.wid, w.path, a.dst, md5(w.wid || ':$n:' || a.dst) AS score
-           |  FROM w${n - 1} w LEFT JOIN adj a ON a.src = w.cur),
-           |t$n AS (SELECT wid, path FROM e$n WHERE dst IS NULL),
-           |w$n AS (SELECT wid, dst AS cur, path || '->' || dst AS path FROM
-           |  (SELECT *, row_number() OVER (PARTITION BY wid ORDER BY score, dst) AS rn
-           |   FROM e$n WHERE dst IS NOT NULL) z WHERE rn = 1)""".stripMargin
-      s"""WITH edges AS ($edgesSql),
-         |adj AS (SELECT DISTINCT src, dst FROM edges),
-         |w0 AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS wid,
-         |              'customer:' || CAST(c_custkey AS VARCHAR) AS cur,
-         |              'customer:' || CAST(c_custkey AS VARCHAR) AS path
-         |       FROM customer WHERE c_custkey BETWEEN 1 AND 50),
-         |${step(1)},
-         |${step(2)},
-         |${step(3)},
-         |${step(4)}
-         |SELECT wid AS walk_id, path FROM t1
-         |UNION ALL SELECT wid, path FROM t2
-         |UNION ALL SELECT wid, path FROM t3
-         |UNION ALL SELECT wid, path FROM t4
-         |UNION ALL SELECT wid, path FROM w4""".stripMargin
-    }) { (s, d) =>
+    q("q_guided_walks",
+      s"""WITH $guidedWalksCtes
+         |SELECT wid AS walk_id, path FROM walks""".stripMargin) { (s, d) =>
       PathTraversals.guidedWalks(g(s, d),
         (1 to 50).map(i => s"customer:$i"), steps = 4, Direction.OUT)
+    },
+
+    // word2vec-style skip-gram pairs over the guided-walk corpus
+    q("q_walk_skipgrams",
+      s"""WITH $guidedWalksCtes,
+         |toks AS (SELECT wid, generate_subscripts(string_split(path, '->'), 1) AS pos,
+         |                unnest(string_split(path, '->')) AS v FROM walks)
+         |SELECT a.v AS center, b.v AS context, CAST(count(*) AS BIGINT) AS n
+         |FROM toks a JOIN toks b
+         |  ON a.wid = b.wid AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      PathTraversals.walkSkipgrams(
+        PathTraversals.guidedWalks(g(s, d),
+          (1 to 50).map(i => s"customer:$i"), steps = 4, Direction.OUT),
+        window = 2)
     },
 
     q("q_rays",

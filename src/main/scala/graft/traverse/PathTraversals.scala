@@ -81,6 +81,23 @@ object PathTraversals {
       .select(col("wid").as("walk_id"), col("path"))
   }
 
+  /** Skip-gram pair extraction over a walk corpus (word2vec-style training
+    * prep, composes with [[guidedWalks]]): for every position pair within
+    * `window` hops of the same walk, emit (center, context) and count
+    * across the corpus. One explode + one position-band self-join keyed by
+    * walk_id — at scale the join is co-partitioned on the walk id and never
+    * touches pairs across walks. */
+  def walkSkipgrams(walks: DataFrame, window: Int): DataFrame = {
+    val toks = walks.select(col("walk_id"), posexplode(split(col("path"), "->")))
+      .select(col("walk_id"), col("pos"), col("col").as("v"))
+    toks.as("a").join(toks.as("b"),
+        col("a.walk_id") === col("b.walk_id") &&
+        col("a.pos") =!= col("b.pos") &&
+        abs(col("a.pos") - col("b.pos")) <= window)
+      .groupBy(col("a.v").as("center"), col("b.v").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Rays: root-to-leaf simple paths — expansion stops at vertices with no
     * outgoing step edges or at maxDepth (reference `SubGraphTraverser.rays:59`). */
   def rays(g: PropertyGraph, source: String, dir: Direction.Value,

@@ -77,6 +77,24 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(dirsPerCell.forall(_.size == 1), s"mixed cells: $dirsPerCell")
   }
 
+  test("int8 quantization: high cosine fidelity, exact zero-vector handling") {
+    val vf = graft.functions.VectorFunctions
+    val df = Seq(
+      (1L, Array(0.3f, -1.2f, 0.0f, 0.75f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("z", vf.quantizeInt8(col("embedding")))
+      .select(col("vec_id"), col("z.q"), col("z.scale"),
+        vf.cosineSim(col("embedding"), vf.dequantizeInt8(col("z.q"), col("z.scale"))).as("fid"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = df(1L)
+    assert(r1.getSeq[Int](1).max <= 127 && r1.getSeq[Int](1).min >= -127)
+    assert(math.abs(r1.getDouble(2) - 1.2) < 1e-7) // scale = max |x|
+    assert(r1.getDouble(3) > 0.999)                // fidelity after dequant
+    val r2 = df(2L)
+    assert(r2.getSeq[Int](1).forall(_ == 0) && r2.getDouble(2) === 0.0)
+  }
+
   test("mixed-type cosine kernels match the builtin composition") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5, -1.0, 2.0)))
       .toDF("f", "d")
