@@ -57,8 +57,20 @@ object PathTraversals {
     * corpus is exactly oracle-able. Dead-end walks emit their partial path.
     * Scale shape: one adjacency join + one per-walk argmin aggregation per
     * step; only the walk table (|sources| rows) ever shuffles. */
+  private val walksMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Seq[String], Int, Direction.Value, Seq[String]), DataFrame]()
+
   def guidedWalks(g: PropertyGraph, sources: Seq[String], steps: Int,
-                  dir: Direction.Value, labels: Seq[String] = Nil): DataFrame = {
+                  dir: Direction.Value, labels: Seq[String] = Nil): DataFrame =
+    // memoized per (graph, params): the walk corpus is a working set —
+    // downstream consumers (skip-gram pairs, walk stats) reuse one
+    // checkpoint-backed table
+    walksMemo.computeIfAbsent(
+      (System.identityHashCode(g.edges), sources, steps, dir, labels),
+      _ => guidedWalksCompute(g, sources, steps, dir, labels))
+
+  private def guidedWalksCompute(g: PropertyGraph, sources: Seq[String], steps: Int,
+                                 dir: Direction.Value, labels: Seq[String]): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val edges = Traversals.adjacencyView(g, dir, labels)
@@ -66,19 +78,26 @@ object PathTraversals {
       .select(col("wid"), col("wid").as("cur"), col("wid").as("path"))
     var acc = frontier.filter(lit(false)).select(col("wid"), col("path"))
     for (s <- 1 to steps) {
-      val ex = frontier
-        .join(edges.withColumnRenamed("src", "cur"), Seq("cur"), "left")
-        .localCheckpoint(true)
-      acc = acc.unionByName(ex.filter(col("dst").isNull).select(col("wid"), col("path")))
-      frontier = ex.filter(col("dst").isNotNull)
+      // INNER join keeps the tiny walk table broadcastable (a left-outer
+      // could only broadcast the edge side — a per-step sort-merge of the
+      // whole edge table); dead walks are recovered with an anti join
+      // against the (≤ |sources|-row) surviving-step keys
+      val hop = frontier
+        .join(edges.withColumnRenamed("src", "cur"), Seq("cur"))
         .withColumn("score", md5(concat_ws(":", col("wid"), lit(s), col("dst"))))
         .groupBy(col("wid"))
         .agg(min(struct(col("score"), col("dst"), col("path"))).as("m"))
         .select(col("wid"), col("m.dst").as("cur"),
           concat(col("m.path"), lit("->"), col("m.dst")).as("path"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(
+        frontier.join(broadcast(hop.select(col("wid"))), Seq("wid"), "left_anti")
+          .select(col("wid"), col("path")))
+      frontier = hop
     }
     acc.unionByName(frontier.select(col("wid"), col("path")))
       .select(col("wid").as("walk_id"), col("path"))
+      .localCheckpoint(true)
   }
 
   /** Skip-gram pair extraction over a walk corpus (word2vec-style training
