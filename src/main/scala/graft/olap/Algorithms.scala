@@ -220,10 +220,18 @@ object Algorithms {
   /** Multi-source BFS distances: (root, id, dist) for all reachable pairs —
     * the kernel behind closeness/betweenness sampling (reference
     * `BfsTraverser`). Roots ride along as a frontier tag column. */
-  def multiSourceBfs(verts: DataFrame, undirectedEdges: DataFrame, maxDepth: Int): DataFrame = {
-    val adj = graft.core.Pin.pin(undirectedEdges.select(col("src"), col("dst"))
-      .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
+  def multiSourceBfs(verts: DataFrame, undirectedEdges: DataFrame, maxDepth: Int): DataFrame =
+    multiSourceBfsAdj(verts,
+      graft.core.Pin.pin(undirectedEdges.select(col("src"), col("dst"))
+        .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()),
+      maxDepth)
+
+  /** [[multiSourceBfs]] over an adjacency that is ALREADY symmetric and
+    * distinct (e.g. `Traversals.adjacencyView(g, BOTH, …)`): skips the
+    * redundant union+distinct so callers can reuse the session-pinned view
+    * instead of materializing a second copy of the same edge set. */
+  def multiSourceBfsAdj(verts: DataFrame, adj: DataFrame, maxDepth: Int): DataFrame = {
     var seen = verts.select(col("id").as("root"), col("id"), lit(0L).as("dist"))
     var frontier = seen
     var d = 0L

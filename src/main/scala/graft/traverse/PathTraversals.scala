@@ -238,9 +238,17 @@ object PathTraversals {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val verts = nodes.toDF("id")
-    val edges = EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct()
-    val dists = graft.olap.Algorithms.multiSourceBfs(verts, edges, maxDepth)
+    // BOTH adjacency is already symmetric+distinct → reuse the session-pinned
+    // shared view (same materialization every BFS query plans against)
+    // instead of building a private union+distinct copy cold inside the query
+    val dists =
+      if (dir == Direction.BOTH)
+        graft.olap.Algorithms.multiSourceBfsAdj(verts,
+          Traversals.adjacencyView(g, dir, labels), maxDepth)
+      else
+        graft.olap.Algorithms.multiSourceBfs(verts,
+          EdgeStep(dir, labels).edgesFor(g)
+            .select(col("src"), col("dst")).distinct(), maxDepth)
     dists.join(verts.withColumnRenamed("id", "root2"), col("id") === col("root2"), "left_semi")
       .filter(col("root") < col("id"))
       .select(col("root").as("a"), col("id").as("b"), col("dist"))
