@@ -39,5 +39,12 @@ object Pin {
 
   private val debug = sys.env.get("GRAFT_PIN_DEBUG").contains("1")
 
-  def clear(): Unit = cache.clear()
+  /** Derived working-set memos (walk corpora, SSSP tables, …) register here
+    * so [[clear]] — the contract tests overwriting parquet in place must
+    * honor — also invalidates everything built ON TOP of pinned views. */
+  private val clearHooks = new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  def onClear(hook: () => Unit): Unit = clearHooks.add(hook)
+
+  def clear(): Unit = { cache.clear(); clearHooks.forEach(h => h()) }
 }

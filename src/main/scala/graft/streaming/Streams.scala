@@ -101,8 +101,12 @@ object Streams {
     * the trade every streaming dedup makes vs the batch hash-groupBy; a
     * re-arrival after the window re-enters, exactly like re-running the
     * batch dedup on a later partition of the corpus). Quality filtering is
-    * stateless and runs post-dedup, so state stores only survivors' hashes.
-    * Expects (doc_id, ts, text). */
+    * stateless and runs post-dedup: state holds the content hash of every
+    * FIRST arrival inside the watermark — including docs the quality gate
+    * later drops — so a late duplicate of a quality-rejected doc is still
+    * suppressed, which deliberately matches the batch twin (dedup keeps the
+    * min-id copy, THEN the gate filters). State size is bounded by the
+    * watermark, not by the survivor count. Expects (doc_id, ts, text). */
   def dedupedDocIngest(docs: DataFrame, dedupWindow: String = "1 hour",
                        minTokens: Int = 2, maxStopwordRatio: Double = 0.9): DataFrame = {
     val toks = graft.functions.TextFunctions.tokenize(col("text"))

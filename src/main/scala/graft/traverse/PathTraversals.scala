@@ -57,8 +57,13 @@ object PathTraversals {
     * corpus is exactly oracle-able. Dead-end walks emit their partial path.
     * Scale shape: one adjacency join + one per-walk argmin aggregation per
     * step; only the walk table (|sources| rows) ever shuffles. */
+  // Memo keys hold the graph's edges DataFrame BY REFERENCE (Dataset uses
+  // identity equals/hashCode): the entry keeps the DataFrame alive, so the
+  // identity can never be recycled onto a different graph after a GC — the
+  // failure mode a bare System.identityHashCode key would allow. Cleared via
+  // Pin.clear() (registered below) for tests that overwrite parquet in place.
   private val walksMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Seq[String], Int, Direction.Value, Seq[String]), DataFrame]()
+    (DataFrame, Seq[String], Int, Direction.Value, Seq[String]), DataFrame]()
 
   def guidedWalks(g: PropertyGraph, sources: Seq[String], steps: Int,
                   dir: Direction.Value, labels: Seq[String] = Nil): DataFrame =
@@ -66,7 +71,7 @@ object PathTraversals {
     // downstream consumers (skip-gram pairs, walk stats) reuse one
     // checkpoint-backed table
     walksMemo.computeIfAbsent(
-      (System.identityHashCode(g.edges), sources, steps, dir, labels),
+      (g.edges, sources, steps, dir, labels),
       _ => guidedWalksCompute(g, sources, steps, dir, labels))
 
   private def guidedWalksCompute(g: PropertyGraph, sources: Seq[String], steps: Int,
@@ -284,15 +289,18 @@ object PathTraversals {
     * Traverser:49`) whenever rounds ≥ weighted-path hop diameter. Weight =
     * `weightCol` (missing → 1.0), must be non-negative. */
   private val ssspMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Direction.Value, Seq[String], String, Int), DataFrame]()
+    (DataFrame, String, Direction.Value, Seq[String], String, Int), DataFrame]()
+
+  Pin.onClear(() => { walksMemo.clear(); ssspMemo.clear() })
 
   def weightedSssp(g: PropertyGraph, source: String, dir: Direction.Value,
                    labels: Seq[String], weightCol: String, rounds: Int): DataFrame =
     // memoized per (graph, params): weightedShortestPath s→t is SSSP
     // filtered at the target — the distance table is the shared working set
-    // (checkpoint-backed, so reuse costs nothing)
+    // (checkpoint-backed, so reuse costs nothing; keyed by edges reference,
+    // see walksMemo note)
     ssspMemo.computeIfAbsent(
-      (System.identityHashCode(g.edges), source, dir, labels, weightCol, rounds),
+      (g.edges, source, dir, labels, weightCol, rounds),
       _ => weightedSsspCompute(g, source, dir, labels, weightCol, rounds))
 
   private def weightedSsspCompute(g: PropertyGraph, source: String, dir: Direction.Value,

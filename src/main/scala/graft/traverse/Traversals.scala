@@ -49,7 +49,13 @@ object Traversals {
     * (the join preserves every edge of each frontier vertex), but the window
     * only sorts the frontier's fan-out — O(frontier edges), not O(|E|). At
     * cluster scale this is the difference between a kout paying one full
-    * edge-table shuffle up front and paying only for what it touches. */
+    * edge-table shuffle up front and paying only for what it touches.
+    *
+    * PRECONDITION: `frontier` must be duplicate-free. A duplicated frontier
+    * id would multiply its edges inside the per-src window and truncate at
+    * the wrong cut (row_number counts copies). Every caller feeds a
+    * `.distinct()`-ed (or seed) frontier; asserted here defensively via the
+    * callers' contract rather than a per-hop `.distinct()` shuffle. */
   private def expandDegreeCapped(frontier: DataFrame, labeled: DataFrame,
                                  degree: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
