@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan, FileSourceScanExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ShuffleExchangeLike, ReusedExchangeExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.util.QueryExecutionListener
+import scala.collection.mutable
+
+/** Automated physical-plan red-flag audit over EVERY registered query —
+  * the permanent regression net behind the 100×-scale claims (EXPLAINS.md
+  * hand-picks evidence; this walks all of them).
+  *
+  * Flags raised per query:
+  *  - `unpartitioned-window`: a WindowExec with an empty partitionSpec — a
+  *    global single-partition sort, the classic scale cliff;
+  *  - `cartesian`: a CartesianProductExec (a broadcast nested-loop against
+  *    a deliberately broadcast side does NOT flag — that's the intended ANN
+  *    shape);
+  *  - `loop-reshuffle:<table>`: the same source parquet table observed
+  *    under a shuffle exchange in ≥ `loopThreshold` separate executions of
+  *    one query — the signature of a big table being re-shuffled inside an
+  *    iterative loop body instead of being pinned/pre-partitioned once.
+  *
+  * Mid-query executions (per-iteration `localCheckpoint`/`count` actions)
+  * are captured via a [[QueryExecutionListener]], so loop bodies are
+  * audited, not just the final assembled plan. */
+object PlanAudit {
+
+  final case class QueryAudit(name: String, exchanges: Int, executions: Int,
+                              flags: Seq[String], plans: List[String] = Nil)
+
+  /** Walk an executed plan into its concrete operator list, unrolling AQE
+    * final plans, materialized query stages, reused exchanges and subqueries. */
+  def operators(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case other                    => other.children
+    }
+    p +: (kids ++ p.subqueries).flatMap(operators)
+  }
+
+  private def tableOf(scan: FileSourceScanExec): Option[String] =
+    scan.relation.location.rootPaths.headOption.map { p =>
+      val s = p.toString
+      val base = s.substring(s.lastIndexOf('/') + 1)
+      base.stripSuffix(".parquet")
+    }
+
+  /** Source tables that sit under a shuffle exchange in this plan. */
+  private def shuffledTables(plan: SparkPlan): Set[String] =
+    operators(plan).collect { case e: ShuffleExchangeLike => e }.flatMap { ex =>
+      operators(ex).collect {
+        case s: FileSourceScanExec => tableOf(s)
+      }.flatten
+    }.toSet
+
+  private def flagsOf(plan: SparkPlan): Seq[String] = {
+    val ops = operators(plan)
+    val win = ops.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => "unpartitioned-window"
+    }
+    val cart = ops.collect { case _: CartesianProductExec => "cartesian" }
+    (win ++ cart).distinct
+  }
+
+  /** Audit one query: build + run it while capturing every execution the
+    * construction triggers (iterative queries materialize per round). */
+  def audit(spark: SparkSession, sfDir: String, name: String,
+            loopThreshold: Int = 3, keepPlans: Boolean = false): QueryAudit = {
+    val captured = mutable.ArrayBuffer.empty[QueryExecution]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        captured.synchronized { captured += qe }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.count()
+      // the listener bus is asynchronous; give in-flight events a beat
+      Thread.sleep(200)
+      val execs = captured.synchronized(captured.toList)
+      val finalPlan = df.queryExecution.executedPlan
+      val allPlans = finalPlan :: execs.map(_.executedPlan)
+      val structural = allPlans.flatMap(p =>
+        try flagsOf(p) catch { case _: Throwable => Nil }).distinct
+      // loop-reshuffle: same parquet table under an Exchange in many
+      // executions of ONE query = re-shuffled per iteration. Captured
+      // executions only — the final plan is already among them as the
+      // count() action (counting it again would double-book every query's
+      // last execution and flag single-pass operators).
+      val loopPlans = if (execs.nonEmpty) execs.map(_.executedPlan) else List(finalPlan)
+      val perExec = loopPlans.map(p =>
+        try shuffledTables(p) catch { case _: Throwable => Set.empty[String] })
+      val reshuffled = perExec.flatten.groupBy(identity).collect {
+        case (t, occ) if occ.size >= loopThreshold => s"loop-reshuffle:$t"
+      }.toSeq.sorted
+      val nExchanges =
+        try operators(finalPlan).count(_.isInstanceOf[ShuffleExchangeLike])
+        catch { case _: Throwable => -1 }
+      QueryAudit(name, nExchanges, allPlans.size, structural ++ reshuffled,
+        if (keepPlans) allPlans.map(_.toString) else Nil)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  /** Known-intentional exceptions, each with the reason it is sound. */
+  val allowed: Map[String, Set[String]] = Map(
+    // bounded all-pairs exactness baseline for the LSH path (Dedup.scala),
+    // `maxId`-bounded by contract — documented as NOT a pipeline operator
+    "q_ngram_jaccard" -> Set("cartesian")
+  )
+
+  def auditAll(spark: SparkSession, sfDir: String,
+               names: Seq[String]): Seq[QueryAudit] =
+    names.map { n =>
+      val a = audit(spark, sfDir, n)
+      a.copy(flags = a.flags.filterNot(allowed.getOrElse(n, Set.empty)))
+    }
+}

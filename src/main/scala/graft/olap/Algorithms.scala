@@ -183,7 +183,9 @@ object Algorithms {
   /** Local clustering coefficient = 2T / (deg·(deg-1)) over the same
     * undirected graph (reference `comm/ClusterCoefficientAlgorithm.java:44`). */
   def clusterCoefficient(canonicalEdges: DataFrame): DataFrame = {
-    val deg = canonicalEdges.select(explode(array(col("src"), col("dst"))).as("id"))
+    // same pin triangleCount materializes — deg must not re-scan the source
+    val e = graft.core.Pin.pin(canonicalEdges)
+    val deg = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).cast("double").as("deg"))
     deg.join(triangleCount(canonicalEdges), Seq("id"), "left")
       .select(col("id"),
@@ -263,12 +265,15 @@ object Algorithms {
   def eigenvector(verts: DataFrame, canonicalEdges: DataFrame, iterations: Int): DataFrame = {
     val adj = graft.core.Pin.pin(canonicalEdges.select(col("src"), col("dst"))
       .union(canonicalEdges.select(col("dst").as("src"), col("src").as("dst"))))
-    var x = verts.select(col("id"), lit(1.0).as("x"))
+    // pinned co-partitioned on id: the per-round left join against the
+    // id-hashed sums must not re-scan/re-shuffle the vertex source per round
+    val v = graft.core.Pin.pin(verts.select(col("id")).repartition(col("id")))
+    var x = v.select(col("id"), lit(1.0).as("x"))
     for (_ <- 0 until iterations) {
       val s = x.select(col("id").as("src"), col("x"))
         .join(adj, Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("x")).as("s"))
-      val joined = verts.join(s, Seq("id"), "left")
+      val joined = v.join(s, Seq("id"), "left")
         .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
         .localCheckpoint(true)
       val norm = joined.agg(sum(col("s"))).head().getDouble(0)
@@ -285,7 +290,11 @@ object Algorithms {
   def lpa(verts: DataFrame, undirectedEdges: DataFrame, iterations: Int): DataFrame = {
     val adj = graft.core.Pin.pin(undirectedEdges.select(col("src"), col("dst"))
       .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = verts.select(col("id"), col("id").as("lbl"))
+    // pinned co-partitioned on the join key: every round left-joins the
+    // vertex set against an id-hashed aggregate — without the pin the source
+    // table re-scans AND re-shuffles per round (PlanAudit loop-reshuffle)
+    val v = graft.core.Pin.pin(verts.select(col("id")).repartition(col("id")))
+    var labels = v.select(col("id"), col("id").as("lbl"))
     for (_ <- 0 until iterations) {
       val freq = labels.select(col("id").as("src"), col("lbl"))
         .join(adj, Seq("src"))
@@ -296,7 +305,7 @@ object Algorithms {
         .select(col("id"), struct((col("n") * -1).as("neg"), col("lbl")).as("key"))
         .groupBy(col("id")).agg(min(col("key")).as("k"))
         .select(col("id"), col("k.lbl").as("nbr_lbl"))
-      labels = verts.join(pick, Seq("id"), "left")
+      labels = v.join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("nbr_lbl"), col("id")).as("lbl"))
         .localCheckpoint(true)
     }

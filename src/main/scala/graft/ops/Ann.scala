@@ -103,9 +103,19 @@ object Ann {
     * never shuffles; update = one aggregation keyed by (cid, dim), k·dims
     * groups. O(iters) passes over the data, O(iters) shuffles of k·dims
     * rows. */
+  /** Candidate working set for iterative ANN consumers, pinned
+    * co-partitioned on vec_id ONCE per session: the per-iteration/assignment
+    * windows on vec_id then find their clustering already satisfied —
+    * without this the full candidate set re-scans parquet AND re-shuffles
+    * on every pass (PlanAudit loop-reshuffle). Pin dedups by plan, so the
+    * trainer and the probe share one materialization. */
+  private def pinnedCands(candidates: DataFrame): DataFrame =
+    graft.core.Pin.pin(
+      candidates.select(col("vec_id"), col("embedding")).repartition(col("vec_id")))
+
   def kmeansCentroids(candidates: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
     registerKernels(candidates)
-    val cands = candidates.select(col("vec_id"), col("embedding"))
+    val cands = pinnedCands(candidates)
     var cents = cands.orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").as("cid"),
         transform(col("embedding"), _.cast("double")).as("ce"))
@@ -130,8 +140,9 @@ object Ann {
   def ivfKmeansTopK(queries: DataFrame, candidates: DataFrame,
                     k: Int, nCentroids: Int, nProbe: Int, iters: Int): DataFrame = {
     registerKernels(queries)
-    val cands = candidates.select(col("vec_id"), col("embedding"))
-    ivfProbe(queries, cands, kmeansCentroids(cands, nCentroids, iters), k, nProbe)
+    // probe over the SAME pinned co-partitioned set the trainer iterated on
+    ivfProbe(queries, pinnedCands(candidates),
+      kmeansCentroids(candidates, nCentroids, iters), k, nProbe)
   }
 
   /** LSH-bucketed variant: neighbors are only searched within the query's
