@@ -70,7 +70,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val mode = if (sys.env.get("SPARK_GRAFT_BUCKETED").contains("1"))
+      ""","mode":"bucketed"""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$mode}""")
     spark.stop()
   }
 }

@@ -26,7 +26,33 @@ object Explain {
   /** Measured numbers that a plan dump alone can't show; refreshed by hand
     * when the underlying experiment is re-run. */
   val epilogue: String =
-    """## Bucketed edge store — measured end-to-end (runMain graft.BenchBucketed)
+    """## 10× scale-cliff smoke (runMain graft.ScaleSmoke 10)
+      |
+      |Direct evidence for the "survives a scale-up" claim beyond plan
+      |reading: the sf0.1 graph replicated into 10 disjoint id-suffixed
+      |copies (6.6M edges, written to parquet), the six heaviest operators
+      |run on 1× and 10× in one session with the same warmup pins the bench
+      |uses. Disjoint copies keep diameter/round counts constant, so
+      |full-graph OLAP jobs should grow ≲ linearly and source-local
+      |traversals (whose frontier stays inside one copy) sub-linearly —
+      |super-linear growth or an OOM would be the cliff. Measured
+      |(local[32], warm pins, single run each):
+      |
+      |    operator               1x       10x      ratio
+      |    pagerank               6.28 s   11.23 s  1.8x
+      |    wcc                    3.16 s    9.71 s  3.1x
+      |    louvain               14.61 s   32.74 s  2.2x
+      |    neighbor_rank_general  5.73 s   15.57 s  2.7x
+      |    rays                   4.47 s    9.09 s  2.0x
+      |    multinode_shortest     2.20 s    3.44 s  1.6x
+      |
+      |All ≤ 3.1× on 10× data — no cliff, no OOM, no driver stall. The
+      |one-time load/pin phase grew 8.4 s → 119 s (the working-set
+      |materialization is the deliberately-paid deployment load step; at
+      |cluster scale it is persist()/bucketed tables, amortized across the
+      |whole query workload).
+      |
+      |## Bucketed edge store — measured end-to-end (runMain graft.BenchBucketed)
       |
       |The 100 TB workload cannot pin its edge table in memory, so every BFS
       |hop re-reads the store. `bucketBy(src)` makes the edge side of each

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.olap.{Algorithms, Louvain}
+import graft.traverse.{PathTraversals, SimilarityTraversals, Traversals}
+
+/** Scale-cliff smoke (dev-only, not part of the driver contract): build an
+  * N×-replicated disjoint-copy graph from sf0.1 (ids suffixed `#i` — the
+  * testdata itself is read-only) and time the heaviest operators on 1× vs
+  * N×. Disjoint copies keep diameter and round counts constant, so OLAP
+  * full-graph jobs should grow ≲ linearly in wall-clock, and source-local
+  * traversers (rays, neighborRank, multiNodeShortest — whose frontier stays
+  * inside one copy) should grow SUB-linearly: their cost is driven by
+  * touched data, with only the per-hop probe of a 10× bigger edge table
+  * growing. A super-linear move or an OOM here is the scale cliff the plan
+  * audit can't see. Results are hand-copied into EXPLAINS.md's epilogue.
+  *
+  * Usage: runMain graft.ScaleSmoke [copies=10] */
+object ScaleSmoke {
+
+  private def relabel(df: DataFrame, cols: Seq[String], i: Int): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, concat(col(c), lit("#" + i))))
+
+  private def replicate(df: DataFrame, cols: Seq[String], n: Int): DataFrame =
+    (0 until n).map(relabel(df, cols, _)).reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val g1 = TpchGraph.cached(spark, sfDir)
+
+    // materialize the N× graph to parquet so its scans cost what the bench's
+    // scans cost (not an in-memory lineage of the 1× plan)
+    val dir = s"/tmp/graft_scale$copies"
+    replicate(g1.vertices, Seq("id"), copies)
+      .write.mode("overwrite").parquet(s"$dir/vertices")
+    replicate(g1.edges, Seq("src", "dst"), copies)
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    val gN = PropertyGraph(
+      spark.read.parquet(s"$dir/vertices"),
+      spark.read.parquet(s"$dir/edges"), TpchGraph.schema)
+
+    // louvain runs on its own co-purchase projection, not on g.edges
+    def louvainInput(d: String): (DataFrame, DataFrame) = {
+      val li = Tables.lineitem(spark, d).filter(col("l_partkey") < 100)
+        .select(col("l_partkey"),
+          concat(lit("supplier:"), col("l_suppkey").cast("string")).as("sup"))
+      val edges = Algorithms.canonical(
+        li.withColumnRenamed("sup", "sa")
+          .join(li.withColumnRenamed("sup", "sb"), Seq("l_partkey"))
+          .filter(col("sa") =!= col("sb"))
+          .select(col("sa").as("src"), col("sb").as("dst")))
+      val verts = Tables.supplier(spark, d)
+        .select(concat(lit("supplier:"), col("s_suppkey").cast("string")).as("id"))
+      (verts, edges)
+    }
+    val (lv1, le1) = louvainInput(sfDir)
+    val (lvN, leN) = (replicate(lv1, Seq("id"), copies),
+      replicate(le1, Seq("src", "dst"), copies))
+
+    def wccInput(g: PropertyGraph): (DataFrame, DataFrame) = (
+      g.vertices.filter(col("label").isin("region", "nation", "customer", "supplier"))
+        .select(col("id")),
+      g.outEdges.filter(col("label").isin("in_nation", "in_region"))
+        .select(col("src"), col("dst")))
+
+    def time(label: String)(thunk: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = thunk
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-28s ${sec}%7.2fs  rows=$n")
+      sec
+    }
+
+    // per-graph "load phase" (same views Bench.warmup pins), timed separately
+    def warm(g: PropertyGraph, tag: String): Unit = {
+      val _ = time(s"load/pin adjacency $tag") {
+        g.vertices.count(); g.edges.count()
+        for (dir <- Seq(Direction.OUT, Direction.BOTH)) {
+          Traversals.adjacencyView(g, dir)
+          // multiplicity-preserving view (walk-counting traversals,
+          // neighborRank) — Bench.warmup pins these too
+          graft.core.Pin.pin(EdgeStep(dir).edgesFor(g)
+            .select(col("src"), col("dst")))
+        }
+        Algorithms.pageRankViews(g)
+        0L
+      }
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    def run(name: String, f: PropertyGraph => DataFrame,
+            inputs: Seq[(String, PropertyGraph)]): Unit = {
+      val ts = inputs.map { case (tag, g) => time(s"$name $tag")(f(g).count()) }
+      results(name) = (ts.head, ts.last)
+    }
+
+    val suf = "#0"
+    warm(g1, "1x"); warm(gN, s"${copies}x")
+    run("pagerank", g => Algorithms.pageRank(g, alpha = 0.85, iterations = 3),
+      Seq("1x" -> g1, s"${copies}x" -> gN))
+    results("wcc") = (
+      time("wcc 1x") { val (v, e) = wccInput(g1); Algorithms.wcc(v, e).count() },
+      time(s"wcc ${copies}x") { val (v, e) = wccInput(gN); Algorithms.wcc(v, e).count() })
+    results("louvain") = (
+      time("louvain 1x")(Louvain.louvain(lv1, le1, localRounds = 4, passes = 2).count()),
+      time(s"louvain ${copies}x")(Louvain.louvain(lvN, leN, localRounds = 4, passes = 2).count()))
+    results("neighbor_rank_general") = (
+      time("nrg 1x")(SimilarityTraversals.neighborRank(g1, "customer:1", alpha = 0.85,
+        steps = Seq.fill(3)(SimilarityTraversals.RankStep(EdgeStep(Direction.BOTH)))).count()),
+      time(s"nrg ${copies}x")(SimilarityTraversals.neighborRank(gN, "customer:1" + suf, alpha = 0.85,
+        steps = Seq.fill(3)(SimilarityTraversals.RankStep(EdgeStep(Direction.BOTH)))).count()))
+    results("rays") = (
+      time("rays 1x")(PathTraversals.rays(g1, "customer:1", Direction.OUT, Nil, maxDepth = 5).count()),
+      time(s"rays ${copies}x")(PathTraversals.rays(gN, "customer:1" + suf, Direction.OUT, Nil, maxDepth = 5).count()))
+    results("multinode_shortest") = (
+      time("mns 1x")(PathTraversals.multiNodeShortestDist(g1,
+        Seq("customer:1", "customer:2", "customer:3"), Direction.BOTH,
+        Seq("in_nation", "in_region"), maxDepth = 4).count()),
+      time(s"mns ${copies}x")(PathTraversals.multiNodeShortestDist(gN,
+        Seq("customer:1" + suf, "customer:2" + suf, "customer:3" + suf), Direction.BOTH,
+        Seq("in_nation", "in_region"), maxDepth = 4).count()))
+
+    println(f"%n[scale] | operator | 1x | ${copies}x | ratio |")
+    println(s"[scale] |---|---|---|---|")
+    results.foreach { case (k, (a, b)) =>
+      println(f"[scale] | $k | $a%.2f s | $b%.2f s | ${b / a}%.1fx |")
+    }
+    spark.stop()
+  }
+}

@@ -89,7 +89,22 @@ final case class EdgeLabelDef(
       * by sortKeys (reference `.../type/define/Frequency.java:20-28`). */
     multiple: Boolean = false,
     sortKeys: Seq[String] = Nil,
-    ttlMillis: Long = 0L)
+    ttlMillis: Long = 0L,
+    /** Father/sub edge-label hierarchy (reference `EdgeLabel.java:44-55`
+      * `fatherId`/`edgeLabelType`): a SUB label (`father = Some(...)`) is
+      * stored under its father's `label` value with a `sub_label`
+      * discriminator column; a PARENT label (`isParent = true`) matches
+      * every sub stored beneath it. Query routing mirrors
+      * `GraphTransaction.optimizeQuery:1607-1656`: by sub-label →
+      * `label = father AND sub_label = sub`; by father → `label = father`. */
+    father: Option[String] = None,
+    isParent: Boolean = false) {
+  /** reference `EdgeLabelType.java`: NORMAL / PARENT / SUB. */
+  def edgeLabelType: String =
+    if (isParent) "PARENT" else if (father.isDefined) "SUB" else "NORMAL"
+  /** The `label` column value edges of this label are stored under. */
+  def storedLabel: String = father.getOrElse(name)
+}
 
 final case class IndexLabelDef(
     name: String,
@@ -120,8 +135,33 @@ final case class GraphSchema(
     edgeLabels.filter(_.sourceLabel == vlabel)
   def inEdgeLabels(vlabel: String): Seq[EdgeLabelDef] =
     edgeLabels.filter(_.targetLabel == vlabel)
+  /** A PARENT label links wherever any of its subs links (the reference's
+    * father label carries the union of its subs' link pairs). */
   def canLink(edgeLabel: String, srcVertexLabel: String): Boolean =
-    edgeLabels.exists(e => e.name == edgeLabel && e.sourceLabel == srcVertexLabel)
+    edgeLabels.exists(e =>
+      (e.name == edgeLabel ||
+        (e.father.contains(edgeLabel) &&
+          edgeLabels.exists(p => p.name == edgeLabel && p.isParent))) &&
+      e.sourceLabel == srcVertexLabel)
+
+  /** Sub-labels declared under a father. */
+  def subLabels(father: String): Seq[EdgeLabelDef] =
+    edgeLabels.filter(_.father.contains(father))
+
+  /** Compile an edge-label restriction into the routed storage predicate
+    * (reference `GraphTransaction.optimizeQuery:1607-1656`): SUB labels
+    * filter `label = father AND sub_label = name`; everything else filters
+    * `label = name` (a PARENT's stored label matches all its subs).
+    * `hasSubCol = false` (no `sub_label` column in the edge frame) falls
+    * back to plain label equality — the store-feature-off path. */
+  def edgeLabelCond(requested: Seq[String], hasSubCol: Boolean): Column =
+    requested.map { l =>
+      edgeLabels.find(_.name == l) match {
+        case Some(el) if el.father.isDefined && hasSubCol =>
+          (F.col("label") === el.storedLabel) && (F.col("sub_label") === l)
+        case _ => F.col("label") === l
+      }
+    }.reduce(_ || _)
 
   /** Static StructType for the unioned vertices table of this schema. */
   def vertexStruct: StructType = {
@@ -137,6 +177,9 @@ final case class GraphSchema(
       StructField("src", StringType, nullable = false) +:
       StructField("dst", StringType, nullable = false) +:
       StructField("label", StringType, nullable = false) +:
+      // null for NORMAL-label edges; the sub-label name for edges stored
+      // under a father label (EdgeLabelDef.father)
+      StructField("sub_label", StringType, nullable = true) +:
       StructField("sort_values", StringType, nullable = true) +: props)
   }
 
@@ -146,9 +189,61 @@ final case class GraphSchema(
       s"""{"name":"${p.name}","dataType":"${p.dataType}","cardinality":"${p.cardinality}","aggregateType":"${p.aggregateType}"}""")
     val vls = vertexLabels.map(v =>
       s"""{"name":"${v.name}","properties":${arr(v.properties)},"idStrategy":"${v.idStrategy}","primaryKeys":${arr(v.primaryKeys)}}""")
-    val els = edgeLabels.map(e =>
-      s"""{"name":"${e.name}","sourceLabel":"${e.sourceLabel}","targetLabel":"${e.targetLabel}","properties":${arr(e.properties)},"multiple":${e.multiple},"sortKeys":${arr(e.sortKeys)}}""")
-    s"""{"propertyKeys":[${pks.mkString(",")}],"vertexLabels":[${vls.mkString(",")}],"edgeLabels":[${els.mkString(",")}]}"""
+    val els = edgeLabels.map { e =>
+      val father = e.father.map(f => s""","fatherId":"$f"""").getOrElse("")
+      s"""{"name":"${e.name}","sourceLabel":"${e.sourceLabel}","targetLabel":"${e.targetLabel}","properties":${arr(e.properties)},"multiple":${e.multiple},"sortKeys":${arr(e.sortKeys)},"edgeLabelType":"${e.edgeLabelType}"$father}"""
+    }
+    val ils = indexLabels.map(i =>
+      s"""{"name":"${i.name}","baseLabel":"${i.baseLabel}","onVertex":${i.onVertex},"indexType":"${i.indexType}","fields":${arr(i.fields)}}""")
+    s"""{"propertyKeys":[${pks.mkString(",")}],"vertexLabels":[${vls.mkString(",")}],"edgeLabels":[${els.mkString(",")}],"indexLabels":[${ils.mkString(",")}]}"""
+  }
+}
+
+object GraphSchema {
+  /** Parse [[GraphSchema.toJson]] output back into the catalog — the wire
+    * round-trip the reference's schema API serializes over REST. Uses the
+    * json4s AST Spark already ships; unknown fields are ignored, absent
+    * optional fields take the case-class defaults. */
+  def fromJson(json: String): GraphSchema = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    def str(v: JValue): String = v match { case JString(s) => s; case x => x.values.toString }
+    def strs(v: JValue): Seq[String] = v match {
+      case JArray(xs) => xs.map(str); case _ => Nil
+    }
+    def objs(v: JValue): Seq[JObject] = v match {
+      case JArray(xs) => xs.collect { case o: JObject => o }; case _ => Nil
+    }
+    def field(o: JObject, n: String): JValue =
+      o.obj.find(_._1 == n).map(_._2).getOrElse(JNothing)
+    def opt(o: JObject, n: String): Option[String] =
+      o.obj.find(_._1 == n).collect { case (_, JString(s)) => s }
+    def bool(o: JObject, n: String, dflt: Boolean = false): Boolean =
+      field(o, n) match { case JBool(b) => b; case _ => dflt }
+    val pks = objs(j \ "propertyKeys").map { o =>
+      PropertyKeyDef(str(field(o, "name")),
+        GraphDataType.withName(str(field(o, "dataType"))),
+        Cardinality.withName(str(field(o, "cardinality"))),
+        AggregateType.withName(str(field(o, "aggregateType"))))
+    }
+    val vls = objs(j \ "vertexLabels").map { o =>
+      VertexLabelDef(str(field(o, "name")), strs(field(o, "properties")),
+        IdStrategy.withName(str(field(o, "idStrategy"))),
+        strs(field(o, "primaryKeys")))
+    }
+    val els = objs(j \ "edgeLabels").map { o =>
+      EdgeLabelDef(str(field(o, "name")), str(field(o, "sourceLabel")),
+        str(field(o, "targetLabel")), strs(field(o, "properties")),
+        bool(o, "multiple"), strs(field(o, "sortKeys")),
+        father = opt(o, "fatherId"),
+        isParent = opt(o, "edgeLabelType").contains("PARENT"))
+    }
+    val ils = objs(j \ "indexLabels").map { o =>
+      IndexLabelDef(str(field(o, "name")), str(field(o, "baseLabel")),
+        bool(o, "onVertex"), IndexType.withName(str(field(o, "indexType"))),
+        strs(field(o, "fields")))
+    }
+    GraphSchema(pks, vls, els, ils)
   }
 }
 

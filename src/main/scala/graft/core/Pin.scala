@@ -20,7 +20,17 @@ object Pin {
   private val cache =
     new ConcurrentHashMap[(Int, Int), ListBuffer[(LogicalPlan, DataFrame)]]()
 
+  /** Store-resident mode (SPARK_GRAFT_BUCKETED=1 / SPARK_GRAFT_NOPIN=1):
+    * pin() becomes a pass-through so every query plans against the store
+    * instead of a session checkpoint — the configuration where the working
+    * set does NOT fit in memory (the 100 TB shape BenchBucketed isolates).
+    * Loop-internal localCheckpoints (lineage cuts) are unaffected. */
+  private lazy val disabled =
+    sys.env.get("SPARK_GRAFT_NOPIN").contains("1") ||
+      sys.env.get("SPARK_GRAFT_BUCKETED").contains("1")
+
   def pin(df: DataFrame): DataFrame = {
+    if (disabled) return df
     val plan = df.queryExecution.analyzed
     val key = (System.identityHashCode(df.sparkSession), plan.semanticHash())
     val bucket = cache.computeIfAbsent(key, _ => ListBuffer.empty)

@@ -35,7 +35,13 @@ final case class PropertyGraph(
       case Direction.IN   => inEdges
       case Direction.BOTH => bothEdges
     }
-    if (labels.isEmpty) base else base.filter(col("label").isin(labels: _*))
+    // schema-routed label restriction: a SUB edge label is stored under its
+    // father's `label` with a `sub_label` discriminator, so the filter
+    // rewrites to (label = father AND sub_label = sub) — reference
+    // `GraphTransaction.optimizeQuery:1607-1656`. Plain labels (and frames
+    // without the sub_label column) keep simple label equality.
+    if (labels.isEmpty) base
+    else base.filter(schema.edgeLabelCond(labels, base.columns.contains("sub_label")))
   }
 
   /** Per-vertex degree (reference `cent/DegreeCentralityAlgorithm.java:48`). */
@@ -206,11 +212,27 @@ object TpchGraph {
   /** Memoized, materialized projection — the deployment shape: the graph
     * tables are loaded/cached once per session and every query plans against
     * the pinned view instead of re-reading the 6-table union. On a cluster
-    * this is the `persist(MEMORY_AND_DISK)` (or bucketed-table) load step. */
+    * this is the `persist(MEMORY_AND_DISK)` (or bucketed-table) load step.
+    *
+    * SPARK_GRAFT_BUCKETED=1 switches to the store-resident configuration:
+    * edges come from a `bucketBy(src)` catalog table (built once per
+    * session — the load phase) and Pin is pass-through, so every frontier
+    * join re-reads the store but finds the edge side already partitioned on
+    * the join key. This is the layout a 100 TB deployment runs, where the
+    * edge table cannot be a session checkpoint. */
   def cached(spark: SparkSession, dir: String): PropertyGraph =
     cache.computeIfAbsent((System.identityHashCode(spark), dir), _ => {
       val g = build(spark, dir)
-      PropertyGraph(
+      if (sys.env.get("SPARK_GRAFT_BUCKETED").contains("1")) {
+        val tbl = "graft_edges_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(s"spark-warehouse/$tbl"), true)
+        graft.sources.GraphStore.saveBucketedEdges(g.edges, tbl, buckets)
+        PropertyGraph(g.vertices.localCheckpoint(eager = true),
+          spark.table(tbl), g.schema)
+      } else PropertyGraph(
         g.vertices.localCheckpoint(eager = true),
         g.edges.localCheckpoint(eager = true),
         g.schema)

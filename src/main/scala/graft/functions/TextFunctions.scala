@@ -79,8 +79,21 @@ object TextFunctions {
       when(r.rlike("^\\p{IsHan}+$"), fmm(r)).otherwise(array(r))))
   }
 
+  /** Named wordlists for the dictionary analyzer — the reference's
+    * per-analyzer dictionary slot (`AnalyzerFactory.java:34-53` constructs
+    * each segmenter with its own lexicon; `Analyzer.segment:22-24`).
+    * Deployments load real lexicons here; "default" is the demo list. */
+  private val dictRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  dictRegistry.put("default", cjkDict)
+
+  def registerDict(name: String, words: Seq[String]): Unit =
+    dictRegistry.put(name, words)
+
   /** Analyzer registry (reference `AnalyzerFactory.analyzer(name, mode)`):
-    * tokenizers are named, pluggable Column transforms. */
+    * tokenizers are named, pluggable Column transforms. The dictionary
+    * analyzer is parameterized by wordlist: `"cjk-dict"` uses the default
+    * list, `"cjk-dict:<dictName>"` any list installed via [[registerDict]]. */
   val analyzers: Map[String, Column => Column] = Map(
     "english" -> tokenize,
     "cjk-unigram" -> tokenizeCjkUnigram,
@@ -88,7 +101,12 @@ object TextFunctions {
     "cjk-dict" -> (c => tokenizeCjkDict(c)))
 
   def analyzer(name: String): Column => Column =
-    analyzers.getOrElse(name, sys.error(s"not exists analyzer: $name"))
+    if (name.startsWith("cjk-dict:")) {
+      val dictName = name.stripPrefix("cjk-dict:")
+      val dict = Option(dictRegistry.get(dictName))
+        .getOrElse(sys.error(s"not exists dictionary: $dictName"))
+      c => tokenizeCjkDict(c, dict)
+    } else analyzers.getOrElse(name, sys.error(s"not exists analyzer: $name"))
 
   /** Tokenized word containment (reference `Text.contains`,
     * `.../traversal/optimize/Text.java:23-32`). */

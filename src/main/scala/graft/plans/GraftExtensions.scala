@@ -50,16 +50,26 @@ object GraftExtensions {
 object SchemaLinkPruning extends Rule[LogicalPlan] {
 
   private def impossibleLabel(cond: Expression, schema: GraphSchema): Boolean = {
+    def refName(a: Expression): Option[String] = {
+      val rs = a.references.map(_.name).toSeq
+      if (rs.size == 1) rs.headOption else None
+    }
+    // `label = x` with x undeclared, or `sub_label = x` with x not a
+    // declared SUB edge label (father/sub hierarchy): the scan can't match
+    def impossibleEq(column: String, value: String): Boolean = column match {
+      case "label" =>
+        !schema.edgeLabels.exists(_.name == value) &&
+          !schema.vertexLabels.exists(_.name == value)
+      case "sub_label" =>
+        !schema.edgeLabels.exists(e => e.name == value && e.father.isDefined)
+      case _ => false
+    }
     def check(e: Expression): Boolean = e match {
       case And(l, r) => check(l) || check(r)
-      case EqualTo(a, Literal(v: UTF8String, _)) if a.references.map(_.name).toSeq == Seq("label") =>
-        val label = v.toString
-        !schema.edgeLabels.exists(_.name == label) &&
-          !schema.vertexLabels.exists(_.name == label)
-      case EqualTo(Literal(v: UTF8String, _), a) if a.references.map(_.name).toSeq == Seq("label") =>
-        val label = v.toString
-        !schema.edgeLabels.exists(_.name == label) &&
-          !schema.vertexLabels.exists(_.name == label)
+      case EqualTo(a, Literal(v: UTF8String, _)) =>
+        refName(a).exists(impossibleEq(_, v.toString))
+      case EqualTo(Literal(v: UTF8String, _), a) =>
+        refName(a).exists(impossibleEq(_, v.toString))
       case _ => false
     }
     check(cond)

@@ -495,5 +495,43 @@ object GraphQueries2 {
       Mutations.vacuumExpired(withTtl,
         java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime)
         .select(col("event_id"))
+    },
+
+    q("q_sublabel_route",
+      // father/sub edge-label hierarchy (reference EdgeLabel.java:44-55,
+      // GraphTransaction.optimizeQuery:1607-1656): per-customer counts via
+      // a SUB label (routed to label=father AND sub_label=sub) and via the
+      // father label (matches every sub)
+      """SELECT id, CAST(coalesce(u, 0) AS BIGINT) AS n_urgent, CAST(a AS BIGINT) AS n_all
+        |FROM (
+        |  SELECT 'customer:' || CAST(o_custkey AS VARCHAR) AS id,
+        |         count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS u,
+        |         count(*) AS a
+        |  FROM orders GROUP BY 1) z
+        |ORDER BY n_all DESC, id ASC LIMIT 20""".stripMargin) { (s, d) =>
+      val edges = Tables.orders(s, d).select(
+        concat(lit("customer:"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("order:"), col("o_orderkey").cast("string")).as("dst"),
+        lit("placed").as("label"),
+        when(col("o_orderpriority") === "1-URGENT", "placed_urgent")
+          .otherwise("placed_other").as("sub_label"),
+        lit(null).cast("string").as("sort_values"))
+      val verts = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", lit("customer"))
+      val sch = GraphSchema(
+        propertyKeys = Nil,
+        vertexLabels = Seq(VertexLabelDef("customer", Nil), VertexLabelDef("order", Nil)),
+        edgeLabels = Seq(
+          EdgeLabelDef("placed", "customer", "order", isParent = true),
+          EdgeLabelDef("placed_urgent", "customer", "order", father = Some("placed")),
+          EdgeLabelDef("placed_other", "customer", "order", father = Some("placed"))))
+      val pg = PropertyGraph(verts, edges, sch)
+      val urgent = EdgeStep(Direction.OUT, Seq("placed_urgent")).edgesFor(pg)
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("u"))
+      val all = EdgeStep(Direction.OUT, Seq("placed")).edgesFor(pg)
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("a"))
+      all.join(urgent, Seq("id"), "left")
+        .select(col("id"), coalesce(col("u"), lit(0L)).as("n_urgent"), col("a").as("n_all"))
+        .orderBy(col("n_all").desc, col("id").asc).limit(20)
     })
 }

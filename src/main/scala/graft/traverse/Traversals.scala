@@ -265,14 +265,18 @@ object Traversals {
       if (!stats.isNullAt(1)) foundAt = d
     }
     if (foundAt < 0) return Seq.empty[String].toDF("path")
-    // backward walk: `foundAt` single-row lookups against checkpointed layers
-    var cur = target
-    var path = List(target)
-    layers.foreach { l =>
-      cur = l.filter(col("id") === cur).head().getAs[String]("parent")
-      path = cur :: path
-    }
-    Seq(path.mkString("->")).toDF("path")
+    // backward walk as ONE lazy chain of single-row broadcast joins against
+    // the checkpointed layers (head = deepest): each id stores exactly one
+    // min-parent, so every join step keeps exactly one row. No per-layer
+    // driver action — the whole reconstruction is a single job at the
+    // consumer's action (foundAt ≤ maxDepth joins over 1-row frames).
+    val walk0 = layers.head.filter(col("id") === target)
+      .select(col("parent").as("cur"),
+        concat_ws("->", col("parent"), col("id")).as("p"))
+    val walk = layers.tail.foldLeft(walk0)((w, l) =>
+      broadcast(w).join(l.withColumnRenamed("id", "cur"), Seq("cur"))
+        .select(col("parent").as("cur"), concat_ws("->", col("parent"), col("p")).as("p")))
+    walk.select(col("p").as("path"))
   }
 
   /** |N(a)∩N(b)| / |N(a)∪N(b)| (reference `JaccardSimilarTraverser:48`).

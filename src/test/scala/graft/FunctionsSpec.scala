@@ -59,6 +59,22 @@ class FunctionsSpec extends SparkSpec {
     intercept[Exception](TextFunctions.analyzer("nope"))
   }
 
+  test("dictionary analyzer: per-registry-entry wordlists disagree on the same string") {
+    // lexA knows the compound 数据库; lexB only knows 数据 — same input,
+    // different segmentations under "cjk-dict:<name>" dispatch
+    TextFunctions.registerDict("lexA", Seq("数据库", "数据"))
+    TextFunctions.registerDict("lexB", Seq("数据"))
+    val df = Seq("数据库").toDF("t")
+    val a = df.select(TextFunctions.analyzer("cjk-dict:lexA")(col("t")))
+      .head().getSeq[String](0)
+    val b = df.select(TextFunctions.analyzer("cjk-dict:lexB")(col("t")))
+      .head().getSeq[String](0)
+    assert(a === Seq("数据库"))
+    assert(b === Seq("数据", "库"))
+    // unknown dictionary name is an error, like an unknown analyzer
+    intercept[Exception](TextFunctions.analyzer("cjk-dict:missing"))
+  }
+
   test("shingles produces distinct 3-grams, short-doc fallback") {
     val got = Seq("a b c d", "x y").toDF("t")
       .select(TextFunctions.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))

@@ -95,6 +95,56 @@ class MutationsSpec extends SparkSpec {
     assert(json.contains("\"aggregateType\":\"MAX\""))
     assert(json.contains("\"cardinality\":\"SET\""))
     assert(ModernGraph.schema.toJson.contains("\"sortKeys\":[\"date\"]"))
+    // full parse-back equality (fromJson is the REST-wire inverse)
+    assert(GraphSchema.fromJson(json) === schema)
+    assert(GraphSchema.fromJson(ModernGraph.schema.toJson) === ModernGraph.schema)
+  }
+
+  val subSchema = GraphSchema(
+    propertyKeys = Nil,
+    vertexLabels = Seq(VertexLabelDef("person", Nil), VertexLabelDef("acct", Nil)),
+    edgeLabels = Seq(
+      EdgeLabelDef("transfer", "person", "acct", isParent = true),
+      EdgeLabelDef("wire", "person", "acct", father = Some("transfer")),
+      EdgeLabelDef("card", "person", "acct", father = Some("transfer")),
+      EdgeLabelDef("owns", "person", "acct")))
+
+  test("father/sub edge labels: JSON round-trip carries fatherId + type") {
+    val json = subSchema.toJson
+    assert(json.contains("\"edgeLabelType\":\"PARENT\""))
+    assert(json.contains("\"fatherId\":\"transfer\""))
+    val back = GraphSchema.fromJson(json)
+    assert(back === subSchema)
+    assert(back.edgeLabel("wire").father === Some("transfer"))
+    assert(back.edgeLabel("wire").edgeLabelType === "SUB")
+    assert(back.edgeLabel("transfer").isParent)
+    assert(back.subLabels("transfer").map(_.name) === Seq("wire", "card"))
+    assert(back.edgeLabel("wire").storedLabel === "transfer")
+    assert(back.edgeLabel("owns").storedLabel === "owns")
+  }
+
+  test("father/sub routing: sub label filters (label=father, sub_label=sub); father matches all subs") {
+    // edges stored under the FATHER label with sub_label discriminator
+    val edges = Seq(
+      ("p1", "a1", "transfer", "wire", null.asInstanceOf[String]),
+      ("p1", "a2", "transfer", "card", null.asInstanceOf[String]),
+      ("p2", "a1", "transfer", "wire", null.asInstanceOf[String]),
+      ("p2", "a3", "owns", null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("src", "dst", "label", "sub_label", "sort_values")
+    val verts = Seq(("p1", "person"), ("p2", "person")).toDF("id", "label")
+    val g = PropertyGraph(verts, edges, subSchema)
+    def pairs(labels: String*) =
+      g.adjacency(Direction.OUT, labels).select("src", "dst")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs("wire") === Set(("p1", "a1"), ("p2", "a1")))
+    assert(pairs("card") === Set(("p1", "a2")))
+    assert(pairs("transfer") === Set(("p1", "a1"), ("p1", "a2"), ("p2", "a1")))
+    assert(pairs("owns") === Set(("p2", "a3")))
+    assert(pairs("wire", "owns") === Set(("p1", "a1"), ("p2", "a1"), ("p2", "a3")))
+    // schema-link metadata: the father links wherever its subs link
+    assert(subSchema.canLink("transfer", "person"))
+    assert(subSchema.canLink("wire", "person"))
+    assert(!subSchema.canLink("wire", "acct"))
   }
 
   test("schema-link pruning metadata") {
