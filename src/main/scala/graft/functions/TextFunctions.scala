@@ -79,6 +79,41 @@ object TextFunctions {
       when(r.rlike("^\\p{IsHan}+$"), fmm(r)).otherwise(array(r))))
   }
 
+  /** Reverse-maximum-matching (RMM) dictionary analyzer — the classic
+    * complement to [[tokenizeCjkDict]]'s FMM (real segmenter suites ship
+    * both; RMM resolves right-anchored compounds FMM splits wrong, e.g.
+    * dict {AB, BC} on "ABC": FMM → [AB, C], RMM → [A, BC]). Same
+    * `aggregate`-over-positions machinery, scanning right-to-left with the
+    * longest dictionary word ENDING at the boundary; tokens are collected
+    * reversed and flipped at the finish. */
+  def tokenizeCjkDictRmm(c: Column, dict: Seq[String] = cjkDict): Column = {
+    val byLen = dict.groupBy(_.length).toSeq.sortBy(-_._1)
+    def rmm(r: Column): Column = {
+      // longest dict word ending at position j (1-based, inclusive)
+      def matchLen(j: Column): Column =
+        byLen.foldRight(lit(1): Column) { case ((n, ws), els) =>
+          when(j >= n && r.substr(j - n + 1, lit(n)).isin(ws: _*), lit(n))
+            .otherwise(els)
+        }
+      val empty = array_remove(array(lit("")), "")
+      aggregate(
+        sequence(length(r), lit(1), lit(-1)),
+        struct(length(r).as("end"), empty.as("toks")),
+        (st, j) => {
+          val ml = matchLen(j)
+          when(j === st.getField("end"),
+            struct((st.getField("end") - ml).as("end"),
+              concat(st.getField("toks"),
+                array(r.substr(j - ml + 1, ml))).as("toks")))
+            .otherwise(st)
+        },
+        st => reverse(st.getField("toks")))
+    }
+    val runs = regexp_extract_all(lower(c), lit("([a-z0-9]+|\\p{IsHan}+)"), lit(1))
+    flatten(transform(runs, r =>
+      when(r.rlike("^\\p{IsHan}+$"), rmm(r)).otherwise(array(r))))
+  }
+
   /** Named wordlists for the dictionary analyzer — the reference's
     * per-analyzer dictionary slot (`AnalyzerFactory.java:34-53` constructs
     * each segmenter with its own lexicon; `Analyzer.segment:22-24`).
@@ -98,15 +133,21 @@ object TextFunctions {
     "english" -> tokenize,
     "cjk-unigram" -> tokenizeCjkUnigram,
     "cjk-bigram" -> tokenizeCjkBigram,
-    "cjk-dict" -> (c => tokenizeCjkDict(c)))
+    "cjk-dict" -> (c => tokenizeCjkDict(c)),
+    "cjk-dict-rmm" -> (c => tokenizeCjkDictRmm(c)))
 
   def analyzer(name: String): Column => Column =
-    if (name.startsWith("cjk-dict:")) {
-      val dictName = name.stripPrefix("cjk-dict:")
-      val dict = Option(dictRegistry.get(dictName))
-        .getOrElse(sys.error(s"not exists dictionary: $dictName"))
+    if (name.startsWith("cjk-dict-rmm:")) {
+      val dict = namedDict(name.stripPrefix("cjk-dict-rmm:"))
+      c => tokenizeCjkDictRmm(c, dict)
+    } else if (name.startsWith("cjk-dict:")) {
+      val dict = namedDict(name.stripPrefix("cjk-dict:"))
       c => tokenizeCjkDict(c, dict)
     } else analyzers.getOrElse(name, sys.error(s"not exists analyzer: $name"))
+
+  private def namedDict(dictName: String): Seq[String] =
+    Option(dictRegistry.get(dictName))
+      .getOrElse(sys.error(s"not exists dictionary: $dictName"))
 
   /** Tokenized word containment (reference `Text.contains`,
     * `.../traversal/optimize/Text.java:23-32`). */

@@ -75,6 +75,28 @@ class FunctionsSpec extends SparkSpec {
     intercept[Exception](TextFunctions.analyzer("cjk-dict:missing"))
   }
 
+  test("RMM analyzer: right-anchored longest match disagrees with FMM where it should") {
+    // dict {数据, 据库} over 数据库: FMM eats 数据 first → [数据, 库];
+    // RMM matches 据库 ending at the boundary → [数, 据库]
+    TextFunctions.registerDict("ambig", Seq("数据", "据库"))
+    val df = Seq("数据库").toDF("t")
+    val fmm = df.select(TextFunctions.analyzer("cjk-dict:ambig")(col("t")))
+      .head().getSeq[String](0)
+    val rmm = df.select(TextFunctions.analyzer("cjk-dict-rmm:ambig")(col("t")))
+      .head().getSeq[String](0)
+    assert(fmm === Seq("数据", "库"))
+    assert(rmm === Seq("数", "据库"))
+    // default-dict RMM agrees with FMM on the unambiguous demo string and
+    // still falls back to unigrams off-dictionary
+    val got = Seq("图数据库分词yes").toDF("t")
+      .select(TextFunctions.tokenizeCjkDictRmm(col("t"))).head().getSeq[String](0)
+    assert(got === Seq("图数据库", "分词", "yes"))
+    // Latin runs pass through whole
+    assert(Seq("hello 引擎").toDF("t")
+      .select(TextFunctions.tokenizeCjkDictRmm(col("t"))).head().getSeq[String](0)
+      === Seq("hello", "引擎"))
+  }
+
   test("shingles produces distinct 3-grams, short-doc fallback") {
     val got = Seq("a b c d", "x y").toDF("t")
       .select(TextFunctions.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
