@@ -110,7 +110,7 @@ object Ann {
     * on every pass (PlanAudit loop-reshuffle). Pin dedups by plan, so the
     * trainer and the probe share one materialization. */
   private def pinnedCands(candidates: DataFrame): DataFrame =
-    graft.core.Pin.pin(
+    graft.core.Pin.pinDerived(
       candidates.select(col("vec_id"), col("embedding")).repartition(col("vec_id")))
 
   def kmeansCentroids(candidates: DataFrame, nCentroids: Int, iters: Int): DataFrame = {

@@ -18,8 +18,10 @@ import graft.functions.TextFunctions
 object Corpus {
 
   /** Pinned `(idCol, textCol, toks)` view of a document table. Callers that
-    * tokenize the same input plan share the materialization. */
+    * tokenize the same input plan share the materialization. Derived-pinned:
+    * stays materialized even in store-resident mode (the deployment writes
+    * the tokenized corpus once, beside the source table). */
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.core.Pin.pin(docs.select(col(idCol), col(textCol),
+    graft.core.Pin.pinDerived(docs.select(col(idCol), col(textCol),
       TextFunctions.tokenize(col(textCol)).as("toks")))
 }

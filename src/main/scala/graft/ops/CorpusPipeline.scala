@@ -24,9 +24,10 @@ object CorpusPipeline {
   /** Surviving documents with quality features attached. */
   def cleaned(docs: DataFrame, p: Params = Params()): DataFrame = {
     // 1. exact dedup: keep min doc_id per content hash
-    // materialized: referenced by BOTH the minhash stage and the left_anti
-    // survivor join — without a pin the md5+window subtree runs twice
-    val canonical = graft.core.Pin.pin(docs
+    // derived-pinned: referenced by BOTH the minhash stage and the left_anti
+    // survivor join, and it is the input plan the downstream token/signature
+    // pins key on — recomputing it would fork the whole derived chain
+    val canonical = graft.core.Pin.pinDerived(docs
       .withColumn("__h", md5(col("text")))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))

@@ -37,10 +37,11 @@ object Dedup {
     // [[CorpusPipeline]])
     val toks = Corpus.tokens(docs, idCol, textCol)
       .select(col(idCol).as("doc_id"), col("toks"))
-    // pinned, not per-query checkpointed: every operator shingling the same
-    // (docs, ngram) — pair query, transitive clusters, pipeline — shares one
-    // materialization of the md5 base array
-    val base = graft.core.Pin.pin(toks.select(col("doc_id"),
+    // derived-pinned, not per-query checkpointed: every operator shingling
+    // the same (docs, ngram) — pair query, transitive clusters, pipeline —
+    // shares one materialization of the md5 base array, in EVERY mode (a
+    // deployment stores signatures, it never recomputes them per consumer)
+    val base = graft.core.Pin.pinDerived(toks.select(col("doc_id"),
         TextFunctions.shinglesFromTokens(col("toks"), ngram).as("sh"))
       .withColumn("base", HashFunctions.shingleBase(col("sh"))))
     base
@@ -71,7 +72,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       ngram: Int = 3, k: Int = 12, bands: Int = 6, rows: Int = 2,
                       threshold: Double = 0.5): DataFrame = {
-    val sigs = graft.core.Pin.pin(
+    val sigs = graft.core.Pin.pinDerived(
       signatures(docs, idCol, textCol, ngram, k, bands, rows)
         .select(col("doc_id"), col("sh"), col("band_keys")))
     val cand = minhashCandidates(sigs)
