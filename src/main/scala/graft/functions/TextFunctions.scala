@@ -54,29 +54,36 @@ object TextFunctions {
     * `AnalyzerFactory.java:34-53`). The sequential scan is expressed with
     * the `aggregate` higher-order function over character positions —
     * per-row state (next position, emitted tokens), no UDF. */
-  def tokenizeCjkDict(c: Column, dict: Seq[String] = cjkDict): Column = {
+  def tokenizeCjkDict(c: Column, dict: Seq[String] = cjkDict): Column =
+    overHanRuns(c, fmmRun(_, dict))
+
+  /** Greedy forward scan of one Han run: at each reachable position take the
+    * longest dictionary word (unigram fallback). */
+  private def fmmRun(r: Column, dict: Seq[String]): Column = {
     val byLen = dict.groupBy(_.length).toSeq.sortBy(-_._1)
-    def fmm(r: Column): Column = {
-      def matchLen(i: Column): Column =
-        byLen.foldRight(lit(1): Column) { case ((n, ws), els) =>
-          when(r.substr(i, lit(n)).isin(ws: _*), lit(n)).otherwise(els)
-        }
-      val empty = array_remove(array(lit("")), "")
-      aggregate(
-        sequence(lit(1), length(r)),
-        struct(lit(1).as("next"), empty.as("toks")),
-        (st, i) => {
-          val ml = matchLen(i)
-          when(i === st.getField("next"),
-            struct((st.getField("next") + ml).as("next"),
-              concat(st.getField("toks"), array(r.substr(i, ml))).as("toks")))
-            .otherwise(st)
-        },
-        st => st.getField("toks"))
-    }
+    def matchLen(i: Column): Column =
+      byLen.foldRight(lit(1): Column) { case ((n, ws), els) =>
+        when(r.substr(i, lit(n)).isin(ws: _*), lit(n)).otherwise(els)
+      }
+    val empty = array_remove(array(lit("")), "")
+    aggregate(
+      sequence(lit(1), length(r)),
+      struct(lit(1).as("next"), empty.as("toks")),
+      (st, i) => {
+        val ml = matchLen(i)
+        when(i === st.getField("next"),
+          struct((st.getField("next") + ml).as("next"),
+            concat(st.getField("toks"), array(r.substr(i, ml))).as("toks")))
+          .otherwise(st)
+      },
+      st => st.getField("toks"))
+  }
+
+  /** Split into (latin-run | han-run) tokens and segment each Han run. */
+  private def overHanRuns(c: Column, seg: Column => Column): Column = {
     val runs = regexp_extract_all(lower(c), lit("([a-z0-9]+|\\p{IsHan}+)"), lit(1))
     flatten(transform(runs, r =>
-      when(r.rlike("^\\p{IsHan}+$"), fmm(r)).otherwise(array(r))))
+      when(r.rlike("^\\p{IsHan}+$"), seg(r)).otherwise(array(r))))
   }
 
   /** Reverse-maximum-matching (RMM) dictionary analyzer — the classic
@@ -86,33 +93,51 @@ object TextFunctions {
     * `aggregate`-over-positions machinery, scanning right-to-left with the
     * longest dictionary word ENDING at the boundary; tokens are collected
     * reversed and flipped at the finish. */
-  def tokenizeCjkDictRmm(c: Column, dict: Seq[String] = cjkDict): Column = {
+  def tokenizeCjkDictRmm(c: Column, dict: Seq[String] = cjkDict): Column =
+    overHanRuns(c, rmmRun(_, dict))
+
+  /** Greedy backward scan of one Han run: longest dictionary word ENDING at
+    * each reachable boundary; tokens collected reversed, flipped at finish. */
+  private def rmmRun(r: Column, dict: Seq[String]): Column = {
     val byLen = dict.groupBy(_.length).toSeq.sortBy(-_._1)
-    def rmm(r: Column): Column = {
-      // longest dict word ending at position j (1-based, inclusive)
-      def matchLen(j: Column): Column =
-        byLen.foldRight(lit(1): Column) { case ((n, ws), els) =>
-          when(j >= n && r.substr(j - n + 1, lit(n)).isin(ws: _*), lit(n))
-            .otherwise(els)
-        }
-      val empty = array_remove(array(lit("")), "")
-      aggregate(
-        sequence(length(r), lit(1), lit(-1)),
-        struct(length(r).as("end"), empty.as("toks")),
-        (st, j) => {
-          val ml = matchLen(j)
-          when(j === st.getField("end"),
-            struct((st.getField("end") - ml).as("end"),
-              concat(st.getField("toks"),
-                array(r.substr(j - ml + 1, ml))).as("toks")))
-            .otherwise(st)
-        },
-        st => reverse(st.getField("toks")))
-    }
-    val runs = regexp_extract_all(lower(c), lit("([a-z0-9]+|\\p{IsHan}+)"), lit(1))
-    flatten(transform(runs, r =>
-      when(r.rlike("^\\p{IsHan}+$"), rmm(r)).otherwise(array(r))))
+    // longest dict word ending at position j (1-based, inclusive)
+    def matchLen(j: Column): Column =
+      byLen.foldRight(lit(1): Column) { case ((n, ws), els) =>
+        when(j >= n && r.substr(j - n + 1, lit(n)).isin(ws: _*), lit(n))
+          .otherwise(els)
+      }
+    val empty = array_remove(array(lit("")), "")
+    aggregate(
+      sequence(length(r), lit(1), lit(-1)),
+      struct(length(r).as("end"), empty.as("toks")),
+      (st, j) => {
+        val ml = matchLen(j)
+        when(j === st.getField("end"),
+          struct((st.getField("end") - ml).as("end"),
+            concat(st.getField("toks"),
+              array(r.substr(j - ml + 1, ml))).as("toks")))
+          .otherwise(st)
+      },
+      st => reverse(st.getField("toks")))
   }
+
+  /** Bidirectional maximum matching (BiMM) — the standard disambiguation
+    * over FMM and RMM (what mmseg-style segmenters the reference plugs in
+    * do, `AnalyzerFactory.java:34-53`): segment each Han run BOTH ways and
+    * keep the better candidate — fewer tokens wins; on a tie, fewer
+    * single-character tokens; on a full tie, RMM (empirically the stronger
+    * default for Chinese). Pure Column composition — both scans and the
+    * vote stay inside codegen. */
+  def tokenizeCjkDictBi(c: Column, dict: Seq[String] = cjkDict): Column =
+    overHanRuns(c, { r =>
+      val f = fmmRun(r, dict)
+      val m = rmmRun(r, dict)
+      def singles(a: Column): Column = size(filter(a, t => length(t) === 1))
+      when(size(f) < size(m), f)
+        .when(size(m) < size(f), m)
+        .when(singles(f) < singles(m), f)
+        .otherwise(m)
+    })
 
   /** Named wordlists for the dictionary analyzer — the reference's
     * per-analyzer dictionary slot (`AnalyzerFactory.java:34-53` constructs
@@ -134,12 +159,16 @@ object TextFunctions {
     "cjk-unigram" -> tokenizeCjkUnigram,
     "cjk-bigram" -> tokenizeCjkBigram,
     "cjk-dict" -> (c => tokenizeCjkDict(c)),
-    "cjk-dict-rmm" -> (c => tokenizeCjkDictRmm(c)))
+    "cjk-dict-rmm" -> (c => tokenizeCjkDictRmm(c)),
+    "cjk-dict-bi" -> (c => tokenizeCjkDictBi(c)))
 
   def analyzer(name: String): Column => Column =
     if (name.startsWith("cjk-dict-rmm:")) {
       val dict = namedDict(name.stripPrefix("cjk-dict-rmm:"))
       c => tokenizeCjkDictRmm(c, dict)
+    } else if (name.startsWith("cjk-dict-bi:")) {
+      val dict = namedDict(name.stripPrefix("cjk-dict-bi:"))
+      c => tokenizeCjkDictBi(c, dict)
     } else if (name.startsWith("cjk-dict:")) {
       val dict = namedDict(name.stripPrefix("cjk-dict:"))
       c => tokenizeCjkDict(c, dict)

@@ -97,6 +97,30 @@ class FunctionsSpec extends SparkSpec {
       === Seq("hello", "引擎"))
   }
 
+  test("BiMM analyzer votes between FMM and RMM per Han run") {
+    val df = Seq("数据库表").toDF("t")
+    // fewer tokens wins: dict {数据库, 库表} → FMM [数据库, 表] (2) beats
+    // RMM [数, 据, 库表] (3)
+    TextFunctions.registerDict("bi1", Seq("数据库", "库表"))
+    assert(df.select(TextFunctions.analyzer("cjk-dict-bi:bi1")(col("t")))
+      .head().getSeq[String](0) === Seq("数据库", "表"))
+    // full tie → RMM: dict {数据, 据库} on 数据库 gives 2 tokens / 1 single
+    // both ways; BiMM resolves to the RMM segmentation
+    TextFunctions.registerDict("bi2", Seq("数据", "据库"))
+    assert(Seq("数据库").toDF("t")
+      .select(TextFunctions.analyzer("cjk-dict-bi:bi2")(col("t")))
+      .head().getSeq[String](0) === Seq("数", "据库"))
+    // count tie broken by fewer single-char tokens: dict {数据, 库表, 据库表}
+    // → FMM [数据, 库表] (0 singles) beats RMM [数, 据库表] (1 single)
+    TextFunctions.registerDict("bi3", Seq("数据", "库表", "据库表"))
+    assert(df.select(TextFunctions.analyzer("cjk-dict-bi:bi3")(col("t")))
+      .head().getSeq[String](0) === Seq("数据", "库表"))
+    // default dict + Latin passthrough
+    assert(Seq("spark图数据库引擎").toDF("t")
+      .select(TextFunctions.tokenizeCjkDictBi(col("t"))).head().getSeq[String](0)
+      === Seq("spark", "图数据库", "引擎"))
+  }
+
   test("shingles produces distinct 3-grams, short-doc fallback") {
     val got = Seq("a b c d", "x y").toDF("t")
       .select(TextFunctions.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
