@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination — the training-data hygiene pass that removes
+  * corpus documents overlapping an evaluation set (the GPT-3/Pile-style
+  * word-n-gram overlap rule: a document is contaminated if it shares any
+  * n-gram of `ngram` consecutive tokens with any benchmark item).
+  *
+  * Scale shape: the benchmark side is tiny relative to the corpus, so its
+  * distinct n-gram hash set BROADCASTS; the corpus side is a narrow
+  * tokenize→shingle map followed by the broadcast hash join — the 100 TB
+  * side never shuffles. The only exchange is the final groupBy over the
+  * contaminated ids, which is bounded by the match count, not the corpus.
+  * Grams travel as md5 hashes, not strings, so the broadcast stays small
+  * at real benchmark sizes.
+  */
+object Decontaminate {
+
+  private def grams(df: DataFrame, idCol: String, textCol: String,
+                    ngram: Int): DataFrame =
+    df.select(col(idCol),
+        TextFunctions.shinglesFromTokens(
+          TextFunctions.tokenize(col(textCol)), ngram).as("g"))
+      .select(col(idCol), explode(col("g")).as("gram"))
+
+  /** Contaminated corpus documents: (idCol, n_hits) where n_hits counts the
+    * DISTINCT benchmark n-grams the document contains. Documents shorter
+    * than `ngram` tokens fall back to their whole token sequence (matching
+    * [[TextFunctions.shinglesFromTokens]] on both sides, so a short
+    * benchmark item still catches verbatim copies of itself). */
+  def contaminated(corpus: DataFrame, bench: DataFrame,
+                   idCol: String, textCol: String,
+                   benchTextCol: String, ngram: Int = 13): DataFrame = {
+    val benchGrams = broadcast(
+      bench.select(TextFunctions.shinglesFromTokens(
+          TextFunctions.tokenize(col(benchTextCol)), ngram).as("g"))
+        .select(explode(col("g")).as("gram"))
+        .select(md5(col("gram")).as("h")).distinct())
+    // semi-join FIRST (broadcast — the corpus never shuffles), THEN count
+    // distinct hits: only the surviving (id, hash) pairs — bounded by the
+    // benchmark's reach — enter the aggregation exchange
+    grams(corpus, idCol, textCol, ngram)
+      .select(col(idCol), md5(col("gram")).as("h"))
+      .join(benchGrams, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(countDistinct(col("h")).as("n_hits"))
+  }
+
+  /** The corpus with contaminated documents removed (broadcast anti-join
+    * against the contaminated id set — itself bounded by the benchmark's
+    * reach, never the corpus). */
+  def clean(corpus: DataFrame, bench: DataFrame,
+            idCol: String, textCol: String,
+            benchTextCol: String, ngram: Int = 13): DataFrame =
+    corpus.join(
+      broadcast(contaminated(corpus, bench, idCol, textCol, benchTextCol, ngram)
+        .select(col(idCol))),
+      Seq(idCol), "left_anti")
+}

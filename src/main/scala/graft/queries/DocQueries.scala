@@ -19,11 +19,14 @@ object DocQueries {
     s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), t -> len(t) > 0)"
   private val tok = tokOf("text")
 
-  /** DuckDB 3-gram shingles identical to TextFunctions.shingles(_, 3). */
-  private val shingle3 =
-    """list_distinct(CASE WHEN len(toks) >= 3
-      |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-      |  ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+  /** DuckDB word n-gram shingles identical to
+    * TextFunctions.shinglesFromTokens(toks, n) (incl. the short-doc
+    * whole-sequence fallback). */
+  private def shingleSql(n: Int) =
+    s"""list_distinct(CASE WHEN len(toks) >= $n
+       |  THEN list_transform(range(1, len(toks) - ${n - 2}), i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))
+       |  ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+  private val shingle3 = shingleSql(3)
 
   private val K = 12; private val BANDS = 6; private val ROWS = 2
   private val P = graft.functions.HashFunctions.MinhashPrime
@@ -432,6 +435,21 @@ object DocQueries {
          |      FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
          |SELECT a, b, round(jaccard, 9) AS jaccard FROM p WHERE jaccard > 0""".stripMargin) { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", ngram = 3, maxId = 50L)
+    },
+
+    // benchmark decontamination: docs < 25 stand in for the eval set;
+    // contamination = sharing any 5-gram with it (GPT-3-style overlap rule)
+    q("q_decontaminate",
+      s"""WITH btoks AS (SELECT $tok AS toks FROM documents WHERE doc_id < 25),
+         |bg AS (SELECT DISTINCT unnest(${shingleSql(5)}) AS gram FROM btoks),
+         |ctoks AS (SELECT doc_id, $tok AS toks FROM documents WHERE doc_id >= 25),
+         |cg AS (SELECT doc_id, unnest(${shingleSql(5)}) AS gram FROM ctoks)
+         |SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits
+         |FROM cg JOIN bg USING (gram) GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.Decontaminate.contaminated(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text", "text", ngram = 5)
     },
 
     q("q_ann_cosine_topk",

@@ -133,6 +133,34 @@ class OpsSpec extends SparkSpec {
     assert(clusters.get(10L).forall(_ === 10L)) // separate cluster if paired at all
   }
 
+  test("decontamination flags n-gram overlap with the benchmark, clean() drops it") {
+    val bench = Seq("what is the capital of france paris").toDF("text")
+    val corpus = Seq(
+      // contains the bench 4-gram "the capital of france" verbatim
+      (1L, "students often ask what the capital of france might be called"),
+      // shares only shorter overlaps (no full 4-gram)
+      (2L, "the capital city is large and france is a country in europe"),
+      (3L, "completely unrelated document about spark shuffles and parquet"))
+      .toDF("doc_id", "text")
+    val hits = graft.ops.Decontaminate
+      .contaminated(corpus, bench, "doc_id", "text", "text", ngram = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) >= 1L)
+    assert(!hits.contains(2L) && !hits.contains(3L))
+    val surviving = graft.ops.Decontaminate
+      .clean(corpus, bench, "doc_id", "text", "text", ngram = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving === Set(2L, 3L))
+    // a benchmark item SHORTER than n falls back to its whole token
+    // sequence and still catches verbatim copies
+    val shortBench = Seq("rare answer token").toDF("text")
+    val hits2 = graft.ops.Decontaminate
+      .contaminated(corpus.union(Seq((4L, "rare answer token")).toDF("doc_id", "text")),
+        shortBench, "doc_id", "text", "text", ngram = 13)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits2 === Set(4L))
+  }
+
   test("PII redaction scrubs emails, urls and phones in order") {
     val r = Seq(Tuple1("mail a.b+c@ex-ample.org then https://x.io/p?q=1#f and call +44 (0) 20-7946 0958 done"))
       .toDF("t").select(graft.functions.TextFunctions.redactPii(col("t"))).head().getString(0)
