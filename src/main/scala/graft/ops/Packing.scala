@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Sequence packing and dataset mixing — the last-mile operators between a
+  * cleaned corpus and a training run.
+  *
+  * Packing models the standard concat-then-split pretraining layout: docs
+  * are concatenated in a deterministic order and the stream is cut into
+  * fixed token-budget blocks; a doc's block is where its first token lands.
+  * A single global concatenation order would need one unpartitioned window
+  * (the classic scale cliff), so the corpus is first split into `buckets`
+  * disjoint md5 streams and each bucket packs independently — training
+  * consumes blocks in any order, so cross-bucket order carries no meaning.
+  * Shape at 100 TB: one narrow map for the hash/token count, one window
+  * partitioned by bucket (each bucket a parallel running sum), no other
+  * shuffle.
+  *
+  * Mixing is deterministic hash sampling: keep a row iff a uniform hash of
+  * its id falls under the rate for its stratum (language, source, ...) —
+  * reproducible across runs/engines, no shuffle at all, exact in
+  * expectation. The md5-derived uniform is the same arithmetic the MinHash
+  * oracle family uses, so DuckDB replays it bit-for-bit.
+  */
+object Packing {
+
+  /** Uniform integer in [0, 2^16) from the first 4 md5 hex digits of a
+    * column's string form — portable to the DuckDB oracle. */
+  def hash16(c: Column): Column = conv(substring(md5(c.cast("string")), 1, 4), 16, 10)
+    .cast("long")
+
+  /** Assign each doc to (bucket, block): md5-bucketed streams, each packed
+    * greedily in ascending id order; `block` = floor(tokens-before / budget)
+    * — the training block containing the doc's FIRST token (docs may
+    * straddle into the next block, exactly like concat-then-split). Returns
+    * (idCol, n_tokens, bucket, block). */
+  def packBlocks(docs: DataFrame, idCol: String, textCol: String,
+                 budget: Int, buckets: Int): DataFrame = {
+    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    val counted = docs.select(col(idCol),
+      size(TextFunctions.tokenize(col(textCol))).cast("long").as("n_tokens"),
+      (hash16(col(idCol)) % buckets).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted
+      .withColumn("block",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+      .select(col(idCol), col("n_tokens"), col("bucket"), col("block"))
+  }
+
+  /** Deterministic stratified sampling for dataset mixing: keep a row iff
+    * hash16(id)/65536 < rate(stratum). `rates` maps stratum values to keep
+    * rates in [0,1]; strata without an entry keep `defaultRate`. */
+  def mixSample(df: DataFrame, idCol: String, stratumCol: Column,
+                rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.foldRight(lit(defaultRate): Column) { case ((k, r), els) =>
+      when(stratumCol === k, lit(r)).otherwise(els)
+    }
+    df.filter(hash16(col(idCol)) < rate * 65536.0)
+  }
+}

@@ -28,6 +28,14 @@ object DocQueries {
        |  ELSE [array_to_string(toks, ' ')] END)""".stripMargin
   private val shingle3 = shingleSql(3)
 
+  /** DuckDB twin of Packing.hash16: uniform [0, 2^16) from the first 4 md5
+    * hex digits of the stringified doc_id. */
+  private val hash16Sql = {
+    def d(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"(${d(1)} * 4096 + ${d(2)} * 256 + ${d(3)} * 16 + ${d(4)})"
+  }
+
   private val K = 12; private val BANDS = 6; private val ROWS = 2
   private val P = graft.functions.HashFunctions.MinhashPrime
 
@@ -435,6 +443,30 @@ object DocQueries {
          |      FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
          |SELECT a, b, round(jaccard, 9) AS jaccard FROM p WHERE jaccard > 0""".stripMargin) { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", ngram = 3, maxId = 50L)
+    },
+
+    // concat-then-split sequence packing: md5-bucketed streams, greedy
+    // running-sum block assignment (block of the doc's first token)
+    q("q_pack_blocks",
+      s"""WITH c AS (SELECT doc_id, CAST(len($tok) AS BIGINT) AS n_tokens,
+         |             CAST($hash16Sql % 8 AS BIGINT) AS bucket FROM documents)
+         |SELECT doc_id, n_tokens, bucket,
+         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS block
+         |FROM c""".stripMargin) { (s, d) =>
+      graft.ops.Packing.packBlocks(Tables.documents(s, d), "doc_id", "text",
+        budget = 512, buckets = 8)
+    },
+
+    // deterministic hash sampling for dataset mixing: per-language keep
+    // rates, reproducible across engines (md5-uniform < rate)
+    q("q_mix_sample",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $hash16Sql < (CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.9
+         |  ELSE 0.05 END) * 65536.0""".stripMargin) { (s, d) =>
+      graft.ops.Packing.mixSample(Tables.documents(s, d), "doc_id", col("lang"),
+          Map("en" -> 0.25, "zh" -> 0.9), defaultRate = 0.05)
+        .select(col("doc_id"), col("lang"))
     },
 
     // benchmark decontamination: docs < 25 stand in for the eval set;

@@ -133,6 +133,26 @@ class OpsSpec extends SparkSpec {
     assert(clusters.get(10L).forall(_ === 10L)) // separate cluster if paired at all
   }
 
+  test("packBlocks assigns greedy running-sum blocks; mixSample is deterministic") {
+    val d = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"))
+      .toDF("doc_id", "text")
+    // one bucket, budget 4: token counts 3,2,4,1 → start offsets 0,3,5,9
+    // → blocks 0,0,1,2
+    val p = graft.ops.Packing.packBlocks(d, "doc_id", "text", budget = 4, buckets = 1)
+      .orderBy("doc_id").collect()
+    assert(p.map(_.getAs[Long]("block")).toSeq === Seq(0L, 0L, 1L, 2L))
+    assert(p.map(_.getAs[Long]("n_tokens")).toSeq === Seq(3L, 2L, 4L, 1L))
+    // rate 1.0 keeps everything, default 0.0 drops everything, and the
+    // same call yields the same sample (hash, not rng)
+    assert(graft.ops.Packing.mixSample(d, "doc_id", lit("x"), Map("x" -> 1.0)).count() === 4)
+    assert(graft.ops.Packing.mixSample(d, "doc_id", lit("x"), Map.empty, 0.0).count() === 0)
+    val s1 = graft.ops.Packing.mixSample(d, "doc_id", lit("x"), Map("x" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = graft.ops.Packing.mixSample(d, "doc_id", lit("x"), Map("x" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+  }
+
   test("decontamination flags n-gram overlap with the benchmark, clean() drops it") {
     val bench = Seq("what is the capital of france paris").toDF("text")
     val corpus = Seq(
