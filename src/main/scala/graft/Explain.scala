@@ -77,6 +77,35 @@ object Explain {
       |fixpoint. AlgorithmsSpec measures: 65-vertex chain converges in <= 10
       |rounds (plain min-label would take 64); short-diameter graphs (the
       |TPC-H projection) converge before round 3 and pay nothing.
+      |
+      |## Store-resident mode — the FULL suite at sf0.1 (SPARK_GRAFT_BUCKETED=1)
+      |
+      |All bench queries run with edges served from the bucketBy(src)
+      |catalog table and graph-view pinning off — every frontier/algorithm
+      |join re-reads the store (the configuration where the working set does
+      |not fit executor memory). Min-across-2 full runs per query in both
+      |modes (single-run host noise exceeds 2× on this box):
+      |
+      |    default (pinned) sum : 115.2 s      (104 queries)
+      |    store-resident sum   : 198.6 s      1.72x, median per-query 1.1x
+      |    faster when resident : 37 queries   (no pin-build cost in-query)
+      |
+      |The tail is exactly the family the trade predicts — per-hop/per-round
+      |store re-reads: q_triangle_count 11.6x (three store references in one
+      |query), q_kcore 6.7x (peeling rounds), kout/kneighbor/paths/shortest
+      |family 2.3-5.4x (one scan per hop), q_louvain 2.8x (per-pass coarsen).
+      |Every ratio is a bounded constant-factor cost, not a blow-up; the
+      |oracle suite passes in full in this mode (sf0.001 gate re-run).
+      |
+      |One real defect surfaced and fixed by this sweep: the blanket Pin
+      |pass-through also disabled the DERIVED working-set memos (tokenized
+      |corpus, MinHash signatures, k-means candidates), so the LSH near-dup
+      |family re-ran its whole derivation chain inside every consumer — and
+      |every WCC round of the cluster loop: q_minhash_lsh 0.96s→868s,
+      |q_dedup_clusters 4.2s→1345s, q_corpus_pipeline 4.5s→634s. A deployment
+      |writes derived artifacts once, next to the corpus; `Pin.pinDerived`
+      |now keeps them materialized in every mode (post-fix: 4.2s / 4.0s /
+      |4.2s store-resident).
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
