@@ -19,11 +19,14 @@ import graft.functions.TextFunctions
   */
 object Decontaminate {
 
+  // tokens come STAGED (the session-shared pinned corpus view): an unstaged
+  // tokenize(text) re-runs inside every shingle-lambda invocation —
+  // quadratic per doc (see TextFunctions.shinglesFromTokens)
   private def grams(df: DataFrame, idCol: String, textCol: String,
                     ngram: Int): DataFrame =
-    df.select(col(idCol),
-        TextFunctions.shinglesFromTokens(
-          TextFunctions.tokenize(col(textCol)), ngram).as("g"))
+    Corpus.tokens(df, idCol, textCol)
+      .select(col(idCol),
+        TextFunctions.shinglesFromTokens(col("toks"), ngram).as("g"))
       .select(col(idCol), explode(col("g")).as("gram"))
 
   /** Contaminated corpus documents: (idCol, n_hits) where n_hits counts the
@@ -34,9 +37,13 @@ object Decontaminate {
   def contaminated(corpus: DataFrame, bench: DataFrame,
                    idCol: String, textCol: String,
                    benchTextCol: String, ngram: Int = 13): DataFrame = {
+    // the benchmark is small — stage its token arrays with a plain eager
+    // checkpoint (not the session pin: eval sets rotate, the corpus doesn't)
+    val benchToks = bench
+      .select(TextFunctions.tokenize(col(benchTextCol)).as("toks"))
+      .localCheckpoint(true)
     val benchGrams = broadcast(
-      bench.select(TextFunctions.shinglesFromTokens(
-          TextFunctions.tokenize(col(benchTextCol)), ngram).as("g"))
+      benchToks.select(TextFunctions.shinglesFromTokens(col("toks"), ngram).as("g"))
         .select(explode(col("g")).as("gram"))
         .select(md5(col("gram")).as("h")).distinct())
     // semi-join FIRST (broadcast — the corpus never shuffles), THEN count
