@@ -188,10 +188,10 @@ final case class GraphSchema(
     val pks = propertyKeys.map(p =>
       s"""{"name":"${p.name}","dataType":"${p.dataType}","cardinality":"${p.cardinality}","aggregateType":"${p.aggregateType}"}""")
     val vls = vertexLabels.map(v =>
-      s"""{"name":"${v.name}","properties":${arr(v.properties)},"idStrategy":"${v.idStrategy}","primaryKeys":${arr(v.primaryKeys)}}""")
+      s"""{"name":"${v.name}","properties":${arr(v.properties)},"idStrategy":"${v.idStrategy}","primaryKeys":${arr(v.primaryKeys)},"nullableKeys":${arr(v.nullableKeys)},"ttl":${v.ttlMillis}}""")
     val els = edgeLabels.map { e =>
       val father = e.father.map(f => s""","fatherId":"$f"""").getOrElse("")
-      s"""{"name":"${e.name}","sourceLabel":"${e.sourceLabel}","targetLabel":"${e.targetLabel}","properties":${arr(e.properties)},"multiple":${e.multiple},"sortKeys":${arr(e.sortKeys)},"edgeLabelType":"${e.edgeLabelType}"$father}"""
+      s"""{"name":"${e.name}","sourceLabel":"${e.sourceLabel}","targetLabel":"${e.targetLabel}","properties":${arr(e.properties)},"multiple":${e.multiple},"sortKeys":${arr(e.sortKeys)},"ttl":${e.ttlMillis},"edgeLabelType":"${e.edgeLabelType}"$father}"""
     }
     val ils = indexLabels.map(i =>
       s"""{"name":"${i.name}","baseLabel":"${i.baseLabel}","onVertex":${i.onVertex},"indexType":"${i.indexType}","fields":${arr(i.fields)}}""")
@@ -220,6 +220,8 @@ object GraphSchema {
       o.obj.find(_._1 == n).collect { case (_, JString(s)) => s }
     def bool(o: JObject, n: String, dflt: Boolean = false): Boolean =
       field(o, n) match { case JBool(b) => b; case _ => dflt }
+    def lng(o: JObject, n: String, dflt: Long = 0L): Long =
+      field(o, n) match { case JInt(v) => v.toLong; case JLong(v) => v; case _ => dflt }
     val pks = objs(j \ "propertyKeys").map { o =>
       PropertyKeyDef(str(field(o, "name")),
         GraphDataType.withName(str(field(o, "dataType"))),
@@ -229,12 +231,15 @@ object GraphSchema {
     val vls = objs(j \ "vertexLabels").map { o =>
       VertexLabelDef(str(field(o, "name")), strs(field(o, "properties")),
         IdStrategy.withName(str(field(o, "idStrategy"))),
-        strs(field(o, "primaryKeys")))
+        strs(field(o, "primaryKeys")),
+        strs(field(o, "nullableKeys")),
+        lng(o, "ttl"))
     }
     val els = objs(j \ "edgeLabels").map { o =>
       EdgeLabelDef(str(field(o, "name")), str(field(o, "sourceLabel")),
         str(field(o, "targetLabel")), strs(field(o, "properties")),
         bool(o, "multiple"), strs(field(o, "sortKeys")),
+        ttlMillis = lng(o, "ttl"),
         father = opt(o, "fatherId"),
         isParent = opt(o, "edgeLabelType").contains("PARENT"))
     }

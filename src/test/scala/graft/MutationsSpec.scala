@@ -98,6 +98,14 @@ class MutationsSpec extends SparkSpec {
     // full parse-back equality (fromJson is the REST-wire inverse)
     assert(GraphSchema.fromJson(json) === schema)
     assert(GraphSchema.fromJson(ModernGraph.schema.toJson) === ModernGraph.schema)
+    // ttl + nullableKeys survive the wire (reference schema JSON "ttl")
+    val ttlSchema = GraphSchema(Nil,
+      Seq(VertexLabelDef("s", Nil, nullableKeys = Seq("nick"), ttlMillis = 86400000L)),
+      Seq(EdgeLabelDef("e", "s", "s", ttlMillis = 3600000L)))
+    val ttlBack = GraphSchema.fromJson(ttlSchema.toJson)
+    assert(ttlBack === ttlSchema)
+    assert(ttlBack.vertexLabels.head.ttlMillis === 86400000L)
+    assert(ttlBack.edgeLabels.head.ttlMillis === 3600000L)
   }
 
   val subSchema = GraphSchema(
