@@ -145,6 +145,49 @@ object Ann {
       kmeansCentroids(candidates, nCentroids, iters), k, nProbe)
   }
 
+  /** Product-quantization ANN (IVF-PQ's memory half): each vector is stored
+    * as `m` byte-codes — per subspace of `dims/m` components, the id of its
+    * nearest codebook centroid, the codebooks trained by the same
+    * fp-stabilized Lloyd's as [[kmeansCentroids]] on the subvector slices.
+    * Scoring is ADC via reconstruction: x̂ = the concatenation of the m
+    * coded centroids, sim = cosine(q, x̂) in ONE sequential fold — the same
+    * exact kernel as brute force, so the oracle reproduces ranks bit-for-bit
+    * (an unordered per-subspace partial-sum would not).
+    *
+    * Scale shape: codebooks are m·ks tiny rows (broadcast); code assignment
+    * and reconstruction join on the pinned vec_id-partitioned candidate set
+    * (zero extra shuffles); the scan streams reconstructions through the
+    * broadcast query set exactly like brute force — but the stored index is
+    * m bytes per vector instead of 4·dims, the PQ memory trade that makes
+    * 100 TB of embeddings fit an index tier. Compose with IVF cells to also
+    * prune the scan (this operator isolates the PQ half). */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+             m: Int, ks: Int, dims: Int, iters: Int): DataFrame = {
+    registerKernels(queries)
+    require(dims % m == 0, s"dims must split into m subspaces ($dims % $m != 0)")
+    val sub = dims / m
+    val cands = pinnedCands(candidates)
+    // reconstruction: per subspace, code = nearest codebook centroid of the
+    // subvector; x̂ accumulates the coded centroids in subspace order
+    val recon = (0 until m).foldLeft(cands.select(col("vec_id"))) { (acc, s) =>
+      val subCands = cands.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+      val book = kmeansCentroids(subCands, ks, iters)
+      val coded = nearestCells(book)(subCands, "vec_id", "embedding", 1)
+        .join(broadcast(book), Seq("cid"))
+        .select(col("vec_id"), col("ce").as(s"ce$s"))
+      acc.join(coded, Seq("vec_id"))
+    }.select(col("vec_id"),
+      concat((0 until m).map(s => col(s"ce$s")): _*).as("xhat"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = recon.crossJoin(broadcast(q))
+      .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("xhat")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** LSH-bucketed variant: neighbors are only searched within the query's
     * SRP bucket. Returns the same shape; recall trades against the crossJoin. */
   def srpBucketTopK(queries: DataFrame, candidates: DataFrame,

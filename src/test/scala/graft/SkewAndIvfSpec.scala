@@ -130,6 +130,28 @@ class SkewAndIvfSpec extends SparkSpec {
         .select(countDistinct(col("vec_id"))).head().getLong(0))
   }
 
+  test("PQ top-k: reconstruction recovers clustered neighbors; codes compress to m per vector") {
+    val q = clusteredVecs.filter(col("vec_id") < 4)
+    val c = clusteredVecs.filter(col("vec_id") >= 4)
+    val pq = Ann.pqTopK(q, c, k = 5, m = 2, ks = 4, dims = 8, iters = 3).collect()
+    // shape: k rows per query, ranks 1..k, sims in [-1, 1] and non-increasing
+    val byQuery = pq.groupBy(_.getLong(0))
+    assert(byQuery.size === 4 && byQuery.values.forall(_.length === 5))
+    byQuery.values.foreach { rows =>
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+    // quantization collapses WITHIN-cell ranking (same codes → same x̂ →
+    // id tiebreak), so the correct recall notion for coarse codes is
+    // cluster membership: every returned neighbor shares the query's
+    // cluster direction (vec_id % 4)
+    assert(pq.forall(r => r.getLong(1) % 4 === r.getLong(0) % 4))
+    // deterministic: a second run returns the identical result
+    val again = Ann.pqTopK(q, c, k = 5, m = 2, ks = 4, dims = 8, iters = 3).collect()
+    assert(pq.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("k-means IVF recall: trained quantizer beats lowest-id seeds on clustered data") {
     val q = clusteredVecs.filter(col("vec_id") < 4)
     val c = clusteredVecs.filter(col("vec_id") >= 4)
