@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.{QueryExecution, SparkPlan, FileSourceScan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{ShuffleExchangeLike, ReusedExchangeExec}
 import org.apache.spark.sql.execution.window.WindowExec
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.joins.{CartesianProductExec, SortMergeJoinExec}
 import org.apache.spark.sql.util.QueryExecutionListener
 import scala.collection.mutable
 
@@ -19,6 +19,16 @@ import scala.collection.mutable
   *  - `cartesian`: a CartesianProductExec (a broadcast nested-loop against
   *    a deliberately broadcast side does NOT flag — that's the intended ANN
   *    shape);
+  *  - `smj-broadcastable`: a SortMergeJoin that survived to execution with
+  *    one side's RUNTIME size under the autoBroadcastJoinThreshold WHILE
+  *    the other side pays a fresh shuffle Exchange to meet the join's
+  *    distribution — the small side should have been broadcast (hint it),
+  *    because the SMJ drags the big side through an Exchange on the join
+  *    key (the IVF-probe defect class: a tiny probe table re-shuffling the
+  *    full index on cid). A co-partitioned SMJ whose sides arrive WITHOUT
+  *    a new Exchange (e.g. the PQ vec_id⋈vec_id reconstruction chain on
+  *    the pinned partitioning) is the scale-correct shape and does not
+  *    flag — both sides there are O(N) and only small at test SF;
   *  - `loop-reshuffle:<table>`: the same source parquet table observed
   *    under a shuffle exchange in ≥ `loopThreshold` separate executions of
   *    one query — the signature of a big table being re-shuffled inside an
@@ -59,13 +69,43 @@ object PlanAudit {
       }.flatten
     }.toSet
 
-  private def flagsOf(plan: SparkPlan): Seq[String] = {
+  private[graft] def flagsOf(plan: SparkPlan, broadcastThreshold: Long): Seq[String] = {
     val ops = operators(plan)
     val win = ops.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => "unpartitioned-window"
     }
     val cart = ops.collect { case _: CartesianProductExec => "cartesian" }
-    (win ++ cart).distinct
+    // a materialized shuffle stage directly under an SMJ side whose runtime
+    // bytes fit the broadcast threshold = the join should have been a BHJ
+    def sideBytes(side: SparkPlan): Option[BigInt] =
+      operators(side).collectFirst {
+        case q: QueryStageExec if q.isMaterialized =>
+          try Some(q.getRuntimeStatistics.sizeInBytes) catch { case _: Throwable => None }
+      }.flatten
+    // does this join input pay a NEW shuffle at its entry (peeling only the
+    // sort/project/codegen wrappers an SMJ inserts)? A side whose existing
+    // partitioning satisfied the join has no entry Exchange.
+    @annotation.tailrec
+    def entryShuffle(p: SparkPlan): Boolean = p match {
+      case q: QueryStageExec        => entryShuffle(q.plan)
+      case r: ReusedExchangeExec    => entryShuffle(r.child)
+      case _: ShuffleExchangeLike   => true
+      case s if s.children.size == 1 && {
+        val n = s.getClass.getSimpleName
+        n.startsWith("Sort") || n.startsWith("Project") || n.startsWith("Filter") ||
+        n.contains("WholeStageCodegen") || n.contains("InputAdapter") ||
+        n.contains("AQEShuffleRead") || n.contains("Coalesce")
+      } => entryShuffle(s.children.head)
+      case _ => false
+    }
+    val smj = ops.collect {
+      case j: SortMergeJoinExec if {
+        val (lb, rb) = (sideBytes(j.left), sideBytes(j.right))
+        (lb.exists(_ < broadcastThreshold) && entryShuffle(j.right)) ||
+        (rb.exists(_ < broadcastThreshold) && entryShuffle(j.left))
+      } => "smj-broadcastable"
+    }
+    (win ++ cart ++ smj).distinct
   }
 
   /** Audit one query: build + run it while capturing every execution the
@@ -87,8 +127,15 @@ object PlanAudit {
       val execs = captured.synchronized(captured.toList)
       val finalPlan = df.queryExecution.executedPlan
       val allPlans = finalPlan :: execs.map(_.executedPlan)
+      val bcThreshold =
+        try spark.conf.get("spark.sql.autoBroadcastJoinThreshold").stripSuffix("b") match {
+          case s if s.endsWith("k") || s.endsWith("K") => s.dropRight(1).toLong * 1024
+          case s if s.endsWith("m") || s.endsWith("M") => s.dropRight(1).toLong * 1024 * 1024
+          case s if s.endsWith("g") || s.endsWith("G") => s.dropRight(1).toLong * 1024 * 1024 * 1024
+          case s => s.toLong
+        } catch { case _: Throwable => 10L * 1024 * 1024 }
       val structural = allPlans.flatMap(p =>
-        try flagsOf(p) catch { case _: Throwable => Nil }).distinct
+        try flagsOf(p, bcThreshold) catch { case _: Throwable => Nil }).distinct
       // loop-reshuffle: same parquet table under an Exchange in many
       // executions of ONE query = re-shuffled per iteration. Captured
       // executions only — the final plan is already among them as the

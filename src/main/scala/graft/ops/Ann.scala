@@ -78,7 +78,11 @@ object Ann {
     val probes = cells(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
       "query_id", "qe", nProbe)
-    val scored = assigned.join(probes, Seq("cid")) // probe only matching cells
+    // The probe side is |Q|·nProbe rows; broadcast it so the candidate set —
+    // the FULL index, pinned co-partitioned on vec_id — never shuffles on cid.
+    // Without the hint Catalyst picks a SortMergeJoin whose Exchange moves
+    // every candidate row per query batch: the wrong plan at 100 TB.
+    val scored = assigned.join(broadcast(probes), Seq("cid")) // probe only matching cells
       .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("embedding")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -164,12 +168,27 @@ object Ann {
   def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
              m: Int, ks: Int, dims: Int, iters: Int): DataFrame = {
     registerKernels(queries)
+    val recon = pqReconstruct(pinnedCands(candidates), m, ks, dims, iters)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = recon.crossJoin(broadcast(q))
+      .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("xhat")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** PQ reconstruction x̂ per candidate: per subspace of `dims/m`
+    * components, train a ks-code codebook (fp-stabilized Lloyd's over the
+    * subvector slices), code = nearest centroid, x̂ = concatenation of the
+    * m coded centroids in subspace order. Input must already be pinned
+    * co-partitioned on vec_id; every join below is vec_id-to-vec_id on that
+    * partitioning (zero extra shuffles) or broadcast (tiny codebooks). */
+  private def pqReconstruct(cands: DataFrame, m: Int, ks: Int,
+                            dims: Int, iters: Int): DataFrame = {
     require(dims % m == 0, s"dims must split into m subspaces ($dims % $m != 0)")
     val sub = dims / m
-    val cands = pinnedCands(candidates)
-    // reconstruction: per subspace, code = nearest codebook centroid of the
-    // subvector; x̂ accumulates the coded centroids in subspace order
-    val recon = (0 until m).foldLeft(cands.select(col("vec_id"))) { (acc, s) =>
+    (0 until m).foldLeft(cands.select(col("vec_id"))) { (acc, s) =>
       val subCands = cands.select(col("vec_id"),
         slice(col("embedding"), s * sub + 1, sub).as("embedding"))
       val book = kmeansCentroids(subCands, ks, iters)
@@ -179,8 +198,36 @@ object Ann {
       acc.join(coded, Seq("vec_id"))
     }.select(col("vec_id"),
       concat((0 until m).map(s => col(s"ce$s")): _*).as("xhat"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = recon.crossJoin(broadcast(q))
+  }
+
+  /** IVF × PQ — the composed 100 TB ANN index shape: the trained coarse
+    * quantizer prunes the scan to nProbe/nCentroids of the cells, PQ codes
+    * shrink the stored index to m bytes per vector. Candidates are assigned
+    * to their coarse cell AND reconstructed through per-subspace codebooks;
+    * a query exact-scores (ADC via reconstruction — same sequential cosine
+    * fold as brute force, so the oracle reproduces ranks bit-for-bit) only
+    * the reconstructions inside its probed cells.
+    *
+    * Scale shape: coarse centroids and codebooks broadcast; assignment,
+    * coding, and the assignment⋈reconstruction join all ride the one pinned
+    * vec_id partitioning; probes broadcast so the indexed side never
+    * shuffles. Cf. Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search" (TPAMI 2011) — public literature; the reference
+    * engine has no ANN surface. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                nCentroids: Int, nProbe: Int,
+                m: Int, ks: Int, dims: Int, iters: Int): DataFrame = {
+    registerKernels(queries)
+    val cands = pinnedCands(candidates)
+    val coarse = kmeansCentroids(candidates, nCentroids, iters)
+    val assigned = nearestCells(coarse)(cands, "vec_id", "embedding", 1)
+      .select(col("vec_id"), col("cid"))
+    val recon = pqReconstruct(cands, m, ks, dims, iters)
+    val probes = nearestCells(coarse)(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "query_id", "qe", nProbe)
+    val scored = recon.join(assigned, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cid"))
       .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("xhat")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

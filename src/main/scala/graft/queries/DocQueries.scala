@@ -268,6 +268,98 @@ object DocQueries {
        |WHERE rank <= $topK""".stripMargin
   }
 
+  /** IVF×PQ oracle: [[ivfKmeansSql]]'s trained coarse quantizer, cell
+    * assignment and probes + [[pqSql]]'s per-subspace codebooks and
+    * reconstruction — ADC scoring restricted to each query's probed cells. */
+  def ivfPqSql(topK: Int, nCentroids: Int, nProbe: Int,
+               m: Int, ks: Int, dims: Int, iters: Int): String = {
+    val sub = dims / m
+    def coarseIter(n: Int): String = {
+      val prev = if (n == 1) "c0" else s"c${n - 1}"
+      s"""a${n}_scored AS MATERIALIZED (
+         |  SELECT c.vec_id, c.embedding, t.cid, ${cosExpr("c.embedding", "t.ce")} AS csim
+         |  FROM cands c CROSS JOIN $prev t),
+         |a$n AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+         |    FROM a${n}_scored) WHERE rn = 1),
+         |m$n AS MATERIALIZED (
+         |  SELECT cid, list(m ORDER BY i) AS cem FROM (
+         |    SELECT cid, i, round(avg(CAST(v AS DOUBLE)), 6) AS m
+         |    FROM (SELECT cid, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+         |          FROM a$n) z
+         |    GROUP BY cid, i) zz GROUP BY cid),
+         |c$n AS MATERIALIZED (
+         |  SELECT p.cid, COALESCE(m$n.cem, p.ce) AS ce FROM $prev p LEFT JOIN m$n USING (cid)),"""
+    }
+    def subspace(s: Int): String = {
+      val (lo, hi) = (s * sub + 1, (s + 1) * sub)
+      def iter(n: Int): String =
+        s"""s${s}a${n}_scored AS MATERIALIZED (
+           |  SELECT c.vec_id, c.embedding, t.cid, ${cosExpr("c.embedding", "t.ce")} AS csim
+           |  FROM s${s}cands c CROSS JOIN s${s}c${n - 1} t),
+           |s${s}a$n AS MATERIALIZED (
+           |  SELECT vec_id, embedding, cid FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+           |    FROM s${s}a${n}_scored) WHERE rn = 1),
+           |s${s}m$n AS MATERIALIZED (
+           |  SELECT cid, list(m ORDER BY i) AS cem FROM (
+           |    SELECT cid, i, round(avg(CAST(v AS DOUBLE)), 6) AS m
+           |    FROM (SELECT cid, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+           |          FROM s${s}a$n) z
+           |    GROUP BY cid, i) zz GROUP BY cid),
+           |s${s}c$n AS MATERIALIZED (
+           |  SELECT p.cid, COALESCE(s${s}m$n.cem, p.ce) AS ce
+           |  FROM s${s}c${n - 1} p LEFT JOIN s${s}m$n USING (cid)),"""
+      s"""s${s}cands AS MATERIALIZED (
+         |  SELECT vec_id, embedding[$lo:$hi] AS embedding FROM cands),
+         |s${s}c0 AS MATERIALIZED (
+         |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+         |  FROM s${s}cands ORDER BY vec_id LIMIT $ks),
+         |${(1 to iters).map(iter).mkString("\n")}
+         |s${s}code_scored AS MATERIALIZED (
+         |  SELECT c.vec_id, t.cid, ${cosExpr("c.embedding", "t.ce")} AS csim
+         |  FROM s${s}cands c CROSS JOIN s${s}c$iters t),
+         |s${s}ce AS MATERIALIZED (
+         |  SELECT k.vec_id, b.ce FROM (
+         |    SELECT vec_id, cid FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+         |      FROM s${s}code_scored) WHERE rn = 1) k
+         |  JOIN s${s}c$iters b USING (cid)),"""
+    }
+    val xhat = (0 until m).map(s => s"s$s.ce").mkString(" || ")
+    val joins = (1 until m).map(s => s"JOIN s${s}ce s$s USING (vec_id)").mkString(" ")
+    s"""WITH cands AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM cands ORDER BY vec_id LIMIT $nCentroids),
+       |${(1 to iters).map(coarseIter).mkString("\n")}
+       |fin_scored AS MATERIALIZED (
+       |  SELECT c.vec_id, t.cid, ${cosExpr("c.embedding", "t.ce")} AS csim
+       |  FROM cands c CROSS JOIN c$iters t),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+       |    FROM fin_scored) WHERE rn = 1),
+       |probe_scored AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, q.embedding AS qe, t.cid, ${cosExpr("q.embedding", "t.ce")} AS csim
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q CROSS JOIN c$iters t),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, qe, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cid) AS rn
+       |    FROM probe_scored) WHERE rn <= $nProbe),
+       |${(0 until m).map(subspace).mkString("\n")}
+       |recon AS MATERIALIZED (
+       |  SELECT s0.vec_id, $xhat AS xhat FROM s0ce s0 $joins),
+       |scored AS (
+       |  SELECT p.query_id, r.vec_id, ${cosExpr("p.qe", "r.xhat")} AS sim
+       |  FROM recon r JOIN assigned a USING (vec_id) JOIN probes p USING (cid))
+       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+  }
+
   /** SRP bucket expression with the plane-sign literals baked in. */
   def srpBucketSqlExpr(colName: String, bits: Int, dims: Int): String =
     VectorFunctions.planeSigns(bits, dims).map { signs =>
@@ -663,6 +755,14 @@ object DocQueries {
       val e = Tables.embeddings(s, d)
       Ann.pqTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         k = 10, m = 4, ks = 8, dims = 64, iters = 2)
+    },
+
+    // IVF × PQ composed: trained coarse cells prune the scan, per-subspace
+    // codes shrink the index — the actual 100 TB ANN index shape
+    q("q_ann_ivfpq_topk", ivfPqSql(10, 8, 2, 4, 8, 64, 2)) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Ann.ivfPqTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        k = 10, nCentroids = 8, nProbe = 2, m = 4, ks = 8, dims = 64, iters = 2)
     },
 
     q("q_lang_id",
