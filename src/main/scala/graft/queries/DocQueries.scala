@@ -472,11 +472,20 @@ object DocQueries {
         graft.ops.CorpusPipeline.Params(minTokens = 10, maxStopwordRatio = 0.9))
     },
 
+    // generated docs are all distinct, so the plain-table variant proved
+    // emptiness only — union an id-shifted copy of a slice on BOTH sides so
+    // exact dup groups exist and the oracle gate carries real rows
     q("q_dedup_exact",
-      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |       CAST(count(*) AS BIGINT) AS n_dups
-        |FROM documents GROUP BY md5(text) HAVING count(*) > 1""".stripMargin) { (s, d) =>
-      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        |FROM u GROUP BY md5(text) HAVING count(*) > 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val shifted = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      Dedup.exactGroups(docs.unionByName(shifted), "doc_id", "text")
     },
 
     q("q_fingerprint",

@@ -286,11 +286,28 @@ object GraphQueries2 {
     },
 
     q("q_rings",
-      // the OUT projection is a DAG — rings is verified non-trivially on a
-      // cyclic fixture in PathTraversalSpec; here both sides must agree on
-      // "no cycles".
-      "SELECT CAST(NULL AS VARCHAR) AS path WHERE 1 = 0") { (s, d) =>
-      PathTraversals.rings(g(s, d), "customer:1", Direction.OUT, Nil, maxDepth = 4)
+      // BOTH-direction rings from customer:5 (two of its orders share a
+      // part at every SF → customer→order→part→order'→customer 4-rings).
+      // The depth-2 A→B→A backtrack over a single physical edge is NOT a
+      // ring (reference SubGraphTraverser.java:250-268) — with this graph's
+      // single-edge pairs the closure depth is therefore always ≥ 3, which
+      // the d >= 2 guard below encodes. The OUT projection (a DAG) stays
+      // covered by PathTraversalSpec's cyclic fixture + q_rings_cycle.
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |adj AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges
+         |                                       UNION ALL SELECT dst, src FROM edges)),
+         |p(id, path, d) AS (
+         |  SELECT 'customer:5', ['customer:5'], 0
+         |  UNION ALL
+         |  SELECT a.dst, p.path || [a.dst], p.d + 1
+         |  FROM p JOIN adj a ON a.src = p.id
+         |  WHERE p.d < 3 AND a.dst <> 'customer:5' AND NOT list_contains(p.path, a.dst)),
+         |hits AS (
+         |  SELECT p.path || ['customer:5'] AS path
+         |  FROM p JOIN adj a ON a.src = p.id
+         |  WHERE a.dst = 'customer:5' AND p.d >= 2 AND p.d + 1 <= 4)
+         |SELECT DISTINCT array_to_string(path, '->') AS path FROM hits""".stripMargin) { (s, d) =>
+      PathTraversals.rings(g(s, d), "customer:5", Direction.BOTH, Nil, maxDepth = 4)
     },
 
     q("q_template_paths",
@@ -342,15 +359,18 @@ object GraphQueries2 {
          |                                       UNION ALL SELECT dst, src FROM geo)),
          |bfs(root, id, dist) AS (
          |  SELECT id, id, CAST(0 AS BIGINT)
-         |  FROM (SELECT 'customer:1' AS id UNION ALL SELECT 'customer:2' UNION ALL SELECT 'customer:3')
+         |  FROM (SELECT 'customer:1' AS id UNION ALL SELECT 'customer:11' UNION ALL SELECT 'customer:13')
          |  UNION
          |  SELECT b.root, a.dst, b.dist + 1 FROM bfs b JOIN adj a ON a.src = b.id
          |  WHERE b.dist < 4),
          |d AS (SELECT root, id, min(dist) AS dist FROM bfs GROUP BY root, id)
          |SELECT root AS a, id AS b, dist FROM d
-         |WHERE id IN ('customer:1', 'customer:2', 'customer:3') AND root < id""".stripMargin) { (s, d) =>
+         |WHERE id IN ('customer:1', 'customer:11', 'customer:13') AND root < id""".stripMargin) { (s, d) =>
+      // customers 1/11/13 share region 4 at every SF → the geo subgraph
+      // connects each pair within 4 hops (dist 2 same-nation, else 4) and
+      // the oracle gate carries real rows
       PathTraversals.multiNodeShortestDist(g(s, d),
-        Seq("customer:1", "customer:2", "customer:3"), Direction.BOTH,
+        Seq("customer:1", "customer:11", "customer:13"), Direction.BOTH,
         Seq("in_nation", "in_region"), maxDepth = 4)
     },
 

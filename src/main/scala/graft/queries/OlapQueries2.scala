@@ -162,14 +162,16 @@ object OlapQueries2 {
     },
 
     q("q_customized_crosspoints",
+      // customers 0 and 3 share ≥1 part at every SF (1/2 never do), so the
+      // intersection gate carries real rows
       """SELECT id FROM (
         |  SELECT DISTINCT 'part:' || CAST(l.l_partkey AS VARCHAR) AS id
         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        |  WHERE o.o_custkey = 1
+        |  WHERE o.o_custkey = 0
         |  INTERSECT
         |  SELECT DISTINCT 'part:' || CAST(l.l_partkey AS VARCHAR)
         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        |  WHERE o.o_custkey = 2)""".stripMargin) { (s, d) =>
+        |  WHERE o.o_custkey = 3)""".stripMargin) { (s, d) =>
       // crosspoints over multiple path patterns (reference
       // CustomizedCrosspointsTraverser): terminal-id intersection of the
       // per-pattern template walks
@@ -179,7 +181,7 @@ object OlapQueries2 {
       def terminals(src: String): DataFrame =
         PathTraversals.templatePaths(g(s, d), Seq(src), steps)
           .select(element_at(split(col("path"), "->"), -1).as("id")).distinct()
-      terminals("customer:1").intersect(terminals("customer:2"))
+      terminals("customer:0").intersect(terminals("customer:3"))
     },
 
     q("q_weighted_path",

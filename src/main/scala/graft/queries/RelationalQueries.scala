@@ -210,11 +210,16 @@ object RelationalQueries {
         .select(col("c_custkey"))
     },
 
+    // anti-join against the FILTERED order set (every sf0.01 customer has
+    // some order, so the unfiltered variant proved emptiness only —
+    // customers without a single >400k order survive and gate real rows)
     q("q_anti_join",
       """SELECT c_custkey FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, d) =>
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin) { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d).select(col("o_custkey")),
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"))
     },

@@ -147,17 +147,34 @@ object PathTraversals {
   }
 
   /** Rings: simple cycles source→…→source up to maxDepth
-    * (reference `SubGraphTraverser.rings:65`). */
+    * (reference `SubGraphTraverser.rings:65`). With BOTH direction, the
+    * depth-2 closure A→B→A over a SINGLE physical edge is a backtrack, not
+    * a ring — it only counts when parallel edges exist between A and B
+    * (reference `SubGraphTraverser.java:250-268`: target == parent closes a
+    * ring iff direction != BOTH or hasMultiEdges). A deeper closure can
+    * never revisit the source mid-path, so the parent==target rule reduces
+    * to the path-length-2 case. */
   def rings(g: PropertyGraph, source: String, dir: Direction.Value,
             labels: Seq[String] = Nil, maxDepth: Int): DataFrame = {
     val edges = Traversals.adjacencyView(g, dir, labels)
+    // (src,dst) pairs with ≥2 parallel edges in the raw (multiplicity-
+    // preserving) step view — tiny, broadcast into the closure filter
+    lazy val multiPairs = EdgeStep(dir, labels).edgesFor(g)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("__m"))
+      .filter(col("__m") > 1).select(col("src"), col("dst"))
+      .localCheckpoint(true)
     var frontier = seed(g, Seq(source))
     var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
     for (_ <- 1 to maxDepth) {
       val expanded = frontier.select(col("id").as("src"), col("path"))
         .join(edges, Seq("src"))
         .localCheckpoint(true)
-      acc = acc.unionByName(expanded.filter(col("dst") === source)
+      var closures = expanded.filter(col("dst") === source)
+      if (dir == Direction.BOTH)
+        closures = closures.filter(size(col("path")) > 2)
+          .unionByName(closures.filter(size(col("path")) === 2)
+            .join(broadcast(multiPairs), Seq("src", "dst"), "left_semi"))
+      acc = acc.unionByName(closures
         .select(concat_ws("->", concat(col("path"), array(col("dst")))).as("path")))
       frontier = expanded
         .filter(col("dst") =!= source && !array_contains(col("path"), col("dst")))

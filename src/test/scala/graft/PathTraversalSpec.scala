@@ -34,6 +34,26 @@ class PathTraversalSpec extends SparkSpec {
     assert(PathTraversals.rings(modern, "person:marko", Direction.OUT, Nil, 4).count() === 0L)
   }
 
+  test("BOTH rings: single-edge backtrack excluded, parallel-edge 2-ring and longer cycles kept") {
+    // a→b single edge, a⇉c parallel edges (reference SubGraphTraverser:
+    // A→B→A counts only with multi-edges), plus the directed 3-cycle a→b→c→a
+    val verts = Seq("a", "b", "c").map(v => (v, "node")).toDF("id", "label")
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+      .withColumn("label", lit("e"))
+      .withColumn("sort_values", lit(null).cast("string"))
+    val g = PropertyGraph(verts, edges, GraphSchema(Nil,
+      Seq(VertexLabelDef("node", Nil)), Seq(EdgeLabelDef("e", "node", "node"))))
+    val r = PathTraversals.rings(g, "a", Direction.BOTH, Nil, 4)
+      .collect().map(_.getString(0)).toSet
+    // a↔c has TWO physical edges (c→a and a→c) → the 2-ring a->c->a is real;
+    // a↔b has one edge → a->b->a is a backtrack and must NOT appear;
+    // the 3-cycle appears in both rotations under BOTH adjacency
+    assert(!r.contains("a->b->a"), s"backtrack leaked: $r")
+    assert(r.contains("a->c->a"), s"parallel-edge 2-ring missing: $r")
+    assert(r.contains("a->b->c->a") && r.contains("a->c->b->a"), s"3-cycle missing: $r")
+  }
+
   test("guided walks: one path per source, deterministic, hop-bounded, dead ends emit partial paths") {
     def run() = PathTraversals.guidedWalks(cyclic, Seq("a", "d"), steps = 3, Direction.OUT)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
