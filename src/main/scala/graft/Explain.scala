@@ -156,7 +156,10 @@ object Explain {
     // its per-hop step executions are captured for the evidence below) ----
     val names = SparkEntry.queries.keys.toSeq.sorted
     val sweep = names.map { n =>
-      PlanAudit.audit(spark, d, n, keepPlans = n == "q_guided_walks")
+      val a = PlanAudit.audit(spark, d, n, keepPlans = n == "q_guided_walks")
+      // same allowlist the gated PlanAuditSpec applies — the published doc
+      // and the test must report the same flag set
+      a.copy(flags = a.flags.filterNot(PlanAudit.allowed.getOrElse(n, Set.empty)))
     }
     val walkStep = sweep.find(_.name == "q_guided_walks").flatMap { a =>
       // the hop materialization: a captured execution that joins the walk

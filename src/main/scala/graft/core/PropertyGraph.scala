@@ -227,8 +227,13 @@ object TpchGraph {
         val tbl = "graft_edges_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
         val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
-        org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(s"spark-warehouse/$tbl"), true)
+        // orphan-dir cleanup under the CONFIGURED warehouse (a hard-coded
+        // relative spark-warehouse/ would miss — or hit an unrelated dir —
+        // when spark.sql.warehouse.dir points elsewhere)
+        val orphan = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), tbl)
+        orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(orphan, true)
         graft.sources.GraphStore.saveBucketedEdges(g.edges, tbl, buckets)
         PropertyGraph(g.vertices.localCheckpoint(eager = true),
           spark.table(tbl), g.schema)

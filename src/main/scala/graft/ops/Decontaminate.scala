@@ -55,14 +55,16 @@ object Decontaminate {
       .groupBy(col(idCol)).agg(countDistinct(col("h")).as("n_hits"))
   }
 
-  /** The corpus with contaminated documents removed (broadcast anti-join
-    * against the contaminated id set — itself bounded by the benchmark's
-    * reach, never the corpus). */
+  /** The corpus with contaminated documents removed. The contaminated-id
+    * set is bounded by how many CORPUS documents the benchmark reaches —
+    * usually tiny, but a benchmark n-gram sitting in boilerplate can pull
+    * in O(corpus) ids, so no broadcast hint: AQE broadcasts when the set is
+    * actually small and the plain left_anti degrades gracefully when not. */
   def clean(corpus: DataFrame, bench: DataFrame,
             idCol: String, textCol: String,
             benchTextCol: String, ngram: Int = 13): DataFrame =
     corpus.join(
-      broadcast(contaminated(corpus, bench, idCol, textCol, benchTextCol, ngram)
-        .select(col(idCol))),
+      contaminated(corpus, bench, idCol, textCol, benchTextCol, ngram)
+        .select(col(idCol)),
       Seq(idCol), "left_anti")
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal, Expression, And}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal, Expression, And}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.core.GraphSchema
 
@@ -50,26 +50,30 @@ object GraftExtensions {
 object SchemaLinkPruning extends Rule[LogicalPlan] {
 
   private def impossibleLabel(cond: Expression, schema: GraphSchema): Boolean = {
-    def refName(a: Expression): Option[String] = {
-      val rs = a.references.map(_.name).toSeq
-      if (rs.size == 1) rs.headOption else None
-    }
     // `label = x` with x undeclared, or `sub_label = x` with x not a
-    // declared SUB edge label (father/sub hierarchy): the scan can't match
+    // declared SUB edge label (father/sub hierarchy): the scan can't match.
+    // sub_label pruning only activates when the installed schema declares
+    // a father/sub hierarchy at all — otherwise an ad-hoc frame's
+    // sub_label filter (a graph the installed schema knows nothing about)
+    // would silently collapse to empty.
     def impossibleEq(column: String, value: String): Boolean = column match {
       case "label" =>
         !schema.edgeLabels.exists(_.name == value) &&
           !schema.vertexLabels.exists(_.name == value)
       case "sub_label" =>
-        !schema.edgeLabels.exists(e => e.name == value && e.father.isDefined)
+        schema.edgeLabels.exists(_.father.isDefined) &&
+          !schema.edgeLabels.exists(e => e.name == value && e.father.isDefined)
       case _ => false
     }
+    // bare column = literal ONLY: `upper(label) = 'X'` or
+    // `substring(sub_label, …) = 'x'` can match rows the bare column never
+    // would, so any computed left side must not prune
     def check(e: Expression): Boolean = e match {
       case And(l, r) => check(l) || check(r)
-      case EqualTo(a, Literal(v: UTF8String, _)) =>
-        refName(a).exists(impossibleEq(_, v.toString))
-      case EqualTo(Literal(v: UTF8String, _), a) =>
-        refName(a).exists(impossibleEq(_, v.toString))
+      case EqualTo(a: AttributeReference, Literal(v: UTF8String, _)) =>
+        impossibleEq(a.name, v.toString)
+      case EqualTo(Literal(v: UTF8String, _), a: AttributeReference) =>
+        impossibleEq(a.name, v.toString)
       case _ => false
     }
     check(cond)

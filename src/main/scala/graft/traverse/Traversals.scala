@@ -396,11 +396,15 @@ object Traversals {
     frontier.agg(count(lit(1)).as("n"))
   }
 
-  /** Edges between two given vertices (reference `EdgeExistenceTraverser`). */
+  /** Edges between two given vertices (reference `EdgeExistenceTraverser`).
+    * The label filter routes through the schema's father/sub mapping so a
+    * SUB edge label resolves on father-stored frames (label = father,
+    * sub_label = sub) exactly like adjacency routing does. */
   def edgeExistence(g: PropertyGraph, source: String, target: String,
                     label: Option[String] = None): DataFrame = {
     var e = g.edges.filter(col("src") === source && col("dst") === target)
-    label.foreach(l => e = e.filter(col("label") === l))
+    label.foreach(l => e = e.filter(
+      g.schema.edgeLabelCond(Seq(l), g.edges.columns.contains("sub_label"))))
     e.select(col("src"), col("dst"), col("label"), col("sort_values"))
   }
 

@@ -36,6 +36,18 @@ class StoreAndPlansSpec extends SparkSpec {
       val possible = g.edges.filter(col("label") === "knows")
       val kept = SchemaLinkPruning(possible.queryExecution.analyzed)
       assert(!kept.isInstanceOf[LocalRelation])
+      // a COMPUTED left side can match rows the bare column never would —
+      // `upper(label) = 'KNOWS'` must not prune even though 'KNOWS' is
+      // undeclared (ADVICE r4: refName over arbitrary expressions pruned it)
+      val computed = g.edges.filter(upper(col("label")) === "KNOWS")
+      assert(!SchemaLinkPruning(computed.queryExecution.analyzed)
+        .isInstanceOf[LocalRelation])
+      // sub_label pruning is inert when the installed schema declares no
+      // father/sub hierarchy (ad-hoc graphs keep their sub_label filters)
+      val adhoc = g.edges.withColumn("sub_label", lit("wire"))
+        .filter(col("sub_label") === "wire")
+      assert(!SchemaLinkPruning(adhoc.queryExecution.analyzed)
+        .isInstanceOf[LocalRelation])
     } finally GraftExtensions.clearSchema()
   }
 
