@@ -30,6 +30,12 @@ object Bench {
     // part of the same persist-once working set as the BFS views above
     if (!sys.env.get("SPARK_GRAFT_SKIP_PRV").contains("1"))
       graft.olap.Algorithms.pageRankViews(graph)
+    // the co-partitioned weighted edge view SSSP relaxation rounds join
+    // against (q_weighted_sssp / q_weighted_path) — same persist-once
+    // working-set family as pageRankViews
+    if (!sys.env.get("SPARK_GRAFT_SKIP_WSP").contains("1"))
+      graft.traverse.PathTraversals.weightedEdgeView(graph,
+        graft.core.Direction.BOTH, Nil, "quantity")
     // the session-shared tokenized-corpus view (ops.Corpus.tokens) — the
     // text-side member of the same persist-once working set: five doc
     // operators (dedup, LSH, quality, lang-id, token stats) plan against
