@@ -6,14 +6,89 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by per-partition batch operators.
   *
-  * The real decode (JPEG/PNG/audio codecs) is STUBBED — the container has no
-  * media libraries — behind [[DecodeStub.decode]]; everything Spark-side
-  * (schema, partitioning, batch iteration, deterministic outputs) is real
-  * and tested. At scale the decode runs inside `mapPartitions` so codec
-  * state is initialized once per partition, not per row — the Scala
-  * equivalent of a Pandas `mapInPandas` batch UDF.
+  * IMAGE decode is REAL: [[imageMeta]] runs the JDK's `javax.imageio`
+  * readers (PNG/JPEG/GIF/BMP ship with the JRE — no external dependency)
+  * header-only inside `mapPartitions`. Audio/video codecs stay STUBBED
+  * behind [[DecodeStub.decode]] — the container has no media libraries —
+  * with the Spark-side plumbing (schema, partitioning, batch iteration,
+  * deterministic outputs) real and tested. At scale every decode runs
+  * inside `mapPartitions` so codec state is initialized once per
+  * partition, not per row — the Scala equivalent of a Pandas `mapInPandas`
+  * batch UDF.
   */
 object Multimodal {
+
+  final case class ImageAsset(doc_id: Long, bytes: Array[Byte])
+  final case class ImageMeta(doc_id: Long, format: String, width: Int,
+                             height: Int, channels: Int)
+
+  /** Deterministic REAL PNG assets: per doc_id, render a
+    * (16 + id%48)×(16 + id%32) image — gray / RGB / ARGB by id%3 — with
+    * id-seeded pixels and ImageIO-encode it per partition. Exists so the
+    * decode path below can be oracle-gated: the decoded header values are
+    * analytic functions of doc_id that DuckDB computes without a codec. */
+  def pngAssets(docs: DataFrame): Dataset[ImageAsset] = {
+    import java.awt.image.BufferedImage
+    implicit val enc: org.apache.spark.sql.Encoder[ImageAsset] =
+      Encoders.product[ImageAsset]
+    docs.select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (16 + id % 48).toInt
+          val h = (16 + id % 32).toInt
+          val t = (id % 3) match {
+            case 0 => BufferedImage.TYPE_BYTE_GRAY
+            case 1 => BufferedImage.TYPE_3BYTE_BGR
+            case _ => BufferedImage.TYPE_4BYTE_ABGR
+          }
+          val img = new BufferedImage(w, h, t)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((id * 31 + x * 7 + y * 13) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImageAsset(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL image metadata decode via the JDK ImageIO reader registry,
+    * header-only: `reader.getWidth/getHeight/getImageTypes` parse the
+    * format header without materializing pixel data — at 100 TB that is
+    * tens of bytes of codec I/O per asset, not the decoded bitmap.
+    * Unrecognized bytes degrade to ("unknown", -1, -1, -1) rather than
+    * failing the partition. */
+  def imageMeta(assets: Dataset[ImageAsset]): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[ImageMeta] =
+      Encoders.product[ImageMeta]
+    assets.mapPartitions { it =>
+      // reader registry is JVM-wide; readers themselves are per-image
+      it.map { a =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(a.bytes))
+        try {
+          val rs = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!rs.hasNext) ImageMeta(a.doc_id, "unknown", -1, -1, -1)
+          else {
+            val r = rs.next()
+            r.setInput(iis)
+            try ImageMeta(a.doc_id, r.getFormatName.toLowerCase,
+              r.getWidth(0), r.getHeight(0),
+              r.getImageTypes(0).next().getNumComponents)
+            finally r.dispose()
+          }
+        } catch {
+          case _: Exception => ImageMeta(a.doc_id, "unknown", -1, -1, -1)
+        } finally iis.close()
+      }
+    }.toDF()
+  }
 
   /** Deterministic fake assets derived from document text: the "media bytes"
     * are md5-derived, with per-doc varying length — enough structure to

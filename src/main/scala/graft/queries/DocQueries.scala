@@ -822,6 +822,20 @@ object DocQueries {
         TextFunctions.tokenCountBpe(col("text")).cast("long").as("n_bpe"))
     },
 
+    // REAL image decode: Spark renders + PNG-encodes id-parameterized
+    // images (javax.imageio, JDK-built-in) and decodes their headers back;
+    // the oracle computes the expected header values analytically — the
+    // gate verifies the actual codec round-trip reproduces them
+    q("q_image_decode",
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(16 + doc_id % 48 AS INT) AS width,
+        |  CAST(16 + doc_id % 32 AS INT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels
+        |FROM documents WHERE doc_id < 100""".stripMargin) { (s, d) =>
+      Multimodal.imageMeta(Multimodal.pngAssets(
+        Tables.documents(s, d).filter(col("doc_id") < 100)))
+    },
+
     q("q_multimodal_meta",
       """SELECT doc_id,
         |  CAST(octet_length(unhex(repeat(md5(text), 1 + CAST(doc_id % 3 AS INT)))) AS BIGINT) AS n_bytes,

@@ -92,6 +92,33 @@ class OpsSpec extends SparkSpec {
     assert(feats(3L).n_bytes === 16)
   }
 
+  test("real image decode: ImageIO round-trips PNG dims/channels, reads a JPEG, degrades on junk") {
+    import java.awt.image.BufferedImage
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.ImageAsset]
+    // PNG family via the pngAssets generator (gray/RGB/ARGB by id%3)
+    val metas = Multimodal.imageMeta(Multimodal.pngAssets(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      val m = metas(id)
+      assert(m.getString(1) === "png")
+      assert(m.getInt(2) === (16 + id % 48).toInt, s"width of $id")
+      assert(m.getInt(3) === (16 + id % 32).toInt, s"height of $id")
+      assert(m.getInt(4) === Seq(1, 3, 4)((id % 3).toInt), s"channels of $id")
+    }
+    // a real JPEG through the same reader registry
+    val img = new BufferedImage(20, 10, BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val junk = Array[Byte](1, 2, 3, 4)
+    val extra = spark.createDataset(Seq(
+      Multimodal.ImageAsset(100L, bos.toByteArray),
+      Multimodal.ImageAsset(101L, junk)))
+    val em = Multimodal.imageMeta(extra).collect().map(r => r.getLong(0) -> r).toMap
+    assert(em(100L).getString(1).startsWith("jp")) // "jpeg"/"jpg" per reader
+    assert(em(100L).getInt(2) === 20 && em(100L).getInt(3) === 10)
+    assert(em(101L).getString(1) === "unknown" && em(101L).getInt(2) === -1)
+  }
+
   test("resize downsamples the byte budget and stamps target metadata") {
     val assets = Multimodal.fakeAssets(docs)
     val small = Multimodal.resize(assets, targetW = 2, targetH = 2)
