@@ -98,12 +98,18 @@ object PlanAudit {
       } => entryShuffle(s.children.head)
       case _ => false
     }
+    // fires only when the side paying the fresh Exchange is materially
+    // BIGGER than the broadcastable side (≥8× and ≥1MB): shuffling the
+    // tiny side into a co-partitioned big side is the scale-CORRECT shape
+    // (a 1-row SSSP frontier exchanged into the pinned edge view must not
+    // flag just because the edge view is small at test SF)
+    def drags(small: Option[BigInt], other: SparkPlan): Boolean =
+      small.exists(s => s < broadcastThreshold && entryShuffle(other) &&
+        sideBytes(other).forall(o => o >= (s * 8).max(BigInt(1024 * 1024))))
     val smj = ops.collect {
-      case j: SortMergeJoinExec if {
-        val (lb, rb) = (sideBytes(j.left), sideBytes(j.right))
-        (lb.exists(_ < broadcastThreshold) && entryShuffle(j.right)) ||
-        (rb.exists(_ < broadcastThreshold) && entryShuffle(j.left))
-      } => "smj-broadcastable"
+      case j: SortMergeJoinExec
+        if drags(sideBytes(j.left), j.right) || drags(sideBytes(j.right), j.left) =>
+        "smj-broadcastable"
     }
     (win ++ cart ++ smj).distinct
   }

@@ -98,6 +98,8 @@ object ScaleSmoke {
             .select(col("src"), col("dst")))
         }
         Algorithms.pageRankViews(g)
+        // weighted-SSSP working set (Bench.warmup pins this too)
+        PathTraversals.weightedEdgeView(g, Direction.BOTH, Nil, "quantity")
         0L
       }
     }
@@ -108,32 +110,48 @@ object ScaleSmoke {
       val ts = inputs.map { case (tag, g) => time(s"$name $tag")(f(g).count()) }
       results(name) = (ts.head, ts.last)
     }
+    // dev iteration: SPARK_GRAFT_SMOKE_ONLY=spt,wpath runs a subset
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(",").toSet)
+    def wanted(tag: String): Boolean = only.forall(_.contains(tag))
 
     val suf = "#0"
     warm(g1, "1x"); warm(gN, s"${copies}x")
-    run("pagerank", g => Algorithms.pageRank(g, alpha = 0.85, iterations = 3),
+    if (wanted("pagerank")) run("pagerank", g => Algorithms.pageRank(g, alpha = 0.85, iterations = 3),
       Seq("1x" -> g1, s"${copies}x" -> gN))
-    results("wcc") = (
+    if (wanted("wcc")) results("wcc") = (
       time("wcc 1x") { val (v, e) = wccInput(g1); Algorithms.wcc(v, e).count() },
       time(s"wcc ${copies}x") { val (v, e) = wccInput(gN); Algorithms.wcc(v, e).count() })
-    results("louvain") = (
+    if (wanted("louvain")) results("louvain") = (
       time("louvain 1x")(Louvain.louvain(lv1, le1, localRounds = 4, passes = 2).count()),
       time(s"louvain ${copies}x")(Louvain.louvain(lvN, leN, localRounds = 4, passes = 2).count()))
-    results("neighbor_rank_general") = (
+    if (wanted("nrg")) results("neighbor_rank_general") = (
       time("nrg 1x")(SimilarityTraversals.neighborRank(g1, "customer:1", alpha = 0.85,
         steps = Seq.fill(3)(SimilarityTraversals.RankStep(EdgeStep(Direction.BOTH)))).count()),
       time(s"nrg ${copies}x")(SimilarityTraversals.neighborRank(gN, "customer:1" + suf, alpha = 0.85,
         steps = Seq.fill(3)(SimilarityTraversals.RankStep(EdgeStep(Direction.BOTH)))).count()))
-    results("rays") = (
+    if (wanted("rays")) results("rays") = (
       time("rays 1x")(PathTraversals.rays(g1, "customer:1", Direction.OUT, Nil, maxDepth = 5).count()),
       time(s"rays ${copies}x")(PathTraversals.rays(gN, "customer:1" + suf, Direction.OUT, Nil, maxDepth = 5).count()))
-    results("multinode_shortest") = (
+    if (wanted("mns")) results("multinode_shortest") = (
       time("mns 1x")(PathTraversals.multiNodeShortestDist(g1,
         Seq("customer:1", "customer:2", "customer:3"), Direction.BOTH,
         Seq("in_nation", "in_region"), maxDepth = 4).count()),
       time(s"mns ${copies}x")(PathTraversals.multiNodeShortestDist(gN,
         Seq("customer:1" + suf, "customer:2" + suf, "customer:3" + suf), Direction.BOTH,
         Seq("in_nation", "in_region"), maxDepth = 4).count()))
+
+    if (wanted("spt")) results("shortest_path_trace") = (
+      time("spt 1x")(Traversals.shortestPathTrace(g1, "customer:1", "supplier:3",
+        Direction.BOTH, Nil, maxDepth = 3).count()),
+      time(s"spt ${copies}x")(Traversals.shortestPathTrace(gN, "customer:1" + suf,
+        "supplier:3" + suf, Direction.BOTH, Nil, maxDepth = 3).count()))
+    if (wanted("wpath")) results("weighted_path") = (
+      time("wpath 1x")(PathTraversals.weightedSssp(g1, "customer:1", Direction.BOTH,
+        Nil, weightCol = "quantity", rounds = 4)
+        .filter(col("id") === "supplier:3").count()),
+      time(s"wpath ${copies}x")(PathTraversals.weightedSssp(gN, "customer:1" + suf,
+        Direction.BOTH, Nil, weightCol = "quantity", rounds = 4)
+        .filter(col("id") === ("supplier:3" + suf)).count()))
 
     println(f"%n[scale] | operator | 1x | ${copies}x | ratio |")
     println(s"[scale] |---|---|---|---|")

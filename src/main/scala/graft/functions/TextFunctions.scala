@@ -139,6 +139,16 @@ object TextFunctions {
         .otherwise(m)
     })
 
+  /** Stopword-aware analyzer (reference: the pluggable segmenters it loads
+    * — smartcn, IKAnalyzer — ship stopword filtering, Lucene `StopFilter`
+    * stage): base-analyzer tokens minus a language's stopword list. Stays
+    * a pure Column filter — inside codegen like every other analyzer. */
+  def tokenizeNoStop(c: Column, lang: String = "en"): Column = {
+    val stops = langStopwords.toMap.getOrElse(lang,
+      sys.error(s"not exists stopword list: $lang"))
+    filter(tokenize(c), t => !t.isin(stops: _*))
+  }
+
   /** Named wordlists for the dictionary analyzer — the reference's
     * per-analyzer dictionary slot (`AnalyzerFactory.java:34-53` constructs
     * each segmenter with its own lexicon; `Analyzer.segment:22-24`).
@@ -160,10 +170,18 @@ object TextFunctions {
     "cjk-bigram" -> tokenizeCjkBigram,
     "cjk-dict" -> (c => tokenizeCjkDict(c)),
     "cjk-dict-rmm" -> (c => tokenizeCjkDictRmm(c)),
-    "cjk-dict-bi" -> (c => tokenizeCjkDictBi(c)))
+    "cjk-dict-bi" -> (c => tokenizeCjkDictBi(c)),
+    "english-stop" -> (c => tokenizeNoStop(c)))
 
   def analyzer(name: String): Column => Column =
-    if (name.startsWith("cjk-dict-rmm:")) {
+    if (name.startsWith("stop:")) {
+      // stopword-filtered default analyzer for any installed language list;
+      // resolve the list eagerly so an unknown language fails at dispatch
+      val lang = name.stripPrefix("stop:")
+      if (!langStopwords.exists(_._1 == lang))
+        sys.error(s"not exists stopword list: $lang")
+      c => tokenizeNoStop(c, lang)
+    } else if (name.startsWith("cjk-dict-rmm:")) {
       val dict = namedDict(name.stripPrefix("cjk-dict-rmm:"))
       c => tokenizeCjkDictRmm(c, dict)
     } else if (name.startsWith("cjk-dict-bi:")) {

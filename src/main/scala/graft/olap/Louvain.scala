@@ -101,17 +101,74 @@ object Louvain {
     if (m2 == 0.0) return verts.select(col("id"), col("id").as("community"))
     val k = adj.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
       .localCheckpoint(true)
+    val noDelta = sys.env.get("GRAFT_LOUVAIN_NODELTA").contains("1")
+    val nVerts = if (noDelta) 0L else verts.count()
 
-    var comm = verts.select(col("id"), col("id").as("community"))
+    // Delta bookkeeping — bit-exact pruning. A vertex's round-r decision is
+    // a pure function of (its neighbors' communities under the round-r input
+    // state, the totals of those communities, k_v, round PARITY). The gate
+    // alternates by parity, so the comparable earlier round is r-2: if
+    // NOTHING in that function's input changed between rounds r-2 and r,
+    // decision_r(v) = decision_{r-2}(v) = state_{r-1}(v) verbatim. The
+    // candidate (re-evaluate) set is every src with an adj edge into a
+    // vertex that moved OR a vertex whose community's tot VALUE changed —
+    // the self-loop puts v's own state under the same two clauses. Equal
+    // tot doubles from different member sets are safe: the decision reads
+    // tot only through its value. Over-marking is always safe; rounds 0/1
+    // have no parity twin and run full.
+    val hist = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val totHist = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+    // Broadcast-safety gates for the delta plumbing: past these sizes the
+    // delta machinery would itself become the scale problem, so the round
+    // falls back to a plain full evaluation (always correct).
+    val maxBroadcastRows = 2000000L
+
+    // pinned co-partitioned on id (the lpa/eigenvector idiom): every hist
+    // frame and every idInfo join keys on id — without the pin the vertex
+    // source re-scans and re-shuffles per round (PlanAudit loop-reshuffle)
+    val v = graft.core.Pin.pin(verts.select(col("id")).repartition(col("id")))
+    var comm = v.select(col("id"), col("id").as("community"))
     for (r <- 0 until rounds) {
+      hist += comm
       // one (id, community, k) table per round feeds BOTH the community
       // totals and the per-id gain inputs — folding the former separate
       // `own` and `k` joins into a single join per round
       val idInfo = comm.join(k, Seq("id")).localCheckpoint(false)
       val commTot = idInfo.groupBy(col("community")).agg(sum(col("k")).as("tot"))
+        .localCheckpoint(false)
+      totHist += commTot
+      val candidates: Option[DataFrame] = if (noDelta || r < 2) None else {
+        // both hist frames are id-partitioned checkpoints → co-located merge
+        val movers = hist(r).withColumnRenamed("community", "c1")
+          .join(hist(r - 2).withColumnRenamed("community", "c2"), Seq("id"))
+          .filter(col("c1") =!= col("c2")).select(col("id"))
+        val totChanged = totHist(r).withColumnRenamed("tot", "t1")
+          .join(totHist(r - 2).withColumnRenamed("tot", "t2"), Seq("community"), "full")
+          .filter(!(col("t1") <=> col("t2"))).select(col("community"))
+          .localCheckpoint(false)
+        // totChanged builds a broadcast against the |V|-sized comm — gate it
+        if (totChanged.count() > maxBroadcastRows) None else {
+          val touchedDst = comm.withColumnRenamed("id", "dst")
+            .join(broadcast(totChanged), Seq("community"), "left_semi").select(col("dst"))
+            .unionByName(movers.withColumnRenamed("id", "dst")).distinct()
+          val cand = adj.join(touchedDst, Seq("dst"), "left_semi")
+            .select(col("src").as("id")).distinct().localCheckpoint(true)
+          // delta only pays when the re-evaluate set is a minority, and cand
+          // itself broadcasts against adj below
+          val n = cand.count()
+          if (n <= nVerts / 2 && n <= maxBroadcastRows) Some(cand) else None
+        }
+      }
       // weight from v to each neighbouring community (self-loop ⇒ the own
-      // community is always present, possibly with w_vc = 0)
-      val vToComm = adj
+      // community is always present, possibly with w_vc = 0); under delta,
+      // only candidate srcs re-aggregate
+      val stepAdj = candidates match {
+        // broadcast semi-join: adj (dst-partitioned, the big side) never moves
+        case Some(c) => adj.join(broadcast(c.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+        case None    => adj
+      }
+      val vToComm = stepAdj
         .join(comm.withColumnRenamed("id", "dst").withColumnRenamed("community", "nc"), Seq("dst"))
         .groupBy(col("src").as("id"), col("nc")).agg(sum(col("w")).as("w_vc"))
       // join tot while still partitioned by nc, THEN align to id — the final
@@ -129,11 +186,19 @@ object Louvain {
       val gated = gains.select(col("id"), col("nc"), col("gain"), col("oc"))
         .filter(col("nc") === col("oc") ||
           (if (r % 2 == 0) col("nc") < col("oc") else col("nc") > col("oc")))
-      comm = gated
+      val decisions = gated
         .groupBy(col("id"))
         .agg(min(struct((col("gain") * -1).as("ng"), col("nc"))).as("best"))
         .select(col("id"), col("best.nc").as("community"))
-        .localCheckpoint(true)
+      comm = (candidates match {
+        case Some(c) =>
+          // non-candidates repeat their parity-twin decision, which is
+          // exactly their state after round r-1; re-partition the union so
+          // the next round's hist/idInfo joins stay co-located on id
+          hist(r - 1).join(broadcast(c), Seq("id"), "left_anti")
+            .unionByName(decisions).repartition(col("id"))
+        case None => decisions
+      }).localCheckpoint(true)
     }
     comm
   }

@@ -743,6 +743,20 @@ object DocQueries {
               (col("doc_id") % 10).cast("string")))).as("toks"))
     },
 
+    // stopword-aware analyzer (Lucene StopFilter semantics): default
+    // tokens minus the language stopword list, via the analyzer registry
+    q("q_tokenize_stop", {
+      val enStops = TextFunctions.langStopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, list_filter($tok, x -> x NOT IN ($enStops)) AS toks
+         |           FROM documents WHERE doc_id < 200)
+         |SELECT doc_id, array_to_string(toks, ' ') AS toks FROM t""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat_ws(" ", TextFunctions.analyzer("english-stop")(col("text"))).as("toks"))
+    },
+
     q("q_ann_ivf_topk", ivfSql(10, 16, 2)) { (s, d) =>
       val e = Tables.embeddings(s, d)
       Ann.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),

@@ -59,6 +59,25 @@ class FunctionsSpec extends SparkSpec {
     intercept[Exception](TextFunctions.analyzer("nope"))
   }
 
+  test("stopword analyzer: drops stopwords where the base analyzer keeps them, per-language") {
+    val df = Seq("the cat is in the hat").toDF("t")
+    // disagreement with the base analyzer on the same string
+    val base = df.select(TextFunctions.analyzer("english")(col("t")))
+      .head().getSeq[String](0)
+    val stopped = df.select(TextFunctions.analyzer("english-stop")(col("t")))
+      .head().getSeq[String](0)
+    assert(base === Seq("the", "cat", "is", "in", "the", "hat"))
+    assert(stopped === Seq("cat", "hat"))
+    // textContains is stopword-aware through the registry
+    assert(df.filter(TextFunctions.textContains(col("t"), "the", "english")).count() === 1L)
+    assert(df.filter(TextFunctions.textContains(col("t"), "the", "english-stop")).count() === 0L)
+    // parameterized per-language lists: 'de' keeps English stopwords
+    val deStopped = df.select(TextFunctions.analyzer("stop:de")(col("t")))
+      .head().getSeq[String](0)
+    assert(deStopped === base)
+    intercept[Exception](TextFunctions.analyzer("stop:xx"))
+  }
+
   test("dictionary analyzer: per-registry-entry wordlists disagree on the same string") {
     // lexA knows the compound 数据库; lexB only knows 数据 — same input,
     // different segmentations under "cjk-dict:<name>" dispatch
