@@ -46,10 +46,14 @@ object ScaleSmoke {
     // materialize the N× graph to parquet so its scans cost what the bench's
     // scans cost (not an in-memory lineage of the 1× plan)
     val dir = s"/tmp/graft_scale$copies"
-    replicate(g1.vertices, Seq("id"), copies)
-      .write.mode("overwrite").parquet(s"$dir/vertices")
-    replicate(g1.edges, Seq("src", "dst"), copies)
-      .write.mode("overwrite").parquet(s"$dir/edges")
+    // dev iteration: SPARK_GRAFT_SMOKE_REUSE=1 keeps an existing replica dir
+    if (!(sys.env.get("SPARK_GRAFT_SMOKE_REUSE").contains("1") &&
+          new java.io.File(s"$dir/edges/_SUCCESS").exists())) {
+      replicate(g1.vertices, Seq("id"), copies)
+        .write.mode("overwrite").parquet(s"$dir/vertices")
+      replicate(g1.edges, Seq("src", "dst"), copies)
+        .write.mode("overwrite").parquet(s"$dir/edges")
+    }
     val gN = PropertyGraph(
       spark.read.parquet(s"$dir/vertices"),
       spark.read.parquet(s"$dir/edges"), TpchGraph.schema)
@@ -116,6 +120,18 @@ object ScaleSmoke {
 
     val suf = "#0"
     warm(g1, "1x"); warm(gN, s"${copies}x")
+    if (sys.env.get("GRAFT_TRACE_DEBUG").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val wall = (for (s <- si.submissionTime; c <- si.completionTime) yield c - s).getOrElse(-1L)
+          if (wall > 300) System.err.println(
+            s"[stage] id=${si.stageId} tasks=${si.numTasks} wall=${wall}ms " +
+            s"taskTime=${si.taskMetrics.executorRunTime}ms gc=${si.taskMetrics.jvmGCTime}ms " +
+            s"${si.name.take(80)}")
+        }
+      })
     if (wanted("pagerank")) run("pagerank", g => Algorithms.pageRank(g, alpha = 0.85, iterations = 3),
       Seq("1x" -> g1, s"${copies}x" -> gN))
     if (wanted("wcc")) results("wcc") = (

@@ -52,7 +52,20 @@ object Pin {
         if (debug) System.err.println(s"[pin] HIT ${plan.nodeName} hash=${key._2}")
         hit._2
       }.getOrElse {
-        val cp = df.localCheckpoint(eager = true)
+        // columnar persist, not localCheckpoint: checkpoint RDD storage holds
+        // deserialized row OBJECTS — scanning a 27M-row pinned view that way
+        // ran at ~300k rows/s/core with 25% GC (measured, ScaleSmoke 10x
+        // stage metrics), because every layer's probe pointer-chases tens of
+        // millions of heap objects the collector must also keep tracing. The
+        // SQL cache stores compressed columnar byte buffers: sequential
+        // scans, near-zero GC residency — and it's literally the
+        // persist(MEMORY_AND_DISK) a cluster deployment pins its adjacency
+        // with. Partitioning survives (InMemoryTableScan forwards the cached
+        // plan's outputPartitioning), so repartition(src)-shaped pins keep
+        // feeding co-located joins. count() forces full materialization so
+        // the load cost lands here (the warmup), not in the first query.
+        val cp = df.persist()
+        cp.count()
         if (debug) System.err.println(s"[pin] MISS ${plan.nodeName} hash=${key._2} (${cache.size} buckets)")
         bucket += ((plan, cp))
         cp
@@ -69,5 +82,11 @@ object Pin {
 
   def onClear(hook: () => Unit): Unit = clearHooks.add(hook)
 
-  def clear(): Unit = { cache.clear(); clearHooks.forEach(h => h()) }
+  def clear(): Unit = {
+    cache.forEach((_, bucket) =>
+      bucket.synchronized(bucket.foreach { case (_, df) =>
+        try df.unpersist() catch { case _: Exception => () }
+      }))
+    cache.clear(); clearHooks.forEach(h => h())
+  }
 }

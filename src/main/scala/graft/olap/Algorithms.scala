@@ -237,11 +237,12 @@ object Algorithms {
     var seen = verts.select(col("id").as("root"), col("id"), lit(0L).as("dist"))
     var frontier = seen
     var d = 0L
-    var cnt = 1L
+    var cnt = verts.count() // exact frontier size gates the pushdown attempt
     while (cnt > 0 && d < maxDepth) {
       d += 1
       frontier = frontier.select(col("root"), col("id").as("src"))
-        .join(adj, Seq("src"))
+        .join(graft.traverse.Traversals.pruneForFrontier(adj, frontier,
+          knownRows = cnt), Seq("src"))
         .select(col("root"), col("dst").as("id")).distinct()
         .join(seen.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
         .withColumn("dist", lit(d))

@@ -38,7 +38,7 @@ object PathTraversals {
     while (result.isEmpty && d < maxDepth) {
       d += 1
       frontier = frontier.select(col("id").as("src"), col("path"))
-        .join(edges, Seq("src"))
+        .join(Traversals.pruneForFrontier(edges, frontier), Seq("src"))
         .filter(!array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
         .localCheckpoint(true)
@@ -88,7 +88,8 @@ object PathTraversals {
       // whole edge table); dead walks are recovered with an anti join
       // against the (≤ |sources|-row) surviving-step keys
       val hop = frontier
-        .join(edges.withColumnRenamed("src", "cur"), Seq("cur"))
+        .join(Traversals.pruneForFrontier(edges, frontier, "cur")
+          .withColumnRenamed("src", "cur"), Seq("cur"))
         .withColumn("score", md5(concat_ws(":", col("wid"), lit(s), col("dst"))))
         .groupBy(col("wid"))
         .agg(min(struct(col("score"), col("dst"), col("path"))).as("m"))
@@ -131,9 +132,11 @@ object PathTraversals {
     var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
     for (_ <- 1 to maxDepth) {
       // single materialization per hop: leaves and the next frontier both
-      // derive from this checkpoint; distinct edges keep paths distinct
+      // derive from this checkpoint; distinct edges keep paths distinct.
+      // Pruned view = ALL edges whose src is a frontier id, so the LEFT
+      // join's null-dst (leaf) semantics survive the pushdown intact.
       val expanded = frontier.select(col("id").as("src"), col("path"))
-        .join(edges, Seq("src"), "left")
+        .join(Traversals.pruneForFrontier(edges, frontier), Seq("src"), "left")
         .localCheckpoint(true)
       // leaves: no out-edge (dst null) → the walk ends here
       acc = acc.unionByName(
@@ -167,7 +170,7 @@ object PathTraversals {
     var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
     for (_ <- 1 to maxDepth) {
       val expanded = frontier.select(col("id").as("src"), col("path"))
-        .join(edges, Seq("src"))
+        .join(Traversals.pruneForFrontier(edges, frontier), Seq("src"))
         .localCheckpoint(true)
       var closures = expanded.filter(col("dst") === source)
       if (dir == Direction.BOTH)
@@ -242,7 +245,7 @@ object PathTraversals {
     var acc = frontier.filter(lit(false))
     for (_ <- 1 to maxDepth) {
       frontier = frontier.select(col("id").as("src"), col("path"))
-        .join(edges, Seq("src"))
+        .join(Traversals.pruneForFrontier(edges, frontier), Seq("src"))
         .filter(!array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
         .localCheckpoint(true)
@@ -289,7 +292,7 @@ object PathTraversals {
     var frontier = seen
     for (d <- 1 to maxDepth) {
       frontier = frontier.select(col("root"), col("id").as("src"))
-        .join(edges, Seq("src"))
+        .join(Traversals.pruneForFrontier(edges, frontier), Seq("src"))
         .select(col("root"), col("dst").as("id")).distinct()
         .join(seen, Seq("root", "id"), "left_anti")
         .localCheckpoint(true)

@@ -36,6 +36,46 @@ object Traversals {
       .join(edges.select(col("src"), col("dst")), Seq("src"))
       .select(col("dst").as("id"))
 
+  /** Broadcast cap for BFS working sets whose exact row count the driver
+    * already knows (frontier/visited after a layer's stats job). 2M string
+    * ids ≈ tens of MB — comfortably under the broadcast limit, and far past
+    * the point where a frontier counts as "small" next to a 100 TB edge
+    * table that must NOT shuffle per layer. */
+  private[graft] val bfsBroadcastMaxRows = 2000000L
+
+  private[graft] def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= bfsBroadcastMaxRows) broadcast(df) else df
+
+  /** Max frontier ids held on the driver and pushed down as a literal
+    * IN-list (→ InSet, O(1)/row) into the clustered cache scan. ~100k
+    * strings ≈ a few MB of driver memory — the same order the reference
+    * holds per traversal (`Query.DEFAULT_CAPACITY` = 800 000 elements). */
+  private[graft] val frontierPushdownMaxIds = 100000
+
+  /** Edge view pruned to a frontier's id set when that set is small enough
+    * to hold on the driver: one tiny distinct+collect job against the
+    * (materialized) frontier, then a literal `src IN (...)` the clustered
+    * cache scan prunes batches with — O(touched adjacency lists) per hop
+    * instead of a full decode of the edge view (the reference's indexed
+    * point-lookup expansion, `OltpTraverser` adjacent-edge queries). Big
+    * frontiers fall through to the unpruned view (the join then streams
+    * the full table — correct once the frontier is |V|-scale). Callers
+    * must pass a frontier backed by a checkpoint/cache so the collect
+    * doesn't recompute a long lineage. */
+  private[graft] def pruneForFrontier(edges: DataFrame, frontier: DataFrame,
+                                      idCol: String = "id",
+                                      knownRows: Long = -1L): DataFrame = {
+    // knownRows: caller-tracked frontier row count, when available — skips
+    // the collect attempt (and its distinct shuffle) outright for frontiers
+    // already known to be |V|-scale (distinct ids ≤ rows)
+    if (knownRows > frontierPushdownMaxIds) return edges
+    val ids = frontier.select(col(idCol)).distinct()
+      .limit(frontierPushdownMaxIds + 1).collect()
+    if (ids.length <= frontierPushdownMaxIds)
+      edges.filter(col("src").isin(ids.toIndexedSeq.map(_.getString(0)): _*))
+    else edges
+  }
+
   /** Labeled adjacency (src, label, dst) pinned per (dir, labels) — the
     * base relation per-hop degree truncation windows over. */
   private def labeledAdjacency(g: PropertyGraph, dir: Direction.Value,
@@ -104,7 +144,15 @@ object Traversals {
   private[graft] def adjacencyView(g: PropertyGraph, dir: Direction.Value,
                                    labels: Seq[String] = Nil): DataFrame =
     pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("dst")).distinct())
+      .select(col("src"), col("dst")).distinct()
+      // clustered by src WITHIN each hash partition: the columnar cache keeps
+      // per-batch min/max stats, so a frontier pushed down as `src IN (...)`
+      // decodes only the batches holding those vertices' adjacency lists —
+      // the reference's vertex-clustered physical layout (RocksDB/HBase key
+      // order = owner vertex id, BinarySerializer edge keys) re-expressed as
+      // cache-batch pruning. Sort order alone declares no outputPartitioning,
+      // so the planner keeps broadcasting frontiers (no SMJ bias).
+      .sortWithinPartitions(col("src")))
 
   /** Thrown when a traversal touches more elements than its capacity guard
     * allows (reference `Query.DEFAULT_CAPACITY` = 800 000,
@@ -246,23 +294,60 @@ object Traversals {
     var layers = List.empty[DataFrame] // head = deepest layer, (id, parent)
     var foundAt = -1
     var d = 0
-    var cnt = 1L
+    var cnt = 1L      // rows in `frontier` (known from last layer's stats job)
+    var visitedCnt = 1L
+    // driver-held frontier id set — the reference's model exactly (BFS
+    // frontiers live in traverser memory, `KneighborRecords`); bounded by
+    // [[frontierPushdownMaxIds]], beyond which the distributed join path
+    // takes over
+    var frontierIds: Option[Array[String]] = Some(Array(source))
+    val dbg = sys.env.get("GRAFT_TRACE_DEBUG").contains("1")
     while (foundAt < 0 && d < maxDepth && cnt > 0) {
       d += 1
-      val next = frontier.select(col("id").as("src"))
-        .join(edges, Seq("src"))
+      val t0 = if (dbg) System.nanoTime() else 0L
+      // Expansion never scans the full adjacency for a bounded frontier:
+      // the ids are pushed down as a literal `src IN (...)` predicate, and
+      // the columnar cache's per-batch min/max stats (view is clustered by
+      // src) skip every batch holding no frontier vertex — the Spark
+      // analogue of the reference's indexed adjacency point lookups. A
+      // frontier past the cap falls back to a broadcast-hash join (both
+      // row counts are driver-known, so the decision is exact); past THAT
+      // cap the frontier is |V|-scale and the shuffle join is right.
+      val expanded = frontierIds match {
+        case Some(ids) => edges.filter(col("src").isin(ids.toIndexedSeq: _*))
+        case None => maybeBroadcast(frontier.select(col("id").as("src")), cnt)
+          .join(edges, Seq("src"))
+      }
+      val next = expanded
         .select(col("dst").as("id"), col("src").as("parent"))
-        .join(visited, Seq("id"), "left_anti")
+        .join(maybeBroadcast(visited, visitedCnt), Seq("id"), "left_anti")
         .groupBy(col("id")).agg(min(col("parent")).as("parent"))
         .localCheckpoint(true)
       layers ::= next
       frontier = next.select(col("id"))
       visited = visited.union(frontier)
-      // one job per layer: frontier size and target-hit in a single agg
-      val stats = next.agg(count(lit(1)),
-        max(when(col("id") === target, 1)).as("hit")).head()
-      cnt = stats.getLong(0)
-      if (!stats.isNullAt(1)) foundAt = d
+      // one tiny job per layer against the materialized checkpoint: pull
+      // the frontier ids (early-terminated at cap+1) — count, target-hit,
+      // and the next pushdown list all come from the same array
+      val pulled = next.select(col("id"))
+        .limit(frontierPushdownMaxIds + 1).as[String].collect()
+      if (pulled.length <= frontierPushdownMaxIds) {
+        frontierIds = Some(pulled)
+        cnt = pulled.length.toLong
+        if (pulled.contains(target)) foundAt = d
+      } else {
+        frontierIds = None
+        val stats = next.agg(count(lit(1)),
+          max(when(col("id") === target, 1)).as("hit")).head()
+        cnt = stats.getLong(0)
+        if (!stats.isNullAt(1)) foundAt = d
+      }
+      visitedCnt += cnt
+      if (dbg) {
+        System.err.println(
+          f"[trace] layer $d cnt=$cnt ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        System.err.println(next.queryExecution.executedPlan.toString.take(4000))
+      }
     }
     if (foundAt < 0) return Seq.empty[String].toDF("path")
     // backward walk as ONE lazy chain of single-row broadcast joins against
