@@ -77,11 +77,13 @@ object Traversals {
   }
 
   /** Labeled adjacency (src, label, dst) pinned per (dir, labels) — the
-    * base relation per-hop degree truncation windows over. */
+    * base relation per-hop degree truncation windows over. Clustered by src
+    * within partitions for the same cache-batch pruning as adjacencyView. */
   private def labeledAdjacency(g: PropertyGraph, dir: Direction.Value,
                                labels: Seq[String]): DataFrame =
     pinned(EdgeStep(dir, labels).edgesFor(g)
-      .select(col("src"), col("label"), col("dst")))
+      .select(col("src"), col("label"), col("dst"))
+      .sortWithinPartitions(col("src")))
 
   /** Degree-capped frontier expansion: join FIRST, then truncate per vertex.
     * The per-src (label, dst)-ordered row_number is identical to
@@ -97,29 +99,43 @@ object Traversals {
     * `.distinct()`-ed (or seed) frontier; asserted here defensively via the
     * callers' contract rather than a per-hop `.distinct()` shuffle. */
   private def expandDegreeCapped(frontier: DataFrame, labeled: DataFrame,
-                                 degree: Long): DataFrame = {
+                                 degree: Long): DataFrame =
+    truncatePerSrc(frontier.select(col("id").as("src")).join(labeled, Seq("src")), degree)
+
+  /** The per-src (label, dst)-ordered truncation window over a frontier's
+    * fan-out rows — O(frontier edges), shared by the join and the
+    * IN-pushdown expansion (identical cut on identical row sets). */
+  private def truncatePerSrc(fanout: DataFrame, degree: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("src")).orderBy(col("label"), col("dst"))
-    frontier.select(col("id").as("src"))
-      .join(labeled, Seq("src"))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= degree)
+    fanout.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= degree)
       .select(col("dst").as("id"))
   }
 
   /** One BFS expansion step for the kneighbor/kout family: degree ≥ 0 uses
-    * the frontier-local truncation, otherwise the shared distinct view. */
+    * the frontier-local truncation, otherwise the shared distinct view.
+    * When the caller holds the frontier's ids (driver-tracked BFS — the
+    * reference's traverser-memory model), they push down as a literal
+    * `src IN (...)` the clustered cache scan batch-prunes, replacing the
+    * frontier join entirely; otherwise the broadcast/shuffle join runs. */
   private def stepFn(g: PropertyGraph, dir: Direction.Value,
-                     labels: Seq[String], degree: Long): DataFrame => DataFrame =
+                     labels: Seq[String], degree: Long):
+      (DataFrame, Option[Array[String]]) => DataFrame =
     if (degree >= 0L) {
       val la = labeledAdjacency(g, dir, labels)
-      f => expandDegreeCapped(f, la, degree)
+      (f, ids) => ids match {
+        case Some(a) => truncatePerSrc(
+          la.filter(col("src").isin(a.toIndexedSeq: _*)), degree)
+        case None => expandDegreeCapped(f, la, degree)
+      }
     } else {
       val e = adjacencyView(g, dir, labels)
-      f => expand(f, e)
+      (f, ids) => ids match {
+        case Some(a) => e.filter(col("src").isin(a.toIndexedSeq: _*))
+          .select(col("dst").as("id"))
+        case None => expand(f, e)
+      }
     }
-
-  private def checkpointIfNeeded(df: DataFrame, layer: Int, every: Int = 3): DataFrame =
-    if (layer > 0 && layer % every == 0) df.localCheckpoint(eager = true) else df
 
   /** k-neighbor: all vertices within ≤ maxDepth hops of source, excluding
     * the source itself (reference `KneighborTraverser.kneighbor:39`,
@@ -167,12 +183,26 @@ object Traversals {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var visited = Seq(source).toDF("id")
+    var visitedCnt = 1L
     var frontier = visited
-    for (depth <- 1 to maxDepth) {
-      frontier = step(frontier).distinct()
-        .join(visited, Seq("id"), "left_anti")
-      frontier = checkpointIfNeeded(frontier, depth)
+    var frontierIds: Option[Array[String]] = Some(Array(source))
+    var depth = 0
+    var live = true
+    while (live && depth < maxDepth) {
+      depth += 1
+      frontier = step(frontier, frontierIds).distinct()
+        .join(maybeBroadcast(visited, visitedCnt), Seq("id"), "left_anti")
+        .localCheckpoint(true)
       visited = visited.union(frontier)
+      val pulled = frontier.select(col("id"))
+        .limit(frontierPushdownMaxIds + 1).as[String].collect()
+      if (pulled.length <= frontierPushdownMaxIds) {
+        frontierIds = Some(pulled); visitedCnt += pulled.length
+        live = pulled.nonEmpty // an exhausted frontier ends the walk early
+      } else {
+        // unknown exact sizes from here on: join path, no broadcast claims
+        frontierIds = None; visitedCnt = bfsBroadcastMaxRows + 1
+      }
       if (capacity >= 0) {
         val n = visited.count()
         if (n > capacity) throw new CapacityExceededException(n, capacity)
@@ -198,12 +228,25 @@ object Traversals {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var visited = Seq(source).toDF("id")
+    var visitedCnt = 1L
     var frontier = visited
-    for (d <- 1 to depth) {
-      frontier = step(frontier).distinct()
-        .join(visited, Seq("id"), "left_anti")
-      frontier = checkpointIfNeeded(frontier, d)
+    var frontierIds: Option[Array[String]] = Some(Array(source))
+    var d = 0
+    var live = true
+    while (live && d < depth) {
+      d += 1
+      frontier = step(frontier, frontierIds).distinct()
+        .join(maybeBroadcast(visited, visitedCnt), Seq("id"), "left_anti")
+        .localCheckpoint(true)
       visited = visited.union(frontier)
+      val pulled = frontier.select(col("id"))
+        .limit(frontierPushdownMaxIds + 1).as[String].collect()
+      if (pulled.length <= frontierPushdownMaxIds) {
+        frontierIds = Some(pulled); visitedCnt += pulled.length
+        live = pulled.nonEmpty
+      } else {
+        frontierIds = None; visitedCnt = bfsBroadcastMaxRows + 1
+      }
       checkKoutCapacity(visited, capacity)
     }
     frontier
@@ -218,10 +261,19 @@ object Traversals {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     var frontier = Seq(source).toDF("id")
+    var frontierIds: Option[Array[String]] = Some(Array(source))
     var touched = frontier
-    for (d <- 1 to depth) {
-      frontier = step(frontier).distinct()
-      frontier = checkpointIfNeeded(frontier, d)
+    var d = 0
+    var live = true
+    while (live && d < depth) {
+      d += 1
+      frontier = step(frontier, frontierIds).distinct().localCheckpoint(true)
+      val pulled = frontier.select(col("id"))
+        .limit(frontierPushdownMaxIds + 1).as[String].collect()
+      if (pulled.length <= frontierPushdownMaxIds) {
+        frontierIds = Some(pulled)
+        live = pulled.nonEmpty // empty stays empty: remaining layers no-op
+      } else frontierIds = None
       if (capacity >= 0L) {
         touched = touched.union(frontier)
         checkKoutCapacity(touched.distinct(), capacity)
