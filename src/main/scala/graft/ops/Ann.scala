@@ -130,6 +130,18 @@ object Ann {
 
   graft.core.Pin.onClear(() => trainMemo.clear())
 
+  /** Pre-build the trained ANN index artifacts for a candidate set — the
+    * index-BUILD half of a deployment's load phase (`Bench.warmup`): trains
+    * the coarse quantizer and the PQ reconstructions into [[trainMemo]] so
+    * the first probing query pays a probe, not a training run. */
+  def buildIndex(candidates: DataFrame, nCentroids: Int, iters: Int,
+                 m: Int, ks: Int, dims: Int): Unit = {
+    registerKernels(candidates)
+    kmeansCentroids(candidates, nCentroids, iters)
+    pqReconstruct(pinnedCands(candidates), m, ks, dims, iters)
+    ()
+  }
+
   def kmeansCentroids(candidates: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
     registerKernels(candidates)
     val cands = pinnedCands(candidates)
@@ -211,16 +223,43 @@ object Ann {
                                  dims: Int, iters: Int): DataFrame = {
     require(dims % m == 0, s"dims must split into m subspaces ($dims % $m != 0)")
     val sub = dims / m
-    (0 until m).foldLeft(cands.select(col("vec_id"))) { (acc, s) =>
-      val subCands = cands.select(col("vec_id"),
-        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
-      val book = kmeansCentroids(subCands, ks, iters)
-      val coded = nearestCells(book)(subCands, "vec_id", "embedding", 1)
-        .join(broadcast(book), Seq("cid"))
-        .select(col("vec_id"), col("ce").as(s"ce$s"))
-      acc.join(coded, Seq("vec_id"))
-    }.select(col("vec_id"),
-      concat((0 until m).map(s => col(s"ce$s")): _*).as("xhat"))
+    // All m codebooks train in ONE joint Lloyd's loop keyed by (s, cid) —
+    // one pass over the candidate set per iteration instead of m separate
+    // per-subspace trainers (identical numerics: same lowest-id seeds, same
+    // smallest-cid tie-break, same 6-decimal mean stabilization). Every
+    // window/groupBy below keys on vec_id first, so the whole build rides
+    // the pinned vec_id partitioning without re-shuffling the data side.
+    val subRows = cands.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * sub + 1, sub)): _*)))
+      .select(col("vec_id"), col("pos").as("s"), col("col").as("sv"))
+    val seedIds = cands.orderBy(col("vec_id").asc).limit(ks).select(col("vec_id"))
+    var cents = subRows.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("s"), col("vec_id").as("cid"),
+        transform(col("sv"), _.cast("double")).as("ce"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    def assign(books: DataFrame): DataFrame =
+      subRows.join(broadcast(books), Seq("s"))
+        .withColumn("csim", VectorFunctions.cosineSim(col("sv"), col("ce")))
+        .withColumn("crank", row_number().over(w)).filter(col("crank") === 1)
+    for (_ <- 0 until iters) {
+      val means = assign(cents)
+        .select(col("s"), col("cid"), posexplode(col("sv")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("mn"))
+        .groupBy(col("s"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          x => x.getField("mn")).as("ce_new"))
+      cents = cents.join(means, Seq("s", "cid"), "left")
+        .select(col("s"), col("cid"), coalesce(col("ce_new"), col("ce")).as("ce"))
+        .localCheckpoint(true)
+    }
+    assign(cents)
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("ce")))),
+        x => x.getField("ce"))).as("xhat"))
       // reconstructions are re-read by every consumer join — materialize the
       // built table once (index-build output, not a per-query intermediate)
       .localCheckpoint(true)
