@@ -36,21 +36,29 @@ object Explain {
       |full-graph OLAP jobs should grow ≲ linearly and source-local
       |traversals (whose frontier stays inside one copy) sub-linearly —
       |super-linear growth or an OOM would be the cliff. Measured
-      |(local[32], warm pins, single run each):
+      |(local[32], warm pins, single run each; round-5 engine — columnar
+      |pins, frontier IN-pushdown BFS, delta Louvain):
       |
       |    operator               1x       10x      ratio
-      |    pagerank               6.28 s   11.23 s  1.8x
-      |    wcc                    3.16 s    9.71 s  3.1x
-      |    louvain               14.61 s   32.74 s  2.2x
-      |    neighbor_rank_general  5.73 s   15.57 s  2.7x
-      |    rays                   4.47 s    9.09 s  2.0x
-      |    multinode_shortest     2.20 s    3.44 s  1.6x
+      |    pagerank               3.88 s    6.51 s  1.7x
+      |    wcc                    2.38 s    7.38 s  3.1x
+      |    louvain                7.27 s   21.70 s  3.0x
+      |    neighbor_rank_general  4.32 s   13.99 s  3.2x
+      |    rays                   2.05 s    2.16 s  1.1x
+      |    multinode_shortest     2.46 s    3.19 s  1.3x
+      |    shortest_path_trace    2.00 s    2.10 s  1.1x
+      |    weighted_path          3.44 s   12.17 s  3.5x
       |
-      |All ≤ 3.1× on 10× data — no cliff, no OOM, no driver stall. The
-      |one-time load/pin phase grew 8.4 s → 119 s (the working-set
-      |materialization is the deliberately-paid deployment load step; at
-      |cluster scale it is persist()/bucketed tables, amortized across the
-      |whole query workload).
+      |All ≤ 3.5× on 10× data — no cliff, no OOM, no driver stall. Versus
+      |round 4 every line improved: louvain 32.7→21.7 s (delta pruning:
+      |only vertices with a changed neighborhood re-enter candidate
+      |generation), rays 9.1→2.2 s and shortest_path_trace 42→2.1 s at 10×
+      |(frontier IN-list pushdown prunes cached columnar batches by
+      |min/max stats — BFS layer cost is now O(touched batches), not
+      |O(|E|)), and the one-time load/pin phase fell 119 s → 38 s at 10×
+      |(columnar persist() replaced deserialized-object checkpoints; the
+      |load step is the deployment's amortized working-set build either
+      |way).
       |
       |## Bucketed edge store — measured end-to-end (runMain graft.BenchBucketed)
       |
@@ -85,17 +93,18 @@ object Explain {
       |suffixed with a per-copy marker, so the copies share NO word n-grams
       |and the within-copy shingle structure is exactly the original's),
       |heaviest doc operators timed 1× vs 10× in one session with the
-      |tokenized-corpus pin warmed like the bench. Measured (local[32]):
+      |tokenized-corpus pin warmed like the bench. Measured (local[32],
+      |round-5 engine — columnar pins):
       |
       |    operator          1x       10x      ratio   (10x rows)
-      |    minhash_lsh       3.34 s    4.98 s  1.5x    (2,546 pairs)
-      |    dedup_clusters    3.78 s    7.58 s  2.0x    (4,748 docs)
-      |    corpus_pipeline   3.86 s   18.24 s  4.7x
-      |    decontaminate     1.20 s    2.37 s  2.0x    (constant output)
-      |    pack_blocks       0.19 s    0.14 s  0.7x    (50k docs)
-      |    ann_brute_topk    0.59 s    0.45 s  0.8x    (10x base side)
+      |    minhash_lsh       3.41 s    4.43 s  1.3x    (2,546 pairs)
+      |    dedup_clusters    7.18 s   10.66 s  1.5x    (4,748 docs)
+      |    corpus_pipeline   3.47 s    5.90 s  1.7x    (was 4.7x in r4)
+      |    decontaminate     1.01 s    2.10 s  2.1x    (constant output)
+      |    pack_blocks       0.13 s    0.11 s  0.8x    (50k docs)
+      |    ann_brute_topk    0.43 s    0.26 s  0.6x    (10x base side)
       |
-      |All ≤ 4.7× on 10× data — sub-linear across the family, no OOM. The
+      |All ≤ 2.1× on 10× data — sub-linear across the family, no OOM. The
       |smoke also caught its own first design bug: an earlier draft made
       |copies disjoint by INTERLEAVING a marker token (`a c7 b`), which
       |manufactures `c7 X c7` shingles that act like unigrams shared by
