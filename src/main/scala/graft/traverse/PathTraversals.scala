@@ -351,7 +351,8 @@ object PathTraversals {
     // Bellman-Ford (dist after k rounds = min over ≤k-hop paths), while
     // the per-round join shrinks from |ranked| to |frontier|
     var changed = dist
-    for (_ <- 1 to rounds) {
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val relaxed = changed.select(col("id").as("src"), col("dist"))
         .join(edges, Seq("src"))
         .groupBy(col("dst"))
@@ -366,6 +367,10 @@ object PathTraversals {
         .localCheckpoint(true)
       changed = merged.filter(col("improved")).select(col("id"), col("dist"))
       dist = merged.select(col("id"), col("dist"))
+      // an empty delta frontier means every later round is a no-op — the
+      // bounded result is already the ≤rounds-hop minimum (one cheap scan
+      // of this round's checkpoint vs. a full wasted relaxation round)
+      converged = changed.limit(1).count() == 0
     }
     dist.select(col("id"), round(col("dist"), 6).as("dist"))
   }

@@ -478,12 +478,17 @@ object Traversals {
     var found = -1L
     var fwdCnt = 1L; var bwdCnt = 1L
     while (found < 0 && fwdDepth + bwdDepth < maxDepth && fwdCnt > 0 && bwdCnt > 0) {
+      // frontier IN-list pushdown (counts are driver-known): each layer
+      // decodes only the cached columnar batches whose src min/max stats
+      // overlap the frontier — O(touched batches) per layer, not O(|E|)
       if (fwdCnt <= bwdCnt) {
-        fwd = expand(fwd, fwdEdges).distinct().join(fwdSeen, Seq("id"), "left_anti")
+        fwd = expand(fwd, pruneForFrontier(fwdEdges, fwd, knownRows = fwdCnt))
+          .distinct().join(fwdSeen, Seq("id"), "left_anti")
           .localCheckpoint(true)
         fwdSeen = fwdSeen.union(fwd); fwdDepth += 1; fwdCnt = fwd.count()
       } else {
-        bwd = expand(bwd, bwdEdges).distinct().join(bwdSeen, Seq("id"), "left_anti")
+        bwd = expand(bwd, pruneForFrontier(bwdEdges, bwd, knownRows = bwdCnt))
+          .distinct().join(bwdSeen, Seq("id"), "left_anti")
           .localCheckpoint(true)
         bwdSeen = bwdSeen.union(bwd); bwdDepth += 1; bwdCnt = bwd.count()
       }
