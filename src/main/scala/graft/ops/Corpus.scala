@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
 /** Session-shared corpus working set.
@@ -24,4 +24,31 @@ object Corpus {
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.core.Pin.pinDerived(docs.select(col(idCol), col(textCol),
       TextFunctions.tokenize(col(textCol)).as("toks")))
+
+  /** Corpus-trained unigram LM score per document — the CCNet/KenLM-style
+    * perplexity-proxy quality signal (Wenzek et al., "CCNet", 2020) reduced
+    * to a unigram model so the score is exactly reproducible by the SQL
+    * oracle: score(d) = mean over tokens t of ln(p(t)), p(t) = corpus
+    * count(t) / total tokens. Rare-token-heavy (noisy/garbled) documents
+    * score low; common-token documents score high — filter both tails.
+    *
+    * Scale shape: the vocabulary stays DISTRIBUTED end to end — no driver
+    * collect, no broadcast of an unbounded vocab table. Three keyed
+    * shuffles of the token stream (count by token, token-keyed join of the
+    * stream against its frequency table, re-group by document), each
+    * AQE-coalesced; the 1-row corpus total is the only broadcast. Rounded
+    * to 6 decimals: the per-doc mean is an unordered double fold, the same
+    * cross-engine fp-stabilization contract as `Ann.kmeansCentroids`. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val e = tokens(docs, idCol, textCol)
+      .select(col(idCol), explode(col("toks")).as("tok"))
+    val f = e.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = f.agg(sum(col("cnt")).cast("double").as("n"))
+    e.join(f, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), avg(log(col("cnt"))).as("__alp"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("n_toks"),
+        round(col("__alp") - log(col("n")), 6).as("logprob"))
+  }
 }

@@ -836,6 +836,19 @@ object DocQueries {
         TextFunctions.tokenCountBpe(col("text")).cast("long").as("n_bpe"))
     },
 
+    // corpus-trained unigram LM score — the CCNet-style perplexity-proxy
+    // quality filter, unigram so the oracle reproduces it exactly
+    q("q_unigram_logprob",
+      s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM f)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  round(avg(ln(cnt)) - ln((SELECT n FROM tot)), 6) AS logprob
+         |FROM e JOIN f USING (tok) GROUP BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Corpus.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+    },
+
     // REAL image decode: Spark renders + PNG-encodes id-parameterized
     // images (javax.imageio, JDK-built-in) and decodes their headers back;
     // the oracle computes the expected header values analytically — the

@@ -217,4 +217,21 @@ class OpsSpec extends SparkSpec {
       .select(graft.functions.TextFunctions.redactPii(col("t"))).head().getString(0)
     assert(clean === "no contact info here")
   }
+
+  test("unigram logprob: common-token docs outscore rare-token docs; math matches by hand") {
+    // corpus: "a" appears 4x, "b" 2x, "z" 1x; total 7 tokens
+    val c = Seq((1L, "a a a b"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
+    val rows = graft.ops.Corpus.unigramLogProb(c, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val t = 7.0
+    def lp(cnts: Seq[Double]) =
+      BigDecimal(cnts.map(math.log).sum / cnts.size - math.log(t))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(1L)._1 === 4L)
+    assert(rows(1L)._2 === lp(Seq(4, 4, 4, 2)))
+    assert(rows(2L)._2 === lp(Seq(4, 2)))
+    assert(rows(3L)._2 === lp(Seq(1)))
+    // the all-common doc scores strictly higher than the rare-token doc
+    assert(rows(1L)._2 > rows(3L)._2)
+  }
 }
