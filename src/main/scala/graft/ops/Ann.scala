@@ -169,6 +169,19 @@ object Ann {
     cents
   }
 
+  /** Trained-quantizer cell assignment `(vec_id, embedding, cid)` over the
+    * pinned candidate set — the clustering half of semantic dedup
+    * ([[Dedup.semanticNearDups]]) and any cluster-then-local-work pipeline.
+    * Shares the memoized k-means artifacts and the pinned vec_id
+    * partitioning with the IVF family: centroids broadcast, the data side
+    * never shuffles. */
+  def cellAssignments(candidates: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    registerKernels(candidates)
+    nearestCells(kmeansCentroids(candidates, nCentroids, iters))(
+      pinnedCands(candidates), "vec_id", "embedding", 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
   /** IVF with a trained spherical-k-means quantizer — [[ivfTopK]]'s probe
     * dataflow over [[kmeansCentroids]] instead of lowest-id seeds. */
   def ivfKmeansTopK(queries: DataFrame, candidates: DataFrame,

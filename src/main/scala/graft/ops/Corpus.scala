@@ -51,4 +51,44 @@ object Corpus {
       .select(col(idCol), col("n_toks"),
         round(col("__alp") - log(col("n")), 6).as("logprob"))
   }
+
+  /** DSIR-style importance weight per document (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", 2023 — reduced to
+    * add-one-smoothed unigram LMs so the score is exactly reproducible by
+    * the SQL oracle): logweight(d) = Σ over token occurrences t of
+    * ln p̂_target(t) − ln p̂_raw(t), with p̂(t) = (count(t)+1)/(total+V) and
+    * V = the raw corpus vocabulary size. Documents that look like the
+    * `target` subset (in-domain) score high; resample downstream with
+    * [[graft.ops.Packing.mixSample]]-style deterministic selection.
+    * Docs with no tokens get weight 0. `target` is an id table — a filtered
+    * view of the same corpus (quality gate, language, a trusted source).
+    *
+    * Scale shape mirrors [[unigramLogProb]]: both LMs stay DISTRIBUTED
+    * (token-keyed count tables; no driver collect, no vocab broadcast);
+    * the per-token log-ratio table joins the token stream on its key; the
+    * only broadcast is the 1-row totals. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        target: DataFrame): DataFrame = {
+    val e = tokens(docs, idCol, textCol)
+      .select(col(idCol), explode(col("toks")).as("tok"))
+    val eT = e.join(target.select(col(idCol)), Seq(idCol), "left_semi")
+    val cntR = e.groupBy(col("tok")).agg(count(lit(1)).as("cr"))
+    val cntT = eT.groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val stats = cntR.agg(sum(col("cr")).cast("double").as("totr"),
+        count(lit(1)).cast("double").as("v"))
+      .crossJoin(cntT.agg(sum(col("ct")).cast("double").as("tott")))
+    val delta = cntR.join(cntT, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+             (col("tott") + col("v"))) -
+         log((col("cr") + 1).cast("double") /
+             (col("totr") + col("v")))).as("d"))
+    val perDoc = e.join(delta, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), round(sum(col("d")), 6).as("logweight"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("logweight"), lit(0.0)).as("logweight"))
+  }
 }

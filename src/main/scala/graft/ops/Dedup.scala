@@ -126,6 +126,78 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component").as("cluster"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup", 2023
+    * — public literature; the reference engine has no embedding surface):
+    * cluster the embedding space with the trained spherical-k-means coarse
+    * quantizer, then WITHIN each cluster drop every vector that is
+    * cosine-similar (≥ `threshold`) to a lower-id member. Returns one row
+    * per vector: `(vec_id, cluster, keep)`.
+    *
+    * Scale shape: the quadratic term is confined to single cells — choose
+    * `nClusters` so |cell| ≈ N/k stays bounded, and `cellCap` truncates
+    * pathological cells deterministically (lowest ids survive — the same
+    * skew guard as [[minhashCandidates]]'s bucketCap). Centroids broadcast;
+    * the only data shuffle is the cell-key self-join of candidate pairs.
+    * The trained centroids/assignments ride [[Ann]]'s memoized, pinned
+    * working set, so dedup shares its index with the ANN probes. */
+  def semanticNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
+                       nClusters: Int, iters: Int, threshold: Double,
+                       cellCap: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = graft.ops.Ann.cellAssignments(
+      embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      nClusters, iters)
+    val capped =
+      if (cellCap > 0) {
+        val w = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
+        assigned.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= cellCap).drop("__rn")
+      } else assigned
+    val dropped = capped
+      .select(col("cid"), col("vec_id").as("a"), col("embedding").as("va"))
+      .join(capped.select(col("cid"), col("vec_id").as("b"), col("embedding").as("vb")),
+        Seq("cid"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim",
+        graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("__drop", lit(true))
+    capped.select(col("vec_id"), col("cid").as("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("__drop").isNull.as("keep"))
+  }
+
+  /** Exact-substring duplication profile (the distributed aggregate behind
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2022 — suffix-array substring dedup recast as window
+    * hashing): every `n`-token window of every document is hashed; a window
+    * whose hash occurs more than once ANYWHERE in the corpus (across docs
+    * or repeated within one) is duplicated text. Returns per doc
+    * `(doc_id, n_windows, n_dup, dup_frac)` — the removal/masking decision
+    * is downstream policy. Docs shorter than `n` tokens contribute their
+    * whole token sequence as one window (the shingle-family fallback).
+    *
+    * Scale shape: windows never materialize as a stored artifact — they
+    * stream off the pinned tokenized-corpus view twice (frequency build,
+    * per-doc join-back), each a single md5-keyed shuffle; the md5 key keeps
+    * shuffle rows narrow regardless of `n`. Same 3-shuffle profile as
+    * [[Corpus.unigramLogProb]]. */
+  def duplicatedWindows(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val wins = Corpus.tokens(docs, idCol, textCol)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.rawShinglesFromTokens(col("toks"), n)).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("freq"))
+    wins.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("freq") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_windows"), 6))
+  }
+
   /** All-pairs n-gram jaccard over a bounded id range (the exact baseline
     * the LSH path approximates). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

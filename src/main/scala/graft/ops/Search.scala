@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked full-text retrieval over the tokenized corpus.
+  *
+  * The reference's SEARCH predicate (TEXT_CONTAINS via an external
+  * full-text index) is boolean; ranked retrieval is the natural extension
+  * a training-data pipeline needs (find the best exemplars for a topic,
+  * seed retrieval-augmented mixes). Scoring is Okapi BM25 (Robertson &
+  * Walker, public literature) over the session's pinned tokenized-corpus
+  * view.
+  */
+object Search {
+
+  /** BM25 top-k documents for a bag-of-terms query. Returns
+    * `(doc_id, score)` — score rounded to 6 decimals BEFORE the top-k cut
+    * and tie-broken on doc_id, so the result set is deterministic and
+    * engine-independent.
+    *
+    * Scale shape: the exploded token stream filters to the (tiny, literal)
+    * query term list before anything shuffles, so the per-term tf table
+    * holds only matching docs; document lengths ride the pinned corpus
+    * view; idf (|terms| rows) and the 1-row corpus stats broadcast; the
+    * global top-k compiles to TakeOrderedAndProject (per-partition partial
+    * top-k, never a single-partition sort). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = Corpus.tokens(docs, idCol, textCol)
+      .select(col(idCol).as("doc_id"), col("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
+        col("avgdl"))
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(idf), Seq("tok"))
+      .withColumn("s", col("idf") * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

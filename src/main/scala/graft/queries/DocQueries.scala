@@ -465,6 +465,103 @@ object DocQueries {
        |       CAST(count(*) AS BIGINT) AS n_docs
        |FROM s GROUP BY 1""".stripMargin
 
+  /** SemDeDup oracle: the fp-stabilized unrolled Lloyd's of [[ivfKmeansSql]]
+    * trained over ALL embeddings, deterministic cell cap, then within-cell
+    * pairwise exact cosine — a vector is dropped iff a lower-id member of
+    * its cell is ≥ threshold similar. */
+  def semDedupSql(nClusters: Int, iters: Int, threshold: Double, cellCap: Int): String = {
+    def iter(prev: String, n: Int): String =
+      s"""a${n}_scored AS MATERIALIZED (
+         |  SELECT c.vec_id, c.embedding, t.cid, ${cosExpr("c.embedding", "t.ce")} AS csim
+         |  FROM cands c CROSS JOIN $prev t),
+         |a$n AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+         |    FROM a${n}_scored) WHERE rn = 1),
+         |m$n AS MATERIALIZED (
+         |  SELECT cid, list(m ORDER BY i) AS cem FROM (
+         |    SELECT cid, i, round(avg(CAST(v AS DOUBLE)), 6) AS m
+         |    FROM (SELECT cid, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+         |          FROM a$n) z
+         |    GROUP BY cid, i) zz GROUP BY cid),
+         |c$n AS MATERIALIZED (
+         |  SELECT p.cid, COALESCE(m$n.cem, p.ce) AS ce FROM $prev p LEFT JOIN m$n USING (cid)),"""
+    s"""WITH cands AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM cands ORDER BY vec_id LIMIT $nClusters),
+       |${(1 to iters).map(n => iter(s"c${n - 1}", n)).mkString("\n")}
+       |fin_scored AS MATERIALIZED (
+       |  SELECT c.vec_id, c.embedding, t.cid, ${cosExpr("c.embedding", "t.ce")} AS csim
+       |  FROM cands c CROSS JOIN c$iters t),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+       |    FROM fin_scored) WHERE rn = 1),
+       |capped AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS crn
+       |    FROM assigned) WHERE crn <= $cellCap),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM capped x JOIN capped y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE ${cosExpr("x.embedding", "y.embedding")} >= $threshold)
+       |SELECT c.vec_id, c.cid AS cluster, (d.vec_id IS NULL) AS keep
+       |FROM capped c LEFT JOIN dropped d ON c.vec_id = d.vec_id""".stripMargin
+  }
+
+  /** Non-distinct n-token windows (the multiset [[shingleSql]] dedups),
+    * identical to TextFunctions.rawShinglesFromTokens. */
+  private def rawWindowSql(n: Int) =
+    s"""CASE WHEN len(toks) >= $n
+       |  THEN list_transform(range(1, len(toks) - ${n - 2}), i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))
+       |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  def dupWindowsSql(n: Int): String =
+    s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+       |w AS (SELECT doc_id, md5(unnest(${rawWindowSql(n)})) AS h FROM t),
+       |f AS (SELECT h, count(*) AS freq FROM w GROUP BY h)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |  CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  round(CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+       |FROM w JOIN f USING (h) GROUP BY doc_id""".stripMargin
+
+  def dsirSql(targetPred: String): String =
+    s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+       |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |tgt AS (SELECT doc_id FROM documents WHERE $targetPred),
+       |cr AS (SELECT tok, count(*) AS cr FROM e GROUP BY tok),
+       |ct AS (SELECT tok, count(*) AS ct FROM e JOIN tgt USING (doc_id) GROUP BY tok),
+       |st AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM cr) AS totr,
+       |              (SELECT CAST(count(*) AS DOUBLE) FROM cr) AS v,
+       |              (SELECT CAST(sum(ct) AS DOUBLE) FROM ct) AS tott),
+       |d AS (SELECT tok,
+       |        ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tott + v)) -
+       |        ln(CAST(cr + 1 AS DOUBLE) / (totr + v)) AS d
+       |      FROM cr LEFT JOIN ct USING (tok) CROSS JOIN st),
+       |pd AS (SELECT doc_id, count(*) AS n_toks, round(sum(d), 6) AS logweight
+       |       FROM e JOIN d USING (tok) GROUP BY doc_id)
+       |SELECT a.doc_id, CAST(COALESCE(pd.n_toks, 0) AS BIGINT) AS n_toks,
+       |       COALESCE(pd.logweight, 0.0) AS logweight
+       |FROM (SELECT doc_id FROM documents) a LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  def bm25Sql(terms: Seq[String], k: Int, k1: Double, b: Double): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+       |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM e
+       |       WHERE tok IN ($termList) GROUP BY doc_id, tok),
+       |idf AS (SELECT tok, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+       |        FROM (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+       |        CROSS JOIN st),
+       |sc AS (SELECT doc_id,
+       |         round(sum(idf * tf * ${k1 + 1} / (tf + $k1 * (${1 - b} + $b * dl / avgdl))), 6) AS score
+       |       FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     q("q_corpus_pipeline", pipelineSql, bench = true) { (s, d) =>
@@ -872,5 +969,33 @@ object DocQueries {
         .select(col("doc_id"),
           length(col("bytes")).cast("long").as("n_bytes"),
           lower(hex(substring(col("bytes"), 1, 4))).as("header_hex"))
+    },
+
+    // SemDeDup: k-means clusters bound the quadratic term; within-cluster
+    // cosine ≥ τ to a lower-id member → dropped
+    q("q_semantic_dedup", semDedupSql(8, 2, 0.3, 1000)) { (s, d) =>
+      Dedup.semanticNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+        nClusters = 8, iters = 2, threshold = 0.3, cellCap = 1000)
+    },
+
+    // exact-substring duplication profile (Lee et al. window hashing):
+    // per-doc count/fraction of 8-token windows repeated anywhere in corpus
+    q("q_dup_windows", dupWindowsSql(8), bench = true) { (s, d) =>
+      Dedup.duplicatedWindows(Tables.documents(s, d), "doc_id", "text", n = 8)
+    },
+
+    // DSIR importance weights against the English subset as the target
+    // domain — smoothed unigram LM log-ratio per doc
+    q("q_dsir_weights", dsirSql("lang = 'en'")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.Corpus.importanceWeights(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"))
+    },
+
+    // BM25 ranked retrieval: 'dup' is rare (df≈25) so its idf dominates;
+    // score rounded before the top-k cut, ties broken on doc_id
+    q("q_bm25_topk", bm25Sql(Seq("dup", "spark", "merge"), 20, 1.2, 0.75)) { (s, d) =>
+      graft.ops.Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("dup", "spark", "merge"), k = 20)
     })
 }

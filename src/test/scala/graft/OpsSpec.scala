@@ -218,6 +218,79 @@ class OpsSpec extends SparkSpec {
     assert(clean === "no contact info here")
   }
 
+  test("semantic dedup drops within-cluster near-dups, keeps the lowest id and distant members") {
+    // two tight direction-clusters; 0/1/2 nearly parallel (cos ≈ 1),
+    // 10/11 parallel to each other but orthogonal to the first group,
+    // 20 orthogonal to everything
+    def v(x: Float, y: Float, z: Float) = Array(x, y, z)
+    val e = Seq(
+      (0L, v(1f, 0f, 0f)), (1L, v(0.99f, 0.01f, 0f)), (2L, v(1f, 0.02f, 0f)),
+      (10L, v(0f, 1f, 0f)), (11L, v(0f, 0.98f, 0.01f)),
+      (20L, v(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val r = graft.ops.Dedup.semanticNearDups(e, "vec_id", "embedding",
+        nClusters = 3, iters = 2, threshold = 0.9)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r.size === 6)
+    assert(r(0L) === true)                    // lowest id of its group survives
+    assert(r(1L) === false && r(2L) === false) // near-dups of 0 dropped
+    assert(r(10L) === true && r(11L) === false)
+    assert(r(20L) === true)                    // no near neighbor anywhere
+    graft.core.Pin.clear()
+  }
+
+  test("duplicated windows: shared and repeated n-grams counted per doc, short docs fall back") {
+    val d = Seq(
+      (1L, "a b c d e"),      // windows (n=3): abc bcd cde
+      (2L, "x y a b c"),      // windows: xya yab abc — shares abc with doc 1
+      (3L, "p q p q p q"),    // pqp qpq pqp qpq — internal repeats
+      (4L, "s t"))            // short → one whole-sequence window, unique
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.duplicatedWindows(d, "doc_id", "text", n = 3)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) === ((3L, 1L, 0.333333)))   // abc duplicated (doc 2 has it)
+    assert(r(2L) === ((3L, 1L, 0.333333)))
+    assert(r(3L) === ((4L, 4L, 1.0)))        // every window repeats within the doc
+    assert(r(4L) === ((1L, 0L, 0.0)))
+    graft.core.Pin.clear()
+  }
+
+  test("DSIR importance weights: in-target tokens push weight up; math matches by hand") {
+    // corpus tokens: target docs {1,2} use "a b"; out-of-domain doc 3 uses "z"
+    val c = Seq((1L, "a b"), (2L, "a a"), (3L, "z z b")).toDF("doc_id", "text")
+    val target = c.filter(col("doc_id") <= 2)
+    val r = graft.ops.Corpus.importanceWeights(c, "doc_id", "text", target)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // raw counts: a=3 b=2 z=2, tot=7, V=3; target counts: a=3 b=1, tot=4
+    def pT(ct: Double) = (ct + 1) / (4.0 + 3.0)
+    def pR(cr: Double) = (cr + 1) / (7.0 + 3.0)
+    def w(toks: (Double, Double)*) =
+      BigDecimal(toks.map { case (ct, cr) => math.log(pT(ct)) - math.log(pR(cr)) }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L) === ((2L, w((3, 3), (1, 2)))))           // a, b
+    assert(r(2L) === ((2L, w((3, 3), (3, 3)))))           // a, a
+    assert(r(3L) === ((3L, w((0, 2), (0, 2), (1, 2)))))   // z, z, b
+    assert(r(1L)._2 > r(3L)._2) // in-domain doc outweighs out-of-domain
+    graft.core.Pin.clear()
+  }
+
+  test("bm25: rare-term docs outrank common-term docs; k bounds the result") {
+    val d = Seq(
+      (1L, "rare word here with filler tokens around"),
+      (2L, "common common common common common common common"),
+      (3L, "rare rare word appears twice in this doc"),
+      (4L, "nothing matching at all in this one here"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Search.bm25TopK(d, "doc_id", "text",
+      Seq("rare", "common"), k = 3).collect()
+    assert(r.length === 3)
+    val ids = r.map(_.getLong(0))
+    assert(!ids.contains(4L))               // no query term → never retrieved
+    // same term, higher tf wins: doc 3 (rare ×2) must beat doc 1 (rare ×1)
+    val score = r.map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(score(3L) > score(1L))
+    graft.core.Pin.clear()
+  }
+
   test("unigram logprob: common-token docs outscore rare-token docs; math matches by hand") {
     // corpus: "a" appears 4x, "b" 2x, "z" 1x; total 7 tokens
     val c = Seq((1L, "a a a b"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
