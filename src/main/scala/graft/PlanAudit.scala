@@ -168,10 +168,21 @@ object PlanAudit {
     "q_ngram_jaccard" -> Set("cartesian")
   )
 
+  /** Sweep the whole registry, isolating failures: a query that cannot even
+    * build/analyze/run against the testdata is reported as that query's
+    * `error:` flag instead of aborting the sweep — 115 clean audits must
+    * never hide behind one broken loader. */
   def auditAll(spark: SparkSession, sfDir: String,
                names: Seq[String]): Seq[QueryAudit] =
     names.map { n =>
-      val a = audit(spark, sfDir, n)
-      a.copy(flags = a.flags.filterNot(allowed.getOrElse(n, Set.empty)))
+      try {
+        val a = audit(spark, sfDir, n)
+        a.copy(flags = a.flags.filterNot(allowed.getOrElse(n, Set.empty)))
+      } catch {
+        case e: Throwable =>
+          QueryAudit(n, -1, 0,
+            Seq(s"error:${e.getClass.getSimpleName}:" +
+              Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)))
+      }
     }
 }

@@ -23,15 +23,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp column (UTC session). Sub-microsecond truncation matches what
-    * any Spark pipeline would see. */
+  /** events.parquet's `ts` physical type has drifted across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader only
+    * surfaces as a nanos long under `nanosAsLong`) vs timestamp[us]
+    * (surfaced as TIMESTAMP_NTZ when written without a timezone). Branch on
+    * the dtype actually read so both generations load; in every case the
+    * result is a session-UTC TimestampType column, so `unix_micros`/epoch
+    * oracle math is identical (all graft sessions pin
+    * spark.sql.session.timeZone=UTC). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as nanos-long: convert to micros.
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case TimestampNTZType => // timestamp[us] no-tz: interpret as UTC wall clock.
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

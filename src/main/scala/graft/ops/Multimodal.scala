@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: [[imageMeta]] runs the JDK's `javax.imageio`
   * readers (PNG/JPEG/GIF/BMP ship with the JRE — no external dependency)
-  * header-only inside `mapPartitions`. Audio/video codecs stay STUBBED
-  * behind [[DecodeStub.decode]] — the container has no media libraries —
-  * with the Spark-side plumbing (schema, partitioning, batch iteration,
+  * header-only inside `mapPartitions`. AUDIO decode is REAL too:
+  * [[audioMeta]] parses RIFF/WAVE headers via `javax.sound.sampled`
+  * (JRE-built-in). Only VIDEO codecs stay STUBBED behind
+  * [[DecodeStub.decode]] — the container has no media libraries — with
+  * the Spark-side plumbing (schema, partitioning, batch iteration,
   * deterministic outputs) real and tested. At scale every decode runs
   * inside `mapPartitions` so codec state is initialized once per
   * partition, not per row — the Scala equivalent of a Pandas `mapInPandas`
@@ -90,6 +92,78 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class AudioAsset(doc_id: Long, bytes: Array[Byte])
+  final case class AudioMeta(doc_id: Long, encoding: String, sample_rate: Int,
+                             channels: Int, bits: Int, n_frames: Long,
+                             duration_us: Long)
+
+  /** Deterministic REAL WAV assets: per doc_id, synthesize
+    * `100 + id%400` frames of 16-bit signed little-endian PCM at a sample
+    * rate of 8/16/44.1 kHz (by id%3), mono/stereo (by id%2), id-seeded
+    * samples, encoded per partition by the JDK's `javax.sound.sampled`
+    * WAVE writer (JRE-built-in — no external dependency). Exists so the
+    * decode path below can be oracle-gated: every decoded header value is
+    * an analytic function of doc_id that DuckDB computes without a codec. */
+  def wavAssets(docs: DataFrame): Dataset[AudioAsset] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    implicit val enc: org.apache.spark.sql.Encoder[AudioAsset] =
+      Encoders.product[AudioAsset]
+    docs.select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = (id % 3) match {
+            case 0 => 8000; case 1 => 16000; case _ => 44100
+          }
+          val channels = (1 + id % 2).toInt
+          val frames = (100 + id % 400).toInt
+          val pcm = new Array[Byte](frames * channels * 2)
+          var i = 0
+          while (i < pcm.length) {
+            pcm(i) = ((id * 131 + i * 7) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new AudioFormat(rate.toFloat, 16, channels,
+            /*signed*/ true, /*bigEndian*/ false)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          AudioAsset(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL audio metadata decode via the JDK `javax.sound.sampled` reader
+    * registry, header-only: `AudioSystem.getAudioFileFormat` parses the
+    * RIFF/WAVE header without streaming sample data — the same
+    * tens-of-bytes-per-asset I/O profile as [[imageMeta]]. Unrecognized
+    * bytes degrade to ("unknown", -1, …) rather than failing the
+    * partition. */
+  def audioMeta(assets: Dataset[AudioAsset]): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[AudioMeta] =
+      Encoders.product[AudioMeta]
+    assets.mapPartitions { it =>
+      it.map { a =>
+        try {
+          val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(a.bytes))
+          val f = ff.getFormat
+          val frames = ff.getFrameLength.toLong
+          val rate = math.round(f.getSampleRate).toInt
+          AudioMeta(a.doc_id,
+            f.getEncoding.toString.toLowerCase, rate, f.getChannels,
+            f.getSampleSizeInBits, frames,
+            // duration from header fields only; integer microseconds so
+            // the oracle's integer arithmetic reproduces it exactly
+            frames * 1000000L / rate)
+        } catch {
+          case _: Exception =>
+            AudioMeta(a.doc_id, "unknown", -1, -1, -1, -1L, -1L)
+        }
+      }
+    }.toDF()
+  }
+
   /** Deterministic fake assets derived from document text: the "media bytes"
     * are md5-derived, with per-doc varying length — enough structure to
     * exercise binary columns, slicing and frame iteration. */
@@ -106,9 +180,10 @@ object Multimodal {
                                   mean_byte: Double)
 
   object DecodeStub {
-    /** Stub for a real image/audio decoder. A production build would replace
-      * the body with e.g. TwelveMonkeys/ImageIO or ffmpeg-bindings; the
-      * deterministic fake keeps the distributed pipeline testable. */
+    /** Stub for a real VIDEO decoder (image and audio decode are real, see
+      * [[imageMeta]]/[[audioMeta]]). A production build would replace the
+      * body with e.g. ffmpeg-bindings; the deterministic fake keeps the
+      * distributed pipeline testable. */
     def decode(bytes: Array[Byte]): DecodedFeature = {
       // real decoder would go here: ??? — deterministic fake below
       var sum = 0L

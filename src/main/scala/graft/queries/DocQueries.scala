@@ -960,6 +960,22 @@ object DocQueries {
         Tables.documents(s, d).filter(col("doc_id") < 100)))
     },
 
+    // REAL audio decode: Spark synthesizes id-parameterized 16-bit PCM WAV
+    // files (javax.sound.sampled, JDK-built-in) and decodes their RIFF
+    // headers back; the oracle computes the expected header values
+    // analytically — the gate verifies the codec round-trip reproduces them
+    q("q_audio_meta",
+      """SELECT doc_id, 'pcm_signed' AS encoding,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+        |  CAST((100 + doc_id % 400) * 1000000 // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS duration_us
+        |FROM documents WHERE doc_id < 100""".stripMargin) { (s, d) =>
+      Multimodal.audioMeta(Multimodal.wavAssets(
+        Tables.documents(s, d).filter(col("doc_id") < 100)))
+    },
+
     q("q_multimodal_meta",
       """SELECT doc_id,
         |  CAST(octet_length(unhex(repeat(md5(text), 1 + CAST(doc_id % 3 AS INT)))) AS BIGINT) AS n_bytes,

@@ -47,10 +47,14 @@ object Traversals {
     if (rows <= bfsBroadcastMaxRows) broadcast(df) else df
 
   /** Max frontier ids held on the driver and pushed down as a literal
-    * IN-list (→ InSet, O(1)/row) into the clustered cache scan. ~100k
-    * strings ≈ a few MB of driver memory — the same order the reference
-    * holds per traversal (`Query.DEFAULT_CAPACITY` = 800 000 elements). */
-  private[graft] val frontierPushdownMaxIds = 100000
+    * IN-list (→ InSet, O(1)/row) into the clustered cache scan. Bounded to
+    * the point-lookup regime: past a few thousand literals the per-hop
+    * Catalyst analyze/optimize cost of the multi-MB expression outweighs the
+    * scan pruning (measured: path-family queries regressed 2-3× at a 100k
+    * cap), and at cluster scale the driver would serialize that plan every
+    * layer. Wider frontiers fall through to the broadcast/shuffle join,
+    * which is the right shape there anyway. */
+  private[graft] val frontierPushdownMaxIds = 2000
 
   /** Edge view pruned to a frontier's id set when that set is small enough
     * to hold on the driver: one tiny distinct+collect job against the
@@ -200,8 +204,9 @@ object Traversals {
         frontierIds = Some(pulled); visitedCnt += pulled.length
         live = pulled.nonEmpty // an exhausted frontier ends the walk early
       } else {
-        // unknown exact sizes from here on: join path, no broadcast claims
-        frontierIds = None; visitedCnt = bfsBroadcastMaxRows + 1
+        // past the literal-IN regime: join path; exact count off the
+        // checkpoint keeps the visited-broadcast decision sound
+        frontierIds = None; visitedCnt += frontier.count()
       }
       if (capacity >= 0) {
         val n = visited.count()
@@ -245,7 +250,7 @@ object Traversals {
         frontierIds = Some(pulled); visitedCnt += pulled.length
         live = pulled.nonEmpty
       } else {
-        frontierIds = None; visitedCnt = bfsBroadcastMaxRows + 1
+        frontierIds = None; visitedCnt += frontier.count()
       }
       checkKoutCapacity(visited, capacity)
     }

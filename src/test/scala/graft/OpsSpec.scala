@@ -119,6 +119,27 @@ class OpsSpec extends SparkSpec {
     assert(em(101L).getString(1) === "unknown" && em(101L).getInt(2) === -1)
   }
 
+  test("real audio decode: javax.sound round-trips WAV rate/channels/frames, degrades on junk") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.AudioAsset]
+    val metas = Multimodal.audioMeta(Multimodal.wavAssets(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      val m = metas(id)
+      assert(m.getString(1) === "pcm_signed", s"encoding of $id")
+      assert(m.getInt(2) === Seq(8000, 16000, 44100)((id % 3).toInt), s"rate of $id")
+      assert(m.getInt(3) === (1 + id % 2).toInt, s"channels of $id")
+      assert(m.getInt(4) === 16, s"bits of $id")
+      assert(m.getLong(5) === 100 + id % 400, s"frames of $id")
+      val rate = Seq(8000, 16000, 44100)((id % 3).toInt)
+      assert(m.getLong(6) === (100 + id % 400) * 1000000L / rate, s"duration of $id")
+    }
+    val junk = Array[Byte](9, 9, 9, 9)
+    val em = Multimodal.audioMeta(spark.createDataset(Seq(
+      Multimodal.AudioAsset(200L, junk))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(em(200L).getString(1) === "unknown" && em(200L).getInt(2) === -1)
+  }
+
   test("resize downsamples the byte budget and stamps target metadata") {
     val assets = Multimodal.fakeAssets(docs)
     val small = Multimodal.resize(assets, targetW = 2, targetH = 2)
