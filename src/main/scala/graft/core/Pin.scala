@@ -43,6 +43,18 @@ object Pin {
     * mode before this split) — a shape no deployment runs. */
   def pinDerived(df: DataFrame): DataFrame = memo(df)
 
+  /** Materialized row count of a frame RETURNED by pin/pinDerived — free
+    * metadata from the load-time count(). Lets consumers make exact
+    * size-based decisions (e.g. skip frontier pushdown against a pinned
+    * view already known to be tiny) without a job. Identity-keyed: only
+    * the exact pinned instance resolves. */
+  private val rowCounts =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Long]())
+
+  def rowsOf(df: DataFrame): Option[Long] =
+    Option(rowCounts.get(df)).map(_.longValue)
+
   private def memo(df: DataFrame): DataFrame = {
     val plan = df.queryExecution.analyzed
     val key = (System.identityHashCode(df.sparkSession), plan.semanticHash())
@@ -65,7 +77,8 @@ object Pin {
         // feeding co-located joins. count() forces full materialization so
         // the load cost lands here (the warmup), not in the first query.
         val cp = df.persist()
-        cp.count()
+        val n = cp.count()
+        rowCounts.put(cp, n)
         if (debug) System.err.println(s"[pin] MISS ${plan.nodeName} hash=${key._2} (${cache.size} buckets)")
         bucket += ((plan, cp))
         cp
@@ -87,6 +100,6 @@ object Pin {
       bucket.synchronized(bucket.foreach { case (_, df) =>
         try df.unpersist() catch { case _: Exception => () }
       }))
-    cache.clear(); clearHooks.forEach(h => h())
+    cache.clear(); rowCounts.clear(); clearHooks.forEach(h => h())
   }
 }

@@ -139,6 +139,59 @@ object TextFunctions {
         .otherwise(m)
     })
 
+  /** Mmseg-style "complex" dictionary analyzer (Tsai's MMSEG — the
+    * algorithm family behind the mmseg4j segmenter the reference plugs in,
+    * `AnalyzerFactory.java:34-53`): at each position enumerate every chunk
+    * of up to THREE consecutive dictionary words and keep the first word of
+    * the best chunk, ranked by (1) greatest total length, (2) greatest
+    * average word length, (3) smallest variance of word lengths — the
+    * classic fix for FMM's greedy mistakes (dict {研究, 研究生, 生命, 起源}
+    * on "研究生命起源": FMM → [研究生, 命, 起源]; mmseg's even (2,2,2)
+    * chunk beats the (3,1,2) one on variance → [研究, 生命, 起源]).
+    * Scoring stays in INTEGERS so the DuckDB oracle reproduces it exactly:
+    * with total tied, max-average = min word count; with both tied,
+    * variance order = Σlen² order (var = (n·Σl² − t²)/n², n and t fixed).
+    * Final tie-break: longest first word. Same `aggregate`-over-positions
+    * machinery as [[tokenizeCjkDict]] — pure Column composition. */
+  def tokenizeCjkMmseg(c: Column, dict: Seq[String] = cjkDict): Column =
+    overHanRuns(c, mmsegRun(_, dict))
+
+  private def mmsegRun(r: Column, dict: Seq[String]): Column = {
+    val byLen = dict.groupBy(_.length).toSeq.sortBy(-_._1)
+    val noInts = array_remove(array(lit(0)), 0)
+    // all candidate word lengths at 1-based position p: every dictionary
+    // word matching there, plus the single-char fallback; [0] past the end
+    // (a placeholder "no word" slot so 1- and 2-word chunks enumerate)
+    def lensAt(p: Column): Column = {
+      val words = byLen.map { case (n, ws) =>
+        when(r.substr(p, lit(n)).isin(ws: _*), array(lit(n))).otherwise(noInts)
+      }
+      val single = when(p <= length(r), array(lit(1))).otherwise(array(lit(0)))
+      concat((words :+ single): _*)
+    }
+    val empty = array_remove(array(lit("")), "")
+    aggregate(
+      sequence(lit(1), length(r)),
+      struct(lit(1).as("next"), empty.as("toks")),
+      (st, i) => {
+        val combos = flatten(transform(lensAt(i), l1 =>
+          flatten(transform(lensAt(i + l1), l2 =>
+            transform(lensAt(i + l1 + l2), l3 => {
+              val total = l1 + l2 + l3
+              val nw = when(l2 > lit(0),
+                when(l3 > lit(0), lit(3)).otherwise(lit(2))).otherwise(lit(1))
+              struct((total * -1).as("nt"), nw.as("nw"),
+                (l1 * l1 + l2 * l2 + l3 * l3).as("ss"), (l1 * -1).as("nl1"))
+            })))))
+        val ml = array_min(combos).getField("nl1") * -1
+        when(i === st.getField("next"),
+          struct((st.getField("next") + ml).as("next"),
+            concat(st.getField("toks"), array(r.substr(i, ml))).as("toks")))
+          .otherwise(st)
+      },
+      st => st.getField("toks"))
+  }
+
   /** Stopword-aware analyzer (reference: the pluggable segmenters it loads
     * — smartcn, IKAnalyzer — ship stopword filtering, Lucene `StopFilter`
     * stage): base-analyzer tokens minus a language's stopword list. Stays
@@ -171,6 +224,7 @@ object TextFunctions {
     "cjk-dict" -> (c => tokenizeCjkDict(c)),
     "cjk-dict-rmm" -> (c => tokenizeCjkDictRmm(c)),
     "cjk-dict-bi" -> (c => tokenizeCjkDictBi(c)),
+    "cjk-dict-mmseg" -> (c => tokenizeCjkMmseg(c)),
     "english-stop" -> (c => tokenizeNoStop(c)))
 
   def analyzer(name: String): Column => Column =
@@ -184,6 +238,9 @@ object TextFunctions {
     } else if (name.startsWith("cjk-dict-rmm:")) {
       val dict = namedDict(name.stripPrefix("cjk-dict-rmm:"))
       c => tokenizeCjkDictRmm(c, dict)
+    } else if (name.startsWith("cjk-dict-mmseg:")) {
+      val dict = namedDict(name.stripPrefix("cjk-dict-mmseg:"))
+      c => tokenizeCjkMmseg(c, dict)
     } else if (name.startsWith("cjk-dict-bi:")) {
       val dict = namedDict(name.stripPrefix("cjk-dict-bi:"))
       c => tokenizeCjkDictBi(c, dict)

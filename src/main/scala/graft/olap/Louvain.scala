@@ -61,8 +61,8 @@ object Louvain {
     var curEdges = graft.core.Pin.pin(
       undirectedEdges.select(col("src"), col("dst"), lit(1.0).as("w")))
 
-    for (_ <- 0 until passes) {
-      val comm = localMoves(curVerts, curEdges, localRounds)
+    for (pass <- 0 until passes) {
+      val comm = localMoves(curVerts, curEdges, localRounds, pinVerts = pass == 0)
       // compose the global mapping through this pass's assignment
       mapping = mapping.withColumnRenamed("community", "mid")
         .join(comm.withColumnRenamed("id", "mid"), Seq("mid"))
@@ -85,7 +85,8 @@ object Louvain {
     (mapping, trace.toSeq)
   }
 
-  private def localMoves(verts: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+  private def localMoves(verts: DataFrame, edges: DataFrame, rounds: Int,
+                         pinVerts: Boolean = true): DataFrame = {
     // Zero-weight self-loops guarantee every vertex sees its OWN community as
     // a candidate even with no intra-community edge — replacing a separate
     // "stay" union branch (which doubled the per-round join work). Adding
@@ -135,18 +136,28 @@ object Louvain {
 
     // pinned co-partitioned on id (the lpa/eigenvector idiom): every hist
     // frame and every idInfo join keys on id — without the pin the vertex
-    // source re-scans and re-shuffles per round (PlanAudit loop-reshuffle)
-    val v = graft.core.Pin.pin(verts.select(col("id")).repartition(col("id")))
+    // source re-scans and re-shuffles per round (PlanAudit loop-reshuffle).
+    // Only the FIRST pass's view goes through Pin: its plan is a stable
+    // source the session memo can actually hit across queries. Coarsened
+    // passes sit on fresh per-run checkpoints — pinning those always
+    // misses, persisting a new orphan frame every execution.
+    val v0 = verts.select(col("id")).repartition(col("id"))
+    val v = if (pinVerts) graft.core.Pin.pin(v0) else v0.localCheckpoint(true)
     var comm = v.select(col("id"), col("id").as("community"))
     for (r <- 0 until rounds) {
-      hist += comm
       // one (id, community, k) table per round feeds BOTH the community
       // totals and the per-id gain inputs — folding the former separate
       // `own` and `k` joins into a single join per round
       val idInfo = comm.join(k, Seq("id")).localCheckpoint(false)
-      val commTot = idInfo.groupBy(col("community")).agg(sum(col("k")).as("tot"))
-        .localCheckpoint(false)
-      totHist += commTot
+      // the commTot checkpoint exists ONLY for the delta machinery (totHist
+      // diffs re-read it next round); under noDelta it would be a pure
+      // mid-plan barrier — an extra materialization + AQE stage-job per
+      // round that measurably drags small graphs (q_louvain 4.97→8.4s when
+      // it ran unconditionally). Keep commTot fused into the gains plan
+      // when delta is off.
+      val commTot0 = idInfo.groupBy(col("community")).agg(sum(col("k")).as("tot"))
+      val commTot = if (noDelta) commTot0 else commTot0.localCheckpoint(false)
+      if (!noDelta) { hist += comm; totHist += commTot }
       val candidates: Option[DataFrame] = if (noDelta || r < 2) None else {
         // both hist frames are id-partitioned checkpoints → co-located merge
         val movers = hist(r).withColumnRenamed("community", "c1")

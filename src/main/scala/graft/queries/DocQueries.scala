@@ -840,6 +840,58 @@ object DocQueries {
               (col("doc_id") % 10).cast("string")))).as("toks"))
     },
 
+    // mmseg "complex" dictionary analyzer: chunk scoring (max total length,
+    // max average = min word count, min variance = min Σlen², longest first
+    // word) — the oracle replays the same integer ranking with DuckDB
+    // nested-lambda chunk enumeration inside the recursive scan CTE. The
+    // zh column embeds Tsai's canonical FMM-vs-mmseg disagreement string,
+    // so the gate certifies real chunk scoring, not greedy matching.
+    q("q_tokenize_cjk_mmseg", {
+      val dict = TextFunctions.cjkDict ++ Seq("研究", "研究生", "生命", "起源")
+      val byLen = dict.groupBy(_.length).toSeq.sortBy(-_._1)
+      def lensAt(p: String): String = {
+        val parts = byLen.map { case (n, ws) =>
+          s"CASE WHEN substr(r, $p, $n) IN (${ws.map(w => s"'$w'").mkString(",")}) THEN [$n] ELSE [] END"
+        } :+ s"CASE WHEN $p <= length(r) THEN [1] ELSE [0] END"
+        parts.reduce((a, b) => s"list_concat($a, $b)")
+      }
+      val combos =
+        s"""flatten(list_transform(${lensAt("pos")}, l1 ->
+           |  flatten(list_transform(${lensAt("pos + l1")}, l2 ->
+           |    list_transform(${lensAt("pos + l1 + l2")}, l3 -> [l1, l2, l3])))))""".stripMargin
+      val ml =
+        s"""CAST(-(list_sort(list_transform($combos, c ->
+           |  [-(c[1]+c[2]+c[3]),
+           |   CASE WHEN c[2] > 0 THEN (CASE WHEN c[3] > 0 THEN 3 ELSE 2 END) ELSE 1 END,
+           |   c[1]*c[1]+c[2]*c[2]+c[3]*c[3],
+           |   -c[1]]))[1][4]) AS BIGINT)""".stripMargin
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+         |    '图数据库' || source || '研究生命起源' || CAST(doc_id % 10 AS VARCHAR) AS zh
+         |  FROM documents WHERE doc_id < 200),
+         |rl AS (SELECT doc_id,
+         |    regexp_extract_all(lower(zh), '([a-z0-9]+|\\p{Han}+)', 1) AS rs FROM t),
+         |runs AS (SELECT doc_id, generate_subscripts(rs, 1) AS ord, unnest(rs) AS r FROM rl),
+         |seg(doc_id, ord, r, pos, toks) AS (
+         |  SELECT doc_id, ord, r, CAST(1 AS BIGINT), CAST([] AS VARCHAR[])
+         |  FROM runs WHERE regexp_full_match(r, '\\p{Han}+')
+         |  UNION ALL
+         |  SELECT doc_id, ord, r, pos + ml, toks || [substr(r, pos, ml)]
+         |  FROM (SELECT doc_id, ord, r, pos, toks, $ml AS ml
+         |        FROM seg WHERE pos <= length(r)) z),
+         |fin AS (SELECT doc_id, ord, toks FROM seg WHERE pos > length(r)
+         |        UNION ALL
+         |        SELECT doc_id, ord, [r] FROM runs WHERE NOT regexp_full_match(r, '\\p{Han}+')),
+         |agg AS (SELECT doc_id, flatten(list(toks ORDER BY ord)) AS toks FROM fin GROUP BY doc_id)
+         |SELECT doc_id, array_to_string(toks, ' ') AS toks FROM agg""".stripMargin
+    }) { (s, d) =>
+      val dict = TextFunctions.cjkDict ++ Seq("研究", "研究生", "生命", "起源")
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat_ws(" ", TextFunctions.tokenizeCjkMmseg(
+            concat(lit("图数据库"), col("source"), lit("研究生命起源"),
+              (col("doc_id") % 10).cast("string")), dict)).as("toks"))
+    },
+
     // stopword-aware analyzer (Lucene StopFilter semantics): default
     // tokens minus the language stopword list, via the analyzer registry
     q("q_tokenize_stop", {

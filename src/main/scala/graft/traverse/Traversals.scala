@@ -66,6 +66,14 @@ object Traversals {
     * the full table — correct once the frontier is |V|-scale). Callers
     * must pass a frontier backed by a checkpoint/cache so the collect
     * doesn't recompute a long lineage. */
+  /** Pinned edge views at or below this row count never profit from
+    * pushdown: scanning the whole cached view costs less than one per-hop
+    * driver round-trip, so the collect job is pure overhead (measured:
+    * rings/multi-source BFS over 25-row and 1.5k-row derived graphs paid
+    * +0.1-0.3s per hop for nothing). Big views keep the pruning — there
+    * the skipped batch decode dominates. */
+  private[graft] val pruneSkipEdgeRows = 50000L
+
   private[graft] def pruneForFrontier(edges: DataFrame, frontier: DataFrame,
                                       idCol: String = "id",
                                       knownRows: Long = -1L): DataFrame = {
@@ -73,6 +81,7 @@ object Traversals {
     // the collect attempt (and its distinct shuffle) outright for frontiers
     // already known to be |V|-scale (distinct ids ≤ rows)
     if (knownRows > frontierPushdownMaxIds) return edges
+    if (graft.core.Pin.rowsOf(edges).exists(_ <= pruneSkipEdgeRows)) return edges
     val ids = frontier.select(col(idCol)).distinct()
       .limit(frontierPushdownMaxIds + 1).collect()
     if (ids.length <= frontierPushdownMaxIds)

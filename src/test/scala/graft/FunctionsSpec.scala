@@ -140,6 +140,29 @@ class FunctionsSpec extends SparkSpec {
       === Seq("spark", "图数据库", "引擎"))
   }
 
+  test("mmseg analyzer: chunk scoring beats FMM's greedy split, ties fall to longest word") {
+    // Tsai's canonical example: dict {研究, 研究生, 生命, 起源} on
+    // 研究生命起源 — FMM greedily eats 研究生 → [研究生, 命, 起源];
+    // mmseg's (2,2,2) chunk ties (3,1,2) on total length and word count
+    // but wins on variance → [研究, 生命, 起源]
+    TextFunctions.registerDict("mm", Seq("研究", "研究生", "生命", "起源"))
+    val df = Seq("研究生命起源").toDF("t")
+    assert(df.select(TextFunctions.analyzer("cjk-dict:mm")(col("t")))
+      .head().getSeq[String](0) === Seq("研究生", "命", "起源"))
+    assert(df.select(TextFunctions.analyzer("cjk-dict-mmseg:mm")(col("t")))
+      .head().getSeq[String](0) === Seq("研究", "生命", "起源"))
+    // total length dominates: dict {数据, 据库} on 数据库 — (2,1,0) and
+    // (1,2,0) tie through variance; longest-first-word tie-break → FMM-like
+    TextFunctions.registerDict("mm2", Seq("数据", "据库"))
+    assert(Seq("数据库").toDF("t")
+      .select(TextFunctions.analyzer("cjk-dict-mmseg:mm2")(col("t")))
+      .head().getSeq[String](0) === Seq("数据", "库"))
+    // default dict + Latin passthrough + off-dict unigram fallback
+    assert(Seq("spark图数据库x引擎了").toDF("t")
+      .select(TextFunctions.tokenizeCjkMmseg(col("t"))).head().getSeq[String](0)
+      === Seq("spark", "图数据库", "x", "引擎", "了"))
+  }
+
   test("shingles produces distinct 3-grams, short-doc fallback") {
     val got = Seq("a b c d", "x y").toDF("t")
       .select(TextFunctions.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
