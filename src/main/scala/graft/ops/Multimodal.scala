@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * readers (PNG/JPEG/GIF/BMP ship with the JRE — no external dependency)
   * header-only inside `mapPartitions`. AUDIO decode is REAL too:
   * [[audioMeta]] parses RIFF/WAVE headers via `javax.sound.sampled`
-  * (JRE-built-in). Only VIDEO codecs stay STUBBED behind
-  * [[DecodeStub.decode]] — the container has no media libraries — with
-  * the Spark-side plumbing (schema, partitioning, batch iteration,
+  * (JRE-built-in), and VIDEO-CONTAINER metadata is REAL as well:
+  * [[mp4Meta]] hand-walks the public ISO-BMFF box layout. Only the video
+  * CODEC layer (frame/sample decode) stays STUBBED behind
+  * [[DecodeStub.decode]] — the container image has no media libraries —
+  * with the Spark-side plumbing (schema, partitioning, batch iteration,
   * deterministic outputs) real and tested. At scale every decode runs
   * inside `mapPartitions` so codec state is initialized once per
   * partition, not per row — the Scala equivalent of a Pandas `mapInPandas`
@@ -164,6 +166,138 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class VideoAsset(doc_id: Long, bytes: Array[Byte])
+  final case class VideoMeta(doc_id: Long, brand: String, timescale: Int,
+                             duration: Long, duration_us: Long,
+                             width: Int, height: Int, n_tracks: Int)
+
+  private def bmffBox(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+    b.putInt(8 + payload.length)
+    b.put(typ.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    b.put(payload)
+    b.array()
+  }
+
+  private def unityMatrix(b: java.nio.ByteBuffer): Unit = {
+    b.putInt(0x10000); b.putInt(0); b.putInt(0)
+    b.putInt(0); b.putInt(0x10000); b.putInt(0)
+    b.putInt(0); b.putInt(0); b.putInt(0x40000000)
+  }
+
+  /** Deterministic REAL MP4 containers: per doc_id, an ISO-BMFF file
+    * (`ftyp` + `moov`(`mvhd` + one `trak`(`tkhd`) per track)) built
+    * byte-exactly to the public ISO/IEC 14496-12 box layout — movie
+    * timescale 600/1000/90000 Hz (by id%3), duration `1000 + id%9000`
+    * units, first-track display size (320+16·(id%8))×(240+16·(id%5)),
+    * `1 + id%2` tracks. No codec or sample data — the metadata layer IS
+    * the container format, which is exactly what a catalog scan reads. */
+  def mp4Assets(docs: DataFrame): Dataset[VideoAsset] = {
+    implicit val enc: org.apache.spark.sql.Encoder[VideoAsset] =
+      Encoders.product[VideoAsset]
+    docs.select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val timescale = (id % 3) match {
+            case 0 => 600; case 1 => 1000; case _ => 90000
+          }
+          val duration = (1000 + id % 9000).toInt
+          val w = (320 + 16 * (id % 8)).toInt
+          val h = (240 + 16 * (id % 5)).toInt
+          val nTracks = (1 + id % 2).toInt
+          val ftyp = bmffBox("ftyp", {
+            val p = java.nio.ByteBuffer.allocate(8)
+            p.put("isom".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+            p.putInt(0x200)
+            p.array()
+          })
+          val mvhd = bmffBox("mvhd", {
+            val p = java.nio.ByteBuffer.allocate(100)
+            p.putInt(0)              // version 0 + flags
+            p.putInt(0); p.putInt(0) // creation/modification time
+            p.putInt(timescale); p.putInt(duration)
+            p.putInt(0x00010000)     // rate 1.0
+            p.putShort(0x0100.toShort) // volume 1.0
+            p.putShort(0); p.putInt(0); p.putInt(0) // reserved
+            unityMatrix(p)
+            (0 until 6).foreach(_ => p.putInt(0)) // pre_defined
+            p.putInt(nTracks + 1)    // next_track_ID
+            p.array()
+          })
+          val traks = (1 to nTracks).map { t =>
+            bmffBox("trak", bmffBox("tkhd", {
+              val p = java.nio.ByteBuffer.allocate(84)
+              p.putInt(7)              // version 0 + flags: enabled|in-movie|in-preview
+              p.putInt(0); p.putInt(0) // creation/modification time
+              p.putInt(t)              // track_ID
+              p.putInt(0)              // reserved
+              p.putInt(duration)
+              p.putInt(0); p.putInt(0) // reserved
+              p.putShort(0); p.putShort(0) // layer, alternate_group
+              p.putShort(0); p.putShort(0) // volume, reserved
+              unityMatrix(p)
+              p.putInt(w << 16); p.putInt(h << 16) // 16.16 fixed point
+              p.array()
+            }))
+          }
+          val moov = bmffBox("moov", (mvhd +: traks).reduce(_ ++ _))
+          VideoAsset(id, ftyp ++ moov)
+        }
+      }
+  }
+
+  /** REAL video-container metadata decode: a hand-rolled ISO-BMFF box walk
+    * (public ISO/IEC 14496-12 layout — no codec library involved) over the
+    * binary column. Reads `ftyp`'s major brand, `mvhd`'s movie timescale +
+    * duration, the FIRST `tkhd`'s 16.16 display size, and counts `trak`
+    * boxes; header-only I/O like [[imageMeta]]/[[audioMeta]]. Frame/sample
+    * decode (the codec layer) stays behind [[DecodeStub]]. Malformed bytes
+    * degrade to ("unknown", -1, …). */
+  def mp4Meta(assets: Dataset[VideoAsset]): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[VideoMeta] =
+      Encoders.product[VideoMeta]
+    assets.mapPartitions { it =>
+      it.map { a =>
+        try {
+          val buf = java.nio.ByteBuffer.wrap(a.bytes)
+          var brand = "unknown"
+          var timescale = -1; var duration = -1L
+          var width = -1; var height = -1; var nTracks = 0
+          def typStr(i: Int): String =
+            new String(a.bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+          def walk(from: Int, end: Int, depth: Int): Unit = {
+            var off = from
+            while (off + 8 <= end) {
+              val size = buf.getInt(off)
+              if (size < 8 || off + size > end) return
+              typStr(off + 4) match {
+                case "ftyp" if size >= 12 => brand = typStr(off + 8)
+                case "moov" | "trak" => // container boxes: descend
+                  if (typStr(off + 4) == "trak") nTracks += 1
+                  walk(off + 8, off + size, depth + 1)
+                case "mvhd" if size >= 28 =>
+                  timescale = buf.getInt(off + 20)
+                  duration = buf.getInt(off + 24).toLong
+                case "tkhd" if size >= 92 && width < 0 =>
+                  width = buf.getInt(off + 84) >>> 16
+                  height = buf.getInt(off + 88) >>> 16
+                case _ => ()
+              }
+              off += size
+            }
+          }
+          walk(0, a.bytes.length, 0)
+          if (timescale <= 0) VideoMeta(a.doc_id, "unknown", -1, -1L, -1L, -1, -1, 0)
+          else VideoMeta(a.doc_id, brand, timescale, duration,
+            duration * 1000000L / timescale, width, height, nTracks)
+        } catch {
+          case _: Exception =>
+            VideoMeta(a.doc_id, "unknown", -1, -1L, -1L, -1, -1, 0)
+        }
+      }
+    }.toDF()
+  }
+
   /** Deterministic fake assets derived from document text: the "media bytes"
     * are md5-derived, with per-doc varying length — enough structure to
     * exercise binary columns, slicing and frame iteration. */
@@ -180,10 +314,11 @@ object Multimodal {
                                   mean_byte: Double)
 
   object DecodeStub {
-    /** Stub for a real VIDEO decoder (image and audio decode are real, see
-      * [[imageMeta]]/[[audioMeta]]). A production build would replace the
-      * body with e.g. ffmpeg-bindings; the deterministic fake keeps the
-      * distributed pipeline testable. */
+    /** Stub for a real VIDEO FRAME decoder (image, audio, and video
+      * CONTAINER metadata decode are real — [[imageMeta]]/[[audioMeta]]/
+      * [[mp4Meta]]; only the codec layer is missing). A production build
+      * would replace the body with e.g. ffmpeg-bindings; the deterministic
+      * fake keeps the distributed pipeline testable. */
     def decode(bytes: Array[Byte]): DecodedFeature = {
       // real decoder would go here: ??? — deterministic fake below
       var sum = 0L

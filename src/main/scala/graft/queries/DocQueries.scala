@@ -1028,6 +1028,23 @@ object DocQueries {
         Tables.documents(s, d).filter(col("doc_id") < 100)))
     },
 
+    // REAL video-container metadata decode: Spark builds id-parameterized
+    // ISO-BMFF (MP4) files byte-exactly to the public box layout and walks
+    // their headers back (hand-rolled box parse — no codec library); the
+    // oracle computes the expected values analytically
+    q("q_video_meta",
+      """SELECT doc_id, 'isom' AS brand,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS INT) AS timescale,
+        |  CAST(1000 + doc_id % 9000 AS BIGINT) AS duration,
+        |  CAST((1000 + doc_id % 9000) * 1000000 // (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END) AS BIGINT) AS duration_us,
+        |  CAST(320 + 16 * (doc_id % 8) AS INT) AS width,
+        |  CAST(240 + 16 * (doc_id % 5) AS INT) AS height,
+        |  CAST(1 + doc_id % 2 AS INT) AS n_tracks
+        |FROM documents WHERE doc_id < 100""".stripMargin) { (s, d) =>
+      Multimodal.mp4Meta(Multimodal.mp4Assets(
+        Tables.documents(s, d).filter(col("doc_id") < 100)))
+    },
+
     q("q_multimodal_meta",
       """SELECT doc_id,
         |  CAST(octet_length(unhex(repeat(md5(text), 1 + CAST(doc_id % 3 AS INT)))) AS BIGINT) AS n_bytes,

@@ -140,6 +140,28 @@ class OpsSpec extends SparkSpec {
     assert(em(200L).getString(1) === "unknown" && em(200L).getInt(2) === -1)
   }
 
+  test("real mp4 container decode: ISO-BMFF box walk round-trips brand/timescale/dims/tracks, degrades on junk") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.VideoAsset]
+    val metas = Multimodal.mp4Meta(Multimodal.mp4Assets(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      val m = metas(id)
+      val ts = Seq(600, 1000, 90000)((id % 3).toInt)
+      assert(m.getString(1) === "isom", s"brand of $id")
+      assert(m.getInt(2) === ts, s"timescale of $id")
+      assert(m.getLong(3) === 1000 + id % 9000, s"duration of $id")
+      assert(m.getLong(4) === (1000 + id % 9000) * 1000000L / ts, s"duration_us of $id")
+      assert(m.getInt(5) === (320 + 16 * (id % 8)).toInt, s"width of $id")
+      assert(m.getInt(6) === (240 + 16 * (id % 5)).toInt, s"height of $id")
+      assert(m.getInt(7) === (1 + id % 2).toInt, s"tracks of $id")
+    }
+    val junk = Array[Byte](0, 0, 0, 1, 'j', 'u', 'n', 'k')
+    val em = Multimodal.mp4Meta(spark.createDataset(Seq(
+      Multimodal.VideoAsset(300L, junk))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(em(300L).getString(1) === "unknown" && em(300L).getInt(2) === -1)
+  }
+
   test("resize downsamples the byte budget and stamps target metadata") {
     val assets = Multimodal.fakeAssets(docs)
     val small = Multimodal.resize(assets, targetW = 2, targetH = 2)
