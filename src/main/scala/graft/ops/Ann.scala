@@ -359,4 +359,26 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
+
+  /** Recall@k of an approximate top-k result against the exact baseline —
+    * the standard ANN index-quality gauge (a 100 TB deployment tunes
+    * nProbe/bits against exactly this curve on a sampled query set). Both
+    * inputs are `(query_id, vec_id, sim, rank)` frames as produced by the
+    * `*TopK` operators. Per query: `hits` = |approx ∩ exact| over the
+    * first `k` ranks, `recall` = hits/k. The ground-truth side defines the
+    * query universe, so a query whose approximate probe found nothing
+    * still reports recall 0 rather than vanishing. Cost shape: both sides
+    * are |Q|·k rows (the query SAMPLE is small by construction) — one
+    * keyed semi-join + one groupBy, independent of corpus size. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+    val a = approx.filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+    val hits = e.join(a, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / k, 6).as("recall"))
+  }
 }

@@ -52,6 +52,42 @@ object Corpus {
         round(col("__alp") - log(col("n")), 6).as("logprob"))
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * §A1.1 — the word-level subset; the line-level rules need line
+    * structure the corpus lacks). Per document: word count, mean word
+    * length (over occurrences), type-token ratio, most-frequent-word mass
+    * fraction, and a stopword-presence count — then one boolean verdict
+    * against fixed thresholds. These are THE standard web-scale curation
+    * gates (C4/Gopher/FineWeb all ship a variant).
+    *
+    * Scale shape: one shuffle keyed (doc, word) — skew-free by key
+    * construction — then one keyed by doc; no driver state, no vocab
+    * broadcast. Thresholds are parameters so a deployment tunes them
+    * per-corpus. */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
+                    minWords: Long = 30, maxWords: Long = 100000,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    minTtr: Double = 0.4, maxTopFrac: Double = 0.12,
+                    minStopHits: Long = 1): DataFrame = {
+    val stopSet = Seq("the", "a", "and", "of", "to", "in", "is")
+    val e = tokens(docs, idCol, textCol)
+      .select(col(idCol), explode(col("toks")).as("w"))
+    val wc = e.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    wc.groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_words"),
+        round(sum(length(col("w")) * col("c")).cast("double") / sum(col("c")), 6)
+          .as("mean_word_len"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 6).as("ttr"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_word_frac"),
+        sum(when(col("w").isInCollection(stopSet), 1L).otherwise(0L)).as("stop_hits"))
+      .withColumn("pass",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
+          col("ttr") >= minTtr && col("top_word_frac") <= maxTopFrac &&
+          col("stop_hits") >= minStopHits).cast("int"))
+  }
+
   /** DSIR-style importance weight per document (Xie et al., "Data Selection
     * for Language Models via Importance Resampling", 2023 — reduced to
     * add-one-smoothed unigram LMs so the score is exactly reproducible by

@@ -224,8 +224,31 @@ object Multimodal {
             p.putInt(nTracks + 1)    // next_track_ID
             p.array()
           })
+          // sample timing for the first track: a REAL stts (decoding-time-
+          // to-sample) box with two runs of deterministic deltas — the
+          // container structure a frame sampler walks
+          val n1 = (8 + id % 8).toInt;  val d1 = (100 + id % 100).toInt
+          val n2 = (4 + id % 4).toInt;  val d2 = (200 + id % 50).toInt
+          val mdia = bmffBox("mdia",
+            bmffBox("mdhd", {
+              val p = java.nio.ByteBuffer.allocate(24)
+              p.putInt(0)              // version 0 + flags
+              p.putInt(0); p.putInt(0) // creation/modification time
+              p.putInt(timescale)      // media timescale (= movie here)
+              p.putInt(n1 * d1 + n2 * d2) // media duration in its timescale
+              p.putShort(0x55c4.toShort)  // language: und
+              p.putShort(0)
+              p.array()
+            }) ++ bmffBox("minf", bmffBox("stbl", bmffBox("stts", {
+              val p = java.nio.ByteBuffer.allocate(8 + 2 * 8)
+              p.putInt(0)              // version 0 + flags
+              p.putInt(2)              // entry_count
+              p.putInt(n1); p.putInt(d1)
+              p.putInt(n2); p.putInt(d2)
+              p.array()
+            }))))
           val traks = (1 to nTracks).map { t =>
-            bmffBox("trak", bmffBox("tkhd", {
+            val tkhd = bmffBox("tkhd", {
               val p = java.nio.ByteBuffer.allocate(84)
               p.putInt(7)              // version 0 + flags: enabled|in-movie|in-preview
               p.putInt(0); p.putInt(0) // creation/modification time
@@ -238,7 +261,8 @@ object Multimodal {
               unityMatrix(p)
               p.putInt(w << 16); p.putInt(h << 16) // 16.16 fixed point
               p.array()
-            }))
+            })
+            bmffBox("trak", if (t == 1) tkhd ++ mdia else tkhd)
           }
           val moov = bmffBox("moov", (mvhd +: traks).reduce(_ ++ _))
           VideoAsset(id, ftyp ++ moov)
@@ -295,6 +319,70 @@ object Multimodal {
             VideoMeta(a.doc_id, "unknown", -1, -1L, -1L, -1, -1, 0)
         }
       }
+    }.toDF()
+  }
+
+  final case class FrameSample(doc_id: Long, sample_no: Long, ts_units: Long,
+                               ts_us: Long)
+
+  /** REAL container-level frame sampling: walks the ISO-BMFF tree down to
+    * `moov/trak/mdia/minf/stbl/stts` (the decoding-time-to-sample table,
+    * ISO/IEC 14496-12 §8.6.1.2) plus `mdhd` for the media timescale,
+    * expands the run-length (count, delta) entries to per-sample decode
+    * timestamps, and keeps every `stride`-th sample — exactly what a
+    * video-curation pipeline does to pick frames for captioning/embedding
+    * WITHOUT touching the codec layer. Per-row work is bounded by the
+    * sample count of one file; the operator is embarrassingly parallel
+    * (mapPartitions, no shuffle). Malformed/track-less files yield no
+    * rows rather than failing the job. */
+  def mp4FrameSamples(assets: Dataset[VideoAsset], stride: Int): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[FrameSample] =
+      Encoders.product[FrameSample]
+    assets.flatMap { a =>
+      try {
+        val buf = java.nio.ByteBuffer.wrap(a.bytes)
+        var timescale = -1
+        var entries: List[(Int, Int)] = Nil
+        def typStr(i: Int): String =
+          new String(a.bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        def walk(from: Int, end: Int): Unit = {
+          var off = from
+          while (off + 8 <= end) {
+            val size = buf.getInt(off)
+            if (size < 8 || off + size > end) return
+            typStr(off + 4) match {
+              case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+                walk(off + 8, off + size)
+              case "mdhd" if size >= 24 && timescale < 0 =>
+                timescale = buf.getInt(off + 20)
+              case "stts" if size >= 16 && entries.isEmpty =>
+                val n = buf.getInt(off + 12)
+                entries = (0 until math.min(n, (size - 16) / 8)).toList.map { e =>
+                  (buf.getInt(off + 16 + e * 8), buf.getInt(off + 20 + e * 8))
+                }
+              case _ => ()
+            }
+            off += size
+          }
+        }
+        walk(0, a.bytes.length)
+        if (timescale <= 0 || entries.isEmpty) Iterator.empty
+        else {
+          var sampleNo = 0L
+          var ts = 0L
+          val out = scala.collection.mutable.ArrayBuffer.empty[FrameSample]
+          entries.foreach { case (count, delta) =>
+            var j = 0
+            while (j < count) {
+              if (sampleNo % stride == 0)
+                out += FrameSample(a.doc_id, sampleNo, ts,
+                  ts * 1000000L / timescale)
+              ts += delta; sampleNo += 1; j += 1
+            }
+          }
+          out.iterator
+        }
+      } catch { case _: Exception => Iterator.empty }
     }.toDF()
   }
 

@@ -401,6 +401,22 @@ object DocQueries {
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
 
+  /** Recall@k oracle: the exact and approximate top-k oracles nest as CTE
+    * subqueries (DuckDB allows a WITH inside a CTE body); hits = the
+    * (query_id, vec_id) intersection, recall = hits/k, queries with an
+    * empty probe still report 0. */
+  def recallSql(k: Int, exactSql: String, approxSql: String): String =
+    s"""WITH exact_tk AS ($exactSql),
+       |approx_tk AS ($approxSql),
+       |hits AS (
+       |  SELECT e.query_id, count(*) AS hits
+       |  FROM exact_tk e JOIN approx_tk a USING (query_id, vec_id)
+       |  GROUP BY e.query_id)
+       |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / $k, 6) AS recall
+       |FROM (SELECT DISTINCT query_id FROM exact_tk) q
+       |LEFT JOIN hits h USING (query_id)""".stripMargin
+
   /** Multi-probe SRP oracle: the query side expands to its own bucket plus
     * every single-bit flip; candidates keep exactly one bucket. */
   def srpMultiSql(topK: Int, bits: Int, dims: Int): String =
@@ -757,6 +773,19 @@ object DocQueries {
         k = 3, bits = 8, dims = 64)
     },
 
+    // recall@k of the SRP-bucketed index against the exact baseline — the
+    // index-quality gauge a deployment tunes bits/nProbe against; the
+    // oracle nests the two top-k oracles and intersects them
+    q("q_ann_recall",
+      recallSql(3, cosineSql(3, "vec_id < 5", "vec_id >= 5"), srpSql(3, 8, 64))) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+      val cs = e.filter(col("vec_id") >= 5)
+      Ann.recallAtK(
+        Ann.bruteForceTopK(qs, cs, k = 3),
+        Ann.srpBucketTopK(qs, cs, k = 3, bits = 8, dims = 64), k = 3)
+    },
+
     // symmetric int8 embedding quantization + dequantized-cosine fidelity —
     // the 4x-smaller storage format of an embedding store at scale
     q("q_embed_quantize",
@@ -975,6 +1004,29 @@ object DocQueries {
           col("q.stopword_ratio").as("stopword_ratio"))
     },
 
+    // Gopher-style rule bundle (Rae et al. 2021 §A1.1, word-level subset):
+    // per-doc word stats + one boolean verdict against fixed thresholds —
+    // the standard web-corpus curation gate, restated over (doc, word)
+    // counts so the oracle reproduces every metric exactly
+    q("q_gopher_rules",
+      s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |wc AS (SELECT doc_id, w, count(*) AS c FROM e GROUP BY 1, 2),
+         |m AS (SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS n_words,
+         |    round(CAST(sum(length(w) * c) AS DOUBLE) / sum(c), 6) AS mean_word_len,
+         |    round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+         |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_frac,
+         |    CAST(count(*) FILTER (WHERE w IN ('the','a','and','of','to','in','is')) AS BIGINT) AS stop_hits
+         |  FROM wc GROUP BY 1)
+         |SELECT *, CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND ttr >= 0.4 AND top_word_frac <= 0.12
+         |    AND stop_hits >= 1 THEN 1 ELSE 0 END AS INT) AS pass
+         |FROM m""".stripMargin) { (s, d) =>
+      graft.ops.Corpus.gopherQuality(Tables.documents(s, d), "doc_id", "text")
+    },
+
     q("q_token_count",
       s"""WITH t AS (SELECT doc_id, text, $tok AS toks FROM documents)
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws,
@@ -1043,6 +1095,27 @@ object DocQueries {
         |FROM documents WHERE doc_id < 100""".stripMargin) { (s, d) =>
       Multimodal.mp4Meta(Multimodal.mp4Assets(
         Tables.documents(s, d).filter(col("doc_id") < 100)))
+    },
+
+    // REAL container-level frame sampling: the stts (decoding-time-to-
+    // sample) box walk expands run-length sample timings to per-frame
+    // timestamps and keeps every 4th — the oracle recomputes the two
+    // deterministic stts runs analytically per doc_id
+    q("q_video_frames",
+      """WITH p AS (SELECT doc_id,
+        |    8 + doc_id % 8 AS n1, 100 + doc_id % 100 AS d1,
+        |    4 + doc_id % 4 AS n2, 200 + doc_id % 50 AS d2,
+        |    CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS tsc
+        |  FROM documents WHERE doc_id < 100),
+        |s AS (SELECT doc_id, tsc, n1, d1, d2, unnest(range(0, n1 + n2)) AS i FROM p),
+        |ts AS (SELECT doc_id, tsc, i,
+        |    CASE WHEN i < n1 THEN i * d1 ELSE n1 * d1 + (i - n1) * d2 END AS u
+        |  FROM s WHERE i % 4 = 0)
+        |SELECT doc_id, CAST(i AS BIGINT) AS sample_no, CAST(u AS BIGINT) AS ts_units,
+        |  CAST(u * 1000000 // tsc AS BIGINT) AS ts_us
+        |FROM ts""".stripMargin) { (s, d) =>
+      Multimodal.mp4FrameSamples(Multimodal.mp4Assets(
+        Tables.documents(s, d).filter(col("doc_id") < 100)), stride = 4)
     },
 
     q("q_multimodal_meta",

@@ -31,6 +31,27 @@ object EventQueries {
           col("event_type"), col("n"), col("total_value"))
     },
 
+    q("q_event_sliding",
+      """WITH s AS (
+        |  SELECT event_type, value,
+        |         time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS ws
+        |  FROM events, (SELECT unnest(range(0, 4)) AS k) z)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      // Sliding 1-hour window every 15 minutes: each event lands in 4
+      // windows (Spark explodes them before the aggregate — the same
+      // event-multiplication the oracle does explicitly). Streaming twin:
+      // `groupBy(window($"ts", "1 hour", "15 minutes"))` under a watermark.
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+    },
+
     q("q_event_sessionize",
       """WITH o AS (
         |  SELECT user_id, ts, event_id,

@@ -256,6 +256,32 @@ object GraphQueries2 {
         (1 to 50).map(i => s"customer:$i"), steps = 4, Direction.OUT)
     },
 
+    // GraphSAGE-style layered neighbor sampling: per seed, layer ℓ keeps
+    // the md5-min fanout(ℓ) neighbors of every layer-(ℓ-1) node — the GNN
+    // mini-batch subgraph extraction, unrolled per layer in the oracle
+    q("q_neighbor_sample",
+      s"""WITH edges AS ($edgesSql),
+         |adj AS (SELECT DISTINCT src, dst FROM edges),
+         |f0 AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS seed,
+         |              'customer:' || CAST(c_custkey AS VARCHAR) AS node
+         |       FROM customer WHERE c_custkey BETWEEN 1 AND 20),
+         |e1 AS (SELECT f.seed, f.node, a.dst,
+         |    row_number() OVER (PARTITION BY f.seed, f.node
+         |      ORDER BY md5(f.seed || ':1:' || f.node || ':' || a.dst), a.dst) AS rn
+         |  FROM f0 f JOIN adj a ON a.src = f.node),
+         |s1 AS (SELECT seed, 1 AS layer, node AS src, dst FROM e1 WHERE rn <= 3),
+         |f1 AS (SELECT DISTINCT seed, dst AS node FROM s1),
+         |e2 AS (SELECT f.seed, f.node, a.dst,
+         |    row_number() OVER (PARTITION BY f.seed, f.node
+         |      ORDER BY md5(f.seed || ':2:' || f.node || ':' || a.dst), a.dst) AS rn
+         |  FROM f1 f JOIN adj a ON a.src = f.node),
+         |s2 AS (SELECT seed, 2 AS layer, node AS src, dst FROM e2 WHERE rn <= 2)
+         |SELECT seed, CAST(layer AS INT) AS layer, src, dst
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) z""".stripMargin) { (s, d) =>
+      PathTraversals.layeredNeighborSample(g(s, d),
+        (1 to 20).map(i => s"customer:$i"), fanouts = Seq(3, 2), Direction.OUT)
+    },
+
     // word2vec-style skip-gram pairs over the guided-walk corpus
     q("q_walk_skipgrams",
       s"""WITH $guidedWalksCtes,

@@ -123,6 +123,50 @@ object PathTraversals {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** GraphSAGE-style layered neighbor sampling (Hamilton et al., "Inductive
+    * Representation Learning on Large Graphs", 2017): for each seed, layer
+    * ℓ samples at most `fanouts(ℓ-1)` neighbors of every node reached at
+    * layer ℓ-1 — the standard mini-batch subgraph extraction for GNN
+    * training. Sampling is deterministic (md5-ranked per (seed, layer,
+    * node), ties on dst) so the result is exactly reproducible by the SQL
+    * oracle and across retries — the same seeded-choice contract as
+    * [[guidedWalks]]. Returns sampled edges `(seed, layer, src, dst)`.
+    *
+    * Scale shape: per layer one frontier⋈edges join (frontier side stays
+    * tiny and broadcastable; [[Traversals.pruneForFrontier]] pushes the
+    * point-lookup IN-list when applicable) + one Window partitioned by
+    * (seed, node) — never unpartitioned, and the partition width is
+    * bounded by the node's degree before the cap. Frontier growth is
+    * bounded by Π fanouts, not by graph degree — that bound is the whole
+    * point of the operator at 100 TB. */
+  def layeredNeighborSample(g: PropertyGraph, sources: Seq[String],
+                            fanouts: Seq[Int], dir: Direction.Value,
+                            labels: Seq[String] = Nil): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val edges = Traversals.adjacencyView(g, dir, labels)
+    var frontier = sources.toDF("seed")
+      .select(col("seed"), col("seed").as("node")).distinct()
+    var acc = frontier.filter(lit(false))
+      .select(col("seed"), lit(0).as("layer"), col("node").as("src"), col("node").as("dst"))
+    for ((f, i) <- fanouts.zipWithIndex) {
+      val l = i + 1
+      val expanded = frontier
+        .join(Traversals.pruneForFrontier(edges, frontier, "node")
+          .withColumnRenamed("src", "node"), Seq("node"))
+      val w = Window.partitionBy(col("seed"), col("node"))
+        .orderBy(md5(concat_ws(":", col("seed"), lit(l), col("node"), col("dst"))),
+          col("dst"))
+      val sampled = expanded.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= f)
+        .select(col("seed"), lit(l).as("layer"), col("node").as("src"), col("dst"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(sampled)
+      frontier = sampled.select(col("seed"), col("dst").as("node")).distinct()
+    }
+    acc
+  }
+
   /** Rays: root-to-leaf simple paths — expansion stops at vertices with no
     * outgoing step edges or at maxDepth (reference `SubGraphTraverser.rays:59`). */
   def rays(g: PropertyGraph, source: String, dir: Direction.Value,

@@ -162,6 +162,64 @@ class OpsSpec extends SparkSpec {
     assert(em(300L).getString(1) === "unknown" && em(300L).getInt(2) === -1)
   }
 
+  test("mp4 frame sampling: stts box walk expands run-length timings, strides, degrades on junk") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.VideoAsset]
+    val frames = Multimodal.mp4FrameSamples(Multimodal.mp4Assets(docs), stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      val n1 = (8 + id % 8).toInt; val d1 = (100 + id % 100).toInt
+      val n2 = (4 + id % 4).toInt; val d2 = (200 + id % 50).toInt
+      val tsc = Seq(600, 1000, 90000)((id % 3).toInt)
+      val expected = (0 until n1 + n2).filter(_ % 4 == 0)
+      assert(frames.keys.count(_._1 == id) === expected.size, s"sample count of $id")
+      expected.foreach { i =>
+        val u = if (i < n1) i.toLong * d1 else n1.toLong * d1 + (i - n1).toLong * d2
+        val f = frames((id, i.toLong))
+        assert(f.getLong(2) === u, s"ts_units of $id/$i")
+        assert(f.getLong(3) === u * 1000000L / tsc, s"ts_us of $id/$i")
+      }
+    }
+    // junk bytes and stts-less containers yield no rows, not failures
+    val junk = spark.createDataset(Seq(
+      Multimodal.VideoAsset(300L, Array[Byte](0, 0, 0, 1, 'j', 'u', 'n', 'k'))))
+    assert(Multimodal.mp4FrameSamples(junk, 2).count() === 0)
+  }
+
+  test("gopher quality rules: word stats and the boolean verdict") {
+    import spark.implicits._
+    val fixture = Seq(
+      // 31 words, varied vocab, has 'the' → passes every gate
+      (1L, "the quick brown fox jumps over a lazy dog near the riverbank " +
+        "while seven crows watch from tall pines and wind moves dry leaves " +
+        "across old stone walls before dusk settles"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam"), // repetitive + short
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.gopherQuality(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("pass") === 1)
+    assert(out(2L).getAs[Int]("pass") === 0) // n_words < 30, topfrac 1.0, ttr 0.1
+    assert(out(2L).getAs[Double]("top_word_frac") === 1.0)
+    assert(out(3L).getAs[Int]("pass") === 0) // too short
+    assert(out(1L).getAs[Long]("stop_hits") >= 2) // 'the' and 'a'
+    assert(out(1L).getAs[Long]("n_words") === 31L)
+  }
+
+  test("ann recall@k: identity is 1.0, a disjoint probe reports 0") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L, 0.9, 1L), (1L, 11L, 0.8, 2L),
+      (2L, 12L, 0.9, 1L), (2L, 13L, 0.7, 2L))
+      .toDF("query_id", "vec_id", "sim", "rank")
+    val hit = Seq((1L, 10L, 0.9, 1L), (1L, 99L, 0.5, 2L))
+      .toDF("query_id", "vec_id", "sim", "rank")
+    val out = graft.ops.Ann.recallAtK(exact, hit, 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("hits") === 1L)
+    assert(out(1L).getAs[Double]("recall") === 0.5)
+    // query 2 found nothing in the approx side → present with recall 0
+    assert(out(2L).getAs[Long]("hits") === 0L)
+    assert(out(2L).getAs[Double]("recall") === 0.0)
+  }
+
   test("resize downsamples the byte budget and stamps target metadata") {
     val assets = Multimodal.fakeAssets(docs)
     val small = Multimodal.resize(assets, targetW = 2, targetH = 2)

@@ -30,6 +30,27 @@ class PathTraversalSpec extends SparkSpec {
     assert(rays === Set("a->b->c->d")) // the cycle branch dies (revisit), tail is the leaf
   }
 
+  test("layered neighbor sampling: fanout bounds, layer lineage, determinism") {
+    // modern graph: marko -knows-> vadas,josh; -created-> lop; josh -created-> lop,ripple
+    val out = PathTraversals.layeredNeighborSample(modern,
+      Seq("person:marko"), fanouts = Seq(2, 2), Direction.OUT)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+    // layer 1: marko has 3 OUT neighbors, fanout 2 keeps exactly 2
+    val l1 = rows.filter(_._2 == 1)
+    assert(l1.length === 2 && l1.forall(_._3 == "person:marko"))
+    // layer 2 sources are exactly the layer-1 sampled dsts (per seed)
+    val l2 = rows.filter(_._2 == 2)
+    assert(l2.map(_._3).toSet.subsetOf(l1.map(_._4).toSet))
+    // per-node fanout bound holds at layer 2 as well
+    l2.groupBy(_._3).foreach { case (_, es) => assert(es.length <= 2) }
+    // deterministic: a second run returns the identical edge set
+    val again = PathTraversals.layeredNeighborSample(modern,
+      Seq("person:marko"), fanouts = Seq(2, 2), Direction.OUT)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(rows.toSet === again.toSet)
+  }
+
   test("rings empty on a DAG") {
     assert(PathTraversals.rings(modern, "person:marko", Direction.OUT, Nil, 4).count() === 0L)
   }
