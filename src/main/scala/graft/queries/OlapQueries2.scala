@@ -104,16 +104,9 @@ object OlapQueries2 {
       // deterministic synchronous Louvain (directional gating) — exactly
       // reproducible, so even this gets a full SQL oracle; clique-fixture
       // semantics in CentralitySpec
-      val spark = s; import spark.implicits._
-      val edges = {
-        val li = Tables.lineitem(s, d).filter(col("l_partkey") < 100)
-          .select(col("l_partkey"),
-            concat(lit("supplier:"), col("l_suppkey").cast("string")).as("sup"))
-        Algorithms.canonical(
-          li.withColumnRenamed("sup", "sa").join(li.withColumnRenamed("sup", "sb"), Seq("l_partkey"))
-            .filter(col("sa") =!= col("sb"))
-            .select(col("sa").as("src"), col("sb").as("dst")))
-      }
+      // same pinned co-purchase projection as the lpa/kcore/eigenvector
+      // family — one shared derived graph, not a per-query rebuild
+      val edges = OlapQueries.coSupplierEdges(s, d)
       val verts = Tables.supplier(s, d)
         .select(concat(lit("supplier:"), col("s_suppkey").cast("string")).as("id"))
       Louvain.louvain(verts, edges, localRounds = 4, passes = 2)

@@ -35,10 +35,11 @@ object PathTraversals {
     var frontier = seed(g, Seq(source))
     var result: Option[DataFrame] = None
     var d = 0
+    val pruner = new Traversals.FrontierPruner
     while (result.isEmpty && d < maxDepth) {
       d += 1
       frontier = frontier.select(col("id").as("src"), col("path"))
-        .join(Traversals.pruneForFrontier(edges, frontier), Seq("src"))
+        .join(pruner.prune(edges, frontier), Seq("src"))
         .filter(!array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
         .localCheckpoint(true)
@@ -82,13 +83,14 @@ object PathTraversals {
     var frontier = sources.toDF("wid")
       .select(col("wid"), col("wid").as("cur"), col("wid").as("path"))
     var acc = frontier.filter(lit(false)).select(col("wid"), col("path"))
+    val pruner = new Traversals.FrontierPruner
     for (s <- 1 to steps) {
       // INNER join keeps the tiny walk table broadcastable (a left-outer
       // could only broadcast the edge side — a per-step sort-merge of the
       // whole edge table); dead walks are recovered with an anti join
       // against the (≤ |sources|-row) surviving-step keys
       val hop = frontier
-        .join(Traversals.pruneForFrontier(edges, frontier, "cur")
+        .join(pruner.prune(edges, frontier, "cur")
           .withColumnRenamed("src", "cur"), Seq("cur"))
         .withColumn("score", md5(concat_ws(":", col("wid"), lit(s), col("dst"))))
         .groupBy(col("wid"))
@@ -149,10 +151,11 @@ object PathTraversals {
       .select(col("seed"), col("seed").as("node")).distinct()
     var acc = frontier.filter(lit(false))
       .select(col("seed"), lit(0).as("layer"), col("node").as("src"), col("node").as("dst"))
+    val pruner = new Traversals.FrontierPruner
     for ((f, i) <- fanouts.zipWithIndex) {
       val l = i + 1
       val expanded = frontier
-        .join(Traversals.pruneForFrontier(edges, frontier, "node")
+        .join(pruner.prune(edges, frontier, "node")
           .withColumnRenamed("src", "node"), Seq("node"))
       val w = Window.partitionBy(col("seed"), col("node"))
         .orderBy(md5(concat_ws(":", col("seed"), lit(l), col("node"), col("dst"))),
@@ -174,13 +177,14 @@ object PathTraversals {
     val edges = Traversals.adjacencyView(g, dir, labels)
     var frontier = seed(g, Seq(source))
     var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
+    val pruner = new Traversals.FrontierPruner
     for (_ <- 1 to maxDepth) {
       // single materialization per hop: leaves and the next frontier both
       // derive from this checkpoint; distinct edges keep paths distinct.
       // Pruned view = ALL edges whose src is a frontier id, so the LEFT
       // join's null-dst (leaf) semantics survive the pushdown intact.
       val expanded = frontier.select(col("id").as("src"), col("path"))
-        .join(Traversals.pruneForFrontier(edges, frontier), Seq("src"), "left")
+        .join(pruner.prune(edges, frontier), Seq("src"), "left")
         .localCheckpoint(true)
       // leaves: no out-edge (dst null) → the walk ends here
       acc = acc.unionByName(
@@ -212,9 +216,10 @@ object PathTraversals {
       .localCheckpoint(true)
     var frontier = seed(g, Seq(source))
     var acc = frontier.filter(lit(false)).select(pathCol.as("path"))
+    val pruner = new Traversals.FrontierPruner
     for (_ <- 1 to maxDepth) {
       val expanded = frontier.select(col("id").as("src"), col("path"))
-        .join(Traversals.pruneForFrontier(edges, frontier), Seq("src"))
+        .join(pruner.prune(edges, frontier), Seq("src"))
         .localCheckpoint(true)
       var closures = expanded.filter(col("dst") === source)
       if (dir == Direction.BOTH)
@@ -287,9 +292,10 @@ object PathTraversals {
     val targetDf = targets.toDF("id")
     var frontier = seed(g, sources)
     var acc = frontier.filter(lit(false))
+    val pruner = new Traversals.FrontierPruner
     for (_ <- 1 to maxDepth) {
       frontier = frontier.select(col("id").as("src"), col("path"))
-        .join(Traversals.pruneForFrontier(edges, frontier), Seq("src"))
+        .join(pruner.prune(edges, frontier), Seq("src"))
         .filter(!array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
         .localCheckpoint(true)
@@ -334,9 +340,10 @@ object PathTraversals {
     val edges = Traversals.adjacencyView(g, dir, labels)
     var seen = sources.map(s => (s, s)).toDF("root", "id")
     var frontier = seen
+    val pruner = new Traversals.FrontierPruner
     for (d <- 1 to maxDepth) {
       frontier = frontier.select(col("root"), col("id").as("src"))
-        .join(Traversals.pruneForFrontier(edges, frontier), Seq("src"))
+        .join(pruner.prune(edges, frontier), Seq("src"))
         .select(col("root"), col("dst").as("id")).distinct()
         .join(seen, Seq("root", "id"), "left_anti")
         .localCheckpoint(true)

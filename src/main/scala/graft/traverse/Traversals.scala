@@ -80,20 +80,52 @@ object Traversals {
     // knownRows: caller-tracked frontier row count, when available — skips
     // the collect attempt (and its distinct shuffle) outright for frontiers
     // already known to be |V|-scale (distinct ids ≤ rows)
-    if (knownRows > frontierPushdownMaxIds) return edges
-    if (graft.core.Pin.rowsOf(edges).exists(_ <= pruneSkipEdgeRows)) return edges
+    if (knownRows > frontierPushdownMaxIds) edges
+    else pruneForFrontierTracked(edges, frontier, idCol)._1
+  }
+
+  /** [[pruneForFrontier]] plus whether the pushdown actually applied —
+    * `false` means the frontier's id set exceeded the literal-IN cap and
+    * the probe was wasted work. Loop callers feed this into a
+    * [[FrontierPruner]] so a frontier that has outgrown the point-lookup
+    * regime stops paying a per-hop distinct+collect probe. */
+  private[graft] def pruneForFrontierTracked(edges: DataFrame, frontier: DataFrame,
+                                             idCol: String = "id"): (DataFrame, Boolean) = {
+    if (graft.core.Pin.rowsOf(edges).exists(_ <= pruneSkipEdgeRows))
+      return (edges, true) // tiny pinned view: scan beats any probe, forever
     val ids = frontier.select(col(idCol)).distinct()
       .limit(frontierPushdownMaxIds + 1).collect()
     if (ids.length <= frontierPushdownMaxIds)
-      edges.filter(col("src").isin(ids.toIndexedSeq.map(_.getString(0)): _*))
-    else edges
+      (edges.filter(col("src").isin(ids.toIndexedSeq.map(_.getString(0)): _*)), true)
+    else (edges, false)
+  }
+
+  /** Per-loop stateful pushdown gate. Path-enumerating BFS frontiers grow
+    * (near-)monotonically until they drain, so once one hop's id set
+    * exceeds [[frontierPushdownMaxIds]], later hops almost never shrink
+    * back under it — yet a stateless per-hop probe would keep paying a
+    * distinct+collect over an ever-larger frontier (measured: the r05
+    * rings/paths regressions were mostly this probe). One instance per
+    * traversal loop; after the first oversize hop every later hop skips
+    * straight to the join path. Pushdown is a pure optimization, so
+    * skipping it is always semantics-preserving. */
+  private[graft] final class FrontierPruner {
+    private var live = true
+    def prune(edges: DataFrame, frontier: DataFrame,
+              idCol: String = "id"): DataFrame =
+      if (!live) edges
+      else {
+        val (pruned, ok) = pruneForFrontierTracked(edges, frontier, idCol)
+        if (!ok) live = false
+        pruned
+      }
   }
 
   /** Labeled adjacency (src, label, dst) pinned per (dir, labels) — the
     * base relation per-hop degree truncation windows over. Clustered by src
     * within partitions for the same cache-batch pruning as adjacencyView. */
-  private def labeledAdjacency(g: PropertyGraph, dir: Direction.Value,
-                               labels: Seq[String]): DataFrame =
+  private[graft] def labeledAdjacency(g: PropertyGraph, dir: Direction.Value,
+                                      labels: Seq[String]): DataFrame =
     pinned(EdgeStep(dir, labels).edgesFor(g)
       .select(col("src"), col("label"), col("dst"))
       .sortWithinPartitions(col("src")))
