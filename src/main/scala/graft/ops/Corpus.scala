@@ -88,6 +88,34 @@ object Corpus {
           col("stop_hits") >= minStopHits).cast("int"))
   }
 
+  /** Out-of-vocabulary rate per document against the corpus' own top-N
+    * vocabulary — the tokenizer-coverage signal a curation pipeline uses to
+    * flag garbled/foreign/boilerplate documents before training (high OOV
+    * against the pipeline's fixed vocab ⇒ the tokenizer will shred the
+    * text into rare pieces). Vocabulary = the `vocabSize` most frequent
+    * corpus words (ties on the word) — the stand-in for a fixed tokenizer
+    * vocab, and exactly reproducible by the oracle.
+    *
+    * Scale shape: one token-keyed count, a distributed top-k
+    * (TakeOrderedAndProject — k rows per partition, never a global sort),
+    * then the tiny vocab BROADCASTS against the token stream; one final
+    * doc-keyed aggregation. The corpus-size side never shuffles on
+    * anything but (doc, token) aggregates. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int = 100): DataFrame = {
+    val e = tokens(docs, idCol, textCol)
+      .select(col(idCol), explode(col("toks")).as("tok"))
+    val vocab = e.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__v"))
+    e.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_toks"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_toks"), 6).as("oov_rate"))
+  }
+
   /** DSIR-style importance weight per document (Xie et al., "Data Selection
     * for Language Models via Importance Resampling", 2023 — reduced to
     * add-one-smoothed unigram LMs so the score is exactly reproducible by

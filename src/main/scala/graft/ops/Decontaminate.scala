@@ -67,4 +67,39 @@ object Decontaminate {
       contaminated(corpus, bench, idCol, textCol, benchTextCol, ngram)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** FUZZY decontamination — the MinHash-LSH variant of [[contaminated]]
+    * (the FineWeb/Dolma-style near-duplicate rule: a corpus document is
+    * contaminated if its shingle-set jaccard against ANY benchmark item
+    * reaches `threshold`, not only on verbatim n-gram overlap). Both sides
+    * are filters of ONE pinned corpus signature table (`benchPred` selects
+    * the benchmark split), so the signature build is shared with every
+    * other LSH consumer and never recomputed.
+    *
+    * Scale shape: band-bucket join between the corpus band keys and the
+    * (small, broadcast) benchmark band keys — the corpus side never
+    * shuffles on anything wider than its exploded band keys; exact jaccard
+    * verification then touches only colliding pairs, with the benchmark
+    * shingle sets broadcast. Returns (doc_id, bench_id, jaccard ≥ τ). */
+  def contaminatedFuzzy(docs: DataFrame, idCol: String, textCol: String,
+                        benchPred: org.apache.spark.sql.Column,
+                        ngram: Int = 3, k: Int = 12, bands: Int = 6,
+                        rows: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val sigs = Dedup.signatureTable(docs, idCol, textCol, ngram, k, bands, rows)
+    val bench = sigs.filter(benchPred)
+    val corpus = sigs.filter(!benchPred)
+    val benchBk = bench.select(col("doc_id").as("bench_id"),
+      explode(col("band_keys")).as("bucket"))
+    val corpusBk = corpus.select(col("doc_id"), explode(col("band_keys")).as("bucket"))
+    val cand = corpusBk.join(broadcast(benchBk), Seq("bucket"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val benchSh = bench.select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))
+    cand.join(corpus.select(col("doc_id"), col("sh")), Seq("doc_id"))
+      .join(broadcast(benchSh), Seq("bench_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh"), col("sh_b"))).cast("double") /
+          size(array_distinct(concat(col("sh"), col("sh_b")))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("bench_id"), round(col("jaccard"), 9).as("jaccard"))
+  }
 }

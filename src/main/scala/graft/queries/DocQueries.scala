@@ -80,6 +80,26 @@ object DocQueries {
     s"""WITH $minhashPairsCtes
        |SELECT a, b, round(jaccard, 9) AS jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
 
+  /** Fuzzy-decontamination oracle: the same MinHash chain, but candidates
+    * pair the corpus split (doc_id ≥ benchCut) against the benchmark split
+    * (doc_id < benchCut) instead of all a<b pairs. */
+  def fuzzyDecontamSql(benchCut: Long, threshold: Double): String =
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, $tok AS toks FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id, $shingle3 AS sh FROM toks),
+       |base AS MATERIALIZED (SELECT doc_id, sh, $hexBaseExpr AS base FROM sh),
+       |sig AS MATERIALIZED (SELECT doc_id, sh, $sigExprs AS sig FROM base),
+       |bk AS MATERIALIZED (SELECT doc_id, unnest($bandExprs) AS bucket FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bench_id
+       |         FROM bk x JOIN bk y ON x.bucket = y.bucket
+       |         WHERE x.doc_id >= $benchCut AND y.doc_id < $benchCut),
+       |j AS (SELECT cand.doc_id, cand.bench_id,
+       |        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |        len(list_distinct(sa.sh || sb.sh)) AS jaccard
+       |      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_id
+       |                JOIN sh sb ON sb.doc_id = cand.bench_id)
+       |SELECT doc_id, bench_id, round(jaccard, 9) AS jaccard
+       |FROM j WHERE jaccard >= $threshold""".stripMargin
+
   /** Transitive near-dup clusters: connected components (min-id label) over
     * the verified pair graph, as a recursive reachability closure. */
   def dedupClustersSql: String =
@@ -753,6 +773,16 @@ object DocQueries {
         "doc_id", "text", "text", ngram = 5)
     },
 
+    // FUZZY decontamination: corpus docs whose MinHash bands collide with a
+    // benchmark doc AND verify at jaccard >= 0.5 — the near-dup rule that
+    // catches paraphrased eval leakage verbatim n-grams miss
+    q("q_decontaminate_fuzzy", fuzzyDecontamSql(25, 0.5)) { (s, d) =>
+      graft.ops.Decontaminate.contaminatedFuzzy(
+        Tables.documents(s, d), "doc_id", "text",
+        benchPred = col("doc_id") < 25, ngram = 3, k = K, bands = BANDS,
+        rows = ROWS, threshold = 0.5)
+    },
+
     q("q_ann_cosine_topk",
       cosineSql(10, "vec_id < 5", "vec_id >= 5"), bench = true) { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -1002,6 +1032,24 @@ object DocQueries {
         .select(col("doc_id"), col("q.n_chars").as("n_chars"), col("q.n_tokens").as("n_tokens"),
           col("q.mean_token_len").as("mean_token_len"), col("q.punct_ratio").as("punct_ratio"),
           col("q.stopword_ratio").as("stopword_ratio"))
+    },
+
+    // OOV rate vs the corpus' own top-100 vocabulary: tokenizer-coverage
+    // curation signal; distributed top-k then broadcast vocab
+    q("q_oov_rate",
+      s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |v AS (SELECT tok FROM (
+         |  SELECT tok, count(*) AS cnt FROM e GROUP BY tok
+         |  ORDER BY cnt DESC, tok LIMIT 100) z),
+         |m AS (SELECT doc_id, count(*) AS n_toks,
+         |    count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM v)) AS n_oov
+         |  FROM e GROUP BY 1)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         |  CAST(n_oov AS BIGINT) AS n_oov,
+         |  round(CAST(n_oov AS DOUBLE) / n_toks, 6) AS oov_rate
+         |FROM m""".stripMargin) { (s, d) =>
+      graft.ops.Corpus.oovRate(Tables.documents(s, d), "doc_id", "text", vocabSize = 100)
     },
 
     // Gopher-style rule bundle (Rae et al. 2021 §A1.1, word-level subset):

@@ -239,6 +239,41 @@ object RelationalQueries {
     },
 
     // --------------------- set ops / dedup (SURVEY §2.7) -------------------
+    // salted join (SURVEY §4.2 super-node/skew): result must be identical
+    // to the plain join — the salt only spreads a hot key over `salts`
+    // reducers; verified against the unsalted SQL join
+    q("q_salted_join",
+      """SELECT o.o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey < 1000
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_quantity").cast(dec).as("q"))
+      val small = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(big, small, "k", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).cast("double").as("total_qty"))
+    },
+
+    // two-phase (salted) aggregation for skewed group keys — partial per
+    // (key, salt), final per key; decimal sums keep both phases exact so
+    // the result is bit-equal to the single-phase oracle
+    q("q_skew_agg",
+      """SELECT l_returnflag AS key,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Skew.skewSafeCountSum(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag").as("key"), col("l_quantity").cast(dec).as("q")),
+          "key", "q", salts = 8)
+        .select(col("key"), col("n"), col("total").cast("double").as("total"))
+    },
+
     q("q_setops",
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |INTERSECT

@@ -185,6 +185,31 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.mp4FrameSamples(junk, 2).count() === 0)
   }
 
+  test("fuzzy decontamination: near-dup of a benchmark doc flagged, unrelated doc clean") {
+    // docs 1-2 exact dups, 3 near-dup of 1, 4 unrelated; bench = {1}
+    val hits = graft.ops.Decontaminate.contaminatedFuzzy(
+      docs, "doc_id", "text", benchPred = col("doc_id") < 2,
+      ngram = 3, k = 12, bands = 6, rows = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val flagged = hits.map(_._1).toSet
+    assert(flagged.contains(2L)) // exact dup: jaccard 1.0
+    assert(hits.find(_._1 == 2L).get._3 === 1.0)
+    assert(!flagged.contains(4L)) // unrelated never verifies
+    hits.foreach { case (_, b, j) => assert(b == 1L && j >= 0.5) }
+  }
+
+  test("oov rate: rare words count against the top-N vocabulary") {
+    import spark.implicits._
+    // 'zzz' appears once (rare), common words dominate the top-3 vocab
+    val fixture = Seq(
+      (1L, "a a a b b c"), (2L, "a b c zzz")).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.oovRate(fixture, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_oov") === 0L)
+    assert(out(2L).getAs[Long]("n_oov") === 1L) // only 'zzz' is OOV
+    assert(out(2L).getAs[Double]("oov_rate") === 0.25)
+  }
+
   test("gopher quality rules: word stats and the boolean verdict") {
     import spark.implicits._
     val fixture = Seq(
