@@ -360,6 +360,37 @@ object Ann {
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Matryoshka-style two-stage retrieval (Kusupati et al., "Matryoshka
+    * Representation Learning", 2022): stage 1 ranks ALL candidates by
+    * cosine over only the first `coarseDims` dimensions — at 100 TB this
+    * is the cheap pass, reading a `coarseDims/dims` prefix of the vector
+    * column (a separate narrow column in a real store); stage 2 reranks
+    * only the per-query top `rerankFrom` survivors with the full vector.
+    * Exactly the modern embedding-store shape: prefix index in fast
+    * storage, full vectors touched for a bounded candidate set.
+    *
+    * Returns the standard `(query_id, vec_id, sim, rank)` frame with sim =
+    * FULL-dimension cosine; recall < 1 iff a true neighbor falls outside
+    * the coarse top-`rerankFrom` (tune with [[recallAtK]]). */
+  def matryoshkaTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                     coarseDims: Int, rerankFrom: Int): DataFrame = {
+    registerKernels(queries)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = candidates.select(col("vec_id"), col("embedding"))
+    val coarse = c.crossJoin(broadcast(q))
+      .withColumn("csim", VectorFunctions.cosineSim(
+        slice(col("qe"), 1, coarseDims), slice(col("embedding"), 1, coarseDims)))
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("vec_id").asc)
+    val survivors = coarse.withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= rerankFrom)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    survivors
+      .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact baseline —
     * the standard ANN index-quality gauge (a 100 TB deployment tunes
     * nProbe/bits against exactly this curve on a sampled query set). Both

@@ -421,6 +421,44 @@ object DocQueries {
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
 
+  /** Gopher rule-bundle CTE chain ending in `gq(doc_id, n_words,
+    * mean_word_len, ttr, top_word_frac, stop_hits, pass)` — shared by the
+    * rule query and the quality-weighted sampler. */
+  def gopherCtes: String =
+    s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+       |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+       |wc AS (SELECT doc_id, w, count(*) AS c FROM e GROUP BY 1, 2),
+       |m AS (SELECT doc_id,
+       |    CAST(sum(c) AS BIGINT) AS n_words,
+       |    round(CAST(sum(length(w) * c) AS DOUBLE) / sum(c), 6) AS mean_word_len,
+       |    round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+       |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_frac,
+       |    CAST(count(*) FILTER (WHERE w IN ('the','a','and','of','to','in','is')) AS BIGINT) AS stop_hits
+       |  FROM wc GROUP BY 1),
+       |gq AS (SELECT *, CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND ttr >= 0.4 AND top_word_frac <= 0.12
+       |    AND stop_hits >= 1 THEN 1 ELSE 0 END AS INT) AS pass
+       |  FROM m)""".stripMargin
+
+  /** Matryoshka two-stage oracle: coarse rank over the first `coarseDims`
+    * list elements, full-vector rerank of the per-query top `rerankFrom`. */
+  def matryoshkaSql(topK: Int, coarseDims: Int, rerankFrom: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+       |coarse AS (
+       |  SELECT q.query_id, c.vec_id, q.qe, c.ce,
+       |    ${cosExpr(s"list_slice(q.qe, 1, $coarseDims)", s"list_slice(c.ce, 1, $coarseDims)")} AS csim
+       |  FROM c CROSS JOIN q),
+       |surv AS (SELECT query_id, vec_id, qe, ce FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, vec_id) AS crank
+       |  FROM coarse) z WHERE crank <= $rerankFrom),
+       |fullv AS (SELECT query_id, vec_id, ${cosExpr("qe", "ce")} AS sim FROM surv)
+       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |      FROM fullv) z
+       |WHERE rank <= $topK""".stripMargin
+
   /** Recall@k oracle: the exact and approximate top-k oracles nest as CTE
     * subqueries (DuckDB allows a WITH inside a CTE body); hits = the
     * (query_id, vec_id) intersection, recall = hits/k, queries with an
@@ -803,6 +841,15 @@ object DocQueries {
         k = 3, bits = 8, dims = 64)
     },
 
+    // Matryoshka two-stage retrieval: coarse 16-dim prefix rank over all
+    // candidates, full 64-dim rerank of the top-10 survivors — the modern
+    // embedding-store read path (prefix index + bounded full-vector touch)
+    q("q_ann_matryoshka", matryoshkaSql(5, 16, 10)) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Ann.matryoshkaTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        k = 5, coarseDims = 16, rerankFrom = 10)
+    },
+
     // recall@k of the SRP-bucketed index against the exact baseline — the
     // index-quality gauge a deployment tunes bits/nProbe against; the
     // oracle nests the two top-k oracles and intersects them
@@ -1056,23 +1103,29 @@ object DocQueries {
     // per-doc word stats + one boolean verdict against fixed thresholds —
     // the standard web-corpus curation gate, restated over (doc, word)
     // counts so the oracle reproduces every metric exactly
-    q("q_gopher_rules",
-      s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
-         |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
-         |wc AS (SELECT doc_id, w, count(*) AS c FROM e GROUP BY 1, 2),
-         |m AS (SELECT doc_id,
-         |    CAST(sum(c) AS BIGINT) AS n_words,
-         |    round(CAST(sum(length(w) * c) AS DOUBLE) / sum(c), 6) AS mean_word_len,
-         |    round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
-         |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_frac,
-         |    CAST(count(*) FILTER (WHERE w IN ('the','a','and','of','to','in','is')) AS BIGINT) AS stop_hits
-         |  FROM wc GROUP BY 1)
-         |SELECT *, CAST(CASE WHEN n_words BETWEEN 30 AND 100000
-         |    AND mean_word_len BETWEEN 3.0 AND 10.0
-         |    AND ttr >= 0.4 AND top_word_frac <= 0.12
-         |    AND stop_hits >= 1 THEN 1 ELSE 0 END AS INT) AS pass
-         |FROM m""".stripMargin) { (s, d) =>
+    q("q_gopher_rules", s"$gopherCtes\nSELECT * FROM gq") { (s, d) =>
       graft.ops.Corpus.gopherQuality(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // curriculum / quality-weighted sampling: keep-rate depends on the
+    // Gopher verdict tier (high 0.9 / mid 0.5 / low 0.1), deterministic
+    // md5-uniform per doc — the quality-aware downsampling stage of a
+    // curation pipeline, reproducible on both engines
+    q("q_quality_sample",
+      s"""$gopherCtes,
+         |strat AS (SELECT doc_id,
+         |    CASE WHEN pass = 1 THEN 'high' WHEN ttr >= 0.4 THEN 'mid' ELSE 'low' END AS stratum
+         |  FROM gq)
+         |SELECT doc_id, stratum FROM strat
+         |WHERE $hash16Sql < (CASE stratum WHEN 'high' THEN 0.9 WHEN 'mid' THEN 0.5
+         |  ELSE 0.1 END) * 65536.0""".stripMargin) { (s, d) =>
+      val qual = graft.ops.Corpus.gopherQuality(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("stratum",
+          when(col("pass") === 1, "high")
+            .when(col("ttr") >= 0.4, "mid").otherwise("low"))
+      graft.ops.Packing.mixSample(qual, "doc_id", col("stratum"),
+          Map("high" -> 0.9, "mid" -> 0.5), defaultRate = 0.1)
+        .select(col("doc_id"), col("stratum"))
     },
 
     q("q_token_count",

@@ -112,6 +112,21 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12)
   }
 
+  test("matryoshka two-stage: full-width rerank equals brute force; coarse stage bounds the rerank set") {
+    val q = clusteredVecs.filter(col("vec_id") < 4)
+    val c = clusteredVecs.filter(col("vec_id") >= 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // rerankFrom >= |C| makes stage 1 a no-op: result must equal brute force
+    val exact = rows(Ann.bruteForceTopK(q, c, k = 3))
+    val mat = rows(Ann.matryoshkaTopK(q, c, k = 3, coarseDims = 8, rerankFrom = 1000))
+    assert(mat === exact)
+    // a tight coarse stage returns at most k rows per query, ranked 1..k
+    val tight = Ann.matryoshkaTopK(q, c, k = 3, coarseDims = 2, rerankFrom = 4)
+    val perQ = tight.groupBy(col("query_id")).count().collect()
+    perQ.foreach(r => assert(r.getLong(1) <= 3))
+  }
+
   test("multi-probe SRP recovers neighbors one hyperplane-flip away") {
     val q = clusteredVecs.filter(col("vec_id") < 4)
     val c = clusteredVecs.filter(col("vec_id") >= 4)
