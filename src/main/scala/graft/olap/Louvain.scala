@@ -147,8 +147,12 @@ object Louvain {
     for (r <- 0 until rounds) {
       // one (id, community, k) table per round feeds BOTH the community
       // totals and the per-id gain inputs — folding the former separate
-      // `own` and `k` joins into a single join per round
-      val idInfo = comm.join(k, Seq("id")).localCheckpoint(false)
+      // `own` and `k` joins into a single join per round. Checkpointed only
+      // under delta (totHist re-reads it next round); with delta off the
+      // double-use recompute of a tiny join is cheaper than one more
+      // materialization barrier per round (same cost call as commTot below)
+      val idInfo0 = comm.join(k, Seq("id"))
+      val idInfo = if (noDelta) idInfo0 else idInfo0.localCheckpoint(false)
       // the commTot checkpoint exists ONLY for the delta machinery (totHist
       // diffs re-read it next round); under noDelta it would be a pure
       // mid-plan barrier — an extra materialization + AQE stage-job per
@@ -218,7 +222,11 @@ object Louvain {
           hist(r - 1).join(broadcast(c), Seq("id"), "left_anti")
             .unionByName(decisions).repartition(col("id"))
         case None => decisions
-      }).localCheckpoint(true)
+        // lineage must truncate every round either way; the EAGER barrier is
+        // only needed when delta bookkeeping re-reads this frame as hist —
+        // with delta off, a lazy cut folds this round's materialization into
+        // the next round's first job (one fewer driver barrier per round)
+      }).localCheckpoint(!noDelta)
     }
     comm
   }

@@ -77,9 +77,12 @@ object OlapQueries {
   }
 
   def eigenvectorSql(iters: Int): String = {
+    // normalization deferred to the end, mirroring Algorithms.eigenvector:
+    // xₖ = Aᵏx₀ / ‖Aᵏx₀‖₁ — identical to per-round normalization, and the
+    // pre-division values stay integer-valued doubles (exact) on both engines
     val itersSql = (0 until iters).map { i =>
       s"""s$i AS (SELECT a.dst AS id, sum(x.x) AS s FROM x$i x JOIN adj a ON a.src = x.id GROUP BY a.dst),
-         |x${i + 1} AS (SELECT v.id, coalesce(s.s, 0) / (SELECT sum(s) FROM s$i) AS x
+         |x${i + 1} AS (SELECT v.id, coalesce(s.s, 0) AS x
          |              FROM verts v LEFT JOIN s$i s ON s.id = v.id)""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS ($coSupplierSql),
@@ -87,7 +90,7 @@ object OlapQueries {
        |verts AS (SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) AS id FROM supplier),
        |x0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM verts),
        |$itersSql
-       |SELECT id, round(x, 9) AS x FROM x$iters""".stripMargin
+       |SELECT id, round(x / (SELECT sum(x) FROM x$iters), 9) AS x FROM x$iters""".stripMargin
   }
 
   def lpaSql(rounds: Int): String = {
