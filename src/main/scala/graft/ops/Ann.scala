@@ -412,4 +412,70 @@ object Ann {
         coalesce(col("hits"), lit(0L)).as("hits"),
         round(coalesce(col("hits"), lit(0L)).cast("double") / k, 6).as("recall"))
   }
+
+  /** Deterministic ±1 sign for the sparse random-projection matrix: parity
+    * of the first md5 hex digit of "rp:i:j" — the seed-derived constant
+    * both engines share (the Scala value is baked verbatim into the
+    * oracle's SQL literals). */
+  private[graft] def projSign(i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$i:$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `dOut` dimensions with a dense ±1 sign matrix (Achlioptas 2003,
+    * "Database-friendly random projections"): yᵢ = Σⱼ sᵢⱼ·xⱼ / √dOut.
+    * Pairwise distances/cosines are preserved within 1±ε for
+    * dOut = O(log n / ε²) — the cheap dimensionality-reduction stage in
+    * front of near-dup clustering or a coarse ANN pass.
+    *
+    * Scale shape: the sign matrix is a PLANNING-TIME constant (dOut·dims
+    * literals folded into the projection expressions — nothing to
+    * broadcast, nothing to train); the operator is a pure narrow map over
+    * the embedding table, zero shuffles, fully codegen'd `aggregate` folds
+    * in index order (fp-identical to the oracle's ordered sums). Output is
+    * long-form `(id, dim, v)` so the driver's comparator never sees an
+    * array column. */
+  def randomProjection(embeddings: DataFrame, idCol: String, vecCol: String,
+                       dOut: Int, dims: Int): DataFrame = {
+    val outs = (0 until dOut).map { i =>
+      val signs = Array.tabulate(dims)(j => projSign(i, j))
+      aggregate(
+        zip_with(col(vecCol), typedLit(signs), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v) / math.sqrt(dOut.toDouble)
+    }
+    embeddings
+      .select(col(idCol), posexplode(array(outs: _*)).as(Seq("dim", "v")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        round(col("v"), 6).as("v"))
+  }
+
+  /** k-nearest-neighbor graph over the trained coarse-quantizer cells:
+    * exact cosine top-k per vector AMONG ITS CELL — the
+    * cluster-then-local-work recipe (same cell structure as SemDeDup /
+    * IVF) that turns the quadratic kNN-graph build into per-cell work.
+    * Edges to neighbors in other cells are sacrificed — the standard
+    * recall trade every clustered kNN-graph constructor makes.
+    *
+    * Scale shape: the quadratic term is confined to single cells (|cell| ≈
+    * N/k); centroids ride the memoized session artifacts
+    * ([[kmeansCentroids]] — trained once in the load phase); the pair
+    * stream shuffles once on cid and once on src_id for the per-source
+    * top-k window (partitioned — no global sort). */
+  def knnGraph(candidates: DataFrame, nClusters: Int, iters: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    registerKernels(candidates)
+    val assigned = cellAssignments(candidates, nClusters, iters)
+    val a = assigned.select(col("cid"), col("vec_id").as("src_id"), col("embedding").as("ea"))
+    val b = assigned.select(col("cid"), col("vec_id").as("dst_id"), col("embedding").as("eb"))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("dst_id").asc)
+    a.join(b, Seq("cid"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("dst_id"), round(col("sim"), 6).as("sim"),
+        col("rank").cast("long").as("rank"))
+  }
 }

@@ -116,6 +116,32 @@ object Corpus {
         round(col("n_oov").cast("double") / col("n_toks"), 6).as("oov_rate"))
   }
 
+  /** C4-style rule-based cleaning verdict (Raffel et al., "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text Transformer",
+    * 2020, §2.2 — the document-level subset; the line-level rules need line
+    * structure, which [[graft.ops.Dedup.duplicatedWindows]]' span hashing
+    * stands in for on this corpus). Per document: word count, presence of
+    * "lorem ipsum" (placeholder boilerplate), a curly brace (code marker),
+    * and policy-page phrases — then one verdict. Complements
+    * [[gopherQuality]]: C4 is the drop-list half of web curation, Gopher
+    * the statistics half; pipelines run both.
+    *
+    * Scale shape: a pure narrow map over the corpus — zero shuffles, all
+    * predicates codegen'd string built-ins (no UDF). */
+  def c4Rules(docs: DataFrame, idCol: String, textCol: String,
+              minWords: Int = 5): DataFrame = {
+    val t = lower(col(textCol))
+    docs.select(col(idCol),
+        size(TextFunctions.tokenize(col(textCol))).cast("long").as("n_words"),
+        t.contains("lorem ipsum").as("has_lorem"),
+        t.contains("{").as("has_brace"),
+        (t.contains("privacy policy") || t.contains("cookie policy") ||
+          t.contains("terms of use")).as("has_policy"))
+      .withColumn("pass",
+        (col("n_words") >= minWords && !col("has_lorem") && !col("has_brace") &&
+          !col("has_policy")).cast("int"))
+  }
+
   /** DSIR-style importance weight per document (Xie et al., "Data Selection
     * for Language Models via Importance Resampling", 2023 — reduced to
     * add-one-smoothed unigram LMs so the score is exactly reproducible by

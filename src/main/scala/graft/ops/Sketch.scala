@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
+
+/** Distinct-count sketching — the cardinality-estimation member of the
+  * "novel sketch" operator family the builder mandate calls out.
+  *
+  * KMV (k-minimum-values, Bar-Yossef et al. 2002 "Counting distinct elements
+  * in a data stream") instead of HLL: with a deterministic hash the k
+  * smallest hash values — and therefore the estimate — are EXACTLY
+  * reproducible by the DuckDB oracle (HLL's register layout is
+  * engine-internal, so `approx_count_distinct` can never be hash-checked
+  * cross-engine). Estimator: with M = 16^15 the hash-space size, the k-th
+  * smallest of n uniform draws sits at ≈ k/n · M, so n̂ = (k−1)·M / h_(k)
+  * (the unbiased form); when fewer than k distinct hashes exist the sketch
+  * IS the distinct set and the count is exact.
+  *
+  * Scale shape: this is a [[TypedImperativeAggregate]] — each task folds its
+  * partition into a BOUNDED k-element buffer (a tree set), partial buffers
+  * merge associatively on the reduce side, so the distinct values themselves
+  * NEVER shuffle: per group, exactly k longs cross the wire, vs a full
+  * distinct-shuffle for `count(DISTINCT x)`. That is the whole point of a
+  * sketch at 100 TB — the reference has no analog (its counts are exact
+  * store scans, `Query.java` aggregate pushdown).
+  */
+object Sketch {
+
+  /** 16^15 = 2^60 — the size of the 15-hex-digit hash space (exactly
+    * representable as a double). */
+  val HashSpace: Double = 1152921504606846976.0
+
+  /** Uniform hash to [0, 16^15) as BIGINT: first 15 hex chars of md5,
+    * mirrored verbatim by the oracle's strpos-arithmetic twin. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Register the aggregate in the session's function registry (the
+    * [[graft.functions.VectorFunctions.registerKernels]] route — Spark 4
+    * Columns are built from registered function names, not raw
+    * expressions). Idempotent. */
+  def registerKernels(df: org.apache.spark.sql.DataFrame): Unit = {
+    val reg = df.sparkSession.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("kmv_distinct", es => {
+      val k = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"kmv_distinct k must be a literal, got $other")
+      }
+      KmvSketchAgg(es.head, k).toAggregateExpression()
+    }, "built-in")
+  }
+
+  /** KMV distinct-count estimate of `hashCol` (a [[hash60]]-hashed value)
+    * per group: returns `struct(n_kept, hk, est)` — the sketch fill level,
+    * the k-th minimum hash, and the estimate. Call [[registerKernels]] on
+    * the input frame first. */
+  def kmvEstimate(hashCol: Column, k: Int): Column =
+    call_function("kmv_distinct", hashCol, lit(k))
+
+  /** The bounded-buffer aggregate: buffer = the ≤k smallest distinct hashes
+    * seen so far. Update is O(log k); merge is set-union-then-truncate —
+    * associative and commutative, so Spark may combine partials in any
+    * order without changing the result (determinism the oracle relies on). */
+  case class KmvSketchAgg(child: Expression, k: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+      buf.add(h)
+      if (buf.size > k) buf.pollLast()
+    }
+
+    override def update(buf: java.util.TreeSet[java.lang.Long],
+                        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) add(buf, v.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(b1: java.util.TreeSet[java.lang.Long],
+                       b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      val it = b2.iterator()
+      while (it.hasNext) add(b1, it.next())
+      b1
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val n = buf.size
+      if (n == 0) return new GenericInternalRow(Array[Any](0L, 0L, 0.0))
+      val hk = buf.last().longValue()
+      val est =
+        if (n < k) n.toDouble // sketch not full ⇒ it IS the distinct set
+        else ((k - 1).toDouble * HashSpace) / hk.toDouble
+      new GenericInternalRow(Array[Any](n.toLong, hk, est))
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next().longValue())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { buf.add(bb.getLong); i += 1 }
+      buf
+    }
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_kept", LongType), StructField("hk", LongType),
+      StructField("est", DoubleType)))
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren.head)
+    override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override def prettyName: String = "kmv_distinct"
+  }
+}

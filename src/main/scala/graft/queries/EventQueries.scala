@@ -86,5 +86,100 @@ object EventQueries {
         .groupBy(col("user_id"))
         .agg(sum(col("value").cast(dec)).cast("double").as("spend"))
         .orderBy(col("spend").desc, col("user_id").asc).limit(10)
+    },
+
+    q("q_event_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS ts_v FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS ts_c
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.ts_v GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS ts_p
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.ts_c GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |       CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stage,
+        |       strftime(v.ts_v, '%Y-%m-%d %H:%M:%S') AS ts_view,
+        |       coalesce(strftime(c.ts_c, '%Y-%m-%d %H:%M:%S'), '') AS ts_click,
+        |       coalesce(strftime(p.ts_p, '%Y-%m-%d %H:%M:%S'), '') AS ts_purchase
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id""".stripMargin) { (s, d) =>
+      // Ordered conversion funnel view → click → purchase: each stage's
+      // earliest event AT OR AFTER the previous stage's. Per-stage filtered
+      // min-aggregations chained by a user_id-keyed join — at scale every
+      // stage shuffles one (user, ts) pair per converted user, never raw
+      // events. The streaming twin is per-user state carrying the three
+      // earliest-stage timestamps (flatMapGroupsWithState).
+      val ev = Tables.events(s, d)
+      def fmt(c: org.apache.spark.sql.Column) =
+        date_format(c, "yyyy-MM-dd HH:mm:ss")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ts_v"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") >= col("ts_v"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ts_c"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") >= col("ts_c"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ts_p"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1L) + col("ts_c").isNotNull.cast("long") +
+            col("ts_p").isNotNull.cast("long")).as("stage"),
+          fmt(col("ts_v")).as("ts_view"),
+          coalesce(fmt(col("ts_c")), lit("")).as("ts_click"),
+          coalesce(fmt(col("ts_p")), lit("")).as("ts_purchase"))
+    },
+
+    q("q_event_join",
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE""".stripMargin) { (s, d) =>
+      // Interval (event-time range) join: every purchase within 15 minutes
+      // of a click by the same user — the batch twin of the stream-stream
+      // watermarked interval join (`streaming.Streams.clickPurchaseJoin`,
+      // where the same range condition bounds the join state). Equi-key on
+      // user_id so the range predicate evaluates inside co-located
+      // partitions — never a cartesian.
+      val ev = Tables.events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      c.join(p, Seq("user_id"))
+        .filter(col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 15 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us"))
+    },
+
+    q("q_event_zscore",
+      """WITH st AS (SELECT event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ssv
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - sv / cnt) / sqrt((ssv - sv * sv / cnt) / (cnt - 1)), 6) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs((e.value - sv / cnt) / sqrt((ssv - sv * sv / cnt) / (cnt - 1))) > 2.5""".stripMargin) { (s, d) =>
+      // Per-type z-score anomaly flagging. Mean/stddev come from EXACT
+      // decimal sums (the money-decimal contract) so the derived doubles —
+      // and the |z| > 2.5 inclusion decision — are bit-identical across
+      // engines (stddev_samp's streaming update order would not be). Tiny
+      // per-type stats broadcast against the unshuffled event scan.
+      val dv = col("value").cast(dec)
+      val stats = Tables.events(s, d).groupBy(col("event_type")).agg(
+        count(lit(1)).as("cnt"),
+        sum(dv).cast("double").as("sv"),
+        sum(dv * dv).cast("double").as("ssv"))
+      val z = (col("value") - col("sv") / col("cnt")) /
+        sqrt((col("ssv") - col("sv") * col("sv") / col("cnt")) / (col("cnt") - 1))
+      Tables.events(s, d).join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("z"))
     })
 }

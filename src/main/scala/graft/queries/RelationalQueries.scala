@@ -361,5 +361,59 @@ object RelationalQueries {
       Tables.events(s, d).filter(col("event_type") === "purchase")
         .select(col("event_id"),
           regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+    },
+
+    q("q_props_map",
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE json_extract(props, '$.k') IS NOT NULL
+        |  AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 40 AND 60""".stripMargin) { (s, d) =>
+      // CONTAINS_KEY / map-value predicates over a typed property map
+      // (reference ConditionQuery CONTAINS_KEY/CONTAINS semantics,
+      // `backend/query/Condition.java` relations) — props parsed ONCE into
+      // a real MapType column, then native map functions; the JSON parse +
+      // map predicates all stay in whole-stage codegen.
+      import org.apache.spark.sql.types.{LongType, MapType, StringType}
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), MapType(StringType, LongType)).as("m"))
+        .filter(map_contains_key(col("m"), "k") &&
+          element_at(col("m"), "k").between(40, 60))
+        .select(col("event_id"), element_at(col("m"), "k").as("k"))
+    },
+
+    q("q_quantile_sketch", {
+      def hex4(expr: String) = (0 until 4).map { j =>
+        val mult = math.pow(16, 3 - j).toLong
+        s"(strpos('0123456789abcdef', substr(md5($expr), ${j + 1}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      val pred = hex4("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")
+      def block(p: Double) =
+        s"""SELECT CAST($p AS DOUBLE) AS p, max(v) AS v FROM r
+           |WHERE rn <= CAST(ceil($p * n) AS BIGINT)""".stripMargin
+      s"""WITH s AS (SELECT l_extendedprice AS v FROM lineitem WHERE $pred < 6554),
+         |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM s)
+         |${Seq(0.5, 0.9, 0.99).map(block).mkString("\nUNION ALL\n")}""".stripMargin
+    }) { (s, d) =>
+      // Quantile estimation by DETERMINISTIC sampling: the md5-uniform
+      // ~10% sample (the Packing.mixSample hash family) replaces a
+      // reservoir, so the sketch — unlike percentile_approx's GK digest —
+      // is exactly reproducible by the oracle. Quantile = type-1 (element
+      // at ceil(p·n), no interpolation): Spark computes it as a
+      // TakeOrderedAndProject top-k + max — k rows per partition, never a
+      // global sort — after ONE bounded count of the sample.
+      val pred = conv(substring(md5(concat(
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))), 1, 4), 16, 10)
+        .cast("int") < 6554
+      val sample = graft.core.Pin.pinDerived(
+        Tables.lineitem(s, d).filter(pred).select(col("l_extendedprice").as("v")))
+      val n = sample.count()
+      Seq(0.5, 0.9, 0.99).map { p =>
+        val k = math.max(1L, math.ceil(p * n).toLong).toInt
+        sample.orderBy(col("v").asc).limit(k)
+          .agg(max(col("v")).as("v"))
+          .select(lit(p).as("p"), col("v"))
+      }.reduce(_ unionByName _)
     })
 }

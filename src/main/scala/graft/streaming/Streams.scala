@@ -18,6 +18,8 @@ object Streams {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+  final case class Click(c_user: Long, click_id: Long, cts: java.sql.Timestamp)
+  final case class Purchase(p_user: Long, purchase_id: Long, pts: java.sql.Timestamp)
 
   private val dec = DecimalType(18, 2)
 
@@ -91,6 +93,24 @@ object Streams {
   def eventSchema: StructType = new StructType()
     .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
     .add("event_type", "string").add("value", "double").add("props", "string")
+
+  /** Watermarked stream-stream interval join — the incremental twin of
+    * q_event_join: every purchase within `window` of a click by the same
+    * user. The range condition (`pts` ∈ [`cts`, `cts` + window]) plus both
+    * watermarks lets Structured Streaming BOUND the join state: a buffered
+    * click is dropped once the purchase-side watermark passes `cts` +
+    * window + delay, so state never grows with stream length — the
+    * watermark-for-state-cleanup contract of stream-stream joins. Inputs
+    * are pre-filtered event frames with columns
+    * (user_id, click_id, cts) / (user_id, purchase_id, pts). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        window: String = "15 minutes",
+                        delay: String = "1 hour"): DataFrame =
+    clicks.withWatermark("cts", delay)
+      .join(purchases.withWatermark("pts", delay),
+        expr(s"c_user = p_user AND pts >= cts AND pts <= cts + INTERVAL $window"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us"))
 
   /** Streaming corpus ingest with in-flight exact dedup + quality gate —
     * the incremental twin of the batch pipeline's first and third stages

@@ -433,4 +433,65 @@ class OpsSpec extends SparkSpec {
     // the all-common doc scores strictly higher than the rare-token doc
     assert(rows(1L)._2 > rows(3L)._2)
   }
+
+  test("KMV sketch: exact below k, estimate within bounds above k, merge-invariant") {
+    import graft.ops.Sketch
+    val small = (1 to 10).map(i => s"v$i").toDF("x")
+    Sketch.registerKernels(small)
+    val s1 = small.select(Sketch.hash60(col("x")).as("h"))
+      .agg(Sketch.kmvEstimate(col("h"), 64).as("s")).select("s.*").head()
+    assert(s1.getAs[Long]("n_kept") === 10L)
+    assert(s1.getAs[Double]("est") === 10.0)          // not full ⇒ exact
+    val big = (1 to 2000).map(i => s"v$i").toDF("x")
+    def est(parts: Int) = big.repartition(parts)
+      .select(Sketch.hash60(col("x")).as("h"))
+      .agg(Sketch.kmvEstimate(col("h"), 64).as("s")).select("s.*").head()
+    val e1 = est(1); val e7 = est(7)
+    // partial-buffer merges across any partitioning give the SAME sketch
+    assert(e1.getAs[Double]("est") === e7.getAs[Double]("est"))
+    assert(e1.getAs[Long]("hk") === e7.getAs[Long]("hk"))
+    // k=64 ⇒ ~12% stderr; 2000 ± 50% is a generous non-flaky band
+    assert(e1.getAs[Double]("est") > 1000.0 && e1.getAs[Double]("est") < 4000.0)
+  }
+
+  test("random projection: deterministic, linear, long-form shape") {
+    val e = Seq((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(2.0f)),
+      (3L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val r = Ann.randomProjection(e, "vec_id", "embedding", dOut = 4, dims = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r.size === 12)                              // 3 vecs × 4 dims
+    for (d <- 0L until 4L) {
+      assert(r((3L, d)) === 0.0)                       // zero vector → zero
+      assert(math.abs(r((2L, d)) - 2.0 * r((1L, d))) < 1e-6)  // linearity
+    }
+  }
+
+  test("knn graph: neighbors stay within the trained cell, nearest first") {
+    def v(a: Float, b: Float, c: Float) = Array(a, b, c)
+    val e = Seq(
+      (1L, v(1f, 0f, 0f)), (2L, v(0.9f, 0.1f, 0f)), (3L, v(0.8f, 0.2f, 0f)),
+      (10L, v(0f, 0f, 1f)), (11L, v(0f, 0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val g = Ann.knnGraph(e, nClusters = 2, iters = 2, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).groupBy(_._1)
+    // cluster {1,2,3} never links to {10,11} and vice versa
+    val n1 = g(1L).map(_._2._1).toSet
+    assert(n1.subsetOf(Set(2L, 3L)))
+    assert(g(10L).map(_._2._1).toSet === Set(11L))
+    // rank 1 for vec 1 is its closest neighbor (vec 2)
+    val rank1 = g(1L).find(_._2._2 == 1L).get._2._1
+    assert(rank1 === 2L)
+    graft.core.Pin.clear()
+  }
+
+  test("c4 rules flag lorem/brace/policy and short docs") {
+    val d = Seq(
+      (1L, "a perfectly ordinary document with plenty of words inside"),
+      (2L, "this one has lorem ipsum filler text inside it"),
+      (3L, "code sample { return 1; } embedded in the page"),
+      (4L, "please read our privacy policy before continuing onward"),
+      (5L, "too short")).toDF("doc_id", "text")
+    val m = graft.ops.Corpus.c4Rules(d, "doc_id", "text", minWords = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("pass")).toMap
+    assert(m === Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0))
+  }
 }

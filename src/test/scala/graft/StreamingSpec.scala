@@ -107,4 +107,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_._1) === Set(1L, 4L, 5L, 6L))
     assert(out.contains((1L, "en")) && out.contains((4L, "es")))
   }
+
+  test("stream-stream interval join matches within the window only") {
+    import graft.streaming.Streams.{Click, Purchase}
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val q = Streams.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ij").start()
+    clicks.addData(Click(7L, 100L, ts(0)), Click(8L, 101L, ts(0)))
+    purchases.addData(
+      Purchase(7L, 200L, ts(5)),    // 5 min after click → joins
+      Purchase(7L, 201L, ts(30)),   // outside the 15-min window → dropped
+      Purchase(9L, 202L, ts(5)))    // no matching click user → dropped
+    q.processAllAvailable()
+    val out = spark.table("ij").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Long]("lag_us"))).toSet
+    q.stop()
+    assert(out === Set((7L, 100L, 200L, 300000000L)))
+  }
 }
