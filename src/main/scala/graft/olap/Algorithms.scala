@@ -117,8 +117,74 @@ object Algorithms {
     * hash — is unchanged: both loops converge to min-id-per-component.
     * WccSpec proves the log-round count on a chain graph and equivalence
     * with GraphX connectedComponents grouping. */
-  def wcc(verts: DataFrame, undirectedEdges: DataFrame): DataFrame =
+  def wcc(verts: DataFrame, undirectedEdges: DataFrame): DataFrame = {
+    // Communication-avoiding tail (the Louvain in-memory cutover's twin):
+    // below the gate, min-id components come from one driver union-find —
+    // zero fp anywhere, so the result is exactly the distributed fixpoint.
+    // The gate keeps the collect bounded (≤ gate ids + their edges); the
+    // typical consumer is the near-dup PAIR graph (tiny, derived), while a
+    // full vertex table blows past the gate and runs the pointer-jumping
+    // rounds. GRAFT_WCC_LOCALMAX=0 disables.
+    val gate = sys.env.get("GRAFT_WCC_LOCALMAX").map(_.toLong).getOrElse(5000L)
+    // type-generic over the id column: the comparison must replicate
+    // Spark's min() ordering for the actual type (UTF8 bytes for strings,
+    // numeric otherwise); unknown types just stay on the distributed path
+    val lt: Option[(Any, Any) => Boolean] =
+      verts.schema("id").dataType match {
+        case org.apache.spark.sql.types.StringType => Some((a, b) => {
+          val x = a.asInstanceOf[String].getBytes("UTF-8")
+          val y = b.asInstanceOf[String].getBytes("UTF-8")
+          var i = 0; var r = 0
+          while (r == 0 && i < x.length && i < y.length) {
+            r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+          }
+          if (r != 0) r < 0 else x.length < y.length
+        })
+        case org.apache.spark.sql.types.LongType =>
+          Some((a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long])
+        case org.apache.spark.sql.types.IntegerType =>
+          Some((a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int])
+        case _ => None
+      }
+    if (gate > 0 && lt.isDefined && verts.count() <= gate) {
+      val less = lt.get
+      val vs: Array[Any] = verts.select(col("id")).collect().map(_.get(0))
+      val inVerts = vs.toSet
+      val parent = scala.collection.mutable.HashMap[Any, Any](
+        vs.map(v => v -> v): _*)
+      def find(x: Any): Any = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      undirectedEdges.select(col("src"), col("dst")).collect().foreach { r =>
+        val (s, d) = (r.get(0), r.get(1))
+        // the distributed rounds drop contributions through endpoints with
+        // no vertex row (inner/left joins on comp) — mirror that
+        if (inVerts.contains(s) && inVerts.contains(d)) {
+          val (rs, rd) = (find(s), find(d))
+          if (rs != rd) parent(rs) = rd
+        }
+      }
+      // component label = min member id under the type's Spark ordering
+      val minOf = scala.collection.mutable.HashMap[Any, Any]()
+      vs.foreach { v =>
+        val r = find(v)
+        if (!minOf.contains(r) || less(v, minOf(r))) minOf(r) = v
+      }
+      val spark = verts.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", verts.schema("id").dataType),
+        org.apache.spark.sql.types.StructField("component", verts.schema("id").dataType)))
+      val rows = vs.toSeq.map(v =>
+        org.apache.spark.sql.Row(v, minOf(find(v))))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
     wccWithRounds(verts, undirectedEdges)._1
+  }
 
   private[graft] def wccWithRounds(verts: DataFrame, undirectedEdges: DataFrame): (DataFrame, Int) = {
     val adj = graft.core.Pin.pin(undirectedEdges.select(col("src"), col("dst"))

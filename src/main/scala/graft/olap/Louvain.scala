@@ -54,7 +54,24 @@ object Louvain {
     * trace costs three extra aggregations per pass). */
   def louvainWithModularity(verts: DataFrame, undirectedEdges: DataFrame,
                             localRounds: Int = 4, passes: Int = 2,
-                            showModularity: Boolean = true): (DataFrame, Seq[Double]) = {
+                            showModularity: Boolean = true,
+                            inMemoryMaxVerts: Long = defaultInMemoryMaxVerts)
+      : (DataFrame, Seq[Double]) = {
+    // Communication-avoiding cutover (the multilevel-graph-system standard:
+    // coarsening collapses the graph exponentially, so its tail always fits
+    // one task — finishing distributedly only buys scheduler barriers):
+    // below the gate, run the EXACT same synchronous recurrence in memory.
+    // Bit-equality holds because every aggregate the rounds take (w sums,
+    // degrees, community totals) is integer-valued — exact in doubles in
+    // any order — and the single fp division in the gain is replicated in
+    // the same op order; ties replicate Spark's struct-min via
+    // java.lang.Double.compare + UTF-8 byte order. Bounded: the gate caps
+    // the driver collect (the frontier-pushdown-cap family); at 100 TB the
+    // first passes run distributed and only the coarsened tail cuts over.
+    if (inMemoryMaxVerts > 0 && verts.count() <= inMemoryMaxVerts &&
+        undirectedEdges.count() <= inMemoryMaxVerts * 10)
+      return louvainInMemoryPath(verts, undirectedEdges, localRounds, passes,
+        showModularity)
     val trace = scala.collection.mutable.ArrayBuffer[Double]()
     var mapping = verts.select(col("id"), col("id").as("community"))
     var curVerts = verts.select(col("id"))
@@ -83,6 +100,123 @@ object Louvain {
       if (showModularity) trace += modularity(mapping, undirectedEdges)
     }
     (mapping, trace.toSeq)
+  }
+
+  /** Gate for the in-memory tail; 0 disables (spec uses that to diff the
+    * two paths). 50k vertices ≈ a few MB of ids — far inside one task. */
+  private[graft] def defaultInMemoryMaxVerts: Long =
+    sys.env.get("GRAFT_LOUVAIN_LOCALMAX").map(_.toLong).getOrElse(50000L)
+
+  /** Spark StringType `<` is UTF8String binary order — unsigned byte
+    * compare, NOT String.compareTo (differs beyond ASCII). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+  private def utf8Min(a: String, b: String): String = if (utf8Lt(b, a)) b else a
+  private def utf8Max(a: String, b: String): String = if (utf8Lt(b, a)) a else b
+
+  /** The collected-tail twin of the distributed pass loop — same rounds,
+    * same parity gating, same tie-breaks, same coarsening. */
+  private def louvainInMemoryPath(vertsDf: DataFrame, edgesDf: DataFrame,
+                                  localRounds: Int, passes: Int,
+                                  showModularity: Boolean): (DataFrame, Seq[Double]) = {
+    import scala.collection.mutable
+    val spark = vertsDf.sparkSession
+    val verts0 = vertsDf.select(col("id")).collect().map(_.getString(0))
+    val origEdges = edgesDf.select(col("src"), col("dst")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+
+    def localMovesMem(verts: Array[String],
+                      edges: Array[(String, String, Double)],
+                      rounds: Int): mutable.Map[String, String] = {
+      val comm = mutable.HashMap[String, String](verts.map(v => v -> v): _*)
+      val m2 = 2.0 * edges.iterator.map(_._3).sum // integer-valued ⇒ exact
+      if (m2 == 0.0) return comm
+      // adjacency exactly as the distributed union builds it: both
+      // directions of every edge (self-loops therefore twice) + a
+      // zero-weight self entry per vertex
+      val adj = mutable.HashMap[String, mutable.ArrayBuffer[(String, Double)]]()
+      def entry(s: String) = adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty)
+      edges.foreach { case (s, d, w) => entry(s) += ((d, w)); entry(d) += ((s, w)) }
+      verts.foreach(v => entry(v) += ((v, 0.0)))
+      val k = adj.map { case (v, es) => v -> es.iterator.map(_._2).sum } // exact
+      for (r <- 0 until rounds) {
+        val tot = mutable.HashMap[String, Double]().withDefaultValue(0.0)
+        verts.foreach(v => tot(comm(v)) += k(v)) // exact int sums
+        val next = mutable.HashMap[String, String]()
+        for (v <- verts) {
+          val wvc = mutable.HashMap[String, Double]().withDefaultValue(0.0)
+          // endpoints absent from verts have no community row — the
+          // distributed inner join against comm drops them; mirror that
+          adj(v).foreach { case (d, w) =>
+            comm.get(d).foreach(c => wvc(c) += w) } // exact
+          val oc = comm(v); val kv = k(v)
+          var bestNg = 0.0; var bestNc: String = null
+          for ((nc, w) <- wvc) {
+            val allowed = nc == oc ||
+              (if (r % 2 == 0) utf8Lt(nc, oc) else utf8Lt(oc, nc))
+            if (allowed) {
+              val totExcl = if (nc == oc) tot(nc) - kv else tot(nc)
+              val ng = (w - kv * totExcl / m2) * -1 // same op order as the plan
+              val cmp = java.lang.Double.compare(ng, bestNg)
+              if (bestNc == null || cmp < 0 || (cmp == 0 && utf8Lt(nc, bestNc))) {
+                bestNg = ng; bestNc = nc
+              }
+            }
+          }
+          next(v) = bestNc
+        }
+        next.foreach { case (v, c) => comm(v) = c }
+      }
+      comm
+    }
+
+    def modularityMem(assign: collection.Map[String, String]): Double = {
+      val m = origEdges.length.toDouble
+      if (m == 0.0) return 0.0
+      val kk = mutable.HashMap[String, Double]().withDefaultValue(0.0)
+      origEdges.foreach { case (s, d) => kk(s) += 1.0; kk(d) += 1.0 }
+      val tot = mutable.HashMap[String, Double]().withDefaultValue(0.0)
+      kk.foreach { case (v, kv) => assign.get(v).foreach(c => tot(c) += kv) }
+      val totSq = tot.valuesIterator.map(t => t * t).sum // exact ints
+      val internal = origEdges.iterator.count { case (s, d) =>
+        (assign.get(s), assign.get(d)) match {
+          case (Some(a), Some(b)) => a == b
+          case _                  => false
+        }
+      }.toDouble
+      internal / m - totSq / (4.0 * m * m)
+    }
+
+    val trace = mutable.ArrayBuffer[Double]()
+    val mapping = mutable.HashMap[String, String](verts0.map(v => v -> v): _*)
+    var curVerts = verts0
+    var curEdges = origEdges.map { case (s, d) => (s, d, 1.0) }
+    for (_ <- 0 until passes) {
+      val comm = localMovesMem(curVerts, curEdges, localRounds)
+      mapping.keysIterator.toArray.foreach(v => mapping(v) = comm(mapping(v)))
+      val coarse = mutable.LinkedHashMap[(String, String), Double]()
+      curEdges.foreach { case (s, d, w) =>
+        // coarsening inner-joins comm on BOTH endpoints — edges touching a
+        // non-vertex endpoint drop here too
+        for (cs <- comm.get(s); cd <- comm.get(d)) {
+          val key = (utf8Min(cs, cd), utf8Max(cs, cd))
+          coarse(key) = coarse.getOrElse(key, 0.0) + w // exact int sums
+        }
+      }
+      curEdges = coarse.iterator.map { case ((s, d), w) => (s, d, w) }.toArray
+      curVerts = comm.valuesIterator.toArray.distinct
+      if (showModularity) trace += modularityMem(mapping)
+    }
+    import spark.implicits._
+    (mapping.toSeq.toDF("id", "community"), trace.toSeq)
   }
 
   private def localMoves(verts: DataFrame, edges: DataFrame, rounds: Int,

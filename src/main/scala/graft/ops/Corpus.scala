@@ -142,6 +142,44 @@ object Corpus {
           !col("has_policy")).cast("int"))
   }
 
+  /** Windowed co-occurrence PMI (pointwise mutual information — the
+    * word-association score of Church & Hanks 1990, the scoring inside
+    * word2vec-era collocation extraction): for token pair (x ≤ y) occurring
+    * within `window` positions, PMI = ln(c_xy/P) − ln(c_x/T) − ln(c_y/T),
+    * with T total tokens, P total windowed pairs. High-PMI pairs are
+    * collocations; the `minCount` floor drops noise pairs. Returns the
+    * global top-`k` by PMI.
+    *
+    * Scale shape: the position self-join is (doc, pos)-keyed — `window`·T
+    * rows, linear in the corpus; pair counts shuffle on the (x, y) key,
+    * unigram counts join on their token keys (both distributed — no vocab
+    * broadcast; the 1-row totals are the only broadcast); top-k is
+    * TakeOrderedAndProject. Every count is an exact integer, and the three
+    * log terms evaluate in a fixed order, so the doubles are oracle-exact. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               window: Int = 2, minCount: Long = 5, k: Int = 20): DataFrame = {
+    val e = tokens(docs, idCol, textCol)
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val pairsRaw = e.as("l")
+      .join(e.as("r"), col(s"l.$idCol") === col(s"r.$idCol") &&
+        col("r.pos") > col("l.pos") && col("r.pos") <= col("l.pos") + window)
+      .select(least(col("l.tok"), col("r.tok")).as("x"),
+        greatest(col("l.tok"), col("r.tok")).as("y"))
+    val cxy = pairsRaw.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    val cx = e.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = cx.agg(sum(col("c")).cast("double").as("t"))
+      .crossJoin(cxy.agg(sum(col("cxy")).cast("double").as("p")))
+    cxy.filter(col("cxy") >= minCount)
+      .join(cx.select(col("tok").as("x"), col("c").as("cx")), Seq("x"))
+      .join(cx.select(col("tok").as("y"), col("c").as("cy")), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi",
+        log(col("cxy") / col("p")) - log(col("cx") / col("t")) -
+          log(col("cy") / col("t")))
+      .orderBy(col("pmi").desc, col("x").asc, col("y").asc).limit(k)
+      .select(col("x"), col("y"), col("cxy"), round(col("pmi"), 6).as("pmi"))
+  }
+
   /** DSIR-style importance weight per document (Xie et al., "Data Selection
     * for Language Models via Importance Resampling", 2023 — reduced to
     * add-one-smoothed unigram LMs so the score is exactly reproducible by

@@ -117,8 +117,12 @@ object Dedup {
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
                       ngram: Int = 3, k: Int = 12, bands: Int = 6, rows: Int = 2,
                       threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashNearDups(docs, idCol, textCol, ngram, k, bands, rows, threshold)
-      .select(col("a"), col("b"))
+    // derived-pinned: the pair graph is read several times downstream
+    // (vertex union, WCC gate count, the rounds/collect themselves) — one
+    // materialization, like every stored derived artifact
+    val pairs = graft.core.Pin.pinDerived(
+      minhashNearDups(docs, idCol, textCol, ngram, k, bands, rows, threshold)
+        .select(col("a"), col("b")))
     val verts = pairs.select(col("a").as("id"))
       .union(pairs.select(col("b").as("id"))).distinct()
     graft.olap.Algorithms.wcc(verts,

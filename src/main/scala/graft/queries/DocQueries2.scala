@@ -171,5 +171,26 @@ object DocQueries2 {
     // rides the same memoized full-table quantizer as q_semantic_dedup
     q("q_knn_graph", knnGraphSql(8, 2, 5), bench = true) { (s, d) =>
       Ann.knnGraph(Tables.embeddings(s, d), nClusters = 8, iters = 2, k = 5)
+    },
+
+    // windowed co-occurrence PMI: top collocations (exact integer counts →
+    // fixed-order log terms, so the doubles rank identically cross-engine)
+    q("q_pmi_pairs",
+      s"""WITH t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+         |pr AS (SELECT least(l.tok, r.tok) AS x, greatest(l.tok, r.tok) AS y
+         |       FROM e l JOIN e r ON r.doc_id = l.doc_id AND r.pos > l.pos AND r.pos <= l.pos + 2),
+         |cxy AS (SELECT x, y, count(*) AS cxy FROM pr GROUP BY x, y),
+         |cx AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
+         |tt AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM cx) AS t,
+         |              (SELECT CAST(sum(cxy) AS DOUBLE) FROM cxy) AS p)
+         |SELECT x, y, CAST(cxy AS BIGINT) AS cxy, round(pmi, 6) AS pmi FROM (
+         |  SELECT c.x, c.y, c.cxy,
+         |    ln(c.cxy / tt.p) - ln(a.c / tt.t) - ln(b.c / tt.t) AS pmi
+         |  FROM cxy c JOIN cx a ON a.tok = c.x JOIN cx b ON b.tok = c.y CROSS JOIN tt
+         |  WHERE c.cxy >= 5)
+         |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin) { (s, d) =>
+      Corpus.pmiPairs(Tables.documents(s, d), "doc_id", "text",
+        window = 2, minCount = 5, k = 20)
     })
 }

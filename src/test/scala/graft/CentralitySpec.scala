@@ -65,4 +65,23 @@ class CentralitySpec extends SparkSpec {
     val r2 = Louvain.louvain(verts, edges, 2, 1).collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(r1 === r2)
   }
+
+  test("louvain in-memory tail is bit-equal to the distributed rounds") {
+    // three uneven communities + cross links + a vertex id ordering that
+    // exercises both parity directions; coarsened passes create self-loops
+    val ids = Seq("a1", "a2", "a3", "a4", "b1", "b2", "b3", "c1", "c2", "z9")
+    val verts = ids.toDF("id")
+    val edges = Algorithms.canonical(Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a1", "a3"), ("a3", "a4"), ("a1", "a4"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+      ("c1", "c2"),
+      ("a4", "b1"), ("b3", "c1"), ("c2", "z9")).toDF("src", "dst"))
+    val (mMem, tMem) = Louvain.louvainWithModularity(verts, edges, 4, 3)
+    val (mDist, tDist) = Louvain.louvainWithModularity(verts, edges, 4, 3,
+      inMemoryMaxVerts = 0)
+    val a = mMem.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val b = mDist.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a === b)
+    assert(tMem === tDist) // modularity traces bit-equal, not just close
+  }
 }

@@ -483,6 +483,20 @@ class OpsSpec extends SparkSpec {
     graft.core.Pin.clear()
   }
 
+  test("PMI ranks the always-adjacent pair above an independent one") {
+    // "x y" always adjacent (5×); "a"/"b" co-occur only once in 5 docs
+    val d = Seq((1L, "x y a p q"), (2L, "x y b p q"), (3L, "x y a b p"),
+      (4L, "x y p q r"), (5L, "x y q r p")).toDF("doc_id", "text")
+    val rows = graft.ops.Corpus.pmiPairs(d, "doc_id", "text",
+      window = 2, minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(rows.contains(("x", "y")))
+    // (x,y) perfectly collocated → strictly higher PMI than the frequent
+    // but spread-out (p,q) pair
+    assert(rows(("x", "y")) > rows(("p", "q")))
+    graft.core.Pin.clear()
+  }
+
   test("c4 rules flag lorem/brace/policy and short docs") {
     val d = Seq(
       (1L, "a perfectly ordinary document with plenty of words inside"),
