@@ -107,6 +107,28 @@ object DocScaleSmoke {
     // base side is what grows 10x
     run("ann_brute_topk", (_, e) => ops.Ann.bruteForceTopK(
       e.filter(col("vec_id") < 5), e, k = 10))
+    run("pmi_pairs", (d, _) => ops.Corpus.pmiPairs(d, "doc_id", "text"))
+    run("rp_reduce", (_, e) => ops.Ann.randomProjection(
+      e, "vec_id", "embedding", dOut = 16, dims = 64))
+    run("kmv_distinct", (d, _) => {
+      ops.Sketch.registerKernels(d)
+      d.select(col("source"),
+          explode(functions.TextFunctions.tokenize(col("text"))).as("tok"))
+        .select(col("source"), ops.Sketch.hash60(col("tok")).as("h"))
+        .groupBy(col("source"))
+        .agg(ops.Sketch.kmvEstimate(col("h"), 64).as("s"))
+    })
+    // the kNN-graph scale knob: cells ∝ N keeps |cell| — and so the
+    // within-cell quadratic term PER VECTOR — constant (the SemDeDup
+    // recipe); fixing nClusters while N grows would measure the cliff the
+    // operator's contract tells deployments to avoid
+    locally {
+      val t1 = time("knn_graph 1x")(
+        ops.Ann.knnGraph(e1, nClusters = 8, iters = 2, k = 5).count())
+      val tN = time(s"knn_graph ${copies}x")(
+        ops.Ann.knnGraph(eN, nClusters = 8 * copies, iters = 2, k = 5).count())
+      results("knn_graph (cells ∝ N)") = (t1, tN)
+    }
 
     println(f"%n[docscale] | operator | 1x | ${copies}x | ratio |")
     println(s"[docscale] |---|---|---|---|")

@@ -679,6 +679,43 @@ object DocQueries {
         ngram = 3, k = K, bands = BANDS, rows = ROWS, threshold = 0.5)
     },
 
+    // LSH recall gauge — the dedup twin of Ann.recallAtK: what fraction of
+    // the TRUE ≥0.5-jaccard pairs (exact all-pairs on the bounded doc_id<50
+    // universe, the q_ngram_jaccard precedent) did banding surface? The
+    // tuning loop every LSH deployment runs (bands/rows against measured
+    // recall on a sampled universe). Both sides read the session-pinned
+    // signature chain; the exact side is the bounded baseline.
+    q("q_lsh_recall",
+      s"""WITH $minhashPairsCtes,
+         |approx AS (SELECT a, b FROM j WHERE jaccard >= 0.5 AND a < 50 AND b < 50),
+         |toks2 AS (SELECT doc_id, $tok AS toks FROM documents WHERE doc_id < 50),
+         |sh2 AS (SELECT doc_id, $shingle3 AS sh FROM toks2),
+         |exact AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |          FROM sh2 x JOIN sh2 y ON x.doc_id < y.doc_id
+         |          WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |                len(list_distinct(x.sh || y.sh)) >= 0.5),
+         |hit AS (SELECT e.a, e.b FROM exact e JOIN approx x USING (a, b))
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+         |       round(CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1.0
+         |             ELSE (SELECT CAST(count(*) AS DOUBLE) FROM hit) /
+         |                  (SELECT count(*) FROM exact) END, 6) AS recall""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          ngram = 3, maxId = 50L)
+        .filter(col("jaccard") >= 0.5).select(col("a"), col("b"))
+      val approx = Dedup.minhashNearDups(docs, "doc_id", "text",
+          ngram = 3, k = K, bands = BANDS, rows = ROWS, threshold = 0.5)
+        .filter(col("a") < 50 && col("b") < 50).select(col("a"), col("b"))
+      val hit = exact.join(approx, Seq("a", "b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_hit"),
+          round(when(col("n_exact") === 0, 1.0)
+            .otherwise(col("n_hit").cast("double") / col("n_exact")), 6)
+            .as("recall"))
+    },
+
     // PII scrub over a deterministically synthesized contact line (the
     // corpus has no natural PII — same synthesis precedent as the CJK
     // analyzer queries)

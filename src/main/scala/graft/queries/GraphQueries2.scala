@@ -297,6 +297,52 @@ object GraphQueries2 {
         window = 2)
     },
 
+    q("q_neg_samples",
+      {
+        def hash60(c: String) = (0 until 15).map { j =>
+          val mult = math.pow(16, 14 - j).toLong
+          s"(strpos('0123456789abcdef', substr(md5($c), ${j + 1}, 1)) - 1) * CAST($mult AS BIGINT)"
+        }.mkString("(", " + ", ")")
+        val seed = "center || ':' || context || ':' || CAST(i AS VARCHAR)"
+        s"""WITH $guidedWalksCtes,
+           |toks AS (SELECT wid, generate_subscripts(string_split(path, '->'), 1) AS pos,
+           |                unnest(string_split(path, '->')) AS v FROM walks),
+           |sg AS (SELECT a.v AS center, b.v AS context
+           |       FROM toks a JOIN toks b
+           |         ON a.wid = b.wid AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+           |       GROUP BY 1, 2),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+           |neg AS (SELECT center, context, CAST(i AS BIGINT) AS i,
+           |          'customer:' || CAST((${hash60(seed)} % nn.n) + 1 AS VARCHAR) AS negative
+           |        FROM sg, (SELECT unnest(range(1, 4)) AS i) z, nn)
+           |SELECT center, context, i, negative FROM neg
+           |WHERE negative <> context AND negative <> center""".stripMargin
+      }) { (s, d) =>
+      // word2vec-style negative sampling over the walk skip-grams
+      // (Mikolov et al. 2013): k=3 deterministic negatives per (center,
+      // context) pair from the DENSE customer id space — the "dense vocab
+      // index beside the corpus" every negative sampler keeps; md5-derived
+      // draws make the samples exactly reproducible (the engine-seeded
+      // rand() of a typical implementation cannot be oracle-checked).
+      // Accidental hits on the true context/center are EXCLUDED (the
+      // deterministic analog of word2vec's resample-on-collision). Scale:
+      // a narrow 3× flatMap over the pair stream — the vocab never
+      // materializes, only its SIZE broadcasts.
+      val sg = PathTraversals.walkSkipgrams(
+        PathTraversals.guidedWalks(g(s, d),
+          (1 to 50).map(i => s"customer:$i"), steps = 4, Direction.OUT),
+        window = 2).select(col("center"), col("context"))
+      val n = Tables.customer(s, d).count()
+      sg.crossJoin(s.range(1, 4).select(col("id").as("i")))
+        .withColumn("negative", concat(lit("customer:"),
+          (graft.ops.Sketch.hash60(
+            concat_ws(":", col("center"), col("context"), col("i"))) % n + 1)
+            .cast("string")))
+        .filter(col("negative") =!= col("context") &&
+          col("negative") =!= col("center"))
+        .select(col("center"), col("context"), col("i"), col("negative"))
+    },
+
     q("q_rays",
       s"""WITH RECURSIVE edges AS ($edgesSql),
          |adj AS (SELECT DISTINCT src, dst FROM edges),
