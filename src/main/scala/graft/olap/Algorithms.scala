@@ -69,7 +69,10 @@ object Algorithms {
       ranks = verts.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - alpha) / n) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        // lazy lineage cut: each round's frame has exactly ONE consumer
+        // (the next round's join), so the eager barrier bought nothing —
+        // the whole fixed-iteration loop now runs as one job chain
+        .localCheckpoint(false)
     }
     ranks.select(col("id"), round(col("rank"), 9).as("rank"))
   }
@@ -380,7 +383,8 @@ object Algorithms {
         .select(col("id"), col("k.lbl").as("nbr_lbl"))
       labels = v.join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("nbr_lbl"), col("id")).as("lbl"))
-        .localCheckpoint(true)
+        // lazy cut — single consumer per round, same as pageRank above
+        .localCheckpoint(false)
     }
     labels
   }

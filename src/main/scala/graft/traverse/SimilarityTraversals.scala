@@ -159,7 +159,9 @@ object SimilarityTraversals {
             .when(array_contains(col("path"), col("t")), "skip")
             .otherwise("new"))
         .select(col("v"), col("path"), col("t"), col("cls"), col("lyr"))
-        .localCheckpoint(true)
+        // lazy cut: cls is folded exactly once below — the barrier added a
+        // per-step sync job without protecting any reuse
+        .localCheckpoint(false)
       if (sys.env.get("GRAFT_NR_DEBUG").contains("1")) {
         val t0 = System.nanoTime()
         System.err.println(s"[nr] step=$si cls=${cls.count()} " +
@@ -258,7 +260,9 @@ object SimilarityTraversals {
         .groupBy(col("dst").as("id")).agg(sum(col("c")).as("rank"))
         .withColumn("layer", lit(i + 1))
         .select(col("layer"), col("id"), col("rank"))
-        .localCheckpoint(true)
+        // lazy: cached on first use; both consumers (next layer + acc)
+        // read the same materialization
+        .localCheckpoint(false)
       layerRanks = next
       acc = acc.unionByName(next)
     }

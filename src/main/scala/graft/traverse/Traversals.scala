@@ -630,7 +630,9 @@ object Traversals {
       val rootRow = Seq((source, 1.0 - alpha)).toDF("id", "rank")
       ranks = contribs.unionByName(kept).unionByName(rootRow)
         .groupBy(col("id")).agg(sum(col("rank")).as("rank"))
-        .localCheckpoint(true)
+        // lazy cut: the round frame is materialized once on first use (the
+        // next round or the final action) — no per-round sync barrier
+        .localCheckpoint(false)
       if (i == 0) rootAdj = ranks.select(col("id"))
     }
     ranks.join(rootAdj, Seq("id"), "left_anti")
