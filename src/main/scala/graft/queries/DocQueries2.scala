@@ -173,6 +173,28 @@ object DocQueries2 {
       Ann.knnGraph(Tables.embeddings(s, d), nClusters = 8, iters = 2, k = 5)
     },
 
+    // deterministic stratified train/val/test split: md5-uniform draw per
+    // doc, thresholds applied WITHIN each source stratum — the canonical
+    // dataset-split op (mixSample's 3-way labeled sibling). Shuffle-free
+    // narrow map; reproducible across engines and runs by construction.
+    q("q_split_assign",
+      {
+        def d4(i: Int) =
+          s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+        val h16 = s"(${d4(1)} * 4096 + ${d4(2)} * 256 + ${d4(3)} * 16 + ${d4(4)})"
+        s"""SELECT doc_id, source,
+           |  CASE WHEN $h16 < 52429 THEN 'train'
+           |       WHEN $h16 < 58982 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents""".stripMargin
+      }) { (s, d) =>
+      // same uniform draw as Packing.hash16 / mixSample — first 16 md5 bits
+      val h = graft.ops.Packing.hash16(col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        when(h < 52429, "train").when(h < 58982, "val").otherwise("test")
+          .as("split"))
+    },
+
     // windowed co-occurrence PMI: top collocations (exact integer counts →
     // fixed-order log terms, so the doubles rank identically cross-engine)
     q("q_pmi_pairs",

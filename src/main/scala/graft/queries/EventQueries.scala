@@ -155,6 +155,27 @@ object EventQueries {
           (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us"))
     },
 
+    q("q_event_bigrams",
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, event_type, next_type LIMIT 10""".stripMargin) { (s, d) =>
+      // Behavioral sequence mining: consecutive event-type transitions per
+      // user (the Markov-transition table clickstream analysis starts
+      // from). One user-partitioned window (no global sort), one pair
+      // count, TakeOrdered top-k.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type").asc, col("next_type").asc)
+        .limit(10)
+    },
+
     q("q_event_zscore",
       """WITH st AS (SELECT event_type, count(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
