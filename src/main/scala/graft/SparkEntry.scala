@@ -11,7 +11,7 @@ object SparkEntry {
   def registries: Seq[QueryDef] =
     RelationalQueries.defs ++ GraphQueries.defs ++ GraphQueries2.defs ++
       OlapQueries.defs ++ OlapQueries2.defs ++ DocQueries.defs ++
-      DocQueries2.defs ++ EventQueries.defs
+      DocQueries2.defs ++ DocQueries3.defs ++ EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * 3-hop kneighbor over the TPC-H property-graph projection. */

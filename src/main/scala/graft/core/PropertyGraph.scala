@@ -73,6 +73,17 @@ final case class PropertyGraph(
   def liveVertices(nowMillis: Long): DataFrame =
     if (!vertices.columns.contains("~ttl_expiry")) vertices
     else vertices.filter(col("~ttl_expiry").isNull || col("~ttl_expiry") > lit(nowMillis))
+
+  /** Register the graph as Spark SQL temp views — the third text frontend
+    * beside GremlinLite/CypherLite (SURVEY §7.1 item 6 "optional SQL
+    * views"): `<prefix>_vertices` / `<prefix>_edges`, so `spark.sql` joins
+    * the graph like any table and the full Catalyst surface (pushdown,
+    * AQE, broadcast) applies unchanged. Views are lazy plan aliases — no
+    * materialization, no extra scan. */
+  def registerViews(prefix: String = "g"): Unit = {
+    vertices.createOrReplaceTempView(s"${prefix}_vertices")
+    edges.createOrReplaceTempView(s"${prefix}_edges")
+  }
 }
 
 /** Graph projection of the driver's TPC-H-ish tables (FIXTURES.md §2).

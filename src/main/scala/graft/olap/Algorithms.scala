@@ -388,4 +388,39 @@ object Algorithms {
     }
     labels
   }
+
+  /** Degree assortativity coefficient (Newman 2002, "Assortative mixing in
+    * networks") over the undirected view: the Pearson correlation of
+    * endpoint degrees across edges — positive = hubs link to hubs, negative
+    * = hub-and-spoke. The natural companion to `subgraph_stat`'s degree
+    * bundle (reference `SubgraphStatAlgorithm.java` reports degree
+    * distributions; the mixing coefficient is the standard next statistic).
+    * Computed from EXACT integer sums (Σx, Σy, Σxy, Σx², Σy² as
+    * DECIMAL(38,0)) so the derived double is bit-identical across engines —
+    * a streaming `corr()` would accumulate in engine-specific order.
+    *
+    * Scale shape: one degree aggregation (src-keyed), two degree joins onto
+    * the edge list (both sides shuffle on their keys — degree table is
+    * \|V\|-sized, NOT broadcast), then a single 1-row total. No windows, no
+    * driver state. */
+  def degreeAssortativity(undirectedEdges: DataFrame): DataFrame = {
+    val sym = undirectedEdges.select(col("src"), col("dst"))
+      .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val pairs = sym
+      .join(deg.select(col("id").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("dy")), Seq("dst"))
+    val d38 = "decimal(38,0)"
+    val t = pairs.agg(count(lit(1)).as("m"),
+      sum(col("dx").cast(d38)).cast("double").as("sx"),
+      sum(col("dy").cast(d38)).cast("double").as("sy"),
+      sum((col("dx") * col("dy")).cast(d38)).cast("double").as("sxy"),
+      sum((col("dx") * col("dx")).cast(d38)).cast("double").as("sxx"),
+      sum((col("dy") * col("dy")).cast(d38)).cast("double").as("syy"))
+    t.select(col("m"),
+      round((col("m") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("m") * col("sxx") - col("sx") * col("sx")) *
+             (col("m") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("assortativity"))
+  }
 }

@@ -451,6 +451,35 @@ object Ann {
         round(col("v"), 6).as("v"))
   }
 
+  /** Per-dimension z-score standardization of an embedding column — the
+    * feature-scaling pass before distance-based training work (k-means,
+    * PQ codebooks, linear probes all assume comparable dimension scales).
+    * Long-form output `(id, dim, z)` with dim 1-based — the
+    * [[randomProjection]] output contract. Values are quantized to 6
+    * decimals up front so the dimension sums are EXACT decimal arithmetic
+    * (the q_event_zscore contract) — mean/stddev and every z are
+    * bit-identical across engines instead of depending on the engine's
+    * fp accumulation order.
+    *
+    * Scale shape: one dim-keyed aggregation (`dims` groups — map-side
+    * combined, bounded by the embedding width, never by N) whose tiny
+    * result BROADCASTS back against the exploded vector stream; everything
+    * else is narrow. */
+  def standardize(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = embeddings.select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("i", "v")))
+      .select(col(idCol), (col("i") + 1).cast("long").as("dim"),
+        round(col("v").cast("double"), 6).cast("decimal(18,6)").as("v"))
+    val stats = e.groupBy(col("dim")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).cast("double").as("sv"),
+      sum(col("v") * col("v")).cast("double").as("ssv"))
+    val z = (col("v") - col("sv") / col("n")) /
+      sqrt((col("ssv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+    e.join(broadcast(stats), Seq("dim"))
+      .select(col(idCol), col("dim"), round(z, 6).as("z"))
+  }
+
   /** k-nearest-neighbor graph over the trained coarse-quantizer cells:
     * exact cosine top-k per vector AMONG ITS CELL — the
     * cluster-then-local-work recipe (same cell structure as SemDeDup /

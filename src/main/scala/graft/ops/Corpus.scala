@@ -180,6 +180,104 @@ object Corpus {
       .select(col("x"), col("y"), col("cxy"), round(col("pmi"), 6).as("pmi"))
   }
 
+  /** TF-IDF top-`k` terms per document — the classic term-weighting signal
+    * (Salton & Buckley 1988) a curation pipeline uses for keyword/topic
+    * extraction and near-topic grouping: score(d,t) = tf(d,t) · ln(N/df(t)).
+    * Ties break on the term so the top-k is deterministic; the log evaluates
+    * per-row in a fixed order over exact integer inputs, so the doubles are
+    * oracle-exact before the defensive round.
+    *
+    * Scale shape: tf shuffles on (doc, term), df on the term key — both
+    * distributed, no vocab broadcast (the 1-row corpus count is the only
+    * broadcast); the top-k window partitions by document (width = the doc's
+    * distinct-term count, never unpartitioned). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val e = tokens(docs, idCol, textCol)
+      .select(col(idCol), explode(col("toks")).as("tok"))
+    val tf = e.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy((col("tf") * log(col("n") / col("df"))).desc, col("tok").asc)
+    tf.join(dfT, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("tok"), col("tf"), col("df"),
+        round(col("tf") * log(col("n") / col("df")), 6).as("tfidf"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Character-level Shannon entropy per document over the sanitized
+    * `[a-z0-9 ]` alphabet — the gibberish/encoding-noise gauge (low entropy
+    * = repeated filler, high = random bytes; both tails are curation
+    * drop signals). H = log2(n) − Σ c·log2(c) / n over exact integer
+    * character counts c.
+    *
+    * Scale shape: one shuffle keyed (doc, char) — bounded fan-out (≤37 keys
+    * per doc) — then one doc-keyed aggregation; zero broadcasts, zero UDFs
+    * (split + explode + built-in math, all codegen'd). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sanitized = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")
+    val ch = docs.select(col(idCol), explode(split(sanitized, "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+    ch.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * log2(col("c").cast("double"))).as("__s"))
+      .select(col(idCol), col("n_chars"), col("n_distinct"),
+        round(log2(col("n_chars").cast("double")) -
+          col("__s") / col("n_chars"), 6).as("entropy"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: split the
+    * corpus into head/middle/tail by LM perplexity; train preferentially on
+    * the head). Buckets cut on the corpus z-score of [[unigramLogProb]]
+    * (z ≥ `zHead` → head = most-fluent, z ≤ `zTail` → tail) so the
+    * thresholds adapt to any corpus without a quantile pass. Mean/stddev
+    * come from EXACT decimal sums over the rounded-6 logprobs (the
+    * q_event_zscore contract) so the bucket decision is bit-identical
+    * across engines.
+    *
+    * Scale shape: [[unigramLogProb]]'s three keyed shuffles, then a 1-row
+    * stats broadcast against the per-doc scores — a narrow map; no global
+    * sort, no quantile shuffle. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        zHead: Double = 0.5, zTail: Double = -0.5): DataFrame = {
+    val lp = unigramLogProb(docs, idCol, textCol)
+    val dlp = col("logprob").cast("decimal(18,6)")
+    val stats = lp.agg(count(lit(1)).as("cnt"),
+      sum(dlp).cast("double").as("sv"),
+      sum(dlp * dlp).cast("double").as("ssv"))
+    val z = (col("logprob") - col("sv") / col("cnt")) /
+      sqrt((col("ssv") - col("sv") * col("sv") / col("cnt")) / (col("cnt") - 1))
+    lp.crossJoin(broadcast(stats))
+      .select(col(idCol), col("n_toks"), col("logprob"),
+        round(z, 6).as("z"),
+        when(z >= zHead, "head").when(z <= zTail, "tail")
+          .otherwise("middle").as("bucket"))
+  }
+
+  /** Per-domain URL statistics — the blocklist/allowlist substrate of web
+    * curation (C4 §2.2 drops blocklisted domains; FineWeb publishes per-
+    * domain counts): extract `http(s)://host` occurrences, aggregate
+    * document and occurrence counts per host. Returns
+    * `(domain, n_docs, n_hits)`.
+    *
+    * Scale shape: a narrow regexp scan (codegen'd, no UDF) then one
+    * domain-keyed aggregation; web-scale domain skew (a few giant hosts)
+    * stays safe because the per-key payload is a pair of counters. */
+  def urlDomains(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hits = docs.select(col(idCol),
+        explode(expr(s"regexp_extract_all(lower($textCol), 'https?://([a-z0-9.-]+)', 1)"))
+          .as("domain"))
+      .filter(length(col("domain")) > 0)
+    hits.groupBy(col("domain"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_hits"))
+  }
+
   /** DSIR-style importance weight per document (Xie et al., "Data Selection
     * for Language Models via Importance Resampling", 2023 — reduced to
     * add-one-smoothed unigram LMs so the score is exactly reproducible by

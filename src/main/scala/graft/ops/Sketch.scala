@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
@@ -62,6 +62,42 @@ object Sketch {
     * the input frame first. */
   def kmvEstimate(hashCol: Column, k: Int): Column =
     call_function("kmv_distinct", hashCol, lit(k))
+
+  /** Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
+    * frequency-estimation sibling of [[kmvEstimate]]: `depth` hash rows ×
+    * `width` buckets of exact integer counters; est(t) = min over rows of
+    * the counter t hashes into. Always an over-estimate (collisions only
+    * add), so `est ≥ exact` is an invariant the spec asserts. Returns the
+    * top-`k` tokens by EXACT count (ties on the token) with their exact and
+    * CMS-estimated counts — the accuracy gauge the oracle checks.
+    *
+    * Scale shape: the sketch table is depth×width COUNTERS (1024 cells
+    * here) regardless of vocabulary size — the unbounded token-keyed count
+    * becomes a fixed-size aggregation, which is the whole point at 100 TB.
+    * Both the cell aggregation and the exact top-k (TakeOrderedAndProject)
+    * are map-side-combined; the 1024-cell table broadcasts back against the
+    * k candidate tokens. Bucket hash = md5 of the row-salted token, exactly
+    * reproducible by the oracle (integer counters ⇒ bit-exact compare). */
+  def countMinTopK(items: DataFrame, itemCol: String, depth: Int = 4,
+                   width: Int = 256, k: Int = 20): DataFrame = {
+    def bucket(r: Int, c: Column): Column =
+      pmod(conv(substring(md5(concat_ws(":", lit(r), c)), 1, 15), 16, 10)
+        .cast("long"), lit(width))
+    val exact = items.groupBy(col(itemCol)).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col(itemCol).asc).limit(k)
+    val rows = (0 until depth).map { r =>
+      items.select(lit(r).as("r"), bucket(r, col(itemCol)).as("b"))
+    }.reduce(_ unionByName _)
+    val cms = rows.groupBy(col("r"), col("b")).agg(count(lit(1)).as("cell"))
+    val probes = (0 until depth).map { r =>
+      exact.select(col(itemCol), col("exact"),
+        lit(r).as("r"), bucket(r, col(itemCol)).as("b"))
+    }.reduce(_ unionByName _)
+    probes.join(broadcast(cms), Seq("r", "b"))
+      .groupBy(col(itemCol), col("exact"))
+      .agg(min(col("cell")).as("est"))
+      .select(col(itemCol), col("exact"), col("est"))
+  }
 
   /** The bounded-buffer aggregate: buffer = the ≤k smallest distinct hashes
     * seen so far. Update is O(log k); merge is set-union-then-truncate —

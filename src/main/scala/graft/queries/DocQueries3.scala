@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Ann, Corpus, Sketch}
+import QueryDef._
+
+/** Round-7 curation/analysis operators: TF-IDF term weighting, character
+  * entropy, CCNet perplexity bucketing, per-domain URL stats, Count-Min
+  * heavy hitters, embedding standardization. Oracles follow the
+  * [[DocQueries]] contracts (md5-derived hashes, exact-decimal stats,
+  * rounded-6 doubles). */
+object DocQueries3 {
+
+  private def tokOf(c: String) =
+    s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+  /** DuckDB twin of Sketch.hash60 (DocQueries2.hash60Sql). */
+  private def hash60Sql(c: String): String =
+    (0 until 15).map { j =>
+      val mult = math.pow(16, 14 - j).toLong
+      s"(strpos('0123456789abcdef', substr(md5($c), ${j + 1}, 1)) - 1) * CAST($mult AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** Deterministic URL augmentation — the synthetic corpus carries no URLs,
+    * so selected docs get one or two appended (the q_redact_pii / c4Aug
+    * synthesis precedent). */
+  private val urlAugSql =
+    """lower(text ||
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN ' visit https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' via http://cdn.shared.net/lib.js' ELSE '' END)""".stripMargin
+
+  private def urlAug = lower(concat(col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" visit https://site"), (col("doc_id") % 20).cast("string"),
+        lit(".example.com/p"))).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit(" via http://cdn.shared.net/lib.js"))
+      .otherwise(lit(""))))
+
+  /** Shared unigram-LM CTE prefix (the q_unigram_logprob oracle). */
+  private val unigramCte =
+    s"""t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
+       |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM f),
+       |lp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |  round(avg(ln(cnt)) - ln((SELECT n FROM tot)), 6) AS logprob
+       |  FROM e JOIN f USING (tok) GROUP BY doc_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    q("q_tfidf_topterms",
+      s"""WITH t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM e GROUP BY doc_id, tok),
+         |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+         |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |       round(tf * ln(n / df), 6) AS tfidf, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT tf.doc_id, tf.tok, tf.tf, dfx.df, n.n,
+         |        row_number() OVER (PARTITION BY tf.doc_id
+         |          ORDER BY tf.tf * ln(n.n / dfx.df) DESC, tf.tok ASC) AS rank
+         |      FROM tf JOIN dfx USING (tok) CROSS JOIN n) z
+         |WHERE rank <= 3""".stripMargin, bench = true) { (s, d) =>
+      Corpus.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+    },
+
+    q("q_char_entropy",
+      """WITH s AS (SELECT doc_id,
+        |  regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS st FROM documents),
+        |ch AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(st) + 1), i -> substr(st, i, 1))) AS ch
+        |  FROM s WHERE len(st) > 0),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       round(log2(CAST(sum(c) AS DOUBLE))
+        |             - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+        |FROM cc GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.charEntropy(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    q("q_ccnet_bucket",
+      s"""WITH $unigramCte,
+         |st AS (SELECT count(*) AS cnt,
+         |  CAST(sum(CAST(logprob AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+         |  CAST(sum(CAST(logprob AS DECIMAL(18,6)) * CAST(logprob AS DECIMAL(18,6))) AS DOUBLE) AS ssv
+         |  FROM lp)
+         |SELECT doc_id, n_toks, logprob, round(z, 6) AS z,
+         |  CASE WHEN z >= 0.5 THEN 'head' WHEN z <= -0.5 THEN 'tail'
+         |       ELSE 'middle' END AS bucket
+         |FROM (SELECT lp.*,
+         |        (logprob - sv / cnt) / sqrt((ssv - sv * sv / cnt) / (cnt - 1)) AS z
+         |      FROM lp CROSS JOIN st) zz""".stripMargin, bench = true) { (s, d) =>
+      Corpus.perplexityBuckets(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    q("q_url_domains",
+      s"""WITH t AS (SELECT doc_id, $urlAugSql AS aug FROM documents),
+         |h AS (SELECT doc_id,
+         |  unnest(regexp_extract_all(aug, 'https?://([a-z0-9.-]+)', 1)) AS domain
+         |  FROM t)
+         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_hits
+         |FROM h WHERE len(domain) > 0 GROUP BY domain""".stripMargin) { (s, d) =>
+      Corpus.urlDomains(
+        Tables.documents(s, d).select(col("doc_id"), urlAug.as("text")),
+        "doc_id", "text")
+    },
+
+    q("q_cms_topk",
+      {
+        val h = hash60Sql("CAST(r AS VARCHAR) || ':' || tok")
+        s"""WITH t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
+           |e AS (SELECT unnest(toks) AS tok FROM t),
+           |rr AS (SELECT unnest(range(0, 4)) AS r),
+           |ex AS (SELECT tok, count(*) AS exact FROM e GROUP BY tok
+           |       ORDER BY exact DESC, tok ASC LIMIT 20),
+           |cells AS (SELECT r, $h % 256 AS b, count(*) AS cell
+           |          FROM e CROSS JOIN rr GROUP BY r, b),
+           |probes AS (SELECT tok, exact, r, $h % 256 AS b FROM ex CROSS JOIN rr)
+           |SELECT tok, CAST(exact AS BIGINT) AS exact, CAST(min(cell) AS BIGINT) AS est
+           |FROM probes JOIN cells USING (r, b)
+           |GROUP BY tok, exact""".stripMargin
+      }, bench = true) { (s, d) =>
+      val e = Corpus.tokens(Tables.documents(s, d), "doc_id", "text")
+        .select(explode(col("toks")).as("tok"))
+      Sketch.countMinTopK(e, "tok", depth = 4, width = 256, k = 20)
+    },
+
+    q("q_embed_standardize",
+      """WITH e AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |  CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |        generate_subscripts(embedding, 1) AS dim FROM embeddings) z),
+        |st AS (SELECT dim, count(*) AS n, CAST(sum(v) AS DOUBLE) AS sv,
+        |       CAST(sum(v * v) AS DOUBLE) AS ssv FROM e GROUP BY dim)
+        |SELECT e.vec_id, e.dim,
+        |  round((CAST(e.v AS DOUBLE) - sv / n)
+        |        / sqrt((ssv - sv * sv / n) / (n - 1)), 6) AS z
+        |FROM e JOIN st USING (dim)""".stripMargin) { (s, d) =>
+      Ann.standardize(Tables.embeddings(s, d), "vec_id", "embedding")
+    })
+}

@@ -202,5 +202,31 @@ object EventQueries {
         .filter(abs(col("z")) > 2.5)
         .select(col("event_id"), col("event_type"), col("value"),
           round(col("z"), 6).as("z"))
+    },
+
+    q("q_event_gaps",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(prev_ts) AS BIGINT) AS n_gaps,
+        |       CAST(max(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT) AS max_gap_us,
+        |       CAST(sum(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT) AS sum_gap_us
+        |FROM o GROUP BY user_id""".stripMargin) { (s, d) =>
+      // Per-user inter-event gap profile via lag (the §2.5 analytic-window
+      // surface beyond ranking: lag/lead over an event-time order). All
+      // integer microsecond arithmetic — bit-exact by construction. One
+      // user-partitioned window (bounded by the user's event count, never
+      // unpartitioned) then one user-keyed aggregation.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("prev_ts")).as("n_gaps"),
+          max(gap).as("max_gap_us"),
+          sum(gap).as("sum_gap_us"))
     })
 }

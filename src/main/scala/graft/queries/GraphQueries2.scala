@@ -578,6 +578,22 @@ object GraphQueries2 {
           "ORDER BY cust ASC, price DESC SKIP 5 LIMIT 20")
     },
 
+    q("q_sql_frontend",
+      s"""WITH edges AS ($edgesSql)
+         |SELECT split_part(src, ':', 1) AS src_label, label AS edge_label,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM edges GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      // §3 frontend #3: plain Spark SQL over the registered graph views —
+      // the vertices join resolves the src label from the vertex table
+      // (not by string-splitting the id), exercising view → Catalyst all
+      // the way to the parquet scans.
+      g(s, d).registerViews("g")
+      s.sql("""SELECT v.label AS src_label, e.label AS edge_label,
+              |       count(*) AS n
+              |FROM g_edges e JOIN g_vertices v ON v.id = e.src
+              |GROUP BY v.label, e.label""".stripMargin)
+    },
+
     q("q_ttl_filter",
       """SELECT event_id FROM events
         |WHERE epoch_ms(ts) + 2592000000 > epoch_ms(TIMESTAMP '2024-01-15 00:00:00')""".stripMargin) { (s, d) =>

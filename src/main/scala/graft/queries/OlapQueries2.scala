@@ -184,5 +184,28 @@ object OlapQueries2 {
       PathTraversals.weightedSssp(g(s, d), "customer:1", Direction.BOTH, Nil,
         weightCol = "quantity", rounds = 4)
         .filter(col("id") === "supplier:3").select(col("dist"))
+    },
+
+    q("q_assortativity",
+      s"""WITH edges AS ($edgesSql),
+         |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+         |pairs AS (SELECT dx.deg AS dx, dy.deg AS dy
+         |          FROM sym JOIN deg dx ON dx.id = sym.src
+         |                   JOIN deg dy ON dy.id = sym.dst),
+         |t AS (SELECT count(*) AS m,
+         |  CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         |  CAST(sum(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy
+         |  FROM pairs)
+         |SELECT m, round((m * sxy - sx * sy) /
+         |  sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS assortativity
+         |FROM t""".stripMargin) { (s, d) =>
+      // Degree-mixing coefficient over the undirected view — the
+      // subgraph_stat companion statistic (Newman 2002); exact decimal
+      // sums make the Pearson double bit-identical to the oracle.
+      Algorithms.degreeAssortativity(g(s, d).outEdges)
     })
 }

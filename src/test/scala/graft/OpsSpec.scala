@@ -509,4 +509,86 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Int]("pass")).toMap
     assert(m === Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0))
   }
+
+  test("tfidf top terms: corpus-wide stopword scores 0, rare term ranks first") {
+    val d = Seq(
+      (1L, "the zebra the the"),      // 'the' in every doc → idf 0
+      (2L, "the lion roars"),
+      (3L, "the lion sleeps")).toDF("doc_id", "text")
+    val rows = graft.ops.Corpus.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) -> (r.getString(1), r.getDouble(4)))
+      .toMap
+    assert(rows((1L, 1L))._1 === "zebra")          // df=1 beats tf=3 'the'
+    assert(rows((1L, 2L)) === ("the", 0.0))        // ln(3/3) = 0
+    assert(rows((2L, 1L))._1 === "roars")          // df=1 beats df=2 'lion'
+    graft.core.Pin.clear()
+  }
+
+  test("char entropy: single-char doc = 0, uniform alphabet = log2(n)") {
+    val d = Seq((1L, "aaaa"), (2L, "abcd")).toDF("doc_id", "text")
+    val m = graft.ops.Corpus.charEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(1L) === 0.0)
+    assert(m(2L) === 2.0)
+  }
+
+  test("perplexity buckets partition the corpus and agree with the z sign") {
+    val d = (0L until 30L).map(i =>
+      (i, if (i % 10 == 0) s"rare${i}word unique${i}token oddity${i}"
+          else "the common words appear in every single document here"))
+      .toDF("doc_id", "text")
+    val rows = graft.ops.Corpus.perplexityBuckets(d, "doc_id", "text").collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      val (z, b) = (r.getDouble(3), r.getString(4))
+      if (z >= 0.5) assert(b === "head")
+      else if (z <= -0.5) assert(b === "tail")
+      else assert(b === "middle")
+    }
+    // the rare-token docs are the least fluent → all in the tail
+    assert(rows.filter(_.getLong(0) % 10 == 0).forall(_.getString(4) == "tail"))
+    graft.core.Pin.clear()
+  }
+
+  test("url domains aggregates doc and hit counts") {
+    val d = Seq(
+      (1L, "see https://a.example.com/x and https://a.example.com/y"),
+      (2L, "see https://a.example.com/z and http://b.other.net/w"),
+      (3L, "no urls at all here")).toDF("doc_id", "text")
+    val m = graft.ops.Corpus.urlDomains(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("a.example.com") === (2L, 3L))
+    assert(m("b.other.net") === (1L, 1L))
+    assert(m.size === 2)
+  }
+
+  test("count-min estimate always dominates the exact count") {
+    val items = (0 until 500).map(i => s"tok${i % 37}").toDF("tok")
+    val rows = graft.ops.Sketch.countMinTopK(items.toDF("tok"), "tok",
+      depth = 4, width = 16, k = 10).collect()
+    assert(rows.length === 10)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1)))  // est >= exact
+  }
+
+  test("embedding standardize: per-dim z-scores sum to ~0") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 10.0f)), (1L, Array(2.0f, 20.0f)),
+      (2L, Array(3.0f, 30.0f)), (3L, Array(4.0f, 40.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Ann.standardize(vecs, "vec_id", "embedding").collect()
+    assert(rows.length === 8)
+    val byDim = rows.groupBy(_.getLong(1))
+    byDim.values.foreach { rs =>
+      assert(math.abs(rs.map(_.getDouble(2)).sum) < 1e-6)
+      assert(math.abs(rs.map(_.getDouble(2)).max - 1.161895) < 1e-5)
+    }
+  }
+
+  test("degree assortativity: star graph is maximally disassortative") {
+    val star = Seq(("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"))
+      .toDF("src", "dst")
+    val r = graft.olap.Algorithms.degreeAssortativity(star).collect()(0)
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(1) === -1.0)
+  }
 }
