@@ -52,6 +52,38 @@ object Corpus {
         round(col("__alp") - log(col("n")), 6).as("logprob"))
   }
 
+  /** Corpus-trained BIGRAM LM score per document — [[unigramLogProb]]'s
+    * order-2 upgrade (the closer perplexity proxy: fluency is mostly local
+    * word order): score(d) = mean over adjacent pairs (t₁,t₂) of
+    * ln p̂(t₂|t₁), with add-one smoothing p̂ = (c(t₁,t₂)+1)/(c(t₁)+V) and
+    * V the corpus vocabulary size — every count exact, the log per-row
+    * fixed-order, so the oracle reproduces it. Documents with <2 tokens
+    * have no bigrams and drop out (same convention both sides).
+    *
+    * Scale shape: adjacency pairs come from a doc-partitioned lead window
+    * (bounded by doc length, never unpartitioned); both count tables stay
+    * DISTRIBUTED on their keys (no vocab broadcast — the 1-row V/total is
+    * the only broadcast); the pair stream joins its frequency tables on
+    * (t₁,t₂) and t₁, then re-groups by document. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = tokens(docs, idCol, textCol)
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bg = e.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val c1 = e.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val c12 = bg.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c12"))
+    val v = c1.agg(count(lit(1)).cast("double").as("v"))
+    bg.join(c12, Seq("tok", "nxt"))
+      .join(c1, Seq("tok"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(log((col("c12") + 1).cast("double") / (col("c1") + col("v")))), 6)
+          .as("logprob"))
+  }
+
   /** Gopher-style rule-based quality filter (Rae et al., "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher", 2021,
     * §A1.1 — the word-level subset; the line-level rules need line

@@ -68,6 +68,48 @@ object Decontaminate {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Bloom-filter decontamination — the FIXED-MEMORY variant of
+    * [[contaminated]] for the regime where even the hashed benchmark
+    * n-gram set strains the broadcast budget: the benchmark grams set
+    * `kHashes` bits each in an `mBits`-bit filter, and a corpus gram is
+    * flagged when ALL its bits are set. One-sided error by construction —
+    * false positives (over-removal) only, never missed contamination; the
+    * spec asserts the flagged set is a superset of [[contaminated]]'s.
+    *
+    * Scale shape: the broadcast is the set-bit table — AT MOST `mBits`
+    * rows regardless of benchmark size (vs one row per distinct benchmark
+    * gram in [[contaminated]]); the corpus side stays a narrow
+    * shingle→hash map into that broadcast join, and only surviving
+    * (id, gram, bit) rows — ≤ kHashes per flagged gram — reach the two
+    * bounded aggregations. Returns (idCol, n_flagged) over DISTINCT
+    * flagged grams. */
+  def bloomContaminated(corpus: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String, benchTextCol: String,
+                        ngram: Int = 5, mBits: Int = 4096,
+                        kHashes: Int = 3): DataFrame = {
+    def bits(gramHash: org.apache.spark.sql.Column) = array(
+      (0 until kHashes).map(j =>
+        pmod(Sketch.hash60(concat_ws(":", lit(j), gramHash)), lit(mBits))): _*)
+    val benchToks = bench
+      .select(TextFunctions.tokenize(col(benchTextCol)).as("toks"))
+      .localCheckpoint(true)
+    val setBits = broadcast(benchToks
+      .select(TextFunctions.shinglesFromTokens(col("toks"), ngram).as("g"))
+      .select(explode(col("g")).as("gram"))
+      .select(explode(bits(md5(col("gram")))).as("p")).distinct())
+    // semi-join FIRST (the [[contaminated]] discipline — the corpus side
+    // never shuffles before the broadcast filter); duplicate grams within a
+    // doc are harmless because the all-bits-set test counts DISTINCT hash
+    // indices j, not rows
+    grams(corpus, idCol, textCol, ngram)
+      .select(col(idCol), md5(col("gram")).as("gh"))
+      .select(col(idCol), col("gh"), posexplode(bits(col("gh"))).as(Seq("j", "p")))
+      .join(setBits, Seq("p"), "left_semi")
+      .groupBy(col(idCol), col("gh")).agg(countDistinct(col("j")).as("n_set"))
+      .filter(col("n_set") === kHashes)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** FUZZY decontamination — the MinHash-LSH variant of [[contaminated]]
     * (the FineWeb/Dolma-style near-duplicate rule: a corpus document is
     * contaminated if its shingle-set jaccard against ANY benchmark item

@@ -86,6 +86,34 @@ object Dedup {
       signatures(docs, idCol, textCol, ngram, k, bands, rows)
         .select(col("doc_id"), col("sh"), col("band_keys")))
 
+  /** Asymmetric CONTAINMENT near-dup pairs — the sub-document duplication
+    * rule jaccard misses: c(A→B) = |S_A ∩ S_B| / |S_A| is high when A's
+    * shingles sit inside a much larger B (quote farms, page-in-page
+    * mirrors) even though jaccard \|∩\|/\|∪\| stays low (Broder 1997
+    * defines both; dedup pipelines gate on either). Candidates come from
+    * the SAME pinned LSH band buckets as [[minhashNearDups]] (band
+    * collision requires enough shared shingle mass — the standard recall
+    * trade), and pairs keep both directions' scores; `threshold` gates on
+    * the larger one.
+    *
+    * Scale shape: identical to [[minhashNearDups]] — shared signature
+    * table, capped band-bucket join, exact verification only on colliding
+    * pairs. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       ngram: Int = 3, k: Int = 12, bands: Int = 6,
+                       rows: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val sigs = signatureTable(docs, idCol, textCol, ngram, k, bands, rows)
+    val cand = minhashCandidates(sigs)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cand.join(sigs.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("c_ab", inter / size(col("sh_a")))
+      .withColumn("c_ba", inter / size(col("sh_b")))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select(col("a"), col("b"),
+        round(col("c_ab"), 9).as("c_ab"), round(col("c_ba"), 9).as("c_ba"))
+  }
+
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       ngram: Int = 3, k: Int = 12, bands: Int = 6, rows: Int = 2,
                       threshold: Double = 0.5,

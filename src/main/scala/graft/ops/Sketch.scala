@@ -85,9 +85,11 @@ object Sketch {
         .cast("long"), lit(width))
     val exact = items.groupBy(col(itemCol)).agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col(itemCol).asc).limit(k)
-    val rows = (0 until depth).map { r =>
-      items.select(lit(r).as("r"), bucket(r, col(itemCol)).as("b"))
-    }.reduce(_ unionByName _)
+    // one pass over the item stream: all `depth` bucket ids per item in a
+    // single posexplode (vs depth unioned re-scans)
+    val rows = items.select(posexplode(
+      array((0 until depth).map(r => bucket(r, col(itemCol))): _*))
+      .as(Seq("r", "b")))
     val cms = rows.groupBy(col("r"), col("b")).agg(count(lit(1)).as("cell"))
     val probes = (0 until depth).map { r =>
       exact.select(col(itemCol), col("exact"),

@@ -672,6 +672,22 @@ object DocQueries {
         ngram = 3, k = K, bands = BANDS, rows = ROWS, threshold = 0.5)
     },
 
+    // asymmetric containment dedup — the sub-document duplication rule
+    // (c(A→B) = |∩|/|S_A|) over the same pinned LSH candidates; catches
+    // doc-inside-doc mirrors whose jaccard stays below the near-dup gate
+    q("q_containment_dup",
+      s"""WITH $minhashPairsCtes,
+         |co AS (SELECT a, b,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh) AS c_ab,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh) AS c_ba
+         |       FROM cand JOIN sh sa ON sa.doc_id = cand.a
+         |                 JOIN sh sb ON sb.doc_id = cand.b)
+         |SELECT a, b, round(c_ab, 9) AS c_ab, round(c_ba, 9) AS c_ba
+         |FROM co WHERE greatest(c_ab, c_ba) >= 0.8""".stripMargin) { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        ngram = 3, k = K, bands = BANDS, rows = ROWS, threshold = 0.8)
+    },
+
     // transitive closure of the verified near-dup pairs: WCC (min-id label)
     // over the pair graph — pairs (a,b),(b,c) cluster a,b,c together
     q("q_dedup_clusters", dedupClustersSql) { (s, d) =>

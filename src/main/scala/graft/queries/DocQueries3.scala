@@ -22,6 +22,14 @@ object DocQueries3 {
       s"(strpos('0123456789abcdef', substr(md5($c), ${j + 1}, 1)) - 1) * CAST($mult AS BIGINT)"
     }.mkString("(", " + ", ")")
 
+  /** Word n-gram shingles over a `toks` column (DocQueries2.shingleSql —
+    * identical to TextFunctions.shinglesFromTokens incl. short-doc
+    * fallback). */
+  private def shingleSql(n: Int) =
+    s"""list_distinct(CASE WHEN len(toks) >= $n
+       |  THEN list_transform(range(1, len(toks) - ${n - 2}), i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))
+       |  ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+
   /** Deterministic URL augmentation — the synthetic corpus carries no URLs,
     * so selected docs get one or two appended (the q_redact_pii / c4Aug
     * synthesis precedent). */
@@ -127,6 +135,56 @@ object DocQueries3 {
       val e = Corpus.tokens(Tables.documents(s, d), "doc_id", "text")
         .select(explode(col("toks")).as("tok"))
       Sketch.countMinTopK(e, "tok", depth = 4, width = 256, k = 20)
+    },
+
+    // Bloom-filter decontamination: same eval-set framing as
+    // q_decontaminate (docs < 25 = the benchmark, 5-grams), but membership
+    // goes through a 65536-bit/3-hash filter — n_flagged ⊇ q_decontaminate's
+    // n_hits docs (one-sided error), with a fixed-size broadcast at any
+    // benchmark scale
+    q("q_bloom_decontaminate",
+      {
+        val h = (c: String) => s"(${hash60Sql(c)}) % 65536"
+        s"""WITH btoks AS (SELECT ${tokOf("text")} AS toks FROM documents WHERE doc_id < 25),
+           |bg AS (SELECT DISTINCT unnest(sh5) AS gram
+           |       FROM (SELECT ${shingleSql(5)} AS sh5 FROM btoks) zz),
+           |jj AS (SELECT unnest(range(0, 3)) AS j),
+           |bpos AS (SELECT DISTINCT ${h("CAST(j AS VARCHAR) || ':' || md5(gram)")} AS p
+           |         FROM bg CROSS JOIN jj),
+           |ctoks AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents WHERE doc_id >= 25),
+           |cg AS (SELECT doc_id, unnest(sh5) AS gram
+           |       FROM (SELECT doc_id, ${shingleSql(5)} AS sh5 FROM ctoks) zz),
+           |cgh AS (SELECT doc_id, md5(gram) AS gh FROM cg),
+           |cpos AS (SELECT doc_id, gh, j, ${h("CAST(j AS VARCHAR) || ':' || gh")} AS p
+           |         FROM cgh CROSS JOIN jj),
+           |flg AS (SELECT doc_id, gh FROM cpos JOIN bpos ON bpos.p = cpos.p
+           |        GROUP BY doc_id, gh HAVING count(DISTINCT j) = 3)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+           |FROM flg GROUP BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.Decontaminate.bloomContaminated(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text", "text", ngram = 5, mBits = 65536, kHashes = 3)
+    },
+
+    // bigram LM perplexity proxy — the order-2 upgrade of
+    // q_unigram_logprob (add-one smoothing, corpus-trained, distributed
+    // count tables)
+    q("q_bigram_logprob",
+      s"""WITH t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+         |bgn AS (SELECT doc_id, tok, nxt FROM (
+         |  SELECT doc_id, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM e) z WHERE nxt IS NOT NULL),
+         |c1 AS (SELECT tok, count(*) AS c1 FROM e GROUP BY tok),
+         |c12 AS (SELECT tok, nxt, count(*) AS c12 FROM bgn GROUP BY tok, nxt),
+         |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(avg(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))), 6) AS logprob
+         |FROM bgn JOIN c12 USING (tok, nxt) JOIN c1 USING (tok) CROSS JOIN v
+         |GROUP BY doc_id""".stripMargin, bench = true) { (s, d) =>
+      Corpus.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
     },
 
     q("q_embed_standardize",

@@ -584,6 +584,63 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom decontamination flags a superset of exact n-gram hits") {
+    val bench = Seq("what is the capital of france paris").toDF("text")
+    val corpus = Seq(
+      (1L, "students often ask what the capital of france might be called"),
+      (2L, "the capital city is large and france is a country in europe"),
+      (3L, "completely unrelated document about spark shuffles and parquet"))
+      .toDF("doc_id", "text")
+    val exact = graft.ops.Decontaminate
+      .contaminated(corpus, bench, "doc_id", "text", "text", ngram = 4)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = graft.ops.Decontaminate
+      .bloomContaminated(corpus, bench, "doc_id", "text", "text",
+        ngram = 4, mBits = 4096, kHashes = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.subsetOf(bloom.keySet))  // one-sided error only
+    assert(bloom(1L) >= 1L)
+    graft.core.Pin.clear()
+  }
+
+  test("bigram logprob: in-corpus-order doc outscores shuffled-order doc; math by hand") {
+    // corpus bigrams: (a,b) 2x, (b,c) 2x, (c,a) 1x, (b,a) 1x; vocab = 3
+    val c = Seq((1L, "a b c"), (2L, "a b c"), (3L, "b a")).toDF("doc_id", "text")
+    val rows = graft.ops.Corpus.bigramLogProb(c, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // unigram counts: a 3, b 3, c 2; V = 3
+    def lp(terms: Seq[(Double, Double)]) =
+      BigDecimal(terms.map { case (c12, c1) => math.log((c12 + 1) / (c1 + 3)) }
+        .sum / terms.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(1L)._1 === 2L)
+    assert(rows(1L)._2 === lp(Seq((2, 3), (2, 3))))   // p(b|a), p(c|b)
+    assert(rows(3L)._2 === lp(Seq((1, 3))))           // p(a|b)
+    assert(rows(1L)._2 > rows(3L)._2)
+    graft.core.Pin.clear()
+  }
+
+  test("containment: sub-document dup scores high where jaccard stays low") {
+    // big = small + one word: containment small→big = 1.0 while the reverse
+    // is 4/5 — the asymmetry jaccard (also 0.8 here) can't distinguish; the
+    // pair still shares enough shingle mass for the bands to collide (the
+    // recall trade documented on containmentPairs)
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " eta"
+    val d = Seq((1L, small), (2L, big), (3L, "unrelated text entirely different corpus"))
+      .toDF("doc_id", "text")
+    val rows = graft.ops.Dedup.containmentPairs(d, "doc_id", "text",
+      ngram = 3, k = 12, bands = 6, rows = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows.contains((1L, 2L)))                   // passes on c_ab alone
+    val (cab, cba) = rows((1L, 2L))
+    assert(cab === 1.0)       // every shingle of the small doc is in the big
+    assert(cba === 0.8)       // the reverse direction is below the gate
+    assert(!rows.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    graft.core.Pin.clear()
+  }
+
   test("degree assortativity: star graph is maximally disassortative") {
     val star = Seq(("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"))
       .toDF("src", "dst")
