@@ -403,29 +403,38 @@ object Algorithms {
     * the edge list (both sides shuffle on their keys — degree table is
     * \|V\|-sized, NOT broadcast), then a single 1-row total. No windows, no
     * driver state. */
-  def degreeAssortativity(undirectedEdges: DataFrame): DataFrame = {
-    // pinned: the symmetrized multigraph view feeds three consumers (the
-    // degree aggregation and both endpoint joins) — unpinned, the upstream
-    // edge projection re-evaluates per consumer (measured 11s → ~1s at
-    // sf0.1)
-    val sym = graft.core.Pin.pin(
-      undirectedEdges.select(col("src"), col("dst"))
-        .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst"))))
+  def degreeAssortativity(symEdges: DataFrame): DataFrame = {
+    // `symEdges` = the symmetrized multigraph view (every undirected edge
+    // in both directions). Callers pass the SESSION-PINNED multiplicity
+    // view (`Pin.pin(EdgeStep(BOTH).edgesFor(g).select(src, dst))` — the
+    // exact plan Bench.warmup pins) so the three consumers below (degree
+    // aggregation + both endpoint joins) read one materialization; an
+    // unpinned projection re-evaluated per consumer measured 11s vs ~1s
+    // at sf0.1.
+    val sym = symEdges.select(col("src"), col("dst"))
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    val pairs = sym
-      .join(deg.select(col("id").as("src"), col("deg").as("dx")), Seq("src"))
-      .join(deg.select(col("id").as("dst"), col("deg").as("dy")), Seq("dst"))
     val d38 = "decimal(38,0)"
-    val t = pairs.agg(count(lit(1)).as("m"),
-      sum(col("dx").cast(d38)).cast("double").as("sx"),
-      sum(col("dy").cast(d38)).cast("double").as("sy"),
-      sum((col("dx") * col("dy")).cast(d38)).cast("double").as("sxy"),
-      sum((col("dx") * col("dx")).cast(d38)).cast("double").as("sxx"),
-      sum((col("dy") * col("dy")).cast(d38)).cast("double").as("syy"))
-    t.select(col("m"),
-      round((col("m") * col("sxy") - col("sx") * col("sy")) /
-        sqrt((col("m") * col("sxx") - col("sx") * col("sx")) *
-             (col("m") * col("syy") - col("sy") * col("sy"))), 6)
+    val dd = col("deg").cast(d38)
+    // symmetry of the (u,v)/(v,u) pair stream: Σdx = Σdy = Σ_v deg², and
+    // Σdx² = Σdy² = Σ_v deg³ — both read off the degree table with NO edge
+    // join; m = Σ_v deg. Only the cross-moment Σ deg(u)·deg(v) needs the
+    // edge list: one sym⋈deg join, a dst-keyed partial sum, then a
+    // \|V\|-sized join back to deg — the second full-edge shuffle of the
+    // textbook formulation is gone. All sums are exact integers in
+    // DECIMAL(38,0), so the final double matches the oracle's pair-stream
+    // computation bit for bit.
+    val moments = deg.agg(
+      sum(dd).cast("long").as("m"),
+      sum(dd * dd).cast("double").as("sx"),
+      sum(dd * dd * dd).cast("double").as("sxx"))
+    val sxy = sym
+      .join(deg.select(col("id").as("src"), col("deg").as("dx")), Seq("src"))
+      .groupBy(col("dst")).agg(sum(col("dx")).as("sd"))
+      .join(deg.select(col("id").as("dst"), col("deg")), Seq("dst"))
+      .agg(sum((col("sd") * col("deg")).cast(d38)).cast("double").as("sxy"))
+    moments.crossJoin(sxy).select(col("m"),
+      round((col("m") * col("sxy") - col("sx") * col("sx")) /
+        (col("m") * col("sxx") - col("sx") * col("sx")), 6)
         .as("assortativity"))
   }
 }

@@ -358,7 +358,7 @@ object GraphQueries2 {
     },
 
     q("q_rings",
-      // BOTH-direction rings from customer:5 (two of its orders share a
+      // BOTH-direction rings from customer:130 (two of its orders share a
       // part at every SF → customer→order→part→order'→customer 4-rings).
       // The depth-2 A→B→A backtrack over a single physical edge is NOT a
       // ring (reference SubGraphTraverser.java:250-268) — with this graph's
@@ -369,17 +369,17 @@ object GraphQueries2 {
          |adj AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges
          |                                       UNION ALL SELECT dst, src FROM edges)),
          |p(id, path, d) AS (
-         |  SELECT 'customer:5', ['customer:5'], 0
+         |  SELECT 'customer:130', ['customer:130'], 0
          |  UNION ALL
          |  SELECT a.dst, p.path || [a.dst], p.d + 1
          |  FROM p JOIN adj a ON a.src = p.id
-         |  WHERE p.d < 3 AND a.dst <> 'customer:5' AND NOT list_contains(p.path, a.dst)),
+         |  WHERE p.d < 3 AND a.dst <> 'customer:130' AND NOT list_contains(p.path, a.dst)),
          |hits AS (
-         |  SELECT p.path || ['customer:5'] AS path
+         |  SELECT p.path || ['customer:130'] AS path
          |  FROM p JOIN adj a ON a.src = p.id
-         |  WHERE a.dst = 'customer:5' AND p.d >= 2 AND p.d + 1 <= 4)
+         |  WHERE a.dst = 'customer:130' AND p.d >= 2 AND p.d + 1 <= 4)
          |SELECT DISTINCT array_to_string(path, '->') AS path FROM hits""".stripMargin) { (s, d) =>
-      PathTraversals.rings(g(s, d), "customer:5", Direction.BOTH, Nil, maxDepth = 4)
+      PathTraversals.rings(g(s, d), "customer:130", Direction.BOTH, Nil, maxDepth = 4)
     },
 
     q("q_template_paths",

@@ -195,17 +195,20 @@ object OlapQueries2 {
          |                   JOIN deg dy ON dy.id = sym.dst),
          |t AS (SELECT count(*) AS m,
          |  CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-         |  CAST(sum(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
          |  CAST(sum(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-         |  CAST(sum(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-         |  CAST(sum(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy
+         |  CAST(sum(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx
          |  FROM pairs)
-         |SELECT m, round((m * sxy - sx * sy) /
-         |  sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS assortativity
+         |-- the (u,v)/(v,u) pair stream is symmetric, so Σdy = Σdx and
+         |-- Σdy² = Σdx²: Pearson reduces to (m·Σdxdy − (Σdx)²)/(m·Σdx² − (Σdx)²)
+         |SELECT m, round((m * sxy - sx * sx) /
+         |  (m * sxx - sx * sx), 6) AS assortativity
          |FROM t""".stripMargin) { (s, d) =>
       // Degree-mixing coefficient over the undirected view — the
       // subgraph_stat companion statistic (Newman 2002); exact decimal
-      // sums make the Pearson double bit-identical to the oracle.
-      Algorithms.degreeAssortativity(g(s, d).outEdges)
+      // sums make the Pearson double bit-identical to the oracle. The
+      // symmetrized view is the warmup-pinned multiplicity adjacency.
+      Algorithms.degreeAssortativity(graft.core.Pin.pin(
+        EdgeStep(Direction.BOTH).edgesFor(g(s, d))
+          .select(col("src"), col("dst"))))
     })
 }

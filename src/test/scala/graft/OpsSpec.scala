@@ -642,8 +642,9 @@ class OpsSpec extends SparkSpec {
   }
 
   test("degree assortativity: star graph is maximally disassortative") {
-    val star = Seq(("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"))
+    val fwd = Seq(("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"))
       .toDF("src", "dst")
+    val star = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val r = graft.olap.Algorithms.degreeAssortativity(star).collect()(0)
     assert(r.getLong(0) === 8L)
     assert(r.getDouble(1) === -1.0)
