@@ -310,6 +310,63 @@ object Corpus {
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_hits"))
   }
 
+  /** Pairwise source vocabulary overlap — the corpus-drift / source-
+    * redundancy gauge a mixture designer reads before weighting sources
+    * (two sources with near-identical vocabularies add little diversity):
+    * jaccard of the distinct-token sets for every source pair, via the
+    * inverted (token → source) index — never a vocabulary-array cross
+    * join.
+    *
+    * Scale shape: one (source, token) dedup shuffle, a token-keyed
+    * self-join whose fan-out is bounded by sources-per-token (≤ the
+    * source count, a constant), one pair-keyed count; per-source vocab
+    * sizes broadcast onto the pair table. */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val st = tokens(docs, groupCol, textCol)
+      .select(col(groupCol).as("g"), explode(col("toks")).as("tok"))
+      .distinct()
+    val vsz = st.groupBy(col("g")).agg(count(lit(1)).as("v"))
+    val inter = st.as("l").join(st.as("r"),
+        col("l.tok") === col("r.tok") && col("l.g") < col("r.g"))
+      .groupBy(col("l.g").as("ga"), col("r.g").as("gb"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(vsz.select(col("g").as("ga"), col("v").as("va"))), Seq("ga"))
+      .join(broadcast(vsz.select(col("g").as("gb"), col("v").as("vb"))), Seq("gb"))
+      .select(col("ga"), col("gb"), col("n_common"), col("va"), col("vb"),
+        round(col("n_common").cast("double") /
+          (col("va") + col("vb") - col("n_common")), 6).as("jaccard"))
+  }
+
+  /** Per-source dataset-card row — the summary bundle a corpus release
+    * ships per subset (counts, token volume, vocabulary, language mix):
+    * n_docs, n_tokens, vocabulary size, mean document length, and the
+    * Shannon entropy of the language distribution (0 = monolingual,
+    * log2(k) = uniform over k languages). All inputs exact integers; the
+    * entropy's log terms are the only doubles (rounded 6).
+    *
+    * Scale shape: one (source, token) aggregation for volume/vocab, one
+    * (source, lang) count for the mix — both map-side combined; no
+    * broadcasts bigger than the source list. */
+  def sourceCard(docs: DataFrame, groupCol: String, textCol: String,
+                 langCol: String): DataFrame = {
+    val e = tokens(docs, groupCol, textCol)
+    val vol = e.select(col(groupCol), explode(col("toks")).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_vocab"))
+    val lm = docs.groupBy(col(groupCol), col(langCol)).agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("c") * log2(col("c").cast("double"))).as("__s"))
+      .select(col(groupCol), col("n_docs"),
+        round(log2(col("n_docs").cast("double")) -
+          col("__s") / col("n_docs"), 6).as("lang_entropy"))
+    lm.join(vol, Seq(groupCol))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("n_vocab"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6).as("mean_doc_toks"),
+        col("lang_entropy"))
+  }
+
   /** DSIR-style importance weight per document (Xie et al., "Data Selection
     * for Language Models via Importance Resampling", 2023 — reduced to
     * add-one-smoothed unigram LMs so the score is exactly reproducible by

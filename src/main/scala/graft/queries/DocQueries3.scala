@@ -187,6 +187,41 @@ object DocQueries3 {
       Corpus.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // pairwise source vocabulary jaccard via the inverted token→source
+    // index — the mixture designer's source-redundancy gauge
+    q("q_source_overlap",
+      s"""WITH t AS (SELECT source, ${tokOf("text")} AS toks FROM documents),
+         |st AS (SELECT DISTINCT source AS g, unnest(toks) AS tok FROM t),
+         |vsz AS (SELECT g, count(*) AS v FROM st GROUP BY g),
+         |inter AS (SELECT l.g AS ga, r.g AS gb, count(*) AS n_common
+         |          FROM st l JOIN st r ON l.tok = r.tok AND l.g < r.g
+         |          GROUP BY l.g, r.g)
+         |SELECT ga, gb, CAST(n_common AS BIGINT) AS n_common,
+         |       CAST(va.v AS BIGINT) AS va, CAST(vb.v AS BIGINT) AS vb,
+         |       round(CAST(n_common AS DOUBLE) / (va.v + vb.v - n_common), 6) AS jaccard
+         |FROM inter JOIN vsz va ON va.g = inter.ga
+         |           JOIN vsz vb ON vb.g = inter.gb""".stripMargin) { (s, d) =>
+      Corpus.sourceOverlap(Tables.documents(s, d), "source", "text")
+    },
+
+    // per-source dataset-card row: volume, vocabulary, language-mix entropy
+    q("q_source_card",
+      s"""WITH t AS (SELECT source, ${tokOf("text")} AS toks FROM documents),
+         |vol AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab
+         |        FROM (SELECT source, unnest(toks) AS tok FROM t) z GROUP BY source),
+         |lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
+         |lm AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         |       round(log2(CAST(sum(c) AS DOUBLE))
+         |             - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS lang_entropy
+         |       FROM lc GROUP BY source)
+         |SELECT lm.source, n_docs, n_tokens, n_vocab,
+         |       round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_toks,
+         |       lang_entropy
+         |FROM lm JOIN vol ON vol.source = lm.source""".stripMargin) { (s, d) =>
+      Corpus.sourceCard(Tables.documents(s, d), "source", "text", "lang")
+    },
+
     q("q_embed_standardize",
       """WITH e AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
         |  CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)) AS v

@@ -641,6 +641,30 @@ class OpsSpec extends SparkSpec {
     graft.core.Pin.clear()
   }
 
+  test("source overlap: identical sources jaccard 1, disjoint absent") {
+    val d = Seq(
+      (1L, "alpha beta gamma", "s1"), (2L, "alpha beta gamma", "s2"),
+      (3L, "delta epsilon zeta", "s3")).toDF("doc_id", "text", "source")
+    val rows = graft.ops.Corpus.sourceOverlap(d, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(rows(("s1", "s2")) === 1.0)
+    assert(!rows.contains(("s1", "s3")))   // no shared token → no pair row
+    graft.core.Pin.clear()
+  }
+
+  test("source card: counts, vocab and language-mix entropy") {
+    val d = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "a b", "fr", "s1"),
+      (3L, "x y", "en", "s2")).toDF("doc_id", "text", "lang", "source")
+    val rows = graft.ops.Corpus.sourceCard(d, "source", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(rows("s1") === ((2L, 5L, 3L, 2.5, 1.0)))  // 1 doc en + 1 fr → H = 1 bit
+    assert(rows("s2") === ((1L, 2L, 2L, 2.0, 0.0)))  // monolingual → H = 0
+    graft.core.Pin.clear()
+  }
+
   test("degree assortativity: star graph is maximally disassortative") {
     val fwd = Seq(("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"))
       .toDF("src", "dst")
