@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING as a distributed operator (Sennrich
+  * et al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units" — the word-frequency variant every BPE/WordPiece trainer uses):
+  * start from the corpus word-frequency table with each word split into
+  * characters, then `merges` rounds of (count adjacent symbol pairs
+  * weighted by word frequency → merge the most frequent pair, ties broken
+  * lexicographically, in every word left-to-right non-overlapping).
+  *
+  * Determinism contract: the argmax tie-break is (count desc, a asc,
+  * b asc) and the in-word merge is a left-to-right fold — both exactly
+  * reproducible by the oracle's unrolled-CTE twin (`list_reduce` over the
+  * same space-joined symbol encoding; symbols never contain spaces, so the
+  * encoding is lossless).
+  *
+  * Scale shape: training runs on the DISTINCT-WORD table (Zipf: vocabulary
+  * ≪ corpus — the 100 TB corpus collapses to a vocab-sized working set in
+  * one map-side-combined count), pinned once; each round is one bounded
+  * pair aggregation + a TakeOrdered(1) argmax + a narrow fold over the
+  * vocab rows. The winning pair is a 1-row driver literal per round — the
+  * same trained-artifact discipline as `Ann.kmeansCentroids`. The corpus
+  * itself is touched exactly once (the word count); [[encodeStats]] touches
+  * it a second time through the pinned token view, with the trained
+  * per-word symbol counts joined back on the word key.
+  */
+object Bpe {
+
+  /** One learned merge: round (1-based), the pair, and its weighted count. */
+  final case class Merge(round: Int, symA: String, symB: String, pairCount: Long)
+
+  /** The pinned (word, cnt, syms) vocabulary table: corpus word frequencies
+    * with character-split symbol arrays. */
+  def vocab(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.core.Pin.pinDerived(
+      Corpus.tokens(docs, idCol, textCol)
+        .select(explode(col("toks")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .withColumn("syms", filter(split(col("word"), ""), s => length(s) > 0)))
+
+  /** Left-to-right non-overlapping merge of pair (a, b) in a symbol array,
+    * as a codegen-able fold over the space-joined encoding (symbols are
+    * space-free by construction). */
+  private def mergeFold(syms: Column, a: String, b: String): Column = {
+    val folded = aggregate(syms, lit(""), (acc, x) =>
+      when(acc === "", x)
+        .when(element_at(split(acc, " "), -1) === a && x === b,
+          concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
+        .otherwise(concat(acc, lit(" "), x)))
+    filter(split(folded, " "), s => length(s) > 0)
+  }
+
+  /** Adjacent-pair counts of the current symbol table, weighted by word
+    * frequency. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      // single-symbol words carry no pairs (and Spark's sequence(1, 0)
+      // DESCENDS rather than being empty — the guard is load-bearing)
+      .filter(size(col("syms")) > 1)
+      .select(col("cnt"), col("syms"),
+        explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
+      .select(element_at(col("syms"), col("i")).as("a"),
+        element_at(col("syms"), col("i") + 1).as("b"), col("cnt"))
+      .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("c"))
+
+  /** Train `merges` BPE merges over the corpus vocabulary. Returns the
+    * learned merge list (driver-side — it IS the model artifact) and the
+    * final per-word symbol table. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+            merges: Int): (Seq[Merge], DataFrame) = {
+    var words = vocab(docs, idCol, textCol)
+    val learned = Seq.newBuilder[Merge]
+    for (r <- 1 to merges) {
+      val best = pairCounts(words)
+        .orderBy(col("c").desc, col("a").asc, col("b").asc).limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += Merge(r, a, b, c)
+        words = words
+          .withColumn("syms", mergeFold(col("syms"), a, b))
+          .localCheckpoint(false)
+      }
+    }
+    (learned.result(), words)
+  }
+
+  /** The learned merge table as a DataFrame — the verifiable training
+    * artifact `(round, sym_a, sym_b, pair_count)`. */
+  def merges(docs: DataFrame, idCol: String, textCol: String,
+             nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, idCol, textCol, nMerges)._1
+      .toDF("round", "sym_a", "sym_b", "pair_count")
+      .select(col("round").cast("long").as("round"), col("sym_a"),
+        col("sym_b"), col("pair_count"))
+  }
+
+  /** Per-document encoding statistics under the trained merges: characters
+    * in, BPE tokens out — the compression-ratio gauge a tokenizer bake-off
+    * reads. The trained per-word symbol counts join the token stream on the
+    * word key (vocab-sized build side — broadcastable at Zipf scale). */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+                  nMerges: Int): DataFrame = {
+    val (_, words) = train(docs, idCol, textCol, nMerges)
+    val wl = words.select(col("word"),
+      length(col("word")).cast("long").as("n_chars_w"),
+      size(col("syms")).cast("long").as("n_syms_w"))
+    Corpus.tokens(docs, idCol, textCol)
+      .select(col(idCol), explode(col("toks")).as("word"))
+      .join(broadcast(wl), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars_w")).as("n_chars"),
+        sum(col("n_syms_w")).as("n_bpe_tokens"))
+      .select(col(idCol), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+          .as("chars_per_token"))
+  }
+}

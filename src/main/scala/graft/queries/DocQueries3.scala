@@ -46,6 +46,35 @@ object DocQueries3 {
     when(col("doc_id") % 5 === 0, lit(" via http://cdn.shared.net/lib.js"))
       .otherwise(lit(""))))
 
+  /** Unrolled BPE-training CTE chain (ops.Bpe.train's oracle twin): s0 =
+    * char-split word-frequency table; each round r = weighted adjacent-pair
+    * count → (count desc, a, b) argmax → left-to-right fold-merge via
+    * `list_reduce` over the space-joined symbol encoding (symbols are
+    * space-free, so the encoding is lossless — the exact contract of
+    * Bpe.mergeFold). */
+  private def bpeCtes(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS (SELECT syms[i] AS a, syms[i + 1] AS b, sum(cnt) AS c
+         |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM s${r - 1}) z$r
+         |  GROUP BY 1, 2),
+         |best$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT word, cnt,
+         |  list_filter(string_split(list_reduce(list_prepend('', syms),
+         |    (acc, x) -> CASE WHEN acc = '' THEN x
+         |      WHEN string_split(acc, ' ')[-1] = best$r.a AND x = best$r.b
+         |      THEN left(acc, length(acc) - length(best$r.a)) || best$r.a || best$r.b
+         |      ELSE acc || ' ' || x END), ' '), s -> len(s) > 0) AS syms
+         |  FROM s${r - 1} CROSS JOIN best$r)""".stripMargin
+    }.mkString(",\n")
+    s"""t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
+       |e AS (SELECT doc_id, unnest(toks) AS word FROM t),
+       |w AS (SELECT word, count(*) AS cnt FROM e GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT word, cnt,
+       |  list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
+       |  FROM w),
+       |$rounds""".stripMargin
+  }
+
   /** Shared unigram-LM CTE prefix (the q_unigram_logprob oracle). */
   private val unigramCte =
     s"""t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
@@ -185,6 +214,34 @@ object DocQueries3 {
          |FROM bgn JOIN c12 USING (tok, nxt) JOIN c1 USING (tok) CROSS JOIN v
          |GROUP BY doc_id""".stripMargin, bench = true) { (s, d) =>
       Corpus.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // BPE tokenizer training: the learned merge table after 8 rounds —
+    // training runs on the distinct-word table (Zipf-collapsed working
+    // set); argmax + fold-merge reproduced exactly by the unrolled oracle
+    q("q_bpe_merges",
+      {
+        val rows = (1 to 8).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+             |       CAST(c AS BIGINT) AS pair_count FROM best$r""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"WITH ${bpeCtes(8)}\n$rows"
+      }, bench = true) { (s, d) =>
+      graft.ops.Bpe.merges(Tables.documents(s, d), "doc_id", "text", nMerges = 8)
+    },
+
+    // per-document encoding stats under the trained merges — the
+    // chars-per-token compression gauge of a tokenizer bake-off
+    q("q_bpe_encode",
+      s"""WITH ${bpeCtes(8)},
+         |enc AS (SELECT word, CAST(length(word) AS BIGINT) AS n_chars_w,
+         |        CAST(len(syms) AS BIGINT) AS n_syms_w FROM s8)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_chars_w) AS BIGINT) AS n_chars,
+         |       CAST(sum(n_syms_w) AS BIGINT) AS n_bpe_tokens,
+         |       round(CAST(sum(n_chars_w) AS DOUBLE) / sum(n_syms_w), 6) AS chars_per_token
+         |FROM e JOIN enc USING (word) GROUP BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Bpe.encodeStats(Tables.documents(s, d), "doc_id", "text", nMerges = 8)
     },
 
     // pairwise source vocabulary jaccard via the inverted token→source

@@ -641,6 +641,30 @@ class OpsSpec extends SparkSpec {
     graft.core.Pin.clear()
   }
 
+  test("bpe: merges match hand computation, fold is left-to-right non-overlapping") {
+    // corpus: "low" x3, "lower" x1, "aaaa" x2
+    // pair counts round 1: (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1, (a,a)=6
+    //   -> merge (a,a) c=6; "aaaa" folds to [aa, aa] (non-overlapping)
+    // round 2: (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1, (aa,aa)=2 -> (l,o) by tie
+    // round 3: (lo,w)=4, (w,e)=1, (e,r)=1, (aa,aa)=2 -> (lo,w)
+    val d = Seq((1L, "low low low aaaa"), (2L, "lower aaaa")).toDF("doc_id", "text")
+    val m = graft.ops.Bpe.merges(d, "doc_id", "text", nMerges = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+      .toMap
+    assert(m(1L) === (("a", "a", 6L)))
+    assert(m(2L) === (("l", "o", 4L)))
+    assert(m(3L) === (("lo", "w", 4L)))
+    val enc = graft.ops.Bpe.encodeStats(d, "doc_id", "text", nMerges = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1: 3x "low"->[low]... after 3 merges "low" = [low]? merges: (a,a),(l,o),(lo,w)
+    //   "low" -> chars l,o,w -> (l,o) -> [lo, w] -> (lo,w) -> [low]: 1 token
+    //   "aaaa" -> [aa, aa]: 2 tokens
+    assert(enc(1L) === ((4L, 13L, 5L)))  // 3 words x 3 chars + 4 = 13 chars; 3x1 + 2 = 5 tokens
+    assert(enc(2L) === ((2L, 9L, 5L)))   // "lower"=5 chars ->[low,e,r]=3; "aaaa"->2
+    graft.core.Pin.clear()
+  }
+
   test("source overlap: identical sources jaccard 1, disjoint absent") {
     val d = Seq(
       (1L, "alpha beta gamma", "s1"), (2L, "alpha beta gamma", "s2"),
