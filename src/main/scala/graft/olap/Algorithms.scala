@@ -389,6 +389,42 @@ object Algorithms {
     labels
   }
 
+  /** SEEDED label spreading — the semi-supervised sibling of [[lpa]] (Zhu &
+    * Ghahramani 2002 label propagation with clamped seeds; the transductive
+    * node-classification workhorse): seed vertices carry fixed class
+    * labels; every round each vertex takes the majority label of its
+    * LABELED neighbors (ties broken by min label), seeds stay clamped,
+    * unreached vertices keep their previous (possibly null) label. After k
+    * rounds every vertex within k hops of a seed is classified.
+    *
+    * Scale shape: identical to [[lpa]] — per round one join against the
+    * pinned symmetrized adjacency + one (id, lbl) aggregation; the vertex
+    * frame is pinned co-partitioned on id, each round's result cut lazily. */
+  def seededLpa(verts: DataFrame, undirectedEdges: DataFrame, seeds: DataFrame,
+                iterations: Int): DataFrame = {
+    val adj = graft.core.Pin.pin(undirectedEdges.select(col("src"), col("dst"))
+      .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst"))))
+    val v = graft.core.Pin.pin(verts.select(col("id")).repartition(col("id")))
+    val sd = seeds.select(col("id"), col("lbl").as("__seed")).localCheckpoint(true)
+    var labels = v.join(sd, Seq("id"), "left")
+      .select(col("id"), col("__seed").as("lbl"))
+    for (_ <- 0 until iterations) {
+      val freq = labels.filter(col("lbl").isNotNull)
+        .select(col("id").as("src"), col("lbl"))
+        .join(adj, Seq("src"))
+        .groupBy(col("dst").as("id"), col("lbl")).agg(count(lit(1)).as("n"))
+      val pick = freq
+        .select(col("id"), struct((col("n") * -1).as("neg"), col("lbl")).as("key"))
+        .groupBy(col("id")).agg(min(col("key")).as("k"))
+        .select(col("id"), col("k.lbl").as("vote"))
+      labels = labels.join(pick, Seq("id"), "left").join(sd, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__seed"), col("vote"), col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    labels.filter(col("lbl").isNotNull)
+  }
+
   /** Degree assortativity coefficient (Newman 2002, "Assortative mixing in
     * networks") over the undirected view: the Pearson correlation of
     * endpoint degrees across edges — positive = hubs link to hubs, negative

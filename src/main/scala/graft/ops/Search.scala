@@ -50,4 +50,40 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Item-item collaborative filtering (Sarwar et al. 2001; the
+    * Amazon-style co-occurrence recommender): items are similar when they
+    * co-occur in the same baskets — cosine over the binary basket-item
+    * matrix, cos(a,b) = n_ab / √(n_a·n_b) with n_ab the co-basket count
+    * and n_x the item's basket frequency. `baskets` = (basketCol, itemCol)
+    * rows; returns the top-`k` neighbors per item (score desc, item asc).
+    *
+    * Scale shape: the basket self-join's fan-out is per-basket-size², kept
+    * linear by real basket sizes (and cappable upstream for degenerate
+    * baskets); pair counts shuffle on the (a, b) key, item frequencies
+    * join on their item keys, the per-item top-k is a partitioned window —
+    * never a global sort. Every count is exact; the cosine is a per-row
+    * fixed-order double. */
+  def itemItemCf(baskets: DataFrame, basketCol: String, itemCol: String,
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val freq = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val pairs = bi.as("l").join(bi.as("r"),
+        col("l.b") === col("r.b") && col("l.i") < col("r.i"))
+      .groupBy(col("l.i").as("ia"), col("r.i").as("ib"))
+      .agg(count(lit(1)).as("n_ab"))
+    // both directions: a recommender serves neighbors FOR every item
+    val sym = pairs.unionByName(pairs.select(col("ib").as("ia"),
+      col("ia").as("ib"), col("n_ab")))
+    val scored = sym
+      .join(freq.select(col("i").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(freq.select(col("i").as("ib"), col("n").as("nb")), Seq("ib"))
+      .withColumn("cos",
+        col("n_ab") / sqrt(col("na").cast("double") * col("nb")))
+    val w = Window.partitionBy(col("ia")).orderBy(col("cos").desc, col("ib").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("ia"), col("ib"), col("n_ab"), col("na"), col("nb"),
+        round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -186,6 +186,62 @@ object OlapQueries2 {
         .filter(col("id") === "supplier:3").select(col("dist"))
     },
 
+    q("q_seeded_lpa",
+      {
+        val rounds = (0 until 3).map { r =>
+          s"""freq$r AS MATERIALIZED (
+             |  SELECT a.dst AS id, l.lbl, count(*) AS n
+             |  FROM l$r l JOIN adj a ON a.src = l.id
+             |  WHERE l.lbl IS NOT NULL GROUP BY a.dst, l.lbl),
+             |pick$r AS (SELECT id, lbl FROM (
+             |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY n DESC, lbl ASC) AS rn
+             |  FROM freq$r) z$r WHERE rn = 1),
+             |l${r + 1} AS MATERIALIZED (
+             |  SELECT v.id, coalesce(s.lbl, p.lbl, l.lbl) AS lbl
+             |  FROM verts v LEFT JOIN seeds s ON s.id = v.id
+             |               LEFT JOIN pick$r p ON p.id = v.id
+             |               LEFT JOIN l$r l ON l.id = v.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS MATERIALIZED ($edgesSql),
+           |adj AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+           |verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM adj),
+           |seeds AS (SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS id,
+           |                 'region:' || CAST(r_regionkey AS VARCHAR) AS lbl FROM region),
+           |l0 AS (SELECT v.id, s.lbl FROM verts v LEFT JOIN seeds s ON s.id = v.id),
+           |$rounds
+           |SELECT id, lbl FROM l3 WHERE lbl IS NOT NULL""".stripMargin
+      }) { (s, d) =>
+      // semi-supervised label spreading: region ids are the clamped seed
+      // classes; 3 rounds classify everything within 3 hops of a region
+      val graph = g(s, d)
+      val seeds = graph.verticesOf("region")
+        .select(col("id"), col("id").as("lbl"))
+      Algorithms.seededLpa(graph.vertices.select(col("id")),
+        graph.outEdges.select(col("src"), col("dst")), seeds, iterations = 3)
+    },
+
+    q("q_item_cf",
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |freq AS (SELECT i, count(*) AS n FROM bi GROUP BY i),
+        |pairs AS (SELECT l.i AS ia, r.i AS ib, count(*) AS n_ab
+        |          FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i GROUP BY 1, 2),
+        |sym AS (SELECT ia, ib, n_ab FROM pairs
+        |        UNION ALL SELECT ib, ia, n_ab FROM pairs),
+        |sc AS (SELECT sym.ia, sym.ib, n_ab, fa.n AS na, fb.n AS nb,
+        |       n_ab / sqrt(CAST(fa.n AS DOUBLE) * fb.n) AS cos
+        |       FROM sym JOIN freq fa ON fa.i = sym.ia JOIN freq fb ON fb.i = sym.ib)
+        |SELECT ia, ib, CAST(n_ab AS BIGINT) AS n_ab, CAST(na AS BIGINT) AS na,
+        |       CAST(nb AS BIGINT) AS nb, round(cos, 6) AS cos,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
+        |      FROM sc) z
+        |WHERE rank <= 5""".stripMargin, bench = true) { (s, d) =>
+      // item-item co-purchase recommender over (order, part) baskets
+      graft.ops.Search.itemItemCf(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", k = 5)
+    },
+
     q("q_assortativity",
       s"""WITH edges AS ($edgesSql),
          |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),

@@ -641,6 +641,32 @@ class OpsSpec extends SparkSpec {
     graft.core.Pin.clear()
   }
 
+  test("seeded lpa: labels spread from clamped seeds, unreached stay out") {
+    // chain: s1 - a - b - c,  isolated: z (no edges)
+    val verts = Seq("s1", "a", "b", "c", "z").toDF("id")
+    val edges = Seq(("s1", "a"), ("a", "b"), ("b", "c")).toDF("src", "dst")
+    val seeds = Seq(("s1", "red")).toDF("id", "lbl")
+    val got = graft.olap.Algorithms.seededLpa(verts, edges, seeds, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("s1" -> "red", "a" -> "red", "b" -> "red"))  // 2 hops
+    val got3 = graft.olap.Algorithms.seededLpa(verts, edges, seeds, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got3("c") === "red")
+    graft.core.Pin.clear()
+  }
+
+  test("item-item cf: perfect co-occurrence scores 1, cosine discounts popularity") {
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),   // x,y always together
+      (3L, "x"), (3L, "p"), (4L, "p"))              // p once with x
+      .toDF("basket", "item")
+    val rows = graft.ops.Search.itemItemCf(baskets, "basket", "item", k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(math.abs(rows(("x", "y")) - 2.0 / math.sqrt(3 * 2)) < 1e-6)
+    assert(math.abs(rows(("x", "p")) - 1.0 / math.sqrt(3 * 2)) < 1e-6)
+    assert(rows(("y", "x")) === rows(("x", "y")))   // symmetric directions
+  }
+
   test("bpe: merges match hand computation, fold is left-to-right non-overlapping") {
     // corpus: "low" x3, "lower" x1, "aaaa" x2
     // pair counts round 1: (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1, (a,a)=6
