@@ -118,6 +118,20 @@ object DocScaleSmoke {
         .groupBy(col("source"))
         .agg(ops.Sketch.kmvEstimate(col("h"), 64).as("s"))
     })
+    // round-7 operators: the CMS counter table stays 4×256 at every scale;
+    // bloom's broadcast stays ≤ mBits rows; BPE trains on the vocabulary
+    // (which the suffixed copies grow ∝ N — the worst case for it); TF-IDF
+    // and the bigram LM are keyed-shuffle streams
+    run("cms_topk", (d, _) => ops.Sketch.countMinTopK(
+      ops.Corpus.tokens(d, "doc_id", "text")
+        .select(explode(col("toks")).as("tok")), "tok"))
+    run("bloom_decontaminate", (d, _) => ops.Decontaminate.bloomContaminated(
+      d.filter(col("doc_id") >= 25), d.filter(col("doc_id") < 25),
+      "doc_id", "text", "text", ngram = 5, mBits = 65536, kHashes = 3))
+    run("tfidf_topterms", (d, _) => ops.Corpus.tfidfTopTerms(d, "doc_id", "text"))
+    run("bigram_logprob", (d, _) => ops.Corpus.bigramLogProb(d, "doc_id", "text"))
+    run("bpe_merges", (d, _) => ops.Bpe.merges(d, "doc_id", "text", nMerges = 8))
+
     // the kNN-graph scale knob: cells ∝ N keeps |cell| — and so the
     // within-cell quadratic term PER VECTOR — constant (the SemDeDup
     // recipe); fixing nClusters while N grows would measure the cliff the

@@ -400,10 +400,13 @@ object Algorithms {
     * Scale shape: identical to [[lpa]] — per round one join against the
     * pinned symmetrized adjacency + one (id, lbl) aggregation; the vertex
     * frame is pinned co-partitioned on id, each round's result cut lazily. */
-  def seededLpa(verts: DataFrame, undirectedEdges: DataFrame, seeds: DataFrame,
+  def seededLpa(verts: DataFrame, symEdges: DataFrame, seeds: DataFrame,
                 iterations: Int): DataFrame = {
-    val adj = graft.core.Pin.pin(undirectedEdges.select(col("src"), col("dst"))
-      .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst"))))
+    // `symEdges` = the symmetrized view; callers pass the SESSION-PINNED
+    // multiplicity adjacency (the degreeAssortativity discipline) so the
+    // per-round join reads the warmup materialization instead of cold-
+    // pinning a second copy of the edge table into the cache
+    val adj = symEdges.select(col("src"), col("dst"))
     val v = graft.core.Pin.pin(verts.select(col("id")).repartition(col("id")))
     val sd = seeds.select(col("id"), col("lbl").as("__seed")).localCheckpoint(true)
     var labels = v.join(sd, Seq("id"), "left")

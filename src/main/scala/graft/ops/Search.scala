@@ -67,7 +67,11 @@ object Search {
   def itemItemCf(baskets: DataFrame, basketCol: String, itemCol: String,
                  k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    // pinned DERIVED view: the distinct basket-item table feeds three plan
+    // branches (both self-join sides + the frequency table) — a deployment
+    // materializes it once beside the source
+    val bi = graft.core.Pin.pinDerived(
+      baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct())
     val freq = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
     val pairs = bi.as("l").join(bi.as("r"),
         col("l.b") === col("r.b") && col("l.i") < col("r.i"))

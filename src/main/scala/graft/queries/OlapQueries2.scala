@@ -217,7 +217,8 @@ object OlapQueries2 {
       val seeds = graph.verticesOf("region")
         .select(col("id"), col("id").as("lbl"))
       Algorithms.seededLpa(graph.vertices.select(col("id")),
-        graph.outEdges.select(col("src"), col("dst")), seeds, iterations = 3)
+        graft.core.Pin.pin(EdgeStep(Direction.BOTH).edgesFor(graph)
+          .select(col("src"), col("dst"))), seeds, iterations = 3)
     },
 
     q("q_item_cf",

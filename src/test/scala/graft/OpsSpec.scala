@@ -644,7 +644,8 @@ class OpsSpec extends SparkSpec {
   test("seeded lpa: labels spread from clamped seeds, unreached stay out") {
     // chain: s1 - a - b - c,  isolated: z (no edges)
     val verts = Seq("s1", "a", "b", "c", "z").toDF("id")
-    val edges = Seq(("s1", "a"), ("a", "b"), ("b", "c")).toDF("src", "dst")
+    val fwd = Seq(("s1", "a"), ("a", "b"), ("b", "c")).toDF("src", "dst")
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val seeds = Seq(("s1", "red")).toDF("id", "lbl")
     val got = graft.olap.Algorithms.seededLpa(verts, edges, seeds, iterations = 2)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
