@@ -99,4 +99,45 @@ class InvariantSpec extends SparkSpec {
       assert(total % 3 === 0L, s"seed=$seed")
     }
   }
+
+  test("assortativity is within [-1, 1] on random graphs") {
+    for (seed <- Seq(21L, 22L, 23L)) {
+      val g = randomGraph(seed, 20, 3.0)
+      val e = g.edges.select(col("src"), col("dst"))
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val rows = Algorithms.degreeAssortativity(sym).collect()
+      if (rows.nonEmpty && !rows(0).isNullAt(1)) {
+        val r = rows(0).getDouble(1)
+        assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"seed=$seed r=$r")
+      }
+    }
+  }
+
+  test("seeded lpa labels only spread from seeds and clamp them") {
+    for (seed <- Seq(31L, 32L)) {
+      val g = randomGraph(seed, 20, 2.5)
+      val e = g.edges.select(col("src"), col("dst"))
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Seq(("v0", "A"), ("v1", "B")).toDF("id", "lbl")
+      val out = Algorithms.seededLpa(g.vertices.select(col("id")), sym, seeds, 3)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out.getOrElse("v0", "A") === "A", s"seed=$seed")  // clamped
+      assert(out.getOrElse("v1", "B") === "B", s"seed=$seed")
+      assert(out.values.toSet.subsetOf(Set("A", "B")), s"seed=$seed") // labels originate in seeds
+      graft.core.Pin.clear()
+    }
+  }
+
+  test("bpe never increases per-word symbol count; merges have decreasing-or-tied counts") {
+    val docs = Seq((1L, "sparkling sparks sparked sparse parse parsec"),
+      (2L, "parse parse sparks sparkling")).toDF("doc_id", "text")
+    val (merges, words) = graft.ops.Bpe.train(docs, "doc_id", "text", 5)
+    assert(merges.map(_.round) === (1 to merges.length))
+    // each word's symbol count <= its char count
+    words.collect().foreach { r =>
+      assert(r.getSeq[String](2).length <= r.getString(0).length)
+      assert(r.getSeq[String](2).mkString("") === r.getString(0)) // lossless
+    }
+    graft.core.Pin.clear()
+  }
 }
