@@ -322,6 +322,16 @@ object Algorithms {
     seen
   }
 
+  /** Sampled eccentricity (max BFS distance within `maxDepth`) per source —
+    * the diameter-lower-bound probe `subgraph_stat`-style bundles report;
+    * rides [[multiSourceBfsAdj]] so the sources share the session-pinned
+    * adjacency and each layer is one frontier join. Returns
+    * `(id, ecc, n_reached)`. */
+  def eccentricity(sources: DataFrame, adj: DataFrame, maxDepth: Int): DataFrame =
+    multiSourceBfsAdj(sources, adj, maxDepth)
+      .groupBy(col("root").as("id"))
+      .agg(max(col("dist")).as("ecc"), (count(lit(1)) - 1).as("n_reached"))
+
   /** Closeness centrality Σ 1/d(s,t) (reference
     * `cent/ClosenessCentralityAlgorithmV2.java:46`). */
   def closenessCentrality(verts: DataFrame, undirectedEdges: DataFrame, maxDepth: Int): DataFrame =

@@ -61,4 +61,23 @@ object Packing {
     }
     df.filter(hash16(col(idCol)) < rate * 65536.0)
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * A-Res): each row draws key = −ln(u)/w from a deterministic md5-uniform
+    * u ∈ (0, 1] and the k SMALLEST keys win — inclusion probability
+    * proportional to weight, reproducible across engines and runs (same u,
+    * same key). The principled upgrade of [[mixSample]] for continuous
+    * weights (quality scores, importance weights).
+    *
+    * Scale shape: one narrow map + a global top-k that compiles to
+    * TakeOrderedAndProject (per-partition partial top-k) — no shuffle of
+    * the full table, no single-partition sort. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int): DataFrame = {
+    val u = (hash16(col(idCol)) + 1).cast("double") / 65536.0
+    val key = -log(u) / weightCol
+    df.withColumn("key", key)
+      .orderBy(col("key").asc, col(idCol).asc).limit(k)
+      .withColumn("key", round(col("key"), 9))
+  }
 }

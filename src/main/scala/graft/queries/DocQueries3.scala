@@ -279,6 +279,24 @@ object DocQueries3 {
       Corpus.sourceCard(Tables.documents(s, d), "source", "text", "lang")
     },
 
+    // Efraimidis–Spirakis A-Res weighted sampling: −ln(u)/w keys from the
+    // md5-uniform draw, k smallest win — reproducible weighted selection
+    q("q_weighted_sample",
+      {
+        def d4(i: Int) =
+          s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+        val h16 = s"(${d4(1)} * 4096 + ${d4(2)} * 256 + ${d4(3)} * 16 + ${d4(4)})"
+        s"""SELECT doc_id, n_chars, round(key, 9) AS key FROM (
+           |  SELECT doc_id, n_chars,
+           |         -ln(CAST($h16 + 1 AS DOUBLE) / 65536.0) / n_chars AS key
+           |  FROM documents)
+           |ORDER BY key ASC, doc_id ASC LIMIT 50""".stripMargin
+      }) { (s, d) =>
+      graft.ops.Packing.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), k = 50)
+    },
+
     q("q_embed_standardize",
       """WITH e AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
         |  CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)) AS v

@@ -204,6 +204,34 @@ object EventQueries {
           round(col("z"), 6).as("z"))
     },
 
+    q("q_event_retention",
+      """WITH c AS (SELECT user_id,
+        |  date_trunc('week', min(ts)) AS w0 FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, c.w0,
+        |  CAST((epoch_us(date_trunc('week', e.ts)) - epoch_us(c.w0)) / 604800000000 AS BIGINT) AS weeks_since
+        |  FROM events e JOIN c USING (user_id))
+        |SELECT strftime(w0, '%Y-%m-%d') AS cohort_week, weeks_since,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY w0, weeks_since""".stripMargin) { (s, d) =>
+      // cohort retention: users grouped by first-activity week, counted in
+      // every later week they return — the product-analytics staple. All
+      // integer epoch math; two user-keyed aggregations plus one
+      // (cohort, offset) rollup — no windows, no driver state.
+      val ev = Tables.events(s, d)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("w0"))
+      ev.join(cohort, Seq("user_id"))
+        .select(col("user_id"), col("w0"),
+          // both operands are week-truncated epochs, so the quotient is an
+          // exact integer — the cast only fixes Spark's always-double `/`
+          ((unix_micros(date_trunc("week", col("ts"))) - unix_micros(col("w0")))
+            / 604800000000L).cast("long").as("weeks_since"))
+        .distinct()
+        .groupBy(date_format(col("w0"), "yyyy-MM-dd").as("cohort_week"),
+          col("weeks_since"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     q("q_event_gaps",
       """WITH o AS (
         |  SELECT user_id, ts, event_id,

@@ -221,6 +221,29 @@ object OlapQueries2 {
           .select(col("src"), col("dst"))), seeds, iterations = 3)
     },
 
+    q("q_eccentricity",
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |adj AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) z),
+         |bfs(root, id, dist) AS (
+         |  SELECT v, v, CAST(0 AS BIGINT)
+         |  FROM (VALUES ('customer:1'), ('supplier:3'), ('part:7')) s(v)
+         |  UNION
+         |  SELECT b.root, a.dst, b.dist + 1 FROM bfs b JOIN adj a ON a.src = b.id
+         |  WHERE b.dist < 6),
+         |d AS (SELECT root, id, min(dist) AS dist FROM bfs GROUP BY root, id)
+         |SELECT root AS id, CAST(max(dist) AS BIGINT) AS ecc,
+         |       CAST(count(*) - 1 AS BIGINT) AS n_reached
+         |FROM d GROUP BY root""".stripMargin) { (s, d) =>
+      // sampled eccentricity / diameter lower bound from 3 probe vertices
+      // over the session-pinned BOTH adjacency
+      import s.implicits._
+      Algorithms.eccentricity(
+        Seq("customer:1", "supplier:3", "part:7").toDF("id"),
+        graft.traverse.Traversals.adjacencyView(g(s, d), Direction.BOTH),
+        maxDepth = 6)
+    },
+
     q("q_item_cf",
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
         |freq AS (SELECT i, count(*) AS n FROM bi GROUP BY i),

@@ -641,6 +641,28 @@ class OpsSpec extends SparkSpec {
     graft.core.Pin.clear()
   }
 
+  test("eccentricity: path-graph endpoints see the full length, center half") {
+    // path a-b-c-d-e
+    val fwd = Seq(("a","b"),("b","c"),("c","d"),("d","e")).toDF("src","dst")
+    val adj = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val got = graft.olap.Algorithms.eccentricity(
+      Seq("a", "c").toDF("id"), adj, maxDepth = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("a") === ((4L, 4L)))
+    assert(got("c") === ((2L, 4L)))
+  }
+
+  test("weighted sample: deterministic, k-bounded, favors heavy weights") {
+    val d = (1L to 200L).map(i => (i, if (i % 2 == 0) 1000L else 1L))
+      .toDF("doc_id", "w")
+    val s1 = graft.ops.Packing.weightedSample(d, "doc_id", col("w"), k = 40)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = graft.ops.Packing.weightedSample(d, "doc_id", col("w"), k = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s2 && s1.size === 40)            // reproducible draw
+    assert(s1.count(_ % 2 == 0) >= 35)             // heavy weights dominate
+  }
+
   test("seeded lpa: labels spread from clamped seeds, unreached stay out") {
     // chain: s1 - a - b - c,  isolated: z (no edges)
     val verts = Seq("s1", "a", "b", "c", "z").toDF("id")
