@@ -169,6 +169,32 @@ object ScaleSmoke {
         Direction.BOTH, Nil, weightCol = "quantity", rounds = 4)
         .filter(col("id") === ("supplier:3" + suf)).count()))
 
+    // round-7 graph operators: assortativity (one edge join + moments),
+    // seeded label spreading (per-round vote aggregation over the pinned
+    // multiplicity view), sampled eccentricity (frontier-join BFS)
+    def symOf(g: PropertyGraph) = graft.core.Pin.pin(
+      EdgeStep(Direction.BOTH).edgesFor(g).select(col("src"), col("dst")))
+    if (wanted("assort")) results("assortativity") = (
+      time("assort 1x")(Algorithms.degreeAssortativity(symOf(g1)).count()),
+      time(s"assort ${copies}x")(Algorithms.degreeAssortativity(symOf(gN)).count()))
+    if (wanted("slpa")) {
+      def seedsOf(g: PropertyGraph) = g.verticesOf("region")
+        .select(col("id"), col("id").as("lbl"))
+      results("seeded_lpa") = (
+        time("slpa 1x")(Algorithms.seededLpa(g1.vertices.select(col("id")),
+          symOf(g1), seedsOf(g1), iterations = 3).count()),
+        time(s"slpa ${copies}x")(Algorithms.seededLpa(gN.vertices.select(col("id")),
+          symOf(gN), seedsOf(gN), iterations = 3).count()))
+    }
+    if (wanted("ecc")) {
+      import spark.implicits._
+      results("eccentricity") = (
+        time("ecc 1x")(Algorithms.eccentricity(Seq("customer:1").toDF("id"),
+          Traversals.adjacencyView(g1, Direction.BOTH), maxDepth = 6).count()),
+        time(s"ecc ${copies}x")(Algorithms.eccentricity(Seq("customer:1" + suf).toDF("id"),
+          Traversals.adjacencyView(gN, Direction.BOTH), maxDepth = 6).count()))
+    }
+
     println(f"%n[scale] | operator | 1x | ${copies}x | ratio |")
     println(s"[scale] |---|---|---|---|")
     results.foreach { case (k, (a, b)) =>
