@@ -267,10 +267,16 @@ object Algorithms {
   /** k-core: iterative peeling of vertices with degree < k to fixpoint
     * (reference `comm/KCoreAlgorithm.java:71`). Returns surviving vertices
     * with their core-subgraph degree. */
-  def kcore(canonicalEdges: DataFrame, k: Int): DataFrame = {
-    var edges = graft.core.Pin.pin(canonicalEdges)
+  def kcore(canonicalEdges: DataFrame, k: Int): DataFrame =
+    kcoreEdges(graft.core.Pin.pin(canonicalEdges), k)
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+
+  /** The peeling fixpoint itself — surviving edges of the k-core. */
+  private def kcoreEdges(edges0: DataFrame, k: Int): DataFrame = {
+    var edges = edges0
     var nEdges = edges.count()
-    var done = false
+    var done = nEdges == 0
     while (!done) {
       val deg = edges.select(explode(array(col("src"), col("dst"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -280,12 +286,30 @@ object Algorithms {
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst")).localCheckpoint(true)
       val nNext = next.count() // previous round's size is already known
-      done = nNext == nEdges
+      done = nNext == nEdges || nNext == 0
       nEdges = nNext
       edges = next
     }
-    edges.select(explode(array(col("src"), col("dst"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    edges
+  }
+
+  /** Coreness TIERS — the decomposition view of [[kcore]]: for an ascending
+    * probe ladder `ks`, tier(v) = the largest probe k whose k-core still
+    * contains v (the bounded stand-in for exact coreness; a deployment
+    * picks the ladder). Incremental by core nesting — the (k₂)-core of G
+    * equals the (k₂)-core of the (k₁)-core for k₁ ≤ k₂ — so each probe
+    * peels the PREVIOUS probe's surviving edge set, never the full graph
+    * again. Returns `(id, tier)`. */
+  def corenessTiers(canonicalEdges: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks == ks.sorted && ks.nonEmpty, "probe ladder must be ascending")
+    var edges = graft.core.Pin.pin(canonicalEdges)
+    val tiers = ks.map { k =>
+      edges = kcoreEdges(edges, k)
+      edges.select(explode(array(col("src"), col("dst"))).as("id"))
+        .distinct().withColumn("tier", lit(k))
+    }
+    tiers.reduce(_ unionByName _)
+      .groupBy(col("id")).agg(max(col("tier")).cast("long").as("tier"))
   }
 
   /** Multi-source BFS distances: (root, id, dist) for all reachable pairs —
@@ -419,8 +443,10 @@ object Algorithms {
     val adj = symEdges.select(col("src"), col("dst"))
     val v = graft.core.Pin.pin(verts.select(col("id")).repartition(col("id")))
     val sd = seeds.select(col("id"), col("lbl").as("__seed")).localCheckpoint(true)
+    // the clamp column rides the labels frame — one seed join at init
+    // instead of one per round
     var labels = v.join(sd, Seq("id"), "left")
-      .select(col("id"), col("__seed").as("lbl"))
+      .select(col("id"), col("__seed").as("lbl"), col("__seed"))
     for (_ <- 0 until iterations) {
       val freq = labels.filter(col("lbl").isNotNull)
         .select(col("id").as("src"), col("lbl"))
@@ -430,12 +456,12 @@ object Algorithms {
         .select(col("id"), struct((col("n") * -1).as("neg"), col("lbl")).as("key"))
         .groupBy(col("id")).agg(min(col("key")).as("k"))
         .select(col("id"), col("k.lbl").as("vote"))
-      labels = labels.join(pick, Seq("id"), "left").join(sd, Seq("id"), "left")
+      labels = labels.join(pick, Seq("id"), "left")
         .select(col("id"),
-          coalesce(col("__seed"), col("vote"), col("lbl")).as("lbl"))
+          coalesce(col("__seed"), col("vote"), col("lbl")).as("lbl"), col("__seed"))
         .localCheckpoint(false)
     }
-    labels.filter(col("lbl").isNotNull)
+    labels.filter(col("lbl").isNotNull).select(col("id"), col("lbl"))
   }
 
   /** Degree assortativity coefficient (Newman 2002, "Assortative mixing in

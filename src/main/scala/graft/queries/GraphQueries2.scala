@@ -578,6 +578,18 @@ object GraphQueries2 {
           "ORDER BY cust ASC, price DESC SKIP 5 LIMIT 20")
     },
 
+    q("q_gremlin_repeat",
+      // the §2.9 branch-step family end-to-end: repeat(out()).times(2)
+      // from the script frontend = exact-2-hop OUT reachability
+      s"""WITH edges AS ($edgesSql),
+         |adj AS (SELECT DISTINCT src, dst FROM edges)
+         |SELECT DISTINCT a2.dst AS id
+         |FROM adj a1 JOIN adj a2 ON a2.src = a1.dst
+         |WHERE a1.src = 'customer:1'""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V('customer:1').repeat(out()).times(2).dedup().id()")
+    },
+
     q("q_sql_frontend",
       s"""WITH edges AS ($edgesSql)
          |SELECT split_part(src, ':', 1) AS src_label, label AS edge_label,

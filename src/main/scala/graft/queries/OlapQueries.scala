@@ -129,6 +129,15 @@ object OlapQueries {
        |GROUP BY id""".stripMargin
   }
 
+  /** Coreness-tier oracle: max surviving probe per vertex, each probe an
+    * independent unrolled peeling chain (results identical to the engine's
+    * incremental nesting-based chain). */
+  def corenessSql(ks: Seq[Int], rounds: Int): String =
+    s"""SELECT id, CAST(max(tier) AS BIGINT) AS tier FROM (
+       |${ks.map(k => s"SELECT DISTINCT id, $k AS tier FROM (${kcoreSql(k, rounds)}) zz$k")
+            .mkString("\nUNION ALL\n")}
+       |) u GROUP BY id""".stripMargin
+
   // ----------------------------------------------------------------- queries
   val defs: Seq[QueryDef] = Seq(
 
@@ -218,6 +227,13 @@ object OlapQueries {
 
     q("q_kcore", kcoreSql(k = 10, rounds = 8)) { (s, d) =>
       Algorithms.kcore(coSupplierEdges(s, d), k = 10)
+    },
+
+    // coreness decomposition on a bounded probe ladder — each probe peels
+    // the previous probe's surviving edges (core nesting), so the ladder
+    // costs barely more than its largest single probe
+    q("q_coreness", corenessSql(Seq(5, 10, 15), rounds = 10)) { (s, d) =>
+      Algorithms.corenessTiers(coSupplierEdges(s, d), Seq(5, 10, 15))
     },
 
     q("q_closeness_centrality",

@@ -641,6 +641,16 @@ class OpsSpec extends SparkSpec {
     graft.core.Pin.clear()
   }
 
+  test("coreness tiers: clique members reach the top probe, pendants none") {
+    // K4 on a,b,c,d plus pendant p-a
+    val e = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),("a","p"))
+      .toDF("src", "dst")
+    val got = graft.olap.Algorithms.corenessTiers(e, Seq(2, 3))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))  // p: deg 1, no tier
+    graft.core.Pin.clear()
+  }
+
   test("eccentricity: path-graph endpoints see the full length, center half") {
     // path a-b-c-d-e
     val fwd = Seq(("a","b"),("b","c"),("c","d"),("d","e")).toDF("src","dst")
