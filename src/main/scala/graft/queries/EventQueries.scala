@@ -204,6 +204,36 @@ object EventQueries {
           round(col("z"), 6).as("z"))
     },
 
+    q("q_event_moving_avg",
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events GROUP BY event_type, day)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  CAST(total AS DOUBLE) AS total,
+        |  round(CAST(SUM(total) OVER w AS DOUBLE) / SUM(n) OVER w, 6) AS avg3d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(day) // 86400000000
+        |             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      // trailing 3-day moving average per event type — the RANGE-frame
+      // analytic window (frames over event-time VALUES, not row offsets,
+      // so gap days widen the frame correctly). Frame sums are exact
+      // decimals → one deterministic division. Window partitioned by type.
+      val day = date_trunc("day", col("ts"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), day.as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("total"))
+      val dayNum = (unix_micros(col("day")) / 86400000000L).cast("long")
+      val w = Window.partitionBy(col("event_type")).orderBy(dayNum)
+        .rangeBetween(-2, Window.currentRow)
+      daily.select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        col("total").cast("double").as("total"),
+        round(sum(col("total")).over(w).cast("double") /
+          sum(col("n")).over(w), 6).as("avg3d"))
+    },
+
     q("q_event_retention",
       """WITH c AS (SELECT user_id,
         |  date_trunc('week', min(ts)) AS w0 FROM events GROUP BY user_id),
