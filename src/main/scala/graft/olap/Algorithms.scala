@@ -394,6 +394,39 @@ object Algorithms {
       .select(col("id"), round(col("x") / col("__n"), 9).as("x"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) by power iteration over the
+    * DIRECTED adjacency — the link-analysis companion of [[pageRank]] /
+    * [[eigenvector]] for bipartite-flavored graphs (a good hub points at
+    * good authorities and vice versa). Normalization deferred to ONE final
+    * L1 division per score (the [[eigenvector]] contract): with x₀ = 1
+    * every pre-division value is an integer-valued double (exact below
+    * 2⁵³), so both scores are bit-identical to the oracle's unrolled twin.
+    *
+    * Scale shape: per round two adjacency joins + keyed aggregations
+    * against the pinned directed view; the whole loop is ONE lazy plan —
+    * no per-round driver action. Returns `(id, hub, auth)`. */
+  def hits(verts: DataFrame, directedAdj: DataFrame, iterations: Int): DataFrame = {
+    val adj = directedAdj.select(col("src"), col("dst"))
+    val v = graft.core.Pin.pin(verts.select(col("id")).repartition(col("id")))
+    var hub = v.select(col("id"), lit(1.0).as("h"))
+    var auth = v.select(col("id"), lit(0.0).as("a"))
+    for (_ <- 1 to iterations) {
+      val aSum = adj.join(hub.select(col("id").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("s"))
+      auth = v.join(aSum, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("a"))
+      val hSum = adj.join(auth.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("s"))
+      hub = v.join(hSum, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("h"))
+    }
+    val norms = hub.agg(sum(col("h")).as("hn"))
+      .crossJoin(auth.agg(sum(col("a")).as("an")))
+    hub.join(auth, Seq("id")).crossJoin(broadcast(norms))
+      .select(col("id"), round(col("h") / col("hn"), 9).as("hub"),
+        round(col("a") / col("an"), 9).as("auth"))
+  }
+
   /** Synchronous label propagation with deterministic min-label tie-break
     * (reference `comm/LpaAlgorithm.java:63`; the reference breaks frequency
     * ties randomly — we pin min(label) so runs are reproducible). */

@@ -221,6 +221,37 @@ object OlapQueries2 {
           .select(col("src"), col("dst"))), seeds, iterations = 3)
     },
 
+    q("q_hits",
+      {
+        val iters = (1 to 2).map { i =>
+          s"""as$i AS MATERIALIZED (SELECT a.dst AS id, sum(h.h) AS s
+             |  FROM h${i - 1} h JOIN adj a ON a.src = h.id GROUP BY a.dst),
+             |a$i AS MATERIALIZED (SELECT v.id, coalesce(s.s, 0) AS a
+             |  FROM verts v LEFT JOIN as$i s ON s.id = v.id),
+             |hs$i AS MATERIALIZED (SELECT a.src AS id, sum(x.a) AS s
+             |  FROM a$i x JOIN adj a ON a.dst = x.id GROUP BY a.src),
+             |h$i AS MATERIALIZED (SELECT v.id, coalesce(s.s, 0) AS h
+             |  FROM verts v LEFT JOIN hs$i s ON s.id = v.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS MATERIALIZED ($edgesSql),
+           |adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+           |verts AS MATERIALIZED (SELECT DISTINCT id FROM
+           |  (SELECT src AS id FROM adj UNION ALL SELECT dst FROM adj) z),
+           |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM verts),
+           |$iters
+           |SELECT h2.id, round(h2.h / (SELECT sum(h) FROM h2), 9) AS hub,
+           |       round(a2.a / (SELECT sum(a) FROM a2), 9) AS auth
+           |FROM h2 JOIN a2 ON a2.id = h2.id""".stripMargin
+      }) { (s, d) =>
+      // HITS over the directed TPC-H graph (customers/orders hub toward
+      // part/supplier authorities); the adjacency is the warmup-pinned
+      // distinct OUT view, vertices = its endpoints (both sides identical)
+      val adj = graft.traverse.Traversals.adjacencyView(g(s, d), Direction.OUT)
+      val verts = adj.select(col("src").as("id"))
+        .union(adj.select(col("dst").as("id"))).distinct()
+      Algorithms.hits(verts, adj, iterations = 2)
+    },
+
     q("q_eccentricity",
       s"""WITH RECURSIVE edges AS ($edgesSql),
          |adj AS (SELECT DISTINCT src, dst FROM

@@ -641,6 +641,19 @@ class OpsSpec extends SparkSpec {
     graft.core.Pin.clear()
   }
 
+  test("hits: hub mass on the pointer, authority mass on the target; sums 1") {
+    // star pointing out: h -> a1, h -> a2 (h is the only hub, a* the authorities)
+    val verts = Seq("h", "a1", "a2").toDF("id")
+    val adj = Seq(("h", "a1"), ("h", "a2")).toDF("src", "dst")
+    val got = graft.olap.Algorithms.hits(verts, adj, iterations = 2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got("h") === ((1.0, 0.0)))
+    assert(got("a1") === ((0.0, 0.5)) && got("a2") === ((0.0, 0.5)))
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+    graft.core.Pin.clear()
+  }
+
   test("coreness tiers: clique members reach the top probe, pendants none") {
     // K4 on a,b,c,d plus pendant p-a
     val e = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),("a","p"))
