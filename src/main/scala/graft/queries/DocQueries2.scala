@@ -80,10 +80,10 @@ object DocQueries2 {
          |FROM embeddings""".stripMargin
     }.mkString("\nUNION ALL\n")
 
-  /** Trained-quantizer kNN-graph oracle: the unrolled fp-stabilized Lloyd's
-    * of DocQueries.semDedupSql (same training, full table), then exact
-    * cosine top-k per vector within its cell. */
-  def knnGraphSql(nClusters: Int, iters: Int, k: Int): String = {
+  /** The unrolled fp-stabilized Lloyd's chain of DocQueries.semDedupSql
+    * (full-table candidates) up to the `assigned(vec_id, embedding, cid)`
+    * CTE — shared by the kNN-graph and topic-keyword oracles. */
+  def kmeansAssignedCtes(nClusters: Int, iters: Int): String = {
     def iter(prev: String, n: Int): String =
       s"""a${n}_scored AS MATERIALIZED (
          |  SELECT c.vec_id, c.embedding, t.cid, ${cosExpr("c.embedding", "t.ce")} AS csim
@@ -100,7 +100,7 @@ object DocQueries2 {
          |    GROUP BY cid, i) zz GROUP BY cid),
          |c$n AS MATERIALIZED (
          |  SELECT p.cid, COALESCE(m$n.cem, p.ce) AS ce FROM $prev p LEFT JOIN m$n USING (cid)),"""
-    s"""WITH cands AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+    s"""cands AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
        |c0 AS MATERIALIZED (
        |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
        |  FROM cands ORDER BY vec_id LIMIT $nClusters),
@@ -111,7 +111,14 @@ object DocQueries2 {
        |assigned AS MATERIALIZED (
        |  SELECT vec_id, embedding, cid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-       |    FROM fin_scored) WHERE rn = 1),
+       |    FROM fin_scored) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Trained-quantizer kNN-graph oracle: the unrolled fp-stabilized Lloyd's
+    * of DocQueries.semDedupSql (same training, full table), then exact
+    * cosine top-k per vector within its cell. */
+  def knnGraphSql(nClusters: Int, iters: Int, k: Int): String = {
+    s"""WITH ${kmeansAssignedCtes(nClusters, iters)},
        |scored AS (
        |  SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
        |         ${cosExpr("x.embedding", "y.embedding")} AS sim

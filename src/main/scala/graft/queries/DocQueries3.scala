@@ -279,6 +279,53 @@ object DocQueries3 {
       Corpus.sourceCard(Tables.documents(s, d), "source", "text", "lang")
     },
 
+    // composed "topic model lite": k-means cells over the embeddings (the
+    // SAME memoized trained quantizer as q_semantic_dedup / q_knn_graph)
+    // labeled by their top TF-IDF terms — cluster keyword extraction, the
+    // corpus-exploration surface a curation run ships with its clusters
+    q("q_topic_keywords",
+      {
+        // the knnGraphSql training chain (full-table cands, 8 cells, 2
+        // Lloyd's rounds) up to `assigned`, then cluster-summed tf-idf
+        val kmeans = DocQueries2.kmeansAssignedCtes(8, 2)
+        s"""WITH $kmeans,
+           |t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
+           |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM e GROUP BY doc_id, tok),
+           |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |w AS (SELECT a.cid, tf.tok,
+           |        round(sum(tf.tf * ln(n.n / dfx.df)), 6) AS weight
+           |      FROM tf JOIN assigned a ON a.vec_id = tf.doc_id
+           |           JOIN dfx USING (tok) CROSS JOIN n
+           |      GROUP BY a.cid, tf.tok)
+           |SELECT cid, tok, weight, CAST(rank AS BIGINT) AS rank
+           |FROM (SELECT w.*, row_number() OVER (PARTITION BY cid
+           |        ORDER BY weight DESC, tok ASC) AS rank FROM w) z
+           |WHERE rank <= 3""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val assigned = Ann.cellAssignments(Tables.embeddings(s, d), 8, 2)
+        .select(col("vec_id").as("doc_id"), col("cid"))
+      val e = Corpus.tokens(docs, "doc_id", "text")
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+      val tf = e.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n"))
+      // rounded BEFORE the top-k cut (the bm25 determinism discipline: the
+      // cluster sum is an unordered double fold)
+      val w = tf.join(assigned, Seq("doc_id")).join(dfx, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("cid"), col("tok"))
+        .agg(round(sum(col("tf") * log(col("n") / col("df"))), 6).as("weight"))
+      val win = Window.partitionBy(col("cid"))
+        .orderBy(col("weight").desc, col("tok").asc)
+      w.withColumn("rank", row_number().over(win)).filter(col("rank") <= 3)
+        .select(col("cid"), col("tok"), col("weight"),
+          col("rank").cast("long").as("rank"))
+    },
+
     // Efraimidis–Spirakis A-Res weighted sampling: −ln(u)/w keys from the
     // md5-uniform draw, k smallest win — reproducible weighted selection
     q("q_weighted_sample",
