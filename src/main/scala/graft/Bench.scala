@@ -65,6 +65,14 @@ object Bench {
         graft.core.Tables.documents(spark, sfDir), "doc_id", "text",
         ngram = 3, k = 12, bands = 6, rows = 2)
     }
+    // the distinct basket-item view the co-purchase recommender self-joins
+    // (q_item_cf) — same derived-artifact family as the signature table
+    if (!sys.env.get("SPARK_GRAFT_SKIP_TOKS").contains("1"))
+      graft.ops.Search.basketView(
+        graft.core.Tables.lineitem(spark, sfDir)
+          .select(org.apache.spark.sql.functions.col("l_orderkey"),
+            org.apache.spark.sql.functions.col("l_partkey")),
+        "l_orderkey", "l_partkey")
     // the trained ANN index artifacts (coarse quantizer + PQ codebook
     // reconstructions) — the index-BUILD half of the load phase: a
     // deployment trains its ANN index once and stores it beside the

@@ -64,14 +64,18 @@ object Search {
     * join on their item keys, the per-item top-k is a partitioned window —
     * never a global sort. Every count is exact; the cosine is a per-row
     * fixed-order double. */
+  /** Pinned DERIVED basket-item view: the distinct (basket, item) table
+    * feeds three plan branches of [[itemItemCf]] (both self-join sides +
+    * the frequency table) — a deployment materializes it once beside the
+    * source. Shared with the bench load phase. */
+  def basketView(baskets: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    graft.core.Pin.pinDerived(
+      baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct())
+
   def itemItemCf(baskets: DataFrame, basketCol: String, itemCol: String,
                  k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // pinned DERIVED view: the distinct basket-item table feeds three plan
-    // branches (both self-join sides + the frequency table) — a deployment
-    // materializes it once beside the source
-    val bi = graft.core.Pin.pinDerived(
-      baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct())
+    val bi = basketView(baskets, basketCol, itemCol)
     val freq = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
     val pairs = bi.as("l").join(bi.as("r"),
         col("l.b") === col("r.b") && col("l.i") < col("r.i"))
