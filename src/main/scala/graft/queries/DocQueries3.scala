@@ -75,6 +75,14 @@ object DocQueries3 {
        |$rounds""".stripMargin
   }
 
+  /** Correlated-subquery cosine twin of VectorFunctions.cosine
+    * (DocQueries.cosExpr). */
+  private def cosExpr(x: String, y: String): String =
+    s"""((SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+       |  FROM (SELECT unnest($x) AS a, unnest($y) AS b) zz1) /
+       | sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest($x) AS a) zz2) *
+       |      (SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest($y) AS b) zz3)))""".stripMargin
+
   /** Shared unigram-LM CTE prefix (the q_unigram_logprob oracle). */
   private val unigramCte =
     s"""t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
@@ -342,6 +350,26 @@ object DocQueries3 {
       graft.ops.Packing.weightedSample(
         Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
         "doc_id", col("n_chars"), k = 50)
+    },
+
+    // pairwise-cosine histogram over a bounded probe sample — the
+    // embedding-quality diagnostic (a collapsed or bimodal similarity
+    // distribution flags bad embeddings before they poison dedup/ANN);
+    // the all-pairs term is confined to the 50-vector sample
+    q("q_sim_histogram",
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+         |p AS (SELECT ${cosExpr("a.embedding", "b.embedding")} AS sim
+         |      FROM s a JOIN s b ON a.vec_id < b.vec_id)
+         |SELECT CAST(floor(sim * 10) AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY bin""".stripMargin) { (s, d) =>
+      val sample = Tables.embeddings(s, d).filter(col("vec_id") < 50)
+      graft.functions.VectorFunctions.register(s)
+      sample.as("a").join(sample.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(graft.functions.VectorFunctions
+          .cosineSim(col("a.embedding"), col("b.embedding")).as("sim"))
+        .groupBy(floor(col("sim") * 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
     },
 
     q("q_embed_standardize",

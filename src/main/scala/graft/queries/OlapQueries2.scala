@@ -221,6 +221,25 @@ object OlapQueries2 {
           .select(col("src"), col("dst"))), seeds, iterations = 3)
     },
 
+    q("q_degree_histogram",
+      // log2-binned degree distribution — the subgraph_stat degree summary
+      // at publication shape. Bin = ⌊log2 deg⌋ computed from the BINARY
+      // STRING length (integer-exact; fp log2 of a power of two rounds
+      // differently across engines)
+      s"""WITH edges AS ($edgesSql),
+         |be AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM be GROUP BY src)
+         |SELECT CAST(length(printf('%b', deg)) - 1 AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_vertices,
+         |       CAST(min(deg) AS BIGINT) AS min_deg,
+         |       CAST(max(deg) AS BIGINT) AS max_deg
+         |FROM deg GROUP BY bin""".stripMargin) { (s, d) =>
+      g(s, d).degrees(Direction.BOTH)
+        .groupBy((length(bin(col("degree"))) - 1).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_vertices"),
+          min(col("degree")).as("min_deg"), max(col("degree")).as("max_deg"))
+    },
+
     q("q_hits",
       {
         val iters = (1 to 2).map { i =>
