@@ -221,6 +221,40 @@ object OlapQueries2 {
           .select(col("src"), col("dst"))), seeds, iterations = 3)
     },
 
+    q("q_influence_spread",
+      {
+        def d4(i: Int) =
+          s"(strpos('0123456789abcdef', substr(md5(src || '>' || dst), $i, 1)) - 1)"
+        val h16 = s"(${d4(1)} * 4096 + ${d4(2)} * 256 + ${d4(3)} * 16 + ${d4(4)})"
+        s"""WITH RECURSIVE edges AS ($edgesSql),
+           |adj AS (SELECT DISTINCT src, dst FROM edges),
+           |live AS (SELECT src, dst FROM adj WHERE $h16 < 19660),
+           |bfs(id, dist) AS (
+           |  SELECT v, CAST(0 AS BIGINT)
+           |  FROM (VALUES ('customer:1'), ('customer:2'), ('customer:3'),
+           |               ('customer:4'), ('customer:5')) s(v)
+           |  UNION
+           |  SELECT l.dst, b.dist + 1 FROM bfs b JOIN live l ON l.src = b.id
+           |  WHERE b.dist < 4)
+           |SELECT id, CAST(min(dist) AS BIGINT) AS dist
+           |FROM bfs GROUP BY id""".stripMargin
+      }) { (s, d) =>
+      // independent-cascade influence spread (Kempe-Kleinberg-Tardos 2003)
+      // with a DETERMINISTIC md5 coin per edge (p ≈ 0.3): each edge is
+      // live iff its 16-bit hash clears the threshold — the same
+      // seeded-choice contract as guidedWalks, so the cascade reproduces
+      // exactly in the oracle and across runs. One BFS over the live
+      // subgraph; the coin filter is a narrow codegen'd predicate on the
+      // session-pinned adjacency.
+      import s.implicits._
+      val live = graft.traverse.Traversals.adjacencyView(g(s, d), Direction.OUT)
+        .filter(graft.ops.Packing.hash16(
+          concat(col("src"), lit(">"), col("dst"))) < 19660)
+      val seeds = (1 to 5).map(i => s"customer:$i").toDF("id")
+      Algorithms.multiSourceBfsAdj(seeds, live, maxDepth = 4)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+    },
+
     q("q_degree_histogram",
       // log2-binned degree distribution — the subgraph_stat degree summary
       // at publication shape. Bin = ⌊log2 deg⌋ computed from the BINARY
