@@ -280,11 +280,12 @@ object Algorithms {
     while (!done) {
       val deg = edges.select(explode(array(col("src"), col("dst"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select(col("id")).localCheckpoint(true)
+      val keep = deg.filter(col("deg") >= k).select(col("id")).localCheckpoint(false)
       val next = edges
         .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst")).localCheckpoint(true)
+        // lazy cuts: the count() materializes both checkpoints in one job
+        .select(col("src"), col("dst")).localCheckpoint(false)
       val nNext = next.count() // previous round's size is already known
       done = nNext == nEdges || nNext == 0
       nEdges = nNext
@@ -339,7 +340,9 @@ object Algorithms {
         .select(col("root"), col("dst").as("id")).distinct()
         .join(seen.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
         .withColumn("dist", lit(d))
-        .localCheckpoint(true)
+        // lazy cut: the count() below materializes the checkpoint — one
+        // driver barrier per layer instead of two
+        .localCheckpoint(false)
       cnt = frontier.count()
       seen = seen.union(frontier)
     }

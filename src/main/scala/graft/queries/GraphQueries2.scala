@@ -256,6 +256,54 @@ object GraphQueries2 {
         (1 to 50).map(i => s"customer:$i"), steps = 4, Direction.OUT)
     },
 
+    // node2vec second-order biased walks: next hop drawn ∝ the p/q bias
+    // via deterministic −ln(u)/w keys (A-Res top-1) — the graph-embedding
+    // walk corpus with BFS/DFS flavor control, unrolled per step
+    q("q_node2vec_walks",
+      {
+        val (p, q2) = (2.0, 0.5)
+        def h16(c: String) = {
+          def d4(i: Int) =
+            s"(strpos('0123456789abcdef', substr(md5($c), $i, 1)) - 1)"
+          s"(${d4(1)} * 4096 + ${d4(2)} * 256 + ${d4(3)} * 16 + ${d4(4)})"
+        }
+        val stepsSql = (1 to 4).map { n =>
+          s"""e$n AS MATERIALIZED (
+             |  SELECT w.wid, w.cur, w.path, a.dst,
+             |    -ln(CAST(${h16(s"w.wid || ':$n:' || a.dst")} + 1 AS DOUBLE) / 65536.0) /
+             |    CASE WHEN a.dst = w.prev THEN ${1.0 / p}
+             |         WHEN nb.src IS NOT NULL THEN 1.0
+             |         ELSE ${1.0 / q2} END AS key
+             |  FROM w${n - 1} w JOIN adj a ON a.src = w.cur
+             |  LEFT JOIN adj nb ON nb.src = w.prev AND nb.dst = a.dst),
+             |t$n AS (SELECT wid, path FROM w${n - 1}
+             |        WHERE wid NOT IN (SELECT DISTINCT wid FROM e$n)),
+             |w$n AS MATERIALIZED (
+             |  SELECT wid, cur AS prev, dst AS cur, path || '->' || dst AS path FROM
+             |    (SELECT *, row_number() OVER (PARTITION BY wid ORDER BY key, dst) AS rn
+             |     FROM e$n) z WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS ($edgesSql),
+           |adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+           |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) zz),
+           |w0 AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS wid,
+           |              CAST(NULL AS VARCHAR) AS prev,
+           |              'customer:' || CAST(c_custkey AS VARCHAR) AS cur,
+           |              'customer:' || CAST(c_custkey AS VARCHAR) AS path
+           |       FROM customer WHERE c_custkey BETWEEN 1 AND 30),
+           |$stepsSql,
+           |walks AS (SELECT wid, path FROM t1
+           |  UNION ALL SELECT wid, path FROM t2
+           |  UNION ALL SELECT wid, path FROM t3
+           |  UNION ALL SELECT wid, path FROM t4
+           |  UNION ALL SELECT wid, path FROM w4)
+           |SELECT wid AS walk_id, path FROM walks""".stripMargin
+      }) { (s, d) =>
+      PathTraversals.node2vecWalks(g(s, d),
+        (1 to 30).map(i => s"customer:$i"), steps = 4, Direction.BOTH,
+        p = 2.0, q = 0.5)
+    },
+
     // GraphSAGE-style layered neighbor sampling: per seed, layer ℓ keeps
     // the md5-min fanout(ℓ) neighbors of every layer-(ℓ-1) node — the GNN
     // mini-batch subgraph extraction, unrolled per layer in the oracle

@@ -314,7 +314,7 @@ object OlapQueries2 {
          |  FROM (VALUES ('customer:1'), ('supplier:3'), ('part:7')) s(v)
          |  UNION
          |  SELECT b.root, a.dst, b.dist + 1 FROM bfs b JOIN adj a ON a.src = b.id
-         |  WHERE b.dist < 6),
+         |  WHERE b.dist < 5),
          |d AS (SELECT root, id, min(dist) AS dist FROM bfs GROUP BY root, id)
          |SELECT root AS id, CAST(max(dist) AS BIGINT) AS ecc,
          |       CAST(count(*) - 1 AS BIGINT) AS n_reached
@@ -325,7 +325,7 @@ object OlapQueries2 {
       Algorithms.eccentricity(
         Seq("customer:1", "supplier:3", "part:7").toDF("id"),
         graft.traverse.Traversals.adjacencyView(g(s, d), Direction.BOTH),
-        maxDepth = 6)
+        maxDepth = 5)
     },
 
     q("q_item_cf",

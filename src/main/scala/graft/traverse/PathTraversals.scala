@@ -108,6 +108,59 @@ object PathTraversals {
       .localCheckpoint(true)
   }
 
+  /** node2vec-style SECOND-ORDER biased walks (Grover & Leskovec 2016):
+    * like [[guidedWalks]], but each step's next-hop draw is weighted by the
+    * p/q bias — 1/p for returning to the previous vertex, 1 for a
+    * candidate adjacent to it (BFS-flavored), 1/q otherwise
+    * (DFS-flavored). Selection = argmin of −ln(u)/w over the candidates,
+    * u the md5-uniform per-(walk, step, candidate) draw — the A-Res top-1,
+    * i.e. probability ∝ weight, and exactly reproducible by the oracle
+    * (same hash, same key). One walk per source, `steps` hops, dead ends
+    * keep their prefix.
+    *
+    * Scale shape: the [[guidedWalks]] discipline — tiny walk table joins
+    * the pinned adjacency per step (frontier-pruned, broadcastable), plus
+    * ONE extra (prev, dst)-keyed membership join against the same pinned
+    * view for the BFS-flavor flag; everything else narrow. */
+  def node2vecWalks(g: PropertyGraph, sources: Seq[String], steps: Int,
+                    dir: Direction.Value, p: Double, q: Double,
+                    labels: Seq[String] = Nil): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val edges = Traversals.adjacencyView(g, dir, labels)
+    val nbView = edges.select(col("src").as("prev"), col("dst"))
+      .withColumn("__nb", lit(1))
+    var frontier = sources.toDF("wid")
+      .select(col("wid"), lit(null).cast("string").as("prev"),
+        col("wid").as("cur"), col("wid").as("path"))
+    var acc = frontier.filter(lit(false)).select(col("wid"), col("path"))
+    val pruner = new Traversals.FrontierPruner
+    for (s <- 1 to steps) {
+      val cand = frontier
+        .join(pruner.prune(edges, frontier, "cur")
+          .withColumnRenamed("src", "cur"), Seq("cur"))
+        .join(nbView, Seq("prev", "dst"), "left")
+      val u = (graft.ops.Packing.hash16(
+        concat_ws(":", col("wid"), lit(s), col("dst"))) + 1).cast("double") / 65536.0
+      val w = when(col("dst") === col("prev"), lit(1.0 / p))
+        .when(col("__nb").isNotNull, lit(1.0))
+        .otherwise(lit(1.0 / q))
+      val hop = cand
+        .withColumn("key", -log(u) / w)
+        .groupBy(col("wid"))
+        .agg(min(struct(col("key"), col("dst"), col("cur"), col("path"))).as("m"))
+        .select(col("wid"), col("m.cur").as("prev"), col("m.dst").as("cur"),
+          concat(col("m.path"), lit("->"), col("m.dst")).as("path"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(
+        frontier.join(broadcast(hop.select(col("wid"))), Seq("wid"), "left_anti")
+          .select(col("wid"), col("path")))
+      frontier = hop
+    }
+    acc.unionByName(frontier.select(col("wid"), col("path")))
+      .select(col("wid").as("walk_id"), col("path"))
+  }
+
   /** Skip-gram pair extraction over a walk corpus (word2vec-style training
     * prep, composes with [[guidedWalks]]): for every position pair within
     * `window` hops of the same walk, emit (center, context) and count
