@@ -415,5 +415,43 @@ object RelationalQueries {
           .agg(max(col("v")).as("v"))
           .select(lit(p).as("p"), col("v"))
       }.reduce(_ unionByName _)
+    },
+
+    q("q_rollup_agg",
+      // hierarchical subtotals in ONE aggregation pass (the engine surface
+      // the reference's coarse per-label counts lack): ROLLUP emits
+      // (flag, status) → (flag) → grand total with GROUPING markers
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("lvl"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("lvl"),
+          col("sum_qty"), col("n"))
+    },
+
+    q("q_pivot_counts",
+      // pivoted (nation × market segment) customer counts — conditional
+      // aggregation in the oracle, Spark's relational pivot on the engine
+      // side; one groupBy pass either way
+      """SELECT c_nationkey,
+        |  CAST(count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS automobile,
+        |  CAST(count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS building,
+        |  CAST(count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS BIGINT) AS machinery
+        |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "MACHINERY"))
+        .count()
+        .select(col("c_nationkey"),
+          coalesce(col("AUTOMOBILE"), lit(0L)).as("automobile"),
+          coalesce(col("BUILDING"), lit(0L)).as("building"),
+          coalesce(col("MACHINERY"), lit(0L)).as("machinery"))
     })
 }

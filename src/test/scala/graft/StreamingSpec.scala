@@ -34,6 +34,35 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 01:00:00", "click", 2L)))
   }
 
+  test("watermark drops late data in append mode; in-watermark stragglers survive") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // append mode only emits windows the watermark has CLOSED — the mode
+    // where late-drop semantics are observable
+    val q = Streams.tumblingCounts(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("late").start()
+    // batch 1: events up to t=200' → watermark advances to 200' − 2h = 80':
+    // hour 0 (ends 60') is closed, hour 1 (ends 120') still open
+    mem.addData(Event(1, ts(0), 7, "purchase", 10.0, "{}"),
+      Event(2, ts(10), 7, "purchase", 5.0, "{}"),
+      Event(3, ts(200), 7, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: a straggler INSIDE hour 0 (closed → drop)
+    // and one inside hour 1 (still open → kept)
+    mem.addData(Event(4, ts(5), 8, "purchase", 99.0, "{}"),
+      Event(5, ts(70), 8, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    // batch 3: push event time far ahead so every window closes and flushes
+    mem.addData(Event(6, ts(1000), 9, "view", 0.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.table("late")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 00:00:00", "purchase", 2L)))  // late e4 NOT counted
+    assert(rows.contains(("2024-01-01 01:00:00", "click", 1L)))     // in-watermark e5 kept
+    assert(!rows.exists { case (_, t, n) => t == "purchase" && n == 3L })
+  }
+
   test("stateful sessionize counts gap-separated sessions per user") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
