@@ -417,6 +417,30 @@ object RelationalQueries {
       }.reduce(_ unionByName _)
     },
 
+    q("q_graph_variables",
+      // §2.14 graph-variables KV (reference HugeVariables.java:109-391):
+      // seed from per-region nation counts, then set (insert + last-write-
+      // wins overwrite) and remove — the surviving KV table is the oracle
+      """SELECT 'job:last_run' AS key, '2026-08-14' AS value
+        |UNION ALL
+        |SELECT 'region:' || r_name, CAST(cnt AS VARCHAR)
+        |FROM (SELECT r_name, count(*) AS cnt
+        |      FROM region JOIN nation ON n_regionkey = r_regionkey
+        |      GROUP BY r_name) z
+        |WHERE r_name <> 'AFRICA'""".stripMargin) { (s, d) =>
+      import graft.core.Variables
+      var vars = Tables.region(s, d)
+        .join(Tables.nation(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("cnt"))
+        .select(concat(lit("region:"), col("r_name")).as("key"),
+          col("cnt").cast("string").as("value"))
+      vars = Variables.set(vars, "job:last_run", "2026-08-13")
+      vars = Variables.set(vars, "job:last_run", "2026-08-14") // overwrite
+      vars = Variables.remove(vars, "region:AFRICA")
+      vars
+    },
+
     q("q_rollup_agg",
       // hierarchical subtotals in ONE aggregation pass (the engine surface
       // the reference's coarse per-label counts lack): ROLLUP emits
