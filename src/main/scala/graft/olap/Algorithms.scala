@@ -321,32 +321,59 @@ object Algorithms {
       graft.core.Pin.pin(undirectedEdges.select(col("src"), col("dst"))
         .union(undirectedEdges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()),
-      maxDepth)
+      maxDepth, symmetric = true)
 
   /** [[multiSourceBfs]] over an adjacency that is ALREADY symmetric and
     * distinct (e.g. `Traversals.adjacencyView(g, BOTH, …)`): skips the
     * redundant union+distinct so callers can reuse the session-pinned view
-    * instead of materializing a second copy of the same edge set. */
-  def multiSourceBfsAdj(verts: DataFrame, adj: DataFrame, maxDepth: Int): DataFrame = {
-    var seen = verts.select(col("id").as("root"), col("id"), lit(0L).as("dist"))
-    var frontier = seen
+    * instead of materializing a second copy of the same edge set.
+    *
+    * `symmetric=true` (set by every undirected caller) swaps the growing
+    * full-`seen` anti-join for a TWO-LAYER guard: in an undirected graph a
+    * neighbor of a depth-d vertex has depth ∈ {d−1, d, d+1}, so layers
+    * d−1 ∪ d decide first-visit exactly — the per-layer anti-join scans
+    * O(2·layer) rows instead of re-scanning every previous layer's cache
+    * (O(depth·\|V\|) total instead of O(depth²·\|V\|)). Directed callers
+    * (e.g. the influence cascade's live-OUT subgraph) keep the full guard —
+    * a directed edge CAN jump back to an arbitrarily early layer.
+    *
+    * Barrier shape: the per-layer `count()` is batched to every 2nd layer —
+    * a skipped layer's lazy checkpoint materializes inside the next count
+    * (or the final action), so draining one layer early costs one cheap
+    * empty-join round, not a dedicated per-layer driver job. Frontier
+    * pushdown runs through a stateful [[Traversals.FrontierPruner]] (probe
+    * until the first oversize frontier, then never again). */
+  def multiSourceBfsAdj(verts: DataFrame, adj: DataFrame, maxDepth: Int,
+                        symmetric: Boolean = false): DataFrame = {
+    val l0 = verts.select(col("id").as("root"), col("id"), lit(0L).as("dist"))
+    var layers = List(l0)
+    var frontier = l0
+    var guard = l0.select(col("root"), col("id"))    // symmetric: layers d-1 ∪ d
+    var seenIds = guard                              // directed: all layers ≤ d
+    val pruner = new graft.traverse.Traversals.FrontierPruner
     var d = 0L
-    var cnt = verts.count() // exact frontier size gates the pushdown attempt
+    var cnt = verts.count()
     while (cnt > 0 && d < maxDepth) {
       d += 1
-      frontier = frontier.select(col("root"), col("id").as("src"))
-        .join(graft.traverse.Traversals.pruneForFrontier(adj, frontier,
-          knownRows = cnt), Seq("src"))
+      val anti = if (symmetric) guard else seenIds
+      val next = frontier.select(col("root"), col("id").as("src"))
+        .join(pruner.prune(adj, frontier), Seq("src"))
+        // distinct on (root, id) hash-partitions on the anti-join's exact
+        // keys — the left side enters the anti-join with no extra Exchange
         .select(col("root"), col("dst").as("id")).distinct()
-        .join(seen.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
+        .join(anti, Seq("root", "id"), "left_anti")
         .withColumn("dist", lit(d))
-        // lazy cut: the count() below materializes the checkpoint — one
-        // driver barrier per layer instead of two
         .localCheckpoint(false)
-      cnt = frontier.count()
-      seen = seen.union(frontier)
+      // emptiness barrier every 2nd layer: the count materializes this
+      // layer AND the previous skipped one in a single driver job
+      cnt = if (d % 2 == 0 || d >= maxDepth) next.count() else cnt
+      val nextIds = next.select(col("root"), col("id"))
+      if (symmetric) guard = frontier.select(col("root"), col("id")).unionByName(nextIds)
+      else seenIds = seenIds.unionByName(nextIds)
+      layers ::= next
+      frontier = next
     }
-    seen
+    layers.reduce(_ unionByName _)
   }
 
   /** Sampled eccentricity (max BFS distance within `maxDepth`) per source —
@@ -355,7 +382,7 @@ object Algorithms {
     * adjacency and each layer is one frontier join. Returns
     * `(id, ecc, n_reached)`. */
   def eccentricity(sources: DataFrame, adj: DataFrame, maxDepth: Int): DataFrame =
-    multiSourceBfsAdj(sources, adj, maxDepth)
+    multiSourceBfsAdj(sources, adj, maxDepth, symmetric = true)
       .groupBy(col("root").as("id"))
       .agg(max(col("dist")).as("ecc"), (count(lit(1)) - 1).as("n_reached"))
 
@@ -539,10 +566,10 @@ object Algorithms {
       sum(dd * dd).cast("double").as("sx"),
       sum(dd * dd * dd).cast("double").as("sxx"))
     val sxy = sym
-      .join(deg.select(col("id").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("id").as("src"), col("deg").cast(d38).as("dx")), Seq("src"))
       .groupBy(col("dst")).agg(sum(col("dx")).as("sd"))
-      .join(deg.select(col("id").as("dst"), col("deg")), Seq("dst"))
-      .agg(sum((col("sd") * col("deg")).cast(d38)).cast("double").as("sxy"))
+      .join(deg.select(col("id").as("dst"), col("deg").cast(d38).as("deg")), Seq("dst"))
+      .agg(sum(col("sd") * col("deg")).cast("double").as("sxy"))
     moments.crossJoin(sxy).select(col("m"),
       round((col("m") * col("sxy") - col("sx") * col("sx")) /
         (col("m") * col("sxx") - col("sx") * col("sx")), 6)

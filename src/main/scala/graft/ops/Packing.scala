@@ -75,9 +75,13 @@ object Packing {
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
                      k: Int): DataFrame = {
     val u = (hash16(col(idCol)) + 1).cast("double") / 65536.0
-    val key = -log(u) / weightCol
+    // Round BEFORE the top-k cut: the oracle's ORDER BY binds to its
+    // rounded-9 SELECT alias (DuckDB alias resolution), so ranking on the
+    // full-precision key could cut a different top-k when two keys differ
+    // by <5e-10 at the boundary. Rounding first makes both engines rank,
+    // tie-break (id asc), and cut on identical values.
+    val key = round(-log(u) / weightCol, 9)
     df.withColumn("key", key)
       .orderBy(col("key").asc, col(idCol).asc).limit(k)
-      .withColumn("key", round(col("key"), 9))
   }
 }

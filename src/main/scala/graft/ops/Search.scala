@@ -58,9 +58,10 @@ object Search {
     * and n_x the item's basket frequency. `baskets` = (basketCol, itemCol)
     * rows; returns the top-`k` neighbors per item (score desc, item asc).
     *
-    * Scale shape: the basket self-join's fan-out is per-basket-size², kept
-    * linear by real basket sizes (and cappable upstream for degenerate
-    * baskets); pair counts shuffle on the (a, b) key, item frequencies
+    * Scale shape: the basket self-join's fan-out is per-basket-size²,
+    * bounded by the in-operator `basketCap` window (degenerate baskets are
+    * truncated, never quadratic); pair counts shuffle on the (a, b) key,
+    * item frequencies
     * join on their item keys, the per-item top-k is a partitioned window —
     * never a global sort. Every count is exact; the cosine is a per-row
     * fixed-order double. */
@@ -72,12 +73,24 @@ object Search {
     graft.core.Pin.pinDerived(
       baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct())
 
+  /** `basketCap` bounds the self-join's quadratic term (the
+    * `Dedup.minhashCandidates` bucketCap / `semanticNearDups` cellCap
+    * pattern): a degenerate mega-basket (one customer buying every item)
+    * would otherwise fan out size² pairs on ONE join key — an unbounded
+    * hot partition at 100×. Only the lowest-`i` basketCap items per basket
+    * enter pair generation (deterministic, so engine and oracle agree);
+    * co-occurrence counts involving a capped basket's dropped items are
+    * undercounted — the documented recall trade. Item frequencies (`na`,
+    * `nb`) stay exact: `freq` reads the UNCAPPED view. */
   def itemItemCf(baskets: DataFrame, basketCol: String, itemCol: String,
-                 k: Int): DataFrame = {
+                 k: Int, basketCap: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bi = basketView(baskets, basketCol, itemCol)
     val freq = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
-    val pairs = bi.as("l").join(bi.as("r"),
+    val capW = Window.partitionBy(col("b")).orderBy(col("i").asc)
+    val capped = bi.withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= basketCap).drop("__rn")
+    val pairs = capped.as("l").join(capped.as("r"),
         col("l.b") === col("r.b") && col("l.i") < col("r.i"))
       .groupBy(col("l.i").as("ia"), col("r.i").as("ib"))
       .agg(count(lit(1)).as("n_ab"))

@@ -51,7 +51,9 @@ object DocQueries3 {
     * count → (count desc, a, b) argmax → left-to-right fold-merge via
     * `list_reduce` over the space-joined symbol encoding (symbols are
     * space-free, so the encoding is lossless — the exact contract of
-    * Bpe.mergeFold). */
+    * Bpe.mergeFold). A round whose pair table is empty is a no-op (LEFT
+    * JOIN + CASE keeps syms unchanged), matching Bpe.train's skip
+    * behavior instead of collapsing the symbol table to zero rows. */
   private def bpeCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS (SELECT syms[i] AS a, syms[i + 1] AS b, sum(cnt) AS c
@@ -59,12 +61,13 @@ object DocQueries3 {
          |  GROUP BY 1, 2),
          |best$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a ASC, b ASC LIMIT 1),
          |s$r AS MATERIALIZED (SELECT word, cnt,
+         |  CASE WHEN best$r.a IS NULL THEN syms ELSE
          |  list_filter(string_split(list_reduce(list_prepend('', syms),
          |    (acc, x) -> CASE WHEN acc = '' THEN x
          |      WHEN string_split(acc, ' ')[-1] = best$r.a AND x = best$r.b
          |      THEN left(acc, length(acc) - length(best$r.a)) || best$r.a || best$r.b
-         |      ELSE acc || ' ' || x END), ' '), s -> len(s) > 0) AS syms
-         |  FROM s${r - 1} CROSS JOIN best$r)""".stripMargin
+         |      ELSE acc || ' ' || x END), ' '), s -> len(s) > 0) END AS syms
+         |  FROM s${r - 1} LEFT JOIN best$r ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
        |e AS (SELECT doc_id, unnest(toks) AS word FROM t),

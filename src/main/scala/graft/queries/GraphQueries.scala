@@ -56,6 +56,18 @@ object GraphQueries {
         depth = 2, nearest = false, degree = 3)
     },
 
+    // customizedKout (reference KoutTraverser.customizedKout — Steps-driven
+    // expansion): two hops with DIFFERENT labels and a per-edge property
+    // filter on hop 2, inexpressible by the single (dir, labels) kout
+    q("q_kout_steps",
+      """SELECT DISTINCT 'part:' || CAST(l.l_partkey AS VARCHAR) AS id
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_custkey = 1 AND l.l_quantity > 25""".stripMargin) { (s, d) =>
+      Traversals.customizedKout(g(s, d), "customer:1", Seq(
+        EdgeStep(Direction.OUT, Seq("placed")),
+        EdgeStep(Direction.OUT, Seq("contains"), Some(Cond.gt("quantity", 25.0)))))
+    },
+
     q("q_same_neighbors",
       """SELECT DISTINCT 'part:' || CAST(l_partkey AS VARCHAR) AS id FROM lineitem WHERE l_orderkey = 3
         |INTERSECT
@@ -166,32 +178,49 @@ object GraphQueries {
       Traversals.edgeExistence(g(s, d), "order:359", "part:1787", Some("contains"))
     },
 
-    q("q_personal_rank",
-      """WITH walk AS (
-        |  SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS src,
-        |         'part:' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
-        |  UNION ALL
-        |  SELECT 'part:' || CAST(l_partkey AS VARCHAR),
-        |         'order:' || CAST(l_orderkey AS VARCHAR) FROM lineitem
-        |), deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg FROM walk GROUP BY src),
-        |r0(id, rank) AS (SELECT 'order:42', CAST(1.0 AS DOUBLE)),
-        |r1 AS (
-        |  SELECT id, sum(rank) AS rank FROM (
-        |    SELECT w.dst AS id, r.rank * 0.85 / dg.deg AS rank
-        |    FROM r0 r JOIN deg dg ON dg.id = r.id JOIN walk w ON w.src = r.id
-        |    UNION ALL SELECT 'order:42', 0.15
-        |  ) GROUP BY id
-        |),
-        |r2 AS (
-        |  SELECT id, sum(rank) AS rank FROM (
-        |    SELECT w.dst AS id, r.rank * 0.85 / dg.deg AS rank
-        |    FROM r1 r JOIN deg dg ON dg.id = r.id JOIN walk w ON w.src = r.id
-        |    UNION ALL SELECT 'order:42', 0.15
-        |  ) GROUP BY id
-        |)
-        |SELECT id, round(rank, 9) AS rank FROM r2
-        |WHERE id NOT IN (SELECT id FROM r1)""".stripMargin,
-      bench = true) { (s, d) =>
+    q("q_personal_rank", personalRankSql(2, ""), bench = true) { (s, d) =>
       Traversals.personalRank(g(s, d), "order:42", "contains", alpha = 0.85, maxDepth = 2)
+    },
+
+    // WithLabel result slices (reference PersonalRankTraverser.java:81-86):
+    // root order:42's side = orders, so SAME_LABEL keeps order:* rows and
+    // OTHER_LABEL keeps part:* rows — the recommendation shape (rank the
+    // other side of the bipartite graph, drop same-side companions). Depth
+    // 3 so the OTHER slice is non-empty: new parts first appear at
+    // order→part→order'→part' (depth-1 parts are rootAdjacencies, removed)
+    q("q_personal_rank_other", personalRankSql(3, " AND id LIKE 'part:%'")) { (s, d) =>
+      Traversals.personalRank(g(s, d), "order:42", "contains", alpha = 0.85,
+        maxDepth = 3, withLabel = Traversals.WithLabel.OtherLabel)
+    },
+
+    q("q_personal_rank_same", personalRankSql(3, " AND id LIKE 'order:%'")) { (s, d) =>
+      Traversals.personalRank(g(s, d), "order:42", "contains", alpha = 0.85,
+        maxDepth = 3, withLabel = Traversals.WithLabel.SameLabel)
     })
+
+  /** The hand-unrolled `rounds`-round PersonalRank recurrence; `sliceFilter`
+    * is the WithLabel twin — the fixture's ids embed the vertex label, so
+    * the side filter is an id-prefix predicate in SQL. */
+  private def personalRankSql(rounds: Int, sliceFilter: String): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""r$r AS (
+         |  SELECT id, sum(rank) AS rank FROM (
+         |    SELECT w.dst AS id, r.rank * 0.85 / dg.deg AS rank
+         |    FROM r${r - 1} r JOIN deg dg ON dg.id = r.id JOIN walk w ON w.src = r.id
+         |    UNION ALL SELECT 'order:42', 0.15
+         |  ) GROUP BY id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH walk AS (
+       |  SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS src,
+       |         'part:' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+       |  UNION ALL
+       |  SELECT 'part:' || CAST(l_partkey AS VARCHAR),
+       |         'order:' || CAST(l_orderkey AS VARCHAR) FROM lineitem
+       |), deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg FROM walk GROUP BY src),
+       |r0(id, rank) AS (SELECT 'order:42', CAST(1.0 AS DOUBLE)),
+       |$rs
+       |SELECT id, round(rank, 9) AS rank FROM r$rounds
+       |WHERE id NOT IN (SELECT id FROM r1)$sliceFilter""".stripMargin
+  }
 }

@@ -443,6 +443,55 @@ object GraphQueries2 {
           Some(Cond.gt("size", 30)))))
     },
 
+    q("q_template_paths_repeat",
+      // variable-length template step (reference RepeatEdgeStep.maxTimes):
+      // position 1 repeats the placed|contains step 1..2 times, so the
+      // fixed tail (any OUT edge) extends BOTH the 1-hop branch
+      // (customer→order →contains→part, length 2) and the 2-hop branch
+      // (customer→order→part →supplied_by→supplier, length 3) — two path
+      // lengths in one result, which a fixed-length template can't express
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |rep AS (SELECT DISTINCT src, dst FROM edges
+         |        WHERE label IN ('placed', 'contains')),
+         |p(id, path, d) AS (
+         |  SELECT 'customer:1', ['customer:1'], 0
+         |  UNION ALL
+         |  SELECT r.dst, p.path || [r.dst], p.d + 1
+         |  FROM p JOIN rep r ON r.src = p.id
+         |  WHERE p.d < 2 AND NOT list_contains(p.path, r.dst)),
+         |tail AS (
+         |  SELECT p.path || [e.dst] AS path
+         |  FROM p JOIN edges e ON e.src = p.id
+         |  WHERE p.d >= 1 AND NOT list_contains(p.path, e.dst))
+         |SELECT DISTINCT array_to_string(path, '->') AS path FROM tail""".stripMargin) { (s, d) =>
+      PathTraversals.templatePaths(g(s, d), Seq("customer:1"), Seq(
+        TemplateStep(EdgeStep(Direction.OUT, Seq("placed", "contains")), None, maxTimes = 2),
+        TemplateStep(EdgeStep(Direction.OUT), None)))
+    },
+
+    q("q_template_paths_ring",
+      // withRing=true (reference TemplatePathsTraverser withRing flag):
+      // revisits allowed, so the BOTH in_nation step repeated twice
+      // backtracks customer:1→nation:n→customer:1 — a path withRing=false
+      // (and the fixed-length template) excludes
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |rep AS (SELECT DISTINCT src, dst FROM
+         |          (SELECT src, dst FROM edges WHERE label = 'in_nation'
+         |           UNION ALL
+         |           SELECT dst, src FROM edges WHERE label = 'in_nation')),
+         |p(id, path, d) AS (
+         |  SELECT 'customer:1', ['customer:1'], 0
+         |  UNION ALL
+         |  SELECT r.dst, p.path || [r.dst], p.d + 1
+         |  FROM p JOIN rep r ON r.src = p.id
+         |  WHERE p.d < 2)
+         |SELECT DISTINCT array_to_string(path, '->') AS path
+         |FROM p WHERE d >= 1""".stripMargin) { (s, d) =>
+      PathTraversals.templatePaths(g(s, d), Seq("customer:1"), Seq(
+        TemplateStep(EdgeStep(Direction.BOTH, Seq("in_nation")), None, maxTimes = 2)),
+        withRing = true)
+    },
+
     q("q_customized_paths",
       """WITH walks AS (
         |  SELECT 'customer:1->order:' || CAST(o.o_orderkey AS VARCHAR) ||

@@ -204,9 +204,10 @@ object OlapQueries2 {
         }.mkString(",\n")
         s"""WITH edges AS MATERIALIZED ($edgesSql),
            |adj AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-           |verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM adj),
            |seeds AS (SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS id,
            |                 'region:' || CAST(r_regionkey AS VARCHAR) AS lbl FROM region),
+           |verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM adj
+           |                       UNION SELECT id FROM seeds),
            |l0 AS (SELECT v.id, s.lbl FROM verts v LEFT JOIN seeds s ON s.id = v.id),
            |$rounds
            |SELECT id, lbl FROM l3 WHERE lbl IS NOT NULL""".stripMargin

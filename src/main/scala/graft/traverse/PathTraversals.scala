@@ -288,24 +288,48 @@ object PathTraversals {
     acc.distinct()
   }
 
-  /** Template paths: one typed step per hop — direction, labels and a
-    * vertex predicate on the step's target (reference
-    * `TemplatePathsTraverser.templatePaths:42`, `steps/RepeatEdgeStep`). */
-  final case class TemplateStep(step: EdgeStep, targetFilter: Option[Cond] = None)
+  /** Template paths: one typed step per template position — direction,
+    * labels, a vertex predicate on the step's target, and `maxTimes`: the
+    * step may repeat 1..maxTimes times (reference
+    * `TemplatePathsTraverser.java:44,68-69,109` sums `maxTimes` into
+    * `totalSteps` and folds each repeat's frontier into the step's
+    * accumulated `sourcesAll`, so the NEXT step starts from the union of
+    * all 1..maxTimes applications — "1 to 3 hops of label X" in one step;
+    * `steps/RepeatEdgeStep.java`). */
+  final case class TemplateStep(step: EdgeStep, targetFilter: Option[Cond] = None,
+                                maxTimes: Int = 1)
 
+  /** `withRing=false` (reference default) keeps paths simple — each hop
+    * drops targets already on the path, the dataflow twin of the
+    * reference's `source.contains(targetV)` skip in
+    * `TemplatePathsTraverser.processOneForForward:158`; `withRing=true`
+    * admits revisits (rings), skipping the filter entirely.
+    *
+    * Scale shape: per template position, 1..maxTimes frontier⋈edges hops
+    * (each a key-partitioned join + layer-local distinct); the union over
+    * repeat counts is lazy and feeds the next position as one frontier.
+    * No driver-side path state — paths live in an array column. */
   def templatePaths(g: PropertyGraph, sources: Seq[String],
-                    steps: Seq[TemplateStep]): DataFrame = {
+                    steps: Seq[TemplateStep],
+                    withRing: Boolean = false): DataFrame = {
     var frontier = seed(g, sources)
     steps.foreach { ts =>
       val e = ts.step.edgesFor(g).select(col("src"), col("dst"))
-      var next = frontier.select(col("id").as("src"), col("path"))
-        .join(e, Seq("src"))
-        .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
-        .distinct() // layer-local multi-edge collapse, not a full-table one
-      ts.targetFilter.foreach { c =>
-        next = next.join(g.vertices.filter(c.compile).select(col("id")), Seq("id"), "left_semi")
+      var cur = frontier
+      var acc: DataFrame = null
+      for (_ <- 1 to math.max(1, ts.maxTimes)) {
+        var next = cur.select(col("id").as("src"), col("path")).join(e, Seq("src"))
+        if (!withRing) next = next.filter(!array_contains(col("path"), col("dst")))
+        var stepped = next
+          .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"))
+          .distinct() // layer-local multi-edge collapse, not a full-table one
+        ts.targetFilter.foreach { c =>
+          stepped = stepped.join(g.vertices.filter(c.compile).select(col("id")), Seq("id"), "left_semi")
+        }
+        cur = stepped.localCheckpoint(true)
+        acc = if (acc == null) cur else acc.unionByName(cur)
       }
-      frontier = next.localCheckpoint(true)
+      frontier = if (ts.maxTimes <= 1) cur else acc.localCheckpoint(true)
     }
     frontier.select(pathCol.as("path")).distinct()
   }
@@ -372,7 +396,7 @@ object PathTraversals {
     val dists =
       if (dir == Direction.BOTH)
         graft.olap.Algorithms.multiSourceBfsAdj(verts,
-          Traversals.adjacencyView(g, dir, labels), maxDepth)
+          Traversals.adjacencyView(g, dir, labels), maxDepth, symmetric = true)
       else
         graft.olap.Algorithms.multiSourceBfs(verts,
           EdgeStep(dir, labels).edgesFor(g)

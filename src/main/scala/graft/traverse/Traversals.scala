@@ -328,6 +328,65 @@ object Traversals {
     frontier.filter(col("id") =!= source)
   }
 
+  /** Per-hop step function for [[customizedKout]]: plain (dir, labels,
+    * degree) hops reuse [[stepFn]]'s frontier-local truncation; hops with a
+    * property filter or skipDegree ride the full `EdgeStep.edgesFor` view
+    * (cond/skipDegree/degree applied there), pinned once per step shape. */
+  private def hopStepFn(g: PropertyGraph, es: EdgeStep):
+      (DataFrame, Option[Array[String]]) => DataFrame =
+    if (es.cond.isEmpty && es.skipDegree == 0L)
+      stepFn(g, es.direction, es.labels, es.degree)
+    else {
+      val e = pinned(es.edgesFor(g).select(col("src"), col("dst")))
+      (f, ids) => ids match {
+        case Some(a) => e.filter(col("src").isin(a.toIndexedSeq: _*))
+          .select(col("dst").as("id"))
+        case None => expand(f, e)
+      }
+    }
+
+  /** Customized k-out (reference `KoutTraverser.customizedKout:114`): the
+    * expansion is driven by a `Steps` config — edge labels, per-edge
+    * property filters, degree cap — instead of one (direction, labels)
+    * pair. Generalized to ONE [[EdgeStep]] PER HOP (`steps(i)` drives
+    * layer i+1; total depth = `steps.length`), which subsumes the
+    * reference's repeat-one-Steps-maxDepth-times shape
+    * (`Seq.fill(maxDepth)(step)`) and adds per-hop heterogeneity.
+    * `nearest=true` keeps kout's first-visit semantics (per-layer visited
+    * anti-join); `nearest=false` returns targets of some walk through all
+    * steps, source excluded. Frontier pushdown, broadcast gating and the
+    * capacity guard are shared with [[koutNearest]]. */
+  def customizedKout(g: PropertyGraph, source: String, steps: Seq[EdgeStep],
+                     nearest: Boolean = true, capacity: Long = -1L): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    var visited = Seq(source).toDF("id")
+    var visitedCnt = 1L
+    var frontier = visited
+    var frontierIds: Option[Array[String]] = Some(Array(source))
+    var live = true
+    steps.foreach { es =>
+      if (live) {
+        var next = hopStepFn(g, es)(frontier, frontierIds).distinct()
+        if (nearest)
+          next = next.join(maybeBroadcast(visited, visitedCnt), Seq("id"), "left_anti")
+        frontier = next.localCheckpoint(true)
+        visited = visited.union(frontier)
+        val pulled = frontier.select(col("id"))
+          .limit(frontierPushdownMaxIds + 1).as[String].collect()
+        if (pulled.length <= frontierPushdownMaxIds) {
+          frontierIds = Some(pulled); visitedCnt += pulled.length
+          live = pulled.nonEmpty
+        } else {
+          frontierIds = None; visitedCnt += frontier.count()
+        }
+        if (capacity >= 0L)
+          checkKoutCapacity(if (nearest) visited else visited.distinct(), capacity)
+      }
+    }
+    if (nearest) frontier else frontier.filter(col("id") =!= source)
+  }
+
   /** DFS k-out (reference `KoutTraverser.dfsKout:147`, nested-iterator
     * depth-first edge walk). Depth-first vs breadth-first is an ENUMERATION
     * ORDER distinction in the reference's row-at-a-time OLTP engine — it
@@ -604,10 +663,21 @@ object Traversals {
     *  - vertices with no out-going side edges keep their rank;
     *  - the root is compensated with +(1-α) every iteration;
     *  - after maxDepth iterations, the root and its depth-1 adjacencies are
-    *    removed (`rootAdjacencies`), mirroring compensateRoot/removeAll.
+    *    removed (`rootAdjacencies`), mirroring compensateRoot/removeAll;
+    *  - `withLabel` slices the result to the root's side (SAME_LABEL), the
+    *    opposite side (OTHER_LABEL) or both (reference
+    *    `PersonalRankTraverser.java:50,81-86,164-168`: the out/in seed sets
+    *    ARE the two vertex-label sides of the bipartite edge label —
+    *    `getStartDirection:139-156` enforces the two endpoint labels
+    *    differ — so a vertex-label equality filter is the set-free twin).
     * Returns DF(id, rank) rounded to 9 decimals. */
+  object WithLabel extends Enumeration {
+    val SameLabel, OtherLabel, BothLabel = Value
+  }
+
   def personalRank(g: PropertyGraph, source: String, label: String,
-                   alpha: Double, maxDepth: Int): DataFrame = {
+                   alpha: Double, maxDepth: Int,
+                   withLabel: WithLabel.Value = WithLabel.BothLabel): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     // directed edges of the bipartite label, kept once; "forward" = src side
@@ -635,7 +705,18 @@ object Traversals {
         .localCheckpoint(false)
       if (i == 0) rootAdj = ranks.select(col("id"))
     }
-    ranks.join(rootAdj, Seq("id"), "left_anti")
-      .select(col("id"), round(col("rank"), 9).as("rank"))
+    val out = ranks.join(rootAdj, Seq("id"), "left_anti")
+    val sliced = withLabel match {
+      case WithLabel.BothLabel => out
+      case side =>
+        // root's vertex label picks the SAME side; the bipartite contract
+        // means the other side is exactly the complement (left_anti)
+        val rootLabel = g.vertices.filter(col("id") === source)
+          .select(col("label")).head().getString(0)
+        val sameSide = g.verticesOf(rootLabel).select(col("id"))
+        if (side == WithLabel.SameLabel) out.join(sameSide, Seq("id"), "left_semi")
+        else out.join(sameSide, Seq("id"), "left_anti")
+    }
+    sliced.select(col("id"), round(col("rank"), 9).as("rank"))
   }
 }

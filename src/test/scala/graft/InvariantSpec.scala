@@ -121,8 +121,9 @@ class InvariantSpec extends SparkSpec {
       val seeds = Seq(("v0", "A"), ("v1", "B")).toDF("id", "lbl")
       val out = Algorithms.seededLpa(g.vertices.select(col("id")), sym, seeds, 3)
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-      assert(out.getOrElse("v0", "A") === "A", s"seed=$seed")  // clamped
-      assert(out.getOrElse("v1", "B") === "B", s"seed=$seed")
+      // direct lookups: a dropped seed must FAIL, not default to expected
+      assert(out.get("v0") === Some("A"), s"seed=$seed")  // clamped
+      assert(out.get("v1") === Some("B"), s"seed=$seed")
       assert(out.values.toSet.subsetOf(Set("A", "B")), s"seed=$seed") // labels originate in seeds
       graft.core.Pin.clear()
     }

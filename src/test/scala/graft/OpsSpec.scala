@@ -713,6 +713,28 @@ class OpsSpec extends SparkSpec {
     assert(rows(("y", "x")) === rows(("x", "y")))   // symmetric directions
   }
 
+  test("item-item cf: basketCap bounds a degenerate mega-basket's pair fan-out") {
+    // basket 1 is degenerate (10 items); basket 2 is a normal pair
+    val mega = (0 until 10).map(i => (1L, f"i$i%02d"))
+    val baskets = (mega ++ Seq((2L, "i00"), (2L, "i01"))).toDF("basket", "item")
+    // cap=3 keeps only {i00,i01,i02} of the mega-basket: directed pairs from
+    // basket 1 = 3*2/2 = 3, basket 2 adds to (i00,i01)'s count; symmetrized = 6
+    val capped = graft.ops.Search.itemItemCf(baskets, "basket", "item",
+      k = 100, basketCap = 3).collect()
+    assert(capped.length === 6)
+    val byPair = capped.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byPair(("i00", "i01")) === 2L)           // both baskets co-occur
+    assert(byPair(("i00", "i02")) === 1L)           // capped basket only
+    assert(!byPair.contains(("i00", "i03")))        // i03 dropped by the cap
+    // frequencies stay UNCAPPED: i03 never pairs, but i00's na counts both baskets
+    assert(capped.find(r => r.getString(0) == "i00").get.getLong(3) === 2L)
+    // default cap is above any real basket: uncapped twin has 10*9/2+1... all pairs
+    val full = graft.ops.Search.itemItemCf(baskets, "basket", "item", k = 100)
+      .collect()
+    assert(full.length === 10 * 9) // all symmetric mega-basket pairs survive
+    graft.core.Pin.clear()
+  }
+
   test("bpe: merges match hand computation, fold is left-to-right non-overlapping") {
     // corpus: "low" x3, "lower" x1, "aaaa" x2
     // pair counts round 1: (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1, (a,a)=6

@@ -108,6 +108,36 @@ class PathTraversalSpec extends SparkSpec {
       "person:marko->person:josh->software:ripple"))
   }
 
+  test("templatePaths maxTimes=N unions 1..N applications of the step") {
+    // BOTH created from marko: 1 hop = lop; 2 hops = lop's other creators
+    // (marko itself is path-visited, dropped) — paths of BOTH lengths
+    val step = Seq(TemplateStep(EdgeStep(Direction.BOTH, Seq("created")),
+      None, maxTimes = 2))
+    val p = PathTraversals.templatePaths(modern, Seq("person:marko"), step)
+      .collect().map(_.getString(0)).toSet
+    assert(p === Set(
+      "person:marko->software:lop",
+      "person:marko->software:lop->person:josh",
+      "person:marko->software:lop->person:peter"))
+    // the fixed-length call misses every length-2 path
+    val fixed = PathTraversals.templatePaths(modern, Seq("person:marko"),
+      Seq(TemplateStep(EdgeStep(Direction.BOTH, Seq("created")))))
+      .collect().map(_.getString(0)).toSet
+    assert(fixed === Set("person:marko->software:lop"))
+    assert((p -- fixed).nonEmpty)
+  }
+
+  test("templatePaths withRing=true admits revisits the default excludes") {
+    val step = Seq(TemplateStep(EdgeStep(Direction.BOTH, Seq("created")),
+      None, maxTimes = 2))
+    val ring = PathTraversals.templatePaths(modern, Seq("person:marko"), step,
+      withRing = true).collect().map(_.getString(0)).toSet
+    assert(ring.contains("person:marko->software:lop->person:marko"))
+    val simple = PathTraversals.templatePaths(modern, Seq("person:marko"), step)
+      .collect().map(_.getString(0)).toSet
+    assert(!simple.contains("person:marko->software:lop->person:marko"))
+  }
+
   test("customizedPaths ranks by summed weight") {
     val p = PathTraversals.customizedPaths(modern, Seq("person:marko"), Seq(
       (EdgeStep(Direction.OUT, Seq("knows")), Some("weight")),
