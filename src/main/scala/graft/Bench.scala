@@ -143,7 +143,18 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val mode = if (sys.env.get("SPARK_GRAFT_BUCKETED").contains("1"))
       ""","mode":"bucketed"""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$mode}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$mode}"""
+    println(line)
+    // the driver's stdout artifact truncates long JSON lines (only ~65 of
+    // the per-query times survive) — also append the full line to a repo
+    // file so round-over-round comparisons cover EVERY query. Append (not
+    // overwrite): multiple runs per round accumulate for robust medians.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_LATEST.jsonl")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
   }
 }

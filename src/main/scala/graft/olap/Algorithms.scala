@@ -337,14 +337,94 @@ object Algorithms {
     * (e.g. the influence cascade's live-OUT subgraph) keep the full guard —
     * a directed edge CAN jump back to an arbitrarily early layer.
     *
-    * Barrier shape: the per-layer `count()` is batched to every 2nd layer —
-    * a skipped layer's lazy checkpoint materializes inside the next count
-    * (or the final action), so draining one layer early costs one cheap
-    * empty-join round, not a dedicated per-layer driver job. Frontier
-    * pushdown runs through a stateful [[Traversals.FrontierPruner]] (probe
-    * until the first oversize frontier, then never again). */
+    * Barrier shape: the per-layer `count()` is batched to every 2nd layer
+    * (and skipped entirely once an early exit could no longer save ≥2
+    * layers) — a skipped layer's lazy checkpoint materializes inside the
+    * next count (or the final action), so draining one layer early costs
+    * one cheap empty-join round, not a dedicated per-layer driver job.
+    * Frontier pushdown runs through a stateful
+    * [[Traversals.FrontierPruner]] (probe until the first oversize
+    * frontier, then never again).
+    *
+    * Root sets of ≤[[msbfsMaxRoots]] ride the BITMASK formulation instead
+    * (see [[msbfsBatch]]); the row-tagged loop below is the fallback for
+    * \|V\|-scale root sets. */
   def multiSourceBfsAdj(verts: DataFrame, adj: DataFrame, maxDepth: Int,
                         symmetric: Boolean = false): DataFrame = {
+    val spark = verts.sparkSession
+    import spark.implicits._
+    // Root sets up to msbfsMaxRoots ride the BITMASK path (MS-BFS, Then et
+    // al. VLDB 2014): all roots share ONE frontier keyed by vertex id with
+    // a per-root bit, so a layer expands |E| rows once instead of
+    // |roots|·|E| tagged copies, and the per-dst `bit_or` aggregation gets
+    // a map-side partial combine the (root, id) distinct can't have.
+    val pulled = verts.select(col("id")).distinct()
+      .limit(msbfsMaxRoots + 1).as[String].collect()
+    if (pulled.length <= msbfsMaxRoots) {
+      return pulled.sorted.grouped(63).toSeq
+        .map(batch => msbfsBatch(spark, batch, adj, maxDepth))
+        .reduce(_ unionByName _)
+    }
+    multiSourceBfsTagged(verts, adj, maxDepth, symmetric)
+  }
+
+  /** Root-count cap for the bitmask path: 256 roots = 4 sequential 63-bit
+    * batches. Beyond that the tagged row formulation wins (one pass, and a
+    * |V|-scale root set shouldn't be driver-collected anyway). */
+  private val msbfsMaxRoots = 256
+
+  /** One ≤63-root bitmask BFS wave over `adj`. Per layer: one frontier⋈adj
+    * join, one dst-keyed bit_or, one seen-mask merge — every aggregation
+    * partial-combines map-side. Works unchanged on directed adjacency (the
+    * seen mask is the complete visit history, not a two-layer window).
+    * Returns (root, id, dist) via a 63-row broadcast bit-explode. */
+  private def msbfsBatch(spark: org.apache.spark.sql.SparkSession,
+                         roots: Array[String], adj: DataFrame,
+                         maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    val idx = roots.zipWithIndex.map { case (r, i) => (r, i) }.toSeq.toDF("root", "bit")
+    val l0 = roots.zipWithIndex.map { case (r, i) => (r, 1L << i) }.toSeq.toDF("id", "mask")
+    var seen = l0
+    var frontier = l0                                 // newly-set bits only
+    var recs = List(l0.withColumn("dist", lit(0L)))
+    val pruner = new graft.traverse.Traversals.FrontierPruner
+    var d = 0L
+    var cnt = roots.length.toLong
+    while (cnt > 0 && d < maxDepth) {
+      d += 1
+      val exp = frontier.select(col("id").as("src"), col("mask"))
+        .join(pruner.prune(adj, frontier), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(expr("bit_or(mask)").as("m"))
+      // ONE full-outer join yields both the next frontier (newly-set bits)
+      // and the merged seen mask; the lazy checkpoint materializes it once
+      // for both consumers. exp arrives hash-partitioned on id from its
+      // groupBy, and seen's checkpoint preserves the same partitioning, so
+      // the join adds no Exchange beyond the per-layer dst aggregation.
+      val merged = exp
+        .join(seen.withColumnRenamed("mask", "old"), Seq("id"), "full")
+        .select(col("id"),
+          expr("coalesce(m, 0L) & ~coalesce(old, 0L)").as("new"),
+          expr("coalesce(m, 0L) | coalesce(old, 0L)").as("mask"))
+        .localCheckpoint(false)
+      frontier = merged.filter(col("new") =!= 0L)
+        .select(col("id"), col("new").as("mask"))
+      seen = merged.select(col("id"), col("mask"))
+      // emptiness barrier every 2nd layer, and only while an early exit
+      // could still skip ≥2 remaining layers — a count whose answer can't
+      // save at least its own cost is pure driver-job overhead (the final
+      // layer's cnt is never consumed at all)
+      cnt = if (d % 2 == 0 && d + 2 <= maxDepth) frontier.count() else cnt
+      recs ::= frontier.withColumn("dist", lit(d))
+    }
+    recs.reduce(_ unionByName _)
+      .join(broadcast(idx), expr("(shiftright(mask, bit) & 1) = 1"))
+      .select(col("root"), col("id"), col("dist"))
+  }
+
+  /** Row-tagged fallback for root sets past [[msbfsMaxRoots]]: frontiers
+    * carry an explicit `root` column. */
+  private def multiSourceBfsTagged(verts: DataFrame, adj: DataFrame, maxDepth: Int,
+                                   symmetric: Boolean): DataFrame = {
     val l0 = verts.select(col("id").as("root"), col("id"), lit(0L).as("dist"))
     var layers = List(l0)
     var frontier = l0
