@@ -192,6 +192,64 @@ object TextFunctions {
       st => st.getField("toks"))
   }
 
+  /** Index-mode dictionary analyzer — the jieba INDEX / `cut_for_search`
+    * mode split the reference exposes (`analyzer/JiebaAnalyzer.java:35-38`:
+    * SEARCH vs INDEX): segment with FMM, then for every segmented word
+    * ALSO emit its in-dictionary sub-words — 2-char sub-grams when the
+    * word is longer than 2, 3-char sub-grams when longer than 3, then the
+    * word itself (jieba's documented search/index expansion order). Finer
+    * index granularity at unchanged segmentation cost; pure Column
+    * composition over [[fmmRun]]. */
+  def tokenizeCjkDictIndex(c: Column, dict: Seq[String] = cjkDict): Column =
+    overHanRuns(c, { r =>
+      val empty = array_remove(array(lit("")), "")
+      def subs(t: Column, n: Int): Column = {
+        val ws = dict.filter(_.length == n)
+        if (ws.isEmpty) empty
+        else when(length(t) > n,
+          filter(transform(sequence(lit(1), length(t) - (n - 1)),
+            i => t.substr(i, lit(n))), s => s.isin(ws: _*)))
+          .otherwise(empty)
+      }
+      flatten(transform(fmmRun(r, dict),
+        t => concat(subs(t, 2), subs(t, 3), array(t))))
+    })
+
+  /** Max-word dictionary analyzer — the IK `max_word` mode the reference
+    * exposes (`analyzer/IKAnalyzer.java:37-40`: smart vs max_word): emit
+    * EVERY dictionary word starting at every position of a Han run
+    * (overlapping allowed, longest first per position), and a single-char
+    * token for any position no emitted word covers. The recall-maximizing
+    * indexing mode; `smart` corresponds to the disambiguating
+    * [[tokenizeCjkDictBi]]/[[tokenizeCjkMmseg]] family. One
+    * `aggregate`-over-positions scan tracking the furthest covered
+    * position — pure Column, inside codegen. */
+  def tokenizeCjkMaxword(c: Column, dict: Seq[String] = cjkDict): Column =
+    overHanRuns(c, { r =>
+      val byLen = dict.groupBy(_.length).toSeq.sortBy(-_._1)
+      val empty = array_remove(array(lit("")), "")
+      aggregate(
+        sequence(lit(1), length(r)),
+        struct(lit(0).as("cover"), empty.as("toks")),
+        (st, i) => {
+          val ms = byLen.map { case (n, ws) =>
+            when(r.substr(i, lit(n)).isin(ws: _*), array(r.substr(i, lit(n))))
+              .otherwise(empty)
+          }
+          val matches = if (ms.isEmpty) empty else concat(ms: _*)
+          // longest match at i reaches furthest — byLen is length-desc, so
+          // the first hit wins (the fmmRun matchLen pattern)
+          val maxEnd = byLen.foldRight(lit(0): Column) { case ((n, ws), els) =>
+            when(r.substr(i, lit(n)).isin(ws: _*), i + lit(n) - 1).otherwise(els)
+          }
+          val single = when(size(matches) === 0 && st.getField("cover") < i,
+            array(r.substr(i, lit(1)))).otherwise(empty)
+          struct(greatest(st.getField("cover"), maxEnd).as("cover"),
+            concat(st.getField("toks"), matches, single).as("toks"))
+        },
+        st => st.getField("toks"))
+    })
+
   /** Stopword-aware analyzer (reference: the pluggable segmenters it loads
     * — smartcn, IKAnalyzer — ship stopword filtering, Lucene `StopFilter`
     * stage): base-analyzer tokens minus a language's stopword list. Stays
@@ -225,6 +283,8 @@ object TextFunctions {
     "cjk-dict-rmm" -> (c => tokenizeCjkDictRmm(c)),
     "cjk-dict-bi" -> (c => tokenizeCjkDictBi(c)),
     "cjk-dict-mmseg" -> (c => tokenizeCjkMmseg(c)),
+    "cjk-dict-index" -> (c => tokenizeCjkDictIndex(c)),
+    "cjk-dict-maxword" -> (c => tokenizeCjkMaxword(c)),
     "english-stop" -> (c => tokenizeNoStop(c)))
 
   def analyzer(name: String): Column => Column =
@@ -238,6 +298,12 @@ object TextFunctions {
     } else if (name.startsWith("cjk-dict-rmm:")) {
       val dict = namedDict(name.stripPrefix("cjk-dict-rmm:"))
       c => tokenizeCjkDictRmm(c, dict)
+    } else if (name.startsWith("cjk-dict-index:")) {
+      val dict = namedDict(name.stripPrefix("cjk-dict-index:"))
+      c => tokenizeCjkDictIndex(c, dict)
+    } else if (name.startsWith("cjk-dict-maxword:")) {
+      val dict = namedDict(name.stripPrefix("cjk-dict-maxword:"))
+      c => tokenizeCjkMaxword(c, dict)
     } else if (name.startsWith("cjk-dict-mmseg:")) {
       val dict = namedDict(name.stripPrefix("cjk-dict-mmseg:"))
       c => tokenizeCjkMmseg(c, dict)

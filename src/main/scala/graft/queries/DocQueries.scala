@@ -1051,6 +1051,98 @@ object DocQueries {
               (col("doc_id") % 10).cast("string")), dict)).as("toks"))
     },
 
+    // index-mode dictionary analyzer (jieba INDEX / cut_for_search,
+    // reference analyzer/JiebaAnalyzer.java:35-38): the oracle replays the
+    // FMM scan CTE, then expands every segmented word with its in-dict
+    // 2-gram/3-gram sub-words (word last) — the same post-expansion the
+    // engine fuses into the tokenize expression. Dict is Han-only, so the
+    // uniform expansion is a no-op on Latin run tokens.
+    q("q_tokenize_cjk_index",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    '图数据库' || source || '分词引擎' || CAST(doc_id % 10 AS VARCHAR) AS zh
+        |  FROM documents WHERE doc_id < 200),
+        |rl AS (SELECT doc_id,
+        |    regexp_extract_all(lower(zh), '([a-z0-9]+|\p{Han}+)', 1) AS rs FROM t),
+        |runs AS (SELECT doc_id, generate_subscripts(rs, 1) AS ord, unnest(rs) AS r FROM rl),
+        |seg(doc_id, ord, r, pos, toks) AS (
+        |  SELECT doc_id, ord, r, CAST(1 AS BIGINT), CAST([] AS VARCHAR[])
+        |  FROM runs WHERE regexp_full_match(r, '\p{Han}+')
+        |  UNION ALL
+        |  SELECT doc_id, ord, r, pos + ml, toks || [substr(r, pos, ml)]
+        |  FROM (SELECT doc_id, ord, r, pos, toks,
+        |          CASE WHEN substr(r, pos, 4) IN ('图数据库') THEN CAST(4 AS BIGINT)
+        |               WHEN substr(r, pos, 3) IN ('数据库') THEN 3
+        |               WHEN substr(r, pos, 2) IN ('数据','分词','引擎','查询','索引','分析') THEN 2
+        |               ELSE 1 END AS ml
+        |        FROM seg WHERE pos <= length(r)) z),
+        |ex AS (SELECT doc_id, ord, flatten(list_transform(toks, w -> list_concat(
+        |    CASE WHEN length(w) > 2 THEN list_filter(
+        |        list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INT), 2)),
+        |        s -> s IN ('数据','分词','引擎','查询','索引','分析'))
+        |      ELSE CAST([] AS VARCHAR[]) END,
+        |    list_concat(
+        |      CASE WHEN length(w) > 3 THEN list_filter(
+        |          list_transform(range(1, length(w) - 1), i -> substr(w, CAST(i AS INT), 3)),
+        |          s -> s IN ('数据库'))
+        |        ELSE CAST([] AS VARCHAR[]) END,
+        |      [w])))) AS toks
+        |  FROM seg WHERE pos > length(r)),
+        |fin AS (SELECT doc_id, ord, toks FROM ex
+        |        UNION ALL
+        |        SELECT doc_id, ord, [r] FROM runs WHERE NOT regexp_full_match(r, '\p{Han}+')),
+        |agg AS (SELECT doc_id, flatten(list(toks ORDER BY ord)) AS toks FROM fin GROUP BY doc_id)
+        |SELECT doc_id, array_to_string(toks, ' ') AS toks FROM agg""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat_ws(" ", TextFunctions.tokenizeCjkDictIndex(
+            concat(lit("图数据库"), col("source"), lit("分词引擎"),
+              (col("doc_id") % 10).cast("string")))).as("toks"))
+    },
+
+    // max-word dictionary analyzer (IK max_word, reference
+    // analyzer/IKAnalyzer.java:37-40): every overlapping dictionary match
+    // at every position (longest first per position) plus single-char
+    // tokens for uncovered positions. The oracle enumerates positions
+    // non-recursively and decides coverage with a running-max window over
+    // match end positions — exactly the engine's left-to-right cover scan.
+    q("q_tokenize_cjk_maxword",
+      """WITH t AS (SELECT doc_id,
+        |    '图数据库' || source || '分词引擎' || CAST(doc_id % 10 AS VARCHAR) AS zh
+        |  FROM documents WHERE doc_id < 200),
+        |rl AS (SELECT doc_id,
+        |    regexp_extract_all(lower(zh), '([a-z0-9]+|\p{Han}+)', 1) AS rs FROM t),
+        |runs AS (SELECT doc_id, generate_subscripts(rs, 1) AS ord, unnest(rs) AS r FROM rl),
+        |pos AS (SELECT doc_id, ord, r, unnest(range(1, length(r) + 1)) AS i
+        |        FROM runs WHERE regexp_full_match(r, '\p{Han}+')),
+        |m AS (SELECT doc_id, ord, r, i,
+        |    list_concat(
+        |      CASE WHEN substr(r, i, 4) IN ('图数据库') THEN [substr(r, i, 4)] ELSE CAST([] AS VARCHAR[]) END,
+        |      list_concat(
+        |        CASE WHEN substr(r, i, 3) IN ('数据库') THEN [substr(r, i, 3)] ELSE CAST([] AS VARCHAR[]) END,
+        |        CASE WHEN substr(r, i, 2) IN ('数据','分词','引擎','查询','索引','分析') THEN [substr(r, i, 2)] ELSE CAST([] AS VARCHAR[]) END)) AS ws,
+        |    CASE WHEN substr(r, i, 4) IN ('图数据库') THEN i + 3
+        |         WHEN substr(r, i, 3) IN ('数据库') THEN i + 2
+        |         WHEN substr(r, i, 2) IN ('数据','分词','引擎','查询','索引','分析') THEN i + 1
+        |         ELSE 0 END AS mend
+        |  FROM pos),
+        |c AS (SELECT *, coalesce(max(mend) OVER (PARTITION BY doc_id, ord ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cover FROM m),
+        |tk AS (SELECT doc_id, ord, i, list_concat(ws,
+        |    CASE WHEN len(ws) = 0 AND cover < i THEN [substr(r, i, 1)]
+        |         ELSE CAST([] AS VARCHAR[]) END) AS ws FROM c),
+        |ht AS (SELECT doc_id, ord, flatten(list(ws ORDER BY i)) AS toks FROM tk GROUP BY doc_id, ord),
+        |fin AS (SELECT doc_id, ord, toks FROM ht
+        |        UNION ALL
+        |        SELECT doc_id, ord, [r] FROM runs WHERE NOT regexp_full_match(r, '\p{Han}+')),
+        |agg AS (SELECT doc_id, flatten(list(toks ORDER BY ord)) AS toks FROM fin GROUP BY doc_id)
+        |SELECT doc_id, array_to_string(toks, ' ') AS toks FROM agg""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat_ws(" ", TextFunctions.tokenizeCjkMaxword(
+            concat(lit("图数据库"), col("source"), lit("分词引擎"),
+              (col("doc_id") % 10).cast("string")))).as("toks"))
+    },
+
     // stopword-aware analyzer (Lucene StopFilter semantics): default
     // tokens minus the language stopword list, via the analyzer registry
     q("q_tokenize_stop", {

@@ -163,6 +163,40 @@ class FunctionsSpec extends SparkSpec {
       === Seq("spark", "图数据库", "x", "引擎", "了"))
   }
 
+  test("index-mode analyzer (jieba INDEX): segmented words also emit in-dict sub-words") {
+    // FMM on 图数据库 → [图数据库]; index mode additionally surfaces the
+    // embedded dictionary words 数据 (2-gram) and 数据库 (3-gram), word last
+    val got = Seq("图数据库分词").toDF("t")
+      .select(TextFunctions.tokenizeCjkDictIndex(col("t"))).head().getSeq[String](0)
+    assert(got === Seq("数据", "数据库", "图数据库", "分词"))
+    // disagreement with FMM on the same string: same segmentation, finer grams
+    val fmm = Seq("图数据库分词").toDF("t")
+      .select(TextFunctions.tokenizeCjkDict(col("t"))).head().getSeq[String](0)
+    assert(fmm === Seq("图数据库", "分词"))
+    // 2-char words emit no sub-grams of themselves; latin passthrough
+    assert(Seq("spark数据x").toDF("t")
+      .select(TextFunctions.tokenizeCjkDictIndex(col("t"))).head().getSeq[String](0)
+      === Seq("spark", "数据", "x"))
+  }
+
+  test("max-word analyzer (IK max_word): all overlapping dict matches plus uncovered singles") {
+    // every dictionary word at every position: 图数据库 (pos 1) overlaps
+    // 数据库 and 数据 (pos 2); positions 3-4 are covered → no singles
+    val got = Seq("图数据库分词").toDF("t")
+      .select(TextFunctions.tokenizeCjkMaxword(col("t"))).head().getSeq[String](0)
+    assert(got === Seq("图数据库", "数据库", "数据", "分词"))
+    // uncovered positions fall back to single chars (了 matches nothing)
+    assert(Seq("引擎了").toDF("t")
+      .select(TextFunctions.tokenizeCjkMaxword(col("t"))).head().getSeq[String](0)
+      === Seq("引擎", "了"))
+    // a char inside a longer word is NOT re-emitted as a single even when
+    // no word starts there (库 sits inside 图数据库/数据库)
+    TextFunctions.registerDict("mw", Seq("数据", "据库"))
+    assert(Seq("数据库x").toDF("t")
+      .select(TextFunctions.analyzer("cjk-dict-maxword:mw")(col("t")))
+      .head().getSeq[String](0) === Seq("数据", "据库", "x"))
+  }
+
   test("shingles produces distinct 3-grams, short-doc fallback") {
     val got = Seq("a b c d", "x y").toDF("t")
       .select(TextFunctions.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
