@@ -263,4 +263,22 @@ object IdSplicer {
     * reference `.../backend/id/EdgeId.java:31-43`. */
   def edgeId(src: Column, label: Column, sortValues: Column, dst: Column): Column =
     F.concat_ws("|", src, label, F.coalesce(sortValues, F.lit("")), dst)
+
+  /** CUSTOMIZE_UUID id strategy: deterministic RFC 4122 name-based (v3,
+    * md5) UUID in the canonical dashed form the reference's
+    * `UuidId.asString` emits (`backend/id/IdGenerator.java:319,346-348`;
+    * `StringEncoding.uuid` parses the same form). Bit-identical to
+    * `java.util.UUID.nameUUIDFromBytes(name.getBytes)`: version nibble
+    * forced to 3, variant nibble to 8-b ((n & 3) | 8) — pure codegen'd
+    * string functions over `md5`, reproducible across engines. */
+  def uuidId(name: Column): Column = {
+    val h = F.md5(name.cast(StringType))
+    F.concat(
+      F.substring(h, 1, 8), F.lit("-"),
+      F.substring(h, 9, 4), F.lit("-3"),
+      F.substring(h, 14, 3), F.lit("-"),
+      F.translate(F.substring(h, 17, 1), "0123456789abcdef", "89ab89ab89ab89ab"),
+      F.substring(h, 18, 3), F.lit("-"),
+      F.substring(h, 21, 12))
+  }
 }

@@ -582,6 +582,32 @@ object GraphQueries2 {
           concat_ws(",", col("ids")).as("ids"))
     },
 
+    q("q_id_strategies",
+      // §2.14 id strategies as verifiable columns: PRIMARY_KEY splice
+      // (SplicingIdGenerator label:pk form), CUSTOMIZE_UUID (RFC 4122 v3
+      // name-based — version nibble 3, variant nibble (n&3)|8 — the
+      // java.util.UUID.nameUUIDFromBytes layout UuidId.asString prints),
+      // and the 6-part EdgeId (empty sort-values slot collapses to '||')
+      """SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS vid,
+        |       substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' ||
+        |       substr(h, 14, 3) || '-' ||
+        |       translate(substr(h, 17, 1), '0123456789abcdef', '89ab89ab89ab89ab') ||
+        |       substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uid,
+        |       'customer:' || CAST(o_custkey AS VARCHAR) || '|placed||order:' ||
+        |       CAST(o_orderkey AS VARCHAR) AS eid
+        |FROM (SELECT o_orderkey, o_custkey,
+        |        md5('order:' || CAST(o_orderkey AS VARCHAR)) AS h
+        |      FROM orders WHERE o_orderkey <= 2000) z""".stripMargin) { (s, d) =>
+      import graft.core.IdSplicer._
+      Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select(
+          spliceId("order", col("o_orderkey")).as("vid"),
+          uuidId(spliceId("order", col("o_orderkey"))).as("uid"),
+          edgeId(spliceId("customer", col("o_custkey")), lit("placed"),
+            lit(null).cast("string"),
+            spliceId("order", col("o_orderkey"))).as("eid"))
+    },
+
     q("q_rings_cycle",
       // non-trivial rings: the derived "nation ring" graph (each nation →
       // next nationkey within its region, wrapping) has exactly one directed

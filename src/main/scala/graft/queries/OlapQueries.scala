@@ -166,6 +166,38 @@ object OlapQueries {
       Algorithms.countEdge(g(s, d))
     },
 
+    q("q_algorithm_pool",
+      // §2.11 named algorithm dispatch (reference AlgorithmPool.java:42-73
+      // / Algorithm.call): three algorithms looked up by job name and run
+      // with string-keyed parameter maps, unioned into one (algo, key, n)
+      // result — certifies the dispatch surface returns the same relations
+      // as the direct calls the other oracle rows verify
+      s"""WITH edges AS ($edgesSql)
+         |SELECT 'count_vertex' AS algo, label AS key, CAST(n AS BIGINT) AS n FROM (
+         |  SELECT label, count(*) AS n FROM (
+         |    SELECT 'region' AS label FROM region
+         |    UNION ALL SELECT 'nation' FROM nation
+         |    UNION ALL SELECT 'customer' FROM customer
+         |    UNION ALL SELECT 'supplier' FROM supplier
+         |    UNION ALL SELECT 'part' FROM part
+         |    UNION ALL SELECT 'order' FROM orders) GROUP BY label) cv
+         |UNION ALL
+         |SELECT 'count_edge', label, CAST(count(*) AS BIGINT) FROM edges GROUP BY label
+         |UNION ALL
+         |SELECT 'degree_centrality', src, CAST(count(*) AS BIGINT)
+         |FROM edges GROUP BY src""".stripMargin) { (s, d) =>
+      import graft.olap.AlgorithmPool
+      val graph = g(s, d)
+      AlgorithmPool.call("count_vertex", graph)
+        .select(lit("count_vertex").as("algo"), col("label").as("key"), col("n"))
+        .unionByName(AlgorithmPool.call("count_edge", graph)
+          .select(lit("count_edge").as("algo"), col("label").as("key"), col("n")))
+        .unionByName(AlgorithmPool
+          .call("degree_centrality", graph, Map("direction" -> "OUT"))
+          .select(lit("degree_centrality").as("algo"), col("id").as("key"),
+            col("degree").as("n")))
+    },
+
     q("q_pagerank", pagerankSql(3, 0.85), bench = true) { (s, d) =>
       Algorithms.pageRank(g(s, d), alpha = 0.85, iterations = 3)
     },

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Direction, ModernGraph}
-import graft.olap.Algorithms
+import graft.olap.{AlgorithmPool, Algorithms}
 import org.apache.spark.sql.functions._
 
 /** Unit tests of OLAP algorithms on hand-computable fixtures
@@ -114,5 +114,28 @@ class AlgorithmsSpec extends SparkSpec {
     assert(Set(m("a1"), m("a2"), m("a3")).size === 1)
     assert(Set(m("b1"), m("b2"), m("b3")).size === 1)
     assert(m("a1") !== m("b1"))
+  }
+
+  test("algorithm pool dispatches by job name with parameter maps") {
+    // dispatch parity: the named entry returns the same relation as the
+    // direct call it adapts
+    val pooled = AlgorithmPool.call("degree_centrality", g,
+      Map("direction" -> "OUT")).collect().toSet
+    val direct = Algorithms.degreeCentrality(g, Direction.OUT).collect().toSet
+    assert(pooled === direct)
+    val cv = AlgorithmPool.call("count_vertex", g)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cv === Map("person" -> 4L, "software" -> 2L))
+    // parameterized dispatch: pool wcc == direct wcc on the modern graph
+    val wccPool = AlgorithmPool.call("weak_connected_component", g)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(wccPool.values.toSet.size === 1) // modern graph is connected
+    // checkParameters rejects unknown keys (the reference contract)
+    val err = intercept[IllegalArgumentException] {
+      AlgorithmPool.call("page_rank", g, Map("bogus" -> 1))
+    }
+    assert(err.getMessage.contains("bogus"))
+    // unknown algorithm name fails at lookup
+    assertThrows[RuntimeException](AlgorithmPool.get("no_such_algorithm"))
   }
 }

@@ -162,4 +162,15 @@ class MutationsSpec extends SparkSpec {
     assert(s.outEdgeLabels("person").map(_.name).toSet === Set("knows", "created"))
     assert(s.inEdgeLabels("software").map(_.name) === Seq("created"))
   }
+
+  test("CUSTOMIZE_UUID ids are exactly java.util.UUID.nameUUIDFromBytes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val names = Seq("customer:1", "order:42", "图数据库", "", "a|b:c")
+    val got = names.toDF("n").select(col("n"), IdSplicer.uuidId(col("n")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (n <- names)
+      assert(got(n) ===
+        java.util.UUID.nameUUIDFromBytes(n.getBytes("UTF-8")).toString)
+  }
 }
