@@ -70,6 +70,31 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_totalprice"))
     },
 
+    q("q_shard_enumeration", {
+      // shard enumeration (reference backend/store/Shard.java (start, end,
+      // length) token-range slices): the md5-derived 16-bit token space
+      // split into 8 equal ranges over customer vertex ids — the
+      // IdRangeQuery/SCAN-token surface a parallel scanner consumes
+      def d4(i: Int) =
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      s"""WITH ids AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id,
+         |                    md5('customer:' || CAST(c_custkey AS VARCHAR)) AS h
+         |             FROM customer),
+         |t AS (SELECT id, (${d4(1)} * 4096 + ${d4(2)} * 256 + ${d4(3)} * 16 + ${d4(4)})
+         |               // 8192 AS shard FROM ids)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |       CAST(shard * 8192 AS BIGINT) AS start,
+         |       CAST((shard + 1) * 8192 - 1 AS BIGINT) AS "end",
+         |       CAST(count(*) AS BIGINT) AS length,
+         |       min(id) AS min_id, max(id) AS max_id
+         |FROM t GROUP BY shard""".stripMargin
+    }) { (s, d) =>
+      graft.sources.GraphStore.shardSplits(
+        Tables.customer(s, d).select(
+          concat(lit("customer:"), col("c_custkey").cast("string")).as("id")),
+        "id", nShards = 8)
+    },
+
     q("q_condition_dnf",
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE (l_returnflag = 'A' AND l_quantity < 5)

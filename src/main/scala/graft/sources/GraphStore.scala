@@ -57,6 +57,28 @@ object GraphStore {
 
   /** CSV/JSON ingestion of external vertex/edge files into the graph layout
     * (the hugegraph-loader role). */
+  /** Shard enumeration (reference `backend/store/Shard.java:25,34` — a
+    * shard is a `(start, end, length)` token-range slice the scanner
+    * hands to parallel workers). Here the token space is the 16-bit
+    * md5-derived [[graft.ops.Packing.hash16]] of the element id — a
+    * deterministic, engine-portable stand-in for the backends' own id
+    * hashing — split into `nShards` equal ranges. Returns one row per
+    * non-empty shard: `(shard, start, end, length, min_id, max_id)`; a
+    * consumer scans shard s with `hash16(id) BETWEEN start AND end`, the
+    * `IdRangeQuery`/SCAN-token surface. One aggregation, no shuffle
+    * beyond it. */
+  def shardSplits(elements: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val width = 65536L / nShards
+    val tok = graft.ops.Packing.hash16(col(idCol))
+    elements.select(col(idCol).as("id"), (tok / width).cast("long").as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("length"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .select(col("shard"), (col("shard") * width).as("start"),
+        ((col("shard") + 1) * width - 1).as("end"),
+        col("length"), col("min_id"), col("max_id"))
+  }
+
   def ingestCsv(spark: SparkSession, path: String, headerTrue: Boolean = true): DataFrame =
     spark.read.option("header", headerTrue.toString).option("inferSchema", "true").csv(path)
   def ingestJson(spark: SparkSession, path: String): DataFrame =
