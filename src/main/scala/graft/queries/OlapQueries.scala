@@ -227,6 +227,35 @@ object OlapQueries {
       Algorithms.wcc(verts, edges)
     },
 
+    q("q_graphx_cc",
+      // computer delegation (reference hugegraph-computer handoff): the
+      // SAME component partition as q_wcc, computed by the GraphX Pregel
+      // backend instead of the DataFrame loop. GraphX's representative is
+      // the min INTERNAL vid (partition-order-dependent), so components
+      // are relabeled with their min string id — the deterministic label
+      // the oracle publishes.
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |e2 AS (SELECT src, dst FROM edges WHERE label IN ('in_nation', 'in_region')),
+         |adj AS (SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2),
+         |verts AS (
+         |  SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS id FROM region
+         |  UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+         |  UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR) FROM customer
+         |  UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT r.a, adj.dst FROM reach r JOIN adj ON adj.src = r.b)
+         |SELECT a AS id, min(b) AS component FROM reach GROUP BY a""".stripMargin) { (s, d) =>
+      val sub = g(s, d).subgraph(col("label").isin("in_nation", "in_region"))
+      val cc = graft.core.GraphXBridge.connectedComponents(sub)
+        .filter(col("id").rlike("^(region|nation|customer|supplier):"))
+      cc.join(
+        cc.groupBy(col("component_rep")).agg(min(col("id")).as("component")),
+        Seq("component_rep"))
+        .select(col("id"), col("component"))
+    },
+
     q("q_triangle_count",
       s"""WITH pairs AS ($coSupplierSql),
          |tri AS (
