@@ -406,4 +406,36 @@ object Corpus {
       .select(col(idCol), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         coalesce(col("logweight"), lit(0.0)).as("logweight"))
   }
+
+  /** Boilerplate REMOVAL (the CCNet/RefinedWeb line-dedup transform —
+    * Wenzek et al. 2020 dedup paragraphs shared across documents; Penedo
+    * et al. 2023 drop repeated lines): a document's structural units here
+    * are its non-overlapping `chunk`-token windows; any unit occurring in
+    * more than `maxDocs` DISTINCT documents is boilerplate and is cut
+    * from every document, the survivors rejoined in order.
+    *
+    * Scale shape: the only shuffle is the unit-frequency aggregation. The
+    * boilerplate dictionary (units above the threshold — by construction
+    * few) is collapsed to ONE broadcast row, and the cut itself is an
+    * array-domain `filter` — a zero-shuffle narrow map over the corpus,
+    * exactly how a deployment ships a boilerplate list to every executor.
+    * Returns (idCol, text_clean, n_chunks, n_removed). */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        chunk: Int, maxDocs: Int): DataFrame = {
+    val ch = tokens(docs, idCol, textCol)
+      .select(col(idCol),
+        TextFunctions.chunkTokens(col("toks"), chunk, chunk).as("chunks"))
+    val bp = ch
+      .select(explode(array_distinct(col("chunks"))).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .agg(sort_array(collect_list(col("c"))).as("bp"))
+    ch.crossJoin(broadcast(bp))
+      .select(col(idCol),
+        filter(col("chunks"), c => !array_contains(col("bp"), c)).as("kept"),
+        size(col("chunks")).as("n_chunks"))
+      .select(col(idCol), concat_ws(" ", col("kept")).as("text_clean"),
+        col("n_chunks").cast("long").as("n_chunks"),
+        (col("n_chunks") - size(col("kept"))).cast("long").as("n_removed"))
+  }
 }

@@ -375,6 +375,33 @@ object DocQueries3 {
         .agg(count(lit(1)).as("n"))
     },
 
+    q("q_boilerplate_removal",
+      // CCNet/RefinedWeb line-dedup as a TRANSFORM: 3-token non-overlapping
+      // chunks shared by >5 distinct docs are boilerplate, cut from every
+      // doc, survivors rejoined in order. Oracle rebuilds the same chunking
+      // (list-slice windows), thresholds distinct-doc counts, and filters
+      // in the list domain against the collapsed boilerplate dictionary —
+      // the engine's one-shuffle + broadcast-dictionary shape.
+      s"""WITH t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
+         |ch AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 1
+         |    THEN list_transform(range(1, len(toks) + 1, 3),
+         |           st -> array_to_string(toks[CAST(st AS INT):CAST(st + 2 AS INT)], ' '))
+         |    ELSE CAST([] AS VARCHAR[]) END AS chunks FROM t),
+         |ex AS (SELECT doc_id, unnest(list_distinct(chunks)) AS c FROM ch),
+         |bp AS (SELECT c FROM ex GROUP BY c HAVING count(*) > 5),
+         |bpl AS (SELECT coalesce(list_sort(list(c)), CAST([] AS VARCHAR[])) AS bp FROM bp),
+         |fin AS (SELECT doc_id, chunks,
+         |          list_filter(chunks, c -> NOT list_contains(bp, c)) AS kept
+         |        FROM ch CROSS JOIN bpl)
+         |SELECT doc_id, array_to_string(kept, ' ') AS text_clean,
+         |       CAST(len(chunks) AS BIGINT) AS n_chunks,
+         |       CAST(len(chunks) - len(kept) AS BIGINT) AS n_removed
+         |FROM fin""".stripMargin) { (s, d) =>
+      Corpus.removeBoilerplate(Tables.documents(s, d), "doc_id", "text",
+        chunk = 3, maxDocs = 5)
+    },
+
     q("q_embed_standardize",
       """WITH e AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
         |  CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
