@@ -423,7 +423,7 @@ object Algorithms {
 
   /** Row-tagged fallback for root sets past [[msbfsMaxRoots]]: frontiers
     * carry an explicit `root` column. */
-  private def multiSourceBfsTagged(verts: DataFrame, adj: DataFrame, maxDepth: Int,
+  private[graft] def multiSourceBfsTagged(verts: DataFrame, adj: DataFrame, maxDepth: Int,
                                    symmetric: Boolean): DataFrame = {
     val l0 = verts.select(col("id").as("root"), col("id"), lit(0L).as("dist"))
     var layers = List(l0)

@@ -116,6 +116,31 @@ class AlgorithmsSpec extends SparkSpec {
     assert(m("a1") !== m("b1"))
   }
 
+  test("bitmask MS-BFS equals the row-tagged formulation on a pseudo-random graph") {
+    // 80 vertices, ~240 deterministic LCG edges (directed), 70 roots so the
+    // bitmask path spans two 63-bit batches; compare against the tagged
+    // loop the queries used before the bitmask path existed
+    var s = 12345L
+    def nxt(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffffffffffL; s }
+    val n = 80
+    val edges = (0 until 240).map { _ =>
+      (f"v${nxt() % n}%02d", f"v${nxt() % n}%02d")
+    }.distinct.filter(e => e._1 != e._2).toDF("src", "dst")
+    val roots = (0 until 70).map(i => f"v$i%02d").toDF("id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val bitmask = canon(Algorithms.multiSourceBfsAdj(roots, edges, maxDepth = 4))
+    val tagged = canon(Algorithms.multiSourceBfsTagged(roots, edges,
+      maxDepth = 4, symmetric = false))
+    assert(bitmask === tagged)
+    // and on a symmetric view with the two-layer guard
+    val sym = edges.union(edges.select(col("dst"), col("src"))).distinct()
+    val bm2 = canon(Algorithms.multiSourceBfsAdj(roots.limit(20), sym, maxDepth = 3))
+    val tg2 = canon(Algorithms.multiSourceBfsTagged(roots.limit(20), sym,
+      maxDepth = 3, symmetric = true))
+    assert(bm2 === tg2)
+  }
+
   test("algorithm pool dispatches by job name with parameter maps") {
     // dispatch parity: the named entry returns the same relation as the
     // direct call it adapts
