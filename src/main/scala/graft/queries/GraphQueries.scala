@@ -68,6 +68,27 @@ object GraphQueries {
         EdgeStep(Direction.OUT, Seq("contains"), Some(Cond.gt("quantity", 25.0)))))
     },
 
+    // customizedKneighbor (reference KneighborTraverser.customizedKneighbor
+    // — the SAME Steps bundle repeated per layer): everything within 2
+    // property-filtered BOTH hops of an order — co-ordered parts through
+    // heavy (quantity > 30) lineitems
+    q("q_kneighbor_steps",
+      """WITH RECURSIVE e AS (
+        |  SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS src,
+        |         'part:' || CAST(l_partkey AS VARCHAR) AS dst
+        |  FROM lineitem WHERE l_quantity > 30),
+        |adj AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |bfs(id, dist) AS (
+        |  SELECT 'order:3', CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT a.dst, b.dist + 1 FROM bfs b JOIN adj a ON a.src = b.id
+        |  WHERE b.dist < 2)
+        |SELECT DISTINCT id FROM bfs WHERE id <> 'order:3'""".stripMargin) { (s, d) =>
+      Traversals.customizedKneighbor(g(s, d), "order:3",
+        EdgeStep(Direction.BOTH, Seq("contains"), Some(Cond.gt("quantity", 30.0))),
+        maxDepth = 2)
+    },
+
     q("q_same_neighbors",
       """SELECT DISTINCT 'part:' || CAST(l_partkey AS VARCHAR) AS id FROM lineitem WHERE l_orderkey = 3
         |INTERSECT

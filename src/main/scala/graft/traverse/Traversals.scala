@@ -387,6 +387,45 @@ object Traversals {
     if (nearest) frontier else frontier.filter(col("id") =!= source)
   }
 
+  /** Customized k-neighbor (reference
+    * `KneighborTraverser.customizedKneighbor:73-104`): all vertices within
+    * `maxDepth` applications of ONE Steps bundle — the reference repeats
+    * the same steps object every layer — source excluded; `limit`
+    * truncates to the lowest ids (the reference cuts in insertion order,
+    * which is storage-dependent; ascending-id is the deterministic twin).
+    * Shares the per-hop machinery (property-filtered pinned step view via
+    * [[hopStepFn]], frontier pushdown, visited broadcast gate) with
+    * [[customizedKout]] and [[kneighbor]]. */
+  def customizedKneighbor(g: PropertyGraph, source: String, step: EdgeStep,
+                          maxDepth: Int, limit: Long = -1L): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val hop = hopStepFn(g, step)
+    var visited = Seq(source).toDF("id")
+    var visitedCnt = 1L
+    var frontier = visited
+    var frontierIds: Option[Array[String]] = Some(Array(source))
+    var depth = 0
+    var live = true
+    while (live && depth < maxDepth) {
+      depth += 1
+      frontier = hop(frontier, frontierIds).distinct()
+        .join(maybeBroadcast(visited, visitedCnt), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(frontier)
+      val pulled = frontier.select(col("id"))
+        .limit(frontierPushdownMaxIds + 1).as[String].collect()
+      if (pulled.length <= frontierPushdownMaxIds) {
+        frontierIds = Some(pulled); visitedCnt += pulled.length
+        live = pulled.nonEmpty
+      } else {
+        frontierIds = None; visitedCnt += frontier.count()
+      }
+    }
+    val out = visited.filter(col("id") =!= source).distinct()
+    if (limit >= 0L) out.orderBy(col("id")).limit(limit.toInt) else out
+  }
+
   /** DFS k-out (reference `KoutTraverser.dfsKout:147`, nested-iterator
     * depth-first edge walk). Depth-first vs breadth-first is an ENUMERATION
     * ORDER distinction in the reference's row-at-a-time OLTP engine — it

@@ -145,6 +145,28 @@ class TraversalSpec extends SparkSpec {
       maxDepth = 2, capacity = 100L).count() > 0)
   }
 
+  test("customizedKneighbor: step-filtered reach, kneighbor parity, deterministic limit") {
+    // plain BOTH step at depth 2 must equal the classic kneighbor
+    val viaSteps = Traversals.customizedKneighbor(g, "person:marko",
+      EdgeStep(Direction.BOTH), maxDepth = 2)
+      .collect().map(_.getString(0)).toSet
+    val classic = Traversals.kneighbor(g, "person:marko", Direction.BOTH, Nil,
+      maxDepth = 2).collect().map(_.getString(0)).toSet
+    assert(viaSteps === classic)
+    // per-edge property filter prunes the walk: only the weight-1.0 knows
+    // edge survives, so depth 2 reaches exactly josh
+    val filtered = Traversals.customizedKneighbor(g, "person:marko",
+      EdgeStep(Direction.OUT, Seq("knows"), Some(Cond.gt("weight", 0.6))),
+      maxDepth = 2).collect().map(_.getString(0)).toSet
+    assert(filtered === Set("person:josh"))
+    // limit cuts to the lowest ids (deterministic twin of the reference's
+    // insertion-order truncation)
+    val limited = Traversals.customizedKneighbor(g, "person:marko",
+      EdgeStep(Direction.BOTH), maxDepth = 2, limit = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(limited === classic.toSeq.sorted.take(2).toSet)
+  }
+
   test("degree cap truncates deterministically") {
     val e = EdgeStep(Direction.OUT, Nil, degree = 1).edgesFor(g)
       .filter(col("src") === "person:marko")
