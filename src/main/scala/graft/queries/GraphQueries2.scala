@@ -508,6 +508,39 @@ object GraphQueries2 {
         (EdgeStep(Direction.OUT, Seq("contains")), Some("quantity"))), topN = 5)
     },
 
+    q("q_customized_paths_sample",
+      // full WeightedEdgeStep knobs (reference steps/WeightedEdgeStep.java:
+      // 58-88): defaultWeight fallback on the placed hop (no quantity prop
+      // there -> every path gets +2.5) and a per-vertex sample=3 cap on the
+      // contains hop (md5-draw-ordered deterministic twin of the
+      // reference's uniform edge sampling)
+      """WITH ce AS (
+        |  SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS src,
+        |         'part:' || CAST(l_partkey AS VARCHAR) AS dst,
+        |         CAST(l_quantity AS DOUBLE) AS ew
+        |  FROM lineitem),
+        |cs AS (SELECT src, dst, ew FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY src
+        |    ORDER BY md5(src || '|' || dst), dst, ew) AS rn FROM ce) z
+        |  WHERE rn <= 3),
+        |walks AS (
+        |  SELECT 'customer:1->order:' || CAST(o.o_orderkey AS VARCHAR) ||
+        |         '->' || cs.dst AS path,
+        |         2.5 + cs.ew AS w
+        |  FROM orders o JOIN cs ON cs.src = 'order:' || CAST(o.o_orderkey AS VARCHAR)
+        |  WHERE o.o_custkey = 1),
+        |totals AS (SELECT path, sum(w) AS total_weight FROM walks GROUP BY path)
+        |SELECT path, round(total_weight, 6) AS total_weight FROM (
+        |  SELECT *, row_number() OVER (ORDER BY total_weight DESC, path ASC) AS rn
+        |  FROM totals) WHERE rn <= 5""".stripMargin) { (s, d) =>
+      import PathTraversals.WeightedStep
+      PathTraversals.customizedPathsWeighted(g(s, d), Seq("customer:1"), Seq(
+        WeightedStep(EdgeStep(Direction.OUT, Seq("placed")),
+          weightBy = Some("quantity"), defaultWeight = 2.5),
+        WeightedStep(EdgeStep(Direction.OUT, Seq("contains")),
+          weightBy = Some("quantity"), sample = 3L)), topN = 5)
+    },
+
     q("q_collection_paths",
       """SELECT DISTINCT 'customer:' || CAST(o.o_custkey AS VARCHAR) ||
         |       '->order:' || CAST(o.o_orderkey AS VARCHAR) ||

@@ -340,11 +340,36 @@ object PathTraversals {
     * Deterministic tiebreak on the path string. */
   def customizedPaths(g: PropertyGraph, sources: Seq[String],
                       steps: Seq[(EdgeStep, Option[String])], // (step, weight prop)
-                      topN: Int): DataFrame = {
+                      topN: Int): DataFrame =
+    customizedPathsWeighted(g, sources,
+      steps.map { case (st, wp) => WeightedStep(st, wp) }, topN)
+
+  /** Full weighted-step bundle (reference `steps/WeightedEdgeStep.java:
+    * 58-88`): the per-step weight property with a `defaultWeight` fallback
+    * for edges lacking it, and an optional per-vertex `sample` cap — the
+    * reference draws `sample` of each vertex's edges uniformly at random
+    * to bound fan-out; the deterministic twin orders a vertex's edges by
+    * their md5 draw (the q_split_assign / weightedSample uniform-hash
+    * precedent, tiebroken by (dst, weight)) and keeps the first `sample`. */
+  final case class WeightedStep(step: EdgeStep, weightBy: Option[String] = None,
+                                defaultWeight: Double = 0.0,
+                                sample: Long = -1L)
+
+  def customizedPathsWeighted(g: PropertyGraph, sources: Seq[String],
+                              steps: Seq[WeightedStep], topN: Int): DataFrame = {
     var frontier = seed(g, sources).withColumn("w", lit(0.0))
-    steps.foreach { case (st, weightProp) =>
-      val wcol = weightProp.map(p => coalesce(col(p), lit(0.0))).getOrElse(lit(1.0))
-      val e = st.edgesFor(g).select(col("src"), col("dst"), wcol.as("ew"))
+    steps.foreach { ws =>
+      val wcol = ws.weightBy
+        .map(p => coalesce(col(p), lit(ws.defaultWeight))).getOrElse(lit(1.0))
+      var e = ws.step.edgesFor(g).select(col("src"), col("dst"), wcol.as("ew"))
+      if (ws.sample >= 0L) {
+        // src-partitioned window: sorts only per-vertex fan-out (the
+        // degree-cap window shape), never O(|E|) globally
+        val win = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(md5(concat(col("src"), lit("|"), col("dst"))), col("dst"), col("ew"))
+        e = e.withColumn("__rn", row_number().over(win))
+          .filter(col("__rn") <= ws.sample).drop("__rn")
+      }
       frontier = frontier.select(col("id").as("src"), col("path"), col("w"))
         .join(e, Seq("src"))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"),
