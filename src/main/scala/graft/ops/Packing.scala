@@ -62,6 +62,41 @@ object Packing {
     df.filter(hash16(col(idCol)) < rate * 65536.0)
   }
 
+  /** Temperature-based source mixing (the multilingual-pretraining recipe —
+    * Lample & Conneau 2019 §3.1; also the Pile/ROOTS source-weighting
+    * shape): stratum s of size n_s (here Σ`sizeCol`) is sampled with
+    * probability p_s ∝ n_s^alpha, flattening the natural distribution
+    * toward uniform as alpha → 0. With a target corpus fraction f, the
+    * per-stratum keep rate is r_s = min(1, f·p_s·N / n_s) — oversampled
+    * small sources saturate at 1 (this op never duplicates rows; epoch
+    * repetition is the trainer's job). Rates are rounded to 6 decimals
+    * BEFORE the hash threshold so both engines cut on identical values.
+    *
+    * Scale shape: one stratum-count aggregation (|strata| rows), rates
+    * derived inside the plan and broadcast back — the corpus side is a
+    * zero-shuffle narrow filter, the [[mixSample]] contract with
+    * data-derived rates. Returns kept rows as (idCol, stratum, rate). */
+  def temperatureMix(df: DataFrame, idCol: String, stratumCol: Column,
+                     sizeCol: Column, alpha: Double,
+                     targetFraction: Double): DataFrame = {
+    val sizes = df.groupBy(stratumCol.as("stratum"))
+      .agg(sum(sizeCol.cast("long")).as("sz"))
+      // n_s^α rounded-6 → DECIMAL so the Σ over strata is EXACT and
+      // order-independent — a double Σ would expose engine summation order
+      .withColumn("pz",
+        round(pow(col("sz").cast("double"), alpha), 6).cast("decimal(28,6)"))
+    val tot = sizes.agg(sum(col("sz")).as("n_total"), sum(col("pz")).as("z"))
+    val rates = sizes.crossJoin(broadcast(tot)).select(col("stratum"),
+      round(least(lit(1.0), lit(targetFraction)
+        * col("pz").cast("double") / col("z").cast("double")
+        * col("n_total").cast("double") / col("sz").cast("double")), 6)
+        .as("rate"))
+    df.select(col(idCol), stratumCol.as("stratum"))
+      .join(broadcast(rates), Seq("stratum"))
+      .filter(hash16(col(idCol)) < col("rate") * 65536.0)
+      .select(col(idCol), col("stratum"), col("rate"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
     * A-Res): each row draws key = −ln(u)/w from a deterministic md5-uniform
     * u ∈ (0, 1] and the k SMALLEST keys win — inclusion probability

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over an embedding column — the covariance-
+  * eigendecomposition formulation (Pearson 1901; Jolliffe, "Principal
+  * Component Analysis"). The pipeline use is embedding whitening /
+  * dimensionality reduction before clustering or near-dup detection — the
+  * data-driven sibling of [[Ann.randomProjection]]'s data-oblivious JL map.
+  *
+  * Scale shape: the ONLY corpus-sized pass is the covariance accumulation —
+  * a narrow per-row expansion into d(d+1)/2 upper-triangle product terms
+  * that partial (map-side) aggregation collapses immediately, so the
+  * shuffle carries exactly d(d+1)/2 groups REGARDLESS of corpus size (at
+  * d=64 that is 2,080 rows from 100 TB). The eigensolve then runs on the
+  * collected d×d matrix — a driver-side O(d³) Jacobi sweep over ≤64×64
+  * doubles, the trained-artifact discipline ([[Ann.kmeansCentroids]]): a
+  * deployment trains the basis once, stores it beside the corpus, and the
+  * projection pass is a zero-shuffle narrow map with the basis broadcast
+  * as literals.
+  *
+  * Exactness: per-value round-to-6 → DECIMAL(18,6), products DECIMAL(37,12),
+  * sums exact — both engines derive the final double covariance from
+  * identical exact integers, so the oracle matches bit for bit
+  * (the [[Ann.standardize]] / degreeAssortativity discipline). */
+object Pca {
+
+  /** Upper-triangle covariance entries `(i, j, cov)` with `0 ≤ i ≤ j < dim`
+    * over the embedding column: cov(i,j) = (Σxy − ΣxΣy/n) / (n−1). */
+  def covariance(embeddings: DataFrame, idCol: String, vecCol: String,
+                 dim: Int): DataFrame = {
+    val v6 = transform(col(vecCol),
+      x => round(x.cast("double"), 6).cast("decimal(18,6)"))
+    val vecs = embeddings.select(v6.as("v"))
+    // one pass for the per-dim linear sums …
+    val sums = vecs.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    // … one pass for the cross moments: per-row upper-triangle products via
+    // nested sequence-transforms (pure codegen'd expressions, no join)
+    val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("v"), i + 1) * element_at(col("v"), j + 1)).as("xy")))))
+    val cross = vecs.select(explode(tri).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.xy")).as("sxy"))
+    cross
+      .join(broadcast(sums.select(col("dim").as("i"), col("sx").as("sxi"),
+        col("n"))), Seq("i"))
+      .join(broadcast(sums.select(col("dim").as("j"), col("sx").as("sxj"))),
+        Seq("j"))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        round((col("sxy").cast("double")
+          - col("sxi").cast("double") * col("sxj").cast("double") / col("n"))
+          / (col("n") - 1), 6).as("cov"))
+  }
+
+  /** Eigen-decomposition artifacts of the covariance matrix: eigenvalues
+    * (descending) and matching unit eigenvectors, sign-fixed so the
+    * largest-magnitude component of each vector is positive (deterministic
+    * across runs — eigenvectors are only defined up to sign).
+    *
+    * Driver-side by design: the input is the ALREADY-AGGREGATED d×d matrix
+    * (d(d+1)/2 rows — bounded by the embedding width, never by corpus
+    * size), the exact boundary where the reference's OLAP jobs also hand
+    * tiny reductions to a single node (cf. `Ann.kmeansTrain`'s collected
+    * centroid table). Memoized per pinned input plan + dim, cleared with
+    * [[graft.core.Pin]]. */
+  def components(embeddings: DataFrame, idCol: String, vecCol: String,
+                 dim: Int): (Array[Double], Array[Array[Double]]) = {
+    val cands = pinned(embeddings, idCol, vecCol)
+    compMemo.computeIfAbsent((cands, dim), { _ =>
+      val rows = covariance(cands, idCol, vecCol, dim).collect()
+      val a = Array.ofDim[Double](dim, dim)
+      rows.foreach { r =>
+        val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        a(i)(j) = c; a(j)(i) = c
+      }
+      jacobiEigen(a)
+    })
+  }
+
+  /** Project each embedding onto the top-k principal components (scores are
+    * centered-dot products): `(id, proj: array<double>)`. Zero-shuffle
+    * narrow map — the basis and the per-dim means ride along as literals
+    * planted at planning time (the [[Ann.randomProjection]] shape). */
+  def project(embeddings: DataFrame, idCol: String, vecCol: String,
+              dim: Int, k: Int): DataFrame = {
+    val cands = pinned(embeddings, idCol, vecCol)
+    val (_, vecsAll) = components(embeddings, idCol, vecCol, dim)
+    val means = cands
+      .select(posexplode(transform(col(vecCol),
+        x => round(x.cast("double"), 6).cast("decimal(18,6)"))).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg((sum(col("x")) / count(lit(1))).cast("double").as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val basis = vecsAll.take(k)
+    val centered = zip_with(col(vecCol), typedlit(means.toSeq),
+      (x, m) => x.cast("double") - m)
+    val proj = basis.map { ev =>
+      aggregate(zip_with(centered, typedlit(ev.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    cands.select(col(idCol), array(proj.map(round(_, 6)): _*).as("proj"))
+  }
+
+  private def pinned(embeddings: DataFrame, idCol: String,
+                     vecCol: String): DataFrame =
+    graft.core.Pin.pinDerived(
+      embeddings.select(col(idCol), col(vecCol)).repartition(col(idCol)))
+
+  private val compMemo = new java.util.concurrent.ConcurrentHashMap[
+    (DataFrame, Int), (Array[Double], Array[Array[Double]])]()
+
+  graft.core.Pin.onClear(() => compMemo.clear())
+
+  /** Cyclic Jacobi rotation eigensolver for a symmetric matrix: rotate away
+    * the largest off-diagonal element until all are < 1e-12 (Golub & Van
+    * Loan §8.5). Deterministic pivot order ⇒ reproducible basis. */
+  private[graft] def jacobiEigen(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-12 && sweep < 100) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-15) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val sgn = if (theta < 0) -1.0 else 1.0 // signum(0) must rotate, not stall
+        val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq; a(i)(q) = s * aip + c * aiq
+        }
+        for (i <- 0 until d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi; a(q)(i) = s * api + c * aqi
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq; v(i)(q) = s * vip + c * viq
+        }
+      }
+      off = offDiag(a); sweep += 1
+    }
+    val pairs = (0 until d).map { i =>
+      val ev = Array.tabulate(d)(r => v(r)(i))
+      // sign convention: largest-|component| positive (first index on ties)
+      val pivot = ev.indices.maxBy(j => (math.abs(ev(j)), -j))
+      (a(i)(i), if (ev(pivot) < 0) ev.map(-_) else ev)
+    }.sortBy(-_._1)
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+    math.sqrt(s)
+  }
+}

@@ -15,6 +15,13 @@ object DocQueries3 {
   private def tokOf(c: String) =
     s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), t -> len(t) > 0)"
 
+  /** DuckDB twin of Packing.hash16 over doc_id (DocQueries.hash16Sql). */
+  private val hash16Sql = {
+    def d(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"(${d(1)} * 4096 + ${d(2)} * 256 + ${d(3)} * 16 + ${d(4)})"
+  }
+
   /** DuckDB twin of Sketch.hash60 (DocQueries2.hash60Sql). */
   private def hash60Sql(c: String): String =
     (0 until 15).map { j =>
@@ -414,5 +421,50 @@ object DocQueries3 {
         |        / sqrt((ssv - sv * sv / n) / (n - 1)), 6) AS z
         |FROM e JOIN st USING (dim)""".stripMargin) { (s, d) =>
       Ann.standardize(Tables.embeddings(s, d), "vec_id", "embedding")
+    },
+
+    // distributed PCA's corpus-sized pass: exact-decimal upper-triangle
+    // covariance (the shuffle carries d(d+1)/2 groups at ANY corpus size);
+    // the eigensolve/projection halves are PcaSpec-verified (a driver-side
+    // O(d³) Jacobi has no SQL twin)
+    q("q_embed_covariance",
+      """WITH e AS (SELECT vec_id, CAST(dim - 1 AS INT) AS dim,
+        |  CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |        generate_subscripts(embedding, 1) AS dim FROM embeddings) z),
+        |st AS (SELECT dim, sum(v) AS sx, count(*) AS n FROM e GROUP BY dim),
+        |xy AS (SELECT a.dim AS i, b.dim AS j, sum(a.v * b.v) AS sxy
+        |       FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |       GROUP BY 1, 2)
+        |SELECT i, j,
+        |  round((CAST(sxy AS DOUBLE)
+        |         - CAST(sa.sx AS DOUBLE) * CAST(sb.sx AS DOUBLE) / sa.n)
+        |        / (sa.n - 1), 6) AS cov
+        |FROM xy JOIN st sa ON sa.dim = i JOIN st sb ON sb.dim = j""".stripMargin,
+      bench = true) { (s, d) =>
+      graft.ops.Pca.covariance(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64)
+    },
+
+    // temperature-flattened source mixing (XLM §3.1 recipe): keep rates
+    // derived from per-source char mass at alpha=0.6 toward a 30% target;
+    // rounded-6 decimal rates + md5 threshold replay exactly in DuckDB
+    q("q_temperature_mix",
+      s"""WITH s AS (SELECT source AS stratum, sum(n_chars) AS sz
+         |           FROM documents GROUP BY 1),
+         |sp AS (SELECT stratum, sz,
+         |  CAST(round(pow(CAST(sz AS DOUBLE), 0.6), 6) AS DECIMAL(28,6)) AS pz
+         |  FROM s),
+         |t AS (SELECT sum(sz) AS n_total, sum(pz) AS z FROM sp),
+         |r AS (SELECT stratum,
+         |  round(least(1.0, 0.3 * CAST(pz AS DOUBLE) / CAST(z AS DOUBLE)
+         |        * CAST(n_total AS DOUBLE) / CAST(sz AS DOUBLE)), 6) AS rate
+         |  FROM sp CROSS JOIN t)
+         |SELECT d.doc_id, r.stratum, r.rate
+         |FROM documents d JOIN r ON r.stratum = d.source
+         |WHERE $hash16Sql < rate * 65536.0""".stripMargin,
+      bench = true) { (s, d) =>
+      graft.ops.Packing.temperatureMix(Tables.documents(s, d), "doc_id",
+        col("source"), col("n_chars"), alpha = 0.6, targetFraction = 0.3)
     })
 }

@@ -306,6 +306,30 @@ class OpsSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("temperatureMix: alpha=1 reproduces natural rates, alpha→0 flattens, small sources saturate") {
+    // two sources, 9:1 char mass split via 10-char rows
+    val d = (1L to 100L).map(i =>
+      (i, if (i <= 90) "big" else "small", 10L)).toDF("doc_id", "src", "n_chars")
+    def rates(alpha: Double, f: Double): Map[String, Double] =
+      graft.ops.Packing.temperatureMix(d, "doc_id", col("src"), col("n_chars"),
+        alpha, f).select("stratum", "rate").distinct()
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha=1: p_s = n_s/N, so every source keeps exactly the target fraction
+    val r1 = rates(1.0, 0.4)
+    assert(math.abs(r1("big") - 0.4) < 1e-6 && math.abs(r1("small") - 0.4) < 1e-6)
+    // alpha→0: p_s → 1/|S|; the small source is oversampled 5× (capped ≤ 1),
+    // the big one undersampled to 0.4 * (N/2)/n_big = 0.2222…
+    val r0 = rates(0.0, 0.4)
+    assert(r0("small") === 1.0)
+    assert(math.abs(r0("big") - 0.4 * 50.0 / 90.0) < 1e-6)
+    // determinism: same call, same kept set
+    val k1 = graft.ops.Packing.temperatureMix(d, "doc_id", col("src"),
+      col("n_chars"), 0.6, 0.4).select("doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = graft.ops.Packing.temperatureMix(d, "doc_id", col("src"),
+      col("n_chars"), 0.6, 0.4).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 === k2 && k1.nonEmpty)
+  }
+
   test("decontamination flags n-gram overlap with the benchmark, clean() drops it") {
     val bench = Seq("what is the capital of france paris").toDF("text")
     val corpus = Seq(
