@@ -155,6 +155,37 @@ object EventQueries {
           (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us"))
     },
 
+    // as-of join: each purchase matched to the LATEST click at-or-before it
+    // by the same user (ties on right ts → greatest event_id). The oracle is
+    // DuckDB's native ASOF JOIN — an independent implementation of the same
+    // semantics; the engine uses the union-and-carry window formulation
+    // (ops.AsOf) since Spark would plan the inequality join as a
+    // broadcast-nested-loop. Nullable match → -1 so both engines emit
+    // non-null BIGINTs (the pandas comparator floats nullable ints).
+    q("q_event_asof",
+      """WITH c AS (SELECT user_id, ts, arg_max(event_id, event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id,
+        |       coalesce(c.click_id, -1) AS click_id,
+        |       coalesce(CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT), -1) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+      bench = true) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      graft.ops.AsOf.asOfJoin(p, c, "user_id", "ts", "click_id",
+          Seq("click_id", "click_ts"))
+        .select(col("user_id"), col("purchase_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(unix_micros(col("ts")) - unix_micros(col("click_ts")),
+            lit(-1L)).as("gap_us"))
+    },
+
     q("q_event_bigrams",
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type

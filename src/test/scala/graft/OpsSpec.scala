@@ -330,6 +330,23 @@ class OpsSpec extends SparkSpec {
     assert(k1 === k2 && k1.nonEmpty)
   }
 
+  test("asOfJoin matches the latest right row at-or-before each left row; ties by greatest tie") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val lefts = Seq((1L, t(100), 10L), (1L, t(50), 11L), (2L, t(10), 20L))
+      .toDF("k", "ts", "lid")
+    val rights = Seq(
+      (1L, t(40), 100L), (1L, t(100), 101L), (1L, t(100), 102L), // tie at 100
+      (1L, t(200), 103L), (3L, t(5), 300L))
+      .toDF("k", "ts", "rid")
+    val out = graft.ops.AsOf.asOfJoin(lefts, rights, "k", "ts", "rid", Seq("rid"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(10L) === Some(102L)) // equal-ts match allowed; tie → greatest rid
+    assert(out(11L) === Some(100L)) // strictly-prior right row
+    assert(out(20L) === None)       // key 2 has no right rows at all
+  }
+
   test("decontamination flags n-gram overlap with the benchmark, clean() drops it") {
     val bench = Seq("what is the capital of france paris").toDF("text")
     val corpus = Seq(
