@@ -264,6 +264,47 @@ object Algorithms {
           .otherwise(lit(0.0)), 9).as("cc"))
   }
 
+  /** k-truss: bounded-round EDGE peeling — the edge-wise companion of
+    * [[kcore]] (Cohen 2008, "Trusses: cohesive subgraphs for social network
+    * analysis"). Each round recomputes per-edge support (triangles through
+    * the edge, via the oriented a<b<c enumeration [[triangleCount]] uses)
+    * and drops edges with support < k−2; removing an edge can strand its
+    * neighbors, so rounds cascade. A FIXED round count (not a data-dependent
+    * fixpoint) keeps the DuckDB oracle an exact unrolled twin; callers size
+    * `rounds` to the cascade depth they need (support is monotone
+    * non-increasing per round, so extra rounds are no-ops once converged).
+    * Returns edges surviving the last round with the support that round
+    * measured (i.e. support within the round's subgraph, ≥ k−2 by
+    * construction).
+    *
+    * Scale shape per round: the same two shuffle-joins as the triangle
+    * enumeration plus one (src,dst)-keyed count — no windows, no driver
+    * state beyond the loop counter; each round's edge set is lazily
+    * checkpointed (it feeds THREE self-join branches next round). */
+  def kTruss(canonicalEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, "k-truss needs k >= 3 and at least one round")
+    var e = graft.core.Pin.pin(canonicalEdges)
+    var out: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val tri = e.as("ab")
+        .join(e.as("bc"), col("ab.dst") === col("bc.src"))
+        .join(e.as("ac"),
+          col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
+        .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))
+      val sup = tri.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("a").as("src"), col("c").as("dst")),
+          struct(col("b").as("src"), col("c").as("dst")))).as("e"))
+        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+        .agg(count(lit(1)).as("support"))
+      out = e.join(sup, Seq("src", "dst"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .localCheckpoint(false)
+      e = out.select(col("src"), col("dst"))
+    }
+    out
+  }
+
   /** k-core: iterative peeling of vertices with degree < k to fixpoint
     * (reference `comm/KCoreAlgorithm.java:71`). Returns surviving vertices
     * with their core-subgraph degree. */

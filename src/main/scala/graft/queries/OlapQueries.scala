@@ -269,6 +269,34 @@ object OlapQueries {
       Algorithms.triangleCount(coSupplierEdges(s, d))
     },
 
+    // k-truss (k=32, 3 peel rounds) over the co-supplier graph: at sf0.1
+    // the support spread (17..143) drives a real peeling cascade; at the
+    // smaller SFs the graph is near-complete and survives intact — parity
+    // still exercises the full enumerate→count→filter chain per round
+    q("q_ktruss",
+      {
+        val rounds = (1 to 3).map { r =>
+          s"""tri$r AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+             |  FROM e${r - 1} ab JOIN e${r - 1} bc ON ab.dst = bc.src
+             |  JOIN e${r - 1} ac ON ac.src = ab.src AND ac.dst = bc.dst),
+             |sup$r AS (SELECT src, dst, count(*) AS s FROM (
+             |  SELECT a AS src, b AS dst FROM tri$r
+             |  UNION ALL SELECT a, c FROM tri$r
+             |  UNION ALL SELECT b, c FROM tri$r) z$r GROUP BY 1, 2),
+             |e$r AS MATERIALIZED (
+             |  SELECT e.src, e.dst, coalesce(s.s, 0) AS support
+             |  FROM e${r - 1} e LEFT JOIN sup$r s USING (src, dst)
+             |  WHERE coalesce(s.s, 0) >= 30)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pairs AS ($coSupplierSql),
+           |e0 AS MATERIALIZED (SELECT src, dst FROM pairs),
+           |$rounds
+           |SELECT src, dst, CAST(support AS BIGINT) AS support FROM e3""".stripMargin
+      },
+      bench = true) { (s, d) =>
+      Algorithms.kTruss(coSupplierEdges(s, d), k = 32, rounds = 3)
+    },
+
     q("q_cluster_coefficient",
       s"""WITH pairs AS ($coSupplierSql),
          |deg AS (SELECT id, CAST(count(*) AS DOUBLE) AS deg FROM (

@@ -86,6 +86,23 @@ class AlgorithmsSpec extends SparkSpec {
     assert(surv === Set("a", "b", "c"))
   }
 
+  test("kTruss peels cascades: K5 survives k=5, hanging triangle dies, second round strands nothing") {
+    // K5 on a..e (every edge in 3 triangles) + triangle (e,x,y) hanging off
+    // (its edges in 1 triangle each) + pendant (y,z) (0 triangles)
+    val k5 = Seq("a", "b", "c", "d", "e").combinations(2).map(p => (p(0), p(1))).toSeq
+    val edges = (k5 ++ Seq(("e", "x"), ("e", "y"), ("x", "y"), ("y", "z")))
+      .toDF("src", "dst")
+    val surv = Algorithms.kTruss(Algorithms.canonical(edges), k = 5, rounds = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(surv.keySet === k5.toSet)       // exactly the K5 edges survive
+    assert(surv.values.forall(_ === 3L))   // each in C(3,1)=3 triangles
+    // k=3 (support >= 1): only the pendant dies; hanging triangle survives
+    val s3 = Algorithms.kTruss(Algorithms.canonical(edges), k = 3, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(s3 === (k5 ++ Seq(("e", "x"), ("e", "y"), ("x", "y"))).toSet)
+    graft.core.Pin.clear()
+  }
+
   test("closeness on line graph a-b-c") {
     val verts = Seq("a", "b", "c").toDF("id")
     val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
