@@ -135,6 +135,47 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 9).as("jaccard"))
   }
 
+  /** Incremental-ingestion dedup: near-dup matches for an incoming batch
+    * against the EXISTING corpus plus earlier rows of the same batch — the
+    * snapshot-over-snapshot mode every production dedup pipeline runs after
+    * its first full pass (re-running all-pairs LSH per ingest would re-pay
+    * the whole corpus each batch). `isNew` marks the batch. Returns
+    * `(new_id, dup_of, jaccard)` where `dup_of` is a corpus doc, or an
+    * earlier (`<`) batch doc.
+    *
+    * Scale shape: both sides read the STORED signature artifact
+    * ([[signatureTable]] — the corpus is never re-hashed); the batch's
+    * band keys are the small side and BROADCAST against the corpus bucket
+    * stream, so the corpus side never shuffles at all; exact jaccard
+    * verification touches only colliding pairs. */
+  def incrementalNearDups(docs: DataFrame, idCol: String, textCol: String,
+                          isNew: Column, ngram: Int = 3, k: Int = 12,
+                          bands: Int = 6, rows: Int = 2,
+                          threshold: Double = 0.5): DataFrame = {
+    val sigs = signatureTable(docs, idCol, textCol, ngram, k, bands, rows)
+    val newIds = docs.filter(isNew).select(col(idCol).as("doc_id"))
+    val newSigs = graft.core.Pin.pinDerived(
+      sigs.join(newIds, Seq("doc_id"), "left_semi"))
+    val newB = newSigs
+      .select(col("doc_id").as("new_id"), explode(col("band_keys")).as("bucket"))
+    val allB = sigs
+      .select(col("doc_id").as("dup_of"), explode(col("band_keys")).as("bucket"))
+    val cand = allB.join(broadcast(newB), Seq("bucket"))
+      .join(broadcast(newIds.select(col("doc_id").as("dup_of"),
+        lit(true).as("__dup_is_new"))), Seq("dup_of"), "left")
+      .filter(col("dup_of") =!= col("new_id") &&
+        (col("__dup_is_new").isNull || col("dup_of") < col("new_id")))
+      .select(col("new_id"), col("dup_of")).distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
+      .join(sigs.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")), Seq("dup_of"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_distinct(concat(col("sh_a"), col("sh_b")))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("dup_of"), round(col("jaccard"), 9).as("jaccard"))
+  }
+
   /** Transitive near-duplicate clusters: connected components (min-id
     * label) over the exact-verified LSH pair graph. The corpus pipeline's
     * drop-the-larger-id rule is a per-pair approximation; this is the full

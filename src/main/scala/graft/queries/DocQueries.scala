@@ -688,6 +688,28 @@ object DocQueries {
         ngram = 3, k = K, bands = BANDS, rows = ROWS, threshold = 0.8)
     },
 
+    // incremental-ingest dedup: the 20% batch (doc_id % 10 >= 8) matched
+    // against the stored corpus signatures + earlier batch rows — the
+    // snapshot-over-snapshot mode; the corpus side reads the pinned
+    // artifact and never self-joins
+    q("q_incremental_dedup",
+      s"""WITH $minhashPairsCtes,
+         |candi AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS dup_of
+         |          FROM bk x JOIN bk y ON x.bucket = y.bucket
+         |          WHERE x.doc_id % 10 >= 8 AND y.doc_id <> x.doc_id
+         |            AND (y.doc_id % 10 < 8 OR y.doc_id < x.doc_id)),
+         |ji AS (SELECT new_id, dup_of,
+         |        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |        len(list_distinct(sa.sh || sb.sh)) AS jaccard
+         |      FROM candi JOIN sh sa ON sa.doc_id = candi.new_id
+         |                 JOIN sh sb ON sb.doc_id = candi.dup_of)
+         |SELECT new_id, dup_of, round(jaccard, 9) AS jaccard
+         |FROM ji WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
+      Dedup.incrementalNearDups(Tables.documents(s, d), "doc_id", "text",
+        isNew = col("doc_id") % 10 >= 8,
+        ngram = 3, k = K, bands = BANDS, rows = ROWS, threshold = 0.5)
+    },
+
     // transitive closure of the verified near-dup pairs: WCC (min-id label)
     // over the pair graph — pairs (a,b),(b,c) cluster a,b,c together
     q("q_dedup_clusters", dedupClustersSql) { (s, d) =>

@@ -330,6 +330,21 @@ class OpsSpec extends SparkSpec {
     assert(k1 === k2 && k1.nonEmpty)
   }
 
+  test("incrementalNearDups matches batch docs to corpus + earlier batch only") {
+    val d5 = docs.union(Seq(
+      (5L, "the quick brown fox jumps over the lazy cat today")) // dup of 3
+      .toDF("doc_id", "text"))
+    val out = graft.ops.Dedup.incrementalNearDups(d5, "doc_id", "text",
+      isNew = col("doc_id") >= 2, ngram = 2, k = 12, bands = 6, rows = 2,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((2L, 1L)))        // batch vs corpus (exact dup)
+    assert(out.contains((5L, 3L)))        // batch vs EARLIER batch row
+    assert(!out.contains((3L, 5L)))       // never the reverse direction
+    assert(!out.exists(_._1 === 1L))      // the corpus doc is not a new_id
+    graft.core.Pin.clear()
+  }
+
   test("asOfJoin matches the latest right row at-or-before each left row; ties by greatest tie") {
     import java.sql.Timestamp
     def t(s: Long) = new Timestamp(s * 1000L)
