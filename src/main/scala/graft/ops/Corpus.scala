@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -301,6 +301,22 @@ object Corpus {
     * Scale shape: a narrow regexp scan (codegen'd, no UDF) then one
     * domain-keyed aggregation; web-scale domain skew (a few giant hosts)
     * stays safe because the per-key payload is a pair of counters. */
+  /** Exact interpolated percentiles of a numeric column per group — the
+    * distribution half of a source card (length/quality percentiles per
+    * source). Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * linear-interpolation definition (index p·(n−1) on the sorted values),
+    * so the oracle matches to rounding. Exact percentile sorts per group —
+    * reporting-grade over bounded groups; at 100 TB corpus scale swap in
+    * `approx_percentile` (t-digest, mergeable map-side) for the same shape
+    * with bounded state. */
+  def groupPercentiles(df: DataFrame, groupCol: String, valueCol: Column,
+                       ps: Seq[Double]): DataFrame = {
+    val cols = ps.map(p =>
+      round(expr(s"percentile(__v, $p)"), 6).as(s"p${math.round(p * 100)}"))
+    df.select(col(groupCol), valueCol.cast("double").as("__v"))
+      .groupBy(col(groupCol)).agg(cols.head, cols.tail: _*)
+  }
+
   def urlDomains(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hits = docs.select(col(idCol),
         explode(expr(s"regexp_extract_all(lower($textCol), 'https?://([a-z0-9.-]+)', 1)"))

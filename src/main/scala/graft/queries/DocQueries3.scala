@@ -446,6 +446,17 @@ object DocQueries3 {
         dim = 64)
     },
 
+    // per-source length-distribution card: exact interpolated percentiles
+    // (Spark percentile ≡ DuckDB quantile_cont, both index p·(n−1))
+    q("q_len_percentiles",
+      """SELECT source, round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+        |       round(quantile_cont(n_chars, 0.99), 6) AS p99
+        |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      Corpus.groupPercentiles(Tables.documents(s, d), "source",
+        col("n_chars"), Seq(0.5, 0.9, 0.99))
+    },
+
     // temperature-flattened source mixing (XLM §3.1 recipe): keep rates
     // derived from per-source char mass at alpha=0.6 toward a 30% target;
     // rounded-6 decimal rates + md5 threshold replay exactly in DuckDB
