@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+
+/** Bounded-heap per-group top-N — the aggregate form of "rank within key
+  * and keep the head", replacing the `row_number() OVER (PARTITION BY …
+  * ORDER BY …) <= N` pattern whose window must SORT every row of every
+  * group. Here each task folds its partition into a ≤k-element ordered
+  * buffer; partials merge associatively, so per group exactly k (ord,
+  * payload) pairs cross the wire and nothing is ever fully sorted — the
+  * per-key sibling of Spark's global `TakeOrderedAndProject`. At 100 TB
+  * (billions of rows, millions of keys) the window formulation shuffles
+  * and sorts the corpus; this shuffles k·|keys| pairs.
+  *
+  * Determinism: rows rank by (ord DESC, payload ASC); (ord, payload) pairs
+  * dedup inside the buffer, so with a unique payload (an id column) the
+  * result is the exact top-k. */
+object TopK {
+
+  /** Idempotent session registration (the [[graft.ops.Sketch]] route). */
+  def registerKernels(df: org.apache.spark.sql.DataFrame): Unit = {
+    val reg = df.sparkSession.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("top_k_by", es => {
+      val k = es(2) match {
+        case Literal(v, _) => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"top_k_by k must be a literal, got $other")
+      }
+      TopKByAgg(es.head, es(1), k).toAggregateExpression()
+    }, "built-in")
+  }
+
+  /** Top-k `(ord, payload)` pairs per group, ranked (ord DESC, payload
+    * ASC): returns `array<struct<ord double, payload bigint>>` in rank
+    * order. Call [[registerKernels]] first; `ord` is cast to double,
+    * `payload` to long. */
+  def topKBy(ord: Column, payload: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("top_k_by",
+      ord.cast("double"), payload.cast("long"),
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Buffer = the ≤k best (ord, payload) pairs, ordered worst-first so
+    * eviction is `pollFirst`. Merge = fold-and-truncate — associative and
+    * commutative, safe under any partial-combine order. */
+  case class TopKByAgg(ord: Expression, payload: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+
+    // worst-first: ascending ord, then DESCENDING payload (bigger payload
+    // loses the tie), so first() is always the element to evict
+    private def cmp = new java.util.Comparator[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      }
+    }
+
+    override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
+      new java.util.TreeSet[(Double, Long)](cmp)
+
+    private def add(buf: java.util.TreeSet[(Double, Long)],
+                    o: Double, p: Long): Unit = {
+      buf.add((o, p))
+      if (buf.size > k) buf.pollFirst()
+    }
+
+    override def update(buf: java.util.TreeSet[(Double, Long)],
+                        input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+      val o = ord.eval(input)
+      val p = payload.eval(input)
+      if (o != null && p != null)
+        add(buf, o.asInstanceOf[Double], p.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(b1: java.util.TreeSet[(Double, Long)],
+                       b2: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
+      val it = b2.iterator()
+      while (it.hasNext) { val (o, p) = it.next(); add(b1, o, p) }
+      b1
+    }
+
+    override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+      val out = new Array[Any](buf.size)
+      val it = buf.descendingIterator() // best-first
+      var i = 0
+      while (it.hasNext) {
+        val (o, p) = it.next()
+        out(i) = new GenericInternalRow(Array[Any](o, p)); i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) { val (o, p) = it.next(); bb.putDouble(o); bb.putLong(p) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { buf.add((bb.getDouble, bb.getLong)); i += 1 }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("ord", DoubleType), StructField("payload", LongType))))
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(ord, payload)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(ord = newChildren(0), payload = newChildren(1))
+    override def withNewMutableAggBufferOffset(newOffset: Int): TopKByAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): TopKByAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override def prettyName: String = "top_k_by"
+  }
+}

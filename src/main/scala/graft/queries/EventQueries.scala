@@ -155,6 +155,26 @@ object EventQueries {
           (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us"))
     },
 
+    // per-key top-N via the bounded-heap top_k_by aggregate (functions.TopK)
+    // — no window sort: per (event_type) group only k pairs cross the wire.
+    // The oracle is the row_number window formulation it replaces.
+    q("q_topk_per_key",
+      """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id,
+        |       round(value, 6) AS value
+        |FROM (SELECT event_type, event_id, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY value DESC, event_id ASC) AS rnk
+        |      FROM events) z WHERE rnk <= 5""".stripMargin,
+      bench = true) { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.functions.TopK.registerKernels(ev)
+      ev.groupBy(col("event_type"))
+        .agg(graft.functions.TopK.topKBy(col("value"), col("event_id"), 5).as("tk"))
+        .select(col("event_type"), posexplode(col("tk")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.payload").as("event_id"), round(col("col.ord"), 6).as("value"))
+    },
+
     // as-of join: each purchase matched to the LATEST click at-or-before it
     // by the same user (ties on right ts → greatest event_id). The oracle is
     // DuckDB's native ASOF JOIN — an independent implementation of the same

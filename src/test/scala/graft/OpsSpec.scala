@@ -330,6 +330,26 @@ class OpsSpec extends SparkSpec {
     assert(k1 === k2 && k1.nonEmpty)
   }
 
+  test("top_k_by: exact per-key top-k across partitions, (ord desc, payload asc) ties, k > group size") {
+    import graft.functions.TopK
+    // 3 keys × 40 rows spread over 8 partitions; key "c" has only 2 rows;
+    // key "b" has an ord tie at the k boundary
+    val rows = (1L to 40L).flatMap { i =>
+      Seq(("a", i, i.toDouble), ("b", i, math.min(i, 38L).toDouble)) // b: 38,39,40 tie at 38.0
+    } ++ Seq(("c", 1L, 5.0), ("c", 2L, 4.0))
+    val df = rows.toDF("key", "id", "v").repartition(8)
+    TopK.registerKernels(df)
+    val out = df.groupBy(col("key")).agg(TopK.topKBy(col("v"), col("id"), 3).as("tk"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+      .toMap
+    assert(out("a") === Seq((40.0, 40L), (39.0, 39L), (38.0, 38L)))
+    // b: ords are min(i,38) → three rows tie at 38.0 (ids 38,39,40);
+    // ties rank payload ASC
+    assert(out("b") === Seq((38.0, 38L), (38.0, 39L), (38.0, 40L)))
+    assert(out("c") === Seq((5.0, 1L), (4.0, 2L))) // k > group size → whole group
+  }
+
   test("incrementalNearDups matches batch docs to corpus + earlier batch only") {
     val d5 = docs.union(Seq(
       (5L, "the quick brown fox jumps over the lazy cat today")) // dup of 3
