@@ -50,6 +50,15 @@ object Bench {
     if (!sys.env.get("SPARK_GRAFT_SKIP_WSP").contains("1"))
       graft.traverse.PathTraversals.weightedEdgeView(graph,
         graft.core.Direction.BOTH, Nil, "quantity")
+    // the landmark distance index (Algorithms.landmarkIndex) — the offline
+    // BFS wave a deployment runs once and stores beside the graph; distance
+    // queries (q_landmark_distance) probe the stored vectors. Params mirror
+    // the registered query.
+    if (!sys.env.get("SPARK_GRAFT_SKIP_ADJ").contains("1"))
+      graft.olap.Algorithms.landmarkIndex(
+        Seq("nation:1", "nation:7", "nation:13"),
+        graft.traverse.Traversals.adjacencyView(graph, graft.core.Direction.BOTH),
+        maxDepth = 4)
     // the session-shared tokenized-corpus view (ops.Corpus.tokens) — the
     // text-side member of the same persist-once working set: five doc
     // operators (dedup, LSH, quality, lang-id, token stats) plan against

@@ -507,6 +507,48 @@ object Algorithms {
       .groupBy(col("root").as("id"))
       .agg(max(col("dist")).as("ecc"), (count(lit(1)) - 1).as("n_reached"))
 
+  /** Landmark distance estimation (Potamias et al. CIKM 2009, "Fast
+    * shortest path distance estimation in large networks"): BFS once from L
+    * landmark vertices (the bitmask [[multiSourceBfsAdj]] — all landmarks
+    * in ONE wave), store each vertex's L-dim distance vector, then answer
+    * any s→t distance query with the triangle-inequality upper bound
+    * min_l d(s,l) + d(l,t) — no per-query traversal at all. THE index
+    * structure for distance queries at 100 TB: the offline pass is L
+    * shared BFS layers; online, a pair query is two index lookups + an
+    * L-term min. Pairs unreachable via every landmark (either leg missing
+    * within `maxDepth`) get no row. Returns `(a, b, dist_ub)`. */
+  def landmarkDistances(pairs: DataFrame, landmarks: Seq[String],
+                        adj: DataFrame, maxDepth: Int): DataFrame = {
+    val dist = landmarkIndex(landmarks, adj, maxDepth)
+    pairs
+      .join(dist.select(col("landmark"), col("id").as("a"), col("dist").as("da")),
+        Seq("a"))
+      .join(dist.select(col("landmark"), col("id").as("b"), col("dist").as("db")),
+        Seq("landmark", "b"))
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("da") + col("db")).as("dist_ub"))
+  }
+
+  /** The offline half of [[landmarkDistances]]: the `(landmark, id, dist)`
+    * vectors, memoized per (pinned adjacency instance, landmark set, depth)
+    * — a TRAINED ARTIFACT a deployment builds once in its load phase
+    * (`Bench.warmup`, the [[graft.ops.Ann.buildIndex]] discipline) and
+    * stores beside the graph; distance queries only probe it. */
+  def landmarkIndex(landmarks: Seq[String], adj: DataFrame,
+                    maxDepth: Int): DataFrame = {
+    val spark = adj.sparkSession
+    import spark.implicits._
+    landmarkMemo.computeIfAbsent((adj, landmarks.sorted, maxDepth), _ =>
+      graft.core.Pin.pinDerived(
+        multiSourceBfsAdj(landmarks.toDF("id"), adj, maxDepth)
+          .select(col("root").as("landmark"), col("id"), col("dist"))))
+  }
+
+  private val landmarkMemo = new java.util.concurrent.ConcurrentHashMap[
+    (DataFrame, Seq[String], Int), DataFrame]()
+
+  graft.core.Pin.onClear(() => landmarkMemo.clear())
+
   /** Closeness centrality Σ 1/d(s,t) (reference
     * `cent/ClosenessCentralityAlgorithmV2.java:46`). */
   def closenessCentrality(verts: DataFrame, undirectedEdges: DataFrame, maxDepth: Int): DataFrame =

@@ -329,6 +329,38 @@ object OlapQueries2 {
         maxDepth = 5)
     },
 
+    // landmark distance index (Potamias et al. 2009): one bitmask BFS wave
+    // from 3 landmarks builds the distance vectors; each queried pair then
+    // costs two lookups + a 3-term min — no per-query traversal
+    q("q_landmark_distance",
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |adj AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) z),
+         |bfs(root, id, dist) AS (
+         |  SELECT v, v, CAST(0 AS BIGINT)
+         |  FROM (VALUES ('nation:1'), ('nation:7'), ('nation:13')) s(v)
+         |  UNION
+         |  SELECT b.root, a.dst, b.dist + 1 FROM bfs b JOIN adj a ON a.src = b.id
+         |  WHERE b.dist < 4),
+         |d AS (SELECT root AS landmark, id, min(dist) AS dist
+         |      FROM bfs GROUP BY root, id),
+         |pairs AS (SELECT 'customer:' || CAST(c AS VARCHAR) AS a,
+         |                 'supplier:' || CAST(s AS VARCHAR) AS b
+         |          FROM (VALUES (1), (2), (3)) x(c), (VALUES (1), (2), (3)) y(s))
+         |SELECT p.a, p.b, CAST(min(da.dist + db.dist) AS BIGINT) AS dist_ub
+         |FROM pairs p
+         |JOIN d da ON da.id = p.a JOIN d db ON db.landmark = da.landmark AND db.id = p.b
+         |GROUP BY p.a, p.b""".stripMargin,
+      bench = true) { (s, d) =>
+      import s.implicits._
+      val pairs = (for (c <- 1 to 3; su <- 1 to 3)
+        yield (s"customer:$c", s"supplier:$su")).toDF("a", "b")
+      Algorithms.landmarkDistances(pairs,
+        Seq("nation:1", "nation:7", "nation:13"),
+        graft.traverse.Traversals.adjacencyView(g(s, d), Direction.BOTH),
+        maxDepth = 4)
+    },
+
     q("q_item_cf",
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
         |freq AS (SELECT i, count(*) AS n FROM bi GROUP BY i),

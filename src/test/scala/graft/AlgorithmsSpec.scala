@@ -103,6 +103,24 @@ class AlgorithmsSpec extends SparkSpec {
     graft.core.Pin.clear()
   }
 
+  test("landmarkDistances: triangle-inequality upper bound over the landmark legs; index memoized") {
+    // path graph a-b-c-d-e; landmark c: d(a,c)=2, d(c,e)=2 → ub(a,e)=4 (true 4);
+    // landmark b: ub(a,e)=1+3=4; min stays 4. ub(a,d) = min(2+1, 1+2) = 3 (true 3)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("src", "dst")
+    val sym = graft.core.Pin.pin(
+      edges.union(edges.select(col("dst"), col("src"))).toDF("src", "dst"))
+    val pairs = Seq(("a", "e"), ("a", "d"), ("a", "b")).toDF("a", "b")
+    val out = Algorithms.landmarkDistances(pairs, Seq("b", "c"), sym, maxDepth = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("a", "e")) === 4L)
+    assert(out(("a", "d")) === 3L)
+    assert(out(("a", "b")) === 1L) // via landmark b itself: d(a,b) + d(b,b) = 1 + 0
+    val idx1 = Algorithms.landmarkIndex(Seq("b", "c"), sym, 4)
+    val idx2 = Algorithms.landmarkIndex(Seq("c", "b"), sym, 4) // order-insensitive key
+    assert(idx1 eq idx2)
+    graft.core.Pin.clear()
+  }
+
   test("closeness on line graph a-b-c") {
     val verts = Seq("a", "b", "c").toDF("id")
     val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
