@@ -457,6 +457,26 @@ object DocQueries3 {
         col("n_chars"), Seq(0.5, 0.9, 0.99))
     },
 
+    // exactly-N-per-group deterministic sample: the md5-uniform order makes
+    // it a per-key top-N — composed from the bounded-heap top_k_by aggregate
+    // (no window sort; k rows per group cross the wire). The fixed-COUNT
+    // sibling of the fixed-RATE mixSample.
+    q("q_group_sample",
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY $hash16Sql ASC, doc_id ASC) AS rn
+         |  FROM documents) z WHERE rn <= 10""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.functions.TopK.registerKernels(docs)
+      // rank by hash ASC = top-k of the NEGATED hash; payload ties ASC
+      // match the oracle's doc_id tiebreak... negate ranks (-h DESC, id ASC)
+      docs.groupBy(col("source"))
+        .agg(graft.functions.TopK.topKBy(
+          -graft.ops.Packing.hash16(col("doc_id")), col("doc_id"), 10).as("tk"))
+        .select(col("source"), explode(col("tk.payload")).as("doc_id"))
+    },
+
     // temperature-flattened source mixing (XLM §3.1 recipe): keep rates
     // derived from per-source char mass at alpha=0.6 toward a 30% target;
     // rounded-6 decimal rates + md5 threshold replay exactly in DuckDB
