@@ -132,6 +132,16 @@ object DocScaleSmoke {
     run("bigram_logprob", (d, _) => ops.Corpus.bigramLogProb(d, "doc_id", "text"))
     run("bpe_merges", (d, _) => ops.Bpe.merges(d, "doc_id", "text", nMerges = 8))
 
+    // round-8 operators: covariance shuffles d(d+1)/2 groups at ANY corpus
+    // size (the whole point); temperature mixing is a stratum aggregation +
+    // zero-shuffle filter; incremental dedup broadcasts the batch's bands
+    // against the stored signature artifact
+    run("embed_covariance", (_, e) => ops.Pca.covariance(e, "vec_id", "embedding", 64))
+    run("temperature_mix", (d, _) => ops.Packing.temperatureMix(
+      d, "doc_id", col("source"), col("n_chars"), alpha = 0.6, targetFraction = 0.3))
+    run("incremental_dedup", (d, _) => ops.Dedup.incrementalNearDups(
+      d, "doc_id", "text", isNew = col("doc_id") % 10 >= 8))
+
     // the kNN-graph scale knob: cells ∝ N keeps |cell| — and so the
     // within-cell quadratic term PER VECTOR — constant (the SemDeDup
     // recipe); fixing nClusters while N grows would measure the cliff the

@@ -195,6 +195,24 @@ object ScaleSmoke {
           Traversals.adjacencyView(gN, Direction.BOTH), maxDepth = 6).count()))
     }
 
+    // round-8 graph operators: k-truss (per-round triangle enumeration over
+    // the canonical BOTH view) and the landmark-index BFS wave (offline half
+    // of landmark distance queries)
+    if (wanted("ktruss")) {
+      def canonOf(g: PropertyGraph) = graft.core.Pin.pin(
+        Algorithms.canonical(EdgeStep(Direction.BOTH).edgesFor(g)
+          .select(col("src"), col("dst"))))
+      results("ktruss") = (
+        time("ktruss 1x")(Algorithms.kTruss(canonOf(g1), k = 3, rounds = 2).count()),
+        time(s"ktruss ${copies}x")(Algorithms.kTruss(canonOf(gN), k = 3, rounds = 2).count()))
+    }
+    if (wanted("landmark")) results("landmark_index") = (
+      time("landmark 1x")(Algorithms.landmarkIndex(Seq("nation:1", "nation:7"),
+        Traversals.adjacencyView(g1, Direction.BOTH), maxDepth = 4).count()),
+      time(s"landmark ${copies}x")(Algorithms.landmarkIndex(
+        Seq("nation:1" + suf, "nation:7" + suf),
+        Traversals.adjacencyView(gN, Direction.BOTH), maxDepth = 4).count()))
+
     println(f"%n[scale] | operator | 1x | ${copies}x | ratio |")
     println(s"[scale] |---|---|---|---|")
     results.foreach { case (k, (a, b)) =>

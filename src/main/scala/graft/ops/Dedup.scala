@@ -199,6 +199,33 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component").as("cluster"))
   }
 
+  /** Cluster-representative retention — the policy step AFTER clustering:
+    * each near-dup cluster keeps its best copy (highest `scoreCol`, ties →
+    * smallest id); unclustered docs keep themselves. The per-pair
+    * drop-the-larger-id rule loses the best copy whenever quality and id
+    * order disagree; this is the quality-aware version every production
+    * pipeline runs. Returns `(doc_id, cluster, kept)` over ALL docs.
+    *
+    * Scale shape: the cluster table is near-dup-sized (tiny next to the
+    * corpus), one cluster-keyed argmax over it, then a broadcast-scale join
+    * back — the corpus-sized side is one narrow pass. */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, textCol: String,
+                         scoreCol: Column, ngram: Int = 3, k: Int = 12,
+                         bands: Int = 6, rows: Int = 2,
+                         threshold: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(docs, idCol, textCol, ngram, k, bands,
+      rows, threshold)
+    val scored = docs.select(col(idCol).as("doc_id"), scoreCol.as("score"))
+    val keepers = clusters.join(scored, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(min(struct((-col("score")).as("ns"), col("doc_id").as("id"))).as("kk"))
+      .select(col("cluster"), col("kk.id").as("keeper"))
+    scored.join(clusters, Seq("doc_id"), "left")
+      .join(broadcast(keepers), Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        (col("keeper").isNull || col("keeper") === col("doc_id")).as("kept"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup", 2023
     * — public literature; the reference engine has no embedding surface):
     * cluster the embedding space with the trained spherical-k-means coarse

@@ -688,6 +688,34 @@ object DocQueries {
         ngram = 3, k = K, bands = BANDS, rows = ROWS, threshold = 0.8)
     },
 
+    // cluster-representative retention: each near-dup cluster keeps its
+    // longest member (ties → smallest id); unclustered docs keep themselves
+    // — the quality-aware alternative to drop-the-larger-id
+    q("q_dedup_keep_best",
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |pairs AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+         |verts AS (SELECT DISTINCT v FROM (SELECT a AS v FROM pairs UNION SELECT b FROM pairs) z),
+         |adjp AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT r.s, a.d FROM reach r JOIN adjp a ON a.s = r.d),
+         |cl AS (SELECT s AS doc_id, min(d) AS cluster FROM reach GROUP BY s),
+         |sc AS (SELECT doc_id, n_chars AS score FROM documents),
+         |kp AS (SELECT cluster, doc_id AS keeper,
+         |         row_number() OVER (PARTITION BY cluster
+         |                            ORDER BY score DESC, doc_id ASC) AS rn
+         |       FROM cl JOIN sc USING (doc_id)),
+         |k1 AS (SELECT cluster, keeper FROM kp WHERE rn = 1)
+         |SELECT sc.doc_id, coalesce(cl.cluster, sc.doc_id) AS cluster,
+         |       (cl.cluster IS NULL OR k1.keeper = sc.doc_id) AS kept
+         |FROM sc LEFT JOIN cl USING (doc_id)
+         |        LEFT JOIN k1 ON k1.cluster = cl.cluster""".stripMargin) { (s, d) =>
+      Dedup.keepBestPerCluster(Tables.documents(s, d), "doc_id", "text",
+        scoreCol = col("n_chars"),
+        ngram = 3, k = K, bands = BANDS, rows = ROWS, threshold = 0.5)
+    },
+
     // incremental-ingest dedup: the 20% batch (doc_id % 10 >= 8) matched
     // against the stored corpus signatures + earlier batch rows — the
     // snapshot-over-snapshot mode; the corpus side reads the pinned

@@ -330,6 +330,23 @@ class OpsSpec extends SparkSpec {
     assert(k1 === k2 && k1.nonEmpty)
   }
 
+  test("keepBestPerCluster keeps the highest-score member per cluster; singletons keep themselves") {
+    // docs 1,2,3 cluster together (2 exact, 3 near dup of 1); 4 is alone.
+    // score = doc_id makes the HIGHEST id the keeper — the case the
+    // drop-the-larger-id rule gets wrong.
+    val out = graft.ops.Dedup.keepBestPerCluster(docs, "doc_id", "text",
+      scoreCol = col("doc_id"), ngram = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    val clustered = out.filter(_._2._1 == 1L).keySet // min-id cluster label
+    assert(clustered.contains(1L) && clustered.contains(2L))
+    val keeper = clustered.max
+    assert(out(keeper)._2 === true)                       // best score kept
+    assert(clustered.filter(_ != keeper).forall(!out(_)._2)) // others dropped
+    assert(out(4L) === (4L, true))                        // singleton keeps itself
+    graft.core.Pin.clear()
+  }
+
   test("top_k_by: exact per-key top-k across partitions, (ord desc, payload asc) ties, k > group size") {
     import graft.functions.TopK
     // 3 keys × 40 rows spread over 8 partitions; key "c" has only 2 rows;

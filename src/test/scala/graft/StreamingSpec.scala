@@ -63,6 +63,27 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists { case (_, t, n) => t == "purchase" && n == 3L })
   }
 
+  test("top_k_by runs as a streaming aggregate: per-key top-k updates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val df = mem.toDF()
+    graft.functions.TopK.registerKernels(df)
+    val q = df.groupBy(col("event_type"))
+      .agg(graft.functions.TopK.topKBy(col("value"), col("event_id"), 2).as("tk"))
+      .writeStream.outputMode("complete").format("memory").queryName("topk").start()
+    mem.addData(sample: _*) // purchases 10.0(id1), 5.0(id2); clicks 1.0(id3), 2.0(id4)
+    q.processAllAvailable()
+    // a later micro-batch displaces the weakest purchase: the TypedImperative
+    // buffer merges incrementally across batches
+    mem.addData(Event(9, ts(90), 9, "purchase", 7.5, "{}"))
+    q.processAllAvailable()
+    val rows = spark.table("topk").collect().map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1)))).toMap
+    q.stop()
+    assert(rows("purchase") === Seq((10.0, 1L), (7.5, 9L))) // id2's 5.0 displaced
+    assert(rows("click") === Seq((2.0, 4L), (1.0, 3L)))
+  }
+
   test("stateful sessionize counts gap-separated sessions per user") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
