@@ -507,4 +507,25 @@ object Ann {
       .select(col("src_id"), col("dst_id"), round(col("sim"), 6).as("sim"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** kNN-distance outlier / prototypicality score: mean cosine distance to
+    * a vector's k nearest neighbors (within its trained cell — the
+    * [[knnGraph]] recall trade). Low = dense prototypical region, high =
+    * isolated outlier — the standard density signal for pruning mislabeled
+    * or off-distribution samples before training (kNN variant of the
+    * SemDeDup centroid-distance family).
+    *
+    * Determinism: neighbor sims are rounded-6 by [[knnGraph]]; the mean
+    * accumulates them as DECIMAL(18,6) (order-independent, exact) and the
+    * single double division is the only fp site — bit-equal cross-engine.
+    *
+    * Scale shape: [[knnGraph]]'s per-cell work + one (vec_id) aggregation
+    * over the k·N edge stream. */
+  def knnOutlierScores(candidates: DataFrame, nClusters: Int, iters: Int,
+                       k: Int): DataFrame =
+    knnGraph(candidates, nClusters, iters, k)
+      .groupBy(col("src_id").as("vec_id"))
+      .agg(count(lit(1)).cast("long").as("n_nbrs"),
+        round(lit(1.0) - sum(col("sim").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("outlier"))
 }

@@ -454,4 +454,31 @@ object Corpus {
         col("n_chunks").cast("long").as("n_chunks"),
         (col("n_chunks") - size(col("kept"))).cast("long").as("n_removed"))
   }
+
+  /** Intra-document repetition removal: drop repeated token chunks WITHIN a
+    * document, keeping each chunk's FIRST occurrence in original order —
+    * the within-doc half of repetition cleaning (Gopher §A.1.1's duplicate
+    * paragraph/line rules; [[removeBoilerplate]] is the cross-doc half).
+    * Returns (id, text_clean, n_chunks, n_removed).
+    *
+    * Scale shape: per-doc work only — one explode + two (id[, chunk])
+    * aggregations, all partitioned on doc id; no window, no global state.
+    * The reassembly sorts each doc's surviving chunk positions inside
+    * `array_sort` (per-row, not a plan sort). */
+  def intraDocDedup(docs: DataFrame, idCol: String, textCol: String,
+                    chunk: Int): DataFrame = {
+    val ch = tokens(docs, idCol, textCol)
+      .select(col(idCol),
+        TextFunctions.chunkTokens(col("toks"), chunk, chunk).as("chunks"))
+    ch.select(col(idCol), posexplode(col("chunks")).as(Seq("pos", "c")))
+      .groupBy(col(idCol), col("c"))
+      .agg(min(col("pos")).as("pos"), count(lit(1)).as("occ"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c"))).as("text_clean"),
+        sum(col("occ")).cast("long").as("n_chunks"),
+        (sum(col("occ")) - count(lit(1))).cast("long").as("n_removed"))
+  }
 }

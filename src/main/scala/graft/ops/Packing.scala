@@ -119,4 +119,49 @@ object Packing {
     df.withColumn("key", key)
       .orderBy(col("key").asc, col(idCol).asc).limit(k)
   }
+
+  /** Token-budget curriculum selection: rank docs by a quality score and
+    * keep the best until the cumulative token count reaches
+    * `frac · total_tokens` — the "fill the training budget with the best
+    * data" cut (e.g. the phi-style curated-subset recipe). The kept set is
+    * exactly the docs whose tokens-BEFORE (exclusive running sum in
+    * (score desc, id asc) order) is under budget, so the boundary doc that
+    * straddles the budget is still included — concat-then-split semantics,
+    * same as [[packBlocks]].
+    *
+    * Scale shape: the naive form is one GLOBAL window (sort the corpus by
+    * score — the classic single-partition cliff). Instead the score line is
+    * cut into `floor(score·100)` interval buckets: a ≤~100·max_score-row
+    * histogram carries each bucket's token mass, the strictly-better-bucket
+    * cumulative comes from a broadcast inequality self-join of that tiny
+    * table (no unpartitioned window anywhere), and the per-doc running sum
+    * is a window PARTITIONED by bucket — parallel per-bucket sorts over
+    * disjoint score intervals that concatenate into the exact global order
+    * (equal scores can never span two buckets). One aggregation + one
+    * partitioned window + broadcast joins; the corpus never globally sorts. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                        frac: Double): DataFrame = {
+    val q = TextFunctions.qualityStruct(col(textCol))
+    val s0 = docs.select(col(idCol),
+      q.getField("n_tokens").cast("long").as("n_tokens"),
+      q.getField("mean_token_len").as("score"))
+    val bucketed = s0.withColumn("bucket", floor(col("score") * 100).cast("long"))
+    val btot = bucketed.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
+    val bcum = btot
+      .join(broadcast(btot.select(col("bucket").as("hb"), col("bt").as("hbt"))),
+        col("hb") > col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("hbt")), lit(0L)).as("cum_before"))
+    val tot = s0.agg((sum(col("n_tokens")) * frac).as("budget"))
+    val wi = Window.partitionBy(col("bucket"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("intra", sum(col("n_tokens")).over(wi) - col("n_tokens"))
+      .join(broadcast(bcum), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .filter((col("cum_before") + col("intra")) < col("budget"))
+      .select(col(idCol), col("n_tokens"), col("score"),
+        (col("cum_before") + col("intra")).as("tokens_before"))
+  }
 }

@@ -497,5 +497,67 @@ object DocQueries3 {
       bench = true) { (s, d) =>
       graft.ops.Packing.temperatureMix(Tables.documents(s, d), "doc_id",
         col("source"), col("n_chars"), alpha = 0.6, targetFraction = 0.3)
+    },
+
+    // kNN-distance outlier score: mean cosine distance to the 5 nearest
+    // in-cell neighbors — rides the SAME memoized quantizer + knn edge
+    // stream as q_knn_graph; decimal-exact mean, one double division
+    q("q_knn_outlier",
+      s"""SELECT src_id AS vec_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+         |  round(1.0 - CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS outlier
+         |FROM (${DocQueries2.knnGraphSql(8, 2, 5)}) g
+         |GROUP BY src_id""".stripMargin) { (s, d) =>
+      Ann.knnOutlierScores(Tables.embeddings(s, d), nClusters = 8, iters = 2,
+        k = 5)
+    },
+
+    // token-budget curriculum cut: best docs by mean-token-length score
+    // until 50% of the corpus' tokens are spent. The oracle is the naive
+    // global window; the engine computes the identical exclusive running
+    // sum via score-interval buckets (tiny broadcast histogram + PARTITIONED
+    // per-bucket windows — no global sort at any size)
+    q("q_token_budget",
+      s"""WITH t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  round(CASE WHEN len(toks) > 0
+         |    THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+         |    ELSE 0 END, 4) AS score FROM t),
+         |tot AS (SELECT 0.5 * sum(n_tokens) AS budget FROM s),
+         |r AS (SELECT doc_id, n_tokens, score,
+         |  sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tokens_before
+         |  FROM s)
+         |SELECT doc_id, n_tokens, score, CAST(tokens_before AS BIGINT) AS tokens_before
+         |FROM r CROSS JOIN tot WHERE tokens_before < budget""".stripMargin,
+      bench = true) { (s, d) =>
+      graft.ops.Packing.tokenBudgetSelect(Tables.documents(s, d), "doc_id",
+        "text", frac = 0.5)
+    },
+
+    // intra-document repetition removal: repeated 3-token chunks within a
+    // doc collapse to their first occurrence (Gopher duplicate-line rule,
+    // within-doc half of q_boilerplate_removal). The corpus has no natural
+    // intra-doc repetition, so every 4th doc gets a period-3 repeated tail
+    // appended (c4Aug/urlAug synthesis precedent) — any chunk alignment of
+    // a period-3 run yields identical consecutive chunks
+    q("q_intradoc_dedup",
+      s"""WITH t AS (SELECT doc_id, ${tokOf("aug")} AS toks FROM (
+         |    SELECT doc_id, text || CASE WHEN doc_id % 4 = 0
+         |      THEN repeat(' click here now', 4) ELSE '' END AS aug
+         |    FROM documents)),
+         |ce AS (SELECT doc_id, generate_subscripts(chs, 1) AS pos, unnest(chs) AS c
+         |  FROM (SELECT doc_id,
+         |    list_transform(range(1, len(toks) + 1, 3), i ->
+         |      array_to_string(list_slice(toks, i, i + 2), ' ')) AS chs FROM t)),
+         |f AS (SELECT doc_id, c, min(pos) AS pos, count(*) AS occ
+         |  FROM ce GROUP BY 1, 2)
+         |SELECT doc_id, string_agg(c, ' ' ORDER BY pos) AS text_clean,
+         |  CAST(sum(occ) AS BIGINT) AS n_chunks,
+         |  CAST(sum(occ) - count(*) AS BIGINT) AS n_removed
+         |FROM f GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 4 === 0,
+          lit(" click here now" * 4)).otherwise(lit(""))).as("text"))
+      Corpus.intraDocDedup(aug, "doc_id", "text", chunk = 3)
     })
 }

@@ -884,4 +884,50 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(0) === 8L)
     assert(r.getDouble(1) === -1.0)
   }
+
+  test("token budget select: bucketed cut equals the naive global running sum") {
+    // scores chosen to land in distinct AND shared buckets; total = 60
+    // tokens, budget = 0.5·60 = 30. Global order by (score desc, id asc):
+    // d4(20 toks, before 0) kept, d2(15, before 20) kept — straddles the
+    // budget, still in — d1(15, before 35) out, d3(10, before 50) out.
+    val docs = Seq(
+      (1L, "aa bb cc " * 5),                    // 15 toks, score 2.0
+      (2L, "aaa bbb ccc " * 5),                 // 15 toks, score 3.0
+      (3L, "aa bb " * 5),                       // 10 toks, score 2.0
+      (4L, "aaaa bbbb cccc dddd " * 5))         // 20 toks, score 4.0
+      .toDF("doc_id", "text")
+    val out = graft.ops.Packing.tokenBudgetSelect(docs, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(4L -> 0L, 2L -> 20L))
+    // equal scores share a bucket: budget 0.9 reaches d1/d3 and the id
+    // tiebreak must order d1 (15 toks, before 35) ahead of d3 (before 50)
+    val out2 = graft.ops.Packing.tokenBudgetSelect(docs, "doc_id", "text", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out2 === Map(4L -> 0L, 2L -> 20L, 1L -> 35L, 3L -> 50L))
+  }
+
+  test("intra-doc dedup: repeated chunks collapse to first occurrence, order kept") {
+    val docs = Seq(
+      (1L, "aa bb cc aa bb cc aa bb cc dd"),  // chunks: [aa bb cc]×3, [dd]
+      (2L, "xx yy zz"))                       // no repetition
+      .toDF("doc_id", "text")
+    val out = graft.ops.Corpus.intraDocDedup(docs, "doc_id", "text", chunk = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === (("aa bb cc dd", 4L, 2L)))
+    assert(out(2L) === (("xx yy zz", 1L, 0L)))
+  }
+
+  test("knn outlier: isolated vector scores higher than clustered ones") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.98f, 0.05f, 0.0f)), (4L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.knnOutlierScores(vecs, nClusters = 1, iters = 1, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size === 4)
+    assert(out(4L) > out(1L) && out(4L) > out(2L) && out(4L) > out(3L))
+    assert(out.values.forall(v => v >= 0.0 && v <= 2.0))
+    graft.core.Pin.clear()
+  }
 }
