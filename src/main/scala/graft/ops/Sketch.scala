@@ -54,6 +54,8 @@ object Sketch {
       }
       KmvSketchAgg(es.head, k).toAggregateExpression()
     }, "built-in")
+    reg.createOrReplaceTempFunction("hll_distinct", es =>
+      HllSketchAgg(es.head).toAggregateExpression(), "built-in")
   }
 
   /** KMV distinct-count estimate of `hashCol` (a [[hash60]]-hashed value)
@@ -99,6 +101,90 @@ object Sketch {
       .groupBy(col(itemCol), col("exact"))
       .agg(min(col("cell")).as("est"))
       .select(col(itemCol), col("exact"), col("est"))
+  }
+
+  /** HyperLogLog distinct-count estimate (Flajolet et al. 2007) of a
+    * [[hash60]]-hashed column per group, m = 64 registers: bucket = low 6
+    * hash bits, register = max leading-zero rank ρ of the remaining 54 bits
+    * (ρ ∈ [1, 55]). Unlike the engine-internal `approx_count_distinct`
+    * (HLL++, private register layout), every piece here is deterministic
+    * md5 arithmetic the DuckDB oracle replays exactly: the register sum is
+    * returned as the EXACT integer Σⱼ 2^(55−Mⱼ) (≤ 2^61 — Σ 2^−Mⱼ scaled by
+    * 2^55), so the estimate α·m²·2^55 / S is ONE double division on both
+    * engines — no order-dependent float accumulation. Call
+    * [[registerKernels]] first.
+    *
+    * vs [[kmvEstimate]]: KMV needs the k smallest DISTINCT hashes (k longs
+    * per group); HLL folds the RAW stream — duplicates are free (max is
+    * idempotent) — into 64 bytes per group. Returns
+    * `struct(s_reg, n_empty, est)`. */
+  def hllEstimate(hashCol: Column): Column =
+    call_function("hll_distinct", hashCol)
+
+  /** Fixed-register HLL buffer: 64 byte-sized max-ρ registers. Merge is
+    * element-wise max — associative, commutative, duplicate-insensitive, so
+    * partial-combine order can't change the result (the determinism the
+    * oracle relies on). */
+  case class HllSketchAgg(child: Expression,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Byte]] {
+
+    private val m = 64            // 2^6 registers
+    private val rhoMax = 55       // 54 payload bits → ρ ∈ [1, 55]
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        val j = (h & (m - 1)).toInt
+        val w = h >>> 6           // 54 significant bits
+        val rho = (rhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))).toByte
+        if (rho > buf(j)) buf(j) = rho
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+      var j = 0
+      while (j < m) { if (b2(j) > b1(j)) b1(j) = b2(j); j += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Byte]): Any = {
+      var s = 0L; var empty = 0L; var j = 0
+      while (j < m) {
+        s += 1L << (rhoMax - buf(j))
+        if (buf(j) == 0) empty += 1
+        j += 1
+      }
+      // α₆₄ = 0.709 (the published m=64 constant — a short literal both
+      // engines parse to the same double); raw = α·m²·2^55 / S, one division
+      val raw = 0.709 * 4096.0 * 36028797018963968.0 / s.toDouble
+      val est =
+        if (raw <= 160.0 && empty > 0) 64.0 * math.log(64.0 / empty)
+        else raw
+      new GenericInternalRow(Array[Any](s, empty, est))
+    }
+
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("s_reg", LongType), StructField("n_empty", LongType),
+      StructField("est", DoubleType)))
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren.head)
+    override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override def prettyName: String = "hll_distinct"
   }
 
   /** The bounded-buffer aggregate: buffer = the ≤k smallest distinct hashes

@@ -499,6 +499,46 @@ object DocQueries3 {
         col("source"), col("n_chars"), alpha = 0.6, targetFraction = 0.3)
     },
 
+    // HyperLogLog distinct sketch per source over 3-gram shingles — the
+    // 64-byte-register sibling of q_kmv_distinct: the RAW shingle stream
+    // folds without any distinct-shuffle; exact-integer register sum S =
+    // Σ 2^(55-Mⱼ), so the α·m²·2^55/S estimate is one double division on
+    // both engines (n_exact = the accuracy gauge, as in the KMV row)
+    q("q_hll_distinct",
+      s"""WITH t AS (SELECT doc_id, source, ${tokOf("text")} AS toks FROM documents),
+         |w AS (SELECT source, unnest(${shingleSql(3)}) AS sh FROM t),
+         |hh AS (SELECT source, ${hash60Sql("sh")} AS h FROM w),
+         |regs AS (SELECT source, h % 64 AS b,
+         |    max(CASE WHEN h // 64 = 0 THEN 55
+         |             ELSE 55 - length(bin(h // 64)) END) AS mreg
+         |  FROM hh GROUP BY 1, 2),
+         |agg AS (SELECT source,
+         |    CAST(sum(CAST(1 AS BIGINT) << (55 - mreg))
+         |         + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s_reg,
+         |    CAST(64 - count(*) AS BIGINT) AS n_empty
+         |  FROM regs GROUP BY source),
+         |ex AS (SELECT source, CAST(count(DISTINCT sh) AS BIGINT) AS n_exact
+         |       FROM w GROUP BY source)
+         |SELECT ex.source, ex.n_exact, agg.s_reg, agg.n_empty,
+         |  round(CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE) / CAST(agg.s_reg AS DOUBLE) <= 160.0
+         |               AND agg.n_empty > 0
+         |        THEN 64.0 * ln(64.0 / CAST(agg.n_empty AS DOUBLE))
+         |        ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE) / CAST(agg.s_reg AS DOUBLE) END, 6) AS est
+         |FROM ex JOIN agg USING (source)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Sketch.registerKernels(docs)
+      val sh = Corpus.tokens(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.shinglesFromTokens(col("toks"), 3)).as("sh"))
+      sh.select(col("source"), col("sh"), Sketch.hash60(col("sh")).as("h"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("sh")).as("n_exact"),
+          Sketch.hllEstimate(col("h")).as("hll"))
+        .select(col("source"), col("n_exact"), col("hll.s_reg").as("s_reg"),
+          col("hll.n_empty").as("n_empty"), round(col("hll.est"), 6).as("est"))
+    },
+
     // kNN-distance outlier score: mean cosine distance to the 5 nearest
     // in-cell neighbors — rides the SAME memoized quantizer + knn edge
     // stream as q_knn_graph; decimal-exact mean, one double division

@@ -918,6 +918,26 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) === (("xx yy zz", 1L, 0L)))
   }
 
+  test("hll: duplicate-insensitive, small-range path, ~accurate at 10k") {
+    import graft.ops.Sketch
+    val dups = Seq("a", "b", "c", "a", "a", "b").toDF("x")
+    Sketch.registerKernels(dups)
+    def est(df: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      val r = df.select(Sketch.hllEstimate(Sketch.hash60(col("x"))).as("h"))
+        .select(col("h.s_reg"), col("h.n_empty"), col("h.est")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    val withDups = est(dups)
+    val distinct3 = est(Seq("a", "b", "c").toDF("x"))
+    assert(withDups === distinct3)                   // max registers: dups free
+    assert(withDups._2 === 61L)                      // 3 items → 3 of 64 buckets
+    // small-range correction: 64·ln(64/61) ≈ 3.08
+    assert(math.abs(withDups._3 - 64.0 * math.log(64.0 / 61.0)) < 1e-12)
+    val big = est(spark.range(0, 10000).select(concat(lit("tok"), col("id")).as("x")))
+    assert(big._2 === 0L)                            // all buckets hit
+    assert(big._3 > 7000 && big._3 < 13000)          // ~13% rse at m=64
+  }
+
   test("knn outlier: isolated vector scores higher than clustered ones") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.99f, 0.1f, 0.0f)),
