@@ -455,6 +455,49 @@ object Corpus {
         (col("n_chunks") - size(col("kept"))).cast("long").as("n_removed"))
   }
 
+  /** Zipf-law fit per group: least-squares slope/intercept of ln(freq) on
+    * ln(rank) over the top-`topK` terms — the classic corpus-health
+    * diagnostic (natural text sits near slope −1; templated/spammy sources
+    * flatten, boilerplate steepens). Lankes et al.-style curation signal
+    * computed exactly: x = ln(rank), y = ln(freq) are rounded-9 then
+    * DECIMAL, every moment (Σx, Σy, Σx², Σxy) accumulates exactly
+    * (order-independent), and slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is one
+    * double division — bit-equal cross-engine.
+    *
+    * Scale shape: one (group, token) count aggregation; the rank window is
+    * PARTITIONED by group and cut at topK; the moments reduce to one row
+    * per group. Nothing global. */
+  def zipfFit(docs: DataFrame, idCol: String, groupCol: String,
+              textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = tokens(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .select(col(groupCol), explode(col("toks")).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val xy = f.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(groupCol),
+        round(log(col("rank").cast("double")), 9).cast("decimal(12,9)").as("x"),
+        round(log(col("cnt").cast("double")), 9).cast("decimal(12,9)").as("y"))
+    val a = xy.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).cast("decimal(14,9)").as("sx"),
+        sum(col("y")).cast("decimal(14,9)").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(25,18)")).cast("decimal(24,18)").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(25,18)")).cast("decimal(24,18)").as("sxx"))
+    val nDec = col("n_terms").cast("decimal(6,0)")
+    val slope = (nDec * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (nDec * col("sxx") - col("sx") * col("sx")).cast("double")
+    a.select(col(groupCol), col("n_terms"), slope.as("__slope"),
+        col("sx"), col("sy"))
+      .select(col(groupCol), col("n_terms"), round(col("__slope"), 6).as("slope"),
+        round(col("sy").cast("double") / col("n_terms")
+          - col("__slope") * (col("sx").cast("double") / col("n_terms")), 6)
+          .as("intercept"))
+  }
+
   /** Intra-document repetition removal: drop repeated token chunks WITHIN a
     * document, keeping each chunk's FIRST occurrence in original order —
     * the within-doc half of repetition cleaning (Gopher §A.1.1's duplicate

@@ -499,6 +499,38 @@ object DocQueries3 {
         col("source"), col("n_chars"), alpha = 0.6, targetFraction = 0.3)
     },
 
+    // Zipf-law fit per source: least-squares ln(freq)~ln(rank) over the
+    // top-200 terms — natural text near slope −1, templated sources drift.
+    // All four moments DECIMAL-exact; slope/intercept are single double
+    // divisions, bit-equal cross-engine
+    q("q_zipf_fit",
+      s"""WITH t AS (SELECT doc_id, source, ${tokOf("text")} AS toks FROM documents),
+         |f AS (SELECT source, tok, count(*) AS cnt
+         |  FROM (SELECT source, unnest(toks) AS tok FROM t) e GROUP BY 1, 2),
+         |r AS (SELECT source, cnt,
+         |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rank
+         |  FROM f),
+         |xy AS (SELECT source,
+         |  CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+         |  CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+         |  FROM r WHERE rank <= 200),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(x) AS DECIMAL(14,9)) AS sx, CAST(sum(y) AS DECIMAL(14,9)) AS sy,
+         |  CAST(sum(CAST(x * y AS DECIMAL(25,18))) AS DECIMAL(24,18)) AS sxy,
+         |  CAST(sum(CAST(x * x AS DECIMAL(25,18))) AS DECIMAL(24,18)) AS sxx
+         |  FROM xy GROUP BY source),
+         |s AS (SELECT source, n_terms, sx, sy,
+         |  CAST(CAST(n_terms AS DECIMAL(6,0)) * sxy - sx * sy AS DOUBLE) /
+         |  CAST(CAST(n_terms AS DECIMAL(6,0)) * sxx - sx * sx AS DOUBLE) AS slope
+         |  FROM a)
+         |SELECT source, n_terms, round(slope, 6) AS slope,
+         |  round(CAST(sy AS DOUBLE) / n_terms
+         |        - slope * (CAST(sx AS DOUBLE) / n_terms), 6) AS intercept
+         |FROM s""".stripMargin) { (s, d) =>
+      Corpus.zipfFit(Tables.documents(s, d), "doc_id", "source", "text",
+        topK = 200)
+    },
+
     // HyperLogLog distinct sketch per source over 3-gram shingles — the
     // 64-byte-register sibling of q_kmv_distinct: the RAW shingle stream
     // folds without any distinct-shuffle; exact-integer register sum S =

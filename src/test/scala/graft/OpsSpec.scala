@@ -918,6 +918,21 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) === (("xx yy zz", 1L, 0L)))
   }
 
+  test("zipf fit: 1/rank frequencies recover slope ~ -1") {
+    // freq(r) = floor(100/r) for ranks 1..4 — a near-perfect Zipf line
+    val text = Seq.fill(100)("t1") ++ Seq.fill(50)("t2") ++
+      Seq.fill(33)("t3") ++ Seq.fill(25)("t4")
+    val d = Seq((1L, text.mkString(" "), "s1")).toDF("doc_id", "text", "source")
+    val r = graft.ops.Corpus.zipfFit(d, "doc_id", "source", "text", topK = 200)
+      .collect()(0)
+    assert(r.getAs[Long]("n_terms") === 4L)
+    val slope = r.getAs[Double]("slope")
+    assert(slope > -1.1 && slope < -0.9, s"slope=$slope")
+    val icpt = r.getAs[Double]("intercept")
+    assert(math.abs(icpt - math.log(100.0)) < 0.1, s"intercept=$icpt")
+    graft.core.Pin.clear()
+  }
+
   test("hll: duplicate-insensitive, small-range path, ~accurate at 10k") {
     import graft.ops.Sketch
     val dups = Seq("a", "b", "c", "a", "a", "b").toDF("x")
