@@ -94,6 +94,51 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class ImageHash(doc_id: Long, width: Int, height: Int,
+                             dhash: Long)
+
+  /** Perceptual difference-hash (dHash) over REAL decoded pixels — the
+    * image near-dup fingerprint of a multimodal curation pipeline: decode
+    * the full bitmap (ImageIO), integer-luma each sampled pixel
+    * ((299r+587g+114b)/1000), nearest-neighbor-sample a 9×8 grid, and set
+    * bit gy·8+gx iff luma(gx+1,gy) > luma(gx,gy) — 64 bits per image,
+    * equal/near-equal hashes = visual near-dups. All arithmetic is integer
+    * and the sample coordinates are floor(g·dim/grid), so on the lossless
+    * RGB PNGs of [[pngAssets]] the hash is an analytic function of doc_id
+    * the oracle computes without a codec (the [[imageMeta]] gate pattern,
+    * extended from header fields to the pixel path).
+    *
+    * Scale shape: per-partition codec batches, one narrow map — the hash is
+    * 8 bytes/image; downstream dedup joins on it like any signature. */
+  def imageDHash(assets: Dataset[ImageAsset]): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[ImageHash] =
+      Encoders.product[ImageHash]
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.bytes))
+        val w = img.getWidth; val h = img.getHeight
+        def luma(gx: Int, gy: Int): Int = {
+          val v = img.getRGB(gx * w / 9, gy * h / 8)
+          val r = (v >> 16) & 255; val g = (v >> 8) & 255; val b = v & 255
+          (299 * r + 587 * g + 114 * b) / 1000
+        }
+        var hash = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            if (luma(gx + 1, gy) > luma(gx, gy))
+              hash |= 1L << (gy * 8 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        ImageHash(a.doc_id, w, h, hash)
+      }
+    }.toDF()
+  }
+
   final case class AudioAsset(doc_id: Long, bytes: Array[Byte])
   final case class AudioMeta(doc_id: Long, encoding: String, sample_rate: Int,
                              channels: Int, bits: Int, n_frames: Long,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Ann, Corpus, Sketch}
+import graft.ops.{Ann, Corpus, Multimodal, Sketch}
 import QueryDef._
 
 /** Round-7 curation/analysis operators: TF-IDF term weighting, character
@@ -497,6 +497,38 @@ object DocQueries3 {
       bench = true) { (s, d) =>
       graft.ops.Packing.temperatureMix(Tables.documents(s, d), "doc_id",
         col("source"), col("n_chars"), alpha = 0.6, targetFraction = 0.3)
+    },
+
+    // perceptual image dHash over REAL decoded pixels: Spark renders
+    // id-seeded RGB PNGs, ImageIO-decodes the full bitmap back, and
+    // computes the 9×8 luma difference hash; the oracle replays the
+    // integer pixel/luma/sample arithmetic analytically — the gate proves
+    // the codec round-trip is lossless down to the pixel path (extends
+    // q_image_decode's header gate). RGB subset only: gray/alpha types
+    // transform through colorspaces the analytic twin can't replay
+    q("q_image_dhash",
+      {
+        // luma of the sampled pixel at grid (gxE, gy): nearest-neighbor
+        // sample coords floor(g·dim/grid), pixel v = (id·31+x·7+y·13) mod 2^24
+        def lum(gxE: String, al: String) =
+          s"""((SELECT (299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256)) // 1000
+             |  FROM (SELECT (doc_id * 31 + (($gxE) * w // 9) * 7 + (gy * h // 8) * 13) % 16777216 AS v) $al))""".stripMargin
+        s"""WITH g AS (SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h,
+           |    unnest(range(0, 8)) AS gy
+           |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 200),
+           |c AS (SELECT doc_id, w, h, gy, unnest(range(0, 8)) AS gx FROM g),
+           |b AS (SELECT doc_id, w, h, gy, gx,
+           |  CASE WHEN ${lum("gx + 1", "zr")} > ${lum("gx", "zl")}
+           |       THEN CAST(1 AS HUGEINT) << (gy * 8 + gx) ELSE 0 END AS bit
+           |  FROM c)
+           |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           |  lower(lpad(to_hex(CAST(sum(bit) AS UBIGINT)), 16, '0')) AS dhash
+           |FROM b GROUP BY doc_id, w, h""".stripMargin
+      }) { (s, d) =>
+      Multimodal.imageDHash(Multimodal.pngAssets(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === 1 && col("doc_id") < 200)))
+        .select(col("doc_id"), col("width"), col("height"),
+          lower(lpad(hex(col("dhash")), 16, "0")).as("dhash"))
     },
 
     // Zipf-law fit per source: least-squares ln(freq)~ln(rank) over the

@@ -918,6 +918,29 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) === (("xx yy zz", 1L, 0L)))
   }
 
+  test("image dhash: invariant to uniform brightness, sensitive to content") {
+    import java.awt.image.BufferedImage
+    def png(id: Long, base: Int, f: (Int, Int) => Int): Multimodal.ImageAsset = {
+      val img = new BufferedImage(20, 20, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 20; x <- 0 until 20) {
+        val v = base + f(x, y) % 150   // stays < 256 after +brightness
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.ImageAsset(id, bos.toByteArray)
+    }
+    val pat = (x: Int, y: Int) => x * 37 + y * 91
+    val ds = spark.createDataset(Seq(
+      png(1L, 10, pat), png(2L, 60, pat),           // same gradients, brighter
+      png(3L, 10, (x, y) => x * 91 + y * 37)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.ImageAsset])
+    val h = Multimodal.imageDHash(ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(h(1L) === h(2L))   // dHash keys on gradients, not absolute level
+    assert(h(1L) !== h(3L))
+  }
+
   test("zipf fit: 1/rank frequencies recover slope ~ -1") {
     // freq(r) = floor(100/r) for ranks 1..4 — a near-perfect Zipf line
     val text = Seq.fill(100)("t1") ++ Seq.fill(50)("t2") ++
