@@ -211,6 +211,58 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class AudioFeatures(doc_id: Long, n_samples: Long, sum_sq: Long,
+                                 peak: Int, zero_crossings: Long, rms: Double)
+
+  /** REAL audio sample-data decode + feature extraction — the
+    * feature-extract stage of a multimodal pipeline, one level deeper than
+    * [[audioMeta]]'s header fields: `AudioSystem.getAudioInputStream`
+    * streams the PCM payload, and the features are integer-exact
+    * aggregates of the decoded 16-bit samples (Σs² and peak over all
+    * channels, sign crossings over channel 0), so on [[wavAssets]]'
+    * id-seeded PCM the oracle replays them analytically — the gate proves
+    * the WAVE round-trip to the sample level. RMS is the single
+    * double-sqrt at the end.
+    *
+    * Scale shape: per-partition codec batches, one narrow map, 5 numbers
+    * per asset out. */
+  def audioFeatures(assets: Dataset[AudioAsset]): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[AudioFeatures] =
+      Encoders.product[AudioFeatures]
+    assets.mapPartitions { it =>
+      it.map { a =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(a.bytes))
+          val fmt = ais.getFormat
+          val ch = fmt.getChannels
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          var sumSq = 0L; var peak = 0; var crossings = 0L
+          var prevNeg = false; var first = true
+          var k = 0
+          while (k < n) {
+            // little-endian signed 16-bit
+            val s = ((pcm(2 * k) & 0xff) | (pcm(2 * k + 1) << 8)).toShort.toInt
+            sumSq += s.toLong * s
+            val as = math.abs(s)
+            if (as > peak) peak = as
+            if (k % ch == 0) {            // channel-0 frame stream
+              val neg = s < 0
+              if (!first && neg != prevNeg) crossings += 1
+              prevNeg = neg; first = false
+            }
+            k += 1
+          }
+          AudioFeatures(a.doc_id, n.toLong, sumSq, peak, crossings,
+            math.sqrt(sumSq.toDouble / n))
+        } catch {
+          case _: Exception => AudioFeatures(a.doc_id, -1L, -1L, -1, -1L, -1.0)
+        }
+      }
+    }.toDF()
+  }
+
   final case class VideoAsset(doc_id: Long, bytes: Array[Byte])
   final case class VideoMeta(doc_id: Long, brand: String, timescale: Int,
                              duration: Long, duration_us: Long,

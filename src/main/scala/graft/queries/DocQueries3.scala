@@ -531,6 +531,37 @@ object DocQueries3 {
           lower(lpad(hex(col("dhash")), 16, "0")).as("dhash"))
     },
 
+    // REAL audio sample decode + features: RMS energy, peak, channel-0
+    // zero crossings off the streamed PCM payload; the oracle replays the
+    // id-seeded little-endian 16-bit samples analytically — the
+    // sample-level extension of q_audio_meta's header gate
+    q("q_audio_features",
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch, 100 + doc_id % 400 AS frames
+        |           FROM documents WHERE doc_id < 100),
+        |sx AS (SELECT doc_id, ch, unnest(range(0, frames * ch)) AS k FROM d),
+        |v AS (SELECT doc_id, ch, k,
+        |  CASE WHEN lo + 256 * hi >= 32768 THEN lo + 256 * hi - 65536
+        |       ELSE lo + 256 * hi END AS s
+        |  FROM (SELECT doc_id, ch, k,
+        |          (doc_id * 131 + (2 * k) * 7) % 256 AS lo,
+        |          (doc_id * 131 + (2 * k + 1) * 7) % 256 AS hi FROM sx) z),
+        |c0 AS (SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |       FROM v WHERE k % ch = 0),
+        |cr AS (SELECT doc_id,
+        |    CAST(count(*) FILTER (WHERE prev IS NOT NULL AND (s < 0) <> (prev < 0)) AS BIGINT) AS zero_crossings
+        |  FROM c0 GROUP BY doc_id),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |        CAST(sum(s * s) AS BIGINT) AS sum_sq, CAST(max(abs(s)) AS INT) AS peak
+        |       FROM v GROUP BY doc_id)
+        |SELECT ag.doc_id, ag.n_samples, ag.sum_sq, ag.peak, cr.zero_crossings,
+        |  round(sqrt(CAST(ag.sum_sq AS DOUBLE) / ag.n_samples), 6) AS rms
+        |FROM ag JOIN cr USING (doc_id)""".stripMargin) { (s, d) =>
+      Multimodal.audioFeatures(Multimodal.wavAssets(
+        Tables.documents(s, d).filter(col("doc_id") < 100)))
+        .select(col("doc_id"), col("n_samples"), col("sum_sq"), col("peak"),
+          col("zero_crossings"), round(col("rms"), 6).as("rms"))
+    },
+
     // Zipf-law fit per source: least-squares ln(freq)~ln(rank) over the
     // top-200 terms — natural text near slope −1, templated sources drift.
     // All four moments DECIMAL-exact; slope/intercept are single double
