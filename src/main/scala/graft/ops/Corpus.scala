@@ -455,6 +455,68 @@ object Corpus {
         (col("n_chunks") - size(col("kept"))).cast("long").as("n_removed"))
   }
 
+  /** Distributed quality-classifier training + scoring: full-batch
+    * logistic regression over `dims` hashed bag-of-words frequencies — the
+    * fastText-style quality/language filter (CCNet §4.4, phi-1 "educational
+    * value" recipe) trained INSIDE the engine. Each round is one
+    * feature⋈weights join + two aggregations; weights live in a dims-row
+    * frame that broadcasts back — no driver-side math, no collect.
+    *
+    * Determinism: features and σ(z) are rounded-9 DECIMAL, so every moment
+    * (z = Σwⱼxⱼ, gradient Σ residual·xⱼ) accumulates exactly in any
+    * partial-combine order; the only fp sites are the fixed-form σ and the
+    * per-round weight update — single expressions both engines evaluate on
+    * identical inputs.
+    *
+    * Scale shape: the sparse (doc, j, x) table is pinned once
+    * ([[graft.core.Pin.pinDerived]]) and re-joined per round against a
+    * broadcast dims-row weight table; gradients reduce map-side. Rounds are
+    * O(1) tiny-table barriers — at 100 TB the corpus streams `rounds + 1`
+    * times and nothing else grows. */
+  def trainQualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+                             label: Column, dims: Int,
+                             rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val e = tokens(docs, idCol, textCol)
+      .select(col(idCol), explode(col("toks")).as("tok"))
+    val cnt = e.groupBy(col(idCol), (Sketch.hash60(col("tok")) % dims).as("j"))
+      .agg(count(lit(1)).as("cnt"))
+    val nt = e.groupBy(col(idCol)).agg(count(lit(1)).as("n_toks"))
+    val x = graft.core.Pin.pinDerived(cnt.join(nt, Seq(idCol))
+      .select(col(idCol), col("j"),
+        round(col("cnt").cast("double") / col("n_toks"), 9)
+          .cast("decimal(16,9)").as("x")))
+    val yd = graft.core.Pin.pinDerived(docs.select(col(idCol),
+      label.cast("int").cast("decimal(16,9)").as("y")))
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    def zOf(w: DataFrame): DataFrame =
+      x.join(broadcast(w), Seq("j")).groupBy(col(idCol))
+        .agg(sum(col("w") * col("x")).as("z"))
+    val sigma9 = (z: Column) =>
+      round(lit(1.0) / (lit(1.0) + exp(-z.cast("double"))), 9)
+        .cast("decimal(16,9)")
+    var w: DataFrame = spark.range(0, dims)
+      .select(col("id").as("j"), lit(0).cast("decimal(16,9)").as("w"))
+    for (_ <- 0 until rounds) {
+      val resid = zOf(w).join(yd, Seq(idCol))
+        .select(col(idCol), (col("y") - sigma9(col("z"))).as("r"))
+      val grad = x.join(resid, Seq(idCol))
+        .groupBy(col("j")).agg(sum(col("r") * col("x")).as("g"))
+      w = w.join(grad, Seq("j"), "left")
+        .crossJoin(broadcast(nDf))
+        .select(col("j"),
+          round(col("w").cast("double")
+            + coalesce(col("g"), lit(0)).cast("double") / col("n_docs"), 9)
+            .cast("decimal(16,9)").as("w"))
+        .localCheckpoint(false)
+    }
+    zOf(w).join(yd, Seq(idCol))
+      .select(col(idCol), col("y").cast("long").as("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 6)
+          .as("score"))
+      .withColumn("pred", (col("score") >= 0.5).cast("long"))
+  }
+
   /** Zipf-law fit per group: least-squares slope/intercept of ln(freq) on
     * ln(rank) over the top-`topK` terms — the classic corpus-health
     * diagnostic (natural text sits near slope −1; templated/spammy sources

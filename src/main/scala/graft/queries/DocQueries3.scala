@@ -103,7 +103,59 @@ object DocQueries3 {
        |  round(avg(ln(cnt)) - ln((SELECT n FROM tot)), 6) AS logprob
        |  FROM e JOIN f USING (tok) GROUP BY doc_id)""".stripMargin
 
+  /** Unrolled logistic-regression training chain (the
+    * Corpus.trainQualityClassifier oracle twin): rounded-9 DECIMAL hashed
+    * frequencies and σ values make every moment exact; per round z → σ →
+    * residual → gradient → weight update, weights MATERIALIZED. */
+  private def logRegCtes(dims: Int, rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""z$r AS (SELECT doc_id, sum(w.w * x.x) AS z
+         |  FROM x JOIN w${r - 1} w USING (j) GROUP BY doc_id),
+         |r$r AS (SELECT doc_id,
+         |  y.y - CAST(round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-CAST(z AS DOUBLE))), 9) AS DECIMAL(16,9)) AS r
+         |  FROM z$r JOIN y USING (doc_id)),
+         |g$r AS (SELECT j, sum(r.r * x.x) AS g FROM x JOIN r$r r USING (doc_id) GROUP BY j),
+         |w$r AS MATERIALIZED (SELECT w.j,
+         |  CAST(round(CAST(w.w AS DOUBLE)
+         |    + CAST(coalesce(g.g, 0) AS DOUBLE) / (SELECT n FROM nn), 9) AS DECIMAL(16,9)) AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g USING (j))""".stripMargin
+    }.mkString(",\n")
+    s"""t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),
+       |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |nt AS (SELECT doc_id, count(*) AS n_toks FROM e GROUP BY doc_id),
+       |cx AS (SELECT doc_id, ${hash60Sql("tok")} % $dims AS j, count(*) AS cnt
+       |       FROM e GROUP BY 1, 2),
+       |x AS MATERIALIZED (SELECT doc_id, j,
+       |  CAST(round(CAST(cnt AS DOUBLE) / n_toks, 9) AS DECIMAL(16,9)) AS x
+       |  FROM cx JOIN nt USING (doc_id)),
+       |y AS (SELECT doc_id,
+       |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DECIMAL(16,9)) AS y
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |w0 AS (SELECT j, CAST(0 AS DECIMAL(16,9)) AS w
+       |       FROM (SELECT unnest(range(0, $dims)) AS j)),
+       |$rs""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // in-engine quality-classifier training: 3 rounds of full-batch
+    // logistic regression over 32 hashed token-frequency features, label =
+    // (lang = 'en'); scores every doc with the trained weights. Decimal-
+    // exact gradients; the oracle unrolls the identical GD recurrence
+    q("q_quality_classifier",
+      s"""WITH ${logRegCtes(32, 3)},
+         |zf AS (SELECT doc_id, sum(w.w * x.x) AS z FROM x JOIN w3 w USING (j) GROUP BY doc_id),
+         |sc AS (SELECT doc_id,
+         |  round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-CAST(z AS DOUBLE))), 6) AS score
+         |  FROM zf)
+         |SELECT sc.doc_id, CAST(y.y AS BIGINT) AS y, sc.score,
+         |  CAST(sc.score >= 0.5 AS BIGINT) AS pred
+         |FROM sc JOIN y USING (doc_id)""".stripMargin,
+      bench = true) { (s, d) =>
+      Corpus.trainQualityClassifier(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en", dims = 32, rounds = 3)
+    },
 
     q("q_tfidf_topterms",
       s"""WITH t AS (SELECT doc_id, ${tokOf("text")} AS toks FROM documents),

@@ -918,6 +918,23 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) === (("xx yy zz", 1L, 0L)))
   }
 
+  test("quality classifier: separable classes separate after training") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", 1), (2L, "alpha gamma beta beta", 1),
+      (3L, "alpha beta alpha gamma", 1), (4L, "zeta eta theta zeta", 0),
+      (5L, "eta theta zeta eta", 0), (6L, "theta zeta eta theta eta", 0))
+      .toDF("doc_id", "text", "y0")
+    val out = graft.ops.Corpus.trainQualityClassifier(
+      d, "doc_id", "text", col("y0") === 1, dims = 32, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.size === 6)
+    val pos = out.filter(_._2._1 == 1L).values.map(_._2)
+    val neg = out.filter(_._2._1 == 0L).values.map(_._2)
+    // disjoint vocabularies → every positive outscores every negative
+    assert(pos.min > neg.max, s"pos=$pos neg=$neg")
+    graft.core.Pin.clear()
+  }
+
   test("image dhash: invariant to uniform brightness, sensitive to content") {
     import java.awt.image.BufferedImage
     def png(id: Long, base: Int, f: (Int, Int) => Int): Multimodal.ImageAsset = {
