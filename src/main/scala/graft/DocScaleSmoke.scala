@@ -142,6 +142,27 @@ object DocScaleSmoke {
     run("incremental_dedup", (d, _) => ops.Dedup.incrementalNearDups(
       d, "doc_id", "text", isNew = col("doc_id") % 10 >= 8))
 
+    // round-8b operators: token-budget's histogram stays ≤100·max_score
+    // rows at any size; the classifier is rounds+1 streams over the pinned
+    // sparse features with a 32-row broadcast weight table; zipf reduces to
+    // 200 rows/source before its moments
+    run("token_budget", (d, _) => ops.Packing.tokenBudgetSelect(
+      d, "doc_id", "text", frac = 0.5))
+    run("quality_classifier", (d, _) => ops.Corpus.trainQualityClassifier(
+      d, "doc_id", "text", col("lang") === "en", dims = 32, rounds = 3))
+    run("zipf_fit", (d, _) => ops.Corpus.zipfFit(
+      d, "doc_id", "source", "text", topK = 200))
+    run("intradoc_dedup", (d, _) => ops.Corpus.intraDocDedup(
+      d, "doc_id", "text", chunk = 3))
+    run("hll_distinct", (d, _) => {
+      ops.Sketch.registerKernels(d)
+      d.select(col("source"),
+          explode(functions.TextFunctions.tokenize(col("text"))).as("tok"))
+        .select(col("source"), ops.Sketch.hash60(col("tok")).as("h"))
+        .groupBy(col("source"))
+        .agg(ops.Sketch.hllEstimate(col("h")).as("s"))
+    })
+
     // the kNN-graph scale knob: cells ∝ N keeps |cell| — and so the
     // within-cell quadratic term PER VECTOR — constant (the SemDeDup
     // recipe); fixing nClusters while N grows would measure the cliff the

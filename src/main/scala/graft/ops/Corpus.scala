@@ -488,7 +488,9 @@ object Corpus {
           .cast("decimal(16,9)").as("x")))
     val yd = graft.core.Pin.pinDerived(docs.select(col(idCol),
       label.cast("int").cast("decimal(16,9)").as("y")))
-    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    // materialized once — referenced inside every round's weight update;
+    // left lazy it re-scans the corpus per iteration (PlanAudit catches it)
+    val nDf = docs.agg(count(lit(1)).as("n_docs")).localCheckpoint(true)
     def zOf(w: DataFrame): DataFrame =
       x.join(broadcast(w), Seq("j")).groupBy(col(idCol))
         .agg(sum(col("w") * col("x")).as("z"))

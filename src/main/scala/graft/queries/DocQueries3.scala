@@ -583,6 +583,32 @@ object DocQueries3 {
           lower(lpad(hex(col("dhash")), 16, "0")).as("dhash"))
     },
 
+    // unicode canonicalization: NFC composition + accent folding as native
+    // codegen'd Catalyst expressions (java.text.Normalizer kernels); the
+    // ASCII corpus gets composed AND decomposed accent tails appended so
+    // the gate exercises real (re)composition — DuckDB's utf8proc twins
+    // must agree byte-for-byte
+    q("q_text_normalize",
+      """WITH a AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' café señor'
+        |       WHEN doc_id % 3 = 1 THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+        |       ELSE '' END AS aug FROM documents)
+        |SELECT doc_id, nfc_normalize(aug) AS norm, strip_accents(aug) AS stripped,
+        |  CAST(length(aug) AS BIGINT) AS n_before,
+        |  CAST(length(nfc_normalize(aug)) AS BIGINT) AS n_after
+        |FROM a""".stripMargin) { (s, d) =>
+      graft.functions.UnicodeFunctions.register(s)
+      import graft.functions.UnicodeFunctions.{nfcNormalize, stripAccents}
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" café señor"))
+          .when(col("doc_id") % 3 === 1, lit(" cafe\u0301 nai\u0308ve"))
+          .otherwise(lit("")))
+      Tables.documents(s, d).select(col("doc_id"),
+        nfcNormalize(aug).as("norm"), stripAccents(aug).as("stripped"),
+        length(aug).cast("long").as("n_before"),
+        length(nfcNormalize(aug)).cast("long").as("n_after"))
+    },
+
     // REAL audio sample decode + features: RMS energy, peak, channel-0
     // zero crossings off the streamed PCM payload; the oracle replays the
     // id-seeded little-endian 16-bit samples analytically — the

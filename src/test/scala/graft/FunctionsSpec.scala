@@ -283,4 +283,23 @@ class FunctionsSpec extends SparkSpec {
     assert(r(0) > 0.5) // 7 trigram slots, 3 distinct → 1 - 3/7 ≈ 0.57
     assert(r(1) === 0.0)
   }
+
+  test("unicode normalize: NFC composes, strip_accents folds, codegen = eval") {
+    graft.functions.UnicodeFunctions.register(spark)
+    import graft.functions.UnicodeFunctions.{nfcNormalize, stripAccents}
+    val d = Seq(("café naïve", "café señor")).toDF("dec", "comp")
+    val r = d.select(
+      nfcNormalize(col("dec")).as("n"), stripAccents(col("dec")).as("s1"),
+      stripAccents(col("comp")).as("s2"),
+      length(col("dec")).as("lb"), length(nfcNormalize(col("dec"))).as("la"))
+      .head()
+    assert(r.getString(0) === "café naïve")      // composed output
+    assert(r.getString(1) === "cafe naive")
+    assert(r.getString(2) === "cafe senor")      // composed input also folds
+    assert(r.getInt(3) === 12 && r.getInt(4) === 10) // 2 combining marks merged
+    // interpreted (no-codegen) path agrees with the codegen'd one
+    val expr = graft.functions.UnicodeFunctions.NfcNormalizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("café"))
+    assert(expr.eval(null).toString === "café")
+  }
 }
