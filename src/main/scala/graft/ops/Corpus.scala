@@ -475,7 +475,22 @@ object Corpus {
     * times and nothing else grows. */
   def trainQualityClassifier(docs: DataFrame, idCol: String, textCol: String,
                              label: Column, dims: Int,
-                             rounds: Int): DataFrame = {
+                             rounds: Int): DataFrame =
+    // trained artifact: weights+scores memoized per (doc set, feature/label
+    // config) — the Ann.kmeansCentroids discipline; q_pr_curve and any
+    // downstream eval re-read the scored table instead of retraining
+    lrMemo.computeIfAbsent((docs, idCol, textCol, label.toString, dims, rounds),
+      _ => graft.core.Pin.pinDerived(
+        trainQualityClassifierImpl(docs, idCol, textCol, label, dims, rounds)))
+
+  private val lrMemo = new java.util.concurrent.ConcurrentHashMap[
+    (DataFrame, String, String, String, Int, Int), DataFrame]()
+
+  graft.core.Pin.onClear(() => lrMemo.clear())
+
+  private def trainQualityClassifierImpl(
+      docs: DataFrame, idCol: String, textCol: String,
+      label: Column, dims: Int, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     val e = tokens(docs, idCol, textCol)
       .select(col(idCol), explode(col("toks")).as("tok"))
@@ -517,6 +532,49 @@ object Corpus {
         round(lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 6)
           .as("score"))
       .withColumn("pred", (col("score") >= 0.5).cast("long"))
+  }
+
+  /** Precision/recall sweep over every distinct classifier score — the
+    * threshold-calibration table (pick the operating point, read off
+    * best-F1) for [[trainQualityClassifier]]'s output. At threshold t:
+    * predicted-positive = score ≥ t, so TP/PP are suffix sums of the
+    * per-score (positives, total) histogram in score-descending order; all
+    * counts exact longs, P/R/F1 single divisions (F1 = 2TP/(PP+pos_total)).
+    *
+    * Scale shape: the same interval-bucket decomposition as
+    * [[Packing.tokenBudgetSelect]] — the corpus reduces to ≤10⁶ distinct
+    * rounded-6 scores, suffix sums come from a ≤101-row broadcast bucket
+    * histogram plus PARTITIONED per-bucket windows; no global sort. */
+  def prCurve(scored: DataFrame, scoreCol: String,
+              labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = scored.groupBy(col(scoreCol).as("t"))
+      .agg(sum(col(labelCol)).as("np"), count(lit(1)).as("nt"))
+      .withColumn("bucket", floor(col("t") * 100).cast("long"))
+    val btot = per.groupBy(col("bucket"))
+      .agg(sum(col("np")).as("bp"), sum(col("nt")).as("bt"))
+    val bcum = btot
+      .join(broadcast(btot.select(col("bucket").as("hb"), col("bp").as("hbp"),
+        col("bt").as("hbt"))), col("hb") > col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("hbp")), lit(0L)).as("cum_p"),
+        coalesce(sum(col("hbt")), lit(0L)).as("cum_t"))
+    val tot = scored.agg(sum(col(labelCol)).as("pos_total"))
+    val wi = Window.partitionBy(col("bucket")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("ip", sum(col("np")).over(wi))
+      .withColumn("it", sum(col("nt")).over(wi))
+      .join(broadcast(bcum), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), (col("cum_p") + col("ip")).as("tp"),
+        (col("cum_t") + col("it")).as("pp"), col("pos_total"))
+      .select(col("t"), col("tp"), (col("pp") - col("tp")).as("fp"),
+        (col("pos_total") - col("tp")).as("fn"),
+        round(col("tp").cast("double") / col("pp"), 6).as("prec"),
+        round(col("tp").cast("double") / col("pos_total"), 6).as("rec"),
+        round(lit(2.0) * col("tp") / (col("pp") + col("pos_total")), 6)
+          .as("f1"))
   }
 
   /** Zipf-law fit per group: least-squares slope/intercept of ln(freq) on

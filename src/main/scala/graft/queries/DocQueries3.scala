@@ -583,6 +583,63 @@ object DocQueries3 {
           lower(lpad(hex(col("dhash")), 16, "0")).as("dhash"))
     },
 
+    // per-source percentile winsorization: clip n_chars into its [p5, p95]
+    // band — the robust feature-engineering guard before length-based rules
+    q("q_winsorize",
+      """WITH b AS (SELECT source, round(quantile_cont(n_chars, 0.05), 6) AS p5,
+        |                  round(quantile_cont(n_chars, 0.95), 6) AS p95
+        |           FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, CAST(d.n_chars AS DOUBLE) AS v,
+        |  round(least(greatest(CAST(d.n_chars AS DOUBLE), p5), p95), 6) AS clipped
+        |FROM documents d JOIN b USING (source)""".stripMargin) { (s, d) =>
+      graft.ops.Robust.winsorize(Tables.documents(s, d), "doc_id", "source",
+        col("n_chars"), lo = 0.05, hi = 0.95)
+    },
+
+    // median/MAD robust z-score outliers per source (Hampel rule) — the
+    // heavy-tail-proof twin of q_event_zscore's mean/sigma flags
+    q("q_mad_outliers",
+      """WITH v AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |m AS (SELECT source, round(quantile_cont(v, 0.5), 6) AS med FROM v GROUP BY source),
+        |dv AS (SELECT v.doc_id, v.source, v.v, m.med, abs(v.v - m.med) AS ad
+        |       FROM v JOIN m USING (source)),
+        |md AS (SELECT source, round(quantile_cont(ad, 0.5), 6) AS mad FROM dv GROUP BY source)
+        |SELECT doc_id, source, v, med, mad,
+        |  round((v - med) / (CAST(1.4826 AS DOUBLE) * mad), 6) AS rz
+        |FROM dv JOIN md USING (source)
+        |WHERE mad > 0
+        |  AND abs(round((v - med) / (CAST(1.4826 AS DOUBLE) * mad), 6)) > 2.0""".stripMargin) { (s, d) =>
+      graft.ops.Robust.madOutliers(Tables.documents(s, d), "doc_id", "source",
+        col("n_chars"), cutoff = 2.0)
+    },
+
+    // precision/recall sweep over every distinct classifier score — the
+    // threshold-calibration table off the MEMOIZED trained classifier
+    // (exact suffix-sum counts via the token-budget bucket decomposition)
+    q("q_pr_curve",
+      s"""WITH ${logRegCtes(32, 3)},
+         |zf AS (SELECT doc_id, sum(w.w * x.x) AS z FROM x JOIN w3 w USING (j) GROUP BY doc_id),
+         |sc AS (SELECT doc_id,
+         |  round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-CAST(z AS DOUBLE))), 6) AS score
+         |  FROM zf),
+         |scj AS (SELECT sc.doc_id, sc.score, CAST(y.y AS BIGINT) AS yb
+         |        FROM sc JOIN y USING (doc_id)),
+         |per AS (SELECT score AS t, CAST(sum(yb) AS BIGINT) AS np,
+         |               CAST(count(*) AS BIGINT) AS nt FROM scj GROUP BY 1),
+         |tot AS (SELECT CAST(sum(yb) AS BIGINT) AS pos_total FROM scj),
+         |r AS (SELECT t, sum(np) OVER (ORDER BY t DESC) AS tp,
+         |             sum(nt) OVER (ORDER BY t DESC) AS pp FROM per)
+         |SELECT t, CAST(tp AS BIGINT) AS tp, CAST(pp - tp AS BIGINT) AS fp,
+         |  CAST(pos_total - tp AS BIGINT) AS fn,
+         |  round(CAST(tp AS DOUBLE) / pp, 6) AS prec,
+         |  round(CAST(tp AS DOUBLE) / pos_total, 6) AS rec,
+         |  round(CAST(2 AS DOUBLE) * tp / (pp + pos_total), 6) AS f1
+         |FROM r CROSS JOIN tot""".stripMargin) { (s, d) =>
+      Corpus.prCurve(
+        Corpus.trainQualityClassifier(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", dims = 32, rounds = 3), "score", "y")
+    },
+
     // unicode canonicalization: NFC composition + accent folding as native
     // codegen'd Catalyst expressions (java.text.Normalizer kernels); the
     // ASCII corpus gets composed AND decomposed accent tails appended so

@@ -918,6 +918,36 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) === (("xx yy zz", 1L, 0L)))
   }
 
+  test("winsorize clips into the percentile band; mad flags the masked outlier") {
+    val d = (1 to 9).map(i => (i.toLong, "s", i * 10.0)) :+ (10L, "s", 10000.0)
+    val df = d.toDF("id", "g", "v")
+    val wz = graft.ops.Robust.winsorize(df, "id", "g", col("v"), 0.05, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(wz(10L) < 10000.0)              // clipped down to p95
+    assert(wz(5L) === 50.0)                // interior values untouched
+    val mad = graft.ops.Robust.madOutliers(df, "id", "g", col("v"), 2.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(mad.contains(10L))
+    assert(!mad.contains(5L))              // median row never flags
+    // constant bulk → MAD 0 → flag nothing rather than divide by zero
+    val const = Seq((1L, "s", 5.0), (2L, "s", 5.0), (3L, "s", 99.0))
+      .toDF("id", "g", "v")
+    assert(graft.ops.Robust.madOutliers(const, "id", "g", col("v"), 2.0)
+      .count() === 0L)
+  }
+
+  test("pr curve: hand-computed thresholds, best f1 at the right cut") {
+    val scored = Seq((1L, 1L, 0.9), (2L, 0L, 0.8), (3L, 1L, 0.7), (4L, 0L, 0.6))
+      .toDF("doc_id", "y", "score")
+    val rows = graft.ops.Corpus.prCurve(scored, "score", "y")
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6))).toMap
+    assert(rows.size === 4)
+    assert(rows(0.9) === ((1L, 0L, 1L, 0.666667)))  // tp=1 fp=0 fn=1, rounded-6
+    assert(rows(0.7) === ((2L, 1L, 0L, 0.8)))       // best F1: 2·2/(3+2)
+    assert(rows(0.6) === ((2L, 2L, 0L, 0.666667)))
+  }
+
   test("quality classifier: separable classes separate after training") {
     val d = Seq(
       (1L, "alpha beta gamma alpha beta", 1), (2L, "alpha gamma beta beta", 1),
