@@ -478,13 +478,16 @@ object Corpus {
                              rounds: Int): DataFrame =
     // trained artifact: weights+scores memoized per (doc set, feature/label
     // config) — the Ann.kmeansCentroids discipline; q_pr_curve and any
-    // downstream eval re-read the scored table instead of retraining
-    lrMemo.computeIfAbsent((docs, idCol, textCol, label.toString, dims, rounds),
+    // downstream eval re-read the scored table instead of retraining.
+    // Keyed on the PINNED token view (plan-deduped instance), not the raw
+    // docs frame — fresh loader DataFrames of the same table must hit
+    lrMemo.computeIfAbsent(
+      (tokens(docs, idCol, textCol), label.toString, dims, rounds),
       _ => graft.core.Pin.pinDerived(
         trainQualityClassifierImpl(docs, idCol, textCol, label, dims, rounds)))
 
   private val lrMemo = new java.util.concurrent.ConcurrentHashMap[
-    (DataFrame, String, String, String, Int, Int), DataFrame]()
+    (DataFrame, String, Int, Int), DataFrame]()
 
   graft.core.Pin.onClear(() => lrMemo.clear())
 

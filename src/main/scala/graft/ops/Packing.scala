@@ -141,10 +141,14 @@ object Packing {
     * partitioned window + broadcast joins; the corpus never globally sorts. */
   def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
                         frac: Double): DataFrame = {
-    val q = TextFunctions.qualityStruct(col(textCol))
-    val s0 = docs.select(col(idCol),
+    // score off the session-pinned token view, then cut the 3-column score
+    // table's lineage: it feeds three plan branches (histogram, total,
+    // window) and left lazy each would re-run the quality lambdas
+    val q = TextFunctions.qualityStructFromToks(col(textCol), col("toks"))
+    val s0 = Corpus.tokens(docs, idCol, textCol).select(col(idCol),
       q.getField("n_tokens").cast("long").as("n_tokens"),
       q.getField("mean_token_len").as("score"))
+      .localCheckpoint(false)
     val bucketed = s0.withColumn("bucket", floor(col("score") * 100).cast("long"))
     val btot = bucketed.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
     val bcum = btot
