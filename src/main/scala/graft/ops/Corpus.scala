@@ -580,6 +580,43 @@ object Corpus {
           .as("f1"))
   }
 
+  /** Exact ROC AUC by the Mann–Whitney identity: AUC = P(score⁺ > score⁻)
+    * + ½P(tie) = Σₛ np(s)·(2·negBelow(s) + nn(s)) / (2·P·N) — every term an
+    * exact integer off the per-score histogram, one double division at the
+    * end. The ranking-quality companion of [[prCurve]] (same memoized
+    * classifier input).
+    *
+    * Scale shape: same interval-bucket decomposition as [[prCurve]] —
+    * prefix sums from a broadcast bucket histogram + PARTITIONED per-bucket
+    * windows; no global sort, 1 row out. */
+  def aucFromScores(scored: DataFrame, scoreCol: String,
+                    labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = scored.groupBy(col(scoreCol).as("t"))
+      .agg(sum(col(labelCol)).as("np"),
+        (count(lit(1)) - sum(col(labelCol))).as("nn"))
+      .withColumn("bucket", floor(col("t") * 100).cast("long"))
+    val btot = per.groupBy(col("bucket")).agg(sum(col("nn")).as("bn"))
+    val bcum = btot
+      .join(broadcast(btot.select(col("bucket").as("lb"), col("bn").as("lbn"))),
+        col("lb") < col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("lbn")), lit(0L)).as("neg_lower"))
+    val wi = Window.partitionBy(col("bucket")).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("in_neg", coalesce(sum(col("nn")).over(wi), lit(0L)))
+      .join(broadcast(bcum), Seq("bucket"))
+      .select(col("np"), col("nn"),
+        (col("np") * (lit(2L) * (col("neg_lower") + col("in_neg")) + col("nn")))
+          .as("u2"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("u2")).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("u2").cast("double")
+          / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
   /** Zipf-law fit per group: least-squares slope/intercept of ln(freq) on
     * ln(rank) over the top-`topK` terms — the classic corpus-health
     * diagnostic (natural text sits near slope −1; templated/spammy sources

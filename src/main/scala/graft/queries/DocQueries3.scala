@@ -640,6 +640,30 @@ object DocQueries3 {
           col("lang") === "en", dims = 32, rounds = 3), "score", "y")
     },
 
+    // exact ROC AUC of the trained classifier (Mann–Whitney rank-sum form:
+    // integer-exact off the per-score histogram; reads the memoized scores)
+    q("q_auc",
+      s"""WITH ${logRegCtes(32, 3)},
+         |zf AS (SELECT doc_id, sum(w.w * x.x) AS z FROM x JOIN w3 w USING (j) GROUP BY doc_id),
+         |sc AS (SELECT doc_id,
+         |  round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-CAST(z AS DOUBLE))), 6) AS score
+         |  FROM zf),
+         |scj AS (SELECT sc.score, CAST(y.y AS BIGINT) AS yb FROM sc JOIN y USING (doc_id)),
+         |per AS (SELECT score AS t, CAST(sum(yb) AS BIGINT) AS np,
+         |               CAST(count(*) - sum(yb) AS BIGINT) AS nn FROM scj GROUP BY 1),
+         |r AS (SELECT np, nn,
+         |  coalesce(sum(nn) OVER (ORDER BY t ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+         |  FROM per)
+         |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  round(CAST(sum(np * (2 * neg_below + nn)) AS DOUBLE)
+         |        / (CAST(2 AS DOUBLE) * sum(np) * sum(nn)), 6) AS auc
+         |FROM r""".stripMargin) { (s, d) =>
+      Corpus.aucFromScores(
+        Corpus.trainQualityClassifier(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", dims = 32, rounds = 3), "score", "y")
+    },
+
     // unicode canonicalization: NFC composition + accent folding as native
     // codegen'd Catalyst expressions (java.text.Normalizer kernels); the
     // ASCII corpus gets composed AND decomposed accent tails appended so

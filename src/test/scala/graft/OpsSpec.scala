@@ -948,6 +948,20 @@ class OpsSpec extends SparkSpec {
     assert(rows(0.6) === ((2L, 2L, 0L, 0.666667)))
   }
 
+  test("auc: hand-computed mann-whitney with ties") {
+    val scored = Seq((1L, 1L, 0.9), (2L, 0L, 0.8), (3L, 1L, 0.7), (4L, 0L, 0.6),
+      (5L, 1L, 0.6)).toDF("doc_id", "y", "score")
+    val r = graft.ops.Corpus.aucFromScores(scored, "score", "y").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    // pairs won: (.9,.8)(.9,.6)(.7,.6); lost: (.7,.8)(.6,.8); tie: (.6,.6)
+    assert(r.getDouble(2) === 0.583333)
+    // perfectly separated → 1.0
+    val sep = Seq((1L, 1L, 0.9), (2L, 1L, 0.8), (3L, 0L, 0.2), (4L, 0L, 0.1))
+      .toDF("doc_id", "y", "score")
+    assert(graft.ops.Corpus.aucFromScores(sep, "score", "y").head()
+      .getDouble(2) === 1.0)
+  }
+
   test("quality classifier: separable classes separate after training") {
     val d = Seq(
       (1L, "alpha beta gamma alpha beta", 1), (2L, "alpha gamma beta beta", 1),
