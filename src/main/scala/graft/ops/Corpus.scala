@@ -483,17 +483,32 @@ object Corpus {
     // docs frame — fresh loader DataFrames of the same table must hit
     lrMemo.computeIfAbsent(
       (tokens(docs, idCol, textCol), label.toString, dims, rounds),
-      _ => graft.core.Pin.pinDerived(
-        trainQualityClassifierImpl(docs, idCol, textCol, label, dims, rounds)))
+      key => graft.core.Pin.pinDerived(
+        trainQualityClassifierImpl(docs, idCol, textCol, label, dims, rounds,
+          key)))
 
   private val lrMemo = new java.util.concurrent.ConcurrentHashMap[
     (DataFrame, String, Int, Int), DataFrame]()
 
-  graft.core.Pin.onClear(() => lrMemo.clear())
+  private val wMemo = new java.util.concurrent.ConcurrentHashMap[
+    (DataFrame, String, Int, Int), Array[Double]]()
+
+  graft.core.Pin.onClear(() => { lrMemo.clear(); wMemo.clear() })
+
+  /** The trained weight vector as a j-ordered array — the artifact a
+    * serving/streaming job ships (see
+    * [[graft.streaming.Streams.scoredDocStream]]). A dims-row collect of a
+    * trained artifact: load-phase work, the Bpe argmax discipline. */
+  def trainedWeights(docs: DataFrame, idCol: String, textCol: String,
+                     label: Column, dims: Int, rounds: Int): Array[Double] = {
+    trainQualityClassifier(docs, idCol, textCol, label, dims, rounds)
+    wMemo.get((tokens(docs, idCol, textCol), label.toString, dims, rounds))
+  }
 
   private def trainQualityClassifierImpl(
       docs: DataFrame, idCol: String, textCol: String,
-      label: Column, dims: Int, rounds: Int): DataFrame = {
+      label: Column, dims: Int, rounds: Int,
+      memoKey: (DataFrame, String, Int, Int)): DataFrame = {
     val spark = docs.sparkSession
     val e = tokens(docs, idCol, textCol)
       .select(col(idCol), explode(col("toks")).as("tok"))
@@ -530,6 +545,9 @@ object Corpus {
             .cast("decimal(16,9)").as("w"))
         .localCheckpoint(false)
     }
+    // stash the j-ordered weight vector — the servable artifact
+    wMemo.put(memoKey, w.orderBy(col("j")).collect()
+      .map(_.getDecimal(1).doubleValue))
     zOf(w).join(yd, Seq(idCol))
       .select(col(idCol), col("y").cast("long").as("y"),
         round(lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 6)

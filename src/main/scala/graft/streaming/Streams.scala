@@ -139,4 +139,26 @@ object Streams {
       .withColumn("lang_pred", graft.functions.TextFunctions.langId(col("text")))
       .drop("q")
   }
+
+  /** Online scoring with offline-trained classifier weights — the
+    * train-batch / serve-stream split: [[graft.ops.Corpus.trainedWeights]]
+    * ships the dims-element vector as plan literals, and scoring is a pure
+    * narrow map (per-token hashed weight lookup folded per row — no state,
+    * no shuffle, no watermark), so the SAME transform runs on a batch
+    * frame or a `readStream`. z = Σ_tok w[h(tok)%dims] / n_tokens, which
+    * equals the training-side Σⱼ wⱼ·xⱼ up to the rounded-9 feature
+    * quantization (|Δ| ≤ dims·5e-10 — StreamingSpec bounds it). */
+  def scoredDocStream(docs: DataFrame, weights: Array[Double]): DataFrame = {
+    val dims = weights.length
+    val wLit = array(weights.map(lit(_)): _*)
+    val toks = graft.functions.TextFunctions.tokenize(col("text"))
+    val z = when(size(toks) > 0,
+      aggregate(toks, lit(0.0), (acc, t) =>
+        acc + element_at(wLit,
+          (graft.ops.Sketch.hash60(t) % dims).cast("int") + 1))
+        / size(toks)).otherwise(lit(0.0))
+    docs
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+      .withColumn("pred", (col("score") >= 0.5).cast("long"))
+  }
 }

@@ -177,4 +177,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(out === Set((7L, 100L, 200L, 300000000L)))
   }
+
+  test("offline-trained weights score a doc stream; matches batch training scores") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", 1), (2L, "alpha gamma beta beta", 1),
+      (3L, "alpha beta alpha gamma", 1), (4L, "zeta eta theta zeta", 0),
+      (5L, "eta theta zeta eta", 0), (6L, "theta zeta eta theta eta", 0))
+      .toDF("doc_id", "text", "y0")
+    val w = graft.ops.Corpus.trainedWeights(
+      docs, "doc_id", "text", col("y0") === 1, dims = 32, rounds = 3)
+    assert(w.length === 32 && w.exists(_ != 0.0))
+    val batch = graft.ops.Corpus.trainQualityClassifier(
+      docs, "doc_id", "text", col("y0") === 1, dims = 32, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.scoredDocStream(mem.toDF().toDF("doc_id", "text"), w)
+      .writeStream.outputMode("append").format("memory").queryName("scored")
+      .start()
+    mem.addData((1L, "alpha beta gamma alpha beta"), (4L, "zeta eta theta zeta"))
+    q.processAllAvailable()
+    mem.addData((6L, "theta zeta eta theta eta"))   // second micro-batch
+    q.processAllAvailable()
+    val streamed = spark.table("scored").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    q.stop()
+    assert(streamed.keySet === Set(1L, 4L, 6L))
+    // per-token fold == training z up to the rounded-9 feature quantization
+    streamed.foreach { case (id, s) =>
+      assert(math.abs(s - batch(id)) < 1e-5, s"doc $id: $s vs ${batch(id)}")
+    }
+    graft.core.Pin.clear()
+  }
 }
