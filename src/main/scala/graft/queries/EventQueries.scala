@@ -255,6 +255,47 @@ object EventQueries {
           round(col("z"), 6).as("z"))
     },
 
+    // bounded-tap EWMA (α=½, 5 taps): exponential smoothing as a per-row
+    // fixed-order expression over user-partitioned lags — dyadic weights
+    // are exact doubles, the truncated tail renormalizes at sequence start
+    q("q_event_ewma",
+      """WITH l AS (SELECT event_id, user_id, CAST(value AS DOUBLE) AS v0,
+        |  lag(CAST(value AS DOUBLE), 1) OVER w AS v1,
+        |  lag(CAST(value AS DOUBLE), 2) OVER w AS v2,
+        |  lag(CAST(value AS DOUBLE), 3) OVER w AS v3,
+        |  lag(CAST(value AS DOUBLE), 4) OVER w AS v4
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |  round((v0 + CAST(0.5 AS DOUBLE) * coalesce(v1, 0)
+        |       + CAST(0.25 AS DOUBLE) * coalesce(v2, 0)
+        |       + CAST(0.125 AS DOUBLE) * coalesce(v3, 0)
+        |       + CAST(0.0625 AS DOUBLE) * coalesce(v4, 0))
+        |      / (CAST(1 AS DOUBLE)
+        |       + CASE WHEN v1 IS NULL THEN 0 ELSE CAST(0.5 AS DOUBLE) END
+        |       + CASE WHEN v2 IS NULL THEN 0 ELSE CAST(0.25 AS DOUBLE) END
+        |       + CASE WHEN v3 IS NULL THEN 0 ELSE CAST(0.125 AS DOUBLE) END
+        |       + CASE WHEN v4 IS NULL THEN 0 ELSE CAST(0.0625 AS DOUBLE) END), 6) AS ewma
+        |FROM l""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val v = col("value").cast("double")
+      def lagd(i: Int) = lag(v, i).over(w)
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), v.as("v0"),
+          lagd(1).as("v1"), lagd(2).as("v2"), lagd(3).as("v3"), lagd(4).as("v4"))
+      val num = col("v0") +
+        lit(0.5) * coalesce(col("v1"), lit(0.0)) +
+        lit(0.25) * coalesce(col("v2"), lit(0.0)) +
+        lit(0.125) * coalesce(col("v3"), lit(0.0)) +
+        lit(0.0625) * coalesce(col("v4"), lit(0.0))
+      val den = lit(1.0) +
+        when(col("v1").isNull, lit(0.0)).otherwise(lit(0.5)) +
+        when(col("v2").isNull, lit(0.0)).otherwise(lit(0.25)) +
+        when(col("v3").isNull, lit(0.0)).otherwise(lit(0.125)) +
+        when(col("v4").isNull, lit(0.0)).otherwise(lit(0.0625))
+      e.select(col("event_id"), col("user_id"), round(num / den, 6).as("ewma"))
+    },
+
     q("q_event_moving_avg",
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,
