@@ -144,4 +144,38 @@ object Decontaminate {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id"), col("bench_id"), round(col("jaccard"), 9).as("jaccard"))
   }
+
+  /** EMBEDDING-SPACE decontamination — the semantic variant of
+    * [[contaminated]] (the GPT-4/Llama-style eval-leakage rule: a corpus
+    * item is contaminated if its embedding's cosine similarity to ANY
+    * benchmark embedding reaches `tau` — catches paraphrases and
+    * translations that n-gram and MinHash rules miss). Similarities are
+    * rounded-6 BEFORE the max/threshold so both engines cut on identical
+    * values. Returns (idCol, max_sim, n_hits, contaminated 0/1).
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus and
+    * BROADCASTS; the corpus side never shuffles data wider than one
+    * (id, sim) row per benchmark item, and the per-id max/count aggregation
+    * partial-combines map-side down to |corpus| rows before the only
+    * exchange. The cosine kernel is the codegen'd
+    * [[graft.functions.VectorFunctions.cosineSim]] expression. At real
+    * benchmark scale the broadcast holds B vectors (B ≪ corpus); if B
+    * itself grows, pre-bucket both sides with [[Ann.cellAssignments]] and
+    * run this per cell. */
+  def embeddingOverlap(corpus: DataFrame, bench: DataFrame,
+                       idCol: String, vecCol: String,
+                       tau: Double): DataFrame = {
+    Ann.registerKernels(corpus)
+    val b = broadcast(bench.select(col(vecCol).as("__be")))
+    corpus.select(col(idCol), col(vecCol).as("__ce"))
+      .crossJoin(b)
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.cosineSim(
+          col("__ce"), col("__be")), 6).as("sim"))
+      .groupBy(col(idCol))
+      .agg(max(col("sim")).as("max_sim"),
+        sum(when(col("sim") >= tau, 1L).otherwise(0L)).as("n_hits"))
+      .select(col(idCol), col("max_sim"), col("n_hits"),
+        (col("max_sim") >= tau).cast("long").as("contaminated"))
+  }
 }

@@ -107,4 +107,40 @@ object Search {
       .select(col("ia"), col("ib"), col("n_ab"), col("na"), col("nb"),
         round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009): fuse
+    * N ranked candidate lists into one ranking by
+    * score(d) = Σᵢ 1/(kRrf + rankᵢ(d)) — the standard hybrid-retrieval
+    * combiner (sparse BM25 + dense ANN) that needs no score calibration
+    * because only RANKS cross lists. Each input is a named (id, score)
+    * list; ranks are re-derived per list as (score desc, id asc) so ties
+    * break identically in both engines. Per-list contributions are
+    * rounded-9 then DECIMAL, so the fused sum is exact and
+    * order-independent; `n_lists` counts how many lists surfaced the doc.
+    *
+    * Scale shape: the inputs are already top-k retriever outputs (bounded:
+    * the scalable work — BM25's term-filtered scan, ANN's cell probes —
+    * happened upstream), so the rank window partitions by list over O(Σk)
+    * rows and the fused groupBy carries at most Σk rows. The final cut
+    * compiles to TakeOrderedAndProject. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
+              scoreCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = lists.map { case (nm, df) =>
+      df.select(lit(nm).as("list"), col(idCol).as("__id"),
+        col(scoreCol).cast("double").as("__s"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("list"))
+      .orderBy(col("__s").desc, col("__id").asc)
+    tagged.withColumn("__r", row_number().over(w))
+      .select(col("__id"),
+        round(lit(1.0) / (lit(kRrf) + col("__r")), 9)
+          .cast("decimal(20,9)").as("__c"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).cast("double").as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .select(col("__id").as(idCol), col("rrf"), col("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

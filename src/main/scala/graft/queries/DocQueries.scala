@@ -1451,5 +1451,56 @@ object DocQueries {
     q("q_bm25_topk", bm25Sql(Seq("dup", "spark", "merge"), 20, 1.2, 0.75)) { (s, d) =>
       graft.ops.Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         Seq("dup", "spark", "merge"), k = 20)
+    },
+
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 (sparse)
+    // and the dense cosine top-20 for query vector 3 — doc_id and vec_id
+    // share the same id space in the fixture, as they would in a corpus
+    // whose embeddings are stored beside it. Ranks re-derive per list as
+    // (score desc, id asc); contributions are rounded-9 DECIMAL so the
+    // fused sum is order-independent in both engines.
+    q("q_hybrid_rrf",
+      s"""WITH bm AS (SELECT doc_id, score FROM (${bm25Sql(Seq("dup", "spark", "merge"), 20, 1.2, 0.75)}) zbm),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
+         |den AS (SELECT vec_id AS doc_id, sim AS score FROM (
+         |  SELECT c.vec_id, round(${cosExpr("qv.qe", "c.ce")}, 6) AS sim
+         |  FROM (SELECT vec_id, embedding AS ce FROM embeddings) c CROSS JOIN qv)
+         |  ORDER BY sim DESC, doc_id LIMIT 20),
+         |u AS (SELECT 'bm25' AS list, doc_id, score FROM bm
+         |      UNION ALL SELECT 'dense', doc_id, score FROM den),
+         |r AS (SELECT doc_id,
+         |        row_number() OVER (PARTITION BY list ORDER BY score DESC, doc_id ASC) AS rk
+         |      FROM u),
+         |f AS (SELECT doc_id,
+         |        CAST(sum(CAST(round(CAST(1 AS DOUBLE) / (60 + rk), 9) AS DECIMAL(20,9))) AS DOUBLE) AS rrf,
+         |        CAST(count(*) AS BIGINT) AS n_lists
+         |      FROM r GROUP BY doc_id)
+         |SELECT doc_id, rrf, n_lists FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val sparse = graft.ops.Search.bm25TopK(Tables.documents(s, d), "doc_id",
+        "text", Seq("dup", "spark", "merge"), k = 20)
+      val dense = Ann.bruteForceTopK(e.filter(col("vec_id") === 3), e, k = 20)
+        .select(col("vec_id").as("doc_id"), col("sim").as("score"))
+      graft.ops.Search.rrfFuse(
+        Seq("bm25" -> sparse, "dense" -> dense), "doc_id", "score", k = 10)
+    },
+
+    // embedding-space decontamination: corpus rows whose cosine to ANY
+    // benchmark vector (vec_id < 5 plays the eval set) reaches τ=0.8 — the
+    // semantic leakage rule; the 5 benchmark members catch themselves at
+    // sim 1.0 so the gate carries guaranteed rows
+    q("q_embed_decontaminate",
+      s"""WITH b AS (SELECT embedding AS be FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+         |sc AS (SELECT vec_id, round(${cosExpr("c.ce", "b.be")}, 6) AS sim
+         |       FROM c CROSS JOIN b),
+         |g AS (SELECT vec_id, max(sim) AS max_sim,
+         |        CAST(sum(CASE WHEN sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |      FROM sc GROUP BY vec_id)
+         |SELECT vec_id, max_sim, n_hits,
+         |  CAST(max_sim >= 0.8 AS BIGINT) AS contaminated FROM g""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      graft.ops.Decontaminate.embeddingOverlap(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", tau = 0.8)
     })
 }

@@ -1049,4 +1049,44 @@ class OpsSpec extends SparkSpec {
     assert(out.values.forall(v => v >= 0.0 && v <= 2.0))
     graft.core.Pin.clear()
   }
+
+  test("rrf fusion: doc on both lists beats single-list docs; ranks from (score desc, id asc)") {
+    // list A ranks: 10 (0.9), 11 (0.8), 12 (0.7); list B: 11 (0.99), 13 (0.5)
+    val a = Seq((10L, 0.9), (11L, 0.8), (12L, 0.7)).toDF("doc_id", "score")
+    val b = Seq((11L, 0.99), (13L, 0.5)).toDF("doc_id", "score")
+    val out = graft.ops.Search.rrfFuse(
+      Seq("a" -> a, "b" -> b), "doc_id", "score", k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def c(r: Int) = BigDecimal(1.0 / (60 + r))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.size === 4)
+    assert(out(11L)._2 === 2L)                       // on both lists
+    assert(math.abs(out(11L)._1 - (c(2) + c(1))) < 1e-12)  // rank 2 in a, 1 in b
+    assert(math.abs(out(10L)._1 - c(1)) < 1e-12)
+    assert(out(11L)._1 > out(10L)._1)                // fusion beats any single rank-1
+    // k cuts after ordering by fused score
+    val top2 = graft.ops.Search.rrfFuse(
+      Seq("a" -> a, "b" -> b), "doc_id", "score", k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 === Set(11L, 10L))
+  }
+
+  test("embedding decontamination: benchmark members and paraphrase-close vectors flag; far ones don't") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),     // IS a benchmark vector → sim 1.0
+      (1L, Array(0.99f, 0.14f, 0.0f)),   // near the benchmark → flags
+      (2L, Array(0.0f, 0.0f, 1.0f)),     // orthogonal → clean
+      (3L, Array(-1.0f, 0.0f, 0.0f)))    // opposite → clean
+      .toDF("vec_id", "embedding")
+    val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.ops.Decontaminate.embeddingOverlap(
+      corpus, bench, "vec_id", "embedding", tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size === 4)                           // every corpus row scored
+    assert(out(0L) === ((1.0, 1L, 1L)))
+    assert(out(1L)._3 === 1L && out(1L)._1 > 0.9)
+    assert(out(2L) === ((0.0, 0L, 0L)))
+    assert(out(3L) === ((-1.0, 0L, 0L)))
+  }
 }
