@@ -528,4 +528,104 @@ object Ann {
       .agg(count(lit(1)).cast("long").as("n_nbrs"),
         round(lit(1.0) - sum(col("sim").cast("decimal(18,6)")).cast("double")
           / count(lit(1)), 6).as("outlier"))
+
+  /** Hard-negative mining for contrastive retriever training (the
+    * DPR / Contriever recipe, Karpukhin et al. 2020): for each query, the
+    * `k` most similar candidates that are NOT among its labeled positives —
+    * semantically confusable yet wrong, the negatives that sharpen an
+    * embedding model far more than random ones. `positives` is a
+    * (query_id, vec_id) pair table; a query's own id is excluded
+    * implicitly when present there.
+    *
+    * Determinism: sims rounded-6 BEFORE ranking, ties on vec_id asc — the
+    * [[bruteForceTopK]] discipline.
+    *
+    * Scale shape: queries (the mining batch) and the positive-pair table
+    * both broadcast — training batches are tiny against a 100 TB corpus;
+    * the candidate side is one narrow scan scored in codegen, the
+    * anti-join never shuffles it, and the per-query cut is a partitioned
+    * rank window. For corpus-scale mining swap the scored scan for the
+    * trained-cell probe ([[ivfTopK]] / [[ivfKmeansTopK]]) — same
+    * downstream anti-join + window. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+                    positives: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    registerKernels(queries)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = candidates.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.cosineSim(col("qe"), col("embedding")), 6).as("sim"))
+    val negs = scored.join(
+      broadcast(positives.select(col("query_id"), col("vec_id"))),
+      Seq("query_id", "vec_id"), "left_anti")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    negs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
+  }
+
+  /** MMR diversified top-k (Carbonell & Goldstein, SIGIR 1998): greedily
+    * select `k` of each query's `poolSize` most relevant candidates,
+    * scoring each next pick by λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the
+    * classic redundancy penalty that keeps a retrieved set (or a
+    * training-mix exemplar set) from collapsing onto near-duplicates.
+    * Requires k ≤ poolSize. Returns (query_id, vec_id, rel, rank) with
+    * rank = selection order.
+    *
+    * Determinism: rel and pair sims are rounded-6 BEFORE every cut (pool,
+    * argmax), mmr is rounded-6, ties break on vec_id asc — both engines
+    * rank identical values.
+    *
+    * Scale shape: ONE scored candidate scan builds the pool (broadcast
+    * query batch, partitioned rank window — swap in the trained-cell probe
+    * for corpus-scale pools); every greedy round then touches only the
+    * checkpointed |Q|·poolSize pool — a bounded anti-join + pair-sim
+    * aggregation + partitioned argmax window per round, k−1 tiny-table
+    * rounds total, nothing corpus-sized inside the loop. */
+  def mmrTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              lambda: Double, poolSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k <= poolSize, s"k=$k must be <= poolSize=$poolSize")
+    registerKernels(queries)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wq = Window.partitionBy(col("query_id"))
+    val scored = candidates.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.cosineSim(col("qe"), col("embedding")), 6).as("rel"),
+        col("embedding").as("ce"))
+    val pool = scored
+      .withColumn("rn", row_number().over(
+        wq.orderBy(col("rel").desc, col("vec_id").asc)))
+      .filter(col("rn") <= poolSize).drop("rn")
+      .localCheckpoint(true)
+    var selected = pool
+      .withColumn("rn", row_number().over(
+        wq.orderBy(col("rel").desc, col("vec_id").asc)))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("rank", lit(1L))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val rest = pool.join(selected.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+      val msim = rest.select(col("query_id"), col("vec_id"), col("ce"))
+        .join(selected.select(col("query_id"), col("ce").as("se")), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(VectorFunctions.cosineSim(col("ce"), col("se")), 6).as("sim"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val pick = rest.join(msim, Seq("query_id", "vec_id"))
+        .withColumn("mmr", round(
+          lit(lambda) * col("rel") - lit(1 - lambda) * col("maxsim"), 6))
+        .withColumn("rn", row_number().over(
+          wq.orderBy(col("mmr").desc, col("vec_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("rel"), col("ce"),
+          lit(r.toLong).as("rank"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.select(col("query_id"), col("vec_id"), col("rel"), col("rank"))
+  }
 }

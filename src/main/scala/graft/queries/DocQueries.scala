@@ -1502,5 +1502,82 @@ object DocQueries {
       val e = Tables.embeddings(s, d)
       graft.ops.Decontaminate.embeddingOverlap(
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding", tau = 0.8)
+    },
+
+    // hard-negative mining (DPR/Contriever recipe): per query vector, the
+    // top-10 most similar candidates whose label DIFFERS — the labeled
+    // positives (same-label rows, incl. the query itself) are anti-joined
+    // away, leaving the semantically-confusable-yet-wrong training set
+    q("q_hard_negatives",
+      s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding AS ce, label FROM embeddings),
+         |sc AS (SELECT qv.query_id, c.vec_id,
+         |         round(${cosExpr("qv.qe", "c.ce")}, 6) AS sim
+         |       FROM c CROSS JOIN qv WHERE c.label <> qv.ql),
+         |r AS (SELECT query_id, vec_id, sim,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |      FROM sc)
+         |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+      val pos = broadcast(qs.select(col("vec_id").as("query_id"), col("label").as("ql")))
+        .join(e.select(col("vec_id"), col("label")), col("ql") === col("label"))
+        .select(col("query_id"), col("vec_id"))
+      Ann.hardNegatives(qs, e, pos, k = 10)
+    },
+
+    // MMR diversified retrieval: greedy λ·rel − (1−λ)·max-sim-to-selected
+    // over each query's top-8 pool, 4 picks — the oracle unrolls the greedy
+    // recurrence round by round (the BPE-oracle discipline)
+    q("q_mmr_diversify", mmrSql(4, 8)) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Ann.mmrTopK(e.filter(col("vec_id") < 3), e.filter(col("vec_id") >= 3),
+        k = 4, lambda = 0.7, poolSize = 8)
     })
+
+  /** Unrolled MMR greedy-selection CTE chain (Ann.mmrTopK's oracle twin):
+    * pool = rounded-rel top-`poolSize` per query; each round r picks the
+    * unselected pool row maximizing round(λ·rel − (1−λ)·max sim to the
+    * selected set, 6), ties on vec_id — exactly the engine's recurrence. */
+  private def mmrSql(k: Int, poolSize: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS (SELECT p.query_id, p.vec_id, p.rel,
+         |  round(CAST(0.7 AS DOUBLE) * p.rel
+         |      - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * mx.m, 6) AS mmr
+         |  FROM pool p
+         |  JOIN (SELECT ps.query_id, ps.d AS vec_id, max(ps.sim) AS m
+         |        FROM psim ps JOIN sel${r - 1} s
+         |          ON ps.query_id = s.query_id AND ps.s = s.vec_id
+         |        GROUP BY ps.query_id, ps.d) mx USING (query_id, vec_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+         |    WHERE s2.query_id = p.query_id AND s2.vec_id = p.vec_id)),
+         |pick$r AS (SELECT query_id, vec_id, rel, $r AS rank FROM (
+         |  SELECT m$r.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY mmr DESC, vec_id ASC) AS rn FROM m$r) z$r WHERE rn = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe
+       |            FROM embeddings WHERE vec_id < 3),
+       |cc AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 3),
+       |sc0 AS (SELECT query_id, cc.vec_id,
+       |          round(${cosExpr("qv.qe", "cc.ce")}, 6) AS rel, cc.ce
+       |        FROM cc CROSS JOIN qv),
+       |pool AS MATERIALIZED (SELECT query_id, vec_id, rel, ce FROM (
+       |  SELECT sc0.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, vec_id ASC) AS rn FROM sc0) zp
+       |  WHERE rn <= $poolSize),
+       |psim AS MATERIALIZED (SELECT a.query_id, a.vec_id AS d, b.vec_id AS s,
+       |    round(${cosExpr("a.ce", "b.ce")}, 6) AS sim
+       |  FROM pool a JOIN pool b
+       |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+       |sel1 AS (SELECT query_id, vec_id, rel, 1 AS rank FROM (
+       |  SELECT pool.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, vec_id ASC) AS rn FROM pool) z1 WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, vec_id, rel, CAST(rank AS BIGINT) AS rank
+       |FROM sel$k""".stripMargin
+  }
 }

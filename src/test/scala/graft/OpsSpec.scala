@@ -1089,4 +1089,34 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) === ((0.0, 0L, 0L)))
     assert(out(3L) === ((-1.0, 0L, 0L)))
   }
+
+  test("hard negatives: positives and self are excluded, nearest wrong answers rank first") {
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),    // the query itself (positive)
+      (2L, Array(0.99f, 0.14f, 0.0f)),  // labeled positive — must not appear
+      (3L, Array(0.9f, 0.44f, 0.0f)),   // closest negative
+      (4L, Array(0.5f, 0.87f, 0.0f)),   // farther negative
+      (5L, Array(0.0f, 0.0f, 1.0f)))    // orthogonal negative
+      .toDF("vec_id", "embedding")
+    val qs = cands.filter(col("vec_id") === 1L)
+    val pos = Seq((1L, 1L), (1L, 2L)).toDF("query_id", "vec_id")
+    val out = Ann.hardNegatives(qs, cands, pos, k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq === Seq((3L, 1L), (4L, 2L)))   // ranked by sim, positives gone
+  }
+
+  test("mmr: redundancy penalty demotes the near-duplicate of the first pick") {
+    val qs = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (10L, Array(0.99f, 0.14f, 0.0f)),  // most relevant → picked first
+      (11L, Array(0.98f, 0.19f, 0.0f)),  // 2nd by relevance but ~dup of 10
+      (12L, Array(0.70f, 0.71f, 0.0f)))  // diverse → promoted by MMR
+      .toDF("vec_id", "embedding")
+    val byRel = Ann.bruteForceTopK(qs, cands, k = 3).collect()
+      .sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+    assert(byRel === Seq(10L, 11L, 12L))             // pure relevance order
+    val mmr = Ann.mmrTopK(qs, cands, k = 3, lambda = 0.3, poolSize = 3)
+      .collect().sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+    assert(mmr === Seq(10L, 12L, 11L))               // diversity flips 11 and 12
+  }
 }
