@@ -226,6 +226,33 @@ object Dedup {
         (col("keeper").isNull || col("keeper") === col("doc_id")).as("kept"))
   }
 
+  /** Leakage-safe train/val/test split — the cluster-aware sibling of the
+    * plain per-doc md5 split: every member of a near-dup cluster draws its
+    * split from the CLUSTER id, so near-duplicates can never straddle
+    * train and eval (per-doc splitting leaks ~duplicate eval items into
+    * training — the classic contamination path a dedup-then-split
+    * pipeline exists to close). Unclustered docs are their own cluster.
+    * Cuts are 16-bit md5 thresholds (default 80/10/10), reproducible
+    * across engines and runs by construction.
+    *
+    * Scale shape: [[nearDupClusters]]'s LSH band-join + pointer-jump WCC
+    * (near-dup-sized, tiny next to the corpus); the corpus side is one
+    * narrow pass joined against the broadcast-scale cluster table. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       ngram: Int = 3, k: Int = 12, bands: Int = 6,
+                       rows: Int = 2, threshold: Double = 0.5,
+                       trainCut: Int = 52429, valCut: Int = 58982): DataFrame = {
+    val clusters = nearDupClusters(docs, idCol, textCol, ngram, k, bands,
+      rows, threshold)
+    val withCluster = docs.select(col(idCol).as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val h = graft.ops.Packing.hash16(col("cluster"))
+    withCluster.select(col("doc_id"), col("cluster"),
+      when(h < trainCut, "train").when(h < valCut, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup", 2023
     * — public literature; the reference engine has no embedding surface):
     * cluster the embedding space with the trained spherical-k-means coarse

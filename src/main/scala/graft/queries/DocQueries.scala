@@ -1535,6 +1535,35 @@ object DocQueries {
       val e = Tables.embeddings(s, d)
       Ann.mmrTopK(e.filter(col("vec_id") < 3), e.filter(col("vec_id") >= 3),
         k = 4, lambda = 0.7, poolSize = 8)
+    },
+
+    // leakage-safe split: near-dup cluster members draw their split from
+    // the CLUSTER id (q_split_assign's md5 thresholds over the cluster
+    // instead of the doc), so near-duplicates never straddle train/eval
+    q("q_leakage_safe_split",
+      {
+        def d4(i: Int) =
+          s"(strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), $i, 1)) - 1)"
+        val h16 = s"(${d4(1)} * 4096 + ${d4(2)} * 256 + ${d4(3)} * 16 + ${d4(4)})"
+        s"""WITH RECURSIVE $minhashPairsCtes,
+           |pairs AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+           |verts AS (SELECT DISTINCT v FROM (SELECT a AS v FROM pairs UNION SELECT b FROM pairs) z),
+           |adjp AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+           |reach(s, d) AS (
+           |  SELECT v, v FROM verts
+           |  UNION
+           |  SELECT r.s, a.d FROM reach r JOIN adjp a ON a.s = r.d),
+           |cl AS (SELECT s AS doc_id, min(d) AS cluster FROM reach GROUP BY s),
+           |wc AS (SELECT dd.doc_id, coalesce(cl.cluster, dd.doc_id) AS cluster
+           |       FROM (SELECT doc_id FROM documents) dd LEFT JOIN cl USING (doc_id))
+           |SELECT doc_id, cluster,
+           |  CASE WHEN $h16 < 52429 THEN 'train'
+           |       WHEN $h16 < 58982 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM wc""".stripMargin
+      }) { (s, d) =>
+      Dedup.leakageSafeSplit(Tables.documents(s, d), "doc_id", "text",
+        ngram = 3, k = K, bands = BANDS, rows = ROWS, threshold = 0.5)
     })
 
   /** Unrolled MMR greedy-selection CTE chain (Ann.mmrTopK's oracle twin):

@@ -1119,4 +1119,17 @@ class OpsSpec extends SparkSpec {
       .collect().sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
     assert(mmr === Seq(10L, 12L, 11L))               // diversity flips 11 and 12
   }
+
+  test("leakage-safe split: cluster members share a split, singletons hash their own id") {
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", "text",
+      ngram = 2, k = 12, bands = 6, rows = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size === 4)
+    assert(out(1L) === out(2L))                      // exact dups: one cluster, one split
+    // the leakage property itself: no cluster straddles two splits
+    val byCluster = out.values.groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).toSet }
+    assert(byCluster.values.forall(_.size === 1))
+    assert(out(4L)._1 === 4L)                        // unrelated doc is its own cluster
+    graft.core.Pin.clear()
+  }
 }
