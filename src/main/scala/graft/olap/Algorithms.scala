@@ -734,8 +734,8 @@ object Algorithms {
       .join(deg.select(col("id").as("dst"), col("deg").cast(d38).as("deg")), Seq("dst"))
       .agg(sum(col("sd") * col("deg")).cast("double").as("sxy"))
     moments.crossJoin(sxy).select(col("m"),
-      round((col("m") * col("sxy") - col("sx") * col("sx")) /
-        (col("m") * col("sxx") - col("sx") * col("sx")), 6)
+      graft.core.Num.zround6((col("m") * col("sxy") - col("sx") * col("sx")) /
+        (col("m") * col("sxx") - col("sx") * col("sx")))
         .as("assortativity"))
   }
 }

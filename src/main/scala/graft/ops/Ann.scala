@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions
+import graft.core.Num
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
@@ -35,7 +36,7 @@ object Ann {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
   }
 
   /** IVF (inverted-file) variant: candidates are partitioned into cells by
@@ -87,7 +88,7 @@ object Ann {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
   }
 
   /** Spherical-k-means coarse quantizer: Lloyd's iterations with cosine
@@ -218,7 +219,7 @@ object Ann {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
   }
 
   /** PQ reconstruction x̂ per candidate: per subspace of `dims/m`
@@ -310,7 +311,7 @@ object Ann {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
   }
 
   /** LSH-bucketed variant: neighbors are only searched within the query's
@@ -327,7 +328,7 @@ object Ann {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
   }
 
   /** Multi-probe SRP: each query also probes every bucket at Hamming
@@ -357,7 +358,7 @@ object Ann {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
   }
 
   /** Matryoshka-style two-stage retrieval (Kusupati et al., "Matryoshka
@@ -388,7 +389,7 @@ object Ann {
       .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(w2).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
   }
 
   /** Recall@k of an approximate top-k result against the exact baseline —
@@ -477,7 +478,7 @@ object Ann {
     val z = (col("v") - col("sv") / col("n")) /
       sqrt((col("ssv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
     e.join(broadcast(stats), Seq("dim"))
-      .select(col(idCol), col("dim"), round(z, 6).as("z"))
+      .select(col(idCol), col("dim"), Num.zround6(z).as("z"))
   }
 
   /** k-nearest-neighbor graph over the trained coarse-quantizer cells:
@@ -504,7 +505,7 @@ object Ann {
       .withColumn("sim", graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("src_id"), col("dst_id"), round(col("sim"), 6).as("sim"),
+      .select(col("src_id"), col("dst_id"), Num.zround6(col("sim")).as("sim"),
         col("rank").cast("long").as("rank"))
   }
 
@@ -526,8 +527,8 @@ object Ann {
     knnGraph(candidates, nClusters, iters, k)
       .groupBy(col("src_id").as("vec_id"))
       .agg(count(lit(1)).cast("long").as("n_nbrs"),
-        round(lit(1.0) - sum(col("sim").cast("decimal(18,6)")).cast("double")
-          / count(lit(1)), 6).as("outlier"))
+        Num.zround6(lit(1.0) - sum(col("sim").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("outlier"))
 
   /** Hard-negative mining for contrastive retriever training (the
     * DPR / Contriever recipe, Karpukhin et al. 2020): for each query, the
@@ -555,7 +556,7 @@ object Ann {
     val scored = candidates.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"),
-        round(VectorFunctions.cosineSim(col("qe"), col("embedding")), 6).as("sim"))
+        Num.zround6(VectorFunctions.cosineSim(col("qe"), col("embedding"))).as("sim"))
     val negs = scored.join(
       broadcast(positives.select(col("query_id"), col("vec_id"))),
       Seq("query_id", "vec_id"), "left_anti")
@@ -594,7 +595,7 @@ object Ann {
     val scored = candidates.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"),
-        round(VectorFunctions.cosineSim(col("qe"), col("embedding")), 6).as("rel"),
+        Num.zround6(VectorFunctions.cosineSim(col("qe"), col("embedding"))).as("rel"),
         col("embedding").as("ce"))
     val pool = scored
       .withColumn("rn", row_number().over(

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Num
 import graft.functions.TextFunctions
 
 /** Session-shared corpus working set.
@@ -49,7 +50,7 @@ object Corpus {
       .agg(count(lit(1)).as("n_toks"), avg(log(col("cnt"))).as("__alp"))
       .crossJoin(broadcast(tot))
       .select(col(idCol), col("n_toks"),
-        round(col("__alp") - log(col("n")), 6).as("logprob"))
+        Num.zround6(col("__alp") - log(col("n"))).as("logprob"))
   }
 
   /** Corpus-trained BIGRAM LM score per document — [[unigramLogProb]]'s
@@ -80,7 +81,7 @@ object Corpus {
       .crossJoin(broadcast(v))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(log((col("c12") + 1).cast("double") / (col("c1") + col("v")))), 6)
+        Num.zround6(avg(log((col("c12") + 1).cast("double") / (col("c1") + col("v")))))
           .as("logprob"))
   }
 
@@ -209,7 +210,7 @@ object Corpus {
         log(col("cxy") / col("p")) - log(col("cx") / col("t")) -
           log(col("cy") / col("t")))
       .orderBy(col("pmi").desc, col("x").asc, col("y").asc).limit(k)
-      .select(col("x"), col("y"), col("cxy"), round(col("pmi"), 6).as("pmi"))
+      .select(col("x"), col("y"), col("cxy"), Num.zround6(col("pmi")).as("pmi"))
   }
 
   /** TF-IDF top-`k` terms per document — the classic term-weighting signal
@@ -260,8 +261,8 @@ object Corpus {
         count(lit(1)).as("n_distinct"),
         sum(col("c") * log2(col("c").cast("double"))).as("__s"))
       .select(col(idCol), col("n_chars"), col("n_distinct"),
-        round(log2(col("n_chars").cast("double")) -
-          col("__s") / col("n_chars"), 6).as("entropy"))
+        Num.zround6(log2(col("n_chars").cast("double")) -
+          col("__s") / col("n_chars")).as("entropy"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: split the
@@ -287,7 +288,7 @@ object Corpus {
       sqrt((col("ssv") - col("sv") * col("sv") / col("cnt")) / (col("cnt") - 1))
     lp.crossJoin(broadcast(stats))
       .select(col(idCol), col("n_toks"), col("logprob"),
-        round(z, 6).as("z"),
+        Num.zround6(z).as("z"),
         when(z >= zHead, "head").when(z <= zTail, "tail")
           .otherwise("middle").as("bucket"))
   }
@@ -375,8 +376,8 @@ object Corpus {
       .agg(sum(col("c")).as("n_docs"),
         sum(col("c") * log2(col("c").cast("double"))).as("__s"))
       .select(col(groupCol), col("n_docs"),
-        round(log2(col("n_docs").cast("double")) -
-          col("__s") / col("n_docs"), 6).as("lang_entropy"))
+        Num.zround6(log2(col("n_docs").cast("double")) -
+          col("__s") / col("n_docs")).as("lang_entropy"))
     lm.join(vol, Seq(groupCol))
       .select(col(groupCol), col("n_docs"), col("n_tokens"), col("n_vocab"),
         round(col("n_tokens").cast("double") / col("n_docs"), 6).as("mean_doc_toks"),
@@ -417,7 +418,7 @@ object Corpus {
              (col("totr") + col("v")))).as("d"))
     val perDoc = e.join(delta, Seq("tok"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_toks"), round(sum(col("d")), 6).as("logweight"))
+      .agg(count(lit(1)).as("n_toks"), Num.zround6(sum(col("d"))).as("logweight"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         coalesce(col("logweight"), lit(0.0)).as("logweight"))
@@ -672,9 +673,9 @@ object Corpus {
       (nDec * col("sxx") - col("sx") * col("sx")).cast("double")
     a.select(col(groupCol), col("n_terms"), slope.as("__slope"),
         col("sx"), col("sy"))
-      .select(col(groupCol), col("n_terms"), round(col("__slope"), 6).as("slope"),
-        round(col("sy").cast("double") / col("n_terms")
-          - col("__slope") * (col("sx").cast("double") / col("n_terms")), 6)
+      .select(col(groupCol), col("n_terms"), Num.zround6(col("__slope")).as("slope"),
+        Num.zround6(col("sy").cast("double") / col("n_terms")
+          - col("__slope") * (col("sx").cast("double") / col("n_terms")))
           .as("intercept"))
   }
 

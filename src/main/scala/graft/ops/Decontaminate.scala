@@ -173,7 +173,7 @@ object Decontaminate {
         round(graft.functions.VectorFunctions.cosineSim(
           col("__ce"), col("__be")), 6).as("sim"))
       .groupBy(col(idCol))
-      .agg(max(col("sim")).as("max_sim"),
+      .agg((max(col("sim")) + lit(0.0)).as("max_sim"),
         sum(when(col("sim") >= tau, 1L).otherwise(0L)).as("n_hits"))
       .select(col(idCol), col("max_sim"), col("n_hits"),
         (col("max_sim") >= tau).cast("long").as("contaminated"))

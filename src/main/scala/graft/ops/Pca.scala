@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Num
 
 /** Distributed PCA over an embedding column — the covariance-
   * eigendecomposition formulation (Pearson 1901; Jolliffe, "Principal
@@ -51,9 +52,9 @@ object Pca {
       .join(broadcast(sums.select(col("dim").as("j"), col("sx").as("sxj"))),
         Seq("j"))
       .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
-        round((col("sxy").cast("double")
+        Num.zround6((col("sxy").cast("double")
           - col("sxi").cast("double") * col("sxj").cast("double") / col("n"))
-          / (col("n") - 1), 6).as("cov"))
+          / (col("n") - 1)).as("cov"))
   }
 
   /** Eigen-decomposition artifacts of the covariance matrix: eigenvalues
@@ -101,7 +102,7 @@ object Pca {
       aggregate(zip_with(centered, typedlit(ev.toSeq), (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x)
     }
-    cands.select(col(idCol), array(proj.map(round(_, 6)): _*).as("proj"))
+    cands.select(col(idCol), array(proj.map(Num.zround6): _*).as("proj"))
   }
 
   private def pinned(embeddings: DataFrame, idCol: String,

@@ -142,7 +142,7 @@ object DocQueries {
        |    sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(q.qe) AS a) z2) *
        |         (SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(c.ce) AS b) z3)) AS sim
        |  FROM q CROSS JOIN c)
-       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |SELECT query_id, vec_id, round(sim, 6) + 0 AS sim, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
@@ -178,7 +178,7 @@ object DocQueries {
        |scored AS (
        |  SELECT p.query_id, a.vec_id, ${cosExpr("p.qe", "a.embedding")} AS sim
        |  FROM assigned a JOIN probes p USING (cid))
-       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |SELECT query_id, vec_id, round(sim, 6) + 0 AS sim, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
@@ -227,7 +227,7 @@ object DocQueries {
        |scored AS (
        |  SELECT p.query_id, a.vec_id, ${cosExpr("p.qe", "a.embedding")} AS sim
        |  FROM assigned a JOIN probes p USING (cid))
-       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |SELECT query_id, vec_id, round(sim, 6) + 0 AS sim, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
@@ -282,7 +282,7 @@ object DocQueries {
        |scored AS (
        |  SELECT q.vec_id AS query_id, r.vec_id, ${cosExpr("q.embedding", "r.xhat")} AS sim
        |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q CROSS JOIN recon r)
-       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |SELECT query_id, vec_id, round(sim, 6) + 0 AS sim, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
@@ -374,7 +374,7 @@ object DocQueries {
        |scored AS (
        |  SELECT p.query_id, r.vec_id, ${cosExpr("p.qe", "r.xhat")} AS sim
        |  FROM recon r JOIN assigned a USING (vec_id) JOIN probes p USING (cid))
-       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |SELECT query_id, vec_id, round(sim, 6) + 0 AS sim, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
@@ -400,7 +400,7 @@ object DocQueries {
        |pairs AS (
        |  SELECT x.vec_id AS a, y.vec_id AS b, ${cosExpr("x.embedding", "y.embedding")} AS sim
        |  FROM b x JOIN b y ON y.bucket = x.bucket AND x.vec_id < y.vec_id)
-       |SELECT a, b, round(sim, 6) AS sim FROM pairs WHERE sim >= $t""".stripMargin
+       |SELECT a, b, round(sim, 6) + 0 AS sim FROM pairs WHERE sim >= $t""".stripMargin
   }
 
   def srpSql(topK: Int, bits: Int, dims: Int): String =
@@ -416,7 +416,7 @@ object DocQueries {
        |    sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(q.qe) AS a) z2) *
        |         (SELECT sum(CAST(b2 AS DOUBLE) * CAST(b2 AS DOUBLE)) FROM (SELECT unnest(c.ce) AS b2) z3)) AS sim
        |  FROM q JOIN c USING (bucket))
-       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |SELECT query_id, vec_id, round(sim, 6) + 0 AS sim, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
@@ -454,7 +454,7 @@ object DocQueries {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, vec_id) AS crank
        |  FROM coarse) z WHERE crank <= $rerankFrom),
        |fullv AS (SELECT query_id, vec_id, ${cosExpr("qe", "ce")} AS sim FROM surv)
-       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |SELECT query_id, vec_id, round(sim, 6) + 0 AS sim, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
        |      FROM fullv) z
        |WHERE rank <= $topK""".stripMargin
@@ -496,7 +496,7 @@ object DocQueries {
        |    sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(q.qe) AS a) z2) *
        |         (SELECT sum(CAST(b2 AS DOUBLE) * CAST(b2 AS DOUBLE)) FROM (SELECT unnest(c.ce) AS b2) z3)) AS sim
        |  FROM q JOIN c USING (bucket))
-       |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |SELECT query_id, vec_id, round(sim, 6) + 0 AS sim, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
@@ -613,7 +613,7 @@ object DocQueries {
        |        ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tott + v)) -
        |        ln(CAST(cr + 1 AS DOUBLE) / (totr + v)) AS d
        |      FROM cr LEFT JOIN ct USING (tok) CROSS JOIN st),
-       |pd AS (SELECT doc_id, count(*) AS n_toks, round(sum(d), 6) AS logweight
+       |pd AS (SELECT doc_id, count(*) AS n_toks, round(sum(d), 6) + 0 AS logweight
        |       FROM e JOIN d USING (tok) GROUP BY doc_id)
        |SELECT a.doc_id, CAST(COALESCE(pd.n_toks, 0) AS BIGINT) AS n_toks,
        |       COALESCE(pd.logweight, 0.0) AS logweight
@@ -979,7 +979,7 @@ object DocQueries {
          |dq AS (SELECT vec_id, embedding, sc, qv,
          |  list_transform(qv, qi -> CAST(qi AS DOUBLE) * sc / 127.0) AS dv FROM qz)
          |SELECT vec_id, array_to_string(qv, ',') AS qvec, round(sc, 9) AS scale,
-         |  round(${cosExpr("embedding", "dv")}, 6) AS fidelity
+         |  round(${cosExpr("embedding", "dv")}, 6) + 0 AS fidelity
          |FROM dq""".stripMargin) { (s, d) =>
       VectorFunctions.register(s)
       Tables.embeddings(s, d)
@@ -1341,7 +1341,7 @@ object DocQueries {
          |f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
          |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM f)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-         |  round(avg(ln(cnt)) - ln((SELECT n FROM tot)), 6) AS logprob
+         |  round(avg(ln(cnt)) - ln((SELECT n FROM tot)), 6) + 0 AS logprob
          |FROM e JOIN f USING (tok) GROUP BY doc_id""".stripMargin) { (s, d) =>
       graft.ops.Corpus.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
     },
@@ -1494,7 +1494,7 @@ object DocQueries {
          |c AS (SELECT vec_id, embedding AS ce FROM embeddings),
          |sc AS (SELECT vec_id, round(${cosExpr("c.ce", "b.be")}, 6) AS sim
          |       FROM c CROSS JOIN b),
-         |g AS (SELECT vec_id, max(sim) AS max_sim,
+         |g AS (SELECT vec_id, max(sim) + 0 AS max_sim,
          |        CAST(sum(CASE WHEN sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
          |      FROM sc GROUP BY vec_id)
          |SELECT vec_id, max_sim, n_hits,
@@ -1513,7 +1513,7 @@ object DocQueries {
          |           FROM embeddings WHERE vec_id < 5),
          |c AS (SELECT vec_id, embedding AS ce, label FROM embeddings),
          |sc AS (SELECT qv.query_id, c.vec_id,
-         |         round(${cosExpr("qv.qe", "c.ce")}, 6) AS sim
+         |         round(${cosExpr("qv.qe", "c.ce")}, 6) + 0 AS sim
          |       FROM c CROSS JOIN qv WHERE c.label <> qv.ql),
          |r AS (SELECT query_id, vec_id, sim,
          |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
@@ -1592,7 +1592,7 @@ object DocQueries {
        |            FROM embeddings WHERE vec_id < 3),
        |cc AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 3),
        |sc0 AS (SELECT query_id, cc.vec_id,
-       |          round(${cosExpr("qv.qe", "cc.ce")}, 6) AS rel, cc.ce
+       |          round(${cosExpr("qv.qe", "cc.ce")}, 6) + 0 AS rel, cc.ce
        |        FROM cc CROSS JOIN qv),
        |pool AS MATERIALIZED (SELECT query_id, vec_id, rel, ce FROM (
        |  SELECT sc0.*, row_number() OVER (PARTITION BY query_id

@@ -124,7 +124,7 @@ object DocQueries2 {
        |         ${cosExpr("x.embedding", "y.embedding")} AS sim
        |  FROM assigned x JOIN assigned y
        |    ON x.cid = y.cid AND x.vec_id <> y.vec_id)
-       |SELECT src_id, dst_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       |SELECT src_id, dst_id, round(sim, 6) + 0 AS sim, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, dst_id) AS rank
        |      FROM scored)
        |WHERE rank <= $k""".stripMargin
@@ -213,7 +213,7 @@ object DocQueries2 {
          |cx AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
          |tt AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM cx) AS t,
          |              (SELECT CAST(sum(cxy) AS DOUBLE) FROM cxy) AS p)
-         |SELECT x, y, CAST(cxy AS BIGINT) AS cxy, round(pmi, 6) AS pmi FROM (
+         |SELECT x, y, CAST(cxy AS BIGINT) AS cxy, round(pmi, 6) + 0 AS pmi FROM (
          |  SELECT c.x, c.y, c.cxy,
          |    ln(c.cxy / tt.p) - ln(a.c / tt.t) - ln(b.c / tt.t) AS pmi
          |  FROM cxy c JOIN cx a ON a.tok = c.x JOIN cx b ON b.tok = c.y CROSS JOIN tt

@@ -100,7 +100,7 @@ object DocQueries3 {
        |f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM f),
        |lp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-       |  round(avg(ln(cnt)) - ln((SELECT n FROM tot)), 6) AS logprob
+       |  round(avg(ln(cnt)) - ln((SELECT n FROM tot)), 6) + 0 AS logprob
        |  FROM e JOIN f USING (tok) GROUP BY doc_id)""".stripMargin
 
   /** Unrolled logistic-regression training chain (the
@@ -183,7 +183,7 @@ object DocQueries3 {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
         |       CAST(count(*) AS BIGINT) AS n_distinct,
         |       round(log2(CAST(sum(c) AS DOUBLE))
-        |             - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+        |             - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) + 0 AS entropy
         |FROM cc GROUP BY doc_id""".stripMargin) { (s, d) =>
       Corpus.charEntropy(Tables.documents(s, d), "doc_id", "text")
     },
@@ -194,7 +194,7 @@ object DocQueries3 {
          |  CAST(sum(CAST(logprob AS DECIMAL(18,6))) AS DOUBLE) AS sv,
          |  CAST(sum(CAST(logprob AS DECIMAL(18,6)) * CAST(logprob AS DECIMAL(18,6))) AS DOUBLE) AS ssv
          |  FROM lp)
-         |SELECT doc_id, n_toks, logprob, round(z, 6) AS z,
+         |SELECT doc_id, n_toks, logprob, round(z, 6) + 0 AS z,
          |  CASE WHEN z >= 0.5 THEN 'head' WHEN z <= -0.5 THEN 'tail'
          |       ELSE 'middle' END AS bucket
          |FROM (SELECT lp.*,
@@ -280,7 +280,7 @@ object DocQueries3 {
          |c12 AS (SELECT tok, nxt, count(*) AS c12 FROM bgn GROUP BY tok, nxt),
          |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
-         |  round(avg(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))), 6) AS logprob
+         |  round(avg(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))), 6) + 0 AS logprob
          |FROM bgn JOIN c12 USING (tok, nxt) JOIN c1 USING (tok) CROSS JOIN v
          |GROUP BY doc_id""".stripMargin, bench = true) { (s, d) =>
       Corpus.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
@@ -340,7 +340,7 @@ object DocQueries3 {
          |lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
          |lm AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
          |       round(log2(CAST(sum(c) AS DOUBLE))
-         |             - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS lang_entropy
+         |             - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) + 0 AS lang_entropy
          |       FROM lc GROUP BY source)
          |SELECT lm.source, n_docs, n_tokens, n_vocab,
          |       round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_toks,
@@ -470,7 +470,7 @@ object DocQueries3 {
         |       CAST(sum(v * v) AS DOUBLE) AS ssv FROM e GROUP BY dim)
         |SELECT e.vec_id, e.dim,
         |  round((CAST(e.v AS DOUBLE) - sv / n)
-        |        / sqrt((ssv - sv * sv / n) / (n - 1)), 6) AS z
+        |        / sqrt((ssv - sv * sv / n) / (n - 1)), 6) + 0 AS z
         |FROM e JOIN st USING (dim)""".stripMargin) { (s, d) =>
       Ann.standardize(Tables.embeddings(s, d), "vec_id", "embedding")
     },
@@ -491,7 +491,7 @@ object DocQueries3 {
         |SELECT i, j,
         |  round((CAST(sxy AS DOUBLE)
         |         - CAST(sa.sx AS DOUBLE) * CAST(sb.sx AS DOUBLE) / sa.n)
-        |        / (sa.n - 1), 6) AS cov
+        |        / (sa.n - 1), 6) + 0 AS cov
         |FROM xy JOIN st sa ON sa.dim = i JOIN st sb ON sb.dim = j""".stripMargin,
       bench = true) { (s, d) =>
       graft.ops.Pca.covariance(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -745,9 +745,9 @@ object DocQueries3 {
          |  CAST(CAST(n_terms AS DECIMAL(6,0)) * sxy - sx * sy AS DOUBLE) /
          |  CAST(CAST(n_terms AS DECIMAL(6,0)) * sxx - sx * sx AS DOUBLE) AS slope
          |  FROM a)
-         |SELECT source, n_terms, round(slope, 6) AS slope,
+         |SELECT source, n_terms, round(slope, 6) + 0 AS slope,
          |  round(CAST(sy AS DOUBLE) / n_terms
-         |        - slope * (CAST(sx AS DOUBLE) / n_terms), 6) AS intercept
+         |        - slope * (CAST(sx AS DOUBLE) / n_terms), 6) + 0 AS intercept
          |FROM s""".stripMargin) { (s, d) =>
       Corpus.zipfFit(Tables.documents(s, d), "doc_id", "source", "text",
         topK = 200)
@@ -798,7 +798,7 @@ object DocQueries3 {
     // stream as q_knn_graph; decimal-exact mean, one double division
     q("q_knn_outlier",
       s"""SELECT src_id AS vec_id, CAST(count(*) AS BIGINT) AS n_nbrs,
-         |  round(1.0 - CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS outlier
+         |  round(1.0 - CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) + 0 AS outlier
          |FROM (${DocQueries2.knnGraphSql(8, 2, 5)}) g
          |GROUP BY src_id""".stripMargin) { (s, d) =>
       Ann.knnOutlierScores(Tables.embeddings(s, d), nClusters = 8, iters = 2,

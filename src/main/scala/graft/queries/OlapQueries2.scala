@@ -398,7 +398,7 @@ object OlapQueries2 {
          |-- the (u,v)/(v,u) pair stream is symmetric, so Σdy = Σdx and
          |-- Σdy² = Σdx²: Pearson reduces to (m·Σdxdy − (Σdx)²)/(m·Σdx² − (Σdx)²)
          |SELECT m, round((m * sxy - sx * sx) /
-         |  (m * sxx - sx * sx), 6) AS assortativity
+         |  (m * sxx - sx * sx), 6) + 0 AS assortativity
          |FROM t""".stripMargin) { (s, d) =>
       // Degree-mixing coefficient over the undirected view — the
       // subgraph_stat companion statistic (Newman 2002); exact decimal
