@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorFunctions
+import graft.functions.{TopK, VectorFunctions}
 import graft.core.Num
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
@@ -23,8 +23,28 @@ import graft.core.Num
   */
 object Ann {
 
-  def registerKernels(df: DataFrame): Unit =
+  def registerKernels(df: DataFrame): Unit = {
     VectorFunctions.register(df.sparkSession)
+    TopK.registerKernels(df)
+  }
+
+  /** Per-group top-k of a scored scan via the bounded-heap `top_k_by`
+    * aggregate ([[graft.functions.TopK]]): ranks (`ordCol` DESC, `idCol`
+    * ASC) — identical order and ties to the `row_number() OVER (PARTITION
+    * BY group ORDER BY ord DESC, id ASC) <= k` window it replaces, but the
+    * window SORTS every scored row of every group, while the aggregate
+    * folds each task's rows into a ≤k-element heap and ships k·|groups|
+    * (ord, id) pairs through the shuffle — the 100 TB shape. Output:
+    * (groupCol, idCol, outOrd = zround6(ord), rank 1..k). */
+  private def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
+                           ordCol: String, k: Int,
+                           outOrd: String): DataFrame =
+    scored.groupBy(col(groupCol))
+      .agg(TopK.topKBy(col(ordCol), col(idCol), k).as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")).as(Seq("__pos", "__t")))
+      .select(col(groupCol), col("__t.payload").as(idCol),
+        Num.zround6(col("__t.ord")).as(outOrd),
+        (col("__pos") + 1).cast("long").as("rank"))
 
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
@@ -33,10 +53,7 @@ object Ann {
     val c = candidates.select(col("vec_id"), col("embedding"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("embedding")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
+    topKPerGroup(scored, "query_id", "vec_id", "sim", k, "sim")
   }
 
   /** IVF (inverted-file) variant: candidates are partitioned into cells by
@@ -85,10 +102,7 @@ object Ann {
     // every candidate row per query batch: the wrong plan at 100 TB.
     val scored = assigned.join(broadcast(probes), Seq("cid")) // probe only matching cells
       .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("embedding")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
+    topKPerGroup(scored, "query_id", "vec_id", "sim", k, "sim")
   }
 
   /** Spherical-k-means coarse quantizer: Lloyd's iterations with cosine
@@ -216,10 +230,7 @@ object Ann {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val scored = recon.crossJoin(broadcast(q))
       .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("xhat")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
+    topKPerGroup(scored, "query_id", "vec_id", "sim", k, "sim")
   }
 
   /** PQ reconstruction x̂ per candidate: per subspace of `dims/m`
@@ -308,10 +319,7 @@ object Ann {
     val scored = recon.join(assigned, Seq("vec_id"))
       .join(broadcast(probes), Seq("cid"))
       .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("xhat")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
+    topKPerGroup(scored, "query_id", "vec_id", "sim", k, "sim")
   }
 
   /** LSH-bucketed variant: neighbors are only searched within the query's
@@ -325,10 +333,7 @@ object Ann {
       VectorFunctions.srpBucket(col("embedding"), bits, dims).as("bucket"))
     val scored = c.join(q, Seq("bucket")) // shuffle (or broadcast) on bucket key
       .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("embedding")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
+    topKPerGroup(scored, "query_id", "vec_id", "sim", k, "sim")
   }
 
   /** Multi-probe SRP: each query also probes every bucket at Hamming
@@ -355,10 +360,7 @@ object Ann {
       VectorFunctions.srpBucket(col("embedding"), bits, dims).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("embedding")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
+    topKPerGroup(scored, "query_id", "vec_id", "sim", k, "sim")
   }
 
   /** Matryoshka-style two-stage retrieval (Kusupati et al., "Matryoshka
@@ -381,15 +383,16 @@ object Ann {
     val coarse = c.crossJoin(broadcast(q))
       .withColumn("csim", VectorFunctions.cosineSim(
         slice(col("qe"), 1, coarseDims), slice(col("embedding"), 1, coarseDims)))
-    val w1 = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("vec_id").asc)
-    val survivors = coarse.withColumn("crank", row_number().over(w1))
-      .filter(col("crank") <= rerankFrom)
-    val w2 = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    survivors
+    // stage-1 cut keeps only (query_id, vec_id) — |Q|·rerankFrom ids; the
+    // full vectors are refetched for just that bounded set (broadcast ⋈, the
+    // candidate column store is touched once more but never shuffled)
+    val survivors = topKPerGroup(coarse, "query_id", "vec_id", "csim",
+        rerankFrom, "csim")
+      .select(col("query_id"), col("vec_id"))
+    val rerank = c.join(broadcast(survivors), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("sim", VectorFunctions.cosineSim(col("qe"), col("embedding")))
-      .withColumn("rank", row_number().over(w2).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), Num.zround6(col("sim")).as("sim"), col("rank"))
+    topKPerGroup(rerank, "query_id", "vec_id", "sim", k, "sim")
   }
 
   /** Recall@k of an approximate top-k result against the exact baseline —
@@ -499,14 +502,11 @@ object Ann {
     val assigned = cellAssignments(candidates, nClusters, iters)
     val a = assigned.select(col("cid"), col("vec_id").as("src_id"), col("embedding").as("ea"))
     val b = assigned.select(col("cid"), col("vec_id").as("dst_id"), col("embedding").as("eb"))
-    val w = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("dst_id").asc)
-    a.join(b, Seq("cid"))
+    val scored = a.join(b, Seq("cid"))
       .filter(col("src_id") =!= col("dst_id"))
       .withColumn("sim", graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("src_id"), col("dst_id"), Num.zround6(col("sim")).as("sim"),
-        col("rank").cast("long").as("rank"))
+    topKPerGroup(scored, "src_id", "dst_id", "sim", k, "sim")
+      .select(col("src_id"), col("dst_id"), col("sim"), col("rank"))
   }
 
   /** kNN-distance outlier / prototypicality score: mean cosine distance to
@@ -560,11 +560,9 @@ object Ann {
     val negs = scored.join(
       broadcast(positives.select(col("query_id"), col("vec_id"))),
       Seq("query_id", "vec_id"), "left_anti")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    negs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
+    // ranks by the already-rounded sim (the oracle contract); zround6 of a
+    // rounded value is the identity, so the pair survives the heap exactly
+    topKPerGroup(negs, "query_id", "vec_id", "sim", k, "sim")
   }
 
   /** MMR diversified top-k (Carbonell & Goldstein, SIGIR 1998): greedily
@@ -597,10 +595,15 @@ object Ann {
       .select(col("query_id"), col("vec_id"),
         Num.zround6(VectorFunctions.cosineSim(col("qe"), col("embedding"))).as("rel"),
         col("embedding").as("ce"))
-    val pool = scored
-      .withColumn("rn", row_number().over(
-        wq.orderBy(col("rel").desc, col("vec_id").asc)))
-      .filter(col("rn") <= poolSize).drop("rn")
+    // pool cut via the bounded-heap aggregate on the ROUNDED rel (the
+    // oracle contract): k·|Q| pairs cross the wire instead of a per-query
+    // sort of the full scored scan; ce is refetched for the tiny pool only
+    val poolIds = topKPerGroup(scored, "query_id", "vec_id", "rel",
+        poolSize, "rel")
+      .drop("rank")
+    val pool = candidates.select(col("vec_id"), col("embedding").as("ce"))
+      .join(broadcast(poolIds), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("rel"), col("ce"))
       .localCheckpoint(true)
     var selected = pool
       .withColumn("rn", row_number().over(
