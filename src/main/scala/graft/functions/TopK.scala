@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GenericInternalRow, Literal}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
@@ -22,7 +22,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * result is the exact top-k. */
 object TopK {
 
-  /** Idempotent session registration (the [[graft.ops.Sketch]] route). */
+  /** Idempotent session registration (the [[graft.ops.Sketch]] route).
+    *
+    * Contract (SQL and [[topKBy]] alike): `payload` must be UNIQUE within
+    * each group — the buffer dedups exact (ord, payload) pairs, so a
+    * repeated payload value can return fewer than k rows and diverge from
+    * the `row_number` formulation this replaces. Pass the group's id
+    * column, not a free-form value. `ord` is coerced to double and
+    * `payload` to long here, so raw SQL `top_k_by(...)` gets the same
+    * input coercion as the Scala wrapper. */
   def registerKernels(df: org.apache.spark.sql.DataFrame): Unit = {
     val reg = df.sparkSession.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("top_k_by", es => {
@@ -31,7 +39,8 @@ object TopK {
         case other => throw new IllegalArgumentException(
           s"top_k_by k must be a literal, got $other")
       }
-      TopKByAgg(es.head, es(1), k).toAggregateExpression()
+      TopKByAgg(Cast(es.head, DoubleType), Cast(es(1), LongType), k)
+        .toAggregateExpression()
     }, "built-in")
   }
 

@@ -293,15 +293,6 @@ object Corpus {
           .otherwise("middle").as("bucket"))
   }
 
-  /** Per-domain URL statistics — the blocklist/allowlist substrate of web
-    * curation (C4 §2.2 drops blocklisted domains; FineWeb publishes per-
-    * domain counts): extract `http(s)://host` occurrences, aggregate
-    * document and occurrence counts per host. Returns
-    * `(domain, n_docs, n_hits)`.
-    *
-    * Scale shape: a narrow regexp scan (codegen'd, no UDF) then one
-    * domain-keyed aggregation; web-scale domain skew (a few giant hosts)
-    * stays safe because the per-key payload is a pair of counters. */
   /** Exact interpolated percentiles of a numeric column per group — the
     * distribution half of a source card (length/quality percentiles per
     * source). Spark's `percentile` and DuckDB's `quantile_cont` share the
@@ -318,6 +309,15 @@ object Corpus {
       .groupBy(col(groupCol)).agg(cols.head, cols.tail: _*)
   }
 
+  /** Per-domain URL statistics — the blocklist/allowlist substrate of web
+    * curation (C4 §2.2 drops blocklisted domains; FineWeb publishes per-
+    * domain counts): extract `http(s)://host` occurrences, aggregate
+    * document and occurrence counts per host. Returns
+    * `(domain, n_docs, n_hits)`.
+    *
+    * Scale shape: a narrow regexp scan (codegen'd, no UDF) then one
+    * domain-keyed aggregation; web-scale domain skew (a few giant hosts)
+    * stays safe because the per-key payload is a pair of counters. */
   def urlDomains(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hits = docs.select(col(idCol),
         explode(expr(s"regexp_extract_all(lower($textCol), 'https?://([a-z0-9.-]+)', 1)"))

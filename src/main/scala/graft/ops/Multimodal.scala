@@ -115,26 +115,37 @@ object Multimodal {
       Encoders.product[ImageHash]
     assets.mapPartitions { it =>
       it.map { a =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(a.bytes))
-        val w = img.getWidth; val h = img.getHeight
-        def luma(gx: Int, gy: Int): Int = {
-          val v = img.getRGB(gx * w / 9, gy * h / 8)
-          val r = (v >> 16) & 255; val g = (v >> 8) & 255; val b = v & 255
-          (299 * r + 587 * g + 114 * b) / 1000
-        }
-        var hash = 0L
-        var gy = 0
-        while (gy < 8) {
-          var gx = 0
-          while (gx < 8) {
-            if (luma(gx + 1, gy) > luma(gx, gy))
-              hash |= 1L << (gy * 8 + gx)
-            gx += 1
+        // undecodable bytes degrade to a (-1, -1, 0) sentinel row (the
+        // audioFeatures convention) — ImageIO.read returns null on an
+        // unrecognized container and throws on truncated payloads, and
+        // either would otherwise kill the whole task
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.bytes))
+          if (img == null) ImageHash(a.doc_id, -1, -1, 0L)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            def luma(gx: Int, gy: Int): Int = {
+              val v = img.getRGB(gx * w / 9, gy * h / 8)
+              val r = (v >> 16) & 255; val g = (v >> 8) & 255; val b = v & 255
+              (299 * r + 587 * g + 114 * b) / 1000
+            }
+            var hash = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                if (luma(gx + 1, gy) > luma(gx, gy))
+                  hash |= 1L << (gy * 8 + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            ImageHash(a.doc_id, w, h, hash)
           }
-          gy += 1
+        } catch {
+          case _: Exception => ImageHash(a.doc_id, -1, -1, 0L)
         }
-        ImageHash(a.doc_id, w, h, hash)
       }
     }.toDF()
   }

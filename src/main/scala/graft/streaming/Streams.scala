@@ -152,12 +152,14 @@ object Streams {
     val dims = weights.length
     val wLit = array(weights.map(lit(_)): _*)
     val toks = graft.functions.TextFunctions.tokenize(col("text"))
-    val z = when(size(toks) > 0,
-      aggregate(toks, lit(0.0), (acc, t) =>
-        acc + element_at(wLit,
-          (graft.ops.Sketch.hash60(t) % dims).cast("int") + 1))
-        / size(toks)).otherwise(lit(0.0))
+    val z = aggregate(toks, lit(0.0), (acc, t) =>
+      acc + element_at(wLit,
+        (graft.ops.Sketch.hash60(t) % dims).cast("int") + 1)) / size(toks)
     docs
+      // featureless docs (no alphanumeric tokens) are dropped, matching the
+      // batch trainer's inner join on the feature table — without this the
+      // stream would emit sigma(0)=0.5/pred=1 rows batch never scores
+      .filter(size(toks) > 0)
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
       .withColumn("pred", (col("score") >= 0.5).cast("long"))
   }

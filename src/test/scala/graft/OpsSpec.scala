@@ -1000,6 +1000,12 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(h(1L) === h(2L))   // dHash keys on gradients, not absolute level
     assert(h(1L) !== h(3L))
+    // undecodable bytes degrade to the (-1, -1, 0) sentinel, not a task kill
+    val junk = spark.createDataset(Seq(
+      Multimodal.ImageAsset(9L, Array[Byte](1, 2, 3, 4))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.ImageAsset])
+    val s = Multimodal.imageDHash(junk).collect()(0)
+    assert(s.getLong(0) === 9L && s.getInt(1) === -1 && s.getLong(3) === 0L)
   }
 
   test("zipf fit: 1/rank frequencies recover slope ~ -1") {

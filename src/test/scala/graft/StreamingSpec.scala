@@ -198,10 +198,13 @@ class StreamingSpec extends SparkSpec {
     mem.addData((1L, "alpha beta gamma alpha beta"), (4L, "zeta eta theta zeta"))
     q.processAllAvailable()
     mem.addData((6L, "theta zeta eta theta eta"))   // second micro-batch
+    mem.addData((9L, "!!! ??? ..."))  // featureless: no alphanumeric tokens
     q.processAllAvailable()
     val streamed = spark.table("scored").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
     q.stop()
+    // doc 9 is dropped, matching the batch trainer's inner feature join —
+    // the stream never emits a sigma(0)=0.5 row batch would not score
     assert(streamed.keySet === Set(1L, 4L, 6L))
     // per-token fold == training z up to the rounded-9 feature quantization
     streamed.foreach { case (id, s) =>

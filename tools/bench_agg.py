@@ -8,13 +8,25 @@ def main():
     out, rnd, runs = sys.argv[1], int(sys.argv[2]), sys.argv[3:]
     per, totals, sf = {}, [], None
     for path in runs:
+        # sbt may prefix the metric line with "[info] " and append trailing
+        # log lines — parse line by line, keeping the first line that is
+        # valid JSON from its first brace; skip files with none
+        d = None
         with open(path) as f:
-            line = f.read().strip()
-        if not line:
-            print(f"skip empty {path}", file=sys.stderr)
+            for line in f:
+                brace = line.find("{")
+                if brace < 0:
+                    continue
+                try:
+                    d = json.loads(line[brace:])
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(d, dict) and "queries" in d:
+                    break
+                d = None
+        if d is None:
+            print(f"skip (no bench JSON line) {path}", file=sys.stderr)
             continue
-        # sbt may prefix the line with "[info] " — parse from the first brace
-        d = json.loads(line[line.find("{"):])
         sf = d.get("sf", sf)
         totals.append(round(d["value"], 1))
         for q, s in d["queries"].items():
