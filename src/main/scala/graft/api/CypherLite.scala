@@ -115,8 +115,10 @@ object CypherLite {
     Query(matches, preds, rets, countAlias, orderBy, skip, limit)
   }
 
-  /** One linear chain → DataFrame of variable columns (vertex ids). */
-  private def evalChain(g: PropertyGraph, mc: MatchClause): DataFrame = {
+  /** One linear chain → DataFrame of variable columns (vertex ids).
+    * Shared with the DSL's `match()` step ([[MatchPattern]]), which builds
+    * [[MatchClause]]s programmatically instead of parsing them. */
+  private[api] def evalChain(g: PropertyGraph, mc: MatchClause): DataFrame = {
     val n0 = mc.nodes.head
     var frontier: DataFrame = {
       val base = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)

@@ -107,6 +107,28 @@ final case class GraphTraversal(
   def repeat(times: Int)(f: GraphTraversal => GraphTraversal): GraphTraversal =
     (0 until times).foldLeft(this)((t, _) => f(t))
 
+  /** TinkerPop `match()` — declarative multi-pattern matching: the incoming
+    * traverser binds the FIRST pattern's start variable (a semi join on the
+    * current frontier, the `g.V().match(as("a")…)` contract), then every
+    * pattern joins on its shared variables via [[CypherLite]]'s multi-MATCH
+    * planner. Returns the variable bindings ([[MatchResult]]); follow with
+    * `select`/`where`/`withProp`. */
+  def matchStep(patterns: MatchPattern*): MatchResult = {
+    require(patterns.nonEmpty, "match() needs at least one pattern")
+    val start = patterns.head.startVar
+    var bound = CypherLite.evalChain(g, patterns.head.clause)
+      .join(df.select(col("id").as(start)).distinct(), Seq(start), "left_semi")
+    patterns.tail.foreach { p =>
+      val pdf = CypherLite.evalChain(g, p.clause)
+      val shared = bound.columns.intersect(pdf.columns).toSeq
+      require(shared.nonEmpty,
+        s"match() pattern starting at '${p.startVar}' shares no variable " +
+          "with the preceding patterns (TinkerPop requires connected patterns)")
+      bound = bound.join(pdf, shared)
+    }
+    MatchResult(g, bound)
+  }
+
   /** `where(sub)` — keep elements whose sub-traversal yields ≥1 result
     * (Gremlin's filter-by-traversal; compiles to a left_semi join). */
   def where(f: GraphTraversal => GraphTraversal): GraphTraversal = {

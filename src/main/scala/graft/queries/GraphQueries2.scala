@@ -734,6 +734,32 @@ object GraphQueries2 {
           "ORDER BY cust ASC, price DESC SKIP 5 LIMIT 20")
     },
 
+    q("q_gremlin_match",
+      // the TinkerPop match() step (ProcessBasicSuite map-step list) as a
+      // declarative DSL entry point: two patterns joined on the shared
+      // variable c — the inner-join sibling of q_cypher_multi's plan,
+      // lowered onto the SAME shared-variable join planner
+      """SELECT cust, price FROM (
+        |  SELECT c.c_name AS cust, o.o_totalprice AS price
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE n.n_name = 'NATION_2'
+        |  ORDER BY cust ASC, price DESC
+        |  LIMIT 20 OFFSET 5) z""".stripMargin) { (s, d) =>
+      import graft.api.MatchPattern.as
+      graft.api.Graft.g(g(s, d)).V().hasLabel("customer")
+        .matchStep(
+          as("c").hasLabel("customer").out("in_nation").as("n").hasLabel("nation"),
+          as("c").out("placed").as("o").hasLabel("order"))
+        .withProp("n", "name", "nname")
+        .where(col("nname") === "NATION_2")
+        .withProp("c", "name", "cust")
+        .withProp("o", "totalprice", "price")
+        .select("cust", "price")
+        .orderBy(col("cust").asc, col("price").desc)
+        .offset(5).limit(20)
+    },
+
     q("q_gremlin_repeat",
       // the §2.9 branch-step family end-to-end: repeat(out()).times(2)
       // from the script frontend = exact-2-hop OUT reachability

@@ -156,4 +156,56 @@ class DslSpec extends SparkSpec {
     val row = t.V("person:marko").valueMap("name", "age").head()
     assert(row.getString(1) === "marko" && row.getInt(2) === 29)
   }
+
+  test("match(): co-creators via shared variable join") {
+    import graft.api.MatchPattern.as
+    // g.V().match(as("a").out("created").as("b"),
+    //             as("b").in("created").as("c")).where(a != c).select(a, c)
+    val pairs = t.V().matchStep(
+        as("a").hasLabel("person").out("created").as("b"),
+        as("b").in("created").as("c"))
+      .where(col("a") =!= col("c"))
+      .select("a", "c").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(
+      ("person:marko", "person:josh"), ("person:marko", "person:peter"),
+      ("person:josh", "person:marko"), ("person:josh", "person:peter"),
+      ("person:peter", "person:marko"), ("person:peter", "person:josh")))
+  }
+
+  test("match(): incoming traverser binds the first pattern's start variable") {
+    import graft.api.MatchPattern.as
+    // only marko survives the frontier filter, so a is pinned to marko
+    val rows = t.V().hasLabel("person").has(Cond.eq("age", 29)).matchStep(
+        as("a").out("knows").as("b"),
+        as("a").out("created").as("c"))
+      .withProp("b", "name", "who").withProp("c", "name", "what")
+      .select("who", "what").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("vadas", "lop"), ("josh", "lop")))
+  }
+
+  test("match() result equals the CypherLite multi-MATCH plan") {
+    import graft.api.MatchPattern.as
+    val viaMatch = t.V().matchStep(
+        as("a").hasLabel("person").out("created").as("s"),
+        as("a").out("knows").as("f"))
+      .withProp("a", "name", "who").withProp("s", "name", "sw")
+      .select("who", "sw").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaCypher = graft.api.CypherLite.eval(g,
+      "MATCH (a:person)-[:created]->(s) MATCH (a)-[:knows]->(f) " +
+        "RETURN a.name AS who, s.name AS sw")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaMatch === viaCypher && viaMatch.nonEmpty)
+  }
+
+  test("match() rejects disconnected patterns") {
+    import graft.api.MatchPattern.as
+    val ex = intercept[IllegalArgumentException] {
+      t.V().matchStep(
+        as("a").out("knows").as("b"),
+        as("x").out("created").as("y"))
+    }
+    assert(ex.getMessage.contains("shares no variable"))
+  }
 }
