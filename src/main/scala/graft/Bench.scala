@@ -54,11 +54,19 @@ object Bench {
     // BFS wave a deployment runs once and stores beside the graph; distance
     // queries (q_landmark_distance) probe the stored vectors. Params mirror
     // the registered query.
-    if (!sys.env.get("SPARK_GRAFT_SKIP_ADJ").contains("1"))
+    if (!sys.env.get("SPARK_GRAFT_SKIP_ADJ").contains("1")) {
       graft.olap.Algorithms.landmarkIndex(
         Seq("nation:1", "nation:7", "nation:13"),
         graft.traverse.Traversals.adjacencyView(graph, graft.core.Direction.BOTH),
         maxDepth = 4)
+      // its weighted sibling (q_landmark_weighted) — one Bellman-Ford wave
+      // over the already-pinned weighted edge view
+      graft.olap.Algorithms.weightedLandmarkIndex(
+        Seq("nation:1", "nation:7", "nation:13"),
+        graft.traverse.PathTraversals.weightedEdgeView(graph,
+          graft.core.Direction.BOTH, Nil, "quantity"),
+        rounds = 4)
+    }
     // the session-shared tokenized-corpus view (ops.Corpus.tokens) — the
     // text-side member of the same persist-once working set: five doc
     // operators (dedup, LSH, quality, lang-id, token stats) plan against

@@ -549,6 +549,74 @@ object Algorithms {
 
   graft.core.Pin.onClear(() => landmarkMemo.clear())
 
+  /** [[landmarkDistances]] for WEIGHTED graphs: the same Potamias
+    * triangle-inequality bound min_l d(s,l) + d(l,t) over a weighted
+    * landmark index — landmark selection and query shape carry over to any
+    * metric; only the offline wave changes (Bellman-Ford relaxation instead
+    * of BFS layers). `wadj` = (src, dst, w) directed rows, e.g.
+    * [[graft.traverse.PathTraversals.weightedEdgeView]] — the SAME pinned
+    * view the point-query SSSP family plans against, so the index and
+    * `q_weighted_path`-style queries share one working set. Returns
+    * `(a, b, dist_ub)`; pairs with either leg unreached in `rounds` hops
+    * get no row. */
+  def weightedLandmarkDistances(pairs: DataFrame, landmarks: Seq[String],
+                                wadj: DataFrame, rounds: Int): DataFrame = {
+    val dist = weightedLandmarkIndex(landmarks, wadj, rounds)
+    pairs
+      .join(dist.select(col("landmark"), col("id").as("a"), col("dist").as("da")),
+        Seq("a"))
+      .join(dist.select(col("landmark"), col("id").as("b"), col("dist").as("db")),
+        Seq("landmark", "b"))
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("da") + col("db")).as("dist_ub"))
+  }
+
+  /** The offline half of [[weightedLandmarkDistances]]: `(landmark, id,
+    * dist)` with dist = the min-weight ≤`rounds`-hop path — ONE
+    * delta-relaxing Bellman-Ford wave carrying every landmark (the weighted
+    * sibling of the bitmask MS-BFS; a vertex relaxes its out-edges only in
+    * rounds where some landmark's distance to it improved, and the result
+    * is bit-for-bit the classic every-vertex relaxation). Memoized per
+    * (weighted-adjacency instance, landmark set, rounds) and pinned — the
+    * trained-artifact discipline: built once in the load phase, probed by
+    * pair queries. */
+  def weightedLandmarkIndex(landmarks: Seq[String], wadj: DataFrame,
+                            rounds: Int): DataFrame = {
+    val spark = wadj.sparkSession
+    import spark.implicits._
+    wLandmarkMemo.computeIfAbsent((wadj, landmarks.sorted, rounds), _ => {
+      var dist = landmarks.map(l => (l, l, 0.0)).toDF("landmark", "id", "dist")
+        .localCheckpoint(true)
+      var changed = dist
+      var converged = false
+      for (_ <- 1 to rounds if !converged) {
+        val relaxed = changed.select(col("landmark"), col("id").as("src"), col("dist"))
+          .join(wadj, Seq("src"))
+          .groupBy(col("landmark"), col("dst"))
+          .agg(min(col("dist") + col("w")).as("rdist"))
+          .select(col("landmark"), col("dst").as("id"), col("rdist"))
+        val merged = dist.join(relaxed, Seq("landmark", "id"), "full")
+          .select(col("landmark"), col("id"),
+            least(coalesce(col("dist"), col("rdist")),
+              coalesce(col("rdist"), col("dist"))).as("dist"),
+            (col("dist").isNull ||
+              (col("rdist").isNotNull && col("rdist") < col("dist"))).as("improved"))
+          .localCheckpoint(true)
+        changed = merged.filter(col("improved"))
+          .select(col("landmark"), col("id"), col("dist"))
+        dist = merged.select(col("landmark"), col("id"), col("dist"))
+        converged = changed.limit(1).count() == 0
+      }
+      graft.core.Pin.pinDerived(dist.select(col("landmark"), col("id"),
+        round(col("dist"), 6).as("dist")))
+    })
+  }
+
+  private val wLandmarkMemo = new java.util.concurrent.ConcurrentHashMap[
+    (DataFrame, Seq[String], Int), DataFrame]()
+
+  graft.core.Pin.onClear(() => wLandmarkMemo.clear())
+
   /** Closeness centrality Σ 1/d(s,t) (reference
     * `cent/ClosenessCentralityAlgorithmV2.java:46`). */
   def closenessCentrality(verts: DataFrame, undirectedEdges: DataFrame, maxDepth: Int): DataFrame =

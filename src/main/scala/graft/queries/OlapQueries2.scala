@@ -361,6 +361,53 @@ object OlapQueries2 {
         maxDepth = 4)
     },
 
+    q("q_landmark_weighted", {
+      // weighted landmark index: 4 delta-relaxation rounds (distributed
+      // Bellman-Ford, all 3 landmarks in one wave) over the same weighted
+      // edge view the SSSP point queries plan against; pair queries probe
+      // two index rows per landmark and take the triangle-inequality min
+      val iters = (0 until 4).map { i =>
+        s"""d${i + 1} AS MATERIALIZED (
+           |  SELECT landmark, id, min(dist) AS dist FROM (
+           |    SELECT landmark, id, dist FROM d$i
+           |    UNION ALL
+           |    SELECT d.landmark, w.dst AS id, d.dist + w.w AS dist
+           |    FROM d$i d JOIN wedges w ON w.src = d.id) GROUP BY landmark, id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS ($edgesSql),
+         |ew AS (
+         |  SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS src,
+         |         'part:' || CAST(l_partkey AS VARCHAR) AS dst, l_quantity AS w FROM lineitem
+         |  UNION ALL
+         |  SELECT 'part:' || CAST(l_partkey AS VARCHAR),
+         |         'supplier:' || CAST(l_suppkey AS VARCHAR), l_quantity FROM lineitem
+         |  UNION ALL
+         |  SELECT src, dst, 1.0 FROM edges WHERE label IN ('in_nation', 'in_region', 'placed')),
+         |wedges AS MATERIALIZED (SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew),
+         |d0 AS (SELECT v AS landmark, v AS id, CAST(0.0 AS DOUBLE) AS dist
+         |       FROM (VALUES ('nation:1'), ('nation:7'), ('nation:13')) s(v)),
+         |$iters,
+         |idx AS (SELECT landmark, id, round(dist, 6) AS dist FROM d4),
+         |pairs AS (SELECT 'customer:' || CAST(c AS VARCHAR) AS a,
+         |                 'supplier:' || CAST(s AS VARCHAR) AS b
+         |          FROM (VALUES (1), (2), (3)) x(c), (VALUES (1), (2), (3)) y(s))
+         |SELECT p.a, p.b, min(da.dist + db.dist) AS dist_ub
+         |FROM pairs p
+         |JOIN idx da ON da.id = p.a
+         |JOIN idx db ON db.landmark = da.landmark AND db.id = p.b
+         |GROUP BY p.a, p.b""".stripMargin
+    }, bench = true) { (s, d) =>
+      import s.implicits._
+      val pairs = (for (c <- 1 to 3; su <- 1 to 3)
+        yield (s"customer:$c", s"supplier:$su")).toDF("a", "b")
+      Algorithms.weightedLandmarkDistances(pairs,
+        Seq("nation:1", "nation:7", "nation:13"),
+        graft.traverse.PathTraversals.weightedEdgeView(
+          g(s, d), graft.core.Direction.BOTH, Nil, "quantity"),
+        rounds = 4)
+    },
+
     q("q_item_cf",
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
         |freq AS (SELECT i, count(*) AS n FROM bi GROUP BY i),

@@ -121,6 +121,31 @@ class AlgorithmsSpec extends SparkSpec {
     graft.core.Pin.clear()
   }
 
+  test("weightedLandmarkDistances: triangle-inequality bound on a weighted path; exact through an on-path landmark") {
+    // weighted path a -1.5- b -2.0- c -0.5- d: true d(a,c)=3.5, d(a,d)=4.0,
+    // d(b,d)=2.5. Landmark b lies on every a→x path, so the bound is EXACT
+    // for pairs (a, x): d(a,b)+d(b,x). Landmark d gives (a,c): 4.0+0.5=4.5 —
+    // the min over landmarks must pick the exact 3.5.
+    val e = Seq(("a", "b", 1.5), ("b", "c", 2.0), ("c", "d", 0.5))
+      .toDF("src", "dst", "w")
+    val wadj = graft.core.Pin.pin(
+      e.union(e.select(col("dst"), col("src"), col("w"))).toDF("src", "dst", "w"))
+    val pairs = Seq(("a", "c"), ("a", "d"), ("b", "d")).toDF("a", "b")
+    val out = Algorithms.weightedLandmarkDistances(pairs, Seq("b", "d"), wadj,
+        rounds = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", "c")) === 3.5) // via b: 1.5 + 2.0 (exact, beats via-d 4.5)
+    assert(out(("a", "d")) === 4.0) // via d itself: d(a,d) + 0
+    assert(out(("b", "d")) === 2.5)
+    // upper-bound property vs the converged SSSP truth from every vertex
+    val truth = Map(("a", "c") -> 3.5, ("a", "d") -> 4.0, ("b", "d") -> 2.5)
+    truth.foreach { case (k, t) => assert(out(k) >= t - 1e-9, s"$k: ${out(k)} < $t") }
+    val idx1 = Algorithms.weightedLandmarkIndex(Seq("b", "d"), wadj, 4)
+    val idx2 = Algorithms.weightedLandmarkIndex(Seq("d", "b"), wadj, 4)
+    assert(idx1 eq idx2) // memoized, order-insensitive key
+    graft.core.Pin.clear()
+  }
+
   test("closeness on line graph a-b-c") {
     val verts = Seq("a", "b", "c").toDF("id")
     val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
