@@ -250,6 +250,107 @@ object TextFunctions {
         st => st.getField("toks"))
     })
 
+  /** Public demo FREQUENCY lexicon for the max-probability analyzer — word
+    * → corpus count, the shape of jieba's `dict.txt` (MIT-licensed
+    * upstream; counts here are representative magnitudes, the list
+    * deliberately tiny — a deployment installs the real 349k-entry table
+    * via [[registerFreqDict]]). Carries the classic 研究生命起源
+    * ambiguity set (研究生 vs 研究+生命) so specs can certify
+    * frequency-based disambiguation beating greedy longest-match. */
+  val cjkFreqDict: Seq[(String, Long)] = Seq(
+    "图数据库" -> 120L, "数据库" -> 25000L, "数据" -> 52000L,
+    "分词" -> 3200L, "引擎" -> 8000L, "查询" -> 15000L, "索引" -> 6000L,
+    "分析" -> 30000L, "研究" -> 40000L, "研究生" -> 4000L,
+    "生命" -> 18000L, "起源" -> 3000L, "命" -> 2000L, "生" -> 9000L,
+    "方法" -> 60000L, "法学" -> 800L, "学" -> 15000L, "的" -> 800000L)
+
+  /** Integer micro-nat log-probabilities for a frequency lexicon:
+    * lp(w) = round(ln(freq_w / (Σfreq + 1)) · 1e6) as a LONG, plus the
+    * unknown-single-char smoothing score lp(1/(Σfreq+1)). Integer scores
+    * make every DP sum EXACT, so the engine's Viterbi and the oracle's
+    * exhaustive enumeration agree on argmax with no fp tie ambiguity. */
+  def microLogProbs(dict: Seq[(String, Long)]): (Map[String, Long], Long) = {
+    val total = dict.map(_._2).sum.toDouble + 1.0
+    val lp = dict.map { case (w, f) =>
+      w -> math.round(math.log(f / total) * 1e6) }.toMap
+    (lp, math.round(math.log(1.0 / total) * 1e6))
+  }
+
+  /** Max-probability dictionary analyzer — jieba's EXACT mode (the
+    * algorithm of `jieba.calc`/`jieba.cut` without HMM, public MIT
+    * implementation; reference plugs the same segmenter via
+    * `JiebaAnalyzer`, `AnalyzerFactory.java:34-53`): build the DAG of all
+    * dictionary words over each Han run and take the segmentation
+    * maximizing Σ log P(w) — frequency disambiguation where greedy
+    * FMM/RMM/BiMM guess (研究生命起源 → 研究 生命 起源, not 研究生 命…).
+    *
+    * Right-to-left Viterbi over character positions as ONE `aggregate`
+    * higher-order function: state = the per-position (route score, next
+    * hop) table, prepended per step; a second positional `aggregate` walks
+    * the table left-to-right to emit tokens. Scores are exact integer
+    * micro-nats ([[microLogProbs]]); ties break to the LONGER word at the
+    * leftmost divergence (struct max on (score, n)) — mirrored verbatim by
+    * the oracle's (score DESC, length-sequence DESC) ranking. Pure Column
+    * expressions, no UDF — inside codegen like every other analyzer. */
+  def tokenizeCjkFreq(c: Column,
+                      dict: Seq[(String, Long)] = cjkFreqDict): Column =
+    overHanRuns(c, freqRun(_, dict))
+
+  private def freqRun(r: Column, dict: Seq[(String, Long)]): Column = {
+    val (lp, lp1) = microLogProbs(dict)
+    val byLen = dict.map(_._1).groupBy(_.length).toSeq.sortBy(-_._1)
+    val noRoutes = filter(array(struct(lit(0L).as("score"), lit(0).as("nxt"))),
+      _ => lit(false))
+    // dict-word score at position j for words of length n (null = no match)
+    def wordScore(j: Column, n: Int, ws: Seq[String]): Column =
+      ws.foldRight(lit(null).cast("long")) { (w, els) =>
+        when(r.substr(j, lit(n)) === w, lit(lp(w))).otherwise(els)
+      }
+    // Viterbi right-to-left: after step j the state's element i is the
+    // (score, nxt) route entry for position j + i - 1; seeded with the
+    // virtual end boundary (score 0)
+    val dp = aggregate(
+      sequence(length(r), lit(1), lit(-1)),
+      array(struct(lit(0L).as("score"), lit(0).as("nxt"))),
+      (st, j) => {
+        val cands = byLen.map { case (n, ws) =>
+          val s = wordScore(j, n, ws)
+          when(lit(n) <= size(st) && s.isNotNull,
+            array(struct((s + element_at(st, n).getField("score")).as("score"),
+              lit(n).as("nxt"))))
+            .otherwise(noRoutes)
+        } :+ array(struct(
+          (lit(lp1) + element_at(st, 1).getField("score")).as("score"),
+          lit(1).as("nxt"))) // unknown-single fallback, always available
+        val best = array_max(concat(cands: _*))
+        concat(array(struct(best.getField("score").as("score"),
+          best.getField("nxt").as("nxt"))), st)
+      },
+      st => st)
+    // walk the route table left-to-right emitting the chosen words
+    val empty = array_remove(array(lit("")), "")
+    aggregate(
+      sequence(lit(1), length(r)),
+      struct(lit(1).as("next"), empty.as("toks")),
+      (w, i) => {
+        val n = element_at(dp, i).getField("nxt")
+        when(i === w.getField("next"),
+          struct((w.getField("next") + n).as("next"),
+            concat(w.getField("toks"), array(r.substr(i, n))).as("toks")))
+          .otherwise(w)
+      },
+      w => w.getField("toks"))
+  }
+
+  /** Named FREQUENCY lexicons for [[tokenizeCjkFreq]] — the frequency
+    * sibling of [[registerDict]]. */
+  private val freqDictRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  freqDictRegistry.put("default", cjkFreqDict)
+
+  def registerFreqDict(name: String, wordFreqs: Seq[(String, Long)]): Unit =
+    freqDictRegistry.put(name, wordFreqs)
+
   /** Stopword-aware analyzer (reference: the pluggable segmenters it loads
     * — smartcn, IKAnalyzer — ship stopword filtering, Lucene `StopFilter`
     * stage): base-analyzer tokens minus a language's stopword list. Stays
@@ -285,6 +386,7 @@ object TextFunctions {
     "cjk-dict-mmseg" -> (c => tokenizeCjkMmseg(c)),
     "cjk-dict-index" -> (c => tokenizeCjkDictIndex(c)),
     "cjk-dict-maxword" -> (c => tokenizeCjkMaxword(c)),
+    "cjk-freq" -> (c => tokenizeCjkFreq(c)),
     "english-stop" -> (c => tokenizeNoStop(c)))
 
   def analyzer(name: String): Column => Column =
@@ -307,6 +409,11 @@ object TextFunctions {
     } else if (name.startsWith("cjk-dict-mmseg:")) {
       val dict = namedDict(name.stripPrefix("cjk-dict-mmseg:"))
       c => tokenizeCjkMmseg(c, dict)
+    } else if (name.startsWith("cjk-freq:")) {
+      val dictName = name.stripPrefix("cjk-freq:")
+      val dict = Option(freqDictRegistry.get(dictName))
+        .getOrElse(sys.error(s"not exists frequency dictionary: $dictName"))
+      c => tokenizeCjkFreq(c, dict)
     } else if (name.startsWith("cjk-dict-bi:")) {
       val dict = namedDict(name.stripPrefix("cjk-dict-bi:"))
       c => tokenizeCjkDictBi(c, dict)

@@ -1207,6 +1207,62 @@ object DocQueries {
           concat_ws(" ", TextFunctions.analyzer("english-stop")(col("text"))).as("toks"))
     },
 
+    // max-probability dictionary analyzer (jieba's exact mode): the engine
+    // runs an integer micro-nat Viterbi per Han run; the oracle enumerates
+    // EVERY segmentation with the same exact integer scores and takes the
+    // (score DESC, length-sequence DESC) argmax — identical tie contract,
+    // zero fp ambiguity. The zh string embeds both canonical ambiguity
+    // sets: 研究生命起源 (freq beats FMM) and 方法学 (freq beats BiMM).
+    q("q_tokenize_cjk_freq", {
+      val (lp, lp1) = TextFunctions.microLogProbs(TextFunctions.cjkFreqDict)
+      val byLen = TextFunctions.cjkFreqDict.map(_._1).groupBy(_.length)
+      val lens = 1 to byLen.keys.max
+      def caseFor(n: Int): String = {
+        val ws = byLen.getOrElse(n, Nil)
+        val arms = ws.map(w =>
+          s"WHEN substr(r, pos, $n) = '$w' THEN CAST(${lp(w)} AS BIGINT)")
+        val fallback =
+          if (n == 1) s"ELSE CAST($lp1 AS BIGINT)" else "ELSE CAST(NULL AS BIGINT)"
+        if (arms.isEmpty && n != 1) "CAST(NULL AS BIGINT)"
+        else s"CASE ${arms.mkString(" ")} $fallback END"
+      }
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+         |    '研究生命起源' || source || '方法学数据库' || CAST(doc_id % 10 AS VARCHAR) AS zh
+         |  FROM documents WHERE doc_id < 200),
+         |rl AS (SELECT doc_id,
+         |    regexp_extract_all(lower(zh), '([a-z0-9]+|\\p{Han}+)', 1) AS rs FROM t),
+         |runs AS (SELECT doc_id, generate_subscripts(rs, 1) AS ord, unnest(rs) AS r FROM rl),
+         |seg(doc_id, ord, r, pos, toks, score, lens) AS (
+         |  SELECT doc_id, ord, r, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]),
+         |         CAST(0 AS BIGINT), ''
+         |  FROM runs WHERE regexp_full_match(r, '\\p{Han}+')
+         |  UNION ALL
+         |  SELECT doc_id, ord, r, pos + n, toks || [substr(r, pos, n)],
+         |         score + lp, lens || CAST(n AS VARCHAR)
+         |  FROM (SELECT seg.*, c.n,
+         |          CASE c.n ${lens.map(n => s"WHEN $n THEN (${caseFor(n)})").mkString(" ")} END AS lp
+         |        FROM seg, (VALUES ${lens.map(n => s"($n)").mkString(", ")}) c(n)
+         |        WHERE pos <= length(r)) z
+         |  WHERE lp IS NOT NULL),
+         |fin AS (SELECT doc_id, ord, toks, score, lens FROM seg WHERE pos > length(r)),
+         |best AS (SELECT doc_id, ord, toks FROM (
+         |    SELECT fin.*, row_number() OVER (PARTITION BY doc_id, ord
+         |      ORDER BY score DESC, lens DESC) AS rn FROM fin) zz WHERE rn = 1),
+         |allr AS (SELECT doc_id, ord, toks FROM best
+         |         UNION ALL
+         |         SELECT doc_id, ord, [r] FROM runs
+         |         WHERE NOT regexp_full_match(r, '\\p{Han}+')),
+         |agg AS (SELECT doc_id, flatten(list(toks ORDER BY ord)) AS toks
+         |        FROM allr GROUP BY doc_id)
+         |SELECT doc_id, array_to_string(toks, ' ') AS toks FROM agg""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat_ws(" ", TextFunctions.tokenizeCjkFreq(
+            concat(lit("研究生命起源"), col("source"), lit("方法学数据库"),
+              (col("doc_id") % 10).cast("string")))).as("toks"))
+    },
+
     q("q_ann_ivf_topk", ivfSql(10, 16, 2)) { (s, d) =>
       val e = Tables.embeddings(s, d)
       Ann.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),

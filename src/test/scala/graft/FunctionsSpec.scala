@@ -197,6 +197,38 @@ class FunctionsSpec extends SparkSpec {
       .head().getSeq[String](0) === Seq("数据", "据库", "x"))
   }
 
+  test("max-probability analyzer (jieba exact mode): frequency beats greedy and BiMM") {
+    // 研究生命起源: FMM grabs 研究生 then strands 命; the max-probability
+    // route P(研究)·P(生命)·P(起源) wins (jieba's canonical demo)
+    val got = Seq("研究生命起源").toDF("t")
+      .select(TextFunctions.tokenizeCjkFreq(col("t"))).head().getSeq[String](0)
+    assert(got === Seq("研究", "生命", "起源"))
+    // DISAGREEMENT with BiMM on the same wordlist: 方法学 ties FMM
+    // (方法|学) against RMM (方|法学) on both token count and single count,
+    // so BiMM's vote falls to RMM — but freq(方法)=60000 ≫ freq(法学)=800,
+    // so the probability route keeps 方法|学
+    val words = TextFunctions.cjkFreqDict.map(_._1)
+    val bimm = Seq("方法学").toDF("t")
+      .select(TextFunctions.tokenizeCjkDictBi(col("t"), words))
+      .head().getSeq[String](0)
+    val freq = Seq("方法学").toDF("t")
+      .select(TextFunctions.tokenizeCjkFreq(col("t"))).head().getSeq[String](0)
+    assert(bimm === Seq("方", "法学"))
+    assert(freq === Seq("方法", "学"))
+    // unknown singles smooth to 1/(total+1) instead of failing; latin runs
+    // pass through whole (the overHanRuns contract)
+    assert(Seq("了spark引擎").toDF("t")
+      .select(TextFunctions.tokenizeCjkFreq(col("t"))).head().getSeq[String](0)
+      === Seq("了", "spark", "引擎"))
+    // registry dispatch with a custom frequency lexicon: flipping the
+    // frequencies flips the segmentation
+    TextFunctions.registerFreqDict("flip",
+      Seq("方法" -> 10L, "法学" -> 900000L, "学" -> 100L))
+    assert(Seq("方法学").toDF("t")
+      .select(TextFunctions.analyzer("cjk-freq:flip")(col("t")))
+      .head().getSeq[String](0) === Seq("方", "法学"))
+  }
+
   test("shingles produces distinct 3-grams, short-doc fallback") {
     val got = Seq("a b c d", "x y").toDF("t")
       .select(TextFunctions.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
