@@ -175,6 +175,20 @@ object DocScaleSmoke {
       results("knn_graph (cells ∝ N)") = (t1, tN)
     }
 
+    // round-9 additions. MMR: the pool cut is the bounded-heap top_k_by
+    // aggregate over the scored scan (k·|Q| pairs through the shuffle),
+    // then k−1 tiny-table greedy rounds — the corpus side only ever feeds
+    // one aggregation. item_cf on a DEGENERATE mega-basket input (basket =
+    // lang, so one basket holds thousands of items and grows ∝N): basketCap
+    // bounds the self-join's quadratic term — uncapped, the 10× pair count
+    // per basket would grow 100×.
+    run("mmr_diversify", (_, e) => ops.Ann.mmrTopK(
+      e.filter(col("vec_id") < 3), e.filter(col("vec_id") >= 3),
+      k = 4, lambda = 0.7, poolSize = 8))
+    run("item_cf_megabasket", (d, _) => ops.Search.itemItemCf(
+      d.select(col("lang"), col("doc_id")), "lang", "doc_id",
+      k = 10, basketCap = 100))
+
     println(f"%n[docscale] | operator | 1x | ${copies}x | ratio |")
     println(s"[docscale] |---|---|---|---|")
     results.foreach { case (k, (a, b)) =>

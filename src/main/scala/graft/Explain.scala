@@ -69,30 +69,46 @@ object Explain {
       |uses. Disjoint copies keep diameter/round counts constant, so
       |full-graph OLAP jobs should grow ≲ linearly and source-local
       |traversals (whose frontier stays inside one copy) sub-linearly —
-      |super-linear growth or an OOM would be the cliff. Measured
-      |(local[32], warm pins, single run each; round-5 engine — columnar
-      |pins, frontier IN-pushdown BFS, delta Louvain):
+      |super-linear growth or an OOM would be the cliff. Measured at the
+      |ROUND-9 HEAD (local[32], warm pins, single quiet-host run; now
+      |includes every round-7/8/9 heavy addition — seeded LPA, bitmask
+      |MS-BFS eccentricity, k-truss, the landmark index build,
+      |assortativity):
       |
       |    operator               1x       10x      ratio
-      |    pagerank               3.88 s    6.51 s  1.7x
-      |    wcc                    2.38 s    7.38 s  3.1x
-      |    louvain                7.27 s   21.70 s  3.0x
-      |    neighbor_rank_general  4.32 s   13.99 s  3.2x
-      |    rays                   2.05 s    2.16 s  1.1x
-      |    multinode_shortest     2.46 s    3.19 s  1.3x
-      |    shortest_path_trace    2.00 s    2.10 s  1.1x
-      |    weighted_path          3.44 s   12.17 s  3.5x
+      |    pagerank               4.31 s    9.88 s  2.3x
+      |    wcc                    3.59 s   10.95 s  3.1x
+      |    louvain                1.98 s    5.40 s  2.7x
+      |    neighbor_rank_general  6.17 s   18.46 s  3.0x
+      |    rays                   2.30 s    2.68 s  1.2x
+      |    multinode_shortest     2.51 s    4.56 s  1.8x
+      |    shortest_path_trace    2.39 s    2.53 s  1.1x
+      |    weighted_path          4.27 s   13.60 s  3.2x
+      |    seeded_lpa             6.28 s   17.80 s  2.8x
+      |    eccentricity (MS-BFS)  7.49 s   19.03 s  2.5x
+      |    ktruss                11.09 s   40.33 s  3.6x
+      |    landmark_index         7.05 s   12.80 s  1.8x
+      |    assortativity          3.48 s   18.51 s  5.3x
       |
-      |All ≤ 3.5× on 10× data — no cliff, no OOM, no driver stall. Versus
-      |round 4 every line improved: louvain 32.7→21.7 s (delta pruning:
-      |only vertices with a changed neighborhood re-enter candidate
-      |generation), rays 9.1→2.2 s and shortest_path_trace 42→2.1 s at 10×
-      |(frontier IN-list pushdown prunes cached columnar batches by
-      |min/max stats — BFS layer cost is now O(touched batches), not
-      |O(|E|)), and the one-time load/pin phase fell 119 s → 38 s at 10×
-      |(columnar persist() replaced deserialized-object checkpoints; the
-      |load step is the deployment's amortized working-set build either
-      |way).
+      |All ≤ 3.6× except assortativity — no OOM, no driver stall, and the
+      |two exceptions are understood, not cliffs:
+      |
+      |- **ktruss** was this smoke's one real catch: the original wedge
+      |  self-join MATERIALIZED 22M exploded wedge rows at 1× (220M at 10×,
+      |  TaskMemoryManager page-allocation failures, 14.1× ratio) on a
+      |  triangle-free projection — all of it discarded by the closing
+      |  join. Rewritten to degree-oriented adjacency-list INTERSECTION
+      |  (`Algorithms.triangles`: support = |N⁺(u) ∩ N⁺(v)| via codegen'd
+      |  array_intersect; out-lists bounded O(√m) by the orientation): the
+      |  same element volume rides \|E\| rows as array payloads, no 200M-row
+      |  hash build, spills gone, 10× wall 186 s → 40 s. The 3.6× that
+      |  remains is a compute-bound enumeration growing linearly while its
+      |  fixed overheads amortize.
+      |- **assortativity** (4.4–5.3× across repeats): at 1× AQE broadcasts
+      |  the ~20 MB degree table; at 10× it correctly falls back to the
+      |  shuffle join a cluster would need — the ratio measures that plan
+      |  tier flip, not superlinear work (the operator is ONE edge⋈degree
+      |  join + moments off the degree table; both sides grow 10×).
       |
       |## Bucketed edge store — measured end-to-end (runMain graft.BenchBucketed)
       |
@@ -127,18 +143,44 @@ object Explain {
       |suffixed with a per-copy marker, so the copies share NO word n-grams
       |and the within-copy shingle structure is exactly the original's),
       |heaviest doc operators timed 1× vs 10× in one session with the
-      |tokenized-corpus pin warmed like the bench. Measured (local[32],
-      |round-5 engine — columnar pins):
+      |tokenized-corpus pin warmed like the bench. Measured at the ROUND-9
+      |HEAD (local[32], single quiet-host run; the sweep now covers the
+      |round-7/8/9 additions — sketches, BPE, classifier training,
+      |covariance, incremental dedup, kNN graph, MMR, item-item CF):
       |
-      |    operator          1x       10x      ratio   (10x rows)
-      |    minhash_lsh       3.41 s    4.43 s  1.3x    (2,546 pairs)
-      |    dedup_clusters    7.18 s   10.66 s  1.5x    (4,748 docs)
-      |    corpus_pipeline   3.47 s    5.90 s  1.7x    (was 4.7x in r4)
-      |    decontaminate     1.01 s    2.10 s  2.1x    (constant output)
-      |    pack_blocks       0.13 s    0.11 s  0.8x    (50k docs)
-      |    ann_brute_topk    0.43 s    0.26 s  0.6x    (10x base side)
+      |    operator            1x       10x      ratio
+      |    minhash_lsh         5.66 s    6.91 s  1.2x
+      |    dedup_clusters      3.28 s    4.89 s  1.5x
+      |    corpus_pipeline     4.35 s    6.08 s  1.4x
+      |    decontaminate       1.56 s    2.73 s  1.7x
+      |    pack_blocks         0.28 s    0.19 s  0.7x
+      |    ann_brute_topk      0.84 s    0.46 s  0.5x
+      |    pmi_pairs           4.40 s    4.62 s  1.0x
+      |    rp_reduce           0.88 s    0.40 s  0.5x
+      |    kmv/hll/cms sketch  ≤3.03 s  ≤2.80 s  ≤0.9x
+      |    bloom_decontaminate 2.14 s    3.28 s  1.5x
+      |    tfidf_topterms      1.79 s    3.28 s  1.8x
+      |    bigram_logprob      2.31 s    3.08 s  1.3x
+      |    bpe_merges          3.05 s    3.77 s  1.2x
+      |    embed_covariance    2.20 s    7.33 s  3.3x
+      |    temperature_mix     0.92 s    0.86 s  0.9x
+      |    incremental_dedup   1.42 s    2.80 s  2.0x
+      |    token_budget        1.71 s    1.55 s  0.9x
+      |    quality_classifier  7.25 s    8.68 s  1.2x
+      |    zipf_fit            1.07 s    0.97 s  0.9x
+      |    intradoc_dedup      0.73 s    1.24 s  1.7x
+      |    hll_distinct        0.58 s    0.40 s  0.7x
+      |    knn_graph (cells∝N) 3.20 s    5.43 s  1.7x
+      |    mmr_diversify       1.90 s    1.47 s  0.8x
+      |    item_cf_megabasket  2.76 s    2.39 s  0.9x
       |
-      |All ≤ 2.1× on 10× data — sub-linear across the family, no OOM. The
+      |All ≤ 3.3× on 10× data — sub-linear across the family, no OOM. Two
+      |designed-in proofs: `item_cf_megabasket` feeds the DEGENERATE input
+      |(basket = lang, one basket holding thousands of items, growing ∝N)
+      |and stays FLAT — basketCap bounds the quadratic term exactly as its
+      |contract claims; `mmr_diversify` is sub-linear because the pool cut
+      |is the bounded-heap top_k_by aggregate (k·|Q| pairs shuffle) and the
+      |greedy rounds never touch the corpus. The
       |smoke also caught its own first design bug: an earlier draft made
       |copies disjoint by INTERLEAVING a marker token (`a c7 b`), which
       |manufactures `c7 X c7` shingles that act like unigrams shared by
