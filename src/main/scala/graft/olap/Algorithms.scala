@@ -263,18 +263,32 @@ object Algorithms {
     * element volume rides |E| rows as array payloads and never hits a
     * 200M-row hash build. Each triangle x→y→z (oriented) is found exactly
     * once, on edge (x,y) with common neighbor z. Returns (a, b, c) corner
-    * ids in degree order. */
-  private def triangles(canonical: DataFrame): DataFrame = {
-    val o = orientByDegree(canonical).localCheckpoint(false)
-    // per-vertex sorted out-neighbor arrays; degree orientation bounds
-    // every array by O(√m), so no row-size hazard at any graph scale
-    val nbrs = o.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("ns"))
-      .localCheckpoint(false)
-    o.join(nbrs.select(col("src"), col("ns").as("nu")), Seq("src"))
-      .join(nbrs.select(col("src").as("dst"), col("ns").as("nv")), Seq("dst"))
-      .select(col("src").as("a"), col("dst").as("b"),
-        explode(array_intersect(col("nu"), col("nv"))).as("c"))
-  }
+    * ids in degree order.
+    *
+    * Memoized per input frame REFERENCE: the internal checkpoints make the
+    * plan non-canonical, so Pin's plan-keyed dedup can't share it — but
+    * callers all pass the SAME `Pin.pin`ned canonical view, so reference
+    * identity is exactly the sharing key (triangle_count,
+    * cluster_coefficient and k-truss round 1 run ONE enumeration per
+    * session; later peel rounds pass fresh survivor frames and compute). */
+  private def triangles(canonical: DataFrame): DataFrame =
+    triMemo.computeIfAbsent(canonical, { c =>
+      val o = orientByDegree(c).localCheckpoint(false)
+      // per-vertex sorted out-neighbor arrays; degree orientation bounds
+      // every array by O(√m), so no row-size hazard at any graph scale
+      val nbrs = o.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("ns"))
+        .localCheckpoint(false)
+      o.join(nbrs.select(col("src"), col("ns").as("nu")), Seq("src"))
+        .join(nbrs.select(col("src").as("dst"), col("ns").as("nv")), Seq("dst"))
+        .select(col("src").as("a"), col("dst").as("b"),
+          explode(array_intersect(col("nu"), col("nv"))).as("c"))
+        .localCheckpoint(false)
+    })
+
+  private val triMemo =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
+
+  graft.core.Pin.onClear(() => triMemo.clear())
 
   /** Per-vertex triangle count (reference `comm/TriangleCountAlgorithm.java:65`).
     * Enumerates degree-oriented triangles with two joins — each triangle
