@@ -30,7 +30,14 @@ object TopK {
     * the `row_number` formulation this replaces. Pass the group's id
     * column, not a free-form value. `ord` is coerced to double and
     * `payload` to long here, so raw SQL `top_k_by(...)` gets the same
-    * input coercion as the Scala wrapper. */
+    * input coercion as the Scala wrapper.
+    *
+    * NULL handling: a NULL (or non-long-castable) `payload` THROWS — a
+    * silent skip would make rows vanish with no error. A NULL `ord` row is
+    * DROPPED, not ranked: the `row_number` window this replaces ranks NULL
+    * ord LAST (NULLS LAST under DESC), so results differ from the window
+    * formulation only for groups with fewer than k non-null-ord rows —
+    * callers that must surface such rows should coalesce ord first. */
   def registerKernels(df: org.apache.spark.sql.DataFrame): Unit = {
     val reg = df.sparkSession.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("top_k_by", es => {
@@ -83,8 +90,15 @@ object TopK {
                         input: InternalRow): java.util.TreeSet[(Double, Long)] = {
       val o = ord.eval(input)
       val p = payload.eval(input)
-      if (o != null && p != null)
-        add(buf, o.asInstanceOf[Double], p.asInstanceOf[Long])
+      // A null payload is a contract violation, not a rankable row: it is
+      // either a genuinely-null id or a non-numeric value the (non-ANSI)
+      // long cast nulled out — silently skipping it would make rows vanish
+      // with no error (diverging from the row_number formulation). Fail.
+      if (p == null) throw new IllegalArgumentException(
+        "top_k_by payload must be non-null and castable to long (got null " +
+          "after cast — a string id or null id column?); pass the group's " +
+          "numeric unique id")
+      if (o != null) add(buf, o.asInstanceOf[Double], p.asInstanceOf[Long])
       buf
     }
 

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.{TopK, VectorFunctions}
 import graft.core.Num
 
@@ -11,10 +10,11 @@ import graft.core.Num
   *
   * Brute force is the exactness baseline: broadcast the (small) query set,
   * score every candidate with the codegen'd [[VectorFunctions.CosineSimExpr]]
-  * kernel, per-query top-k via window. Cost is |Q|·|C| — fine for small Q at
-  * any C because candidates stream through executors with no shuffle except
-  * the final per-query top-k (k rows per partition per query after the
-  * window's partial rank).
+  * kernel, per-query top-k via the bounded-heap [[TopK]] aggregate. Cost is
+  * |Q|·|C| — fine for small Q at any C because candidates stream through
+  * executors with no shuffle except the final per-query top-k (k·|Q| heap
+  * pairs, never a sort). As of round 10 NO dataflow in this family — scoring,
+  * coarse-cell assignment, or PQ coding — uses a rank window.
   *
   * The scale path is SRP/LSH bucketing: candidates shuffle once on a
   * sign-random-projection bucket key; queries probe only their own bucket.
@@ -75,14 +75,25 @@ object Ann {
   }
 
   /** Nearest `n` cells per vector under the given (small, broadcast)
-    * centroid table; ties break on smallest cid. */
+    * centroid table; ties break on smallest cid. Argmax via the
+    * bounded-heap [[TopK]] aggregate, ranked (csim DESC, cid ASC) — the
+    * exact order of the `row_number` window it replaces, but the
+    * vector×centroid stream (the WIDEST dataflow of the index build: it
+    * touches every stored vector once per build/probe) folds into
+    * ≤n-element heaps per vector instead of per-key sorting; the groupBy
+    * rides the pinned vec_id partitioning, so no exchange either. Non-key
+    * columns carry through as `first()` — exactly one row per id exists
+    * before the centroid crossJoin, so `first` is deterministic. */
   private def nearestCells(centroids: DataFrame)(df: DataFrame, idCol: String,
                                                  vecCol: String, n: Int): DataFrame = {
     val scored = df.crossJoin(broadcast(centroids))
       .withColumn("csim", VectorFunctions.cosineSim(col(vecCol), col("ce")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid").asc)
-    scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= n)
-      .drop("ce", "csim", "crank")
+    val carry = df.columns.filter(_ != idCol).toSeq
+    scored.groupBy(col(idCol))
+      .agg(TopK.topKBy(col("csim"), col("cid"), n).as("__tk"),
+        carry.map(c => first(col(c)).as(c)): _*)
+      .select((col(idCol) +: carry.map(col)) :+
+        explode(col("__tk").getField("payload")).as("cid"): _*)
   }
 
   /** The shared IVF probe dataflow: assign candidates to their cell, probe
@@ -263,12 +274,20 @@ object Ann {
       .select(col("s"), col("vec_id").as("cid"),
         transform(col("sv"), _.cast("double")).as("ce"))
       .localCheckpoint(true)
-    val w = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("csim").desc, col("cid").asc)
+    // argmax per (vec_id, s) via the bounded-heap aggregate (k = 1) — the
+    // same (csim DESC, cid ASC) order as the row_number window it replaces,
+    // with no per-key sort of the subvector×codebook stream; the groupBy
+    // clusters on a superset of the pinned vec_id partitioning, so no
+    // exchange. ce re-attaches from the tiny broadcast codebook.
     def assign(books: DataFrame): DataFrame =
       subRows.join(broadcast(books), Seq("s"))
         .withColumn("csim", VectorFunctions.cosineSim(col("sv"), col("ce")))
-        .withColumn("crank", row_number().over(w)).filter(col("crank") === 1)
+        .groupBy(col("vec_id"), col("s"))
+        .agg(TopK.topKBy(col("csim"), col("cid"), 1).as("__tk"),
+          first(col("sv")).as("sv"))
+        .select(col("vec_id"), col("s"), col("sv"),
+          col("__tk").getItem(0).getField("payload").as("cid"))
+        .join(broadcast(books), Seq("s", "cid"))
     for (_ <- 0 until iters) {
       val means = assign(cents)
         .select(col("s"), col("cid"), posexplode(col("sv")))
