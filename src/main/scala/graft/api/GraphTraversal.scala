@@ -115,6 +115,11 @@ final case class GraphTraversal(
     * `select`/`where`/`withProp`. */
   def matchStep(patterns: MatchPattern*): MatchResult = {
     require(patterns.nonEmpty, "match() needs at least one pattern")
+    // the start-variable semi join below binds on col("id") of a VERTEX
+    // frontier; after an edge step the frame has no such id and the
+    // failure would surface as an unrelated analysis error (or worse,
+    // bind a coincidentally-named column)
+    require(isVertex, "match() must follow a vertex step")
     val start = patterns.head.startVar
     var bound = CypherLite.evalChain(g, patterns.head.clause)
       .join(df.select(col("id").as(start)).distinct(), Seq(start), "left_semi")

@@ -235,22 +235,26 @@ object Algorithms {
 
   /** Degree-ordered orientation of a canonical (src<dst) edge set: each
     * undirected edge directed from its lower-(degree, id) endpoint to the
-    * higher one. Under this orientation every out-degree is O(√m), so the
-    * wedge self-join enumerating triangles touches O(m^1.5) pairs total —
-    * id-ordering instead lets one high-id hub contribute deg² wedges (the
-    * measured 10× k-truss spill cliff; Latapy 2008 / the standard
-    * distributed triangle recipe). Pure orientation device: every triangle
-    * is still enumerated exactly once with ORIGINAL ids, so consumers'
-    * outputs are unchanged. */
+    * higher one — the (degree, id) total order made EXPLICIT, so the
+    * orientation is consistent even for a non-canonical caller (an
+    * equal-degree edge always points low-id → high-id). Under this
+    * orientation every out-degree is O(√m), so the wedge self-join
+    * enumerating triangles touches O(m^1.5) pairs total — id-ordering
+    * instead lets one high-id hub contribute deg² wedges (the measured 10×
+    * k-truss spill cliff; Latapy 2008 / the standard distributed triangle
+    * recipe). Pure orientation device: every triangle is still enumerated
+    * exactly once with ORIGINAL ids, so consumers' outputs are unchanged. */
   private def orientByDegree(canonical: DataFrame): DataFrame = {
     val deg = canonical.select(explode(array(col("src"), col("dst"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("__deg"))
+    val srcFirst = col("__ds") < col("__dd") ||
+      (col("__ds") === col("__dd") && col("src") < col("dst"))
     canonical
       .join(deg.select(col("id").as("src"), col("__deg").as("__ds")), Seq("src"))
       .join(deg.select(col("id").as("dst"), col("__deg").as("__dd")), Seq("dst"))
       .select(
-        when(col("__ds") <= col("__dd"), col("src")).otherwise(col("dst")).as("src"),
-        when(col("__ds") <= col("__dd"), col("dst")).otherwise(col("src")).as("dst"))
+        when(srcFirst, col("src")).otherwise(col("dst")).as("src"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("dst"))
   }
 
   /** Oriented-triangle enumeration by adjacency-list INTERSECTION: each
@@ -265,28 +269,39 @@ object Algorithms {
     * once, on edge (x,y) with common neighbor z. Returns (a, b, c) corner
     * ids in degree order.
     *
-    * Memoized per input frame REFERENCE: the internal checkpoints make the
-    * plan non-canonical, so Pin's plan-keyed dedup can't share it — but
-    * callers all pass the SAME `Pin.pin`ned canonical view, so reference
-    * identity is exactly the sharing key (triangle_count,
-    * cluster_coefficient and k-truss round 1 run ONE enumeration per
-    * session; later peel rounds pass fresh survivor frames and compute). */
-  private def triangles(canonical: DataFrame): DataFrame =
-    triMemo.computeIfAbsent(canonical, { c =>
-      val o = orientByDegree(c).localCheckpoint(false)
-      // per-vertex sorted out-neighbor arrays; degree orientation bounds
-      // every array by O(√m), so no row-size hazard at any graph scale
-      val nbrs = o.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("ns"))
-        .localCheckpoint(false)
-      o.join(nbrs.select(col("src"), col("ns").as("nu")), Seq("src"))
-        .join(nbrs.select(col("src").as("dst"), col("ns").as("nv")), Seq("dst"))
-        .select(col("src").as("a"), col("dst").as("b"),
-          explode(array_intersect(col("nu"), col("nv"))).as("c"))
-        .localCheckpoint(false)
-    })
+    * Memoized per input frame REFERENCE, and ONLY for the session-pinned
+    * first-round input: the internal checkpoints make the plan
+    * non-canonical, so Pin's plan-keyed dedup can't share it — but callers
+    * all pass the SAME `Pin.pin`ned canonical view, so reference identity
+    * is exactly the sharing key (triangle_count, cluster_coefficient and
+    * k-truss round 1 run ONE enumeration per session). Loop-internal
+    * frames (k-truss peel rounds ≥2 pass a FRESH survivor frame each
+    * round) bypass the memo entirely — a never-rehittable entry per round
+    * would pin its checkpointed blocks until Pin.clear, growing checkpoint
+    * storage unboundedly across repeated invocations. */
+  private def triangles(canonical: DataFrame, memoize: Boolean = true): DataFrame =
+    if (memoize) triMemo.computeIfAbsent(canonical, triangleBuild(_))
+    else triangleBuild(canonical)
+
+  private def triangleBuild(c: DataFrame): DataFrame = {
+    val o = orientByDegree(c).localCheckpoint(false)
+    // per-vertex sorted out-neighbor arrays; degree orientation bounds
+    // every array by O(√m), so no row-size hazard at any graph scale
+    val nbrs = o.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("ns"))
+      .localCheckpoint(false)
+    o.join(nbrs.select(col("src"), col("ns").as("nu")), Seq("src"))
+      .join(nbrs.select(col("src").as("dst"), col("ns").as("nv")), Seq("dst"))
+      .select(col("src").as("a"), col("dst").as("b"),
+        explode(array_intersect(col("nu"), col("nv"))).as("c"))
+      .localCheckpoint(false)
+  }
 
   private val triMemo =
     new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
+
+  /** Test hook: memo entry count — guards the loop-bypass contract (peel
+    * rounds must NOT add never-rehittable entries that pin checkpoints). */
+  private[graft] def triMemoSize: Int = triMemo.size
 
   graft.core.Pin.onClear(() => triMemo.clear())
 
@@ -338,10 +353,13 @@ object Algorithms {
     require(k >= 3 && rounds >= 1, "k-truss needs k >= 3 and at least one round")
     var e = graft.core.Pin.pin(canonicalEdges)
     var out: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // corners come back in degree order, so re-canonicalize each side
-      // pair to the id order `e` is keyed by
-      val tri = triangles(e)
+      // pair to the id order `e` is keyed by. Only round 1 memoizes: its
+      // input is the session-pinned view shared with triangle_count /
+      // cluster_coefficient; later rounds pass fresh survivor frames whose
+      // memo entries could never be re-hit (they'd only pin checkpoints).
+      val tri = triangles(e, memoize = r == 1)
       val sup = tri.select(explode(array(
           struct(least(col("a"), col("b")).as("src"),
             greatest(col("a"), col("b")).as("dst")),

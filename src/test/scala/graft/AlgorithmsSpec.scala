@@ -103,6 +103,21 @@ class AlgorithmsSpec extends SparkSpec {
     graft.core.Pin.clear()
   }
 
+  test("kTruss peel rounds bypass the triangle memo (no unbounded entry growth)") {
+    graft.core.Pin.clear()
+    val k5 = Seq("a", "b", "c", "d", "e").combinations(2).map(p => (p(0), p(1))).toSeq
+    val edges = (k5 ++ Seq(("e", "x"), ("e", "y"), ("x", "y"))).toDF("src", "dst")
+    val before = Algorithms.triMemoSize
+    Algorithms.kTruss(Algorithms.canonical(edges), k = 5, rounds = 3).count()
+    val afterOne = Algorithms.triMemoSize
+    // only round 1 (the session-pinned input, shared with triangle_count)
+    // may memoize; rounds 2..3 pass fresh survivor frames and must not
+    assert(afterOne - before <= 1, s"peel rounds leaked memo entries: $before -> $afterOne")
+    Algorithms.kTruss(Algorithms.canonical(edges), k = 5, rounds = 3).count()
+    assert(Algorithms.triMemoSize === afterOne) // re-invocation re-hits, never grows
+    graft.core.Pin.clear()
+  }
+
   test("landmarkDistances: triangle-inequality upper bound over the landmark legs; index memoized") {
     // path graph a-b-c-d-e; landmark c: d(a,c)=2, d(c,e)=2 → ub(a,e)=4 (true 4);
     // landmark b: ub(a,e)=1+3=4; min stays 4. ub(a,d) = min(2+1, 1+2) = 3 (true 3)

@@ -208,4 +208,12 @@ class DslSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("shares no variable"))
   }
+
+  test("match() rejects a non-vertex frontier (after outE)") {
+    import graft.api.MatchPattern.as
+    val ex = intercept[IllegalArgumentException] {
+      t.V().outE("knows").matchStep(as("a").out("created").as("b"))
+    }
+    assert(ex.getMessage.contains("vertex step"))
+  }
 }
