@@ -20,11 +20,10 @@ object Bench {
       if (!sys.env.get("SPARK_GRAFT_SKIP_ADJ").contains("1"))
         graft.traverse.Traversals.adjacencyView(graph, dir)
       // multiplicity-preserving view (walk-counting traversals plan
-      // against the NON-distinct adjacency)
+      // against the NON-distinct adjacency; src-partitioned for the
+      // |V|-probe consumers — seededLpa rounds, assortativity moments)
       if (!sys.env.get("SPARK_GRAFT_SKIP_MULT").contains("1"))
-        graft.core.Pin.pin(graft.core.EdgeStep(dir).edgesFor(graph)
-          .select(org.apache.spark.sql.functions.col("src"),
-            org.apache.spark.sql.functions.col("dst")))
+        graft.traverse.Traversals.multiplicityView(graph, graft.core.EdgeStep(dir))
     }
     // the labeled (src, label, dst) adjacency the degree-capped kout/
     // kneighbor family windows over — same persist-once family as the

@@ -98,8 +98,7 @@ object ScaleSmoke {
           Traversals.adjacencyView(g, dir)
           // multiplicity-preserving view (walk-counting traversals,
           // neighborRank) — Bench.warmup pins these too
-          graft.core.Pin.pin(EdgeStep(dir).edgesFor(g)
-            .select(col("src"), col("dst")))
+          Traversals.multiplicityView(g, EdgeStep(dir))
         }
         Algorithms.pageRankViews(g)
         // weighted-SSSP working set (Bench.warmup pins this too)
@@ -172,8 +171,8 @@ object ScaleSmoke {
     // round-7 graph operators: assortativity (one edge join + moments),
     // seeded label spreading (per-round vote aggregation over the pinned
     // multiplicity view), sampled eccentricity (frontier-join BFS)
-    def symOf(g: PropertyGraph) = graft.core.Pin.pin(
-      EdgeStep(Direction.BOTH).edgesFor(g).select(col("src"), col("dst")))
+    def symOf(g: PropertyGraph) =
+      Traversals.multiplicityView(g, EdgeStep(Direction.BOTH))
     if (wanted("assort")) results("assortativity") = (
       time("assort 1x")(Algorithms.degreeAssortativity(symOf(g1)).count()),
       time(s"assort ${copies}x")(Algorithms.degreeAssortativity(symOf(gN)).count()))

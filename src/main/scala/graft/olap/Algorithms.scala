@@ -847,10 +847,14 @@ object Algorithms {
   def degreeAssortativity(symEdges: DataFrame): DataFrame = {
     // `symEdges` = the symmetrized multigraph view (every undirected edge
     // in both directions). Callers pass the SESSION-PINNED multiplicity
-    // view (`Pin.pin(EdgeStep(BOTH).edgesFor(g).select(src, dst))` — the
-    // exact plan Bench.warmup pins) so the three consumers below (degree
-    // aggregation + both endpoint joins) read one materialization; an
-    // unpinned projection re-evaluated per consumer measured 11s vs ~1s
+    // view (`Traversals.multiplicityView(g, EdgeStep(BOTH))` — the exact
+    // plan Bench.warmup pins, hash-partitioned on src) so the three
+    // consumers below (degree aggregation + both endpoint joins) read one
+    // materialization AND ride its partitioning: the src-keyed groupBy and
+    // the src-endpoint join need no exchange at any scale — at 10× the
+    // un-partitioned view cost a broadcast→shuffle tier flip that
+    // repartitioned both join sides cold (measured 4.4–5.3× smoke ratio).
+    // An unpinned projection re-evaluated per consumer measured 11s vs ~1s
     // at sf0.1.
     val sym = symEdges.select(col("src"), col("dst"))
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))

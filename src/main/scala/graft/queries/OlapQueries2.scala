@@ -218,8 +218,8 @@ object OlapQueries2 {
       val seeds = graph.verticesOf("region")
         .select(col("id"), col("id").as("lbl"))
       Algorithms.seededLpa(graph.vertices.select(col("id")),
-        graft.core.Pin.pin(EdgeStep(Direction.BOTH).edgesFor(graph)
-          .select(col("src"), col("dst"))), seeds, iterations = 3)
+        graft.traverse.Traversals.multiplicityView(graph, EdgeStep(Direction.BOTH)),
+        seeds, iterations = 3)
     },
 
     q("q_influence_spread",
@@ -451,8 +451,7 @@ object OlapQueries2 {
       // subgraph_stat companion statistic (Newman 2002); exact decimal
       // sums make the Pearson double bit-identical to the oracle. The
       // symmetrized view is the warmup-pinned multiplicity adjacency.
-      Algorithms.degreeAssortativity(graft.core.Pin.pin(
-        EdgeStep(Direction.BOTH).edgesFor(g(s, d))
-          .select(col("src"), col("dst"))))
+      Algorithms.degreeAssortativity(
+        graft.traverse.Traversals.multiplicityView(g(s, d), EdgeStep(Direction.BOTH)))
     })
 }

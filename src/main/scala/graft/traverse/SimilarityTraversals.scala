@@ -132,7 +132,7 @@ object SimilarityTraversals {
       Seq(source).toDF("id"))
 
     steps.zipWithIndex.foreach { case (rs, si) =>
-      val e = graft.core.Pin.pin(rs.step.edgesFor(g).select(col("src"), col("dst")))
+      val e = Traversals.multiplicityView(g, rs.step)
       // broadcast the FRONTIER into the edge join — the edge table (the
       // 100 TB side) never shuffles; same pattern as Traversals.expand.
       // Every other join side below is a per-layer id-level relation, so

@@ -121,6 +121,22 @@ object Traversals {
       }
   }
 
+  /** Multiplicity-preserving (src, dst) adjacency pinned per step shape —
+    * the NON-distinct view walk-counting traversals, neighborRank, seeded
+    * label spreading and degree assortativity plan against. Declared
+    * hash-partitioned on src: unlike the BFS [[adjacencyView]] (whose
+    * frontier stays small, where a declared partitioning only biases the
+    * planner away from the winning frontier broadcast), every iterative
+    * consumer of THIS view joins it against a |V|-sized side (per-round
+    * label frames, the degree table), so at 10×+ the co-partitioned join
+    * replaces a cold two-sided shuffle — the assortativity tier flip. All
+    * call sites must route through here: the pin dedups by plan, and a
+    * bare un-partitioned construction would cold-pin a second copy of the
+    * edge table. */
+  private[graft] def multiplicityView(g: PropertyGraph, step: EdgeStep): DataFrame =
+    pinned(step.edgesFor(g).select(col("src"), col("dst"))
+      .repartition(col("src")))
+
   /** Labeled adjacency (src, label, dst) pinned per (dir, labels) — the
     * base relation per-hop degree truncation windows over. Clustered by src
     * within partitions for the same cache-batch pruning as adjacencyView. */
