@@ -853,5 +853,71 @@ object DocQueries3 {
         concat(col("text"), when(col("doc_id") % 4 === 0,
           lit(" click here now" * 4)).otherwise(lit(""))).as("text"))
       Corpus.intraDocDedup(aug, "doc_id", "text", chunk = 3)
+    },
+
+    // max-probability segmentation against the REAL production lexicon —
+    // ICU4J's bundled cjdict (254k Han entries, ICU/Unicode license, on the
+    // Spark classpath), held as broadcast DATA through CjkSegment's
+    // edge-join dataflow instead of tokenizeCjkFreq's expression-tree demo
+    // dict. The oracle enumerates every segmentation with the SAME integer
+    // snlp scores (relevant lexicon slice inlined as VALUES — the Han text
+    // is fixed literals, so the slice is exact) and takes the
+    // (score DESC, length-sequence DESC) argmax — the q_tokenize_cjk_freq
+    // tie contract at real dictionary width.
+    q("q_tokenize_cjk_real", {
+      val lexMap = graft.functions.IcuLexicon.cjkScoreLexicon.toMap
+      val unk = graft.functions.IcuLexicon.cjkUnknownScore
+      val hanLits = Seq("研究生命起源",
+        "图数据库分词引擎")
+      val rel = hanLits.flatMap { t =>
+        for {
+          i <- 0 until t.length
+          n <- 1 to math.min(6, t.length - i)
+        } yield t.substring(i, i + n)
+      }.distinct.flatMap(w => lexMap.get(w).map(lp => (w, w.length, lp)))
+      val values = rel.map { case (w, n, lp) =>
+        s"('$w', $n, CAST($lp AS BIGINT))" }.mkString(",\n         |  ")
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+         |    '${hanLits.head}' || source || '${hanLits(1)}' ||
+         |    CAST(doc_id % 10 AS VARCHAR) AS zh
+         |  FROM documents WHERE doc_id < 200),
+         |rl AS (SELECT doc_id,
+         |    regexp_extract_all(lower(zh), '([a-z0-9]+|\\p{Han}+)', 1) AS rs FROM t),
+         |runs AS (SELECT doc_id, generate_subscripts(rs, 1) AS ord, unnest(rs) AS r FROM rl),
+         |dict(w, n, lp) AS (VALUES $values),
+         |cands(w, n, lp) AS (SELECT w, n, lp FROM dict
+         |  UNION ALL SELECT NULL, 1, CAST($unk AS BIGINT)),
+         |seg(doc_id, ord, r, pos, toks, score, lens) AS (
+         |  SELECT doc_id, ord, r, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]),
+         |         CAST(0 AS BIGINT), ''
+         |  FROM runs WHERE regexp_full_match(r, '\\p{Han}+')
+         |  UNION ALL
+         |  SELECT doc_id, ord, r, pos + n, toks || [substr(r, pos, CAST(n AS BIGINT))],
+         |         score + lp, lens || CAST(n AS VARCHAR)
+         |  FROM (SELECT seg.*, c.n, c.lp
+         |        FROM seg JOIN cands c
+         |          ON (c.w IS NULL OR substr(seg.r, seg.pos, CAST(c.n AS BIGINT)) = c.w)
+         |        WHERE seg.pos <= length(seg.r)) z),
+         |fin AS (SELECT doc_id, ord, toks, score, lens FROM seg WHERE pos > length(r)),
+         |best AS (SELECT doc_id, ord, toks FROM (
+         |    SELECT fin.*, row_number() OVER (PARTITION BY doc_id, ord
+         |      ORDER BY score DESC, lens DESC) AS rn FROM fin) zz WHERE rn = 1),
+         |allr AS (SELECT doc_id, ord, toks FROM best
+         |         UNION ALL
+         |         SELECT doc_id, ord, [r] FROM runs
+         |         WHERE NOT regexp_full_match(r, '\\p{Han}+')),
+         |agg AS (SELECT doc_id, flatten(list(toks ORDER BY ord)) AS toks
+         |        FROM allr GROUP BY doc_id)
+         |SELECT doc_id, array_to_string(toks, ' ') AS toks FROM agg""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val lex = graft.functions.IcuLexicon.cjkScoreLexicon.toDF("word", "lp")
+      graft.ops.CjkSegment.segment(
+        Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id",
+        concat(lit("研究生命起源"), col("source"),
+          lit("图数据库分词引擎"),
+          (col("doc_id") % 10).cast("string")),
+        lex, maxLen = 6,
+        unknownScore = graft.functions.IcuLexicon.cjkUnknownScore)
     })
 }

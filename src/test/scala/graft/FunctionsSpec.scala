@@ -334,4 +334,33 @@ class FunctionsSpec extends SparkSpec {
       org.apache.spark.sql.catalyst.expressions.Literal("café"))
     assert(expr.eval(null).toString === "café")
   }
+
+  test("ICU cjdict lexicon: production width, broadcast Viterbi segmentation") {
+    import graft.functions.IcuLexicon
+    // the shipped lexicon is REAL width (254k entries) — the parity item
+    // the demo dict stood in for (reference AnalyzerFactory.java:34-53
+    // wires shipped lexicons into its pluggable segmenters)
+    assert(IcuLexicon.cjkScoreLexicon.size > 10000)
+    assert(IcuLexicon.cjkScoreLexicon.forall { case (w, lp) => lp < 0 && w.nonEmpty })
+    val lexMap = IcuLexicon.cjkScoreLexicon.toMap
+    // the canonical ambiguity set is present and resolves by frequency,
+    // exactly like the demo-dict Viterbi (jieba's canonical example)
+    assert(lexMap.contains("\u7814\u7a76") && lexMap.contains("\u7814\u7a76\u751f")
+      && lexMap.contains("\u751f\u547d") && lexMap.contains("\u8d77\u6e90"))
+    val lex = IcuLexicon.cjkScoreLexicon.toDF("word", "lp")
+    val docs = Seq(
+      (1L, "\u7814\u7a76\u751f\u547d\u8d77\u6e90spark\u5f15\u64ce"),
+      (2L, "\u56fe\u6570\u636e\u5e93")).toDF("doc_id", "text")
+    val seg = graft.ops.CjkSegment.segment(docs, "doc_id", col("text"),
+      lex, maxLen = 6, unknownScore = IcuLexicon.cjkUnknownScore)
+    val got = seg.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // frequency beats greedy FMM (which would eat \u7814\u7a76\u751f and strand \u547d);
+    // latin runs pass through whole (the overHanRuns contract)
+    assert(got(1L) === "\u7814\u7a76 \u751f\u547d \u8d77\u6e90 spark \u5f15\u64ce")
+    assert(got(2L).split(" ").mkString("") === "\u56fe\u6570\u636e\u5e93")
+    // the lexicon side of the plan is a broadcast exchange — the corpus
+    // side never shuffles for the lookup (the 100 TB contract)
+    val plan = seg.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
 }
