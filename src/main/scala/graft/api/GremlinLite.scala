@@ -19,7 +19,13 @@ import graft.core.{Cond, PropertyGraph}
   * gt/gte/lt/lte/neq/within, hasNot, out/in/both(labels…), outE/inE,
   * inV/outV, dedup, limit(n), range(a,b), sample(f), order().by(k[,decr]),
   * repeat(step).times(n), values(k), valueMap(k…), id(), path() via
-  * pathed(), count, groupCount(k), group(k,v), fold, sum/max/min/mean(k).
+  * pathed(), count, groupCount(k), group(k,v), fold, sum/max/min/mean(k),
+  * and the declarative match(as('a').out(l).as('b'), …) with pattern-level
+  * hasLabel/has(k,v), followed by select(vars…).by(prop)… and
+  * order()/limit/range on the binding table — lowered onto the SAME
+  * [[MatchStep]] shared-variable join planner the DSL uses, so scripts and
+  * the fluent API reach one step surface (the reference routes scripts and
+  * API through one GraphTraversal the same way).
   * The whole chain compiles to ONE Catalyst plan.
   */
 object GremlinLite {
@@ -30,6 +36,9 @@ object GremlinLite {
   private[api] final case class SArg(v: String) extends Arg
   private[api] final case class NArg(v: Double) extends Arg
   private[api] final case class PArg(op: String, args: List[Arg]) extends Arg
+  /** a dotted step chain used as an argument — match() pattern fragments
+    * like `as('a').out('knows').as('b')` */
+  private[api] final case class CArg(steps: List[Arg]) extends Arg
 
   /** split a chain on top-level dots (quotes and parens respected) */
   private def splitSteps(s: String): List[String] = {
@@ -63,6 +72,10 @@ object GremlinLite {
 
   private def parseArg(s: String): Arg = s match {
     case q if q.startsWith("'") && q.endsWith("'") => SArg(q.substring(1, q.length - 1))
+    case c if {
+      val parts = splitSteps(c)
+      parts.length > 1 && parts.forall(_.matches("[a-zA-Z]+\\(.*\\)"))
+    } => CArg(splitSteps(c).map(parseArg))
     case f if f.matches("[a-zA-Z]+\\(.*\\)") =>
       val op = f.substring(0, f.indexOf('('))
       PArg(op, splitArgs(f.substring(f.indexOf('(') + 1, f.lastIndexOf(')'))).map(parseArg))
@@ -87,6 +100,51 @@ object GremlinLite {
   private def str(a: Arg): String = a match {
     case SArg(v) => v
     case other => sys.error(s"expected string, got $other")
+  }
+
+  /** Literal value of a scalar argument (property filter right-hand side). */
+  private def argVal(a: Arg): Any = a match {
+    case SArg(v) => v
+    case NArg(v) => if (v == v.floor) v.toLong else v
+    case other => sys.error(s"expected literal, got $other")
+  }
+
+  /** Lower one match() pattern fragment — `as(v)[.hasLabel(l)][.has(k,x)]
+    * (.out(l)|.in(l)).as(v)…` — onto [[MatchPattern]]; property `has`
+    * constraints can't ride the pattern (the join planner binds ids only),
+    * so they come back as (var, prop, value) post-join filters. */
+  private def parsePattern(a: Arg): (MatchPattern, List[(String, String, Arg)]) = {
+    val parts = a match {
+      case CArg(ps) => ps
+      case p: PArg => List(p)
+      case other => sys.error(s"match() pattern must be a step chain, got $other")
+    }
+    var pat: MatchPattern = null
+    var hop: MatchHop = null
+    var lastVar: String = null
+    val filters = scala.collection.mutable.ListBuffer[(String, String, Arg)]()
+    parts.foreach {
+      case PArg("as", List(SArg(v))) =>
+        if (pat == null && hop == null) pat = MatchPattern.as(v)
+        else {
+          require(hop != null, s"as('$v') must start a pattern or follow out()/in()")
+          pat = hop.as(v); hop = null
+        }
+        lastVar = v
+      case PArg("hasLabel", List(SArg(l))) =>
+        require(pat != null && hop == null, "hasLabel() must follow as()")
+        pat = pat.hasLabel(l)
+      case PArg("has", List(SArg(k), v)) =>
+        require(lastVar != null, "has() must follow a bound variable")
+        filters += ((lastVar, k, v))
+      case PArg("out", List(SArg(l))) =>
+        require(pat != null && hop == null, "out() must follow as()"); hop = pat.out(l)
+      case PArg("in", List(SArg(l))) =>
+        require(pat != null && hop == null, "in() must follow as()"); hop = pat.in(l)
+      case other => sys.error(s"unsupported match() fragment: $other")
+    }
+    require(pat != null && hop == null, "match() pattern must end with as(v)")
+    (pat, filters.toList)
   }
 
   private def pred(key: String, a: Arg): Cond = a match {
@@ -116,11 +174,62 @@ object GremlinLite {
       case other => sys.error(s"traversal must start with V()/E(), got $other")
     }
     var result: Option[DataFrame] = None
+    var matchRes: Option[MatchResult] = None
     var i = 1
     val n = steps.length
     while (i < n) {
       val Step(name, args) = steps(i)
       (name, args) match {
+        // ---- match() and its result steps (the MatchStep planner path) ----
+        case ("match", pats) =>
+          require(pats.nonEmpty, "match() needs at least one pattern")
+          val parsed = pats.map(parsePattern)
+          var mr = t.matchStep(parsed.map(_._1): _*)
+          // pattern-fragment has(k, v): property filter on the bound
+          // variable, applied on the joined bindings (one left join on the
+          // vertex table per constrained property — CypherLite's shape)
+          parsed.flatMap(_._2).zipWithIndex.foreach { case ((v, k, value), ix) =>
+            import org.apache.spark.sql.functions.{col, lit}
+            val al = s"__has_$ix"
+            mr = mr.withProp(v, k, al).where(col(al) === lit(argVal(value)))
+          }
+          matchRes = Some(mr)
+        case ("select", vars) if matchRes.isDefined =>
+          import org.apache.spark.sql.functions.col
+          val vs = vars.map(str)
+          // trailing by(prop) modulators, one per selected variable
+          val bys = scala.collection.mutable.ListBuffer[String]()
+          while (i + 1 < n && steps(i + 1).name == "by") {
+            bys += str(steps(i + 1).args.head); i += 1
+          }
+          var mr = matchRes.get
+          val picked =
+            if (bys.isEmpty) vs
+            else {
+              require(bys.length == vs.length, "one by() per selected variable")
+              vs.zip(bys).zipWithIndex.map { case ((v, p), ix) =>
+                mr = mr.withProp(v, p, s"__sel_$ix"); s"__sel_$ix"
+              }
+            }
+          result = Some(mr.df.select(
+            picked.zip(vs).map { case (cn, v) => col(cn).as(v) }: _*))
+        // ---- post-terminal modulators on a produced result frame ----
+        case ("order", Nil) if result.isDefined =>
+          import org.apache.spark.sql.functions.col
+          val sorts = scala.collection.mutable.ListBuffer[org.apache.spark.sql.Column]()
+          while (i + 1 < n && steps(i + 1).name == "by") {
+            val by = steps(i + 1)
+            val c = col(str(by.args.head))
+            sorts += (if (by.args.length >= 2 && str(by.args(1)) == "decr") c.desc
+                      else c.asc)
+            i += 1
+          }
+          require(sorts.nonEmpty, "order() needs at least one by(key)")
+          result = result.map(_.orderBy(sorts.toSeq: _*))
+        case ("limit", List(x)) if result.isDefined =>
+          result = result.map(_.limit(num(x).toInt))
+        case ("range", List(a, b)) if result.isDefined =>
+          result = result.map(_.offset(num(a).toInt).limit((num(b) - num(a)).toInt))
         case ("hasLabel", as) => t = t.hasLabel(as.map(str): _*)
         case ("has", List(k, v)) => t = t.has(pred(str(k), v))
         case ("has", List(k)) => t = t.filter(org.apache.spark.sql.functions.col(str(k)).isNotNull)

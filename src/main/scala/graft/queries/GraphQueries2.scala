@@ -760,6 +760,28 @@ object GraphQueries2 {
         .offset(5).limit(20)
     },
 
+    q("q_gremlin_match_script",
+      // the SAME match() join tree reached from the TEXT frontend
+      // (reference: scripts and API share one step surface —
+      // GremlinAPI.java:51-88 routes scripts onto the identical
+      // traversal): pattern-level has() lowers to a post-join property
+      // filter, select().by() projects binding properties, range() pages
+      """SELECT c, o FROM (
+        |  SELECT cu.c_name AS c, ord.o_totalprice AS o
+        |  FROM customer cu JOIN nation n ON n.n_nationkey = cu.c_nationkey
+        |  JOIN orders ord ON ord.o_custkey = cu.c_custkey
+        |  WHERE n.n_name = 'NATION_2'
+        |  ORDER BY c ASC, o DESC
+        |  LIMIT 20 OFFSET 5) z""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('customer').match(" +
+          "as('c').hasLabel('customer').out('in_nation').as('n')" +
+          ".hasLabel('nation').has('name', 'NATION_2'), " +
+          "as('c').out('placed').as('o').hasLabel('order'))" +
+          ".select('c', 'o').by('name').by('totalprice')" +
+          ".order().by('c').by('o', 'decr').range(5, 25)")
+    },
+
     q("q_gremlin_repeat",
       // the §2.9 branch-step family end-to-end: repeat(out()).times(2)
       // from the script frontend = exact-2-hop OUT reachability

@@ -63,4 +63,39 @@ class GremlinLiteSpec extends SparkSpec {
     intercept[Exception](run("g.V().nonsenseStep()"))
     intercept[Exception](run("notatraversal"))
   }
+
+  test("match() through the text frontend equals the DSL matchStep") {
+    val script = run(
+      "g.V().match(as('a').hasLabel('person').out('knows').as('b'), " +
+        "as('b').out('created').as('c')).select('a', 'b', 'c')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    import graft.api.MatchPattern.as
+    val dsl = graft.api.Graft.g(g).V().matchStep(
+        as("a").hasLabel("person").out("knows").as("b"),
+        as("b").out("created").as("c"))
+      .select("a", "b", "c")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(script === dsl && script.nonEmpty)
+  }
+
+  test("match() pattern-level has() filters bindings; select().by() projects properties") {
+    val rows = run(
+      "g.V().match(as('a').out('created').as('s').has('name', 'lop'))" +
+        ".select('a', 's').by('name').by('lang')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("marko", "java"), ("josh", "java"), ("peter", "java")))
+    // order()/range() page the binding table
+    val paged = run(
+      "g.V().match(as('a').out('created').as('s').has('name', 'lop'))" +
+        ".select('a').by('name').order().by('a').range(1, 3)")
+      .collect().map(_.getString(0)).toList
+    assert(paged === List("marko", "peter"))
+  }
+
+  test("match() through the frontend rejects disconnected and dangling patterns") {
+    intercept[Exception](run(
+      "g.V().match(as('a').out('knows').as('b'), as('x').out('created').as('y'))" +
+        ".select('a')"))
+    intercept[Exception](run("g.V().match(as('a').out('knows')).select('a')"))
+  }
 }
