@@ -186,6 +186,16 @@ object OlapQueries2 {
         .filter(col("id") === "supplier:3").select(col("dist"))
     },
 
+    q("q_weighted_path_pruned",
+      // BIT-EQUAL to q_weighted_path by contract: the landmark upper bound
+      // only prunes vertices provably off every shorter s→t path (ALT-style
+      // goal bounding over the warmup-built weighted landmark index)
+      s"""SELECT dist FROM (${GraphQueries2.weightedSsspSql(4)}) WHERE id = 'supplier:3'""") { (s, d) =>
+      PathTraversals.weightedPathPruned(g(s, d), "customer:1", "supplier:3",
+        Direction.BOTH, Nil, weightCol = "quantity", rounds = 4,
+        landmarks = Seq("nation:1", "nation:7", "nation:13"))
+    },
+
     q("q_seeded_lpa",
       {
         val rounds = (0 until 3).map { r =>

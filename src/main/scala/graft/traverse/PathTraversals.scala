@@ -563,4 +563,63 @@ object PathTraversals {
     }
     dist.select(col("id"), round(col("dist"), 6).as("dist"))
   }
+
+  /** Probe-then-verify weighted s→t distance: the warmup-built weighted
+    * landmark index ([[graft.olap.Algorithms.weightedLandmarkIndex]])
+    * yields an UPPER BOUND ub = min_l d(s,l)+d(l,t) in one 1-row probe;
+    * the exact delta Bellman-Ford then PRUNES every settled vertex with
+    * dist(s,u) > ub — on non-negative weights such a vertex cannot lie on
+    * any s→t path shorter than ub ≥ d(s,t), so the surviving relaxation is
+    * bit-for-bit [[weightedSssp]] at the target while the frontier stays
+    * goal-bounded (Goldberg-Harrelson ALT family, landmark-bound variant;
+    * the index is the same artifact `q_landmark_weighted` probes). The
+    * +1e-5 margin absorbs the index's per-leg 6-decimal rounding, keeping
+    * the prune strictly conservative. Falls back to the unpruned search
+    * when no landmark reaches both endpoints within `rounds`.
+    *
+    * The 1-row `collect` is a gated driver-side probe (the FrontierPruner
+    * discipline): the bound must reach the driver to parameterize the
+    * loop's filter literal. */
+  def weightedPathPruned(g: PropertyGraph, source: String, target: String,
+                         dir: Direction.Value, labels: Seq[String],
+                         weightCol: String, rounds: Int,
+                         landmarks: Seq[String]): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val edges = weightedEdgeView(g, dir, labels, weightCol)
+    val ub = graft.olap.Algorithms.weightedLandmarkDistances(
+        Seq((source, target)).toDF("a", "b"), landmarks, edges, rounds)
+      .collect().headOption.map(_.getDouble(2))
+    ub match {
+      case None =>
+        weightedSssp(g, source, dir, labels, weightCol, rounds)
+          .filter(col("id") === target).select(col("dist"))
+      case Some(bound) =>
+        val cut = bound + 1e-5
+        var dist = Seq((source, 0.0)).toDF("id", "dist")
+        var changed = dist
+        var converged = false
+        for (_ <- 1 to rounds if !converged) {
+          val relaxed = changed.select(col("id").as("src"), col("dist"))
+            .join(edges, Seq("src"))
+            .groupBy(col("dst"))
+            .agg(min(col("dist") + col("w")).as("rdist"))
+            .select(col("dst").as("id"), col("rdist"))
+          val merged = dist.join(relaxed, Seq("id"), "full")
+            .select(col("id"),
+              least(coalesce(col("dist"), col("rdist")),
+                coalesce(col("rdist"), col("dist"))).as("dist"),
+              (col("dist").isNull ||
+                (col("rdist").isNotNull && col("rdist") < col("dist"))).as("improved"))
+            .localCheckpoint(true)
+          // the landmark bound: improved-but-beyond-ub vertices never relax
+          changed = merged.filter(col("improved") && col("dist") <= cut)
+            .select(col("id"), col("dist"))
+          dist = merged.select(col("id"), col("dist"))
+          converged = changed.limit(1).count() == 0
+        }
+        dist.filter(col("id") === target)
+          .select(round(col("dist"), 6).as("dist"))
+    }
+  }
 }

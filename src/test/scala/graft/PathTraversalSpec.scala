@@ -170,6 +170,26 @@ class PathTraversalSpec extends SparkSpec {
     assert(m === bounded)
   }
 
+  test("weightedPathPruned equals the unpruned s->t distance (landmark bound is conservative)") {
+    // target reached; landmark person:josh bounds the search
+    val pruned = PathTraversals.weightedPathPruned(modern, "person:marko",
+      "software:ripple", Direction.OUT, Nil, "weight", rounds = 3,
+      landmarks = Seq("person:josh"))
+      .collect().map(_.getDouble(0))
+    val exact = PathTraversals.weightedSssp(modern, "person:marko",
+      Direction.OUT, Nil, "weight", rounds = 3)
+      .filter(org.apache.spark.sql.functions.col("id") === "software:ripple")
+      .collect().map(_.getDouble(1))
+    assert(pruned.toSeq === exact.toSeq && pruned.length === 1)
+    // a landmark reaching neither endpoint: falls back to the exact search
+    val fb = PathTraversals.weightedPathPruned(modern, "person:marko",
+      "software:lop", Direction.OUT, Nil, "weight", rounds = 3,
+      landmarks = Seq("software:ripple")) // ripple has no OUT edges
+      .collect().map(_.getDouble(0))
+    assert(fb.toSeq === Seq(0.4))
+    graft.core.Pin.clear()
+  }
+
   test("multiNodeShortestDist pairwise distances") {
     val m = PathTraversals.multiNodeShortestDist(modern,
       Seq("person:marko", "person:peter", "person:vadas"), Direction.BOTH, Nil, 4)
