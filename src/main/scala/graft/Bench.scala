@@ -158,6 +158,34 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
+    // Fixed CALIBRATION CONTROLS, timed after warmup exactly like queries:
+    // code-untouched probes of the three cost regimes (pure columnar scan,
+    // one wide shuffle, a fixed-round driver loop). Their round-over-round
+    // ratio MEASURES the host factor that previously had to be inferred
+    // from the per-query min-ratio histogram — campaign comparisons quote
+    // engine movement net of these.
+    val controls = {
+      import org.apache.spark.sql.functions._
+      def timed(name: String)(body: => Unit): (String, Double) = {
+        val t0 = System.nanoTime(); body
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      Seq(
+        timed("ctl_scan") {
+          graft.core.Tables.lineitem(spark, sfDir)
+            .agg(sum(col("l_quantity")), sum(col("l_extendedprice"))).collect()
+        },
+        timed("ctl_shuffle") {
+          graft.core.Tables.lineitem(spark, sfDir)
+            .groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("s"))
+            .agg(count(lit(1)), sum(col("s"))).collect()
+        },
+        timed("ctl_loop") {
+          var i = 0
+          while (i < 8) { spark.range(1000000L).selectExpr("sum(id)").collect(); i += 1 }
+        })
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a throwing query publishes -1, never its exception latency —
@@ -170,7 +198,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val mode = if (sys.env.get("SPARK_GRAFT_BUCKETED").contains("1"))
       ""","mode":"bucketed"""" else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$mode}"""
+    val ctl = controls.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(""","controls":{""", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$mode$ctl}"""
     println(line)
     // the driver's stdout artifact truncates long JSON lines (only ~65 of
     // the per-query times survive) — also append the full line to a repo

@@ -269,19 +269,31 @@ object Algorithms {
     * once, on edge (x,y) with common neighbor z. Returns (a, b, c) corner
     * ids in degree order.
     *
-    * Memoized per input frame REFERENCE, and ONLY for the session-pinned
-    * first-round input: the internal checkpoints make the plan
-    * non-canonical, so Pin's plan-keyed dedup can't share it — but callers
-    * all pass the SAME `Pin.pin`ned canonical view, so reference identity
-    * is exactly the sharing key (triangle_count, cluster_coefficient and
-    * k-truss round 1 run ONE enumeration per session). Loop-internal
-    * frames (k-truss peel rounds ≥2 pass a FRESH survivor frame each
-    * round) bypass the memo entirely — a never-rehittable entry per round
-    * would pin its checkpointed blocks until Pin.clear, growing checkpoint
+    * Memoized per input PLAN (`sameResult`, the Pin.memo mechanism), and
+    * ONLY for top-level inputs: triangle_count, cluster_coefficient and
+    * k-truss round 1 run ONE enumeration per session whether they pass
+    * the same pinned instance (default mode) or independently-built store
+    * scans of the same edge set (store-resident mode, where Pin.pin is a
+    * pass-through and reference identity would never collide — measured
+    * 11.6× on q_triangle_count before plan keying). Loop-internal frames
+    * (k-truss peel rounds ≥2 pass a FRESH survivor frame each round)
+    * bypass the memo entirely — a never-rehittable entry per round would
+    * pin its checkpointed blocks until Pin.clear, growing checkpoint
     * storage unboundedly across repeated invocations. */
-  private def triangles(canonical: DataFrame, memoize: Boolean = true): DataFrame =
-    if (memoize) triMemo.computeIfAbsent(canonical, triangleBuild(_))
-    else triangleBuild(canonical)
+  private def triangles(canonical: DataFrame, memoize: Boolean = true): DataFrame = {
+    if (!memoize) return triangleBuild(canonical)
+    val plan = canonical.queryExecution.analyzed
+    val key = (System.identityHashCode(canonical.sparkSession), plan.semanticHash())
+    val bucket = triMemo.computeIfAbsent(key,
+      _ => scala.collection.mutable.ListBuffer.empty)
+    bucket.synchronized {
+      bucket.find(_._1.sameResult(plan)).map(_._2).getOrElse {
+        val built = triangleBuild(canonical)
+        bucket += ((plan, built))
+        built
+      }
+    }
+  }
 
   private def triangleBuild(c: DataFrame): DataFrame = {
     val o = orientByDegree(c).localCheckpoint(false)
@@ -296,12 +308,17 @@ object Algorithms {
       .localCheckpoint(false)
   }
 
-  private val triMemo =
-    new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
+  private val triMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int),
+    scala.collection.mutable.ListBuffer[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]()
 
   /** Test hook: memo entry count — guards the loop-bypass contract (peel
     * rounds must NOT add never-rehittable entries that pin checkpoints). */
-  private[graft] def triMemoSize: Int = triMemo.size
+  private[graft] def triMemoSize: Int = {
+    import scala.jdk.CollectionConverters._
+    triMemo.values.asScala.map(_.size).sum
+  }
 
   graft.core.Pin.onClear(() => triMemo.clear())
 

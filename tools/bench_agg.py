@@ -7,6 +7,7 @@ import json, statistics, sys
 def main():
     out, rnd, runs = sys.argv[1], int(sys.argv[2]), sys.argv[3:]
     per, totals, sf = {}, [], None
+    ctls = {}
     for path in runs:
         # sbt may prefix the metric line with "[info] " and append trailing
         # log lines — parse line by line, keeping the first line that is
@@ -31,10 +32,15 @@ def main():
         totals.append(round(d["value"], 1))
         for q, s in d["queries"].items():
             per.setdefault(q, []).append(s)
+        for c, s in d.get("controls", {}).items():
+            ctls.setdefault(c, []).append(s)
     qmap = {q: {"min": round(min(v), 3), "median": round(statistics.median(v), 3),
                 "runs": len(v)} for q, v in sorted(per.items())}
+    cmap = {c: {"min": round(min(v), 3), "median": round(statistics.median(v), 3),
+                "runs": len(v)} for c, v in sorted(ctls.items())}
     doc = {"round": rnd, "sf": sf, "n_queries": len(qmap),
            "run_totals_sec": totals,
+           "controls": cmap,
            "total_of_per_query_min": round(sum(x["min"] for x in qmap.values()), 1),
            "total_of_per_query_median": round(sum(x["median"] for x in qmap.values()), 1),
            "queries": qmap}
