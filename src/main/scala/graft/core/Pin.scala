@@ -88,6 +88,41 @@ object Pin {
 
   private val debug = sys.env.get("GRAFT_PIN_DEBUG").contains("1")
 
+  /** PLAN-keyed memo for derived-artifact builders (landmark indexes,
+    * triangle enumerations, trained tables): dedups on `sameResult` of the
+    * input frame plus a hyper-parameter key. Reference-keyed memos break in
+    * store-resident mode — `pin` is a pass-through there, so every call
+    * constructs a FRESH input frame and a reference key never re-hits; the
+    * artifact then silently rebuilds inside each consumer (measured: the
+    * warmup-built landmark index rebuilt per probe query, 18-29× — the
+    * same defect class the `pinDerived` split fixed for the LSH family).
+    * Registers with [[onClear]]. */
+  final class PlanMemo[K] {
+    private val m = new ConcurrentHashMap[(Int, Int, K),
+      ListBuffer[(LogicalPlan, DataFrame)]]()
+    onClear(() => m.clear())
+
+    def getOrBuild(input: DataFrame, k: K)(build: => DataFrame): DataFrame = {
+      val plan = input.queryExecution.analyzed
+      val key = (System.identityHashCode(input.sparkSession), plan.semanticHash(), k)
+      val bucket = m.computeIfAbsent(key, _ => ListBuffer.empty)
+      bucket.synchronized {
+        bucket.find(_._1.sameResult(plan)).map(_._2).getOrElse {
+          val built = build
+          bucket += ((plan, built))
+          built
+        }
+      }
+    }
+
+    /** entry count (test hook) */
+    def entries: Int = {
+      var n = 0
+      m.forEach((_, b) => n += b.size)
+      n
+    }
+  }
+
   /** Derived working-set memos (walk corpora, SSSP tables, …) register here
     * so [[clear]] — the contract tests overwriting parquet in place must
     * honor — also invalidates everything built ON TOP of pinned views. */

@@ -280,20 +280,9 @@ object Algorithms {
     * bypass the memo entirely — a never-rehittable entry per round would
     * pin its checkpointed blocks until Pin.clear, growing checkpoint
     * storage unboundedly across repeated invocations. */
-  private def triangles(canonical: DataFrame, memoize: Boolean = true): DataFrame = {
-    if (!memoize) return triangleBuild(canonical)
-    val plan = canonical.queryExecution.analyzed
-    val key = (System.identityHashCode(canonical.sparkSession), plan.semanticHash())
-    val bucket = triMemo.computeIfAbsent(key,
-      _ => scala.collection.mutable.ListBuffer.empty)
-    bucket.synchronized {
-      bucket.find(_._1.sameResult(plan)).map(_._2).getOrElse {
-        val built = triangleBuild(canonical)
-        bucket += ((plan, built))
-        built
-      }
-    }
-  }
+  private def triangles(canonical: DataFrame, memoize: Boolean = true): DataFrame =
+    if (memoize) triMemo.getOrBuild(canonical, ())(triangleBuild(canonical))
+    else triangleBuild(canonical)
 
   private def triangleBuild(c: DataFrame): DataFrame = {
     val o = orientByDegree(c).localCheckpoint(false)
@@ -308,19 +297,11 @@ object Algorithms {
       .localCheckpoint(false)
   }
 
-  private val triMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int),
-    scala.collection.mutable.ListBuffer[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]()
+  private val triMemo = new graft.core.Pin.PlanMemo[Unit]
 
   /** Test hook: memo entry count — guards the loop-bypass contract (peel
     * rounds must NOT add never-rehittable entries that pin checkpoints). */
-  private[graft] def triMemoSize: Int = {
-    import scala.jdk.CollectionConverters._
-    triMemo.values.asScala.map(_.size).sum
-  }
-
-  graft.core.Pin.onClear(() => triMemo.clear())
+  private[graft] def triMemoSize: Int = triMemo.entries
 
   /** Per-vertex triangle count (reference `comm/TriangleCountAlgorithm.java:65`).
     * Enumerates degree-oriented triangles with two joins — each triangle
@@ -627,16 +608,16 @@ object Algorithms {
                     maxDepth: Int): DataFrame = {
     val spark = adj.sparkSession
     import spark.implicits._
-    landmarkMemo.computeIfAbsent((adj, landmarks.sorted, maxDepth), _ =>
+    // PLAN-keyed (Pin.PlanMemo): in store-resident mode the adjacency view
+    // is a fresh frame per call, so a reference key would silently rebuild
+    // the warmup-built index inside every probe query (measured 17.8×)
+    landmarkMemo.getOrBuild(adj, (landmarks.sorted, maxDepth))(
       graft.core.Pin.pinDerived(
         multiSourceBfsAdj(landmarks.toDF("id"), adj, maxDepth)
           .select(col("root").as("landmark"), col("id"), col("dist"))))
   }
 
-  private val landmarkMemo = new java.util.concurrent.ConcurrentHashMap[
-    (DataFrame, Seq[String], Int), DataFrame]()
-
-  graft.core.Pin.onClear(() => landmarkMemo.clear())
+  private val landmarkMemo = new graft.core.Pin.PlanMemo[(Seq[String], Int)]
 
   /** [[landmarkDistances]] for WEIGHTED graphs: the same Potamias
     * triangle-inequality bound min_l d(s,l) + d(l,t) over a weighted
@@ -673,7 +654,9 @@ object Algorithms {
                             rounds: Int): DataFrame = {
     val spark = wadj.sparkSession
     import spark.implicits._
-    wLandmarkMemo.computeIfAbsent((wadj, landmarks.sorted, rounds), _ => {
+    // PLAN-keyed for the same store-resident reason as [[landmarkIndex]]
+    // (reference keys rebuilt the index per probe: measured 28.7×)
+    wLandmarkMemo.getOrBuild(wadj, (landmarks.sorted, rounds)) {
       var dist = landmarks.map(l => (l, l, 0.0)).toDF("landmark", "id", "dist")
         .localCheckpoint(true)
       var changed = dist
@@ -698,13 +681,10 @@ object Algorithms {
       }
       graft.core.Pin.pinDerived(dist.select(col("landmark"), col("id"),
         round(col("dist"), 6).as("dist")))
-    })
+    }
   }
 
-  private val wLandmarkMemo = new java.util.concurrent.ConcurrentHashMap[
-    (DataFrame, Seq[String], Int), DataFrame]()
-
-  graft.core.Pin.onClear(() => wLandmarkMemo.clear())
+  private val wLandmarkMemo = new graft.core.Pin.PlanMemo[(Seq[String], Int)]
 
   /** Closeness centrality Σ 1/d(s,t) (reference
     * `cent/ClosenessCentralityAlgorithmV2.java:46`). */
