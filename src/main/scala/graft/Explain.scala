@@ -20,6 +20,9 @@ object Explain {
     "q_customized_paths" -> "weighted top-N compiles to TakeOrderedAndProject — distributed partial top-k, no single-partition global Window sort",
     "q_kout_dfs" -> "degree cap truncates AFTER the frontier join — the window sorts only frontier fan-out, never O(|E|)",
     "q_ann_ivf_kmeans" -> "k-means assignment broadcasts the centroid table; candidate stream never shuffles",
+    "q_ann_ivfpq_topk" -> "r10: NO rank window anywhere — coarse-cell + PQ-code assignment both fold through the bounded-heap top_k_by argmax on the pinned vec_id partitioning",
+    "q_tokenize_cjk_real" -> "254k-entry ICU lexicon joins as a BroadcastExchange; the corpus side never shuffles for the lookup",
+    "q_weighted_path_pruned" -> "landmark upper bound prunes the Bellman-Ford frontier (goal-bounded search over the warmup-built index)",
     "q_top_ngrams" -> "corpus top-k = explode + partial agg + TakeOrderedAndProject",
     "q_guided_walks" -> "memoized walk corpus: consumers plan against the checkpoint (0 exchanges here); the cold walk-STEP plan is recorded separately below from the first run's captured per-hop executions")
 
@@ -88,10 +91,18 @@ object Explain {
       |    eccentricity (MS-BFS)  7.49 s   19.03 s  2.5x
       |    ktruss                11.09 s   40.33 s  3.6x
       |    landmark_index         7.05 s   12.80 s  1.8x
-      |    assortativity          3.48 s   18.51 s  5.3x
+      |    assortativity          5.84 s   13.59 s  2.3x  (r10: src-partitioned pin)
+      |    seeded_lpa (r10)       6.12 s   17.17 s  2.8x
       |
-      |All ≤ 3.6× except assortativity — no OOM, no driver stall, and the
-      |two exceptions are understood, not cliffs:
+      |All ≤ 3.6× — no OOM, no driver stall. Round 10 killed the one
+      |above-band ratio: assortativity measured 4.4–5.3× at the r9 HEAD
+      |because the un-partitioned multiplicity view cost an AQE
+      |broadcast→shuffle tier flip at 10×; the view is now pinned
+      |hash-partitioned on src (`Traversals.multiplicityView` — shared by
+      |seededLpa, neighborRank and the warmup), so the degree aggregation
+      |and the src-endpoint join ride the stored partitioning: 2.3×, and
+      |sf0.1 warm runs dropped 2× (shuffle count 8→5 / 21→18). The two
+      |historical exceptions for the record:
       |
       |- **ktruss** was this smoke's one real catch: the original wedge
       |  self-join MATERIALIZED 22M exploded wedge rows at 1× (220M at 10×,
@@ -104,11 +115,28 @@ object Explain {
       |  hash build, spills gone, 10× wall 186 s → 40 s. The 3.6× that
       |  remains is a compute-bound enumeration growing linearly while its
       |  fixed overheads amortize.
-      |- **assortativity** (4.4–5.3× across repeats): at 1× AQE broadcasts
-      |  the ~20 MB degree table; at 10× it correctly falls back to the
-      |  shuffle join a cluster would need — the ratio measures that plan
-      |  tier flip, not superlinear work (the operator is ONE edge⋈degree
-      |  join + moments off the degree table; both sides grow 10×).
+      |- **assortativity** (historical, FIXED in r10): at 1× AQE broadcast
+      |  the ~20 MB degree table; at 10× it fell back to a cold two-sided
+      |  shuffle join. Pre-partitioning the pinned view (above) removed the
+      |  flip — both join sides now already sit on hash(src).
+      |
+      |## 30× stretch smoke (runMain graft.ScaleSmoke 30, round-10 HEAD)
+      |
+      |One more tier on the three heaviest multi-stage operators — the
+      |"does the 10× trend hold" check before anyone claims 100×
+      |(SPARK_GRAFT_SMOKE_ONLY=ktruss,assort,slpa; 19.8M-edge copies):
+      |
+      |    operator        1x        30x       ratio   per-copy
+      |    assortativity    3.42 s    81.24 s  23.8x   0.79
+      |    seeded_lpa       5.58 s    41.42 s   7.4x   0.25
+      |    ktruss          11.87 s   137.24 s  11.6x   0.39
+      |
+      |All sub-linear per copy, no OOM, no spill regressions. Assortativity's
+      |per-copy cost rises between 10× and 30× (0.23 → 0.79): the 20M-edge
+      |pinned view crosses the in-memory columnar cache comfort zone and the
+      |final moment joins process ~3× the per-partition volume — linear-class
+      |growth, not a cliff (a cluster sizes partitions down; local[32] holds
+      |the partition count at 32).
       |
       |## Bucketed edge store — measured end-to-end (runMain graft.BenchBucketed)
       |
@@ -196,29 +224,38 @@ object Explain {
       |All bench queries run with edges served from the bucketBy(src)
       |catalog table and graph-view pinning off — every frontier/algorithm
       |join re-reads the store (the configuration where the working set does
-      |not fit executor memory). Min-across-2 full runs per query in both
-      |modes (single-run host noise exceeds 2× on this box):
+      |not fit executor memory). RE-MEASURED at the ROUND-10 HEAD
+      |(min-across-2 full runs per query in both modes, all 226 queries):
       |
-      |    default (pinned) sum : 115.2 s      (104 queries)
-      |    store-resident sum   : 198.6 s      1.72x, median per-query 1.1x
-      |    faster when resident : 37 queries   (no pin-build cost in-query)
+      |    default (pinned) sum : 248.0 s      (226 queries)
+      |    store-resident sum   : 278.6 s      1.12x, median per-query 0.98x
+      |    faster when resident : 118 queries  (no pin-build cost in-query)
+      |    worst per-query tail : 2.5x (q_node2vec_walks), 2.3x (hits,
+      |                           eccentricity), 2.0-2.1x (triangle_count,
+      |                           multinode_shortest) — per-hop/per-round
+      |                           store re-reads, bounded constants all
       |
-      |The tail is exactly the family the trade predicts — per-hop/per-round
-      |store re-reads: q_triangle_count 11.6x (three store references in one
-      |query), q_kcore 6.7x (peeling rounds), kout/kneighbor/paths/shortest
-      |family 2.3-5.4x (one scan per hop), q_louvain 2.8x (per-pass coarsen).
-      |Every ratio is a bounded constant-factor cost, not a blow-up; the
-      |oracle suite passes in full in this mode (sf0.001 gate re-run).
+      |Round-over-round: the r5 sweep measured 1.72x aggregate with
+      |q_triangle_count at 11.6x (three independent store scans enumerated
+      |triangles three times). Two fixes closed it: (a) the r9 intersection
+      |rewrite, and (b) round-10 PLAN-keyed artifact memos
+      |(`Pin.PlanMemo`) — with pinning off, every consumer builds a FRESH
+      |input frame, so the old reference-keyed memos never re-hit; keying on
+      |`sameResult` of the input plan restores one-enumeration sharing in
+      |both modes (q_triangle_count 2.0x). The same sweep caught the
+      |landmark-index memos rebuilding the warmup-built index inside every
+      |probe query (q_landmark_distance 17.8x, q_landmark_weighted 28.7x) —
+      |plan-keyed too, post-fix 1.1x / 1.6x. The full oracle suite passes in
+      |this mode (226/226, sf0.001 gate re-run at the r10 HEAD).
       |
-      |One real defect surfaced and fixed by this sweep: the blanket Pin
-      |pass-through also disabled the DERIVED working-set memos (tokenized
-      |corpus, MinHash signatures, k-means candidates), so the LSH near-dup
-      |family re-ran its whole derivation chain inside every consumer — and
-      |every WCC round of the cluster loop: q_minhash_lsh 0.96s→868s,
-      |q_dedup_clusters 4.2s→1345s, q_corpus_pipeline 4.5s→634s. A deployment
-      |writes derived artifacts once, next to the corpus; `Pin.pinDerived`
-      |now keeps them materialized in every mode (post-fix: 4.2s / 4.0s /
-      |4.2s store-resident).
+      |One real defect surfaced and fixed by the original sweep: the blanket
+      |Pin pass-through also disabled the DERIVED working-set memos
+      |(tokenized corpus, MinHash signatures, k-means candidates), so the
+      |LSH near-dup family re-ran its whole derivation chain inside every
+      |consumer — and every WCC round of the cluster loop: q_minhash_lsh
+      |0.96s→868s, q_dedup_clusters 4.2s→1345s, q_corpus_pipeline 4.5s→634s.
+      |A deployment writes derived artifacts once, next to the corpus;
+      |`Pin.pinDerived` keeps them materialized in every mode.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
