@@ -85,7 +85,11 @@ object DocScaleSmoke {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // dev iteration: SPARK_GRAFT_SMOKE_ONLY=covariance,knn runs a subset
+    // (substring match on operator name, the ScaleSmoke filter)
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(",").toSet)
     def run(name: String, f: (DataFrame, DataFrame) => DataFrame): Unit = {
+      if (!only.forall(_.exists(name.contains))) return
       val t1 = time(s"$name 1x")(f(d1, e1).count())
       val tN = time(s"$name ${copies}x")(f(dN, eN).count())
       results(name) = (t1, tN)

@@ -171,38 +171,40 @@ object Explain {
       |suffixed with a per-copy marker, so the copies share NO word n-grams
       |and the within-copy shingle structure is exactly the original's),
       |heaviest doc operators timed 1× vs 10× in one session with the
-      |tokenized-corpus pin warmed like the bench. Measured at the ROUND-9
-      |HEAD (local[32], single quiet-host run; the sweep now covers the
-      |round-7/8/9 additions — sketches, BPE, classifier training,
-      |covariance, incremental dedup, kNN graph, MMR, item-item CF):
+      |tokenized-corpus pin warmed like the bench. Measured at the ROUND-10
+      |HEAD (local[32], single quiet-host run; covers the round-7/8/9
+      |additions — sketches, BPE, classifier training, covariance,
+      |incremental dedup, kNN graph, MMR, item-item CF — with the ANN
+      |family now on the heap-argmax assignment path):
       |
       |    operator            1x       10x      ratio
-      |    minhash_lsh         5.66 s    6.91 s  1.2x
-      |    dedup_clusters      3.28 s    4.89 s  1.5x
-      |    corpus_pipeline     4.35 s    6.08 s  1.4x
-      |    decontaminate       1.56 s    2.73 s  1.7x
-      |    pack_blocks         0.28 s    0.19 s  0.7x
-      |    ann_brute_topk      0.84 s    0.46 s  0.5x
-      |    pmi_pairs           4.40 s    4.62 s  1.0x
-      |    rp_reduce           0.88 s    0.40 s  0.5x
-      |    kmv/hll/cms sketch  ≤3.03 s  ≤2.80 s  ≤0.9x
-      |    bloom_decontaminate 2.14 s    3.28 s  1.5x
-      |    tfidf_topterms      1.79 s    3.28 s  1.8x
-      |    bigram_logprob      2.31 s    3.08 s  1.3x
-      |    bpe_merges          3.05 s    3.77 s  1.2x
-      |    embed_covariance    2.20 s    7.33 s  3.3x
-      |    temperature_mix     0.92 s    0.86 s  0.9x
-      |    incremental_dedup   1.42 s    2.80 s  2.0x
-      |    token_budget        1.71 s    1.55 s  0.9x
-      |    quality_classifier  7.25 s    8.68 s  1.2x
-      |    zipf_fit            1.07 s    0.97 s  0.9x
-      |    intradoc_dedup      0.73 s    1.24 s  1.7x
-      |    hll_distinct        0.58 s    0.40 s  0.7x
-      |    knn_graph (cells∝N) 3.20 s    5.43 s  1.7x
-      |    mmr_diversify       1.90 s    1.47 s  0.8x
-      |    item_cf_megabasket  2.76 s    2.39 s  0.9x
+      |    minhash_lsh         4.99 s    5.47 s  1.1x
+      |    dedup_clusters      3.05 s    3.82 s  1.3x
+      |    corpus_pipeline     4.28 s    5.38 s  1.3x
+      |    decontaminate       1.65 s    2.75 s  1.7x
+      |    pack_blocks         0.22 s    0.15 s  0.7x
+      |    ann_brute_topk      0.70 s    0.37 s  0.5x
+      |    pmi_pairs           3.65 s    4.67 s  1.3x
+      |    rp_reduce           0.71 s    0.51 s  0.7x
+      |    kmv/hll/cms sketch  ≤3.14 s  ≤2.32 s  ≤0.8x
+      |    bloom_decontaminate 2.64 s    3.73 s  1.4x
+      |    tfidf_topterms      1.67 s    3.04 s  1.8x
+      |    bigram_logprob      2.12 s    2.97 s  1.4x
+      |    bpe_merges          3.24 s    4.03 s  1.2x
+      |    embed_covariance    2.17 s    3.82 s  1.8x
+      |    temperature_mix     1.50 s    0.83 s  0.6x
+      |    incremental_dedup   1.51 s    3.04 s  2.0x
+      |    token_budget        1.88 s    1.35 s  0.7x
+      |    quality_classifier  4.68 s    6.06 s  1.3x
+      |    zipf_fit            1.19 s    1.06 s  0.9x
+      |    intradoc_dedup      0.78 s    1.39 s  1.8x
+      |    hll_distinct        0.47 s    0.40 s  0.8x
+      |    knn_graph (cells∝N) 3.38 s    6.21 s  1.8x
+      |    mmr_diversify       1.75 s    1.31 s  0.7x
+      |    item_cf_megabasket  2.39 s    2.38 s  1.0x
       |
-      |All ≤ 3.3× on 10× data — sub-linear across the family, no OOM. Two
+      |All ≤ 2.0× on 10× data (r9: ≤3.3×; embed_covariance's 3.3× head
+      |dropped to 1.8×) — sub-linear across the family, no OOM. Two
       |designed-in proofs: `item_cf_megabasket` feeds the DEGENERATE input
       |(basket = lang, one basket holding thousands of items, growing ∝N)
       |and stays FLAT — basketCap bounds the quadratic term exactly as its
