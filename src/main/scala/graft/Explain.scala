@@ -120,6 +120,23 @@ object Explain {
       |  shuffle join. Pre-partitioning the pinned view (above) removed the
       |  flip — both join sides now already sit on hash(src).
       |
+      |## Landmark-bounded s→t search — measured frontier cut (round 10)
+      |
+      |`q_weighted_path_pruned` (customer:1 → supplier:3, sf0.1, rounds=4,
+      |GRAFT_WSP_DEBUG=1): the one-row index probe yields ub=18.0, and the
+      |per-round relaxation frontier against the unpruned search is
+      |
+      |    round   pruned    unpruned   cut
+      |    1           11          11    —
+      |    2          646         671   4%
+      |    3       12,651      20,933  40%
+      |    4       39,153     121,409  68%
+      |
+      |63% of total expansion never happens — exactly the ALT promise: the
+      |bound bites hardest in the late rounds where the frontier is
+      |corpus-sized, which is where a 100 TB graph pays. The result is
+      |bit-equal to q_weighted_path (shared oracle row).
+      |
       |## 30× stretch smoke (runMain graft.ScaleSmoke 30, round-10 HEAD)
       |
       |One more tier on the three heaviest multi-stage operators — the

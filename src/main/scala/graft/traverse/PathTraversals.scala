@@ -580,6 +580,10 @@ object PathTraversals {
     * The 1-row `collect` is a gated driver-side probe (the FrontierPruner
     * discipline): the bound must reach the driver to parameterize the
     * loop's filter literal. */
+  /** GRAFT_WSP_DEBUG=1: print per-round pruned vs unpruned frontier sizes
+    * (dev-only counts; off in benchmarks). */
+  private lazy val wspDebug = sys.env.get("GRAFT_WSP_DEBUG").contains("1")
+
   def weightedPathPruned(g: PropertyGraph, source: String, target: String,
                          dir: Direction.Value, labels: Seq[String],
                          weightCol: String, rounds: Int,
@@ -616,6 +620,9 @@ object PathTraversals {
           changed = merged.filter(col("improved") && col("dist") <= cut)
             .select(col("id"), col("dist"))
           dist = merged.select(col("id"), col("dist"))
+          if (wspDebug) System.err.println(
+            s"[wpp] pruned frontier=${changed.count()} " +
+              s"unpruned-would-be=${merged.filter(col("improved")).count()} ub=$bound")
           converged = changed.limit(1).count() == 0
         }
         dist.filter(col("id") === target)
