@@ -86,7 +86,8 @@ object DocScaleSmoke {
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     // dev iteration: SPARK_GRAFT_SMOKE_ONLY=covariance,knn runs a subset
-    // (substring match on operator name, the ScaleSmoke filter)
+    // (SUBSTRING match on operator name — looser than ScaleSmoke's exact
+    // set membership, because names here carry annotations)
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(",").toSet)
     def run(name: String, f: (DataFrame, DataFrame) => DataFrame): Unit = {
       if (!only.forall(_.exists(name.contains))) return
@@ -171,7 +172,7 @@ object DocScaleSmoke {
     // within-cell quadratic term PER VECTOR — constant (the SemDeDup
     // recipe); fixing nClusters while N grows would measure the cliff the
     // operator's contract tells deployments to avoid
-    locally {
+    if (only.forall(_.exists("knn_graph".contains))) {
       val t1 = time("knn_graph 1x")(
         ops.Ann.knnGraph(e1, nClusters = 8, iters = 2, k = 5).count())
       val tN = time(s"knn_graph ${copies}x")(

@@ -123,19 +123,26 @@ object Explain {
       |## Landmark-bounded s→t search — measured frontier cut (round 10)
       |
       |`q_weighted_path_pruned` (customer:1 → supplier:3, sf0.1, rounds=4,
-      |GRAFT_WSP_DEBUG=1): the one-row index probe yields ub=18.0, and the
-      |per-round relaxation frontier against the unpruned search is
+      |GRAFT_WSP_DEBUG=1): the one-row index probe yields ub=18.0. Both
+      |loops instrumented — the same shared `relaxLoop` with and without
+      |the cut, run side by side (true unpruned frontiers, not a
+      |within-pruned-run estimate):
       |
-      |    round   pruned    unpruned   cut
-      |    1           11          11    —
-      |    2          646         671   4%
-      |    3       12,651      20,933  40%
-      |    4       39,153     121,409  68%
+      |    round   pruned    unpruned    cut
+      |    1           11          11     —
+      |    2          646         671     4%
+      |    3       12,651      22,041    43%
+      |    4       39,153     152,716    74%
+      |    total   52,461     175,439    70%
       |
-      |63% of total expansion never happens — exactly the ALT promise: the
+      |70% of total expansion never happens — exactly the ALT promise: the
       |bound bites hardest in the late rounds where the frontier is
       |corpus-sized, which is where a 100 TB graph pays. The result is
-      |bit-equal to q_weighted_path (shared oracle row).
+      |bit-equal to q_weighted_path (shared oracle row), and the pruned and
+      |plain searches share ONE relaxation-loop implementation
+      |(`PathTraversals.relaxLoop`), so bit-equality is structural, not
+      |maintained by hand. Symmetric (BOTH) views only — enforced: the
+      |one-sided landmark legs don't bound d(s,t) on a directed view.
       |
       |## 30× stretch smoke (runMain graft.ScaleSmoke 30, round-10 HEAD)
       |

@@ -135,7 +135,11 @@ object GremlinLite {
         require(pat != null && hop == null, "hasLabel() must follow as()")
         pat = pat.hasLabel(l)
       case PArg("has", List(SArg(k), v)) =>
-        require(lastVar != null, "has() must follow a bound variable")
+        // hop == null: between out()/in() and the closing as() there is no
+        // bound variable yet — attaching the filter to lastVar would
+        // silently constrain the WRONG vertex
+        require(lastVar != null && hop == null,
+          "has() must follow as() or hasLabel(), not a pending out()/in()")
         filters += ((lastVar, k, v))
       case PArg("out", List(SArg(l))) =>
         require(pat != null && hop == null, "out() must follow as()"); hop = pat.out(l)
@@ -179,6 +183,16 @@ object GremlinLite {
     val n = steps.length
     while (i < n) {
       val Step(name, args) = steps(i)
+      // Once match() has produced bindings, the ONLY legal continuations are
+      // select(...).by(...) and then order/limit/range on the result frame —
+      // any other recognized step would silently operate on the PRE-match
+      // traversal `t` (e.g. count() returning the frontier count) or
+      // clobber the select result. Fail loudly instead of mis-routing.
+      if (matchRes.isDefined)
+        require(name == "select" ||
+          (result.isDefined && Set("by", "order", "limit", "range").contains(name)),
+          s"after match(), only select(vars…) then by/order/limit/range " +
+            s"are allowed, got $name()")
       (name, args) match {
         // ---- match() and its result steps (the MatchStep planner path) ----
         case ("match", pats) =>
@@ -284,6 +298,10 @@ object GremlinLite {
       }
       i += 1
     }
+    // a match() whose bindings were never projected is a silent no-op —
+    // the traversal would return t.id() with the patterns ignored
+    require(matchRes.isEmpty || result.isDefined,
+      "match() must be followed by select(vars…)")
     result.getOrElse(t.id())
   }
 }

@@ -489,23 +489,36 @@ object PathTraversals {
       .repartition(col("src")))
 
   private def weightedSsspCompute(g: PropertyGraph, source: String, dir: Direction.Value,
-                                  labels: Seq[String], weightCol: String, rounds: Int): DataFrame = {
-    val spark = g.vertices.sparkSession
-    import spark.implicits._
+                                  labels: Seq[String], weightCol: String, rounds: Int): DataFrame =
     // co-partitioned by src once (the pageRank shape): rounds join on src,
     // so only the small dist side ever moves — the edge table never
     // re-shuffles across rounds
-    val edges = weightedEdgeView(g, dir, labels, weightCol)
+    relaxLoop(weightedEdgeView(g, dir, labels, weightCol), source, rounds,
+        cut = None, tag = "sssp")
+      .select(col("id"), round(col("dist"), 6).as("dist"))
+
+  /** The ONE bounded delta-relaxation loop — shared verbatim by
+    * [[weightedSssp]] (cut = None) and [[weightedPathPruned]] (cut = the
+    * landmark bound), so the pruned search stays bit-identical to the
+    * plain one by construction, not by parallel maintenance. Per round:
+    * only vertices whose distance IMPROVED last round (and, with a cut,
+    * sit within the bound) relax their edges — an unimproved vertex
+    * already contributed the identical dist(u)+w candidates to an earlier
+    * round's min, so the result is bit-for-bit the classic every-vertex
+    * Bellman-Ford (dist after k rounds = min over ≤k-hop paths, restricted
+    * under a cut to paths whose prefixes stay within the bound), while the
+    * per-round join shrinks from |reached| to |frontier|. An empty delta
+    * frontier means every later round is a no-op — the bounded result is
+    * already final (one cheap scan of the round's checkpoint vs. a wasted
+    * relaxation round). Returns the UNROUNDED (id, dist) table. */
+  private def relaxLoop(edges: DataFrame, source: String, rounds: Int,
+                        cut: Option[Double], tag: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     var dist = Seq((source, 0.0)).toDF("id", "dist")
-    // delta relaxation: only vertices whose distance IMPROVED last round
-    // relax their edges this round — an unimproved vertex already
-    // contributed the identical dist(u)+w candidates in an earlier round's
-    // min, so the result is bit-for-bit the classic every-vertex
-    // Bellman-Ford (dist after k rounds = min over ≤k-hop paths), while
-    // the per-round join shrinks from |ranked| to |frontier|
     var changed = dist
     var converged = false
-    for (_ <- 1 to rounds if !converged) {
+    for (r <- 1 to rounds if !converged) {
       val relaxed = changed.select(col("id").as("src"), col("dist"))
         .join(edges, Seq("src"))
         .groupBy(col("dst"))
@@ -518,14 +531,15 @@ object PathTraversals {
           (col("dist").isNull ||
             (col("rdist").isNotNull && col("rdist") < col("dist"))).as("improved"))
         .localCheckpoint(true)
-      changed = merged.filter(col("improved")).select(col("id"), col("dist"))
+      val improved = merged.filter(col("improved"))
+      changed = cut.fold(improved)(c => improved.filter(col("dist") <= c))
+        .select(col("id"), col("dist"))
       dist = merged.select(col("id"), col("dist"))
-      // an empty delta frontier means every later round is a no-op — the
-      // bounded result is already the ≤rounds-hop minimum (one cheap scan
-      // of this round's checkpoint vs. a full wasted relaxation round)
+      if (wspDebug) System.err.println(
+        s"[wsp:$tag] round=$r frontier=${changed.count()}")
       converged = changed.limit(1).count() == 0
     }
-    dist.select(col("id"), round(col("dist"), 6).as("dist"))
+    dist
   }
 
   /** Weighted SSSP relaxed to FIXPOINT — the reference's Dijkstra semantics
@@ -588,6 +602,13 @@ object PathTraversals {
                          dir: Direction.Value, labels: Seq[String],
                          weightCol: String, rounds: Int,
                          landmarks: Seq[String]): DataFrame = {
+    // SYMMETRIC views only: the landmark index stores from-landmark legs,
+    // so ub = d(l,s)+d(l,t) upper-bounds d(s,t) only when d(l,s) = d(s,l) —
+    // on a directed view the "bound" could be SMALLER than the true
+    // distance and the prune would silently drop the optimal path
+    require(dir == graft.core.Direction.BOTH,
+      "weightedPathPruned needs the symmetric BOTH view: one-sided " +
+        "landmark legs only bound d(s,t) when edges are undirected")
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val edges = weightedEdgeView(g, dir, labels, weightCol)
@@ -599,33 +620,9 @@ object PathTraversals {
         weightedSssp(g, source, dir, labels, weightCol, rounds)
           .filter(col("id") === target).select(col("dist"))
       case Some(bound) =>
-        val cut = bound + 1e-5
-        var dist = Seq((source, 0.0)).toDF("id", "dist")
-        var changed = dist
-        var converged = false
-        for (_ <- 1 to rounds if !converged) {
-          val relaxed = changed.select(col("id").as("src"), col("dist"))
-            .join(edges, Seq("src"))
-            .groupBy(col("dst"))
-            .agg(min(col("dist") + col("w")).as("rdist"))
-            .select(col("dst").as("id"), col("rdist"))
-          val merged = dist.join(relaxed, Seq("id"), "full")
-            .select(col("id"),
-              least(coalesce(col("dist"), col("rdist")),
-                coalesce(col("rdist"), col("dist"))).as("dist"),
-              (col("dist").isNull ||
-                (col("rdist").isNotNull && col("rdist") < col("dist"))).as("improved"))
-            .localCheckpoint(true)
-          // the landmark bound: improved-but-beyond-ub vertices never relax
-          changed = merged.filter(col("improved") && col("dist") <= cut)
-            .select(col("id"), col("dist"))
-          dist = merged.select(col("id"), col("dist"))
-          if (wspDebug) System.err.println(
-            s"[wpp] pruned frontier=${changed.count()} " +
-              s"unpruned-would-be=${merged.filter(col("improved")).count()} ub=$bound")
-          converged = changed.limit(1).count() == 0
-        }
-        dist.filter(col("id") === target)
+        relaxLoop(edges, source, rounds, cut = Some(bound + 1e-5),
+            tag = "pruned")
+          .filter(col("id") === target)
           .select(round(col("dist"), 6).as("dist"))
     }
   }

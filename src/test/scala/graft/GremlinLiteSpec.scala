@@ -98,4 +98,20 @@ class GremlinLiteSpec extends SparkSpec {
         ".select('a')"))
     intercept[Exception](run("g.V().match(as('a').out('knows')).select('a')"))
   }
+
+  test("match() fails loudly instead of mis-routing recognized steps") {
+    // count()/limit() after match() would otherwise run on the PRE-match
+    // frontier and return plausible wrong data
+    intercept[Exception](run("g.V().match(as('a').out('knows').as('b')).count()"))
+    intercept[Exception](run(
+      "g.V().match(as('a').out('knows').as('b')).limit(5).select('a')"))
+    // a match() whose bindings are never projected is a silent no-op
+    intercept[Exception](run("g.V().match(as('a').out('knows').as('b'))"))
+    // has() between out() and the closing as() would bind to the WRONG var
+    intercept[Exception](run(
+      "g.V().match(as('a').out('knows').has('age', 27).as('b')).select('a')"))
+    // select result then count(): the count would be the frontier's
+    intercept[Exception](run(
+      "g.V().match(as('a').out('knows').as('b')).select('a').count()"))
+  }
 }

@@ -171,22 +171,31 @@ class PathTraversalSpec extends SparkSpec {
   }
 
   test("weightedPathPruned equals the unpruned s->t distance (landmark bound is conservative)") {
-    // target reached; landmark person:josh bounds the search
+    // symmetric BOTH view (the operator's contract); landmark person:josh
+    // bounds the search: ub = d(josh,marko)+d(josh,ripple) and the prune
+    // actually engages (ub is finite)
     val pruned = PathTraversals.weightedPathPruned(modern, "person:marko",
-      "software:ripple", Direction.OUT, Nil, "weight", rounds = 3,
+      "software:ripple", Direction.BOTH, Nil, "weight", rounds = 3,
       landmarks = Seq("person:josh"))
       .collect().map(_.getDouble(0))
     val exact = PathTraversals.weightedSssp(modern, "person:marko",
-      Direction.OUT, Nil, "weight", rounds = 3)
+      Direction.BOTH, Nil, "weight", rounds = 3)
       .filter(org.apache.spark.sql.functions.col("id") === "software:ripple")
       .collect().map(_.getDouble(1))
     assert(pruned.toSeq === exact.toSeq && pruned.length === 1)
     // a landmark reaching neither endpoint: falls back to the exact search
     val fb = PathTraversals.weightedPathPruned(modern, "person:marko",
-      "software:lop", Direction.OUT, Nil, "weight", rounds = 3,
-      landmarks = Seq("software:ripple")) // ripple has no OUT edges
+      "software:lop", Direction.BOTH, Nil, "weight", rounds = 3,
+      landmarks = Seq("person:nobody")) // not in the graph
       .collect().map(_.getDouble(0))
     assert(fb.toSeq === Seq(0.4))
+    // a DIRECTED view is rejected up front: the one-sided landmark legs
+    // don't bound d(s,t) there and the prune would be unsound
+    intercept[IllegalArgumentException] {
+      PathTraversals.weightedPathPruned(modern, "person:marko",
+        "software:ripple", Direction.OUT, Nil, "weight", rounds = 3,
+        landmarks = Seq("person:josh"))
+    }
     graft.core.Pin.clear()
   }
 
