@@ -39,4 +39,24 @@ class PinSpec extends SparkSpec {
     assert(Pin.pin(df).count() === 3L)
     assert(Pin.pin(df.distinct()).count() === 2L)
   }
+
+  test("PlanMemo: sameResult frames share one build; plans and hyper-params separate") {
+    val memo = new Pin.PlanMemo[Int]
+    var builds = 0
+    def build(df: org.apache.spark.sql.DataFrame, k: Int) =
+      memo.getOrBuild(df, k) { builds += 1; df }
+    val a1 = Seq(1, 2).toDF("x").filter(col("x") > 1)
+    val a2 = Seq(1, 2).toDF("x").filter(col("x") > 1) // fresh frame, same plan
+    val b = Seq(1, 2).toDF("x").filter(col("x") > 0)  // different plan
+    build(a1, 7); build(a2, 7)
+    assert(builds === 1) // the store-resident contract: plan identity, not reference
+    build(b, 7)
+    assert(builds === 2)
+    build(a1, 8) // same plan, different hyper-params -> separate artifact
+    assert(builds === 3)
+    assert(memo.entries === 3)
+    Pin.clear() // PlanMemo registers with onClear
+    build(a1, 7)
+    assert(builds === 4 && memo.entries === 1)
+  }
 }
