@@ -512,7 +512,17 @@ object PathTraversals {
     * already final (one cheap scan of the round's checkpoint vs. a wasted
     * relaxation round). Returns the UNROUNDED (id, dist) table. */
   private def relaxLoop(edges: DataFrame, source: String, rounds: Int,
-                        cut: Option[Double], tag: String): DataFrame = {
+                        cut: Option[Double], tag: String): DataFrame =
+    relaxLoopStatus(edges, source, rounds, cut, tag)._1
+
+  /** [[relaxLoop]] plus a CONVERGED flag (frontier emptied before the round
+    * budget ran out). Callers that prune on an upper bound need it: the
+    * bit-equality argument (pruned == bounded-unpruned at the target) only
+    * holds at fixpoint — a non-converged bounded search can legitimately
+    * settle the target via a ≤rounds-hop path whose prefix exceeds the
+    * landmark bound, which the cut would have dropped. */
+  private def relaxLoopStatus(edges: DataFrame, source: String, rounds: Int,
+                              cut: Option[Double], tag: String): (DataFrame, Boolean) = {
     val spark = edges.sparkSession
     import spark.implicits._
     var dist = Seq((source, 0.0)).toDF("id", "dist")
@@ -539,7 +549,7 @@ object PathTraversals {
         s"[wsp:$tag] round=$r frontier=${changed.count()}")
       converged = changed.limit(1).count() == 0
     }
-    dist
+    (dist, converged)
   }
 
   /** Weighted SSSP relaxed to FIXPOINT — the reference's Dijkstra semantics
@@ -589,7 +599,9 @@ object PathTraversals {
     * the index is the same artifact `q_landmark_weighted` probes). The
     * +1e-5 margin absorbs the index's per-leg 6-decimal rounding, keeping
     * the prune strictly conservative. Falls back to the unpruned search
-    * when no landmark reaches both endpoints within `rounds`.
+    * when no landmark reaches both endpoints within `rounds`, and ALSO when
+    * the pruned loop exhausts `rounds` without converging — the cut is only
+    * sound at fixpoint (see the Some(bound) branch).
     *
     * The 1-row `collect` is a gated driver-side probe (the FrontierPruner
     * discipline): the bound must reach the driver to parameterize the
@@ -620,10 +632,22 @@ object PathTraversals {
         weightedSssp(g, source, dir, labels, weightCol, rounds)
           .filter(col("id") === target).select(col("dist"))
       case Some(bound) =>
-        relaxLoop(edges, source, rounds, cut = Some(bound + 1e-5),
-            tag = "pruned")
-          .filter(col("id") === target)
-          .select(round(col("dist"), 6).as("dist"))
+        // The prune is only sound once the search CONVERGES within the round
+        // budget: ub is witnessed by a ≤2·rounds-hop walk through the
+        // landmark, so a non-converged rounds-bounded search can settle the
+        // target via a ≤rounds-hop route whose prefix exceeds ub — a route
+        // the cut drops. At fixpoint the optimal path (every prefix ≤
+        // d(s,t) ≤ ub) is fully explored by a ≤rounds-hop relaxation
+        // sequence, so pruned == bounded-unpruned bit-for-bit. Non-converged
+        // → fall back to the unpruned (memoized) search.
+        val (pruned, converged) = relaxLoopStatus(edges, source, rounds,
+          cut = Some(bound + 1e-5), tag = "pruned")
+        if (converged)
+          pruned.filter(col("id") === target)
+            .select(round(col("dist"), 6).as("dist"))
+        else
+          weightedSssp(g, source, dir, labels, weightCol, rounds)
+            .filter(col("id") === target).select(col("dist"))
     }
   }
 }

@@ -199,6 +199,44 @@ class PathTraversalSpec extends SparkSpec {
     graft.core.Pin.clear()
   }
 
+  test("weightedPathPruned: non-converged pruned loop falls back to the bounded unpruned search") {
+    // The ADVICE scenario: ub is witnessed by a CHEAP LONG walk (4 hops,
+    // cost 0.4 via the chain s-v1-v2-v3-t) while the only ≤2-hop route is
+    // EXPENSIVE (s-m-t, cost 10, prefix 5 > ub) — the cut drops m, the
+    // chain needs more rounds than the budget, so the pruned loop exhausts
+    // rounds with a live frontier. The rounds-bounded UNPRUNED search
+    // returns 10.0; without the convergence fallback the pruned query
+    // returned no row.
+    val verts = Seq("s", "v1", "v2", "v3", "t", "m").map(v => (v, "node"))
+      .toDF("id", "label")
+    val edges = Seq(
+        ("s", "v1", 0.1), ("v1", "v2", 0.1), ("v2", "v3", 0.1), ("v3", "t", 0.1),
+        ("s", "m", 5.0), ("m", "t", 5.0))
+      .toDF("src", "dst", "weight")
+      .withColumn("label", lit("e"))
+      .withColumn("sort_values", lit(null).cast("string"))
+    val g = PropertyGraph(verts, edges, GraphSchema(Nil,
+      Seq(VertexLabelDef("node", Nil)), Seq(EdgeLabelDef("e", "node", "node"))))
+    // landmark v2 reaches both endpoints in ≤2 bounded hops:
+    // ub = d(v2,s)+d(v2,t) = 0.2+0.2 = 0.4 < 5 = the prefix of the only
+    // ≤2-hop route, so the prune engages and cannot converge
+    val pruned = PathTraversals.weightedPathPruned(g, "s", "t",
+      Direction.BOTH, Nil, "weight", rounds = 2, landmarks = Seq("v2"))
+      .collect().map(_.getDouble(0))
+    val exact = PathTraversals.weightedSssp(g, "s", Direction.BOTH, Nil,
+      "weight", rounds = 2)
+      .filter(col("id") === "t").collect().map(_.getDouble(1))
+    assert(exact.toSeq === Seq(10.0))
+    assert(pruned.toSeq === exact.toSeq)
+    // and with enough rounds the pruned search converges and finds the
+    // true shortest path through the chain
+    val full = PathTraversals.weightedPathPruned(g, "s", "t",
+      Direction.BOTH, Nil, "weight", rounds = 6, landmarks = Seq("v2"))
+      .collect().map(_.getDouble(0))
+    assert(full.toSeq === Seq(0.4))
+    graft.core.Pin.clear()
+  }
+
   test("multiNodeShortestDist pairwise distances") {
     val m = PathTraversals.multiNodeShortestDist(modern,
       Seq("person:marko", "person:peter", "person:vadas"), Direction.BOTH, Nil, 4)
