@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GenericInternalRow, Literal}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GenericInternalRow, Literal, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
@@ -49,6 +49,15 @@ object TopK {
       TopKByAgg(Cast(es.head, DoubleType), Cast(es(1), LongType), k)
         .toAggregateExpression()
     }, "built-in")
+    reg.createOrReplaceTempFunction("top_k_rows", es => {
+      val k = es(3) match {
+        case Literal(v, _) => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"top_k_rows k must be a literal, got $other")
+      }
+      TopKRowsAgg(Cast(es.head, DoubleType), es(1), es(2), k)
+        .toAggregateExpression()
+    }, "built-in")
   }
 
   /** Top-k `(ord, payload)` pairs per group, ranked (ord DESC, payload
@@ -58,6 +67,20 @@ object TopK {
   def topKBy(ord: Column, payload: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function("top_k_by",
       ord.cast("double"), payload.cast("long"),
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Row-carrying sibling of [[topKBy]]: keeps the k best FULL ROWS per
+    * group, ranked (ord DESC, tie ASC), returning `array<payload struct>`
+    * in rank order — for top-k selections whose output needs more columns
+    * than (ord, id), where the pair-heap would force a join-back over the
+    * scored stream to recover them. `tie` may be any orderable type (a
+    * string or numeric id — NOT coerced to long like [[topKBy]]'s payload)
+    * and must be UNIQUE within the group; NULL ord rows are dropped, NULL
+    * tie throws (same contract as [[topKBy]]). Call [[registerKernels]]
+    * first. */
+  def topKRows(ord: Column, tie: Column, payload: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("top_k_rows",
+      ord.cast("double"), tie, payload,
       org.apache.spark.sql.functions.lit(k))
 
   /** Buffer = the ≤k best (ord, payload) pairs, ordered worst-first so
@@ -149,5 +172,123 @@ object TopK {
     override def withNewInputAggBufferOffset(newOffset: Int): TopKByAgg =
       copy(inputAggBufferOffset = newOffset)
     override def prettyName: String = "top_k_by"
+  }
+
+  /** Bounded-heap top-k FULL ROWS per group (see [[topKRows]]). Each buffer
+    * element is one UnsafeRow over (ord double, tie, payload struct) —
+    * projected + copied at update so nothing aliases Spark's reused input
+    * rows; the comparator reads only (ord, tie), so equal (ord, tie) pairs
+    * dedup exactly like [[TopKByAgg]] (tie must be unique in the group).
+    * Merge folds-and-truncates, associative under any partial order — per
+    * group exactly k rows cross the shuffle, nothing is fully sorted. */
+  case class TopKRowsAgg(ord: Expression, tie: Expression, payload: Expression,
+                         k: Int,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[UnsafeRow]] {
+
+    private def payloadType: StructType = payload.dataType match {
+      case st: StructType => st
+      case other => throw new IllegalArgumentException(
+        s"top_k_rows payload must be a struct, got $other")
+    }
+    @transient private lazy val elemSchema = StructType(Seq(
+      StructField("o", DoubleType), StructField("t", tie.dataType),
+      StructField("p", payloadType)))
+    @transient private lazy val proj = UnsafeProjection.create(elemSchema)
+    @transient private lazy val tieOrd: Ordering[Any] =
+      TypeUtils.getInterpretedOrdering(tie.dataType)
+
+    // worst-first: ascending ord, then DESCENDING tie (bigger tie loses),
+    // so first() is always the element to evict
+    private def cmp = new java.util.Comparator[UnsafeRow] {
+      override def compare(a: UnsafeRow, b: UnsafeRow): Int = {
+        val c = java.lang.Double.compare(a.getDouble(0), b.getDouble(0))
+        if (c != 0) c
+        else tieOrd.compare(b.get(1, tie.dataType), a.get(1, tie.dataType))
+      }
+    }
+
+    override def createAggregationBuffer(): java.util.TreeSet[UnsafeRow] =
+      new java.util.TreeSet[UnsafeRow](cmp)
+
+    private def add(buf: java.util.TreeSet[UnsafeRow], row: UnsafeRow): Unit = {
+      buf.add(row)
+      if (buf.size > k) buf.pollFirst()
+    }
+
+    override def update(buf: java.util.TreeSet[UnsafeRow],
+                        input: InternalRow): java.util.TreeSet[UnsafeRow] = {
+      val o = ord.eval(input)
+      if (o == null) return buf // NULL ord is unrankable — drop (topKBy contract)
+      val t = tie.eval(input)
+      if (t == null) throw new IllegalArgumentException(
+        "top_k_rows tie must be non-null — pass the group's unique id column")
+      val p = payload.eval(input)
+      add(buf, proj(new GenericInternalRow(Array[Any](o, t, p))).copy())
+      buf
+    }
+
+    override def merge(b1: java.util.TreeSet[UnsafeRow],
+                       b2: java.util.TreeSet[UnsafeRow]): java.util.TreeSet[UnsafeRow] = {
+      val it = b2.iterator()
+      while (it.hasNext) add(b1, it.next())
+      b1
+    }
+
+    override def eval(buf: java.util.TreeSet[UnsafeRow]): Any = {
+      val n = payloadType.size
+      val out = new Array[Any](buf.size)
+      val it = buf.descendingIterator() // best-first
+      var i = 0
+      while (it.hasNext) {
+        val el = it.next()
+        out(i) = if (el.isNullAt(2)) null else el.getStruct(2, n).copy()
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.TreeSet[UnsafeRow]): Array[Byte] = {
+      var total = 4
+      val it0 = buf.iterator()
+      while (it0.hasNext) total += 4 + it0.next().getSizeInBytes
+      val bb = java.nio.ByteBuffer.allocate(total)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) {
+        val bytes = it.next().getBytes
+        bb.putInt(bytes.length); bb.put(bytes)
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[UnsafeRow] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt
+        val arr = new Array[Byte](len); bb.get(arr)
+        val row = new UnsafeRow(elemSchema.size)
+        row.pointTo(arr, len)
+        buf.add(row)
+        i += 1
+      }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(payloadType)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(ord, tie, payload)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(ord = newChildren(0), tie = newChildren(1), payload = newChildren(2))
+    override def withNewMutableAggBufferOffset(newOffset: Int): TopKRowsAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): TopKRowsAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override def prettyName: String = "top_k_rows"
   }
 }

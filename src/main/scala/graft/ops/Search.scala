@@ -61,10 +61,12 @@ object Search {
     * Scale shape: the basket self-join's fan-out is per-basket-size²,
     * bounded by the in-operator `basketCap` window (degenerate baskets are
     * truncated, never quadratic); pair counts shuffle on the (a, b) key,
-    * item frequencies
-    * join on their item keys, the per-item top-k is a partitioned window —
-    * never a global sort. Every count is exact; the cosine is a per-row
-    * fixed-order double. */
+    * item frequencies join on their item keys, and the per-item top-k is
+    * the row-carrying bounded heap ([[graft.functions.TopK.topKRows]]) —
+    * popular items co-occur with ~everything, and a rank window would sort
+    * each item's full candidate list; the heap folds map-side and ships
+    * exactly k rows per item. Every count is exact; the cosine is a
+    * per-row fixed-order double. */
   /** Pinned DERIVED basket-item view: the distinct (basket, item) table
     * feeds three plan branches of [[itemItemCf]] (both self-join sides +
     * the frequency table) — a deployment materializes it once beside the
@@ -102,10 +104,21 @@ object Search {
       .join(freq.select(col("i").as("ib"), col("n").as("nb")), Seq("ib"))
       .withColumn("cos",
         col("n_ab") / sqrt(col("na").cast("double") * col("nb")))
-    val w = Window.partitionBy(col("ia")).orderBy(col("cos").desc, col("ib").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("ia"), col("ib"), col("n_ab"), col("na"), col("nb"),
-        round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rank"))
+    // per-item top-k via the row-carrying bounded heap, ranked (cos DESC,
+    // ib ASC) — identical rows to the row_number window this replaces, but
+    // popular items (which co-occur with ~everything) never sort their full
+    // candidate list: partials fold map-side and exactly k rows per item
+    // cross the shuffle
+    graft.functions.TopK.registerKernels(scored)
+    scored.groupBy(col("ia"))
+      .agg(graft.functions.TopK.topKRows(col("cos"), col("ib"),
+        struct(col("ib"), col("n_ab"), col("na"), col("nb"), col("cos")),
+        k).as("__tk"))
+      .select(col("ia"), posexplode(col("__tk")).as(Seq("__pos", "__t")))
+      .select(col("ia"), col("__t.ib").as("ib"), col("__t.n_ab").as("n_ab"),
+        col("__t.na").as("na"), col("__t.nb").as("nb"),
+        round(col("__t.cos"), 6).as("cos"),
+        (col("__pos") + 1).cast("long").as("rank"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009): fuse

@@ -367,6 +367,43 @@ class OpsSpec extends SparkSpec {
     assert(out("c") === Seq((5.0, 1L), (4.0, 2L))) // k > group size → whole group
   }
 
+  test("top_k_rows: full rows survive the heap, string ties rank ASC, partials merge") {
+    import graft.functions.TopK
+    // string ids (topKBy can't carry them), extra payload columns the
+    // pair-heap would drop; spread over 8 partitions to exercise merge
+    val rows = (1 to 40).flatMap { i =>
+      Seq(("a", f"id$i%02d", i.toDouble, i * 10L),
+          ("b", f"id$i%02d", math.min(i, 38).toDouble, i * 100L))
+    } ++ Seq(("c", "only", 5.0, 7L))
+    val df = rows.toDF("key", "id", "v", "extra").repartition(8)
+    TopK.registerKernels(df)
+    val out = df.groupBy(col("key"))
+      .agg(TopK.topKRows(col("v"), col("id"),
+        struct(col("id"), col("v"), col("extra")), 3).as("tk"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getString(0), x.getDouble(1), x.getLong(2))))
+      .toMap
+    assert(out("a") === Seq(("id40", 40.0, 400L), ("id39", 39.0, 390L), ("id38", 38.0, 380L)))
+    // b ties at 38.0 for ids 38..40: string tie ranks ASC (id38 < id39 < id40)
+    assert(out("b") === Seq(("id38", 38.0, 3800L), ("id39", 38.0, 3900L), ("id40", 38.0, 4000L)))
+    assert(out("c") === Seq(("only", 5.0, 7L)))
+    // null ord rows drop; null tie throws (the topKBy contract)
+    val withNull = (rows :+ (("c", "nullv", Double.NaN, 1L)))
+      .toDF("key", "id", "v", "extra")
+      .withColumn("v", when(col("id") === "nullv", lit(null)).otherwise(col("v")))
+    val c2 = withNull.filter(col("key") === "c").groupBy(col("key"))
+      .agg(TopK.topKRows(col("v"), col("id"), struct(col("id")), 5).as("tk"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)))
+    assert(c2.head === Seq("only"))
+    intercept[Exception] {
+      withNull.withColumn("id", when(col("id") === "only", lit(null)).otherwise(col("id")))
+        .groupBy(col("key"))
+        .agg(TopK.topKRows(col("v"), col("id"), struct(col("v")), 5).as("tk"))
+        .collect()
+    }
+  }
+
   test("incrementalNearDups matches batch docs to corpus + earlier batch only") {
     val d5 = docs.union(Seq(
       (5L, "the quick brown fox jumps over the lazy cat today")) // dup of 3
