@@ -98,27 +98,60 @@ object Pin {
     * same defect class the `pinDerived` split fixed for the LSH family).
     * Registers with [[onClear]]. */
   final class PlanMemo[K] {
+    /** Compute-once handoff cell: the claiming thread builds, everyone else
+      * awaits the latch. The build itself (multi-job Spark work — landmark
+      * BFS waves, triangle enumeration) runs OUTSIDE any monitor, so
+      * concurrent queries colliding on the same (session, hash, k) bucket
+      * don't serialize behind a lock held across Spark jobs, and a
+      * same-thread re-entrant build is detected instead of deadlocking. */
+    private final class Cell(val plan: LogicalPlan) {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val owner: Thread = Thread.currentThread()
+      @volatile var result: DataFrame = _
+      @volatile var failure: Throwable = _
+    }
     private val m = new ConcurrentHashMap[(Int, Int, K),
-      ListBuffer[(LogicalPlan, DataFrame)]]()
+      java.util.concurrent.CopyOnWriteArrayList[Cell]]()
     onClear(() => m.clear())
 
     def getOrBuild(input: DataFrame, k: K)(build: => DataFrame): DataFrame = {
       val plan = input.queryExecution.analyzed
       val key = (System.identityHashCode(input.sparkSession), plan.semanticHash(), k)
-      val bucket = m.computeIfAbsent(key, _ => ListBuffer.empty)
+      val bucket = m.computeIfAbsent(key,
+        _ => new java.util.concurrent.CopyOnWriteArrayList[Cell]())
+      // find-or-claim under a short lock; the build happens outside it
+      var cell: Cell = null
+      var claimed = false
       bucket.synchronized {
-        bucket.find(_._1.sameResult(plan)).map(_._2).getOrElse {
-          val built = build
-          bucket += ((plan, built))
-          built
+        val it = bucket.iterator()
+        while (cell == null && it.hasNext) {
+          val c = it.next(); if (c.plan.sameResult(plan)) cell = c
         }
+        if (cell == null) { cell = new Cell(plan); bucket.add(cell); claimed = true }
+      }
+      if (claimed) {
+        try { cell.result = build; cell.result }
+        catch {
+          case t: Throwable =>
+            cell.failure = t
+            bucket.remove(cell) // failed builds don't poison the memo — retry later
+            throw t
+        } finally cell.latch.countDown()
+      } else {
+        if ((cell.owner eq Thread.currentThread()) && cell.latch.getCount > 0)
+          throw new IllegalStateException(
+            "re-entrant PlanMemo build: the builder re-requested its own key")
+        cell.latch.await()
+        if (cell.failure != null) throw new IllegalStateException(
+          "memoized build failed in the claiming thread", cell.failure)
+        cell.result
       }
     }
 
-    /** entry count (test hook) */
+    /** completed-entry count (test hook) */
     def entries: Int = {
       var n = 0
-      m.forEach((_, b) => n += b.size)
+      m.forEach((_, b) => b.forEach(c => if (c.result != null) n += 1))
       n
     }
   }

@@ -83,7 +83,16 @@ object Ann {
     * ≤n-element heaps per vector instead of per-key sorting; the groupBy
     * rides the pinned vec_id partitioning, so no exchange either. Non-key
     * columns carry through as `first()` — exactly one row per id exists
-    * before the centroid crossJoin, so `first` is deterministic. */
+    * before the centroid crossJoin, so `first` is deterministic.
+    *
+    * NULL-ord caveat (the [[TopK.registerKernels]] contract, restated at
+    * this call site): a vector whose cosine is NULL against EVERY centroid
+    * — a null/empty embedding column — gets an empty heap and silently
+    * drops from the index instead of being assigned cells (the row_number
+    * window this replaced ranked NULLS LAST, i.e. assigned it arbitrary
+    * cells). An unindexable vector is the more honest outcome, but callers
+    * ingesting untrusted embeddings should null-filter upstream if they
+    * need every id accounted for. */
   private def nearestCells(centroids: DataFrame)(df: DataFrame, idCol: String,
                                                  vecCol: String, n: Int): DataFrame = {
     val scored = df.crossJoin(broadcast(centroids))

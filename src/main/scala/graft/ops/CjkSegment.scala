@@ -24,10 +24,20 @@ import org.apache.spark.sql.functions._
   * Run extraction mirrors `TextFunctions.overHanRuns` (lowercase, runs =
   * `[a-z0-9]+ | Han+`; non-Han runs pass through as single tokens), so this
   * operator drops into the same queries the analyzer registry serves.
-  * Per-run DP cost is O(len · maxLen) with an O(|edges|) lookup per step —
-  * runs are bounded by the inter-punctuation span of real text, the same
-  * bound every `overHanRuns` analyzer already rides. */
+  * Per-run DP cost is O(len · maxLen²): edges are indexed BY POSITION once
+  * per row, so each DP step scans ≤maxLen candidate entries, and the
+  * inter-punctuation-span bound on `len` is ENFORCED, not assumed — Han
+  * runs are chunked at [[runCap]] chars in the extraction regex, so an
+  * adversarial unpunctuated Han-spam document costs the same per char as
+  * real text (a word straddling a chunk boundary splits; real
+  * inter-punctuation spans are far below the cap, so the cap is
+  * semantics-neutral on real text). */
 object CjkSegment {
+
+  /** Enforced upper bound on a Han run entering the per-row DP. cjdict's
+    * longest entries are single idioms (≤16 chars); 256 leaves real text
+    * untouched while capping the degenerate-run DP at runCap·maxLen². */
+  val runCap = 256
 
   /** Segment `textCol` of `docs`: returns (idCol, toks) with toks the
     * space-joined token stream. `lex` must be (word string, lp long) with
@@ -37,7 +47,8 @@ object CjkSegment {
               lex: DataFrame, maxLen: Int, unknownScore: Long): DataFrame = {
     val runs = docs
       .select(col(idCol), posexplode(
-        regexp_extract_all(lower(textCol), lit("([a-z0-9]+|\\p{IsHan}+)"), lit(1)))
+        regexp_extract_all(lower(textCol),
+          lit(s"([a-z0-9]+|\\p{IsHan}{1,$runCap})"), lit(1)))
         .as(Seq("ord", "r")))
     val han = runs.filter(col("r").rlike("^\\p{IsHan}+$"))
 
@@ -58,14 +69,20 @@ object CjkSegment {
       Seq(idCol, "ord", "r"), "left")
       .withColumn("edges", coalesce(col("edges"),
         array().cast("array<struct<pos:int,n:int,lp:bigint>>")))
+      // position index, built ONCE per row (len·|edges| total): without it
+      // every (j, n) lookup re-scanned the full edge array, making the DP
+      // O(len²·maxLen²) on a long Han run — a real Column so codegen
+      // evaluates it once, not an inlined subtree per lookup
+      .withColumn("byPos", transform(sequence(lit(1), length(col("r"))),
+        j => filter(col("edges"), e => e.getField("pos") === j)))
 
-    // --- the freqRun Viterbi, with scores read from the edges column ---
+    // --- the freqRun Viterbi, with scores read from the position index ---
     val r = col("r")
     val noRoutes = filter(array(struct(lit(0L).as("score"), lit(0).as("nxt"))),
       _ => lit(false))
     def lpOf(j: Column, n: Int): Column = {
-      val hits = filter(col("edges"),
-        e => e.getField("pos") === j && e.getField("n") === lit(n))
+      val hits = filter(element_at(col("byPos"), j),
+        e => e.getField("n") === lit(n))
       when(size(hits) > 0, element_at(hits, 1).getField("lp"))
         .otherwise(lit(null).cast("long"))
     }

@@ -860,10 +860,14 @@ object DocQueries3 {
     // Spark classpath), held as broadcast DATA through CjkSegment's
     // edge-join dataflow instead of tokenizeCjkFreq's expression-tree demo
     // dict. The oracle enumerates every segmentation with the SAME integer
-    // snlp scores (relevant lexicon slice inlined as VALUES — the Han text
-    // is fixed literals, so the slice is exact) and takes the
+    // snlp scores (relevant lexicon slice inlined as VALUES) and takes the
     // (score DESC, length-sequence DESC) argmax — the q_tokenize_cjk_freq
-    // tie contract at real dictionary width.
+    // tie contract at real dictionary width. Slice exactness is ENFORCED by
+    // construction, not assumed: latin ' x ' separators flank `source` (so
+    // an empty or Han-edged source can never merge a run across the literal
+    // boundary and admit cross-boundary cjdict words the VALUES slice
+    // omits) and any interior Han in `source` is stripped on BOTH sides —
+    // the only Han runs reaching the DP are exactly the two literals.
     q("q_tokenize_cjk_real", {
       val lexMap = graft.functions.IcuLexicon.cjkScoreLexicon.toMap
       val unk = graft.functions.IcuLexicon.cjkUnknownScore
@@ -878,8 +882,9 @@ object DocQueries3 {
       val values = rel.map { case (w, n, lp) =>
         s"('$w', $n, CAST($lp AS BIGINT))" }.mkString(",\n         |  ")
       s"""WITH RECURSIVE t AS (SELECT doc_id,
-         |    '${hanLits.head}' || source || '${hanLits(1)}' ||
-         |    CAST(doc_id % 10 AS VARCHAR) AS zh
+         |    '${hanLits.head}' || ' x ' ||
+         |    regexp_replace(source, '\\p{Han}', '', 'g') || ' x ' ||
+         |    '${hanLits(1)}' || CAST(doc_id % 10 AS VARCHAR) AS zh
          |  FROM documents WHERE doc_id < 200),
          |rl AS (SELECT doc_id,
          |    regexp_extract_all(lower(zh), '([a-z0-9]+|\\p{Han}+)', 1) AS rs FROM t),
@@ -914,8 +919,9 @@ object DocQueries3 {
       val lex = graft.functions.IcuLexicon.cjkScoreLexicon.toDF("word", "lp")
       graft.ops.CjkSegment.segment(
         Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id",
-        concat(lit("研究生命起源"), col("source"),
-          lit("图数据库分词引擎"),
+        concat(lit("研究生命起源"), lit(" x "),
+          regexp_replace(col("source"), lit("\\p{IsHan}"), lit("")),
+          lit(" x "), lit("图数据库分词引擎"),
           (col("doc_id") % 10).cast("string")),
         lex, maxLen = 6,
         unknownScore = graft.functions.IcuLexicon.cjkUnknownScore)

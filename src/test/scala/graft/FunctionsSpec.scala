@@ -363,4 +363,22 @@ class FunctionsSpec extends SparkSpec {
     val plan = seg.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("CjkSegment: adversarial unpunctuated Han spam is chunked at runCap, real text unaffected") {
+    import graft.functions.IcuLexicon
+    val lex = IcuLexicon.cjkScoreLexicon.toDF("word", "lp")
+    // 1200 unpunctuated Han chars (a 2-char word repeated 600×): without
+    // the enforced runCap bound this single row's DP was O(len²·maxLen²)
+    val spam = "研究" * 600
+    val docs = Seq((1L, spam), (2L, "生命" + ("." + "起源") * 3))
+      .toDF("doc_id", "text")
+    val got = graft.ops.CjkSegment.segment(docs, "doc_id", col("text"),
+      lex, maxLen = 6, unknownScore = IcuLexicon.cjkUnknownScore)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // chunking is token-stream-invisible here: runCap=256 is a multiple of
+    // the word length, so every chunk segments to the same word repeated
+    assert(got(1L) === Array.fill(600)("研究").mkString(" "))
+    // runs shorter than the cap (all real text) are untouched
+    assert(got(2L) === "生命 起源 起源 起源")
+  }
 }

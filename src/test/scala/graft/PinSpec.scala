@@ -59,4 +59,33 @@ class PinSpec extends SparkSpec {
     build(a1, 7)
     assert(builds === 4 && memo.entries === 1)
   }
+
+  test("PlanMemo: builds run outside the bucket lock — concurrent callers share, failures don't poison, re-entry is detected") {
+    val memo = new Pin.PlanMemo[Int]
+    val df = Seq(1, 2, 3).toDF("x").filter(col("x") > 1)
+    // concurrent same-key callers: exactly one build, all get the result
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        started.await()
+        memo.getOrBuild(Seq(1, 2, 3).toDF("x").filter(col("x") > 1), 1) {
+          builds.incrementAndGet(); Thread.sleep(100); df
+        }
+      })
+    }
+    threads.foreach(_.start()); started.countDown(); threads.foreach(_.join())
+    assert(builds.get === 1 && memo.entries === 1)
+    // a failed build is not cached: the next caller retries
+    intercept[RuntimeException] {
+      memo.getOrBuild(df, 2) { throw new RuntimeException("boom") }
+    }
+    val ok = memo.getOrBuild(df, 2) { df }
+    assert(ok eq df)
+    // a re-entrant build on its own key fails loudly instead of deadlocking
+    intercept[IllegalStateException] {
+      memo.getOrBuild(df, 3) { memo.getOrBuild(df, 3)(df) }
+    }
+    Pin.clear()
+  }
 }
