@@ -11,6 +11,20 @@ object Bench {
     * Shared with BenchOne so dev profiling sees the same cold state the
     * driver's bench measures. */
   def warmup(spark: SparkSession, sfDir: String): Unit = {
+    // Optional persisted-artifact store (SPARK_GRAFT_ARTIFACTS=dir) — the
+    // deployment shape: each trained artifact (landmark indexes, ANN
+    // index, classifier) LOADS from the store when present and only
+    // builds-and-saves on first run, so a restarted session probes instead
+    // of retraining (GraphStore.saveArtifact). Unset = train in-session
+    // (the default; bench timing semantics unchanged across rounds).
+    val artDir = sys.env.get("SPARK_GRAFT_ARTIFACTS")
+    /** load-else-build-and-save: returns after the artifact is available
+      * in this session's memos either way */
+    def loadOrTrain(load: String => Boolean, save: String => Unit,
+                    train: () => Unit): Unit = artDir match {
+      case Some(dir) => if (!load(dir)) save(dir)
+      case None => train()
+    }
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val graph = graft.core.TpchGraph.cached(spark, sfDir)
     graph.vertices.count(); graph.edges.count()
@@ -54,17 +68,21 @@ object Bench {
     // queries (q_landmark_distance) probe the stored vectors. Params mirror
     // the registered query.
     if (!sys.env.get("SPARK_GRAFT_SKIP_ADJ").contains("1")) {
-      graft.olap.Algorithms.landmarkIndex(
-        Seq("nation:1", "nation:7", "nation:13"),
-        graft.traverse.Traversals.adjacencyView(graph, graft.core.Direction.BOTH),
-        maxDepth = 4)
+      val lm = Seq("nation:1", "nation:7", "nation:13")
+      val adj = graft.traverse.Traversals.adjacencyView(graph,
+        graft.core.Direction.BOTH)
+      loadOrTrain(
+        d => graft.olap.Algorithms.loadLandmarkIndex(d, lm, adj, 4),
+        d => graft.olap.Algorithms.saveLandmarkIndex(d, lm, adj, 4),
+        () => { graft.olap.Algorithms.landmarkIndex(lm, adj, maxDepth = 4); () })
       // its weighted sibling (q_landmark_weighted) — one Bellman-Ford wave
       // over the already-pinned weighted edge view
-      graft.olap.Algorithms.weightedLandmarkIndex(
-        Seq("nation:1", "nation:7", "nation:13"),
-        graft.traverse.PathTraversals.weightedEdgeView(graph,
-          graft.core.Direction.BOTH, Nil, "quantity"),
-        rounds = 4)
+      val wadj = graft.traverse.PathTraversals.weightedEdgeView(graph,
+        graft.core.Direction.BOTH, Nil, "quantity")
+      loadOrTrain(
+        d => graft.olap.Algorithms.loadWeightedLandmarkIndex(d, lm, wadj, 4),
+        d => graft.olap.Algorithms.saveWeightedLandmarkIndex(d, lm, wadj, 4),
+        () => { graft.olap.Algorithms.weightedLandmarkIndex(lm, wadj, rounds = 4); () })
     }
     // the session-shared tokenized-corpus view (ops.Corpus.tokens) — the
     // text-side member of the same persist-once working set: five doc
@@ -97,10 +115,13 @@ object Bench {
     // q_ann_ivfpq_topk); Pin's sameResult dedup makes this frame share
     // the queries' pinned candidate set, so the memo keys line up.
     if (!sys.env.get("SPARK_GRAFT_SKIP_ANN").contains("1")) {
-      graft.ops.Ann.buildIndex(
-        graft.core.Tables.embeddings(spark, sfDir)
-          .filter(org.apache.spark.sql.functions.col("vec_id") >= 5),
-        nCentroids = 8, iters = 2, m = 4, ks = 8, dims = 64)
+      val annCands = graft.core.Tables.embeddings(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("vec_id") >= 5)
+      loadOrTrain(
+        d => graft.ops.Ann.loadIndex(d, annCands, 8, 2, 4, 8, 64),
+        d => graft.ops.Ann.saveIndex(d, annCands, 8, 2, 4, 8, 64),
+        () => graft.ops.Ann.buildIndex(annCands,
+          nCentroids = 8, iters = 2, m = 4, ks = 8, dims = 64))
       // semantic dedup (q_semantic_dedup) clusters the FULL embedding table
       // — a different pinned candidate set (and thus memo key) than the
       // probe-split index above. Train its quantizer here too, through the
@@ -122,9 +143,14 @@ object Bench {
     // artifact. Params mirror the registered queries.
     if (!sys.env.get("SPARK_GRAFT_SKIP_CLS").contains("1")) {
       import org.apache.spark.sql.functions.col
-      graft.ops.Corpus.trainQualityClassifier(
-        graft.core.Tables.documents(spark, sfDir), "doc_id", "text",
-        col("lang") === "en", dims = 32, rounds = 3)
+      val docs = graft.core.Tables.documents(spark, sfDir)
+      loadOrTrain(
+        d => graft.ops.Corpus.loadClassifier(d, docs, "doc_id", "text",
+          col("lang") === "en", dims = 32, rounds = 3),
+        d => graft.ops.Corpus.saveClassifier(d, docs, "doc_id", "text",
+          col("lang") === "en", dims = 32, rounds = 3),
+        () => { graft.ops.Corpus.trainQualityClassifier(docs, "doc_id",
+          "text", col("lang") === "en", dims = 32, rounds = 3); () })
     }
     // JIT-warm the text/hash codegen paths on a small sample
     locally {

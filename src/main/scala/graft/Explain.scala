@@ -366,6 +366,72 @@ object Explain {
       sb ++= s"| ${a.name} | ${a.exchanges} | ${a.executions} | ${if (a.flags.isEmpty) "—" else a.flags.mkString(", ")} |\n"
     }
     sb ++= "\n"
+
+    // ---- persisted trained artifacts: the cold-session probe (round 11) ----
+    locally {
+      import org.apache.spark.sql.functions.col
+      val artDir = java.nio.file.Files
+        .createTempDirectory("graft-artifacts").toString
+      def secs[A](f: => A): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def annCands = graft.core.Tables.embeddings(spark, d)
+        .filter(col("vec_id") >= 5)
+      def wadj = graft.traverse.PathTraversals.weightedEdgeView(
+        graft.core.TpchGraph.cached(spark, d), graft.core.Direction.BOTH,
+        Nil, "quantity")
+      val lm = Seq("nation:1", "nation:7", "nation:13")
+      graft.core.Pin.clear()
+      // cold TRAIN path: the first probing query pays the full index build
+      val trainAnn = secs(SparkEntry.queries("q_ann_ivfpq_topk")(spark, d).count())
+      val trainLw = secs(SparkEntry.queries("q_landmark_weighted")(spark, d).count())
+      graft.ops.Ann.saveIndex(artDir, annCands, 8, 2, 4, 8, 64)
+      graft.olap.Algorithms.saveWeightedLandmarkIndex(artDir, lm, wadj, 4)
+      graft.core.Pin.clear()
+      // cold LOAD path: seed the memos from the stored parquet, probe only
+      val loadAnn = secs {
+        graft.ops.Ann.loadIndex(artDir, annCands, 8, 2, 4, 8, 64)
+        SparkEntry.queries("q_ann_ivfpq_topk")(spark, d).count()
+      }
+      val loadLw = secs {
+        graft.olap.Algorithms.loadWeightedLandmarkIndex(artDir, lm, wadj, 4)
+        SparkEntry.queries("q_landmark_weighted")(spark, d).count()
+      }
+      sb ++= "## Persisted trained artifacts — the cold-session probe (round 11)\n\n"
+      sb ++= """`GraphStore.saveArtifact/loadArtifact` persist every expensive offline
+        |artifact — IVF centroids + PQ reconstructions (`Ann.saveIndex`),
+        |landmark indexes (`Algorithms.saveLandmarkIndex` and weighted
+        |sibling), classifier weights + scores (`Corpus.saveClassifier`) — as
+        |self-describing parquet (data + JSON meta sidecar with kind and
+        |hyper-params) next to the graph, mirroring the reference's
+        |OLAP-property write-back (`type/define/WriteType.java:20-35`,
+        |`GraphReadMode.java:26`). The loaders seed the session memos, so
+        |every consumer probes the stored index; results are bit-equal to the
+        |trained path (rounded-6 doubles round-trip parquet exactly —
+        |ArtifactStoreSpec gates loaded-vs-trained equality on the registered
+        |queries themselves). `Bench.warmup` takes SPARK_GRAFT_ARTIFACTS=dir
+        |to run the deployment shape: load-else-build-and-save.
+        |
+        |Measured here at sf0.01 (single run in this audit session, cold
+        |memos both sides — at 100 TB the train side is hours of cluster
+        |time, the load side stays one parquet scan):
+        |
+        |""".stripMargin
+      sb ++= f"    q_ann_ivfpq_topk    cold-train $trainAnn%.2f s   cold-load $loadAnn%.2f s%n"
+      sb ++= f"    q_landmark_weighted cold-train $trainLw%.2f s   cold-load $loadLw%.2f s%n\n"
+      // the probe-only plan: the landmark index the query joins is a scan
+      // of the stored artifact (pinned), not a BFS-wave lineage
+      val probePlan = SparkEntry.queries("q_landmark_weighted")(spark, d)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      sb ++= "The loaded q_landmark_weighted probe plan joins the artifact's\n"
+      sb ++= "materialization — no relaxation-wave lineage anywhere:\n\n```\n"
+      sb ++= probePlan.linesIterator
+        .filter(l => l.contains("Scan") || l.contains("BroadcastHashJoin")
+          || l.contains("Exchange"))
+        .map(_.trim).take(14).mkString("\n")
+      sb ++= "\n```\n\n"
+      graft.core.Pin.clear()
+    }
     sb ++= epilogue
     if (flags.nonEmpty) sb ++= s"\n## RED FLAGS\n\n${flags.mkString("\n")}\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)

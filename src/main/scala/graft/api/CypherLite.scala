@@ -11,7 +11,7 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   *
   * Supported grammar:
   * {{{
-  *   MATCH (a:person)-[:knows]->(b)<-[:created]-(c)
+  *   MATCH (a:person)-[:knows]->(b)<-[:created]-(c)-[:knows*1..3]-(d)
   *   [ MATCH …  |  OPTIONAL MATCH … ]*
   *   [ WHERE a.age > 29 AND b.name = 'lop' ]
   *   RETURN a.name AS who, b.price [ , count(*) AS n ]
@@ -19,20 +19,35 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * }}}
   * Multiple MATCH clauses join on shared variables (cartesian when none are
   * shared, as in Cypher); OPTIONAL MATCH is a left outer join on the shared
-  * variables. Directions `->` and `<-`, optional node labels, conjunctive
-  * WHERE with `= <> > >= < <=` against string/number literals, RETURN of
-  * `var.prop` projections with aliases and an optional `count(*)` that turns
-  * the projection into a grouped count. ORDER BY accepts RETURN aliases or
-  * `var.prop` references; SKIP/LIMIT follow Cypher order (skip first).
+  * variables. Directions `->`, `<-` and UNDIRECTED `-[:l]-` (the BOTH
+  * view), optional node labels, conjunctive WHERE with `= <> > >= < <=`
+  * against string/number literals, RETURN of `var.prop` projections with
+  * aliases and an optional `count(*)` that turns the projection into a
+  * grouped count. ORDER BY accepts RETURN aliases or `var.prop`
+  * references; SKIP/LIMIT follow Cypher order (skip first).
+  *
+  * VARIABLE-LENGTH relationships `-[:l*min..max]->` (also `*n`, `*..max`;
+  * bare `*` is rejected — this is a bounded engine, state the max) lower
+  * onto the layered frontier expansion every traverser uses: hop layers
+  * are per-layer DISTINCT (endpoint-pair semantics — the binding is "x is
+  * reachable from a within the hop window", one row per distinct (a, x)
+  * pair, the reference's kout/kneighbor contract). openCypher's per-PATH
+  * multiplicity with relationship-uniqueness is served by the exact path
+  * enumerators ([[graft.traverse.PathTraversals.paths]]); the only
+  * observable divergence here is a pair whose EVERY in-window walk reuses
+  * an edge — such a pair still matches (walk semantics, stated loudly).
   */
 object CypherLite {
 
   private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
-  private val relRe = """(<?)-\[\s*:\s*(\w+)\s*\]-(>?)""".r
+  private val relRe =
+    """(<?)-\[\s*:\s*(\w+)\s*(\*\s*(\d+)?\s*(?:\.\.\s*(\d+)?)?)?\s*\]-(>?)""".r
   private val clauseRe = """(?i)\b(OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|SKIP|LIMIT)\b""".r
 
   private[api] final case class NodePat(v: String, label: Option[String])
-  private[api] final case class RelPat(label: String, forward: Boolean)
+  private[api] final case class RelPat(label: String, forward: Boolean,
+                                       undirected: Boolean = false,
+                                       minHops: Int = 1, maxHops: Int = 1)
   private[api] final case class MatchClause(nodes: List[NodePat], rels: List[RelPat],
                                             optional: Boolean)
   private[api] final case class WherePred(v: String, prop: String, op: String, value: Any)
@@ -49,9 +64,29 @@ object CypherLite {
       NodePat(m.group(1), Option(m.group(2)))).toList
     val rels = relRe.findAllMatchIn(pattern).map { m =>
       val back = m.group(1) == "<"
-      val fwd = m.group(3) == ">"
-      require(back ^ fwd, s"relationship needs exactly one arrow: ${m.matched}")
-      RelPat(m.group(2), forward = fwd)
+      val fwd = m.group(6) == ">"
+      require(!(back && fwd), s"relationship cannot point both ways: ${m.matched}")
+      val (minH, maxH) = Option(m.group(3)) match {
+        case None => (1, 1) // no star: plain single hop
+        case Some(star) =>
+          val lo = Option(m.group(4)).map(_.toInt)
+          val hi = Option(m.group(5)).map(_.toInt)
+          val hasDots = star.contains("..")
+          (lo, hi) match {
+            case (Some(n), None) if !hasDots => (n, n)    // *n
+            case (Some(a), Some(b)) => (a, b)             // *a..b
+            case (None, Some(b)) => (1, b)                // *..b
+            case _ => sys.error(
+              s"unbounded variable-length '${m.matched.trim}' unsupported: " +
+                "state an explicit max (e.g. *1..3) — bounded engine")
+          }
+      }
+      require(minH >= 0 && maxH >= minH && maxH >= 1,
+        s"bad hop range *$minH..$maxH in ${m.matched}")
+      require(maxH <= 16,
+        s"variable-length max $maxH exceeds the 16-hop expansion cap")
+      RelPat(m.group(2), forward = fwd, undirected = !back && !fwd,
+        minHops = minH, maxHops = maxH)
     }.toList
     require(nodes.length == rels.length + 1, s"malformed pattern: $pattern")
     MatchClause(nodes, rels, optional)
@@ -126,17 +161,51 @@ object CypherLite {
     }
     mc.nodes.tail.zip(mc.rels).zipWithIndex.foreach { case ((node, rel), i) =>
       val prevVar = mc.nodes(i).v
-      val dir = if (rel.forward) Direction.OUT else Direction.IN
+      val dir =
+        if (rel.undirected) Direction.BOTH
+        else if (rel.forward) Direction.OUT else Direction.IN
       val e = EdgeStep(dir, Seq(rel.label)).edgesFor(g).select(col("src"), col("dst"))
-      frontier = frontier
-        .join(e, frontier(prevVar) === e("src"))
-        .withColumn(node.v, col("dst")).drop("src", "dst")
+      frontier =
+        if (rel.minHops == 1 && rel.maxHops == 1)
+          frontier.join(e, frontier(prevVar) === e("src"))
+            .withColumn(node.v, col("dst")).drop("src", "dst")
+        else {
+          // variable-length: expand the DISTINCT source bindings through
+          // the bounded layer loop (each layer distinct — pair semantics,
+          // see the object doc), then join the (source, reached) pairs
+          // back onto the full binding table. Expanding distinct sources
+          // instead of whole rows keeps the per-hop join |sources|-wide
+          // however many earlier variables the clause has bound.
+          val pairs = expandVarLength(e, frontier.select(col(prevVar).as("__a")).distinct(),
+            rel.minHops, rel.maxHops)
+          frontier.join(pairs, frontier(prevVar) === pairs("__a"))
+            .withColumn(node.v, col("__x")).drop("__a", "__x")
+        }
       node.label.foreach { l =>
         frontier = frontier.join(
           g.verticesOf(l).select(col("id").as(node.v)), Seq(node.v), "left_semi")
       }
     }
     frontier
+  }
+
+  /** Bounded variable-length expansion: distinct (__a, __x) pairs where
+    * `__x` is reachable from `__a` by a walk of length in [minHops,
+    * maxHops] over `e`. ONE lazy plan (maxHops ≤ 16 self-joins, each layer
+    * distinct) — no per-hop materialization: the layers reuse `e`'s scan/
+    * exchange, and Catalyst sees the whole window at once. minHops = 0
+    * contributes the identity binding (openCypher `*0..`). */
+  private def expandVarLength(e: DataFrame, srcs: DataFrame,
+                              minHops: Int, maxHops: Int): DataFrame = {
+    var layer = srcs.select(col("__a"), col("__a").as("__x"))
+    var out = List.empty[DataFrame]
+    if (minHops == 0) out ::= layer
+    for (h <- 1 to maxHops) {
+      layer = layer.join(e, layer("__x") === e("src"))
+        .select(col("__a"), col("dst").as("__x")).distinct()
+      if (h >= minHops) out ::= layer
+    }
+    out.reduce(_ unionByName _).distinct()
   }
 
   def eval(g: PropertyGraph, cypher: String): DataFrame = {

@@ -686,6 +686,60 @@ object Algorithms {
 
   private val wLandmarkMemo = new graft.core.Pin.PlanMemo[(Seq[String], Int)]
 
+  /** Persist a landmark index (unweighted BFS layers or weighted
+    * Bellman-Ford legs) built by [[landmarkIndex]] /
+    * [[weightedLandmarkIndex]] through
+    * [[graft.sources.GraphStore.saveArtifact]] — the one-wave offline
+    * build is the expensive half of the probe-then-verify family, and a
+    * deployment must not redo it per session (the reference stores OLAP
+    * outputs as readable properties for the same reason,
+    * `type/define/WriteType.java:20-35`). Trains nothing new when the
+    * session already built it (both builders are plan-memoized). */
+  def saveLandmarkIndex(dir: String, landmarks: Seq[String], adj: DataFrame,
+                        maxDepth: Int): Unit =
+    graft.sources.GraphStore.saveArtifact(
+      landmarkIndex(landmarks, adj, maxDepth), dir, "landmark_index",
+      landmarkParams(landmarks, maxDepth))
+
+  def saveWeightedLandmarkIndex(dir: String, landmarks: Seq[String],
+                                wadj: DataFrame, rounds: Int): Unit =
+    graft.sources.GraphStore.saveArtifact(
+      weightedLandmarkIndex(landmarks, wadj, rounds), dir,
+      "weighted_landmark_index", landmarkParams(landmarks, rounds))
+
+  /** Seed the landmark memos from persisted artifacts: after a successful
+    * load, every probe ([[landmarkDistances]],
+    * [[weightedLandmarkDistances]], the `weightedPathPruned` bound) reads
+    * the stored vectors — the offline wave never runs. Returns false and
+    * seeds nothing when the artifact is missing. Bit-equal by
+    * construction: the stored rows are the built rows (rounded-6). */
+  def loadLandmarkIndex(dir: String, landmarks: Seq[String], adj: DataFrame,
+                        maxDepth: Int): Boolean =
+    graft.sources.GraphStore.loadArtifact(adj.sparkSession, dir,
+      "landmark_index", landmarkParams(landmarks, maxDepth)).exists { df =>
+      landmarkMemo.getOrBuild(adj, (landmarks.sorted, maxDepth))(
+        graft.core.Pin.pinDerived(
+          df.select(col("landmark"), col("id"), col("dist"))))
+      true
+    }
+
+  def loadWeightedLandmarkIndex(dir: String, landmarks: Seq[String],
+                                wadj: DataFrame, rounds: Int): Boolean =
+    graft.sources.GraphStore.loadArtifact(wadj.sparkSession, dir,
+      "weighted_landmark_index", landmarkParams(landmarks, rounds)).exists { df =>
+      wLandmarkMemo.getOrBuild(wadj, (landmarks.sorted, rounds))(
+        graft.core.Pin.pinDerived(
+          df.select(col("landmark"), col("id"), col("dist"))))
+      true
+    }
+
+  private def landmarkParams(landmarks: Seq[String], depth: Int) =
+    Map("landmarks" -> landmarks.sorted.mkString(","), "depth" -> depth.toString)
+
+  /** landmark memo entry counts (test hook) */
+  private[graft] def landmarkMemoSizes: (Int, Int) =
+    (landmarkMemo.entries, wLandmarkMemo.entries)
+
   /** Closeness centrality Σ 1/d(s,t) (reference
     * `cent/ClosenessCentralityAlgorithmV2.java:46`). */
   def closenessCentrality(verts: DataFrame, undirectedEdges: DataFrame, maxDepth: Int): DataFrame =

@@ -177,6 +177,63 @@ object Ann {
     ()
   }
 
+  /** Persist the trained ANN index — coarse k-means centroids + PQ
+    * reconstructions — through [[graft.sources.GraphStore.saveArtifact]]
+    * (trains first if this session hasn't; both builders are memoized, so
+    * saving after a warmup re-trains nothing). A deployment runs this once
+    * after its load phase; every later session calls [[loadIndex]] and
+    * probes the stored index instead of retraining — at 100 TB the index
+    * build is the dominant offline cost and must not recur per session. */
+  def saveIndex(dir: String, candidates: DataFrame, nCentroids: Int,
+                iters: Int, m: Int, ks: Int, dims: Int): Unit = {
+    val store = graft.sources.GraphStore
+    store.saveArtifact(kmeansCentroids(candidates, nCentroids, iters), dir,
+      "ann_kmeans_centroids", kmeansParams(nCentroids, iters))
+    store.saveArtifact(pqReconstruct(pinnedCands(candidates), m, ks, dims, iters),
+      dir, "ann_pq_reconstructions", pqParams(m, ks, dims, iters))
+  }
+
+  /** Seed this session's trained-index memos from artifacts persisted by
+    * [[saveIndex]]: after a successful load, `ivfKmeansTopK` / `pqTopK` /
+    * `ivfPqTopK` / `cellAssignments` over the same candidate set PROBE the
+    * stored index — no training jobs run. Returns false (and seeds
+    * nothing) when either artifact is missing, so callers can fall back to
+    * build-and-save. Bit-equal to the trained path: the stored rows ARE
+    * the trained rows (rounded-6 doubles round-trip parquet exactly), and
+    * the loaded frames are re-pinned in the same partitioning the builders
+    * produce (centroids checkpointed tiny; reconstructions co-partitioned
+    * on vec_id, the join key of every consumer). */
+  def loadIndex(dir: String, candidates: DataFrame, nCentroids: Int,
+                iters: Int, m: Int, ks: Int, dims: Int): Boolean = {
+    registerKernels(candidates)
+    val store = graft.sources.GraphStore
+    val spark = candidates.sparkSession
+    val cents = store.loadArtifact(spark, dir, "ann_kmeans_centroids",
+      kmeansParams(nCentroids, iters))
+    val recon = store.loadArtifact(spark, dir, "ann_pq_reconstructions",
+      pqParams(m, ks, dims, iters))
+    (cents, recon) match {
+      case (Some(c), Some(r)) =>
+        val cands = pinnedCands(candidates)
+        trainMemo.computeIfAbsent((cands, "kmeans", Seq(nCentroids, iters)),
+          _ => c.select(col("cid"), col("ce")).localCheckpoint(true))
+        trainMemo.computeIfAbsent((cands, "pq", Seq(m, ks, dims, iters)),
+          _ => graft.core.Pin.pinDerived(
+            r.select(col("vec_id"), col("xhat")).repartition(col("vec_id"))))
+        true
+      case _ => false
+    }
+  }
+
+  private def kmeansParams(nCentroids: Int, iters: Int) =
+    Map("nCentroids" -> nCentroids.toString, "iters" -> iters.toString)
+  private def pqParams(m: Int, ks: Int, dims: Int, iters: Int) =
+    Map("m" -> m.toString, "ks" -> ks.toString, "dims" -> dims.toString,
+      "iters" -> iters.toString)
+
+  /** trained-artifact memo entry count (test hook) */
+  private[graft] def trainMemoSize: Int = trainMemo.size
+
   def kmeansCentroids(candidates: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
     registerKernels(candidates)
     val cands = pinnedCands(candidates)

@@ -506,6 +506,55 @@ object Corpus {
     wMemo.get((tokens(docs, idCol, textCol), label.toString, dims, rounds))
   }
 
+  /** Persist the trained quality classifier — the j-ordered weight vector
+    * AND the scored corpus table — through
+    * [[graft.sources.GraphStore.saveArtifact]] (trains first if needed;
+    * memoized, so a warmed session re-trains nothing). The weights are the
+    * servable artifact a streaming scorer ships; the scored table is what
+    * downstream eval (PR curve, AUC, calibration) re-reads. */
+  def saveClassifier(dir: String, docs: DataFrame, idCol: String,
+                     textCol: String, label: Column, dims: Int,
+                     rounds: Int): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = trainQualityClassifier(docs, idCol, textCol, label, dims, rounds)
+    val w = trainedWeights(docs, idCol, textCol, label, dims, rounds)
+    val p = classifierParams(label, dims, rounds)
+    graft.sources.GraphStore.saveArtifact(scored, dir, "classifier_scores", p)
+    graft.sources.GraphStore.saveArtifact(
+      w.toSeq.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toDF("j", "w"),
+      dir, "classifier_weights", p)
+  }
+
+  /** Seed the classifier memos from persisted artifacts: after a
+    * successful load, [[trainQualityClassifier]] / [[trainedWeights]] over
+    * the same corpus return the stored results — zero training rounds run.
+    * Returns false and seeds nothing when either artifact is missing. */
+  def loadClassifier(dir: String, docs: DataFrame, idCol: String,
+                     textCol: String, label: Column, dims: Int,
+                     rounds: Int): Boolean = {
+    val spark = docs.sparkSession
+    val p = classifierParams(label, dims, rounds)
+    val scored = graft.sources.GraphStore.loadArtifact(
+      spark, dir, "classifier_scores", p)
+    val weights = graft.sources.GraphStore.loadArtifact(
+      spark, dir, "classifier_weights", p)
+    (scored, weights) match {
+      case (Some(s), Some(w)) =>
+        val key = (tokens(docs, idCol, textCol), label.toString, dims, rounds)
+        lrMemo.computeIfAbsent(key, _ => graft.core.Pin.pinDerived(
+          s.select(col(idCol), col("y"), col("score"), col("pred"))))
+        wMemo.computeIfAbsent(key,
+          _ => w.orderBy(col("j")).collect().map(_.getDouble(1)))
+        true
+      case _ => false
+    }
+  }
+
+  private def classifierParams(label: Column, dims: Int, rounds: Int) =
+    Map("label" -> label.toString, "dims" -> dims.toString,
+      "rounds" -> rounds.toString)
+
   private def trainQualityClassifierImpl(
       docs: DataFrame, idCol: String, textCol: String,
       label: Column, dims: Int, rounds: Int,

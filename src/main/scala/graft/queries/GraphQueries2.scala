@@ -734,6 +734,32 @@ object GraphQueries2 {
           "ORDER BY cust ASC, price DESC SKIP 5 LIMIT 20")
     },
 
+    q("q_cypher_varlen",
+      // variable-length Cypher -[:in_nation*1..2]- over the BOTH view,
+      // oracled by the unrolled-depth CTE twin of the engine's layered
+      // expansion: per-layer DISTINCT (a, x) pairs, union over the hop
+      // window, :supplier label filter on the reached end, grouped count
+      s"""WITH edges AS ($edgesSql),
+         |bidir AS (SELECT src, dst FROM edges WHERE label = 'in_nation'
+         |          UNION ALL
+         |          SELECT dst, src FROM edges WHERE label = 'in_nation'),
+         |l0 AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS a,
+         |              'customer:' || CAST(c_custkey AS VARCHAR) AS x
+         |       FROM customer),
+         |l1 AS (SELECT DISTINCT l.a, b.dst AS x FROM l0 l JOIN bidir b ON b.src = l.x),
+         |l2 AS (SELECT DISTINCT l.a, b.dst AS x FROM l1 l JOIN bidir b ON b.src = l.x),
+         |pairs AS (SELECT a, x FROM l1 UNION SELECT a, x FROM l2),
+         |hits AS (SELECT p.a FROM pairs p
+         |         JOIN supplier s ON p.x = 'supplier:' || CAST(s.s_suppkey AS VARCHAR))
+         |SELECT c.c_name AS cust, CAST(count(*) AS BIGINT) AS n_nation_suppliers
+         |FROM hits h JOIN customer c
+         |  ON h.a = 'customer:' || CAST(c.c_custkey AS VARCHAR)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:in_nation*1..2]-(x:supplier) " +
+          "RETURN c.name AS cust, count(*) AS n_nation_suppliers")
+    },
+
     q("q_gremlin_match",
       // the TinkerPop match() step (ProcessBasicSuite map-step list) as a
       // declarative DSL entry point: two patterns joined on the shared

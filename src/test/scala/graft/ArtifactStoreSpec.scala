@@ -1,0 +1,156 @@
+package graft
+
+import graft.core.Pin
+import graft.sources.GraphStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Persisted trained artifacts: a cold session (Pin.clear simulates the
+  * restart — every memo and materialization is gone) LOADS the stored
+  * index and probes it, bit-equal to the session that trained it. */
+class ArtifactStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+    df.collect().toSeq.sortBy(_.toString)
+
+  test("generic saveArtifact/loadArtifact: self-describing, params separate, missing is None") {
+    val dir = tmp()
+    val df = Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v")
+    GraphStore.saveArtifact(df, dir, "demo", Map("p" -> "1"))
+    val back = GraphStore.loadArtifact(spark, dir, "demo", Map("p" -> "1"))
+    assert(back.isDefined)
+    assert(sortedRows(back.get) === sortedRows(df))
+    // different params never collide; unknown kinds are None
+    assert(GraphStore.loadArtifact(spark, dir, "demo", Map("p" -> "2")).isEmpty)
+    assert(GraphStore.loadArtifact(spark, dir, "nope", Map("p" -> "1")).isEmpty)
+  }
+
+  test("ANN index: cold session loads IVF centroids + PQ reconstructions, probe is bit-equal to trained") {
+    val dir = tmp()
+    // deterministic embeddings, dims=8 split into m=2 subspaces
+    def vec(seed: Int): Seq[Float] =
+      (0 until 8).map(j => (((seed * 31 + j * 17) % 97) / 97.0f) + 0.01f)
+    val cands = (1L to 20L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val queries = (101L to 104L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    def probe() = graft.ops.Ann.ivfPqTopK(queries, cands, k = 3,
+      nCentroids = 4, nProbe = 2, m = 2, ks = 4, dims = 8, iters = 2)
+
+    val trained = sortedRows(probe())
+    assert(trained.nonEmpty)
+    graft.ops.Ann.saveIndex(dir, cands, nCentroids = 4, iters = 2,
+      m = 2, ks = 4, dims = 8)
+
+    Pin.clear() // the cold session: every memo and pinned view is gone
+    assert(graft.ops.Ann.trainMemoSize === 0)
+    assert(graft.ops.Ann.loadIndex(dir, cands, nCentroids = 4, iters = 2,
+      m = 2, ks = 4, dims = 8))
+    assert(graft.ops.Ann.trainMemoSize === 2) // both artifacts seeded
+    val loaded = sortedRows(probe())
+    assert(loaded === trained) // bit-equal: stored rows ARE the trained rows
+    // the probe hit the seeded memos — nothing retrained
+    assert(graft.ops.Ann.trainMemoSize === 2)
+    // a dir that was never saved to loads nothing
+    Pin.clear()
+    assert(!graft.ops.Ann.loadIndex(tmp(), cands, 4, 2, 2, 4, 8))
+    assert(graft.ops.Ann.trainMemoSize === 0)
+    Pin.clear()
+  }
+
+  test("landmark indexes: cold session loads the stored waves, distance probes bit-equal") {
+    val dir = tmp()
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 1.5),
+        ("a", "d", 9.0), ("d", "e", 0.5))
+      .toDF("src", "dst", "w")
+    val wadj = edges.union(
+      edges.select(col("dst"), col("src"), col("w"))) // symmetric view
+    val adj = wadj.select(col("src"), col("dst"))
+    val pairs = Seq(("a", "e"), ("b", "d")).toDF("a", "b")
+
+    def probeW() = graft.olap.Algorithms.weightedLandmarkDistances(
+      pairs, Seq("c"), wadj, rounds = 4)
+    def probeU() = graft.olap.Algorithms.landmarkDistances(
+      pairs, Seq("c"), adj, maxDepth = 4)
+
+    val (trainedW, trainedU) = (sortedRows(probeW()), sortedRows(probeU()))
+    assert(trainedW.nonEmpty && trainedU.nonEmpty)
+    graft.olap.Algorithms.saveWeightedLandmarkIndex(dir, Seq("c"), wadj, 4)
+    graft.olap.Algorithms.saveLandmarkIndex(dir, Seq("c"), adj, 4)
+
+    Pin.clear()
+    assert(graft.olap.Algorithms.landmarkMemoSizes === ((0, 0)))
+    assert(graft.olap.Algorithms.loadWeightedLandmarkIndex(dir, Seq("c"), wadj, 4))
+    assert(graft.olap.Algorithms.loadLandmarkIndex(dir, Seq("c"), adj, 4))
+    assert(graft.olap.Algorithms.landmarkMemoSizes === ((1, 1)))
+    assert(sortedRows(probeW()) === trainedW)
+    assert(sortedRows(probeU()) === trainedU)
+    assert(graft.olap.Algorithms.landmarkMemoSizes === ((1, 1))) // probes, no rebuilds
+    Pin.clear()
+  }
+
+  test("the registered queries themselves: q_ann_ivfpq_topk / q_landmark_weighted loaded-vs-trained bit-equal at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmp()
+    Pin.clear()
+    def runQ(name: String): Seq[Row] =
+      sortedRows(SparkEntry.queries(name)(spark, sf))
+
+    val trainedAnn = runQ("q_ann_ivfpq_topk")
+    val trainedLw = runQ("q_landmark_weighted")
+    assert(trainedAnn.nonEmpty && trainedLw.nonEmpty)
+    // persist with the exact hyper-params the registered queries use
+    val cands = graft.core.Tables.embeddings(spark, sf).filter(col("vec_id") >= 5)
+    graft.ops.Ann.saveIndex(dir, cands, nCentroids = 8, iters = 2,
+      m = 4, ks = 8, dims = 64)
+    val wadj = graft.traverse.PathTraversals.weightedEdgeView(
+      graft.core.TpchGraph.cached(spark, sf), graft.core.Direction.BOTH,
+      Nil, "quantity")
+    graft.olap.Algorithms.saveWeightedLandmarkIndex(dir,
+      Seq("nation:1", "nation:7", "nation:13"), wadj, 4)
+
+    Pin.clear() // cold session
+    assert(graft.ops.Ann.loadIndex(dir,
+      graft.core.Tables.embeddings(spark, sf).filter(col("vec_id") >= 5),
+      nCentroids = 8, iters = 2, m = 4, ks = 8, dims = 64))
+    assert(graft.olap.Algorithms.loadWeightedLandmarkIndex(dir,
+      Seq("nation:1", "nation:7", "nation:13"),
+      graft.traverse.PathTraversals.weightedEdgeView(
+        graft.core.TpchGraph.cached(spark, sf), graft.core.Direction.BOTH,
+        Nil, "quantity"), 4))
+    assert(runQ("q_ann_ivfpq_topk") === trainedAnn)
+    assert(runQ("q_landmark_weighted") === trainedLw)
+    // the probes hit the seeded memos — no index rebuilt
+    assert(graft.ops.Ann.trainMemoSize === 2)
+    assert(graft.olap.Algorithms.landmarkMemoSizes._2 === 1)
+    Pin.clear()
+  }
+
+  test("classifier: cold session loads weights + scored table, both bit-equal to trained") {
+    val dir = tmp()
+    val docs = (1L to 30L).map(i =>
+        (i, s"token$i common words here ${"quality " * (i % 3).toInt}"))
+      .toDF("doc_id", "text")
+    val label = (col("doc_id") % 2 === 0).cast("int")
+    def weights() = graft.ops.Corpus.trainedWeights(
+      docs, "doc_id", "text", label, dims = 16, rounds = 2)
+    def scored() = graft.ops.Corpus.trainQualityClassifier(
+      docs, "doc_id", "text", label, dims = 16, rounds = 2)
+
+    val trainedScores = sortedRows(scored())
+    val trainedW = weights().toSeq
+    assert(trainedW.length === 16)
+    graft.ops.Corpus.saveClassifier(dir, docs, "doc_id", "text", label, 16, 2)
+
+    Pin.clear()
+    assert(graft.ops.Corpus.loadClassifier(dir, docs, "doc_id", "text", label, 16, 2))
+    assert(weights().toSeq === trainedW)
+    assert(sortedRows(scored()) === trainedScores)
+    // missing artifacts: load declines, nothing seeded
+    Pin.clear()
+    assert(!graft.ops.Corpus.loadClassifier(tmp(), docs, "doc_id", "text", label, 16, 2))
+    Pin.clear()
+  }
+}

@@ -75,6 +75,60 @@ class CypherLiteSpec extends SparkSpec {
 
   test("malformed queries fail cleanly") {
     intercept[Exception](run("SELECT 1"))
-    intercept[Exception](run("MATCH (a)-[:x]-(b) RETURN a.name")) // no direction
+    intercept[Exception](run("MATCH (a)<-[:x]->(b) RETURN a.name")) // both arrows
+  }
+
+  test("undirected relationship matches both orientations") {
+    val rows = run("MATCH (a:person)-[:knows]-(b:person) RETURN a.name, b.name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("marko", "vadas"), ("marko", "josh"),
+      ("vadas", "marko"), ("josh", "marko")))
+  }
+
+  test("variable-length: hop window, direction, distinct pair semantics") {
+    // undirected *1..2 from vadas: hop1 {marko}, hop2 (walks) {vadas, josh}
+    val v12 = run("MATCH (a:person)-[:knows*1..2]-(b:person) " +
+      "WHERE a.name = 'vadas' RETURN b.name")
+      .collect().map(_.getString(0)).toSet
+    assert(v12 === Set("marko", "vadas", "josh"))
+    // *2..2 excludes the 1-hop layer; vadas appears (WALK semantics — the
+    // back-and-forth walk reuses the edge; documented divergence from
+    // openCypher's relationship-uniqueness)
+    val v22 = run("MATCH (a:person)-[:knows*2..2]-(b:person) " +
+      "WHERE a.name = 'vadas' RETURN b.name")
+      .collect().map(_.getString(0)).toSet
+    assert(v22 === Set("vadas", "josh"))
+    // *0..1 includes the identity binding (hop 0)
+    val v01 = run("MATCH (a:person)-[:knows*0..1]-(b) " +
+      "WHERE a.name = 'vadas' RETURN b.name")
+      .collect().map(_.getString(0)).toSet
+    assert(v01 === Set("vadas", "marko"))
+    // direction respected: created is person->software, nothing at 2 hops
+    val c12 = run("MATCH (a:person)-[:created*1..2]->(s:software) " +
+      "WHERE a.name = 'marko' RETURN s.name")
+      .collect().map(_.getString(0)).toSet
+    assert(c12 === Set("lop"))
+    // *n exact count; label filter applies to the reached end
+    val exact = run("MATCH (s:software)<-[:created*1..1]-(p:person) " +
+      "WHERE s.name = 'lop' RETURN p.name")
+      .collect().map(_.getString(0)).toSet
+    assert(exact === Set("marko", "josh", "peter"))
+    // grouped count over a variable-length reach
+    val m = run("MATCH (a:person)-[:knows*1..2]-(b:person) " +
+      "RETURN a.name AS who, count(*) AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // marko: vadas,josh (hop1) + marko (hop2 walks back) = 3
+    assert(m("marko") === 3L && m("vadas") === 3L && m("josh") === 3L)
+  }
+
+  test("variable-length rejects unbounded and over-cap windows loudly") {
+    intercept[Exception](
+      run("MATCH (a)-[:knows*]->(b) RETURN a.name")) // bare * unbounded
+    intercept[Exception](
+      run("MATCH (a)-[:knows*2..]->(b) RETURN a.name")) // open max
+    intercept[Exception](
+      run("MATCH (a)-[:knows*1..99]->(b) RETURN a.name")) // over the 16 cap
+    intercept[Exception](
+      run("MATCH (a)-[:knows*3..2]->(b) RETURN a.name")) // inverted range
   }
 }
