@@ -17,8 +17,12 @@ import graft.core.{Cond, PropertyGraph}
   *
   * Supported: V(ids…), E(labels…), hasLabel, has(k,v), has(k,pred) with
   * gt/gte/lt/lte/neq/within, hasNot, out/in/both(labels…), outE/inE,
-  * inV/outV, dedup, limit(n), range(a,b), sample(f), order().by(k[,decr]),
-  * repeat(step).times(n), values(k), valueMap(k…), id(), path() via
+  * inV/outV, dedup, limit(n), range(a,b), sample(f), coin(p) (deterministic
+  * md5 draw), order().by(k[,decr]), repeat(step).times(n), the branch/
+  * filter sub-traversal steps where(sub)/not(sub)/optional(sub)/
+  * choose(cond, sub, sub)/coalesce(sub, sub) (lowered onto the SAME DSL
+  * implementations — sub = a chain of vertex steps, identity() allowed),
+  * values(k), valueMap(k…), id(), path() via
   * pathed(), count, groupCount(k), group(k,v), fold, sum/max/min/mean(k),
   * and the declarative match(as('a').out(l).as('b'), …) with pattern-level
   * hasLabel/has(k,v), followed by select(vars…).by(prop)… and
@@ -151,6 +155,37 @@ object GremlinLite {
     (pat, filters.toList)
   }
 
+  /** A sub-traversal argument — `out('created').has('lang', 'java')` — as
+    * its fragment list. */
+  private def subFrag(a: Arg): List[Arg] = a match {
+    case CArg(ps) => ps
+    case p: PArg => List(p)
+    case other => sys.error(s"expected a sub-traversal, got $other")
+  }
+
+  /** Lower a sub-traversal fragment list onto the DSL — the function the
+    * branch/filter steps (`where`/`not`/`optional`/`choose`/`coalesce`)
+    * pass to their [[GraphTraversal]] implementations, so scripts and the
+    * fluent API reach ONE implementation per step. Vertex steps only;
+    * anything else fails loudly (never a silent mis-route). */
+  private def applySub(frag: List[Arg])(t0: GraphTraversal): GraphTraversal =
+    frag.foldLeft(t0) { (t, s) =>
+      s match {
+        case PArg("identity", Nil) => t
+        case PArg("out", as) => t.out(as.map(str): _*)
+        case PArg("in", as) => t.in(as.map(str): _*)
+        case PArg("both", as) => t.both(as.map(str): _*)
+        case PArg("hasLabel", as) => t.hasLabel(as.map(str): _*)
+        case PArg("has", List(k, v)) => t.has(pred(str(k), v))
+        case PArg("has", List(k)) =>
+          t.filter(org.apache.spark.sql.functions.col(str(k)).isNotNull)
+        case PArg("hasNot", List(k)) => t.hasNot(str(k))
+        case PArg("dedup", Nil) => t.dedup()
+        case PArg("limit", List(x)) => t.limit(num(x).toInt)
+        case other => sys.error(s"unsupported sub-traversal step: $other")
+      }
+    }
+
   private def pred(key: String, a: Arg): Cond = a match {
     case SArg(v) => Cond.eq(key, v)
     case NArg(v) => if (v == v.floor) Cond.eq(key, v.toLong) else Cond.eq(key, v)
@@ -244,6 +279,30 @@ object GremlinLite {
           result = result.map(_.limit(num(x).toInt))
         case ("range", List(a, b)) if result.isDefined =>
           result = result.map(_.offset(num(a).toInt).limit((num(b) - num(a)).toInt))
+        // ---- branch/filter sub-traversals (the DSL implementations,
+        // reached from script text — reference: scripts and the API share
+        // one step surface, ProcessBasicSuite.java:104-196) ----
+        case ("where", List(sub)) => t = t.where(applySub(subFrag(sub)))
+        case ("not", List(sub)) => t = t.not(applySub(subFrag(sub)))
+        case ("optional", List(sub)) => t = t.optional(applySub(subFrag(sub)))
+        case ("choose", List(condA, tA, fA)) =>
+          val c = condA match {
+            case PArg("has", List(k, v)) => pred(str(k), v)
+            case PArg("hasLabel", List(l)) => Cond.eq("label", str(l))
+            case other => sys.error(
+              s"choose() condition must be has(k[, p]) or hasLabel(l), got $other")
+          }
+          t = t.choose(c)(applySub(subFrag(tA)))(applySub(subFrag(fA)))
+        case ("coalesce", List(a, b)) =>
+          t = t.coalesceT(applySub(subFrag(a)))(applySub(subFrag(b)))
+        case ("coin", List(p)) =>
+          // Gremlin coin(p) with a DETERMINISTIC portable draw (the
+          // Packing.hash16 md5 discipline) instead of a JVM RNG, so the
+          // filter is reproducible and oracle-able: keep ids whose 16-bit
+          // md5 draw falls below p
+          t = t.filter(graft.ops.Packing.hash16(
+              org.apache.spark.sql.functions.col("id")).cast("double")
+            / 65536.0 < num(p))
         case ("hasLabel", as) => t = t.hasLabel(as.map(str): _*)
         case ("has", List(k, v)) => t = t.has(pred(str(k), v))
         case ("has", List(k)) => t = t.filter(org.apache.spark.sql.functions.col(str(k)).isNotNull)

@@ -19,13 +19,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: training runs on the DISTINCT-WORD table (Zipf: vocabulary
   * ≪ corpus — the 100 TB corpus collapses to a vocab-sized working set in
-  * one map-side-combined count), pinned once; each round is one bounded
-  * pair aggregation + a TakeOrdered(1) argmax + a narrow fold over the
-  * vocab rows. The winning pair is a 1-row driver literal per round — the
-  * same trained-artifact discipline as `Ann.kmeansCentroids`. The corpus
-  * itself is touched exactly once (the word count); [[encodeStats]] touches
-  * it a second time through the pinned token view, with the trained
-  * per-word symbol counts joined back on the word key.
+  * one map-side-combined count), pinned once; each BARRIER is one bounded
+  * pair aggregation + a TakeOrdered(batch+1) argmax + a narrow fold over
+  * the vocab rows, and applies up to `batch` merges (exactness-gated — see
+  * [[train]]), cutting driver round-trips ~batch×. The winning pairs are a
+  * ≤batch-row driver literal per barrier — the same trained-artifact
+  * discipline as `Ann.kmeansCentroids`. The corpus itself is touched
+  * exactly once (the word count); [[encodeStats]] touches it a second time
+  * through the pinned token view, with the trained per-word symbol counts
+  * joined back on the word key.
   */
 object Bpe {
 
@@ -68,21 +70,64 @@ object Bpe {
 
   /** Train `merges` BPE merges over the corpus vocabulary. Returns the
     * learned merge list (driver-side — it IS the model artifact) and the
-    * final per-word symbol table. */
+    * final per-word symbol table.
+    *
+    * Rounds are BATCHED `batch` at a time (one driver barrier per batch
+    * instead of per merge — the standard batched-BPE trick), EXACTLY: the
+    * batch replays the sequential argmax bit-for-bit. Proof sketch —
+    * applying merge (a, b) can only change the counts of pairs SHARING a
+    * symbol with it (decreased) or of NEW pairs involving the merged
+    * symbol ab, whose count is bounded by some old pair's count that
+    * shares a or b. So a collected candidate is accepted iff (1) it is
+    * symbol-disjoint from every previously accepted pair in the batch
+    * (its own count is then invariant) and (2) its count STRICTLY exceeds
+    * every pair that shares a symbol with the accepted set — both the
+    * collected ones and the uncollected tail, bounded by the (batch+1)-th
+    * collected count (0 when the pair table fit the collect). First
+    * rejection ends the batch: later picks would need fresh counts. Ties
+    * inside the accepted prefix keep the (count desc, a asc, b asc) order
+    * — the same order the sequential loop uses. All accepted merges apply
+    * in ONE projection (disjoint ⇒ order-free), one lineage cut. */
   def train(docs: DataFrame, idCol: String, textCol: String,
-            merges: Int): (Seq[Merge], DataFrame) = {
+            merges: Int, batch: Int = 4): (Seq[Merge], DataFrame) = {
+    require(batch >= 1, "batch must be >= 1")
     var words = vocab(docs, idCol, textCol)
     val learned = Seq.newBuilder[Merge]
-    for (r <- 1 to merges) {
-      val best = pairCounts(words)
-        .orderBy(col("c").desc, col("a").asc, col("b").asc).limit(1)
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val want = math.min(batch, merges - r + 1)
+      val k = want + 1 // the extra row bounds the uncollected tail
+      val top = pairCounts(words)
+        .orderBy(col("c").desc, col("a").asc, col("b").asc).limit(k)
         .collect()
-      if (best.nonEmpty) {
-        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        learned += Merge(r, a, b, c)
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        val floorOutside = if (top.length == k) top.last._3 else 0L
+        val accepted = scala.collection.mutable.ListBuffer(top.head)
+        val acceptedSyms = scala.collection.mutable.Set(top.head._1, top.head._2)
+        var open = true
+        for (i <- 1 until math.min(top.length, want) if open) {
+          val p @ (a, b, c) = top(i)
+          val disjoint = !acceptedSyms(a) && !acceptedSyms(b)
+          val sharedMax = top.iterator
+            .filterNot(accepted.contains).filterNot(_ == p)
+            .filter(q => acceptedSyms(q._1) || acceptedSyms(q._2))
+            .map(_._3).maxOption.getOrElse(0L)
+          if (disjoint && c > math.max(sharedMax, floorOutside)) {
+            accepted += p; acceptedSyms += a; acceptedSyms += b
+          } else open = false
+        }
+        accepted.zipWithIndex.foreach { case ((a, b, c), j) =>
+          learned += Merge(r + j, a, b, c)
+        }
         words = words
-          .withColumn("syms", mergeFold(col("syms"), a, b))
+          .withColumn("syms", accepted.foldLeft(col("syms")) {
+            case (s, (a, b, _)) => mergeFold(s, a, b)
+          })
           .localCheckpoint(false)
+        r += accepted.size
       }
     }
     (learned.result(), words)

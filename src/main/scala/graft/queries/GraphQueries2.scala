@@ -734,6 +734,23 @@ object GraphQueries2 {
           "ORDER BY cust ASC, price DESC SKIP 5 LIMIT 20")
     },
 
+    q("q_gremlin_choose",
+      // script-reachable branch step: rich customers step to their nation,
+      // the rest stay customers — per-element choose() lowered onto the
+      // DSL's filter-union implementation from TEXT (reference: scripts
+      // and API share one step surface, ProcessBasicSuite.java:104-196);
+      // every customer has exactly one in_nation edge, so the oracle is
+      // the CASE twin
+      """SELECT label, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN c_acctbal > 5000 THEN 'nation' ELSE 'customer' END AS label
+        |  FROM customer) z
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('customer')" +
+          ".choose(has('acctbal', gt(5000)), out('in_nation'), identity())" +
+          ".groupCount('label')")
+    },
+
     q("q_cypher_varlen",
       // variable-length Cypher -[:in_nation*1..2]- over the BOTH view,
       // oracled by the unrolled-depth CTE twin of the engine's layered

@@ -99,6 +99,37 @@ class GremlinLiteSpec extends SparkSpec {
     intercept[Exception](run("g.V().match(as('a').out('knows')).select('a')"))
   }
 
+  test("script branch/filter sub-traversals equal their DSL twins") {
+    import graft.api.Graft
+    import graft.core.Cond
+    // where(sub): persons who created something
+    assert(ids(run("g.V().hasLabel('person').where(out('created')).id()")) ===
+      ids(Graft.g(g).V().hasLabel("person").where(_.out("created")).id()))
+    // not(sub): persons who created nothing
+    assert(ids(run("g.V().hasLabel('person').not(out('created')).id()")) ===
+      Set("person:vadas"))
+    // optional(sub): creators step to software, vadas stays himself
+    assert(ids(run("g.V().hasLabel('person').optional(out('created')).id()")) ===
+      ids(Graft.g(g).V().hasLabel("person").optional(_.out("created")).id()))
+    // choose(cond, t, f) with chained sub-traversals and identity()
+    val script = ids(run("g.V().hasLabel('person')" +
+      ".choose(has('age', gt(30)), out('created').hasLabel('software'), identity()).id()"))
+    val dsl = ids(Graft.g(g).V().hasLabel("person")
+      .choose(Cond.gt("age", 30))(_.out("created").hasLabel("software"))(t => t).id())
+    assert(script === dsl && script.contains("software:lop"))
+    // coalesce(sub, sub): created if any, else knows
+    assert(ids(run("g.V().hasLabel('person').coalesce(out('created'), out('knows')).id()")) ===
+      ids(Graft.g(g).V().hasLabel("person")
+        .coalesceT(_.out("created"))(_.out("knows")).id()))
+    // coin(p): deterministic md5 draw — reproducible and monotone in p
+    val half = ids(run("g.V().coin(0.5).id()"))
+    assert(half === ids(run("g.V().coin(0.5).id()"))) // same draw every run
+    assert(half.subsetOf(ids(run("g.V().coin(0.99).id()"))))
+    assert(ids(run("g.V().coin(1.0).id()")).size === 6)
+    // unsupported sub-traversal steps fail loudly
+    intercept[Exception](run("g.V().where(repeat(out()).times(2)).id()"))
+  }
+
   test("match() fails loudly instead of mis-routing recognized steps") {
     // count()/limit() after match() would otherwise run on the PRE-match
     // frontier and return plausible wrong data

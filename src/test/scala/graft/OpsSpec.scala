@@ -889,6 +889,22 @@ class OpsSpec extends SparkSpec {
     graft.core.Pin.clear()
   }
 
+  test("bpe: batched barriers replay the sequential argmax exactly") {
+    // a corpus with interacting pairs (shared symbols force rejections)
+    // and independent ones (disjoint pairs batch together)
+    val d = Seq(
+      (1L, "low low low lowest aaaa bbbb cc cc cc"),
+      (2L, "lower aaaa bbbb xyz xyz xyz xyz"),
+      (3L, "qrs qrs tuv tuv tuv wished wished")).toDF("doc_id", "text")
+    val seq1 = graft.ops.Bpe.train(d, "doc_id", "text", merges = 8, batch = 1)._1
+    for (b <- Seq(3, 4, 8)) {
+      graft.core.Pin.clear()
+      val batched = graft.ops.Bpe.train(d, "doc_id", "text", merges = 8, batch = b)._1
+      assert(batched === seq1, s"batch=$b diverged from sequential")
+    }
+    graft.core.Pin.clear()
+  }
+
   test("source overlap: identical sources jaccard 1, disjoint absent") {
     val d = Seq(
       (1L, "alpha beta gamma", "s1"), (2L, "alpha beta gamma", "s2"),

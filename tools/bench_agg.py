@@ -1,8 +1,55 @@
 #!/usr/bin/env python3
 """Aggregate N full-bench JSON lines (graft.Bench stdout) into the per-round
 BENCH_FULL_r{N}.json artifact: per-query min/median over runs + run totals.
-Usage: bench_agg.py OUT_JSON ROUND RUN_JSON..."""
+Usage: bench_agg.py OUT_JSON ROUND RUN_JSON...
+
+Compare mode (round-over-round with CONTROL-NORMALIZED ratios):
+    bench_agg.py --compare OLD_FULL_JSON NEW_FULL_JSON [ratio_threshold]
+Prints a markdown table: per-query raw min-ratio new/old plus the ratio
+normalized by each calibration control's own min-ratio (ctl_scan /
+ctl_shuffle / ctl_loop) — a query is host-attributed when its raw ratio
+tracks the control of its regime, engine-attributed when the normalized
+ratio stays off 1.0. Only rows with |raw-1| >= threshold (default 0.15)
+print; the summary always does."""
 import json, statistics, sys
+
+
+def compare(old_path, new_path, thresh=0.15):
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    octl, nctl = old.get("controls", {}), new.get("controls", {})
+    regimes = sorted(set(octl) & set(nctl))
+    cratio = {c: new["controls"][c]["min"] / old["controls"][c]["min"]
+              for c in regimes}
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    rows = []
+    for q in common:
+        o, n = old["queries"][q]["min"], new["queries"][q]["min"]
+        raw = n / o
+        rows.append((q, o, n, raw, {c: raw / cratio[c] for c in regimes}))
+    osum = sum(old["queries"][q]["min"] for q in common)
+    nsum = sum(new["queries"][q]["min"] for q in common)
+    print(f"common queries: {len(common)}  sum-of-min {osum:.1f}s -> {nsum:.1f}s "
+          f"(raw ratio {nsum / osum:.3f})")
+    print("controls (min new/old): " + "  ".join(
+        f"{c}={cratio[c]:.3f}" for c in regimes))
+    med = statistics.median(r[3] for r in rows)
+    print(f"per-query raw min-ratio median {med:.3f}")
+    hdr = "| query | old min | new min | raw |" + "".join(
+        f" /{c.replace('ctl_', '')} |" for c in regimes)
+    print("\n" + hdr)
+    print("|---|---|---|---|" + "---|" * len(regimes))
+    for q, o, n, raw, norm in sorted(rows, key=lambda r: -r[3]):
+        if abs(raw - 1) < thresh:
+            continue
+        cells = "".join(f" {norm[c]:.2f} |" for c in regimes)
+        print(f"| {q} | {o:.2f} | {n:.2f} | {raw:.2f} |{cells}")
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--compare":
+    compare(sys.argv[2], sys.argv[3],
+            float(sys.argv[4]) if len(sys.argv) > 4 else 0.15)
+    sys.exit(0)
 
 def main():
     out, rnd, runs = sys.argv[1], int(sys.argv[2]), sys.argv[3:]
