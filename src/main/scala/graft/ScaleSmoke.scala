@@ -30,9 +30,16 @@ object ScaleSmoke {
     val copies = if (args.nonEmpty) args(0).toInt else 10
     val sfDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SMOKE_PARTS overrides the shuffle-partition count so the
+    // N×-scale cache-tier boundary can be MEASURED against the knob a
+    // cluster deployment would turn (32 static partitions at 20M edges put
+    // ~600MB in each task's working set — the r10 assortativity per-copy
+    // rise): at N× a deployment raises partitions ∝ data, local[32] keeps
+    // task parallelism at 32 either way
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SMOKE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")

@@ -175,35 +175,57 @@ object CypherLite {
           // see the object doc), then join the (source, reached) pairs
           // back onto the full binding table. Expanding distinct sources
           // instead of whole rows keeps the per-hop join |sources|-wide
-          // however many earlier variables the clause has bound.
+          // however many earlier variables the clause has bound. The end
+          // node's LABEL filter pushes into the emitted layers (it only
+          // constrains the final binding, never the walk), so a dense
+          // middle hop is label-cut before any pair-set distinct.
+          val endFilter = node.label.map(l => g.verticesOf(l).select(col("id")))
           val pairs = expandVarLength(e, frontier.select(col(prevVar).as("__a")).distinct(),
-            rel.minHops, rel.maxHops)
+            rel.minHops, rel.maxHops, endFilter)
           frontier.join(pairs, frontier(prevVar) === pairs("__a"))
             .withColumn(node.v, col("__x")).drop("__a", "__x")
         }
-      node.label.foreach { l =>
+      // var-length already label-filtered its emitted pairs
+      if (node.label.isDefined && rel.minHops == 1 && rel.maxHops == 1)
         frontier = frontier.join(
-          g.verticesOf(l).select(col("id").as(node.v)), Seq(node.v), "left_semi")
-      }
+          g.verticesOf(node.label.get).select(col("id").as(node.v)),
+          Seq(node.v), "left_semi")
     }
     frontier
   }
 
   /** Bounded variable-length expansion: distinct (__a, __x) pairs where
     * `__x` is reachable from `__a` by a walk of length in [minHops,
-    * maxHops] over `e`. ONE lazy plan (maxHops ≤ 16 self-joins, each layer
-    * distinct) — no per-hop materialization: the layers reuse `e`'s scan/
-    * exchange, and Catalyst sees the whole window at once. minHops = 0
-    * contributes the identity binding (openCypher `*0..`). */
+    * maxHops] over `e`, optionally end-filtered to ids in `endFilter`.
+    * ONE lazy plan (maxHops ≤ 16 self-joins) — no per-hop
+    * materialization: the layers reuse `e`'s scan/exchange, and Catalyst
+    * sees the whole window at once. The WALKING frontier is distinct-ed
+    * per hop (pair-reachability, never walk multiplicity), EXCEPT the
+    * final hop — it feeds nothing further, so its pairs go straight
+    * through the end filter into the terminal distinct instead of
+    * distinct-ing the widest unfiltered pair set of the whole expansion.
+    * minHops = 0 contributes the identity binding (openCypher `*0..`). */
   private def expandVarLength(e: DataFrame, srcs: DataFrame,
-                              minHops: Int, maxHops: Int): DataFrame = {
+                              minHops: Int, maxHops: Int,
+                              endFilter: Option[DataFrame]): DataFrame = {
+    def emit(df: DataFrame): DataFrame =
+      endFilter.fold(df)(f => df.join(f, df("__x") === f("id"), "left_semi"))
+    // the FINAL hop feeds nothing further, so its edges pre-filter to the
+    // end label (a semi join on the edge table's dst) — the hop join then
+    // EMITS only label-matching pairs instead of the widest unfiltered
+    // pair set of the whole expansion (a dense middle layer fans out to
+    // every co-member; only the labeled slice ever survives)
+    val eEnd = endFilter.fold(e)(f =>
+      e.join(f, e("dst") === f("id"), "left_semi"))
     var layer = srcs.select(col("__a"), col("__a").as("__x"))
     var out = List.empty[DataFrame]
-    if (minHops == 0) out ::= layer
+    if (minHops == 0) out ::= emit(layer)
     for (h <- 1 to maxHops) {
-      layer = layer.join(e, layer("__x") === e("src"))
-        .select(col("__a"), col("dst").as("__x")).distinct()
-      if (h >= minHops) out ::= layer
+      val right = if (h == maxHops) eEnd else e
+      val stepped = layer.join(right, layer("__x") === right("src"))
+        .select(col("__a"), col("dst").as("__x"))
+      if (h < maxHops) layer = stepped.distinct()
+      if (h >= minHops) out ::= (if (h < maxHops) emit(layer) else stepped)
     }
     out.reduce(_ unionByName _).distinct()
   }
