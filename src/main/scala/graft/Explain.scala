@@ -24,6 +24,8 @@ object Explain {
     "q_tokenize_cjk_real" -> "254k-entry ICU lexicon joins as a BroadcastExchange; the corpus side never shuffles for the lookup",
     "q_weighted_path_pruned" -> "landmark upper bound prunes the Bellman-Ford frontier (goal-bounded search over the warmup-built index)",
     "q_top_ngrams" -> "corpus top-k = explode + partial agg + TakeOrderedAndProject",
+    "q_item_cf" -> "r11: per-item top-k is the row-carrying bounded heap (top_k_rows) — no WindowExec over the co-occurrence stream, k rows per item cross the shuffle",
+    "q_cypher_varlen" -> "r11: variable-length expansion is ONE lazy plan; the end label semi-filters the FINAL hop's edge table, so the widest layer emits only labeled pairs",
     "q_guided_walks" -> "memoized walk corpus: consumers plan against the checkpoint (0 exchanges here); the cold walk-STEP plan is recorded separately below from the first run's captured per-hop executions")
 
   /** Measured numbers that a plan dump alone can't show; refreshed by hand
@@ -244,6 +246,66 @@ object Explain {
       |candidate volume — the same inflation a REAL corpus would see if
       |boilerplate tokens thread through every document, which is what the
       |per-bucket cap (Dedup.minhashCandidates bucketCap) exists to bound.
+      |
+      |## 30× doc-pipeline scale smoke (round 11 — runMain graft.DocScaleSmoke 30)
+      |
+      |The doc side's next tier (150k docs, the graph side got its 30× in
+      |round 10), same protocol, measured at the round-11 HEAD:
+      |
+      |    operator            1x       30x      ratio   per-copy
+      |    minhash_lsh         4.14 s   16.40 s   4.0x   0.13
+      |    dedup_clusters      3.20 s    7.78 s   2.4x   0.08
+      |    corpus_pipeline     3.42 s    7.66 s   2.2x   0.07
+      |    decontaminate       1.19 s    5.96 s   5.0x   0.17
+      |    pmi_pairs           2.75 s    7.19 s   2.6x   0.09
+      |    bloom_decontaminate 1.70 s    6.93 s   4.1x   0.14
+      |    tfidf_topterms      1.51 s    3.30 s   2.2x   0.07
+      |    bigram_logprob      1.75 s    5.33 s   3.0x   0.10
+      |    bpe_merges          1.90 s    1.93 s   1.0x   0.03
+      |    embed_covariance    1.70 s   27.64 s  16.2x   0.54
+      |    incremental_dedup   2.52 s    7.66 s   3.0x   0.10
+      |    quality_classifier  8.85 s    7.64 s   0.9x   0.03
+      |    intradoc_dedup      0.51 s    3.21 s   6.2x   0.21
+      |    knn_graph (cells∝N) 2.39 s   34.42 s  14.4x   0.48
+      |    item_cf_megabasket  2.03 s    1.60 s   0.8x   0.03
+      |    (pack/ann/rp/kmv/hll/cms/mix/budget/zipf/mmr all ≤1.2x, flat)
+      |
+      |Every operator is sub-linear per copy at 30× (worst per-copy 0.54);
+      |no OOM, no spill cliff. The two linear-class movers are the two
+      |whose PER-ROW compute is the cost — embed_covariance (d²/2 products
+      |per vector: 30× rows ≈ linear map work once the 32 cores saturate)
+      |and knn_graph with cells∝N (constant |cell| by design, so the
+      |within-cell quadratic term is linear in N) — both the documented
+      |contract, neither a shuffle amplification: the ratios track
+      |compute, and the sketch/budget/mix family stays FLAT because their
+      |reduced working sets (counter tables, histograms, stratum moments)
+      |are size-invariant.
+      |
+      |## Shuffle-partition knob at the 30× cache tier (round 11, ScaleSmoke ask)
+      |
+      |The r10 30× graph smoke attributed assortativity's per-copy rise
+      |(0.23 → 0.79) to 32 static partitions at 20M edges. Measured now
+      |with the SPARK_GRAFT_SMOKE_PARTS knob (assortativity-only, replica
+      |reused, round-11 HEAD — note the r10 multiplicityView src-partition
+      |fix already landed, so the baseline itself improved):
+      |
+      |    parts=32  : assort 1x 2.87 s   30x 17.72 s  (6.2x, 0.21/copy)
+      |    parts=128 : assort 1x 4.50 s   30x 33.09 s  (7.3x, 0.24/copy)
+      |    load/pin the 59M-edge view: parts=32 354 s, parts=128 204 s
+      |
+      |Two findings. (1) The r10 tier effect is GONE at the query level:
+      |with the pinned multiplicity view hash-partitioned on src, 30×
+      |assortativity runs at 0.21/copy even on 32 static partitions —
+      |better than the 10× tier measured in r10. (2) At local[32], raising
+      |shuffle partitions is the WRONG knob for queries (33.1 s vs 17.7 s:
+      |4× the tasks compete for the same 32 cores, pure scheduling
+      |overhead) but the RIGHT knob for the pin/load phase (354 → 204 s:
+      |smaller per-task working sets while materializing the 59M-edge
+      |columnar cache — less memory pressure, no spill). A cluster gets
+      |both: partitions scale with executors (more cores absorb the task
+      |count), which is exactly what this harness cannot emulate — the
+      |knob's measured local behavior brackets the tier boundary instead
+      |of guessing it.
       |
       |## Store-resident mode — the FULL suite at sf0.1 (SPARK_GRAFT_BUCKETED=1)
       |
