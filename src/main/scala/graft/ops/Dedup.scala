@@ -79,12 +79,55 @@ object Dedup {
   /** The pinned per-corpus signature artifact every LSH consumer reads —
     * exposed so `Bench.warmup` can build it in the load phase (a deployment
     * stores this table beside the corpus; its build is the index-build
-    * step, not part of whichever dedup query runs first). */
+    * step, not part of whichever dedup query runs first). Plan-memoized per
+    * (docs plan, params) so [[loadSignatures]] can seed it from a persisted
+    * copy — every consumer then reads the stored table. */
   def signatureTable(docs: DataFrame, idCol: String, textCol: String,
                      ngram: Int, k: Int, bands: Int, rows: Int): DataFrame =
-    graft.core.Pin.pinDerived(
-      signatures(docs, idCol, textCol, ngram, k, bands, rows)
-        .select(col("doc_id"), col("sh"), col("band_keys")))
+    sigMemo.getOrBuild(docs, (idCol, textCol, ngram, k, bands, rows))(
+      graft.core.Pin.pinDerived(
+        signatures(docs, idCol, textCol, ngram, k, bands, rows)
+          .select(col("doc_id"), col("sh"), col("band_keys"))))
+
+  private val sigMemo =
+    new graft.core.Pin.PlanMemo[(String, String, Int, Int, Int, Int)]
+
+  /** signature-memo entry count (test hook) */
+  private[graft] def sigMemoSize: Int = sigMemo.entries
+
+  /** Persist the corpus MinHash signature table (shingle sets + LSH band
+    * keys) through [[graft.sources.GraphStore.saveArtifact]] — the stored
+    * form of the "a deployment stores signatures beside the corpus"
+    * contract every LSH consumer already rides in-session. Deterministic
+    * md5 hashing, so the stored rows ARE the derived rows. */
+  def saveSignatures(dir: String, docs: DataFrame, idCol: String,
+                     textCol: String, ngram: Int, k: Int, bands: Int,
+                     rows: Int): Unit =
+    graft.sources.GraphStore.saveArtifact(
+      signatureTable(docs, idCol, textCol, ngram, k, bands, rows), dir,
+      "minhash_signatures", sigParams(idCol, textCol, ngram, k, bands, rows))
+
+  /** Seed the signature memo from a persisted table: after a successful
+    * load, every LSH consumer (pair query, containment, clusters,
+    * incremental ingest, pipeline) over the same corpus reads the stored
+    * signatures — the shingle/minhash chain never recomputes. Returns
+    * false and seeds nothing when absent. */
+  def loadSignatures(dir: String, docs: DataFrame, idCol: String,
+                     textCol: String, ngram: Int, k: Int, bands: Int,
+                     rows: Int): Boolean =
+    graft.sources.GraphStore.loadArtifact(docs.sparkSession, dir,
+      "minhash_signatures",
+      sigParams(idCol, textCol, ngram, k, bands, rows)).exists { df =>
+      sigMemo.getOrBuild(docs, (idCol, textCol, ngram, k, bands, rows))(
+        graft.core.Pin.pinDerived(
+          df.select(col("doc_id"), col("sh"), col("band_keys"))))
+      true
+    }
+
+  private def sigParams(idCol: String, textCol: String, ngram: Int, k: Int,
+                        bands: Int, rows: Int) =
+    Map("idCol" -> idCol, "textCol" -> textCol, "ngram" -> ngram.toString,
+      "k" -> k.toString, "bands" -> bands.toString, "rows" -> rows.toString)
 
   /** Asymmetric CONTAINMENT near-dup pairs — the sub-document duplication
     * rule jaccard misses: c(A→B) = |S_A ∩ S_B| / |S_A| is high when A's

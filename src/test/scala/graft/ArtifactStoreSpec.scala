@@ -128,6 +128,31 @@ class ArtifactStoreSpec extends SparkSpec {
     Pin.clear()
   }
 
+  test("minhash signatures: cold session loads the stored table, every LSH consumer bit-equal") {
+    val dir = tmp()
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "a completely different document about spark engines"),
+      (4L, "a completely different document about spark engines here"))
+      .toDF("doc_id", "text")
+    def pairs() = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
+      ngram = 2, k = 12, bands = 6, rows = 2, threshold = 0.5)
+    val built = sortedRows(pairs())
+    assert(built.nonEmpty)
+    graft.ops.Dedup.saveSignatures(dir, docs, "doc_id", "text", 2, 12, 6, 2)
+    Pin.clear()
+    assert(graft.ops.Dedup.sigMemoSize === 0)
+    assert(graft.ops.Dedup.loadSignatures(dir, docs, "doc_id", "text", 2, 12, 6, 2))
+    assert(graft.ops.Dedup.sigMemoSize === 1)
+    assert(sortedRows(pairs()) === built)
+    assert(graft.ops.Dedup.sigMemoSize === 1) // consumer read the load, no rebuild
+    // different params = a different artifact; absent → declined
+    Pin.clear()
+    assert(!graft.ops.Dedup.loadSignatures(dir, docs, "doc_id", "text", 3, 12, 6, 2))
+    Pin.clear()
+  }
+
   test("classifier: cold session loads weights + scored table, both bit-equal to trained") {
     val dir = tmp()
     val docs = (1L to 30L).map(i =>
