@@ -58,22 +58,57 @@ object PathTraversals {
     * corpus is exactly oracle-able. Dead-end walks emit their partial path.
     * Scale shape: one adjacency join + one per-walk argmin aggregation per
     * step; only the walk table (|sources| rows) ever shuffles. */
-  // Memo keys hold the graph's edges DataFrame BY REFERENCE (Dataset uses
-  // identity equals/hashCode): the entry keeps the DataFrame alive, so the
-  // identity can never be recycled onto a different graph after a GC — the
-  // failure mode a bare System.identityHashCode key would allow. Cleared via
-  // Pin.clear() (registered below) for tests that overwrite parquet in place.
-  private val walksMemo = new java.util.concurrent.ConcurrentHashMap[
-    (DataFrame, Seq[String], Int, Direction.Value, Seq[String]), DataFrame]()
+  // PLAN-keyed memos (Pin.PlanMemo, r11 — previously edges-reference keys):
+  // sameResult of the edges plan + hyper-params, so the memo hits in
+  // store-resident mode where every call constructs a fresh edges frame.
+  // Cleared via Pin.clear() (PlanMemo self-registers) for tests that
+  // overwrite parquet in place.
+  private val walksMemo =
+    new Pin.PlanMemo[(Seq[String], Int, Direction.Value, Seq[String])]
 
   def guidedWalks(g: PropertyGraph, sources: Seq[String], steps: Int,
                   dir: Direction.Value, labels: Seq[String] = Nil): DataFrame =
-    // memoized per (graph, params): the walk corpus is a working set —
+    // PLAN-memoized per (graph, params): the walk corpus is a working set —
     // downstream consumers (skip-gram pairs, walk stats) reuse one
-    // checkpoint-backed table
-    walksMemo.computeIfAbsent(
-      (g.edges, sources, steps, dir, labels),
-      _ => guidedWalksCompute(g, sources, steps, dir, labels))
+    // checkpoint-backed table; plan keys (not references) keep the memo
+    // hitting in store-resident mode, where every call constructs a fresh
+    // edges frame (the r10 landmark-memo lesson)
+    walksMemo.getOrBuild(g.edges, (sources, steps, dir, labels))(
+      guidedWalksCompute(g, sources, steps, dir, labels))
+
+  /** Persist a walk corpus through
+    * [[graft.sources.GraphStore.saveArtifact]] — the walks are md5-drawn
+    * (deterministic), so the stored rows ARE the derived rows; a restarted
+    * session loads them and the skip-gram/stats consumers never re-walk.
+    * Builds first if this session hasn't (memoized). */
+  def saveWalks(artifactDir: String, g: PropertyGraph, sources: Seq[String],
+                steps: Int, dir: Direction.Value,
+                labels: Seq[String] = Nil): Unit =
+    graft.sources.GraphStore.saveArtifact(
+      guidedWalks(g, sources, steps, dir, labels), artifactDir,
+      "walk_corpus", walkParams(sources, steps, dir, labels))
+
+  /** Seed the walk memo from a persisted corpus; false when absent. */
+  def loadWalks(artifactDir: String, g: PropertyGraph, sources: Seq[String],
+                steps: Int, dir: Direction.Value,
+                labels: Seq[String] = Nil): Boolean =
+    graft.sources.GraphStore.loadArtifact(g.vertices.sparkSession,
+      artifactDir, "walk_corpus", walkParams(sources, steps, dir, labels))
+      .exists { df =>
+        walksMemo.getOrBuild(g.edges, (sources, steps, dir, labels))(
+          Pin.pinDerived(df.select(col("walk_id"), col("path"))))
+        true
+      }
+
+  private def walkParams(sources: Seq[String], steps: Int,
+                         dir: Direction.Value, labels: Seq[String]) = {
+    // the source LIST can be thousands of ids — hash it into the param key
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sources.mkString(",").getBytes("UTF-8"))
+    Map("sources_md5" -> md.map("%02x".format(_)).mkString,
+      "n_sources" -> sources.length.toString, "steps" -> steps.toString,
+      "dir" -> dir.toString, "labels" -> labels.mkString(","))
+  }
 
   private def guidedWalksCompute(g: PropertyGraph, sources: Seq[String], steps: Int,
                                  dir: Direction.Value, labels: Seq[String]): DataFrame = {
@@ -461,20 +496,17 @@ object PathTraversals {
     * equals the reference's Dijkstra result (`SingleSourceShortestPath
     * Traverser:49`) whenever rounds ≥ weighted-path hop diameter. Weight =
     * `weightCol` (missing → 1.0), must be non-negative. */
-  private val ssspMemo = new java.util.concurrent.ConcurrentHashMap[
-    (DataFrame, String, Direction.Value, Seq[String], String, Int), DataFrame]()
-
-  Pin.onClear(() => { walksMemo.clear(); ssspMemo.clear() })
+  private val ssspMemo =
+    new Pin.PlanMemo[(String, Direction.Value, Seq[String], String, Int)]
 
   def weightedSssp(g: PropertyGraph, source: String, dir: Direction.Value,
                    labels: Seq[String], weightCol: String, rounds: Int): DataFrame =
-    // memoized per (graph, params): weightedShortestPath s→t is SSSP
+    // PLAN-memoized per (graph, params): weightedShortestPath s→t is SSSP
     // filtered at the target — the distance table is the shared working set
-    // (checkpoint-backed, so reuse costs nothing; keyed by edges reference,
-    // see walksMemo note)
-    ssspMemo.computeIfAbsent(
-      (g.edges, source, dir, labels, weightCol, rounds),
-      _ => weightedSsspCompute(g, source, dir, labels, weightCol, rounds))
+    // (checkpoint-backed, so reuse costs nothing; plan keys survive
+    // store-resident mode, the walksMemo note)
+    ssspMemo.getOrBuild(g.edges, (source, dir, labels, weightCol, rounds))(
+      weightedSsspCompute(g, source, dir, labels, weightCol, rounds))
 
   /** The co-partitioned weighted edge view SSSP rounds plan against —
     * shared, pinned once per session (the pageRankViews shape). Exposed so

@@ -128,6 +128,30 @@ class ArtifactStoreSpec extends SparkSpec {
     Pin.clear()
   }
 
+  test("walk corpus: cold session loads the stored walks, consumers (incl. q_guided_walks) bit-equal") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmp()
+    Pin.clear()
+    def runQ() = sortedRows(SparkEntry.queries("q_guided_walks")(spark, sf))
+    val built = runQ()
+    assert(built.nonEmpty)
+    val g = graft.core.TpchGraph.cached(spark, sf)
+    val sources = (1 to 50).map(i => s"customer:$i")
+    graft.traverse.PathTraversals.saveWalks(dir, g, sources, 4,
+      graft.core.Direction.OUT)
+    Pin.clear()
+    assert(graft.traverse.PathTraversals.loadWalks(dir,
+      graft.core.TpchGraph.cached(spark, sf), sources, 4,
+      graft.core.Direction.OUT))
+    assert(runQ() === built)
+    // different params (steps) = a different artifact
+    Pin.clear()
+    assert(!graft.traverse.PathTraversals.loadWalks(dir,
+      graft.core.TpchGraph.cached(spark, sf), sources, 5,
+      graft.core.Direction.OUT))
+    Pin.clear()
+  }
+
   test("minhash signatures: cold session loads the stored table, every LSH consumer bit-equal") {
     val dir = tmp()
     val docs = Seq(
