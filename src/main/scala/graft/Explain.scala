@@ -323,6 +323,22 @@ object Explain {
       |                           multinode_shortest) — per-hop/per-round
       |                           store re-reads, bounded constants all
       |
+      |Round-11 re-check (min-of-2 bucketed runs vs the 5-run default
+      |campaign; the bucketed pair ran on a busier host — its own controls
+      |moved 1.22–1.32×, so ratios are quoted normalized): raw sum ratio
+      |1.44, control-normalized ≈ 1.11× — consistent with r10's 1.12×.
+      |Walk/landmark/SSSP memos are now PLAN-keyed (r11), so the
+      |guided-walk family holds ~1.0× normalized store-resident
+      |(q_guided_walks 1.29 raw ≈ flat normalized, landmark probes
+      |0.97–1.09 raw). The remaining tail is q_node2vec_walks (4.2 raw /
+      |3.3 normalized): its UN-memoized build paid 2 store reads per hop
+      |(adjacency + the prev-membership view) inside the one timed
+      |consumer — now memoized under the same plan-keyed corpus-builder
+      |discipline as guidedWalks, so repeat consumers share one build
+      |(the single-consumer bench still pays the honest per-hop store
+      |cost, a bounded constant: 2 reads × steps). Full oracle suite green
+      |bucketed at the r11 HEAD (228/228, sf0.001).
+      |
       |Round-over-round: the r5 sweep measured 1.72x aggregate with
       |q_triangle_count at 11.6x (three independent store scans enumerated
       |triangles three times). Two fixes closed it: (a) the r9 intersection

@@ -159,7 +159,20 @@ object PathTraversals {
     * view for the BFS-flavor flag; everything else narrow. */
   def node2vecWalks(g: PropertyGraph, sources: Seq[String], steps: Int,
                     dir: Direction.Value, p: Double, q: Double,
-                    labels: Seq[String] = Nil): DataFrame = {
+                    labels: Seq[String] = Nil): DataFrame =
+    // same PLAN-keyed corpus-builder discipline as [[guidedWalks]]: the
+    // biased walk corpus is a trained artifact its consumers share — in
+    // store-resident mode especially, where each un-memoized build pays
+    // 2 store reads per hop (the r11 bucketed sweep's worst tail, 4.2×)
+    n2vMemo.getOrBuild(g.edges, (sources, steps, dir, p, q, labels))(
+      node2vecWalksCompute(g, sources, steps, dir, p, q, labels))
+
+  private val n2vMemo = new Pin.PlanMemo[
+    (Seq[String], Int, Direction.Value, Double, Double, Seq[String])]
+
+  private def node2vecWalksCompute(g: PropertyGraph, sources: Seq[String], steps: Int,
+                    dir: Direction.Value, p: Double, q: Double,
+                    labels: Seq[String]): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val edges = Traversals.adjacencyView(g, dir, labels)
@@ -194,6 +207,7 @@ object PathTraversals {
     }
     acc.unionByName(frontier.select(col("wid"), col("path")))
       .select(col("wid").as("walk_id"), col("path"))
+      .localCheckpoint(true) // the memoized corpus artifact, like guidedWalks
   }
 
   /** Skip-gram pair extraction over a walk corpus (word2vec-style training
