@@ -26,8 +26,9 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * grouped count. ORDER BY accepts RETURN aliases or `var.prop`
   * references; SKIP/LIMIT follow Cypher order (skip first).
   *
-  * VARIABLE-LENGTH relationships `-[:l*min..max]->` (also `*n`, `*..max`;
-  * bare `*` is rejected — this is a bounded engine, state the max) lower
+  * VARIABLE-LENGTH relationships `-[:l*min..max]->` (also `*n` incl. `*0`,
+  * `*..max`; `*0..max` adds the identity binding; bare `*` and `*min..`
+  * are rejected — this is a bounded engine, state the max) lower
   * onto the layered frontier expansion every traverser uses: hop layers
   * are per-layer DISTINCT (endpoint-pair semantics — the binding is "x is
   * reachable from a within the hop window", one row per distinct (a, x)
@@ -81,7 +82,7 @@ object CypherLite {
                 "state an explicit max (e.g. *1..3) — bounded engine")
           }
       }
-      require(minH >= 0 && maxH >= minH && maxH >= 1,
+      require(minH >= 0 && maxH >= minH,
         s"bad hop range *$minH..$maxH in ${m.matched}")
       require(maxH <= 16,
         s"variable-length max $maxH exceeds the 16-hop expansion cap")
@@ -165,10 +166,18 @@ object CypherLite {
         if (rel.undirected) Direction.BOTH
         else if (rel.forward) Direction.OUT else Direction.IN
       val e = EdgeStep(dir, Seq(rel.label)).edgesFor(g).select(col("src"), col("dst"))
+      // a REPEATED variable — a cycle pattern like (a)-[:x]->(b)-[:y]->(a)
+      // — is an EQUALITY constraint on the already-bound column, never a
+      // rebinding: withColumn would silently REPLACE the earlier binding
+      // and return every reachable endpoint relabeled as the start
+      val rebound = frontier.columns.contains(node.v)
+      def bind(df: DataFrame, endCol: String): DataFrame =
+        if (rebound) df.filter(col(node.v) === col(endCol)).drop(endCol)
+        else df.withColumn(node.v, col(endCol)).drop(endCol)
       frontier =
         if (rel.minHops == 1 && rel.maxHops == 1)
-          frontier.join(e, frontier(prevVar) === e("src"))
-            .withColumn(node.v, col("dst")).drop("src", "dst")
+          bind(frontier.join(e, frontier(prevVar) === e("src")).drop("src"),
+            "dst")
         else {
           // variable-length: expand the DISTINCT source bindings through
           // the bounded layer loop (each layer distinct — pair semantics,
@@ -182,11 +191,13 @@ object CypherLite {
           val endFilter = node.label.map(l => g.verticesOf(l).select(col("id")))
           val pairs = expandVarLength(e, frontier.select(col(prevVar).as("__a")).distinct(),
             rel.minHops, rel.maxHops, endFilter)
-          frontier.join(pairs, frontier(prevVar) === pairs("__a"))
-            .withColumn(node.v, col("__x")).drop("__a", "__x")
+          bind(frontier.join(pairs, frontier(prevVar) === pairs("__a"))
+            .drop("__a"), "__x")
         }
-      // var-length already label-filtered its emitted pairs
-      if (node.label.isDefined && rel.minHops == 1 && rel.maxHops == 1)
+      // var-length already label-filtered its emitted pairs; a rebound
+      // variable already carries its label constraint from first binding
+      if (node.label.isDefined && !rebound &&
+          rel.minHops == 1 && rel.maxHops == 1)
         frontier = frontier.join(
           g.verticesOf(node.label.get).select(col("id").as(node.v)),
           Seq(node.v), "left_semi")
@@ -204,7 +215,7 @@ object CypherLite {
     * final hop — it feeds nothing further, so its pairs go straight
     * through the end filter into the terminal distinct instead of
     * distinct-ing the widest unfiltered pair set of the whole expansion.
-    * minHops = 0 contributes the identity binding (openCypher `*0..`). */
+    * minHops = 0 contributes the identity binding (`*0..max`, `*0`). */
   private def expandVarLength(e: DataFrame, srcs: DataFrame,
                               minHops: Int, maxHops: Int,
                               endFilter: Option[DataFrame]): DataFrame = {

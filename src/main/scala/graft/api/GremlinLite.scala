@@ -228,6 +228,16 @@ object GremlinLite {
           (result.isDefined && Set("by", "order", "limit", "range").contains(name)),
           s"after match(), only select(vars…) then by/order/limit/range " +
             s"are allowed, got $name()")
+      // Same loud-failure contract for ANY terminal: once a step has
+      // produced the result frame (values/id/count/groupCount/…), a
+      // further traversal step would silently mutate the DEAD pre-terminal
+      // traversal `t` and be ignored — e.g. g.V().values('age').coin(0.5)
+      // returning UNsampled data. Only the result-frame modulators may
+      // follow.
+      if (result.isDefined)
+        require(Set("by", "order", "limit", "range").contains(name),
+          s"step $name() after a terminal step would be silently ignored " +
+            "— only order/by/limit/range may follow a terminal")
       (name, args) match {
         // ---- match() and its result steps (the MatchStep planner path) ----
         case ("match", pats) =>

@@ -699,13 +699,15 @@ object Algorithms {
                         maxDepth: Int): Unit =
     graft.sources.GraphStore.saveArtifact(
       landmarkIndex(landmarks, adj, maxDepth), dir, "landmark_index",
-      landmarkParams(landmarks, maxDepth))
+      landmarkParams(landmarks, maxDepth) +
+        graft.sources.GraphStore.inputIdentity(adj))
 
   def saveWeightedLandmarkIndex(dir: String, landmarks: Seq[String],
                                 wadj: DataFrame, rounds: Int): Unit =
     graft.sources.GraphStore.saveArtifact(
       weightedLandmarkIndex(landmarks, wadj, rounds), dir,
-      "weighted_landmark_index", landmarkParams(landmarks, rounds))
+      "weighted_landmark_index", landmarkParams(landmarks, rounds) +
+        graft.sources.GraphStore.inputIdentity(wadj))
 
   /** Seed the landmark memos from persisted artifacts: after a successful
     * load, every probe ([[landmarkDistances]],
@@ -716,7 +718,8 @@ object Algorithms {
   def loadLandmarkIndex(dir: String, landmarks: Seq[String], adj: DataFrame,
                         maxDepth: Int): Boolean =
     graft.sources.GraphStore.loadArtifact(adj.sparkSession, dir,
-      "landmark_index", landmarkParams(landmarks, maxDepth)).exists { df =>
+      "landmark_index", landmarkParams(landmarks, maxDepth) +
+        graft.sources.GraphStore.inputIdentity(adj)).exists { df =>
       landmarkMemo.getOrBuild(adj, (landmarks.sorted, maxDepth))(
         graft.core.Pin.pinDerived(
           df.select(col("landmark"), col("id"), col("dist"))))
@@ -726,7 +729,8 @@ object Algorithms {
   def loadWeightedLandmarkIndex(dir: String, landmarks: Seq[String],
                                 wadj: DataFrame, rounds: Int): Boolean =
     graft.sources.GraphStore.loadArtifact(wadj.sparkSession, dir,
-      "weighted_landmark_index", landmarkParams(landmarks, rounds)).exists { df =>
+      "weighted_landmark_index", landmarkParams(landmarks, rounds) +
+        graft.sources.GraphStore.inputIdentity(wadj)).exists { df =>
       wLandmarkMemo.getOrBuild(wadj, (landmarks.sorted, rounds))(
         graft.core.Pin.pinDerived(
           df.select(col("landmark"), col("id"), col("dist"))))

@@ -188,9 +188,11 @@ object Ann {
                 iters: Int, m: Int, ks: Int, dims: Int): Unit = {
     val store = graft.sources.GraphStore
     store.saveArtifact(kmeansCentroids(candidates, nCentroids, iters), dir,
-      "ann_kmeans_centroids", kmeansParams(nCentroids, iters))
+      "ann_kmeans_centroids",
+      kmeansParams(nCentroids, iters) + store.inputIdentity(candidates))
     store.saveArtifact(pqReconstruct(pinnedCands(candidates), m, ks, dims, iters),
-      dir, "ann_pq_reconstructions", pqParams(m, ks, dims, iters))
+      dir, "ann_pq_reconstructions",
+      pqParams(m, ks, dims, iters) + store.inputIdentity(candidates))
   }
 
   /** Seed this session's trained-index memos from artifacts persisted by
@@ -209,9 +211,9 @@ object Ann {
     val store = graft.sources.GraphStore
     val spark = candidates.sparkSession
     val cents = store.loadArtifact(spark, dir, "ann_kmeans_centroids",
-      kmeansParams(nCentroids, iters))
+      kmeansParams(nCentroids, iters) + store.inputIdentity(candidates))
     val recon = store.loadArtifact(spark, dir, "ann_pq_reconstructions",
-      pqParams(m, ks, dims, iters))
+      pqParams(m, ks, dims, iters) + store.inputIdentity(candidates))
     (cents, recon) match {
       case (Some(c), Some(r)) =>
         val cands = pinnedCands(candidates)

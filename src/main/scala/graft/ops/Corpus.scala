@@ -519,7 +519,8 @@ object Corpus {
     import spark.implicits._
     val scored = trainQualityClassifier(docs, idCol, textCol, label, dims, rounds)
     val w = trainedWeights(docs, idCol, textCol, label, dims, rounds)
-    val p = classifierParams(label, dims, rounds)
+    val p = classifierParams(label, dims, rounds) +
+      graft.sources.GraphStore.inputIdentity(docs)
     graft.sources.GraphStore.saveArtifact(scored, dir, "classifier_scores", p)
     graft.sources.GraphStore.saveArtifact(
       w.toSeq.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toDF("j", "w"),
@@ -534,7 +535,8 @@ object Corpus {
                      textCol: String, label: Column, dims: Int,
                      rounds: Int): Boolean = {
     val spark = docs.sparkSession
-    val p = classifierParams(label, dims, rounds)
+    val p = classifierParams(label, dims, rounds) +
+      graft.sources.GraphStore.inputIdentity(docs)
     val scored = graft.sources.GraphStore.loadArtifact(
       spark, dir, "classifier_scores", p)
     val weights = graft.sources.GraphStore.loadArtifact(

@@ -105,7 +105,8 @@ object Dedup {
                      rows: Int): Unit =
     graft.sources.GraphStore.saveArtifact(
       signatureTable(docs, idCol, textCol, ngram, k, bands, rows), dir,
-      "minhash_signatures", sigParams(idCol, textCol, ngram, k, bands, rows))
+      "minhash_signatures", sigParams(idCol, textCol, ngram, k, bands, rows) +
+        graft.sources.GraphStore.inputIdentity(docs))
 
   /** Seed the signature memo from a persisted table: after a successful
     * load, every LSH consumer (pair query, containment, clusters,
@@ -117,7 +118,8 @@ object Dedup {
                      rows: Int): Boolean =
     graft.sources.GraphStore.loadArtifact(docs.sparkSession, dir,
       "minhash_signatures",
-      sigParams(idCol, textCol, ngram, k, bands, rows)).exists { df =>
+      sigParams(idCol, textCol, ngram, k, bands, rows) +
+        graft.sources.GraphStore.inputIdentity(docs)).exists { df =>
       sigMemo.getOrBuild(docs, (idCol, textCol, ngram, k, bands, rows))(
         graft.core.Pin.pinDerived(
           df.select(col("doc_id"), col("sh"), col("band_keys"))))

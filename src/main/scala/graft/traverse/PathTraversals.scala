@@ -86,14 +86,16 @@ object PathTraversals {
                 labels: Seq[String] = Nil): Unit =
     graft.sources.GraphStore.saveArtifact(
       guidedWalks(g, sources, steps, dir, labels), artifactDir,
-      "walk_corpus", walkParams(sources, steps, dir, labels))
+      "walk_corpus", walkParams(sources, steps, dir, labels) +
+        graft.sources.GraphStore.inputIdentity(g.edges))
 
   /** Seed the walk memo from a persisted corpus; false when absent. */
   def loadWalks(artifactDir: String, g: PropertyGraph, sources: Seq[String],
                 steps: Int, dir: Direction.Value,
                 labels: Seq[String] = Nil): Boolean =
     graft.sources.GraphStore.loadArtifact(g.vertices.sparkSession,
-      artifactDir, "walk_corpus", walkParams(sources, steps, dir, labels))
+      artifactDir, "walk_corpus", walkParams(sources, steps, dir, labels) +
+        graft.sources.GraphStore.inputIdentity(g.edges))
       .exists { df =>
         walksMemo.getOrBuild(g.edges, (sources, steps, dir, labels))(
           Pin.pinDerived(df.select(col("walk_id"), col("path"))))

@@ -174,6 +174,10 @@ class ArtifactStoreSpec extends SparkSpec {
     // different params = a different artifact; absent → declined
     Pin.clear()
     assert(!graft.ops.Dedup.loadSignatures(dir, docs, "doc_id", "text", 3, 12, 6, 2))
+    // DATASET identity: an artifact trained on one corpus never loads for
+    // another (same hyper-params, different input plan → different key)
+    val other = Seq((9L, "some other corpus entirely")).toDF("doc_id", "text")
+    assert(!graft.ops.Dedup.loadSignatures(dir, other, "doc_id", "text", 2, 12, 6, 2))
     Pin.clear()
   }
 

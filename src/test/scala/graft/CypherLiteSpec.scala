@@ -121,6 +121,27 @@ class CypherLiteSpec extends SparkSpec {
     assert(m("marko") === 3L && m("vadas") === 3L && m("josh") === 3L)
   }
 
+  test("repeated variables constrain equality (cycle patterns), never rebind") {
+    // single-hop cycle over the BOTH view: a knows b and b knows a (the
+    // same undirected edge) — a rebinding bug would relabel every endpoint
+    val rows = run("MATCH (a:person)-[:knows]-(b:person)-[:knows]-(a) " +
+      "RETURN a.name, b.name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("marko", "vadas"), ("vadas", "marko"),
+      ("marko", "josh"), ("josh", "marko")))
+    // directed cycle on a DAG: none
+    assert(run("MATCH (a:person)-[:knows]->(b:person)-[:knows]->(a) " +
+      "RETURN a.name").collect().isEmpty)
+    // var-length back to the start: every knows-endpoint walks back in 2
+    val cyc = run("MATCH (a:person)-[:knows*2..2]-(a) RETURN a.name")
+      .collect().map(_.getString(0)).toSet
+    assert(cyc === Set("marko", "vadas", "josh"))
+    // *0 exact: identity only — a IS b
+    val z = run("MATCH (a:person)-[:knows*0]-(b) WHERE a.name = 'vadas' RETURN b.name")
+      .collect().map(_.getString(0)).toSet
+    assert(z === Set("vadas"))
+  }
+
   test("variable-length rejects unbounded and over-cap windows loudly") {
     intercept[Exception](
       run("MATCH (a)-[:knows*]->(b) RETURN a.name")) // bare * unbounded

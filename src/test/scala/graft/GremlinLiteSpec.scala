@@ -130,6 +130,17 @@ class GremlinLiteSpec extends SparkSpec {
     intercept[Exception](run("g.V().where(repeat(out()).times(2)).id()"))
   }
 
+  test("traversal steps after a terminal fail loudly instead of being silently ignored") {
+    // pre-guard, these mutated the dead pre-terminal traversal and the
+    // caller got complete data believing it was sampled/filtered
+    intercept[Exception](run("g.V().values('age').coin(0.5)"))
+    intercept[Exception](run("g.V().id().where(out('created'))"))
+    intercept[Exception](run("g.V().count().out('knows')"))
+    // the result-frame modulators still compose
+    assert(run("g.V().hasLabel('person').values('name').order().by('name').limit(2)")
+      .collect().map(_.getString(0)).toSeq === Seq("josh", "marko"))
+  }
+
   test("match() fails loudly instead of mis-routing recognized steps") {
     // count()/limit() after match() would otherwise run on the PRE-match
     // frontier and return plausible wrong data
