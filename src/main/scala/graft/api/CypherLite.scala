@@ -11,20 +11,29 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   *
   * Supported grammar:
   * {{{
-  *   MATCH (a:person)-[:knows]->(b)<-[:created]-(c)-[:knows*1..3]-(d)
+  *   MATCH (a:person)-[r:knows]->(b)<-[:created]-(c)-[:knows*1..3]-(d)
   *   [ MATCH …  |  OPTIONAL MATCH … ]*
-  *   [ WHERE a.age > 29 AND b.name = 'lop' ]
-  *   RETURN a.name AS who, b.price [ , count(*) AS n ]
+  *   [ WHERE (a.age > 29 OR NOT b.name = 'lop') AND r.weight >= 0.5 ]
+  *   RETURN a.name AS who, r.weight, sum(b.price) AS total [ , count(*) AS n ]
   *   [ ORDER BY who [ASC|DESC], b.price … ] [ SKIP s ] [ LIMIT n ]
   * }}}
   * Multiple MATCH clauses join on shared variables (cartesian when none are
-  * shared, as in Cypher); OPTIONAL MATCH is a left outer join on the shared
-  * variables. Directions `->`, `<-` and UNDIRECTED `-[:l]-` (the BOTH
-  * view), optional node labels, conjunctive WHERE with `= <> > >= < <=`
-  * against string/number literals, RETURN of `var.prop` projections with
-  * aliases and an optional `count(*)` that turns the projection into a
-  * grouped count. ORDER BY accepts RETURN aliases or `var.prop`
-  * references; SKIP/LIMIT follow Cypher order (skip first).
+  * shared, as in Cypher — guarded, see [[eval]]); OPTIONAL MATCH is a left
+  * outer join on the shared variables. Directions `->`, `<-` and UNDIRECTED
+  * `-[:l]-` (the BOTH view), optional node labels, and RELATIONSHIP
+  * VARIABLES `-[r:label]->` that expose edge properties to WHERE / RETURN /
+  * ORDER BY as `r.prop` (the reference's edge-property query surface —
+  * `EdgeCoreTest.java` sort-key/edge-prop families). WHERE is a full
+  * boolean grammar — `AND`/`OR`/`NOT`/parentheses over
+  * `<var>.<prop> (=|<>|>|>=|<|<=) <literal>` — with SQL three-valued null
+  * semantics (openCypher's: a null comparison never matches). RETURN items
+  * are `var.prop` projections with aliases and/or aggregates
+  * `count(*) | count/sum/avg/min/max/collect(var.prop)` with openCypher
+  * implicit grouping: the non-aggregated items become the group keys.
+  * `collect()` returns a SORTED array (openCypher leaves collect order
+  * unspecified; sorting makes results deterministic and hash-comparable).
+  * ORDER BY accepts RETURN aliases or `var.prop` references; SKIP/LIMIT
+  * follow Cypher order (skip first).
   *
   * VARIABLE-LENGTH relationships `-[:l*min..max]->` (also `*n` incl. `*0`,
   * `*..max`; `*0..max` adds the identity binding; bare `*` and `*min..`
@@ -37,41 +46,168 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * enumerators ([[graft.traverse.PathTraversals.paths]]); the only
   * observable divergence here is a pair whose EVERY in-window walk reuses
   * an edge — such a pair still matches (walk semantics, stated loudly).
+  * A variable on a variable-length relationship (`-[r:l*1..3]-`) binds a
+  * LIST of relationships in openCypher; here the supported subset is the
+  * ALL-hop predicate pushdown — `WHERE r.prop <op> lit` must appear as a
+  * top-level AND conjunct and filters the edge table BEFORE expansion
+  * (openCypher's `all(x IN r WHERE …)`, the only shape that stays
+  * scan-pushable at scale). `RETURN r.prop` on a variable-length
+  * relationship is rejected loudly (list-valued binding).
   */
 object CypherLite {
 
   private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
   private val relRe =
-    """(<?)-\[\s*:\s*(\w+)\s*(\*\s*(\d+)?\s*(?:\.\.\s*(\d+)?)?)?\s*\]-(>?)""".r
+    """(<?)-\[\s*(\w+)?\s*:\s*(\w+)\s*(\*\s*(\d+)?\s*(?:\.\.\s*(\d+)?)?)?\s*\]-(>?)""".r
   private val clauseRe = """(?i)\b(OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|SKIP|LIMIT)\b""".r
+
+  /** Working/physical column names the planner owns; user variables with
+    * these names would silently corrupt joins (`__a`/`__x` are the
+    * var-length expansion's columns, `src`/`dst` the edge frame's). */
+  private val reservedVars = Set("__a", "__x", "src", "dst")
+  private def checkVar(v: String): String = {
+    require(!reservedVars.contains(v) && !v.startsWith("__"),
+      s"'$v' is a reserved variable name (engine working column) — rename it")
+    v
+  }
 
   private[api] final case class NodePat(v: String, label: Option[String])
   private[api] final case class RelPat(label: String, forward: Boolean,
                                        undirected: Boolean = false,
-                                       minHops: Int = 1, maxHops: Int = 1)
+                                       minHops: Int = 1, maxHops: Int = 1,
+                                       variable: Option[String] = None) {
+    def singleHop: Boolean = minHops == 1 && maxHops == 1
+  }
   private[api] final case class MatchClause(nodes: List[NodePat], rels: List[RelPat],
                                             optional: Boolean)
-  private[api] final case class WherePred(v: String, prop: String, op: String, value: Any)
-  private[api] final case class Ret(v: String, prop: String, alias: String)
+
+  // ---- WHERE boolean-expression grammar ----------------------------------
+  private[api] sealed trait BoolExpr
+  private[api] final case class Cmp(v: String, prop: String, op: String,
+                                    value: Any) extends BoolExpr
+  private[api] final case class AndE(l: BoolExpr, r: BoolExpr) extends BoolExpr
+  private[api] final case class OrE(l: BoolExpr, r: BoolExpr) extends BoolExpr
+  private[api] final case class NotE(e: BoolExpr) extends BoolExpr
+
+  private sealed trait Tok
+  private case object LP extends Tok
+  private case object RP extends Tok
+  private case object AndT extends Tok
+  private case object OrT extends Tok
+  private case object NotT extends Tok
+  private final case class CmpT(c: Cmp) extends Tok
+
+  private def tokenize(body: String): List[Tok] = {
+    val wordRe = """^(?i)(AND|OR|NOT)\b""".r
+    val cmpRe =
+      """^(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*('[^']*'|[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)""".r
+    val out = List.newBuilder[Tok]
+    var rest = body.trim
+    while (rest.nonEmpty) {
+      if (rest.startsWith("(")) { out += LP; rest = rest.substring(1).trim }
+      else if (rest.startsWith(")")) { out += RP; rest = rest.substring(1).trim }
+      else wordRe.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          out += (m.group(1).toUpperCase match {
+            case "AND" => AndT; case "OR" => OrT; case "NOT" => NotT
+          })
+          rest = rest.substring(m.end).trim
+        case None => cmpRe.findFirstMatchIn(rest) match {
+          case Some(m) =>
+            val raw = m.group(4)
+            val value: Any =
+              if (raw.startsWith("'")) raw.stripPrefix("'").stripSuffix("'")
+              else raw.toDouble
+            out += CmpT(Cmp(checkVar(m.group(1)), m.group(2), m.group(3), value))
+            rest = rest.substring(m.end).trim
+          case None => sys.error(s"cannot parse WHERE at: '$rest'")
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Recursive descent: OR < AND < NOT < parens/comparison. */
+  private[api] def parseWhere(body: String): BoolExpr = {
+    val toks = tokenize(body)
+    var i = 0
+    def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    def next(): Tok = { val t = toks(i); i += 1; t }
+    def orE(): BoolExpr = {
+      var l = andE()
+      while (peek.contains(OrT)) { next(); l = OrE(l, andE()) }
+      l
+    }
+    def andE(): BoolExpr = {
+      var l = notE()
+      while (peek.contains(AndT)) { next(); l = AndE(l, notE()) }
+      l
+    }
+    def notE(): BoolExpr = peek match {
+      case Some(NotT) => next(); NotE(notE())
+      case Some(LP) =>
+        next(); val e = orE()
+        require(peek.contains(RP), "expected ')' in WHERE"); next(); e
+      case Some(CmpT(c)) => next(); c
+      case t => sys.error(s"unexpected token in WHERE: $t")
+    }
+    val e = orE()
+    require(i == toks.length, s"trailing tokens in WHERE: ${toks.drop(i)}")
+    e
+  }
+
+  private def cmpColumn(c: Column, op: String, value: Any): Column = op match {
+    case "=" => c === lit(value)
+    case "<>" => c =!= lit(value)
+    case ">" => c > lit(value)
+    case ">=" => c >= lit(value)
+    case "<" => c < lit(value)
+    case "<=" => c <= lit(value)
+  }
+
+  private def compileExpr(e: BoolExpr, colOf: (String, String) => Column): Column =
+    e match {
+      case Cmp(v, p, op, value) => cmpColumn(colOf(v, p), op, value)
+      case AndE(l, r) => compileExpr(l, colOf) && compileExpr(r, colOf)
+      case OrE(l, r) => compileExpr(l, colOf) || compileExpr(r, colOf)
+      case NotE(x) => !compileExpr(x, colOf)
+    }
+
+  private def refs(e: BoolExpr): List[(String, String)] = e match {
+    case Cmp(v, p, _, _) => List((v, p))
+    case AndE(l, r) => refs(l) ++ refs(r)
+    case OrE(l, r) => refs(l) ++ refs(r)
+    case NotE(x) => refs(x)
+  }
+
+  private def conjuncts(e: BoolExpr): List[BoolExpr] = e match {
+    case AndE(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => List(x)
+  }
+
+  // ---- RETURN / ORDER BY -------------------------------------------------
+  /** A RETURN item: plain `v.prop` projection (agg = None) or an aggregate.
+    * `count(*)` is encoded as v = "", prop = "*", agg = Some("count"). */
+  private[api] final case class Ret(v: String, prop: String, alias: String,
+                                    agg: Option[String] = None)
   private[api] final case class OrderKey(ref: String, asc: Boolean)
   private[api] final case class Query(matches: List[MatchClause],
-                                      preds: List[WherePred], rets: List[Ret],
-                                      countAlias: Option[String],
+                                      where: Option[BoolExpr], rets: List[Ret],
                                       orderBy: List[OrderKey],
                                       skip: Option[Int], limit: Option[Int])
 
   private def parsePattern(pattern: String, optional: Boolean): MatchClause = {
     val nodes = nodeRe.findAllMatchIn(pattern).map(m =>
-      NodePat(m.group(1), Option(m.group(2)))).toList
+      NodePat(checkVar(m.group(1)), Option(m.group(2)))).toList
     val rels = relRe.findAllMatchIn(pattern).map { m =>
       val back = m.group(1) == "<"
-      val fwd = m.group(6) == ">"
+      val fwd = m.group(7) == ">"
       require(!(back && fwd), s"relationship cannot point both ways: ${m.matched}")
-      val (minH, maxH) = Option(m.group(3)) match {
+      val (minH, maxH) = Option(m.group(4)) match {
         case None => (1, 1) // no star: plain single hop
         case Some(star) =>
-          val lo = Option(m.group(4)).map(_.toInt)
-          val hi = Option(m.group(5)).map(_.toInt)
+          val lo = Option(m.group(5)).map(_.toInt)
+          val hi = Option(m.group(6)).map(_.toInt)
           val hasDots = star.contains("..")
           (lo, hi) match {
             case (Some(n), None) if !hasDots => (n, n)    // *n
@@ -86,11 +222,31 @@ object CypherLite {
         s"bad hop range *$minH..$maxH in ${m.matched}")
       require(maxH <= 16,
         s"variable-length max $maxH exceeds the 16-hop expansion cap")
-      RelPat(m.group(2), forward = fwd, undirected = !back && !fwd,
-        minHops = minH, maxHops = maxH)
+      RelPat(m.group(3), forward = fwd, undirected = !back && !fwd,
+        minHops = minH, maxHops = maxH,
+        variable = Option(m.group(2)).map(checkVar))
     }.toList
     require(nodes.length == rels.length + 1, s"malformed pattern: $pattern")
     MatchClause(nodes, rels, optional)
+  }
+
+  private val aggRetRe =
+    """(?i)^(count|sum|avg|min|max|collect)\s*\(\s*(?:(\*)|(\w+)\.(\w+))\s*\)(?:\s+AS\s+(\w+))?$""".r
+  private val plainRetRe = """^(\w+)\.(\w+)(?:\s+(?i:AS)\s+(\w+))?$""".r
+
+  private def parseRet(item: String): Ret = item.trim match {
+    case aggRetRe(agg0, star, v, prop, alias) =>
+      val agg = agg0.toLowerCase
+      if (star != null) {
+        require(agg == "count", s"$agg(*) is not a Cypher aggregate: $item")
+        Ret("", "*", Option(alias).getOrElse("n"), Some("count"))
+      } else
+        Ret(checkVar(v), prop,
+          Option(alias).getOrElse(s"${agg}_${v}_$prop"), Some(agg))
+    case plainRetRe(v, prop, alias) =>
+      Ret(checkVar(v), prop,
+        Option(alias).getOrElse(s"${v}_$prop"), None)
+    case other => sys.error(s"bad return item: $other")
   }
 
   private[api] def parse(q: String): Query = {
@@ -105,9 +261,8 @@ object CypherLite {
     }
 
     var matches = List.empty[MatchClause]
-    var preds = List.empty[WherePred]
+    var where: Option[BoolExpr] = None
     var rets = List.empty[Ret]
-    var countAlias: Option[String] = None
     var orderBy = List.empty[OrderKey]
     var skip: Option[Int] = None
     var limit: Option[Int] = None
@@ -116,27 +271,10 @@ object CypherLite {
       case ("MATCH", body) => matches :+= parsePattern(body, optional = false)
       case ("OPTIONAL MATCH", body) => matches :+= parsePattern(body, optional = true)
       case ("WHERE", body) =>
-        preds = body.split("(?i) AND ").toList.map { p =>
-          val m = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(.+)""".r
-            .findFirstMatchIn(p.trim).getOrElse(sys.error(s"bad predicate: $p"))
-          val raw = m.group(4).trim
-          val value: Any =
-            if (raw.startsWith("'")) raw.stripPrefix("'").stripSuffix("'")
-            else raw.toDouble
-          WherePred(m.group(1), m.group(2), m.group(3), value)
-        }
+        val e = parseWhere(body)
+        where = where.map(AndE(_, e)).orElse(Some(e))
       case ("RETURN", body) =>
-        body.split(",").toList.map(_.trim).foreach { r =>
-          val cm = """(?i)count\(\*\)(?:\s+AS\s+(\w+))?""".r.findFirstMatchIn(r)
-          if (cm.isDefined)
-            countAlias = Some(Option(cm.get.group(1)).getOrElse("n"))
-          else {
-            val m = """(\w+)\.(\w+)(?:\s+(?i:AS)\s+(\w+))?""".r.findFirstMatchIn(r)
-              .getOrElse(sys.error(s"bad return item: $r"))
-            rets :+= Ret(m.group(1), m.group(2),
-              Option(m.group(3)).getOrElse(s"${m.group(1)}_${m.group(2)}"))
-          }
-        }
+        rets = body.split(",").toList.map(parseRet)
       case ("ORDER BY", body) =>
         orderBy = body.split(",").toList.map(_.trim).map { k =>
           val m = """(\S+)(?:\s+(?i)(ASC|DESC))?""".r.findFirstMatchIn(k)
@@ -147,14 +285,23 @@ object CypherLite {
       case ("LIMIT", body) => limit = Some(body.trim.toInt)
       case (kw, _) => sys.error(s"unsupported clause: $kw")
     }
-    require(rets.nonEmpty || countAlias.isDefined, "query must have RETURN")
-    Query(matches, preds, rets, countAlias, orderBy, skip, limit)
+    require(rets.nonEmpty, "query must have RETURN")
+    Query(matches, where, rets, orderBy, skip, limit)
   }
 
-  /** One linear chain → DataFrame of variable columns (vertex ids).
-    * Shared with the DSL's `match()` step ([[MatchPattern]]), which builds
-    * [[MatchClause]]s programmatically instead of parsing them. */
-  private[api] def evalChain(g: PropertyGraph, mc: MatchClause): DataFrame = {
+  /** One linear chain → DataFrame of variable columns (vertex ids), plus
+    * one `<r>_<prop>` column per requested single-hop relationship-variable
+    * property. Shared with the DSL's `match()` step ([[MatchPattern]]),
+    * which builds [[MatchClause]]s programmatically instead of parsing.
+    *
+    * @param edgeProps  per relationship variable, the edge properties to
+    *                   carry through the join (single-hop rels only)
+    * @param relFilters per relationship variable, a predicate over RAW edge
+    *                   columns pushed into the edge scan before expansion
+    *                   (the var-length ALL-hop pushdown) */
+  private[api] def evalChain(g: PropertyGraph, mc: MatchClause,
+                             edgeProps: Map[String, Seq[String]] = Map.empty,
+                             relFilters: Map[String, Column] = Map.empty): DataFrame = {
     val n0 = mc.nodes.head
     var frontier: DataFrame = {
       val base = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
@@ -165,7 +312,13 @@ object CypherLite {
       val dir =
         if (rel.undirected) Direction.BOTH
         else if (rel.forward) Direction.OUT else Direction.IN
-      val e = EdgeStep(dir, Seq(rel.label)).edgesFor(g).select(col("src"), col("dst"))
+      val e0 = EdgeStep(dir, Seq(rel.label)).edgesFor(g)
+      // ALL-hop edge-property pushdown: the filter lands on the edge SCAN,
+      // so a var-length expansion never walks a non-qualifying edge
+      val e1 = rel.variable.flatMap(relFilters.get).fold(e0)(f => e0.filter(f))
+      val carry = rel.variable.toSeq.flatMap(rv =>
+        edgeProps.getOrElse(rv, Nil).map(p => col(p).as(s"${rv}_$p")))
+      val e = e1.select((col("src") +: col("dst") +: carry): _*)
       // a REPEATED variable — a cycle pattern like (a)-[:x]->(b)-[:y]->(a)
       // — is an EQUALITY constraint on the already-bound column, never a
       // rebinding: withColumn would silently REPLACE the earlier binding
@@ -175,7 +328,7 @@ object CypherLite {
         if (rebound) df.filter(col(node.v) === col(endCol)).drop(endCol)
         else df.withColumn(node.v, col(endCol)).drop(endCol)
       frontier =
-        if (rel.minHops == 1 && rel.maxHops == 1)
+        if (rel.singleHop)
           bind(frontier.join(e, frontier(prevVar) === e("src")).drop("src"),
             "dst")
         else {
@@ -189,15 +342,15 @@ object CypherLite {
           // constrains the final binding, never the walk), so a dense
           // middle hop is label-cut before any pair-set distinct.
           val endFilter = node.label.map(l => g.verticesOf(l).select(col("id")))
-          val pairs = expandVarLength(e, frontier.select(col(prevVar).as("__a")).distinct(),
+          val pairs = expandVarLength(e.select(col("src"), col("dst")),
+            frontier.select(col(prevVar).as("__a")).distinct(),
             rel.minHops, rel.maxHops, endFilter)
           bind(frontier.join(pairs, frontier(prevVar) === pairs("__a"))
             .drop("__a"), "__x")
         }
       // var-length already label-filtered its emitted pairs; a rebound
       // variable already carries its label constraint from first binding
-      if (node.label.isDefined && !rebound &&
-          rel.minHops == 1 && rel.maxHops == 1)
+      if (node.label.isDefined && !rebound && rel.singleHop)
         frontier = frontier.join(
           g.verticesOf(node.label.get).select(col("id").as(node.v)),
           Seq(node.v), "left_semi")
@@ -243,9 +396,65 @@ object CypherLite {
 
   def eval(g: PropertyGraph, cypher: String): DataFrame = {
     val q = parse(cypher)
-    var frontier = evalChain(g, q.matches.head)
+
+    // relationship variables: unique, disjoint from node variables
+    val relPats = q.matches.flatMap(_.rels)
+    val relVarOcc = relPats.flatMap(_.variable)
+    require(relVarOcc.distinct.length == relVarOcc.length,
+      s"duplicate relationship variable (openCypher relationship uniqueness): " +
+        relVarOcc.diff(relVarOcc.distinct).mkString(", "))
+    val nodeVars = q.matches.flatMap(_.nodes.map(_.v)).toSet
+    relVarOcc.find(nodeVars).foreach(v =>
+      sys.error(s"variable '$v' is bound to both a node and a relationship"))
+    val relVars: Map[String, RelPat] =
+      relPats.flatMap(r => r.variable.map(_ -> r)).toMap
+    val varLenVars = relVars.collect { case (v, r) if !r.singleHop => v }.toSet
+
+    // WHERE: var-length rel-var conjuncts push into the edge scan (ALL-hop
+    // semantics, see object doc); everything else filters the bound rows
+    val (relFilters, residual) = q.where match {
+      case None => (Map.empty[String, Column], None)
+      case Some(w) =>
+        val cs = conjuncts(w)
+        val (push, keep) = cs.partition {
+          case Cmp(v, _, _, _) => varLenVars(v)
+          case _ => false
+        }
+        keep.flatMap(refs).foreach { case (v, _) =>
+          require(!varLenVars(v),
+            s"predicate on variable-length relationship '$v' must be a " +
+              "top-level AND comparison (lowered to the ALL-hop edge-scan " +
+              "pushdown, openCypher's all(x IN r WHERE …))")
+        }
+        val byVar = push.collect { case c: Cmp => c }.groupBy(_.v).map {
+          case (v, cmps) =>
+            v -> cmps.map(c => cmpColumn(col(c.prop), c.op, c.value)).reduce(_ && _)
+        }
+        (byVar, keep.reduceOption(AndE(_, _)))
+    }
+
+    // properties each clause must carry for its relationship variables
+    val orderProps = q.orderBy.flatMap { k =>
+      k.ref.split("\\.") match {
+        case Array(v, p) if nodeVars.contains(v) || relVars.contains(v) => Some((v, p))
+        case _ => None
+      }
+    }
+    val needed = (residual.toList.flatMap(refs) ++
+      q.rets.filter(r => r.v.nonEmpty).map(r => (r.v, r.prop)) ++ orderProps).distinct
+    needed.foreach { case (v, _) =>
+      require(!varLenVars(v),
+        s"'$v' binds a variable-length relationship (a LIST) — RETURN/ORDER " +
+          "BY of its properties is unsupported; only the ALL-hop WHERE " +
+          "pushdown is (see the object doc)")
+    }
+    val edgePropNeeds: Map[String, Seq[String]] =
+      needed.filter(p => relVars.contains(p._1))
+        .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).distinct }
+
+    var frontier = evalChain(g, q.matches.head, edgePropNeeds, relFilters)
     q.matches.tail.foreach { mc =>
-      val df = evalChain(g, mc)
+      val df = evalChain(g, mc, edgePropNeeds, relFilters)
       val shared = frontier.columns.intersect(df.columns).toSeq
       frontier =
         if (mc.optional) {
@@ -253,67 +462,97 @@ object CypherLite {
           frontier.join(df, shared, "left")
         }
         else if (shared.nonEmpty) frontier.join(df, shared)
-        else frontier.crossJoin(df)
+        else {
+          // disconnected patterns are a cartesian product (Cypher
+          // semantics) — guard it: at scale an unintended unshared MATCH
+          // is a run-away product, and real Cypher engines warn. Counting
+          // both frontiers costs two small jobs on an ad-hoc frontend
+          // query; when one side is small it is broadcast (nested-loop
+          // join with no shuffle), which is also the fast plan.
+          val cap = sys.props.get("graft.cypher.crossLimit")
+            .orElse(sys.env.get("GRAFT_CYPHER_CROSS_LIMIT"))
+            .getOrElse("100000").toLong
+          if (cap < 0) frontier.crossJoin(df)
+          else {
+            val (lc, rc) = (frontier.count(), df.count())
+            require(lc <= cap || rc <= cap,
+              s"disconnected MATCH builds a ${lc}x${rc} cartesian product — " +
+                "share a variable between the clauses, or raise/disable " +
+                "GRAFT_CYPHER_CROSS_LIMIT (currently " + cap + ") if intended")
+            if (rc <= lc) frontier.crossJoin(broadcast(df))
+            else {
+              val cols = (frontier.columns ++ df.columns).map(col).toSeq
+              df.crossJoin(broadcast(frontier)).select(cols: _*)
+            }
+          }
+        }
     }
-    // attach properties referenced by WHERE/RETURN/ORDER BY, one join per
-    // (var, prop); left joins so OPTIONAL-introduced nulls survive
-    val orderProps = q.orderBy.flatMap { k =>
-      k.ref.split("\\.") match {
-        case Array(v, p) if frontier.columns.contains(v) => Some((v, p))
-        case _ => None
-      }
-    }
-    val needed = (q.preds.map(p => (p.v, p.prop)) ++
-      q.rets.map(r => (r.v, r.prop)) ++ orderProps).distinct
-    needed.foreach { case (v, prop) =>
+    // attach vertex properties referenced by WHERE/RETURN/ORDER BY, one
+    // join per (var, prop); left joins so OPTIONAL-introduced nulls
+    // survive. Relationship-variable props already ride the frontier as
+    // `<r>_<prop>` columns carried by evalChain.
+    needed.filterNot(p => relVars.contains(p._1)).foreach { case (v, prop) =>
       frontier = frontier.join(
         g.vertices.select(col("id").as(v), col(prop).as(s"${v}_$prop")),
         Seq(v), "left")
     }
-    q.preds.foreach { p =>
-      val c = col(s"${p.v}_${p.prop}")
-      val cond = p.op match {
-        case "=" => c === lit(p.value)
-        case "<>" => c =!= lit(p.value)
-        case ">" => c > lit(p.value)
-        case ">=" => c >= lit(p.value)
-        case "<" => c < lit(p.value)
-        case "<=" => c <= lit(p.value)
-      }
-      frontier = frontier.filter(cond)
+    residual.foreach { e =>
+      frontier = frontier.filter(compileExpr(e, (v, p) => col(s"${v}_$p")))
     }
-    val projections = q.rets.map(r => col(s"${r.v}_${r.prop}").as(r.alias))
+
+    val hasAgg = q.rets.exists(_.agg.isDefined)
+    def keyCol(r: Ret): Column = col(s"${r.v}_${r.prop}").as(r.alias)
+    def aggCol(r: Ret): Column = {
+      val c = col(s"${r.v}_${r.prop}")
+      (r.agg.get match {
+        case "count" if r.v.isEmpty => count(lit(1))
+        case "count" => count(c)
+        case "sum" => sum(c)
+        case "avg" => avg(c)
+        case "min" => min(c)
+        case "max" => max(c)
+        case "collect" => sort_array(collect_list(c))
+      }).as(r.alias)
+    }
     def orderCol(k: OrderKey): Column = {
       val base =
-        if (q.rets.exists(_.alias == k.ref) || q.countAlias.contains(k.ref)) col(k.ref)
+        if (q.rets.exists(_.alias == k.ref)) col(k.ref)
         else k.ref.split("\\.") match {
           // a var.prop that is also RETURNed resolves to its alias — the
-          // source column is projected away
-          case Array(v, p) => q.rets.find(r => r.v == v && r.prop == p)
-            .map(r => col(r.alias)).getOrElse(col(s"${v}_$p"))
+          // source column is projected away (plain projections preferred
+          // over an aggregate of the same property)
+          case Array(v, p) =>
+            q.rets.filter(r => r.v == v && r.prop == p)
+              .sortBy(_.agg.isDefined).headOption match {
+              case Some(r) => col(r.alias)
+              case None =>
+                require(!hasAgg, s"ORDER BY ${k.ref} must appear in RETURN " +
+                  "when aggregating (implicit grouping)")
+                col(s"${v}_$p")
+            }
           case _ => sys.error(s"unknown order key: ${k.ref}")
         }
       if (k.asc) base.asc else base.desc
     }
-    var result = q.countAlias match {
-      case Some(alias) if q.rets.isEmpty =>
-        frontier.agg(count(lit(1)).as(alias))
-      case Some(alias) =>
-        frontier.groupBy(projections: _*).agg(count(lit(1)).as(alias))
-      case None =>
+    var result =
+      if (hasAgg) {
+        // openCypher implicit grouping: non-aggregated RETURN items are
+        // the group keys; declared column order restored by the select
+        val keys = q.rets.filter(_.agg.isEmpty)
+        val aggs = q.rets.filter(_.agg.isDefined).map(aggCol)
+        frontier.groupBy(keys.map(keyCol): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(q.rets.map(r => col(r.alias)): _*)
+      } else {
         // keep the order keys' source columns through the projection
         val retSources = q.rets.map(r => s"${r.v}_${r.prop}").toSet
         val extra = orderProps.map { case (v, p) => s"${v}_$p" }
           .distinct.filterNot(retSources).map(col)
-        frontier.select((projections ++ extra): _*)
-    }
+        frontier.select((q.rets.map(r => keyCol(r)) ++ extra): _*)
+      }
     if (q.orderBy.nonEmpty) result = result.orderBy(q.orderBy.map(orderCol): _*)
     // project down to the declared aliases (drops order-only carry columns)
-    result = q.countAlias match {
-      case Some(alias) if q.rets.isEmpty => result
-      case Some(alias) => result.select((q.rets.map(r => col(r.alias)) :+ col(alias)): _*)
-      case None => result.select(q.rets.map(r => col(r.alias)): _*)
-    }
+    result = result.select(q.rets.map(r => col(r.alias)): _*)
     q.skip.foreach(n => result = result.offset(n))
     q.limit.foreach(n => result = result.limit(n))
     result

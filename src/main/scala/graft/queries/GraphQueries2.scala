@@ -900,5 +900,83 @@ object GraphQueries2 {
       all.join(urgent, Seq("id"), "left")
         .select(col("id"), coalesce(col("u"), lit(0L)).as("n_urgent"), col("a").as("n_all"))
         .orderBy(col("n_all").desc, col("id").asc).limit(20)
+    },
+
+    q("q_cypher_edgeprops",
+      // relationship variable binding edge properties (reference serves
+      // full openCypher via CypherAPI.java:49-95; edge-prop predicates per
+      // the EdgeCoreTest.java sort-key/edge-prop families): r binds the
+      // contains edge, WHERE filters r.quantity, RETURN projects
+      // r.discount — the oracle is the plain lineitem 3-table join
+      """SELECT o.o_orderpriority AS pri, l.l_discount AS disc, p.p_name AS part_name
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity > 45 AND p.p_size >= 25""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (o:order)-[r:contains]->(p:part) " +
+          "WHERE r.quantity > 45 AND p.size >= 25 " +
+          "RETURN o.orderpriority AS pri, r.discount AS disc, p.name AS part_name")
+    },
+
+    q("q_cypher_where_or",
+      // WHERE boolean grammar: parenthesized OR disjunction AND a NOT —
+      // top-decile Cypher idioms, lowered onto the Catalyst boolean tree
+      """SELECT c.c_name AS cust, n.n_name AS nation
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE (n.n_name = 'NATION_2' OR n.n_name = 'NATION_5')
+        |  AND NOT (c.c_acctbal < 0)""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:in_nation]->(n:nation) " +
+          "WHERE (n.name = 'NATION_2' OR n.name = 'NATION_5') " +
+          "AND NOT c.acctbal < 0 " +
+          "RETURN c.name AS cust, n.name AS nation")
+    },
+
+    q("q_cypher_agg",
+      // RETURN aggregations with openCypher implicit grouping: the
+      // non-aggregated item (s.name) is the group key; count/sum/min over
+      // node props and max over the bound relationship's edge prop. sum of
+      // INTs stays integer-exact on both engines (DuckDB sums to HUGEINT →
+      // cast BIGINT to match Spark's LongType)
+      """SELECT s.s_name AS sup, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(p.p_size) AS BIGINT) AS total_size,
+        |       min(p.p_retailprice) AS cheapest, max(l.l_quantity) AS maxq
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |WHERE p.p_size <= 10
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (p:part)-[r:supplied_by]->(s:supplier) WHERE p.size <= 10 " +
+          "RETURN s.name AS sup, count(*) AS n, sum(p.size) AS total_size, " +
+          "min(p.retailprice) AS cheapest, max(r.quantity) AS maxq")
+    },
+
+    q("q_cypher_varlen_edgefilter",
+      // variable-length + edge-property predicate interaction: the rel-var
+      // conjunct pushes into the edge SCAN before expansion (ALL-hop
+      // semantics, openCypher's all(x IN r WHERE …)) — the oracle unrolls
+      // the 2-hop window over the PRE-FILTERED bidirectional edge set with
+      // the same per-layer-distinct pair semantics as q_cypher_varlen
+      """WITH f AS (SELECT 'part:' || CAST(l_partkey AS VARCHAR) AS src,
+        |                  'supplier:' || CAST(l_suppkey AS VARCHAR) AS dst
+        |           FROM lineitem WHERE l_quantity > 49),
+        |bidir AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+        |l0 AS (SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS a,
+        |              'part:' || CAST(p_partkey AS VARCHAR) AS x
+        |       FROM part WHERE p_size = 1),
+        |l1 AS (SELECT DISTINCT l.a, b.dst AS x FROM l0 l JOIN bidir b ON b.src = l.x),
+        |l2 AS (SELECT DISTINCT l.a, b.dst AS x FROM l1 l JOIN bidir b ON b.src = l.x),
+        |pairs AS (SELECT a, x FROM l1 UNION SELECT a, x FROM l2),
+        |hits AS (SELECT z.a FROM pairs z
+        |         JOIN part pp ON z.x = 'part:' || CAST(pp.p_partkey AS VARCHAR))
+        |SELECT p.p_name AS pname, CAST(count(*) AS BIGINT) AS n
+        |FROM hits h JOIN part p ON h.a = 'part:' || CAST(p.p_partkey AS VARCHAR)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (p:part)-[r:supplied_by*1..2]-(x:part) " +
+          "WHERE p.size = 1 AND r.quantity > 49 " +
+          "RETURN p.name AS pname, count(*) AS n")
     })
 }

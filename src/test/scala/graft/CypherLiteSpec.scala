@@ -142,6 +142,126 @@ class CypherLiteSpec extends SparkSpec {
     assert(z === Set("vadas"))
   }
 
+  test("relationship variable: edge-property WHERE, RETURN and ORDER BY") {
+    // r binds the edge; weight/date are edge properties (EdgeCoreTest.java
+    // edge-prop families in the reference)
+    val rows = run("MATCH (a:person)-[r:knows]->(b:person) WHERE r.weight >= 0.5 " +
+      "RETURN a.name AS x, b.name AS y, r.weight AS w")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows === Set(("marko", "vadas", 0.5), ("marko", "josh", 1.0)))
+    val strict = run("MATCH (a:person)-[r:knows]->(b:person) WHERE r.weight > 0.5 " +
+      "RETURN b.name AS y").collect().map(_.getString(0)).toSet
+    assert(strict === Set("josh"))
+    // string edge prop + ORDER BY r.prop not in RETURN
+    val byDate = run("MATCH (a:person)-[r:created]->(s:software) " +
+      "RETURN a.name AS who ORDER BY r.date ASC, who ASC")
+      .collect().map(_.getString(0)).toSeq
+    // dates: josh 20091111, peter 20170324, marko/josh 20171210
+    assert(byDate === Seq("josh", "peter", "josh", "marko"))
+    // undirected rel variable carries props in both orientations
+    val undir = run("MATCH (a:person)-[r:knows]-(b:person) WHERE r.weight = 1.0 " +
+      "RETURN a.name, b.name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(undir === Set(("marko", "josh"), ("josh", "marko")))
+  }
+
+  test("WHERE boolean grammar: OR, NOT, parentheses, precedence") {
+    // OR across variables
+    val or = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WHERE p.age > 33 OR s.name = 'ripple' RETURN p.name, s.name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(or === Set(("peter", "lop"), ("josh", "ripple")))
+    // NOT binds tighter than AND; AND tighter than OR
+    val prec = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WHERE NOT s.name = 'lop' OR p.age >= 35 AND p.name = 'peter' " +
+      "RETURN p.name, s.name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(prec === Set(("josh", "ripple"), ("peter", "lop")))
+    // parens override: (NOT lop OR age>=35) AND marko — empty
+    assert(run("MATCH (p:person)-[:created]->(s:software) " +
+      "WHERE (NOT s.name = 'lop' OR p.age >= 35) AND p.name = 'marko' " +
+      "RETURN p.name").collect().isEmpty)
+    // three-valued logic: NOT (null = x) filters the row (software has no age)
+    val tvl = run("MATCH (p:person)-[:knows]->(q:person) " +
+      "WHERE NOT q.city = 'Beijing' RETURN q.name")
+      .collect().map(_.getString(0)).toSet
+    assert(tvl === Set("vadas"))
+    intercept[Exception](run("MATCH (a:person) WHERE (a.age > 1 RETURN a.name")) // unbalanced
+    intercept[Exception](run("MATCH (a:person) WHERE a.age >! 1 RETURN a.name")) // bad op
+  }
+
+  test("RETURN aggregations with implicit grouping") {
+    // grouped by the non-aggregated item (openCypher implicit grouping)
+    val m = run("MATCH (p:person)-[r:created]->(s:software) " +
+      "RETURN s.name AS sw, count(*) AS n, max(r.weight) AS w, min(p.age) AS young")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(m === Map("lop" -> ((3L, 0.4, 29)), "ripple" -> ((1L, 1.0, 32))))
+    // global aggregates (no plain items → no keys)
+    val g0 = run("MATCH (p:person) RETURN count(*) AS n, avg(p.age) AS a, sum(p.age) AS s")
+      .head()
+    assert(g0.getLong(0) === 4L && g0.getDouble(1) === 30.75 && g0.getLong(2) === 123L)
+    // collect() is sorted (deterministic-order contract)
+    val c = run("MATCH (p:person)-[:created]->(s:software) " +
+      "RETURN s.name AS sw, collect(p.name) AS who ORDER BY sw ASC")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList))
+    assert(c.toList === List(("lop", List("josh", "marko", "peter")),
+      ("ripple", List("josh"))))
+    // count(v.prop) skips nulls: vadas created nothing → s is null
+    val cnt = run("MATCH (p:person) OPTIONAL MATCH (p)-[:created]->(s:software) " +
+      "RETURN count(s.name) AS n").head().getLong(0)
+    assert(cnt === 4L) // marko 1 + josh 2 + peter 1; vadas contributes 0
+    // ORDER BY an aggregate alias
+    val top = run("MATCH (p:person)-[:created]->(s:software) " +
+      "RETURN s.name AS sw, count(*) AS n ORDER BY n DESC LIMIT 1")
+      .head().getString(0)
+    assert(top === "lop")
+  }
+
+  test("variable-length + edge-property filter pushes into every hop") {
+    // all knows edges qualify at >= 0.5: marko reaches {vadas, josh} in 1,
+    // itself back in 2 (walk semantics)
+    val all = run("MATCH (a:person)-[r:knows*1..2]-(b) " +
+      "WHERE a.name = 'marko' AND r.weight >= 0.5 RETURN b.name")
+      .collect().map(_.getString(0)).toSet
+    assert(all === Set("vadas", "josh", "marko"))
+    // only marko-josh (1.0) qualifies at > 0.6 — vadas unreachable, and the
+    // 2-hop walk back to marko uses only the qualifying edge
+    val strict = run("MATCH (a:person)-[r:knows*1..2]-(b) " +
+      "WHERE a.name = 'marko' AND r.weight > 0.6 RETURN b.name")
+      .collect().map(_.getString(0)).toSet
+    assert(strict === Set("josh", "marko"))
+    // RETURN r.prop on a var-length rel is list-valued → loud error
+    intercept[Exception](run("MATCH (a)-[r:knows*1..2]-(b) RETURN r.weight"))
+    // a var-length rel predicate under OR cannot push → loud error
+    intercept[Exception](run("MATCH (a)-[r:knows*1..2]-(b) " +
+      "WHERE r.weight > 0.5 OR a.name = 'marko' RETURN b.name"))
+  }
+
+  test("reserved and duplicate variable names are rejected") {
+    intercept[Exception](run("MATCH (__a:person)-[:knows]->(b) RETURN b.name"))
+    intercept[Exception](run("MATCH (src:person)-[:knows]->(b) RETURN b.name"))
+    intercept[Exception](run("MATCH (a)-[dst:knows]->(b) RETURN b.name"))
+    intercept[Exception](run("MATCH (a)-[__x:knows]->(b) RETURN b.name"))
+    // duplicate relationship variable (openCypher rel uniqueness)
+    intercept[Exception](run("MATCH (a)-[r:knows]->(b)-[r:created]->(s) RETURN s.name"))
+    // node/rel variable collision
+    intercept[Exception](run("MATCH (a)-[a:knows]->(b) RETURN b.name"))
+  }
+
+  test("disconnected MATCH: small cross products work, big ones are guarded") {
+    val prod = run("MATCH (p:person) MATCH (s:software) " +
+      "RETURN p.name AS who, s.name AS sw")
+    assert(prod.count() === 8L) // 4 people x 2 software
+    val prev = sys.props.get("graft.cypher.crossLimit")
+    sys.props("graft.cypher.crossLimit") = "1"
+    try intercept[Exception] {
+      run("MATCH (p:person) MATCH (s:software) RETURN p.name, s.name").count()
+    } finally prev match {
+      case Some(v) => sys.props("graft.cypher.crossLimit") = v
+      case None => sys.props.remove("graft.cypher.crossLimit")
+    }
+  }
+
   test("variable-length rejects unbounded and over-cap windows loudly") {
     intercept[Exception](
       run("MATCH (a)-[:knows*]->(b) RETURN a.name")) // bare * unbounded
