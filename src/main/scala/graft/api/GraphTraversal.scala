@@ -66,16 +66,20 @@ final case class GraphTraversal(
   }
 
   // ---------------------------------------------------------- traversal steps
-  /** columns that ride along through traversal steps (path, where-anchor) */
+  /** rider columns that survive position changes: the where/not anchor and
+    * every `as()` step-label binding (`~as_<label>`) */
+  private def riderNames: Seq[String] =
+    df.columns.filter(c => c == "~anchor" || c.startsWith("~as_")).toSeq
+
+  /** columns that ride along through traversal steps (path + riders) */
   private def carried: Seq[Column] =
-    (if (pathTracked) Seq(col("~path")) else Nil) ++
-      (if (df.columns.contains("~anchor")) Seq(col("~anchor")) else Nil)
+    (if (pathTracked) Seq(col("~path")) else Nil) ++ riderNames.map(col)
 
   private def step(dir: Direction.Value, labels: Seq[String]): GraphTraversal = {
     val e = EdgeStep(dir, labels).edgesFor(g).select(col("src"), col("dst"))
     val outCols = col("dst").as("id") +:
       ((if (pathTracked) Seq(concat(col("~path"), array(col("dst"))).as("~path")) else Nil) ++
-        (if (df.columns.contains("~anchor")) Seq(col("~anchor")) else Nil))
+        riderNames.map(col))
     val next = df.select((col("id").as("src") +: carried): _*)
       .join(e, Seq("src"))
       .select(outCols: _*)
@@ -91,17 +95,21 @@ final case class GraphTraversal(
     * move back to the adjacent vertex. */
   def outE(labels: String*): GraphTraversal = {
     val e = EdgeStep(Direction.OUT, labels).edgesFor(g)
-    copy(df = df.select(col("id").as("src")).join(e, Seq("src")), isVertex = false)
+    copy(df = df.select((col("id").as("src") +: riderNames.map(col)): _*)
+      .join(e, Seq("src")), isVertex = false)
   }
   def inE(labels: String*): GraphTraversal = {
     val e = g.inEdges
     val filtered = if (labels.isEmpty) e else e.filter(col("label").isin(labels: _*))
-    copy(df = df.select(col("id").as("src")).join(filtered, Seq("src")), isVertex = false)
+    copy(df = df.select((col("id").as("src") +: riderNames.map(col)): _*)
+      .join(filtered, Seq("src")), isVertex = false)
   }
   def inV(): GraphTraversal = // edge → head vertex
-    copy(df = df.select(col("dst").as("id")).join(g.vertices, Seq("id"), "left"), isVertex = true)
+    copy(df = df.select((col("dst").as("id") +: riderNames.map(col)): _*)
+      .join(g.vertices, Seq("id"), "left"), isVertex = true)
   def outV(): GraphTraversal =
-    copy(df = df.select(col("src").as("id")).join(g.vertices, Seq("id"), "left"), isVertex = true)
+    copy(df = df.select((col("src").as("id") +: riderNames.map(col)): _*)
+      .join(g.vertices, Seq("id"), "left"), isVertex = true)
 
   /** `repeat(n)(…)` — bounded repetition (the reference's repeat/times). */
   def repeat(times: Int)(f: GraphTraversal => GraphTraversal): GraphTraversal =
@@ -133,6 +141,49 @@ final case class GraphTraversal(
     }
     MatchResult(g, bound)
   }
+
+  /** TinkerPop `as(label)` mid-traversal — record the CURRENT vertex as a
+    * labeled binding that rides the traverser through later steps (a
+    * `~as_<label>` rider column, carried like `~path`); read it back with
+    * [[selectStep]]/[[selectBindings]] (Gremlin `select()`, reference
+    * select-step tests `ProcessBasicSuite.java:104-196`). Bindings survive
+    * out/in/both, outE/inE/inV/outV, filters, dedup, order and limit;
+    * branch steps (optional/coalesce/union) merge frames where one side
+    * lacks the binding — those rows carry a null binding. */
+  def asStep(label: String): GraphTraversal = {
+    require(isVertex, s"as('$label') requires a vertex position")
+    require(!df.columns.contains(s"~as_$label"),
+      s"as('$label') is already bound upstream — step labels are unique")
+    copy(df = df.withColumn(s"~as_$label", col("id")))
+  }
+
+  /** Gremlin `select(one)` mid-traversal: repositions every traverser at
+    * its labeled binding (the back-step; per-traverser multiplicity is
+    * preserved — `g.V().as('a').out().select('a')` yields 'a' once per
+    * out-edge, TinkerPop semantics). */
+  def selectStep(label: String): GraphTraversal = {
+    val c = s"~as_$label"
+    require(df.columns.contains(c),
+      s"select('$label') has no upstream as('$label') binding")
+    val keep = (if (pathTracked) Seq("~path") else Nil) ++ riderNames
+    copy(df = df.select((col(c).as("id") +: keep.map(col)): _*)
+      .join(g.vertices, Seq("id"), "left"), isVertex = true)
+  }
+
+  /** Gremlin `select(a, b, …)` — the traverser's binding map, columnar:
+    * one column per label holding the bound vertex id, one row per
+    * traverser. Returns a [[MatchResult]] so property projection
+    * (`select(...).by(prop)`) reuses the match() machinery. */
+  def selectBindings(labels: Seq[String]): MatchResult = {
+    labels.foreach(l => require(df.columns.contains(s"~as_$l"),
+      s"select('$l') has no upstream as('$l') binding"))
+    MatchResult(g, df.select(labels.map(l => col(s"~as_$l").as(l)): _*))
+  }
+
+  /** Gremlin `project(k…).by(prop)` — per-element named projections of the
+    * CURRENT position; a `None` prop projects the element id (`by()`). */
+  def projectStep(items: Seq[(String, Option[String])]): DataFrame =
+    df.select(items.map { case (k, p) => p.fold(col("id"))(col).as(k) }: _*)
 
   /** `where(sub)` — keep elements whose sub-traversal yields ≥1 result
     * (Gremlin's filter-by-traversal; compiles to a left_semi join). */

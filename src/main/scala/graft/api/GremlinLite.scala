@@ -24,7 +24,11 @@ import graft.core.{Cond, PropertyGraph}
   * implementations — sub = a chain of vertex steps, identity() allowed),
   * values(k), valueMap(k…), id(), path() via
   * pathed(), count, groupCount(k), group(k,v), fold, sum/max/min/mean(k),
-  * and the declarative match(as('a').out(l).as('b'), …) with pattern-level
+  * mid-traversal STEP LABELING — as('a') binds the current vertex,
+  * select('a') back-steps to it (traversal continues), select('a','b')
+  * [.by(prop)…] projects the binding map, project(k…).by(prop|)
+  * projects the current element — and the declarative
+  * match(as('a').out(l).as('b'), …) with pattern-level
   * hasLabel/has(k,v), followed by select(vars…).by(prop)… and
   * order()/limit/range on the binding table — lowered onto the SAME
   * [[MatchStep]] shared-variable join planner the DSL uses, so scripts and
@@ -289,6 +293,50 @@ object GremlinLite {
           result = result.map(_.limit(num(x).toInt))
         case ("range", List(a, b)) if result.isDefined =>
           result = result.map(_.offset(num(a).toInt).limit((num(b) - num(a)).toInt))
+        // ---- step labeling outside match(): as()/select()/project()
+        // (reference select-step tests ProcessBasicSuite.java:104-196);
+        // lowered onto the SAME rider-column bindings and MatchResult
+        // machinery the match() path uses ----
+        case ("as", List(SArg(v))) => t = t.asStep(v)
+        case ("select", vars) =>
+          val vs = vars.map(str)
+          require(vs.nonEmpty, "select() needs at least one step label")
+          // trailing by(prop) modulators, one per selected variable
+          val bys = scala.collection.mutable.ListBuffer[String]()
+          while (i + 1 < n && steps(i + 1).name == "by") {
+            bys += str(steps(i + 1).args.head); i += 1
+          }
+          if (vs.length == 1 && bys.isEmpty)
+            // single select with no projection: the BACK-STEP — the
+            // traversal continues from the bound element
+            t = t.selectStep(vs.head)
+          else {
+            import org.apache.spark.sql.functions.col
+            var mr = t.selectBindings(vs)
+            val picked =
+              if (bys.isEmpty) vs
+              else {
+                require(bys.length == vs.length, "one by() per selected variable")
+                vs.zip(bys).zipWithIndex.map { case ((v, p), ix) =>
+                  mr = mr.withProp(v, p, s"__sel_$ix"); s"__sel_$ix"
+                }
+              }
+            result = Some(mr.df.select(
+              picked.zip(vs).map { case (cn, v) => col(cn).as(v) }: _*))
+          }
+        case ("project", keys) =>
+          val ks = keys.map(str)
+          require(ks.nonEmpty, "project() needs at least one key")
+          // by() with no args projects the element id; by(prop) its prop;
+          // no by() modulators at all → each key IS the property name
+          val bys = scala.collection.mutable.ListBuffer[Option[String]]()
+          while (i + 1 < n && steps(i + 1).name == "by") {
+            bys += steps(i + 1).args.headOption.map(str); i += 1
+          }
+          require(bys.isEmpty || bys.length == ks.length,
+            "project() needs one by() per key (or none at all)")
+          val items = if (bys.isEmpty) ks.map(k => (k, Some(k))) else ks.zip(bys.toSeq)
+          result = Some(t.projectStep(items))
         // ---- branch/filter sub-traversals (the DSL implementations,
         // reached from script text — reference: scripts and the API share
         // one step surface, ProcessBasicSuite.java:104-196) ----

@@ -902,6 +902,44 @@ object GraphQueries2 {
         .orderBy(col("n_all").desc, col("id").asc).limit(20)
     },
 
+    q("q_gremlin_select",
+      // mid-traversal step labeling from script text (reference select-step
+      // tests ProcessBasicSuite.java:104-196): as('c') binds each customer,
+      // as('o') its orders, the filter cuts on the order, select().by()
+      // projects the binding map — lowered onto rider columns + the
+      // MatchResult property joins
+      """SELECT c.c_name AS c, o.o_totalprice AS o
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE o.o_totalprice > 100000""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('customer').as('c').out('placed').as('o')" +
+          ".has('totalprice', gt(100000))" +
+          ".select('c', 'o').by('name').by('totalprice')")
+    },
+
+    q("q_gremlin_backstep",
+      // select(one) is the BACK-STEP: suppliers step to their nation, the
+      // filter cuts on the nation, select('s') repositions the traverser
+      // at the supplier and the traversal CONTINUES (values terminal)
+      """SELECT s.s_name AS name
+        |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name = 'NATION_3'""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('supplier').as('s').out('in_nation')" +
+          ".has('name', 'NATION_3').select('s').values('name')")
+    },
+
+    q("q_gremlin_project",
+      // project(k…).by(prop) — per-element named projections of the
+      // current position (TinkerPop map step)
+      """SELECT p_name AS pname, CAST(p_size AS INT) AS psize,
+        |       p_retailprice AS pprice
+        |FROM part WHERE p_size < 3""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('part').has('size', lt(3))" +
+          ".project('pname', 'psize', 'pprice').by('name').by('size').by('retailprice')")
+    },
+
     q("q_cypher_edgeprops",
       // relationship variable binding edge properties (reference serves
       // full openCypher via CypherAPI.java:49-95; edge-prop predicates per

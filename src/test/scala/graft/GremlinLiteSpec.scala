@@ -156,4 +156,75 @@ class GremlinLiteSpec extends SparkSpec {
     intercept[Exception](run(
       "g.V().match(as('a').out('knows').as('b')).select('a').count()"))
   }
+
+  test("as()/select() step labeling: binding map projection with by()") {
+    // multi-select of the binding map with per-variable property projection
+    val rows = run("g.V().hasLabel('person').as('a').out('created').as('s')" +
+      ".select('a', 's').by('name').by('name')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("marko", "lop"), ("josh", "lop"),
+      ("josh", "ripple"), ("peter", "lop")))
+    // no by(): raw ids
+    val ids2 = run("g.V('person:josh').as('a').out('created').as('s').select('a', 's')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ids2 === Set(("person:josh", "software:lop"), ("person:josh", "software:ripple")))
+    // script equals the DSL twin
+    import graft.api.Graft
+    import org.apache.spark.sql.functions.col
+    val dsl = Graft.g(g).V().hasLabel("person").asStep("a").out("created").asStep("s")
+      .selectBindings(Seq("a", "s"))
+      .withProp("a", "name", "an").withProp("s", "name", "sn")
+      .df.select(col("an").as("a"), col("sn").as("s"))
+    val script = run("g.V().hasLabel('person').as('a').out('created').as('s')" +
+      ".select('a', 's').by('name').by('name')")
+    assert(dsl.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ===
+      script.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq)
+  }
+
+  test("select(one) mid-traversal is the back-step and the traversal continues") {
+    // per-traverser multiplicity: marko binds a, steps to 2 created-sw? no —
+    // out('created') from each person, back-step to 'a', then groupCount:
+    // each person counted once per software they created
+    val m = run("g.V().hasLabel('person').as('a').out('created')" +
+      ".select('a').groupCount('name')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("marko" -> 1L, "josh" -> 2L, "peter" -> 1L))
+    // back-step then continue traversing: creators' knows-neighbours
+    val n = run("g.V().hasLabel('software').as('sw').in('created').as('p')" +
+      ".select('p').out('knows').values('name')")
+      .collect().map(_.getString(0)).toSet
+    assert(n === Set("vadas", "josh")) // only marko knows anyone
+    // bindings survive edge steps (outE/inV); an unbound label is loud
+    intercept[Exception](run("g.V('person:marko').as('a').outE('knows').inV()" +
+      ".select('a', 'b')")) // 'b' never bound
+    val okE = run("g.V('person:marko').as('a').outE('knows').inV().as('b')" +
+      ".select('a', 'b').by('name').by('name')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(okE === Set(("marko", "vadas"), ("marko", "josh")))
+  }
+
+  test("project() maps the current element onto named columns") {
+    val rows = run("g.V().hasLabel('software').project('n', 'l').by('name').by('lang')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("lop", "java"), ("ripple", "java")))
+    // by() with no args projects the id; no by() at all → keys are props
+    val withId = run("g.V('software:lop').project('sid', 'n').by().by('name')")
+      .head()
+    assert(withId.getString(0) === "software:lop" && withId.getString(1) === "lop")
+    val noBys = run("g.V('software:lop').project('name', 'lang')").head()
+    assert(noBys.getString(0) === "lop" && noBys.getString(1) === "java")
+    // project is a terminal: further traversal steps fail loudly
+    intercept[Exception](run("g.V().project('n').by('name').out('knows')"))
+    // arity mismatch fails loudly
+    intercept[Exception](run("g.V().project('a', 'b').by('name')"))
+  }
+
+  test("as()/select() misuse fails loudly") {
+    intercept[Exception](run("g.V().select('a').values('name')")) // no binding
+    intercept[Exception](run("g.V().as('a').out('knows').as('a').id()")) // rebind
+    intercept[Exception](
+      run("g.V().as('a').out('knows').select('a', 'b')")) // unbound b
+    intercept[Exception]( // one by() per variable
+      run("g.V().as('a').out('x').as('b').select('a', 'b').by('name')"))
+  }
 }
