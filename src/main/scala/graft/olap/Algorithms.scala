@@ -738,7 +738,10 @@ object Algorithms {
     }
 
   private def landmarkParams(landmarks: Seq[String], depth: Int) =
-    Map("landmarks" -> landmarks.sorted.mkString(","), "depth" -> depth.toString)
+    // length-prefixed joining: landmark ids containing the separator can
+    // never make two distinct sets encode identically
+    Map("landmarks" -> graft.sources.GraphStore.keyOfList(landmarks.sorted),
+      "depth" -> depth.toString)
 
   /** landmark memo entry counts (test hook) */
   private[graft] def landmarkMemoSizes: (Int, Int) =

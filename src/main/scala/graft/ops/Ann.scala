@@ -86,16 +86,26 @@ object Ann {
     * before the centroid crossJoin, so `first` is deterministic.
     *
     * NULL-ord caveat (the [[TopK.registerKernels]] contract, restated at
-    * this call site): a vector whose cosine is NULL against EVERY centroid
-    * — a null/empty embedding column — gets an empty heap and silently
-    * drops from the index instead of being assigned cells (the row_number
-    * window this replaced ranked NULLS LAST, i.e. assigned it arbitrary
-    * cells). An unindexable vector is the more honest outcome, but callers
-    * ingesting untrusted embeddings should null-filter upstream if they
-    * need every id accounted for. */
+    * this call site): a null/empty embedding cannot be ranked against the
+    * centroids, so the row drops from the index instead of being assigned
+    * cells (the row_number window this replaced ranked NULLS LAST, i.e.
+    * assigned it arbitrary cells). An unindexable vector is the more
+    * honest outcome — and the drop is OBSERVABLE: [[nullVectorDrops]]
+    * counts these rows, [[buildIndex]]/[[saveIndex]] warn on stderr and
+    * record the count in the artifact's info metadata. Callers ingesting
+    * untrusted embeddings should null-filter upstream if they need every
+    * id accounted for. */
   private def nearestCells(centroids: DataFrame)(df: DataFrame, idCol: String,
                                                  vecCol: String, n: Int): DataFrame = {
-    val scored = df.crossJoin(broadcast(centroids))
+    // UNRANKABLE vectors drop here, observably (nullVectorDrops counts
+    // them; buildIndex/saveIndex warn and record the count in artifact
+    // info): a NULL vector has a NULL cosine against every centroid (empty
+    // heap), and an EMPTY vector cosines 0.0 against every centroid — the
+    // heap would hand it the smallest-cid cell, an ARBITRARY assignment
+    // masquerading as a ranking. Both are unindexable; both drop.
+    val rankable = df.filter(
+      !(col(vecCol).isNull || size(col(vecCol)) === 0))
+    val scored = rankable.crossJoin(broadcast(centroids))
       .withColumn("csim", VectorFunctions.cosineSim(col(vecCol), col("ce")))
     val carry = df.columns.filter(_ != idCol).toSeq
     scored.groupBy(col(idCol))
@@ -163,7 +173,32 @@ object Ann {
   private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
     (DataFrame, String, Seq[Int]), DataFrame]()
 
-  graft.core.Pin.onClear(() => trainMemo.clear())
+  graft.core.Pin.onClear(() => { trainMemo.clear(); nullDropMemo.clear() })
+
+  // Observable null-vector drops (the nearestCells NULL-ord caveat above):
+  // an index build over a corpus with null/empty embedding rows silently
+  // loses them from the index (an UNindexable vector is the honest
+  // outcome, but silent loss isn't) — count them once per pinned candidate
+  // set, warn, and record the count in the saved artifact's info metadata.
+  private val nullDropMemo =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Long]()
+
+  /** Rows of `candidates` that cannot be indexed (null or empty
+    * `embedding`) and therefore DROP from every cell assignment; memoized
+    * per pinned candidate set (one narrow count per corpus per session). */
+  def nullVectorDrops(candidates: DataFrame): Long =
+    nullDropMemo.computeIfAbsent(pinnedCands(candidates), cands =>
+      cands.filter(col("embedding").isNull || size(col("embedding")) === 0)
+        .count())
+
+  private def warnNullDrops(candidates: DataFrame): Long = {
+    val n = nullVectorDrops(candidates)
+    if (n > 0) System.err.println(
+      s"[ann] index build: $n candidate row(s) have null/empty embeddings " +
+        "— they are NOT indexed (unrankable in every cell); null-filter " +
+        "upstream if every id must be accounted for")
+    n
+  }
 
   /** Pre-build the trained ANN index artifacts for a candidate set — the
     * index-BUILD half of a deployment's load phase (`Bench.warmup`): trains
@@ -172,6 +207,7 @@ object Ann {
   def buildIndex(candidates: DataFrame, nCentroids: Int, iters: Int,
                  m: Int, ks: Int, dims: Int): Unit = {
     registerKernels(candidates)
+    warnNullDrops(candidates)
     kmeansCentroids(candidates, nCentroids, iters)
     pqReconstruct(pinnedCands(candidates), m, ks, dims, iters)
     ()
@@ -187,12 +223,15 @@ object Ann {
   def saveIndex(dir: String, candidates: DataFrame, nCentroids: Int,
                 iters: Int, m: Int, ks: Int, dims: Int): Unit = {
     val store = graft.sources.GraphStore
+    // training diagnostics ride the artifact as UNVERIFIED info metadata,
+    // so a later session can audit what the stored index dropped
+    val info = Map("null_vector_drops" -> warnNullDrops(candidates).toString)
     store.saveArtifact(kmeansCentroids(candidates, nCentroids, iters), dir,
       "ann_kmeans_centroids",
-      kmeansParams(nCentroids, iters) + store.inputIdentity(candidates))
+      kmeansParams(nCentroids, iters) + store.inputIdentity(candidates), info)
     store.saveArtifact(pqReconstruct(pinnedCands(candidates), m, ks, dims, iters),
       dir, "ann_pq_reconstructions",
-      pqParams(m, ks, dims, iters) + store.inputIdentity(candidates))
+      pqParams(m, ks, dims, iters) + store.inputIdentity(candidates), info)
   }
 
   /** Seed this session's trained-index memos from artifacts persisted by
@@ -327,17 +366,25 @@ object Ann {
                                  dims: Int, iters: Int): DataFrame = {
     require(dims % m == 0, s"dims must split into m subspaces ($dims % $m != 0)")
     val sub = dims / m
+    // UNINDEXABLE rows — null/empty/wrong-dims embeddings, whose subvector
+    // slices would be empty — DROP from the PQ build (the nearestCells
+    // null-ord contract; buildIndex/saveIndex count and report them via
+    // nullVectorDrops) instead of crashing the codebook argmax: an empty
+    // slice yields a NULL cosine against every centroid, an empty top-k
+    // heap, and getItem(0) of an empty array throws mid-build. PQ requires
+    // exactly `dims` components, so the indexable set is size == dims.
+    val indexable = cands.filter(size(col("embedding")) === dims)
     // All m codebooks train in ONE joint Lloyd's loop keyed by (s, cid) —
     // one pass over the candidate set per iteration instead of m separate
     // per-subspace trainers (identical numerics: same lowest-id seeds, same
     // smallest-cid tie-break, same 6-decimal mean stabilization). Every
     // window/groupBy below keys on vec_id first, so the whole build rides
     // the pinned vec_id partitioning without re-shuffling the data side.
-    val subRows = cands.select(col("vec_id"),
+    val subRows = indexable.select(col("vec_id"),
       posexplode(array((0 until m).map(s =>
         slice(col("embedding"), s * sub + 1, sub)): _*)))
       .select(col("vec_id"), col("pos").as("s"), col("col").as("sv"))
-    val seedIds = cands.orderBy(col("vec_id").asc).limit(ks).select(col("vec_id"))
+    val seedIds = indexable.orderBy(col("vec_id").asc).limit(ks).select(col("vec_id"))
     var cents = subRows.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("s"), col("vec_id").as("cid"),
         transform(col("sv"), _.cast("double")).as("ce"))

@@ -34,6 +34,47 @@ object Bpe {
   /** One learned merge: round (1-based), the pair, and its weighted count. */
   final case class Merge(round: Int, symA: String, symB: String, pairCount: Long)
 
+  /** batches closed by the symbol-aliasing guard (test/observability hook) */
+  private[graft] val aliasClosures = new java.util.concurrent.atomic.AtomicLong
+
+  /** The exactness-gated batch acceptance over one collected pair window —
+    * pure driver-side logic (unit-testable): `top` is the (count desc,
+    * a asc, b asc)-ordered window, `want` the max batch, `knownConcats`
+    * the concatenations of every previously learned merge (= every
+    * multi-char symbol string that can exist), `floorOutside` the bound on
+    * uncollected counts. Returns the accepted prefix per the [[train]]
+    * proof sketch, CLOSING the batch right after any accepted merge whose
+    * concatenation aliases a known symbol (its application could boost
+    * pairs the disjoint/sharedMax bounds cannot see). */
+  private[graft] def acceptBatch(top: Seq[(String, String, Long)], want: Int,
+                                 knownConcats: Set[String],
+                                 floorOutside: Long): Seq[(String, String, Long)] = {
+    val accepted = scala.collection.mutable.ListBuffer(top.head)
+    val acceptedSyms = scala.collection.mutable.Set(top.head._1, top.head._2)
+    val batchConcats = scala.collection.mutable.Set(top.head._1 + top.head._2)
+    var open = !knownConcats.contains(top.head._1 + top.head._2)
+    if (!open) aliasClosures.incrementAndGet()
+    for (i <- 1 until math.min(top.length, want) if open) {
+      val p @ (a, b, c) = top(i)
+      val disjoint = !acceptedSyms(a) && !acceptedSyms(b)
+      val sharedMax = top.iterator
+        .filterNot(accepted.contains).filterNot(_ == p)
+        .filter(q => acceptedSyms(q._1) || acceptedSyms(q._2))
+        .map(_._3).maxOption.getOrElse(0L)
+      if (disjoint && c > math.max(sharedMax, floorOutside)) {
+        // accepted on pre-batch counts (sound); but if its concatenation
+        // aliases an existing symbol — from history or from an earlier
+        // acceptance in THIS batch — nothing after it may use these counts
+        if (knownConcats.contains(a + b) || batchConcats.contains(a + b)) {
+          aliasClosures.incrementAndGet(); open = false
+        }
+        accepted += p; acceptedSyms += a; acceptedSyms += b
+        batchConcats += a + b
+      } else open = false
+    }
+    accepted.toSeq
+  }
+
   /** The pinned (word, cnt, syms) vocabulary table: corpus word frequencies
     * with character-split symbol arrays. */
   def vocab(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -87,12 +128,29 @@ object Bpe {
     * rejection ends the batch: later picks would need fresh counts. Ties
     * inside the accepted prefix keep the (count desc, a asc, b asc) order
     * — the same order the sequential loop uses. All accepted merges apply
-    * in ONE projection (disjoint ⇒ order-free), one lineage cut. */
+    * in ONE projection (disjoint ⇒ order-free), one lineage cut.
+    *
+    * SYMBOL-ALIASING closure: the sketch above assumes the merged symbol
+    * a+b is NEW. When its concatenation string-equals a symbol that
+    * already exists (accepting (a, bc) while 'abc' exists from an earlier
+    * (ab, c) merge), applying the merge INCREASES counts of existing
+    * pairs involving that symbol — pairs that share no symbol with the
+    * accepted set, so neither the disjointness check nor the
+    * sharedMax/floorOutside bounds see them. Every multi-character symbol
+    * is the concatenation of some learned merge, so the alias test is a
+    * driver-side set lookup: a batch CLOSES right after accepting a merge
+    * whose concatenation is a previously learned (or earlier-in-batch)
+    * concatenation — the accepted merge itself is still the true argmax
+    * (its count was read pre-merge), but everything after it would need
+    * fresh counts. */
   def train(docs: DataFrame, idCol: String, textCol: String,
             merges: Int, batch: Int = 4): (Seq[Merge], DataFrame) = {
     require(batch >= 1, "batch must be >= 1")
     var words = vocab(docs, idCol, textCol)
     val learned = Seq.newBuilder[Merge]
+    // every multi-char symbol ever created = the concatenation of some
+    // learned merge — the alias-closure test set (see the scaladoc)
+    val knownConcats = scala.collection.mutable.Set.empty[String]
     var r = 1
     var exhausted = false
     while (r <= merges && !exhausted) {
@@ -105,20 +163,8 @@ object Bpe {
       if (top.isEmpty) exhausted = true
       else {
         val floorOutside = if (top.length == k) top.last._3 else 0L
-        val accepted = scala.collection.mutable.ListBuffer(top.head)
-        val acceptedSyms = scala.collection.mutable.Set(top.head._1, top.head._2)
-        var open = true
-        for (i <- 1 until math.min(top.length, want) if open) {
-          val p @ (a, b, c) = top(i)
-          val disjoint = !acceptedSyms(a) && !acceptedSyms(b)
-          val sharedMax = top.iterator
-            .filterNot(accepted.contains).filterNot(_ == p)
-            .filter(q => acceptedSyms(q._1) || acceptedSyms(q._2))
-            .map(_._3).maxOption.getOrElse(0L)
-          if (disjoint && c > math.max(sharedMax, floorOutside)) {
-            accepted += p; acceptedSyms += a; acceptedSyms += b
-          } else open = false
-        }
+        val accepted = acceptBatch(top.toSeq, want, knownConcats.toSet, floorOutside)
+        knownConcats ++= accepted.map(p => p._1 + p._2)
         accepted.zipWithIndex.foreach { case ((a, b, c), j) =>
           learned += Merge(r + j, a, b, c)
         }

@@ -89,12 +89,17 @@ object GraphStore {
     * trained path by construction: the saved rows ARE the trained rows
     * (rounded-6 doubles round-trip parquet exactly). */
   def saveArtifact(df: DataFrame, dir: String, kind: String,
-                   params: Map[String, String]): Unit = {
+                   params: Map[String, String],
+                   info: Map[String, String] = Map.empty): Unit = {
     val path = artifactPath(dir, kind, params)
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/data")
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((kind, paramsJson(params))).toDF("kind", "params_json").coalesce(1)
+    // `info` is OBSERVABILITY metadata (training diagnostics like dropped
+    // null-vector counts) — recorded, readable via [[artifactInfo]], but
+    // never part of the load-time identity check (params are)
+    Seq((kind, paramsJson(params), paramsJson(info)))
+      .toDF("kind", "params_json", "info_json").coalesce(1)
       .write.mode(SaveMode.Overwrite).json(s"$path/meta")
   }
 
@@ -122,13 +127,24 @@ object GraphStore {
   def inputIdentity(df: DataFrame): (String, String) =
     "input_plan" -> df.queryExecution.analyzed.semanticHash().toString
 
+  /** Collision-free param-key encoding of a string list: length-prefixed
+    * elements, so `Seq("a,b")` and `Seq("a", "b")` — or ids containing any
+    * separator character — can never produce the same key (the md5/param
+    * key is the only discriminator between artifacts of one kind). */
+  def keyOfList(xs: Seq[String]): String =
+    xs.map(x => s"${x.length}:$x").mkString(";")
+
   /** Load a persisted artifact, or None when (kind, params) was never
-    * saved under `dir` — including a half-written artifact (data without
-    * its meta sidecar, a crash between the two writes): load declines and
-    * the caller's build-and-save path repairs it. The sidecar's kind AND
-    * full params_json must match the request, so a truncated-hash
-    * collision or a hand-moved directory fails loudly instead of
-    * returning wrong data. */
+    * saved under `dir` — including every recoverable-by-retrain state:
+    * a half-written artifact (data without its meta sidecar, or a meta
+    * dir whose JSON never committed — a crash between the writes), an
+    * unreadable/schema-less meta, or a params_json mismatch (a
+    * truncated-hash collision between two param sets of the same kind).
+    * In all of those the load DECLINES (with a stderr note) and the
+    * caller's build-and-save path repairs the slot. The ONLY loud failure
+    * is a KIND mismatch at the path — the path embeds the kind, so that
+    * is a hand-moved/foreign directory, and silently retraining over it
+    * would destroy someone else's artifact. */
   def loadArtifact(spark: SparkSession, dir: String, kind: String,
                    params: Map[String, String]): Option[DataFrame] = {
     val path = artifactPath(dir, kind, params)
@@ -136,15 +152,116 @@ object GraphStore {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def ok(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
     if (!ok(s"$path/data") || !ok(s"$path/meta")) None
-    else {
-      val meta = spark.read.json(s"$path/meta")
-        .select(col("kind"), col("params_json"))
-        .collect().headOption.map(r => (r.getString(0), r.getString(1)))
-      require(meta.contains((kind, paramsJson(params))),
-        s"artifact at $path has meta=$meta, expected kind=$kind params=" +
-          paramsJson(params))
-      Some(spark.read.parquet(s"$path/data"))
+    else readMeta(spark, path) match {
+      case None =>
+        System.err.println(s"[artifacts] $path: meta unreadable/empty " +
+          "(half-written artifact) — declining load, retrain will repair")
+        None
+      case Some((k, _, _)) if k != kind =>
+        sys.error(s"artifact at $path has kind=$k, expected $kind — " +
+          "a foreign/hand-moved directory; refusing to touch it")
+      case Some((_, pj, _)) if pj != paramsJson(params) =>
+        System.err.println(s"[artifacts] $path: params mismatch (truncated-" +
+          s"hash collision): stored $pj, requested ${paramsJson(params)} — " +
+          "declining load")
+        None
+      case _ => Some(spark.read.parquet(s"$path/data"))
     }
+  }
+
+  /** The meta row at an artifact path, or None when absent/unreadable:
+    * (kind, params_json, info_json). Pre-info artifacts (no info_json
+    * column) read as "{}". */
+  private def readMeta(spark: SparkSession,
+                       path: String): Option[(String, String, String)] =
+    try {
+      val df = spark.read.json(s"$path/meta")
+      val withInfo =
+        if (df.columns.contains("info_json")) df
+        else df.withColumn("info_json", lit("{}"))
+      withInfo.select(col("kind"), col("params_json"), col("info_json"))
+        .collect().headOption
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Observability metadata recorded at [[saveArtifact]] time (the
+    * unverified `info` map), parsed back; empty when the artifact is
+    * missing or carries none. */
+  def artifactInfo(spark: SparkSession, dir: String, kind: String,
+                   params: Map[String, String]): Map[String, String] = {
+    val path = artifactPath(dir, kind, params)
+    readMeta(spark, path).map(m => parseFlatJson(m._3)).getOrElse(Map.empty)
+  }
+
+  /** Parse the flat {"k":"v",…} JSON [[paramsJson]] emits (escaped quotes/
+    * backslashes/control chars per [[esc]]). */
+  private def parseFlatJson(j: String): Map[String, String] = {
+    val re = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def unesc(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
+          case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case c => sb += c; i += 2
+        } else { sb += s(i); i += 1 }
+      }
+      sb.result()
+    }
+    re.findAllMatchIn(j).map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+  }
+
+  /** One row of the artifact-store catalog ([[listArtifacts]]). */
+  final case class ArtifactEntry(kind: String, hash: String, path: String,
+                                 params: Map[String, String],
+                                 info: Map[String, String],
+                                 dataBytes: Long, modifiedMillis: Long,
+                                 complete: Boolean)
+
+  /** Enumerate everything saved under `dir/artifacts` — the admin surface
+    * a long-lived deployment needs to SEE what is stored (the reference
+    * exposes its OLAP write-backs through schema listings the same way).
+    * Half-written slots (data without readable meta) list with
+    * `complete = false` so [[gcArtifacts]] can reap them. */
+  def listArtifacts(spark: SparkSession, dir: String): Seq[ArtifactEntry] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/artifacts")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    for {
+      kindDir <- fs.listStatus(root).toSeq if kindDir.isDirectory
+      slot <- fs.listStatus(kindDir.getPath).toSeq if slot.isDirectory
+    } yield {
+      val p = slot.getPath
+      val meta = readMeta(spark, p.toString)
+      val dataPath = new org.apache.hadoop.fs.Path(p, "data")
+      val bytes =
+        if (fs.exists(dataPath)) fs.getContentSummary(dataPath).getLength else 0L
+      ArtifactEntry(
+        kind = kindDir.getPath.getName, hash = p.getName, path = p.toString,
+        params = meta.map(m => parseFlatJson(m._2)).getOrElse(Map.empty),
+        info = meta.map(m => parseFlatJson(m._3)).getOrElse(Map.empty),
+        dataBytes = bytes,
+        modifiedMillis = slot.getModificationTime,
+        complete = meta.isDefined && fs.exists(dataPath))
+    }
+  }
+
+  /** Reap stale artifacts: deletes every slot that is HALF-WRITTEN
+    * (unreadable meta or missing data — a crashed save that a later
+    * retrain never repaired because the params changed) or older than
+    * `olderThanMillis` (by directory mtime, refreshed on every re-save).
+    * Returns the deleted paths. `nowMillis` is explicit so callers and
+    * tests control the clock. */
+  def gcArtifacts(spark: SparkSession, dir: String, olderThanMillis: Long,
+                  nowMillis: Long): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listArtifacts(spark, dir).filter(a =>
+      !a.complete || nowMillis - a.modifiedMillis > olderThanMillis)
+      .map { a =>
+        fs.delete(new org.apache.hadoop.fs.Path(a.path), true)
+        a.path
+      }
   }
 
   /** CSV/JSON ingestion of external vertex/edge files into the graph layout

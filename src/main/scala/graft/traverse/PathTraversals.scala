@@ -104,12 +104,15 @@ object PathTraversals {
 
   private def walkParams(sources: Seq[String], steps: Int,
                          dir: Direction.Value, labels: Seq[String]) = {
-    // the source LIST can be thousands of ids — hash it into the param key
+    // the source LIST can be thousands of ids — hash it into the param
+    // key; LENGTH-PREFIXED joining (GraphStore.keyOfList) so distinct
+    // lists can never encode identically (ids/labels may contain commas)
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(sources.mkString(",").getBytes("UTF-8"))
+      .digest(graft.sources.GraphStore.keyOfList(sources).getBytes("UTF-8"))
     Map("sources_md5" -> md.map("%02x".format(_)).mkString,
       "n_sources" -> sources.length.toString, "steps" -> steps.toString,
-      "dir" -> dir.toString, "labels" -> labels.mkString(","))
+      "dir" -> dir.toString,
+      "labels" -> graft.sources.GraphStore.keyOfList(labels))
   }
 
   private def guidedWalksCompute(g: PropertyGraph, sources: Seq[String], steps: Int,

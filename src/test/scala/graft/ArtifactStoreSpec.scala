@@ -29,6 +29,97 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(GraphStore.loadArtifact(spark, dir, "nope", Map("p" -> "1")).isEmpty)
   }
 
+  /** replicate artifactPath's 6-byte params hash (a stable public layout
+    * behavior worth pinning) */
+  private def slotHash(params: Map[String, String]): String = {
+    val canon = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(" ")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
+  private def copyDir(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Paths, Path}
+    val s = Paths.get(src); val d = Paths.get(dst)
+    Files.walk(s).forEach { (p: Path) =>
+      val t = d.resolve(s.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+  }
+
+  test("crash-safety: half-written/collided slots decline; foreign kind is loud") {
+    val dir = tmp()
+    val df = Seq((1L, 2.0)).toDF("k", "v")
+    GraphStore.saveArtifact(df, dir, "demo", Map("p" -> "1"))
+    val h1 = slotHash(Map("p" -> "1"))
+
+    // half-written: meta dir exists but holds no committed JSON → None
+    // (pre-fix this was a require crash that permanently aborted loadOrTrain)
+    val half = s"$dir/artifacts/demo/$h1/meta"
+    import java.nio.file.{Files, Paths}
+    Files.walk(Paths.get(half)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    Files.createDirectories(Paths.get(half))
+    assert(GraphStore.loadArtifact(spark, dir, "demo", Map("p" -> "1")).isEmpty)
+    // ...and the build-and-save path repairs the slot
+    GraphStore.saveArtifact(df, dir, "demo", Map("p" -> "1"))
+    assert(GraphStore.loadArtifact(spark, dir, "demo", Map("p" -> "1")).isDefined)
+
+    // truncated-hash collision: the slot for q=9 holds p=1's artifact
+    // (simulated by copying the slot) → decline + retrain, never wrong data
+    val h2 = slotHash(Map("q" -> "9"))
+    copyDir(s"$dir/artifacts/demo/$h1", s"$dir/artifacts/demo/$h2")
+    assert(GraphStore.loadArtifact(spark, dir, "demo", Map("q" -> "9")).isEmpty)
+
+    // kind mismatch at the path = a foreign/hand-moved directory → loud
+    copyDir(s"$dir/artifacts/demo/$h1", s"$dir/artifacts/other/$h1")
+    intercept[Exception](
+      GraphStore.loadArtifact(spark, dir, "other", Map("p" -> "1")))
+  }
+
+  test("info metadata, listing and GC") {
+    val dir = tmp()
+    val df = Seq((1L, 2.0)).toDF("k", "v")
+    GraphStore.saveArtifact(df, dir, "demo", Map("p" -> "1"),
+      info = Map("null_vector_drops" -> "3", "note" -> "a \"quoted\" one"))
+    GraphStore.saveArtifact(df, dir, "demo2", Map("x" -> "a,b"))
+    // info round-trips (incl. escaping) and is NOT part of the identity check
+    assert(GraphStore.artifactInfo(spark, dir, "demo", Map("p" -> "1")) ===
+      Map("null_vector_drops" -> "3", "note" -> "a \"quoted\" one"))
+    assert(GraphStore.loadArtifact(spark, dir, "demo", Map("p" -> "1")).isDefined)
+    assert(GraphStore.artifactInfo(spark, dir, "demo2", Map("x" -> "a,b")).isEmpty)
+
+    // a half-written slot (data, no meta) lists as incomplete
+    val orphan = s"$dir/artifacts/demo/deadbeef0000"
+    df.write.parquet(s"$orphan/data")
+    val listed = GraphStore.listArtifacts(spark, dir)
+    assert(listed.length === 3)
+    val byPath = listed.map(a => a.path.stripPrefix("file:") -> a).toMap
+    assert(byPath.values.count(_.complete) === 2)
+    assert(listed.filter(_.complete).forall(_.dataBytes > 0))
+    assert(listed.find(_.kind == "demo2").get.params === Map("x" -> "a,b"))
+
+    // GC: young + complete survive; the orphan is reaped immediately
+    val now = System.currentTimeMillis()
+    val reaped = GraphStore.gcArtifacts(spark, dir, olderThanMillis = 3600000L,
+      nowMillis = now)
+    assert(reaped.length === 1 && reaped.head.contains("deadbeef0000"))
+    assert(GraphStore.listArtifacts(spark, dir).length === 2)
+    // age-based: everything is older than -1ms → all reaped
+    assert(GraphStore.gcArtifacts(spark, dir, -1L, now).length === 2)
+    assert(GraphStore.listArtifacts(spark, dir).isEmpty)
+  }
+
+  test("keyOfList is collision-free for separator-bearing elements") {
+    assert(GraphStore.keyOfList(Seq("a,b")) !== GraphStore.keyOfList(Seq("a", "b")))
+    assert(GraphStore.keyOfList(Seq("a;b", "c")) !==
+      GraphStore.keyOfList(Seq("a", "b;c")))
+    assert(GraphStore.keyOfList(Seq("1:a", "b")) !==
+      GraphStore.keyOfList(Seq("1:a;1:b")))
+    assert(GraphStore.keyOfList(Nil) === "")
+  }
+
   test("ANN index: cold session loads IVF centroids + PQ reconstructions, probe is bit-equal to trained") {
     val dir = tmp()
     // deterministic embeddings, dims=8 split into m=2 subspaces

@@ -55,6 +55,33 @@ class OpsSpec extends SparkSpec {
     assert(top(0).getDouble(2) > 0.99)
   }
 
+  test("ANN index build counts null/empty-vector drops and records them in artifact info") {
+    import graft.sources.GraphStore
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(4)(j => (((seed * 31 + j * 17) % 97) / 97.0f) + 0.01f)
+    val real = (1L to 6L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val nulls = Seq((7L, null.asInstanceOf[Array[Float]]),
+      (8L, Array.empty[Float])).toDF("vec_id", "embedding")
+    val cands = real.unionByName(nulls)
+    assert(Ann.nullVectorDrops(cands) === 2L)
+    assert(Ann.nullVectorDrops(real) === 0L)
+    // saveIndex trains despite the null rows and records the drop count as
+    // observability info on BOTH artifacts (not part of the identity check)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulldrop").toString
+    Ann.saveIndex(dir, cands, nCentroids = 2, iters = 1, m = 1, ks = 2, dims = 4)
+    val kp = Map("nCentroids" -> "2", "iters" -> "1") + GraphStore.inputIdentity(cands)
+    assert(GraphStore.artifactInfo(spark, dir, "ann_kmeans_centroids", kp)
+      .get("null_vector_drops") === Some("2"))
+    val pp = Map("m" -> "1", "ks" -> "2", "dims" -> "4", "iters" -> "1") +
+      GraphStore.inputIdentity(cands)
+    assert(GraphStore.artifactInfo(spark, dir, "ann_pq_reconstructions", pp)
+      .get("null_vector_drops") === Some("2"))
+    // the null rows are absent from the index (dropped, not mis-assigned)
+    val cells = Ann.cellAssignments(cands, nCentroids = 2, iters = 1)
+    assert(cells.filter(col("vec_id") >= 7L).count() === 0L)
+    assert(cells.select("vec_id").distinct().count() === 6L)
+  }
+
   test("SRP bucketing puts identical vectors in the same bucket") {
     val vecs = Seq(
       (0L, Array.fill(8)(0.5f)),
@@ -901,6 +928,62 @@ class OpsSpec extends SparkSpec {
       graft.core.Pin.clear()
       val batched = graft.ops.Bpe.train(d, "doc_id", "text", merges = 8, batch = b)._1
       assert(batched === seq1, s"batch=$b diverged from sequential")
+    }
+    graft.core.Pin.clear()
+  }
+
+  test("bpe: symbol-aliasing corpora replay sequential exactly (alias batch closure)") {
+    // the aliasing shape: when an accepted merge's concatenation equals an
+    // already-existing symbol (accepting (a,bc) while 'abc' exists from an
+    // earlier (ab,c)), counts of pairs involving that symbol INCREASE and
+    // the disjoint/sharedMax bounds can't see it — the batch must close.
+    // Small-alphabet corpora with deep merge cascades make such collisions
+    // likely; every one must replay the sequential argmax bit-for-bit.
+    // the guard's unit surface (acceptBatch is the pure batch-acceptance
+    // logic train() drives): a window candidate whose concatenation equals
+    // a previously learned merge's concatenation CLOSES the batch right
+    // after its own acceptance — everything later needs fresh counts
+    import graft.ops.Bpe.acceptBatch
+    val w1 = Seq(("x", "y", 100L), ("a", "bc", 90L), ("p", "q", 80L))
+    // without the alias, all three disjoint dominant pairs batch together
+    assert(acceptBatch(w1, want = 3, knownConcats = Set.empty, floorOutside = 0L)
+      === w1)
+    // 'abc' exists (earlier (ab,c) merge): accept (a,bc) — its count was
+    // read pre-merge and it IS the next argmax — but close the batch there
+    assert(acceptBatch(w1, want = 3, knownConcats = Set("abc"), floorOutside = 0L)
+      === w1.take(2))
+    // the HEAD aliasing closes immediately after it
+    assert(acceptBatch(w1, want = 3, knownConcats = Set("xy"), floorOutside = 0L)
+      === w1.take(1))
+    // within-batch aliasing: (ab,c) accepted first creates 'abc'; a later
+    // disjoint dominant candidate (q,rs) with concat 'qrs' is fine, but
+    // one whose concat equals the earlier acceptance's is a closure
+    val w2 = Seq(("ab", "c", 100L), ("q", "rs", 90L), ("t", "u", 80L))
+    assert(acceptBatch(w2, 3, Set.empty, 0L) === w2)
+    val w3 = Seq(("ab", "c", 100L), ("a", "bc", 90L), ("t", "u", 80L))
+    assert(acceptBatch(w3, 3, Set.empty, 0L) === w3.take(2))
+    // the pre-existing bounds still apply: shared symbol → rejection
+    val w4 = Seq(("a", "b", 100L), ("b", "c", 90L))
+    assert(acceptBatch(w4, 2, Set.empty, 0L) === w4.take(1))
+
+    // end-to-end sweep: small-alphabet corpora with deep merge cascades —
+    // batched must replay sequential bit-for-bit (the guard is
+    // conservative: on natural corpora it rarely-to-never fires, so
+    // batching throughput is unaffected)
+    val rnd = new scala.util.Random(42)
+    for (t <- 1 to 4) {
+      val words = Seq.fill(12) {
+        val len = 2 + rnd.nextInt(4)
+        (Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString,
+          1 + rnd.nextInt(9))
+      }
+      val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+      val d = Seq((1L, text)).toDF("doc_id", "text")
+      graft.core.Pin.clear()
+      val seq1 = graft.ops.Bpe.train(d, "doc_id", "text", merges = 10, batch = 1)._1
+      graft.core.Pin.clear()
+      val batched = graft.ops.Bpe.train(d, "doc_id", "text", merges = 10, batch = 4)._1
+      assert(batched === seq1, s"corpus $t: batch=4 diverged from sequential")
     }
     graft.core.Pin.clear()
   }
