@@ -194,12 +194,21 @@ object ScaleSmoke {
     }
     if (wanted("ecc")) {
       import spark.implicits._
+      // q_eccentricity's exact probe shape: 3 roots, depth 5, MS-BFS wave
+      def probes(s: String) = Seq("customer:1" + s, "supplier:3" + s, "part:7" + s)
       results("eccentricity") = (
-        time("ecc 1x")(Algorithms.eccentricity(Seq("customer:1").toDF("id"),
-          Traversals.adjacencyView(g1, Direction.BOTH), maxDepth = 6).count()),
-        time(s"ecc ${copies}x")(Algorithms.eccentricity(Seq("customer:1" + suf).toDF("id"),
-          Traversals.adjacencyView(gN, Direction.BOTH), maxDepth = 6).count()))
+        time("ecc 1x")(Algorithms.eccentricity(probes("").toDF("id"),
+          Traversals.adjacencyView(g1, Direction.BOTH), maxDepth = 5).count()),
+        time(s"ecc ${copies}x")(Algorithms.eccentricity(probes(suf).toDF("id"),
+          Traversals.adjacencyView(gN, Direction.BOTH), maxDepth = 5).count()))
     }
+    // q_rings's shape: path-array frontier loop with the pushdown-probe
+    // stop — the path family's heaviest source-local enumerator
+    if (wanted("rings")) results("rings") = (
+      time("rings 1x")(PathTraversals.rings(g1, "customer:130",
+        Direction.BOTH, Nil, maxDepth = 4).count()),
+      time(s"rings ${copies}x")(PathTraversals.rings(gN, "customer:130" + suf,
+        Direction.BOTH, Nil, maxDepth = 4).count()))
 
     // round-8 graph operators: k-truss (per-round triangle enumeration over
     // the canonical BOTH view) and the landmark-index BFS wave (offline half
