@@ -13,8 +13,11 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * {{{
   *   MATCH (a:person)-[r:knows]->(b)<-[:created]-(c)-[:knows*1..3]-(d)
   *   [ MATCH …  |  OPTIONAL MATCH … ]*
-  *   [ WHERE (a.age > 29 OR NOT b.name = 'lop') AND r.weight >= 0.5 ]
-  *   RETURN a.name AS who, r.weight, sum(b.price) AS total [ , count(*) AS n ]
+  *   [ WHERE (a.age > 29 OR NOT b.name = 'lop') AND r.weight >= 0.5
+  *           AND a.name STARTS WITH 'm' AND b.lang IS NOT NULL
+  *           AND a.age > b.age ]
+  *   [ WITH [DISTINCT] a, count(*) AS n [ WHERE n > 2 ] ]
+  *   RETURN [DISTINCT] a.name AS who, n, sum(b.price) AS total
   *   [ ORDER BY who [ASC|DESC], b.price … ] [ SKIP s ] [ LIMIT n ]
   * }}}
   * Multiple MATCH clauses join on shared variables (cartesian when none are
@@ -24,16 +27,26 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * VARIABLES `-[r:label]->` that expose edge properties to WHERE / RETURN /
   * ORDER BY as `r.prop` (the reference's edge-property query surface —
   * `EdgeCoreTest.java` sort-key/edge-prop families). WHERE is a full
-  * boolean grammar — `AND`/`OR`/`NOT`/parentheses over
-  * `<var>.<prop> (=|<>|>|>=|<|<=) <literal>` — with SQL three-valued null
-  * semantics (openCypher's: a null comparison never matches). RETURN items
-  * are `var.prop` projections with aliases and/or aggregates
-  * `count(*) | count/sum/avg/min/max/collect(var.prop)` with openCypher
-  * implicit grouping: the non-aggregated items become the group keys.
-  * `collect()` returns a SORTED array (openCypher leaves collect order
-  * unspecified; sorting makes results deterministic and hash-comparable).
-  * ORDER BY accepts RETURN aliases or `var.prop` references; SKIP/LIMIT
-  * follow Cypher order (skip first).
+  * boolean grammar — `AND`/`OR`/`NOT`/parentheses over comparisons
+  * `<lhs> (=|<>|>|>=|<|<=) <rhs>` where lhs is `var.prop` or a bare
+  * variable/alias and rhs a literal OR another property reference
+  * (`a.age > b.age`), plus `IS [NOT] NULL` and the string operators
+  * `STARTS WITH` / `ENDS WITH` / `CONTAINS` — all with SQL three-valued
+  * null semantics (openCypher's: a null comparison never matches).
+  * RETURN/WITH items are `var.prop` projections, BARE variables
+  * (projecting the binding — the vertex id), and/or aggregates
+  * `count(*) | count/sum/avg/min/max/collect(var[.prop])` (DISTINCT
+  * inside count/collect) with openCypher implicit grouping: the
+  * non-aggregated items become the group keys. A leading `DISTINCT`
+  * dedups the projected rows. `collect()` returns a SORTED array
+  * (openCypher leaves collect order unspecified; sorting makes results
+  * deterministic and hash-comparable). ONE `WITH` pipeline stage is
+  * supported between the pattern block and RETURN: it projects/aggregates
+  * like RETURN, an optional following WHERE filters the stage's OUTPUT
+  * (the aggregate-then-filter idiom), bare-variable items keep their
+  * binding so RETURN can still access `v.prop`, and a further MATCH after
+  * WITH is rejected loudly. ORDER BY accepts RETURN aliases or `var.prop`
+  * references; SKIP/LIMIT follow Cypher order (skip first).
   *
   * VARIABLE-LENGTH relationships `-[:l*min..max]->` (also `*n` incl. `*0`,
   * `*..max`; `*0..max` adds the identity binding; bare `*` and `*min..`
@@ -59,7 +72,12 @@ object CypherLite {
   private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
   private val relRe =
     """(<?)-\[\s*(\w+)?\s*:\s*(\w+)\s*(\*\s*(\d+)?\s*(?:\.\.\s*(\d+)?)?)?\s*\]-(>?)""".r
-  private val clauseRe = """(?i)\b(OPTIONAL\s+MATCH|MATCH|WHERE|RETURN|ORDER\s+BY|SKIP|LIMIT)\b""".r
+  // the WITH alternative must NOT match the second word of the STARTS
+  // WITH / ENDS WITH string operators (input is whitespace-normalized to
+  // single spaces before clause splitting, so the lookbehinds are fixed)
+  private val clauseRe =
+    ("""(?i)\b(OPTIONAL\s+MATCH|MATCH|WHERE|(?<!STARTS )(?<!ENDS )WITH|""" +
+      """RETURN|ORDER\s+BY|SKIP|LIMIT)\b""").r
 
   /** Working/physical column names the planner owns; user variables with
     * these names would silently corrupt joins (`__a`/`__x` are the
@@ -83,6 +101,14 @@ object CypherLite {
 
   // ---- WHERE boolean-expression grammar ----------------------------------
   private[api] sealed trait BoolExpr
+  /** A property reference used as a comparison's right-hand side
+    * (`a.age > b.age`); `prop` empty = the bare variable/alias column. */
+  private[api] final case class PropRef(v: String, prop: String)
+  /** One comparison: `prop` empty = the bare variable/alias column
+    * (node-id equality pre-WITH, alias values post-WITH). `op` is one of
+    * the six comparators, or `isnull`/`notnull` (value ignored), or
+    * `startswith`/`endswith`/`contains` (string literal value). `value`
+    * is a String/Double literal or a [[PropRef]]. */
   private[api] final case class Cmp(v: String, prop: String, op: String,
                                     value: Any) extends BoolExpr
   private[api] final case class AndE(l: BoolExpr, r: BoolExpr) extends BoolExpr
@@ -99,10 +125,17 @@ object CypherLite {
 
   private def tokenize(body: String): List[Tok] = {
     val wordRe = """^(?i)(AND|OR|NOT)\b""".r
+    // lhs is `v.prop` or a bare `v` (a WITH alias / node-id column)
+    val nullRe = """^(\w+)(?:\.(\w+))?\s+(?i)IS\s+(NOT\s+)?NULL""".r
+    val strRe =
+      """^(\w+)(?:\.(\w+))?\s+(?i)(STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+('[^']*')""".r
     val cmpRe =
-      """^(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*('[^']*'|[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)""".r
+      ("""^(\w+)(?:\.(\w+))?\s*(=|<>|>=|<=|>|<)\s*""" +
+        """(?:('[^']*')|([-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)|(\w+)(?:\.(\w+))?)""").r
     val out = List.newBuilder[Tok]
     var rest = body.trim
+    def lhs(v: String, p: String): (String, String) =
+      (checkVar(v), Option(p).getOrElse(""))
     while (rest.nonEmpty) {
       if (rest.startsWith("(")) { out += LP; rest = rest.substring(1).trim }
       else if (rest.startsWith(")")) { out += RP; rest = rest.substring(1).trim }
@@ -112,15 +145,32 @@ object CypherLite {
             case "AND" => AndT; case "OR" => OrT; case "NOT" => NotT
           })
           rest = rest.substring(m.end).trim
-        case None => cmpRe.findFirstMatchIn(rest) match {
-          case Some(m) =>
-            val raw = m.group(4)
-            val value: Any =
-              if (raw.startsWith("'")) raw.stripPrefix("'").stripSuffix("'")
-              else raw.toDouble
-            out += CmpT(Cmp(checkVar(m.group(1)), m.group(2), m.group(3), value))
+        case None => (nullRe.findFirstMatchIn(rest), strRe.findFirstMatchIn(rest),
+                      cmpRe.findFirstMatchIn(rest)) match {
+          case (Some(m), _, _) =>
+            val (v, p) = lhs(m.group(1), m.group(2))
+            out += CmpT(Cmp(v, p,
+              if (m.group(3) == null) "isnull" else "notnull", null))
             rest = rest.substring(m.end).trim
-          case None => sys.error(s"cannot parse WHERE at: '$rest'")
+          case (_, Some(m), _) =>
+            val (v, p) = lhs(m.group(1), m.group(2))
+            val op = m.group(3).toUpperCase.replaceAll("\\s+", " ") match {
+              case "STARTS WITH" => "startswith"
+              case "ENDS WITH" => "endswith"
+              case "CONTAINS" => "contains"
+            }
+            out += CmpT(Cmp(v, p, op,
+              m.group(4).stripPrefix("'").stripSuffix("'")))
+            rest = rest.substring(m.end).trim
+          case (_, _, Some(m)) =>
+            val (v, p) = lhs(m.group(1), m.group(2))
+            val value: Any =
+              if (m.group(4) != null) m.group(4).stripPrefix("'").stripSuffix("'")
+              else if (m.group(5) != null) m.group(5).toDouble
+              else PropRef(checkVar(m.group(6)), Option(m.group(7)).getOrElse(""))
+            out += CmpT(Cmp(v, p, m.group(3), value))
+            rest = rest.substring(m.end).trim
+          case _ => sys.error(s"cannot parse WHERE at: '$rest'")
         }
       }
     }
@@ -156,25 +206,43 @@ object CypherLite {
     e
   }
 
-  private def cmpColumn(c: Column, op: String, value: Any): Column = op match {
-    case "=" => c === lit(value)
-    case "<>" => c =!= lit(value)
-    case ">" => c > lit(value)
-    case ">=" => c >= lit(value)
-    case "<" => c < lit(value)
-    case "<=" => c <= lit(value)
+  private def cmpColumn(c: Column, op: String, value: Any,
+                        rhsOf: PropRef => Column = pr =>
+                          sys.error(s"property reference ${pr.v}.${pr.prop} " +
+                            "not allowed here")): Column = {
+    def rhs: Column = value match {
+      case pr: PropRef => rhsOf(pr)
+      case other => lit(other)
+    }
+    op match {
+      case "=" => c === rhs
+      case "<>" => c =!= rhs
+      case ">" => c > rhs
+      case ">=" => c >= rhs
+      case "<" => c < rhs
+      case "<=" => c <= rhs
+      case "isnull" => c.isNull
+      case "notnull" => c.isNotNull
+      case "startswith" => c.startsWith(value.asInstanceOf[String])
+      case "endswith" => c.endsWith(value.asInstanceOf[String])
+      case "contains" => c.contains(value.asInstanceOf[String])
+    }
   }
 
   private def compileExpr(e: BoolExpr, colOf: (String, String) => Column): Column =
     e match {
-      case Cmp(v, p, op, value) => cmpColumn(colOf(v, p), op, value)
+      case Cmp(v, p, op, value) =>
+        cmpColumn(colOf(v, p), op, value, pr => colOf(pr.v, pr.prop))
       case AndE(l, r) => compileExpr(l, colOf) && compileExpr(r, colOf)
       case OrE(l, r) => compileExpr(l, colOf) || compileExpr(r, colOf)
       case NotE(x) => !compileExpr(x, colOf)
     }
 
   private def refs(e: BoolExpr): List[(String, String)] = e match {
-    case Cmp(v, p, _, _) => List((v, p))
+    case Cmp(v, p, _, value) => (v, p) :: (value match {
+      case PropRef(rv, rp) => List((rv, rp))
+      case _ => Nil
+    })
     case AndE(l, r) => refs(l) ++ refs(r)
     case OrE(l, r) => refs(l) ++ refs(r)
     case NotE(x) => refs(x)
@@ -185,14 +253,24 @@ object CypherLite {
     case x => List(x)
   }
 
-  // ---- RETURN / ORDER BY -------------------------------------------------
-  /** A RETURN item: plain `v.prop` projection (agg = None) or an aggregate.
-    * `count(*)` is encoded as v = "", prop = "*", agg = Some("count"). */
+  // ---- RETURN / WITH / ORDER BY ------------------------------------------
+  /** A RETURN/WITH item: `v.prop` projection, a BARE variable (`prop`
+    * empty — projects the binding/alias column, i.e. the vertex id for a
+    * node variable), or an aggregate (`count(*)` is v = "", prop = "*").
+    * `distinctAgg` marks `count(DISTINCT …)` / `collect(DISTINCT …)`. */
   private[api] final case class Ret(v: String, prop: String, alias: String,
-                                    agg: Option[String] = None)
+                                    agg: Option[String] = None,
+                                    distinctAgg: Boolean = false)
   private[api] final case class OrderKey(ref: String, asc: Boolean)
+  /** One WITH pipeline stage: project/aggregate `items` (openCypher
+    * implicit grouping), then filter `where` over the stage's output
+    * (Cypher's aggregate-then-filter / HAVING idiom). */
+  private[api] final case class WithStage(items: List[Ret], distinct: Boolean,
+                                          where: Option[BoolExpr])
   private[api] final case class Query(matches: List[MatchClause],
-                                      where: Option[BoolExpr], rets: List[Ret],
+                                      where: Option[BoolExpr],
+                                      withStage: Option[WithStage],
+                                      rets: List[Ret], retDistinct: Boolean,
                                       orderBy: List[OrderKey],
                                       skip: Option[Int], limit: Option[Int])
 
@@ -231,22 +309,37 @@ object CypherLite {
   }
 
   private val aggRetRe =
-    """(?i)^(count|sum|avg|min|max|collect)\s*\(\s*(?:(\*)|(\w+)\.(\w+))\s*\)(?:\s+AS\s+(\w+))?$""".r
-  private val plainRetRe = """^(\w+)\.(\w+)(?:\s+(?i:AS)\s+(\w+))?$""".r
+    ("""(?i)^(count|sum|avg|min|max|collect)\s*\(\s*(DISTINCT\s+)?""" +
+      """(?:(\*)|(\w+)(?:\.(\w+))?)\s*\)(?:\s+AS\s+(\w+))?$""").r
+  private val plainRetRe = """^(\w+)(?:\.(\w+))?(?:\s+(?i:AS)\s+(\w+))?$""".r
 
   private def parseRet(item: String): Ret = item.trim match {
-    case aggRetRe(agg0, star, v, prop, alias) =>
+    case aggRetRe(agg0, dist0, star, v, prop, alias) =>
       val agg = agg0.toLowerCase
+      val dist = dist0 != null
+      require(!dist || agg == "count" || agg == "collect",
+        s"DISTINCT inside $agg() unsupported (count/collect only): $item")
       if (star != null) {
-        require(agg == "count", s"$agg(*) is not a Cypher aggregate: $item")
+        require(agg == "count" && !dist, s"bad aggregate: $item")
         Ret("", "*", Option(alias).getOrElse("n"), Some("count"))
       } else
-        Ret(checkVar(v), prop,
-          Option(alias).getOrElse(s"${agg}_${v}_$prop"), Some(agg))
+        Ret(checkVar(v), Option(prop).getOrElse(""),
+          Option(alias).getOrElse(
+            if (prop == null) s"${agg}_$v" else s"${agg}_${v}_$prop"),
+          Some(agg), distinctAgg = dist)
     case plainRetRe(v, prop, alias) =>
-      Ret(checkVar(v), prop,
-        Option(alias).getOrElse(s"${v}_$prop"), None)
+      // bare variable (prop empty): project the binding/alias column —
+      // for a node variable that is the vertex id (Cypher `RETURN c`)
+      Ret(checkVar(v), Option(prop).getOrElse(""),
+        Option(alias).getOrElse(if (prop == null) v else s"${v}_$prop"), None)
     case other => sys.error(s"bad return item: $other")
+  }
+
+  /** Parse a RETURN/WITH item list with an optional leading DISTINCT. */
+  private def parseItems(body: String): (Boolean, List[Ret]) = {
+    val m = """(?i)^DISTINCT\s+""".r.findFirstMatchIn(body)
+    val rest = m.fold(body)(mm => body.substring(mm.end))
+    (m.isDefined, rest.split(",").toList.map(parseRet))
   }
 
   private[api] def parse(q: String): Query = {
@@ -262,19 +355,38 @@ object CypherLite {
 
     var matches = List.empty[MatchClause]
     var where: Option[BoolExpr] = None
+    var withStage: Option[WithStage] = None
     var rets = List.empty[Ret]
+    var retDistinct = false
     var orderBy = List.empty[OrderKey]
     var skip: Option[Int] = None
     var limit: Option[Int] = None
 
     clauses.foreach {
-      case ("MATCH", body) => matches :+= parsePattern(body, optional = false)
-      case ("OPTIONAL MATCH", body) => matches :+= parsePattern(body, optional = true)
+      case ("MATCH", body) =>
+        require(withStage.isEmpty,
+          "MATCH after WITH is unsupported (one pattern block, one WITH stage)")
+        matches :+= parsePattern(body, optional = false)
+      case ("OPTIONAL MATCH", body) =>
+        require(withStage.isEmpty,
+          "MATCH after WITH is unsupported (one pattern block, one WITH stage)")
+        matches :+= parsePattern(body, optional = true)
       case ("WHERE", body) =>
+        // a WHERE after WITH filters the WITH stage's OUTPUT (the
+        // aggregate-then-filter idiom); before WITH it filters the bindings
         val e = parseWhere(body)
-        where = where.map(AndE(_, e)).orElse(Some(e))
+        withStage match {
+          case Some(w) => withStage =
+            Some(w.copy(where = w.where.map(AndE(_, e)).orElse(Some(e))))
+          case None => where = where.map(AndE(_, e)).orElse(Some(e))
+        }
+      case ("WITH", body) =>
+        require(withStage.isEmpty, "one WITH stage supported")
+        val (dist, items) = parseItems(body)
+        withStage = Some(WithStage(items, dist, None))
       case ("RETURN", body) =>
-        rets = body.split(",").toList.map(parseRet)
+        val (dist, items) = parseItems(body)
+        retDistinct = dist; rets = items
       case ("ORDER BY", body) =>
         orderBy = body.split(",").toList.map(_.trim).map { k =>
           val m = """(\S+)(?:\s+(?i)(ASC|DESC))?""".r.findFirstMatchIn(k)
@@ -286,7 +398,7 @@ object CypherLite {
       case (kw, _) => sys.error(s"unsupported clause: $kw")
     }
     require(rets.nonEmpty, "query must have RETURN")
-    Query(matches, where, rets, orderBy, skip, limit)
+    Query(matches, where, withStage, rets, retDistinct, orderBy, skip, limit)
   }
 
   /** One linear chain → DataFrame of variable columns (vertex ids), plus
@@ -410,21 +522,23 @@ object CypherLite {
       relPats.flatMap(r => r.variable.map(_ -> r)).toMap
     val varLenVars = relVars.collect { case (v, r) if !r.singleHop => v }.toSet
 
-    // WHERE: var-length rel-var conjuncts push into the edge scan (ALL-hop
-    // semantics, see object doc); everything else filters the bound rows
+    // pre-WITH WHERE: var-length rel-var LITERAL conjuncts push into the
+    // edge scan (ALL-hop semantics, see object doc); everything else
+    // filters the bound rows
     val (relFilters, residual) = q.where match {
       case None => (Map.empty[String, Column], None)
       case Some(w) =>
         val cs = conjuncts(w)
         val (push, keep) = cs.partition {
-          case Cmp(v, _, _, _) => varLenVars(v)
+          case Cmp(v, p, _, value) =>
+            varLenVars(v) && p.nonEmpty && !value.isInstanceOf[PropRef]
           case _ => false
         }
         keep.flatMap(refs).foreach { case (v, _) =>
           require(!varLenVars(v),
             s"predicate on variable-length relationship '$v' must be a " +
-              "top-level AND comparison (lowered to the ALL-hop edge-scan " +
-              "pushdown, openCypher's all(x IN r WHERE …))")
+              "top-level AND comparison against a literal (lowered to the " +
+              "ALL-hop edge-scan pushdown, openCypher's all(x IN r WHERE …))")
         }
         val byVar = push.collect { case c: Cmp => c }.groupBy(_.v).map {
           case (v, cmps) =>
@@ -433,23 +547,36 @@ object CypherLite {
         (byVar, keep.reduceOption(AndE(_, _)))
     }
 
-    // properties each clause must carry for its relationship variables
+    // column resolver shared by every stage: a bare ref is the variable/
+    // alias column itself (vertex id pre-WITH, alias value post-WITH)
+    val colOf: (String, String) => Column =
+      (v, p) => if (p.isEmpty) col(v) else col(s"${v}_$p")
+
     val orderProps = q.orderBy.flatMap { k =>
       k.ref.split("\\.") match {
-        case Array(v, p) if nodeVars.contains(v) || relVars.contains(v) => Some((v, p))
+        case Array(v, p) => Some((v, p))
         case _ => None
       }
     }
-    val needed = (residual.toList.flatMap(refs) ++
-      q.rets.filter(r => r.v.nonEmpty).map(r => (r.v, r.prop)) ++ orderProps).distinct
-    needed.foreach { case (v, _) =>
-      require(!varLenVars(v),
-        s"'$v' binds a variable-length relationship (a LIST) — RETURN/ORDER " +
-          "BY of its properties is unsupported; only the ALL-hop WHERE " +
-          "pushdown is (see the object doc)")
-    }
+
+    // ---- stage 1 property needs: pre-WITH WHERE + the stage's items ----
+    val stage1Items = q.withStage.map(_.items).getOrElse(q.rets)
+    val stage1Order = if (q.withStage.isEmpty) orderProps else Nil
+    val needed1 = (residual.toList.flatMap(refs) ++
+      stage1Items.filter(_.v.nonEmpty).map(r => (r.v, r.prop)) ++ stage1Order)
+      .distinct.filter(_._2.nonEmpty)
+    (needed1.map(_._1) ++
+      stage1Items.filter(r => r.v.nonEmpty && r.prop.isEmpty).map(_.v))
+      .foreach { v =>
+        require(!varLenVars(v),
+          s"'$v' binds a variable-length relationship (a LIST) — projecting " +
+            "it is unsupported; only the ALL-hop WHERE pushdown is")
+      }
+    stage1Items.filter(r => r.prop.isEmpty && relVars.contains(r.v)).foreach(r =>
+      sys.error(s"relationship variable '${r.v}' has no id binding — " +
+        s"project a property (${r.v}.prop) instead"))
     val edgePropNeeds: Map[String, Seq[String]] =
-      needed.filter(p => relVars.contains(p._1))
+      needed1.filter(p => relVars.contains(p._1))
         .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).distinct }
 
     var frontier = evalChain(g, q.matches.head, edgePropNeeds, relFilters)
@@ -487,33 +614,85 @@ object CypherLite {
           }
         }
     }
-    // attach vertex properties referenced by WHERE/RETURN/ORDER BY, one
-    // join per (var, prop); left joins so OPTIONAL-introduced nulls
-    // survive. Relationship-variable props already ride the frontier as
+    // attach vertex properties referenced by this stage, one join per
+    // (var, prop); left joins so OPTIONAL-introduced nulls survive.
+    // Relationship-variable props already ride the frontier as
     // `<r>_<prop>` columns carried by evalChain.
-    needed.filterNot(p => relVars.contains(p._1)).foreach { case (v, prop) =>
-      frontier = frontier.join(
-        g.vertices.select(col("id").as(v), col(prop).as(s"${v}_$prop")),
-        Seq(v), "left")
+    needed1.filterNot(p => relVars.contains(p._1)).foreach { case (v, prop) =>
+      if (!frontier.columns.contains(s"${v}_$prop")) {
+        require(frontier.columns.contains(v), s"unknown variable '$v'")
+        frontier = frontier.join(
+          g.vertices.select(col("id").as(v), col(prop).as(s"${v}_$prop")),
+          Seq(v), "left")
+      }
     }
-    residual.foreach { e =>
-      frontier = frontier.filter(compileExpr(e, (v, p) => col(s"${v}_$p")))
-    }
+    residual.foreach(e => frontier = frontier.filter(compileExpr(e, colOf)))
 
-    val hasAgg = q.rets.exists(_.agg.isDefined)
-    def keyCol(r: Ret): Column = col(s"${r.v}_${r.prop}").as(r.alias)
+    // ---- projection/aggregation stage (shared by WITH and RETURN) ----
     def aggCol(r: Ret): Column = {
-      val c = col(s"${r.v}_${r.prop}")
+      val c = colOf(r.v, r.prop)
       (r.agg.get match {
         case "count" if r.v.isEmpty => count(lit(1))
+        case "count" if r.distinctAgg => countDistinct(c)
         case "count" => count(c)
         case "sum" => sum(c)
         case "avg" => avg(c)
         case "min" => min(c)
         case "max" => max(c)
+        // sorted for determinism (openCypher leaves collect order open)
+        case "collect" if r.distinctAgg =>
+          sort_array(array_distinct(collect_list(c)))
         case "collect" => sort_array(collect_list(c))
       }).as(r.alias)
     }
+    def keyCol(r: Ret): Column = colOf(r.v, r.prop).as(r.alias)
+    def projectStage(items: List[Ret], dist: Boolean,
+                     extraCarry: Seq[String]): DataFrame = {
+      val hasAgg = items.exists(_.agg.isDefined)
+      var out =
+        if (hasAgg) {
+          // openCypher implicit grouping: non-aggregated items are the
+          // group keys; declared column order restored by the select
+          val keys = items.filter(_.agg.isEmpty)
+          val aggs = items.filter(_.agg.isDefined).map(aggCol)
+          frontier.groupBy(keys.map(keyCol): _*)
+            .agg(aggs.head, aggs.tail: _*)
+            .select(items.map(r => col(r.alias)): _*)
+        } else frontier.select(items.map(keyCol) ++ extraCarry.map(col): _*)
+      if (dist) {
+        require(extraCarry.isEmpty,
+          "ORDER BY keys must appear in the RETURN items under DISTINCT")
+        out = out.distinct()
+      }
+      out
+    }
+
+    // ---- optional WITH stage: project/aggregate, then filter its OUTPUT
+    // (the aggregate-then-filter idiom) ----
+    q.withStage.foreach { w =>
+      frontier = projectStage(w.items, w.distinct, Nil)
+      // post-WITH property access joins the vertex table on the carried
+      // alias column (a bare-variable WITH item keeps its id binding)
+      val needed2 = (w.where.toList.flatMap(refs) ++
+        q.rets.filter(_.v.nonEmpty).map(r => (r.v, r.prop)) ++ orderProps)
+        .distinct.filter(_._2.nonEmpty)
+      needed2.foreach { case (v, p) =>
+        require(!relVars.contains(v),
+          s"relationship variable '$v' does not survive WITH — alias " +
+            s"'$v.$p' as a WITH item instead")
+        if (!frontier.columns.contains(s"${v}_$p")) {
+          require(frontier.columns.contains(v),
+            s"unknown variable '$v' after WITH (carry it as a WITH item)")
+          frontier = frontier.join(
+            g.vertices.select(col("id").as(v), col(p).as(s"${v}_$p")),
+            Seq(v), "left")
+        }
+      }
+      w.where.foreach(e => frontier = frontier.filter(compileExpr(e, colOf)))
+    }
+
+    // ---- final RETURN stage ----
+    val hasAgg = q.rets.exists(_.agg.isDefined)
     def orderCol(k: OrderKey): Column = {
       val base =
         if (q.rets.exists(_.alias == k.ref)) col(k.ref)
@@ -534,22 +713,14 @@ object CypherLite {
         }
       if (k.asc) base.asc else base.desc
     }
-    var result =
-      if (hasAgg) {
-        // openCypher implicit grouping: non-aggregated RETURN items are
-        // the group keys; declared column order restored by the select
-        val keys = q.rets.filter(_.agg.isEmpty)
-        val aggs = q.rets.filter(_.agg.isDefined).map(aggCol)
-        frontier.groupBy(keys.map(keyCol): _*)
-          .agg(aggs.head, aggs.tail: _*)
-          .select(q.rets.map(r => col(r.alias)): _*)
-      } else {
-        // keep the order keys' source columns through the projection
-        val retSources = q.rets.map(r => s"${r.v}_${r.prop}").toSet
-        val extra = orderProps.map { case (v, p) => s"${v}_$p" }
-          .distinct.filterNot(retSources).map(col)
-        frontier.select((q.rets.map(r => keyCol(r)) ++ extra): _*)
-      }
+    // keep the order keys' source columns through a non-agg projection
+    val retSources =
+      q.rets.map(r => if (r.prop.isEmpty) r.v else s"${r.v}_${r.prop}").toSet
+    val extra =
+      if (hasAgg) Nil
+      else orderProps.map { case (v, p) => s"${v}_$p" }.distinct
+        .filterNot(retSources)
+    var result = projectStage(q.rets, q.retDistinct, extra)
     if (q.orderBy.nonEmpty) result = result.orderBy(q.orderBy.map(orderCol): _*)
     // project down to the declared aliases (drops order-only carry columns)
     result = result.select(q.rets.map(r => col(r.alias)): _*)

@@ -991,6 +991,68 @@ object GraphQueries2 {
           "min(p.retailprice) AS cheapest, max(r.quantity) AS maxq")
     },
 
+    q("q_cypher_with",
+      // the aggregate-then-filter idiom (openCypher WITH … WHERE — SQL's
+      // HAVING): nations with under 3 suppliers, via OPTIONAL MATCH +
+      // count(bare var) so zero-supplier nations survive with n_sup = 0
+      """SELECT n.n_name AS nation, CAST(count(s.s_suppkey) AS BIGINT) AS n_sup
+        |FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1 HAVING count(s.s_suppkey) < 3""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (n:nation) OPTIONAL MATCH (s:supplier)-[:in_nation]->(n) " +
+          "WITH n, count(s) AS n_sup WHERE n_sup < 3 " +
+          "RETURN n.name AS nation, n_sup")
+    },
+
+    q("q_cypher_string_preds",
+      // STARTS WITH / ENDS WITH / CONTAINS with boolean-grammar precedence
+      """SELECT p_name AS pname, p_type AS ptype FROM part
+        |WHERE (p_name LIKE 'large%' OR p_name LIKE '%bolt')
+        |  AND p_type LIKE '%ECO%'""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (p:part) " +
+          "WHERE (p.name STARTS WITH 'large' OR p.name ENDS WITH 'bolt') " +
+          "AND p.type CONTAINS 'ECO' " +
+          "RETURN p.name AS pname, p.type AS ptype")
+    },
+
+    q("q_cypher_prop_compare",
+      // property-to-property comparison across variables (the rhs is a
+      // column reference, not a literal)
+      """SELECT p.p_name AS pname, s.s_name AS sname
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |WHERE p.p_retailprice > s.s_acctbal AND p.p_size = 2""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (p:part)-[:supplied_by]->(s:supplier) " +
+          "WHERE p.retailprice > s.acctbal AND p.size = 2 " +
+          "RETURN p.name AS pname, s.name AS sname")
+    },
+
+    q("q_cypher_distinct_agg",
+      // count(DISTINCT) under implicit grouping + a RETURN DISTINCT dedup
+      // (separate branches of the same surface; one query each)
+      """SELECT o.o_orderpriority AS pri,
+        |       CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS nseg
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o:order) " +
+          "RETURN o.orderpriority AS pri, count(DISTINCT c.mktsegment) AS nseg")
+    },
+
+    q("q_cypher_return_distinct",
+      // RETURN DISTINCT over a many-to-one pattern
+      """SELECT DISTINCT n.n_name AS nation
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c.c_acctbal >= 0""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:in_nation]->(n:nation) " +
+          "WHERE NOT c.acctbal < 0 " +
+          "RETURN DISTINCT n.name AS nation")
+    },
+
     q("q_cypher_varlen_edgefilter",
       // variable-length + edge-property predicate interaction: the rel-var
       // conjunct pushes into the edge SCAN before expansion (ALL-hop

@@ -262,6 +262,102 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("IS NULL / IS NOT NULL and string operators") {
+    // software vertices have no city → IS NULL; person city IS NOT NULL
+    val sw = run("MATCH (v:software) WHERE v.city IS NULL RETURN v.name")
+      .collect().map(_.getString(0)).toSet
+    assert(sw === Set("lop", "ripple"))
+    val withCity = run("MATCH (v) WHERE v.city IS NOT NULL RETURN v.name")
+      .collect().map(_.getString(0)).toSet
+    assert(withCity === Set("marko", "vadas", "josh", "peter"))
+    // STARTS WITH / ENDS WITH / CONTAINS
+    val s1 = run("MATCH (p:person) WHERE p.name STARTS WITH 'ma' RETURN p.name")
+      .collect().map(_.getString(0)).toSet
+    assert(s1 === Set("marko"))
+    val s2 = run("MATCH (p:person) WHERE p.name ENDS WITH 'sh' OR p.name CONTAINS 'ada' " +
+      "RETURN p.name").collect().map(_.getString(0)).toSet
+    assert(s2 === Set("josh", "vadas"))
+    // IS NULL with OPTIONAL MATCH: people who created nothing
+    val none = run("MATCH (p:person) OPTIONAL MATCH (p)-[:created]->(s:software) " +
+      "WHERE s.name IS NULL RETURN p.name")
+      .collect().map(_.getString(0)).toSet
+    assert(none === Set("vadas"))
+  }
+
+  test("property-to-property comparisons, including across variables") {
+    val older = run("MATCH (a:person)-[:knows]->(b:person) WHERE a.age > b.age " +
+      "RETURN a.name, b.name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(older === Set(("marko", "vadas"))) // marko 29 > vadas 27; josh 32 > 29 fails
+    // bare-variable equality (node identity) over the BOTH view
+    val self = run("MATCH (a:person)-[:knows]-(b:person) WHERE a = b RETURN a.name")
+      .collect()
+    assert(self.isEmpty)
+    // rhs prop-ref on an edge variable
+    val wGt = run("MATCH (a:person)-[r:created]->(s:software) " +
+      "WHERE s.price > 200 AND r.weight < 1.0 RETURN a.name, s.name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(wGt === Set(("marko", "lop"), ("josh", "lop"), ("peter", "lop")))
+  }
+
+  test("bare-variable RETURN projects the binding id; DISTINCT dedups rows") {
+    val ids2 = run("MATCH (p:person)-[:created]->(s:software) RETURN s")
+      .collect().map(_.getString(0)).toList.sorted
+    assert(ids2 === List("software:lop", "software:lop", "software:lop", "software:ripple"))
+    val dist = run("MATCH (p:person)-[:created]->(s:software) RETURN DISTINCT s")
+      .collect().map(_.getString(0)).toSet
+    assert(dist === Set("software:lop", "software:ripple"))
+    val distProp = run("MATCH (p:person)-[:created]->(s:software) " +
+      "RETURN DISTINCT s.lang AS lang").collect().map(_.getString(0)).toSeq
+    assert(distProp === Seq("java"))
+    // DISTINCT + ORDER BY a non-returned prop is rejected (Cypher too)
+    intercept[Exception](run("MATCH (p:person) RETURN DISTINCT p.city AS c " +
+      "ORDER BY p.age").collect())
+  }
+
+  test("count(DISTINCT), count(bare var), collect(DISTINCT)") {
+    val g0 = run("MATCH (p:person)-[:created]->(s:software) " +
+      "RETURN count(DISTINCT s.lang) AS langs, count(s.lang) AS rows_").head()
+    assert(g0.getLong(0) === 1L && g0.getLong(1) === 4L)
+    // count(bare var) skips OPTIONAL nulls
+    val cnt = run("MATCH (p:person) OPTIONAL MATCH (p)-[:created]->(s:software) " +
+      "RETURN p.name AS who, count(s) AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cnt === Map("marko" -> 1L, "vadas" -> 0L, "josh" -> 2L, "peter" -> 1L))
+    val cd = run("MATCH (p:person)-[:created]->(s:software) " +
+      "RETURN collect(DISTINCT s.name) AS sw").head().getSeq[String](0).toList
+    assert(cd === List("lop", "ripple"))
+    intercept[Exception](run("MATCH (p:person) RETURN sum(DISTINCT p.age)"))
+  }
+
+  test("WITH stage: aggregate then filter, bindings survive into RETURN") {
+    // creators of >1 software (the count-filter idiom)
+    val m = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH p, count(*) AS n WHERE n > 1 RETURN p.name AS who, n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(m.toList === List(("josh", 2L)))
+    // post-WITH WHERE on a carried variable's property + bare alias
+    val m2 = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH p, count(*) AS n WHERE p.age > 30 AND n >= 1 " +
+      "RETURN p.name AS who ORDER BY who ASC")
+      .collect().map(_.getString(0)).toSeq
+    assert(m2 === Seq("josh", "peter"))
+    // WITH DISTINCT as a dedup stage; second aggregation in RETURN
+    val m3 = run("MATCH (p:person)-[:knows]->(q:person)-[:created]->(s:software) " +
+      "WITH DISTINCT s RETURN count(*) AS n").head().getLong(0)
+    assert(m3 === 2L) // lop + ripple, deduped before the count
+    // OPTIONAL + count(bare) + HAVING-style zero filter
+    val zero = run("MATCH (p:person) OPTIONAL MATCH (p)-[:created]->(s:software) " +
+      "WITH p, count(s) AS n WHERE n = 0 RETURN p.name AS who")
+      .collect().map(_.getString(0)).toSet
+    assert(zero === Set("vadas"))
+    // loud errors: second WITH, MATCH after WITH, rel var through WITH
+    intercept[Exception](run("MATCH (a:person) WITH a WITH a RETURN a.name"))
+    intercept[Exception](run("MATCH (a:person) WITH a MATCH (a)-[:knows]->(b) RETURN b.name"))
+    intercept[Exception](run("MATCH (a)-[r:knows]->(b) WITH a RETURN r.weight"))
+    intercept[Exception](run("MATCH (a:person) WITH a RETURN b.name")) // b not carried
+  }
+
   test("variable-length rejects unbounded and over-cap windows loudly") {
     intercept[Exception](
       run("MATCH (a)-[:knows*]->(b) RETURN a.name")) // bare * unbounded
