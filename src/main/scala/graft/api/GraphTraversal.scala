@@ -185,6 +185,30 @@ final case class GraphTraversal(
   def projectStep(items: Seq[(String, Option[String])]): DataFrame =
     df.select(items.map { case (k, p) => p.fold(col("id"))(col).as(k) }: _*)
 
+  /** TinkerPop `where(P.eq/neq('a'))` — compare the CURRENT element to a
+    * step-label binding ([[asStep]]). */
+  def whereIs(op: String, label: String): GraphTraversal = {
+    val c = s"~as_$label"
+    require(df.columns.contains(c), s"where: no as('$label') binding upstream")
+    require(isVertex, "where(P) compares the current VERTEX to the binding")
+    copy(df = df.filter(op match {
+      case "eq" => col("id") === col(c)
+      case "neq" => col("id") =!= col(c)
+      case other => sys.error(s"unsupported where predicate: $other")
+    }))
+  }
+
+  /** TinkerPop `where('a', P.eq/neq('b'))` — compare two bindings. */
+  def whereBindings(a: String, op: String, b: String): GraphTraversal = {
+    Seq(a, b).foreach(l => require(df.columns.contains(s"~as_$l"),
+      s"where: no as('$l') binding upstream"))
+    copy(df = df.filter(op match {
+      case "eq" => col(s"~as_$a") === col(s"~as_$b")
+      case "neq" => col(s"~as_$a") =!= col(s"~as_$b")
+      case other => sys.error(s"unsupported where predicate: $other")
+    }))
+  }
+
   /** `where(sub)` — keep elements whose sub-traversal yields ≥1 result
     * (Gremlin's filter-by-traversal; compiles to a left_semi join). */
   def where(f: GraphTraversal => GraphTraversal): GraphTraversal = {

@@ -20,8 +20,11 @@ import graft.core.{Cond, PropertyGraph}
   * inV/outV, dedup, limit(n), range(a,b), sample(f), coin(p) (deterministic
   * md5 draw), order().by(k[,decr]), repeat(step).times(n), the branch/
   * filter sub-traversal steps where(sub)/not(sub)/optional(sub)/
-  * choose(cond, sub, sub)/coalesce(sub, sub) (lowered onto the SAME DSL
-  * implementations — sub = a chain of vertex steps, identity() allowed),
+  * choose(cond, sub, sub)/coalesce(sub, sub)/union(sub, …) (lowered onto
+  * the SAME DSL implementations — sub = a chain of vertex steps,
+  * identity() allowed), the binding-compare where forms
+  * where(eq('a'))/where(neq('a')) (current element vs binding) and
+  * where('a', eq('b'))/where('a', neq('b')) (binding vs binding),
   * values(k), valueMap(k…), id(), path() via
   * pathed(), count, groupCount(k), group(k,v), fold, sum/max/min/mean(k),
   * mid-traversal STEP LABELING — as('a') binds the current vertex,
@@ -340,6 +343,17 @@ object GremlinLite {
         // ---- branch/filter sub-traversals (the DSL implementations,
         // reached from script text — reference: scripts and the API share
         // one step surface, ProcessBasicSuite.java:104-196) ----
+        // binding-compare where() forms (TinkerPop where-step P variants) —
+        // matched BEFORE the sub-traversal form: a bare eq('a')/neq('a')
+        // argument is a binding predicate, never a traversal
+        case ("where", List(PArg(op @ ("eq" | "neq"), List(SArg(l))))) =>
+          t = t.whereIs(op, l)
+        case ("where", List(SArg(a), PArg(op @ ("eq" | "neq"), List(SArg(b))))) =>
+          t = t.whereBindings(a, op, b)
+        // union(subA, subB, …): per-element branch union — every branch
+        // starts from the SAME incoming traversers (multiplicity preserved)
+        case ("union", subs) if subs.nonEmpty =>
+          t = subs.map(sub => applySub(subFrag(sub))(t)).reduce(_ union _)
         case ("where", List(sub)) => t = t.where(applySub(subFrag(sub)))
         case ("not", List(sub)) => t = t.not(applySub(subFrag(sub)))
         case ("optional", List(sub)) => t = t.optional(applySub(subFrag(sub)))

@@ -940,6 +940,30 @@ object GraphQueries2 {
           ".project('pname', 'psize', 'pprice').by('name').by('size').by('retailprice')")
     },
 
+    q("q_gremlin_union",
+      // union(subA, subB): every branch starts from the same incoming
+      // traversers; multiplicity preserved (TinkerPop branch step)
+      """SELECT label, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT 'customer' AS label FROM customer
+        |  UNION ALL SELECT 'supplier' FROM supplier
+        |  UNION ALL SELECT 'region' FROM nation) z
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('nation')" +
+          ".union(in('in_nation'), out('in_region')).groupCount('label')")
+    },
+
+    q("q_gremlin_where_binding",
+      // where(neq('p')): compare the current element to a step-label
+      // binding — the classic co-occurrence-excluding-self idiom
+      """SELECT DISTINCT 'part:' || CAST(l2.l_partkey AS VARCHAR) AS id
+        |FROM lineitem l1 JOIN lineitem l2 ON l2.l_suppkey = l1.l_suppkey
+        |WHERE l1.l_partkey = 1 AND l2.l_partkey <> 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V('part:1').as('p').out('supplied_by').in('supplied_by')" +
+          ".where(neq('p')).dedup().id()")
+    },
+
     q("q_cypher_edgeprops",
       // relationship variable binding edge properties (reference serves
       // full openCypher via CypherAPI.java:49-95; edge-prop predicates per

@@ -219,6 +219,35 @@ class GremlinLiteSpec extends SparkSpec {
     intercept[Exception](run("g.V().project('a', 'b').by('name')"))
   }
 
+  test("union(sub, sub) branches from the same traversers") {
+    val ids3 = run("g.V('person:marko').union(out('knows'), out('created')).id()")
+      .collect().map(_.getString(0)).toSet
+    assert(ids3 === Set("person:vadas", "person:josh", "software:lop"))
+    // multiplicity: both branches contribute per-traverser rows
+    assert(run("g.V().hasLabel('person').union(out('created'), out('created')).count()")
+      .head().getLong(0) === 8L)
+    intercept[Exception](run("g.V().union()")) // empty union
+  }
+
+  test("binding-compare where(): current-vs-binding and binding-vs-binding") {
+    // co-creators excluding self
+    val co = run("g.V().hasLabel('person').as('a').out('created').in('created')" +
+      ".where(neq('a')).dedup().values('name')")
+      .collect().map(_.getString(0)).toSet
+    assert(co === Set("marko", "josh", "peter"))
+    // eq: back to self only
+    val self = run("g.V().hasLabel('person').as('a').out('created').in('created')" +
+      ".where(eq('a')).dedup().values('name')")
+      .collect().map(_.getString(0)).toSet
+    assert(self === Set("marko", "josh", "peter")) // each creator loops back
+    // binding vs binding
+    assert(run("g.V().as('a').out('knows').as('b').where('a', neq('b')).count()")
+      .head().getLong(0) === 2L)
+    assert(run("g.V().as('a').out('knows').as('b').where('a', eq('b')).count()")
+      .head().getLong(0) === 0L)
+    intercept[Exception](run("g.V().where(neq('a')).id()")) // no binding
+  }
+
   test("as()/select() misuse fails loudly") {
     intercept[Exception](run("g.V().select('a').values('name')")) // no binding
     intercept[Exception](run("g.V().as('a').out('knows').as('a').id()")) // rebind
