@@ -388,13 +388,27 @@ object CypherLite {
         val (dist, items) = parseItems(body)
         retDistinct = dist; rets = items
       case ("ORDER BY", body) =>
+        // ORDER BY/SKIP/LIMIT bind to the FINAL result here; accepting
+        // them inside a WITH stage (openCypher's WITH … ORDER BY … LIMIT)
+        // would silently reorder/paginate at the wrong point — reject
+        require(rets.nonEmpty,
+          "ORDER BY/SKIP/LIMIT must follow RETURN (WITH-stage ordering " +
+            "and pagination are unsupported)")
         orderBy = body.split(",").toList.map(_.trim).map { k =>
           val m = """(\S+)(?:\s+(?i)(ASC|DESC))?""".r.findFirstMatchIn(k)
             .getOrElse(sys.error(s"bad order key: $k"))
           OrderKey(m.group(1), !Option(m.group(2)).exists(_.equalsIgnoreCase("DESC")))
         }
-      case ("SKIP", body) => skip = Some(body.trim.toInt)
-      case ("LIMIT", body) => limit = Some(body.trim.toInt)
+      case ("SKIP", body) =>
+        require(rets.nonEmpty,
+          "ORDER BY/SKIP/LIMIT must follow RETURN (WITH-stage ordering " +
+            "and pagination are unsupported)")
+        skip = Some(body.trim.toInt)
+      case ("LIMIT", body) =>
+        require(rets.nonEmpty,
+          "ORDER BY/SKIP/LIMIT must follow RETURN (WITH-stage ordering " +
+            "and pagination are unsupported)")
+        limit = Some(body.trim.toInt)
       case (kw, _) => sys.error(s"unsupported clause: $kw")
     }
     require(rets.nonEmpty, "query must have RETURN")

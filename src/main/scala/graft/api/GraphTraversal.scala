@@ -115,6 +115,21 @@ final case class GraphTraversal(
   def repeat(times: Int)(f: GraphTraversal => GraphTraversal): GraphTraversal =
     (0 until times).foldLeft(this)((t, _) => f(t))
 
+  /** `repeat(…).emit().times(n)` — bounded repetition EMITTING every
+    * intermediate layer (TinkerPop emit-after-repeat: layers 1..n, walk
+    * multiplicity preserved — the kout-ALL shape vs repeat's
+    * nearest-layer-only). */
+  def repeatEmit(times: Int)(f: GraphTraversal => GraphTraversal): GraphTraversal = {
+    require(times >= 1, "repeat().emit().times(n) needs n >= 1")
+    var cur = this
+    var acc: Option[GraphTraversal] = None
+    for (_ <- 1 to times) {
+      cur = f(cur)
+      acc = Some(acc.fold(cur)(_ union cur))
+    }
+    acc.get
+  }
+
   /** TinkerPop `match()` — declarative multi-pattern matching: the incoming
     * traverser binds the FIRST pattern's start variable (a semi join on the
     * current frontier, the `g.V().match(as("a")…)` contract), then every

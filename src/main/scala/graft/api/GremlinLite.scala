@@ -401,16 +401,21 @@ object GremlinLite {
             i += 1
           }
         case ("repeat", List(PArg(step, stepArgs))) =>
-          // followed by .times(n)
-          require(i + 1 < n && steps(i + 1).name == "times", "repeat() needs .times(n)")
+          // followed by .times(n), optionally with .emit() between them —
+          // emit-after-repeat: every intermediate layer is emitted
+          val emit = i + 1 < n && steps(i + 1).name == "emit"
+          if (emit) i += 1
+          require(i + 1 < n && steps(i + 1).name == "times",
+            "repeat() needs .times(n)")
           val times = num(steps(i + 1).args.head).toInt
           val labels = stepArgs.map(str)
-          t = step match {
-            case "out" => t.repeat(times)(_.out(labels: _*))
-            case "in" => t.repeat(times)(_.in(labels: _*))
-            case "both" => t.repeat(times)(_.both(labels: _*))
+          def body(tt: GraphTraversal): GraphTraversal = step match {
+            case "out" => tt.out(labels: _*)
+            case "in" => tt.in(labels: _*)
+            case "both" => tt.both(labels: _*)
             case other => sys.error(s"unsupported repeat body: $other")
           }
+          t = if (emit) t.repeatEmit(times)(body) else t.repeat(times)(body)
           i += 1
         // terminal steps
         case ("values", List(k)) => result = Some(t.values(str(k)))

@@ -940,6 +940,19 @@ object GraphQueries2 {
           ".project('pname', 'psize', 'pprice').by('name').by('size').by('retailprice')")
     },
 
+    q("q_gremlin_repeat_emit",
+      // repeat(out()).emit().times(2): every intermediate layer emitted
+      // with walk multiplicity (the kout-ALL shape from script text)
+      s"""WITH edges AS ($edgesSql),
+         |l1 AS (SELECT dst FROM edges WHERE src = 'customer:1'),
+         |l2 AS (SELECT e.dst FROM l1 JOIN edges e ON e.src = l1.dst),
+         |lays AS (SELECT dst FROM l1 UNION ALL SELECT dst FROM l2)
+         |SELECT split_part(dst, ':', 1) AS label, CAST(count(*) AS BIGINT) AS n
+         |FROM lays GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V('customer:1').repeat(out()).emit().times(2).groupCount('label')")
+    },
+
     q("q_gremlin_union",
       // union(subA, subB): every branch starts from the same incoming
       // traversers; multiplicity preserved (TinkerPop branch step)

@@ -351,6 +351,10 @@ class CypherLiteSpec extends SparkSpec {
       "WITH p, count(s) AS n WHERE n = 0 RETURN p.name AS who")
       .collect().map(_.getString(0)).toSet
     assert(zero === Set("vadas"))
+    // ORDER BY/SKIP/LIMIT inside a WITH stage would reorder/paginate at
+    // the wrong point — rejected, not silently re-bound to the end
+    intercept[Exception](run("MATCH (p:person)-[:created]->(s) " +
+      "WITH p, count(*) AS n ORDER BY n DESC LIMIT 1 RETURN p.name"))
     // loud errors: second WITH, MATCH after WITH, rel var through WITH
     intercept[Exception](run("MATCH (a:person) WITH a WITH a RETURN a.name"))
     intercept[Exception](run("MATCH (a:person) WITH a MATCH (a)-[:knows]->(b) RETURN b.name"))

@@ -219,6 +219,17 @@ class GremlinLiteSpec extends SparkSpec {
     intercept[Exception](run("g.V().project('a', 'b').by('name')"))
   }
 
+  test("repeat().emit().times() emits every intermediate layer") {
+    // layers from marko: 1 = {vadas, josh, lop}, 2 = {lop, ripple} (via josh)
+    val ids4 = run("g.V('person:marko').repeat(out()).emit().times(2).id()")
+      .collect().map(_.getString(0)).toList.sorted
+    assert(ids4 === List("person:josh", "person:vadas",
+      "software:lop", "software:lop", "software:ripple"))
+    // without emit: final layer only
+    assert(run("g.V('person:marko').repeat(out()).times(2).id()")
+      .collect().map(_.getString(0)).toSet === Set("software:lop", "software:ripple"))
+  }
+
   test("union(sub, sub) branches from the same traversers") {
     val ids3 = run("g.V('person:marko').union(out('knows'), out('created')).id()")
       .collect().map(_.getString(0)).toSet
