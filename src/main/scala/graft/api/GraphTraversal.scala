@@ -130,6 +130,38 @@ final case class GraphTraversal(
     acc.get
   }
 
+  /** `repeat(…).until(cond)` — do-while repetition with a predicate exit
+    * (TinkerPop until-after-repeat): each round applies the body once, then
+    * traversers satisfying `cond` EXIT and are emitted; the rest loop again.
+    * A missing property makes the predicate null → the traverser keeps
+    * looping (TinkerPop: has() on an absent key is false). Bounded at
+    * `maxRounds` — this is a bounded engine by design (the reference caps
+    * traverser depth the same way, HugeTraverser.DEFAULT_MAX_DEPTH);
+    * traversers still looping at the cap are dropped. Each round cuts
+    * lineage (`localCheckpoint`) and stops early on an empty frontier —
+    * the loop discipline every frontier iteration in this engine follows,
+    * so the emitted union's plan depth is O(rounds), not O(2^rounds). */
+  def repeatUntil(cond: Cond, maxRounds: Int = 16)(
+      f: GraphTraversal => GraphTraversal): GraphTraversal = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"repeat().until() rounds cap must be in [1, 64], got $maxRounds")
+    var cur = this
+    var acc: Option[GraphTraversal] = None
+    var r = 0
+    var drained = false
+    while (r < maxRounds && !drained) {
+      val stepped = f(cur)
+      val pinned = stepped.copy(df = stepped.df.localCheckpoint(true))
+      val c = cond.compile
+      val exit = pinned.copy(df = pinned.df.filter(c))
+      acc = Some(acc.fold(exit)(_ union exit))
+      val cont = pinned.copy(df = pinned.df.filter(coalesce(!c, lit(true))))
+      if (cont.df.isEmpty) drained = true else cur = cont
+      r += 1
+    }
+    acc.get
+  }
+
   /** TinkerPop `match()` — declarative multi-pattern matching: the incoming
     * traverser binds the FIRST pattern's start variable (a semi join on the
     * current frontier, the `g.V().match(as("a")…)` contract), then every

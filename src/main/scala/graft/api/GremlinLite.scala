@@ -193,6 +193,16 @@ object GremlinLite {
       }
     }
 
+  /** A per-element boolean condition argument — `has(k[, p])` or
+    * `hasLabel(l)` — as a [[Cond]] (choose() branch conditions and
+    * repeat().until() exit predicates share this grammar). */
+  private def condOf(a: Arg): Cond = a match {
+    case PArg("has", List(k, v)) => pred(str(k), v)
+    case PArg("hasLabel", List(l)) => Cond.eq("label", str(l))
+    case other => sys.error(
+      s"condition must be has(k[, p]) or hasLabel(l), got $other")
+  }
+
   private def pred(key: String, a: Arg): Cond = a match {
     case SArg(v) => Cond.eq(key, v)
     case NArg(v) => if (v == v.floor) Cond.eq(key, v.toLong) else Cond.eq(key, v)
@@ -221,6 +231,7 @@ object GremlinLite {
     }
     var result: Option[DataFrame] = None
     var matchRes: Option[MatchResult] = None
+    var emitFirst = false
     var i = 1
     val n = steps.length
     while (i < n) {
@@ -358,13 +369,7 @@ object GremlinLite {
         case ("not", List(sub)) => t = t.not(applySub(subFrag(sub)))
         case ("optional", List(sub)) => t = t.optional(applySub(subFrag(sub)))
         case ("choose", List(condA, tA, fA)) =>
-          val c = condA match {
-            case PArg("has", List(k, v)) => pred(str(k), v)
-            case PArg("hasLabel", List(l)) => Cond.eq("label", str(l))
-            case other => sys.error(
-              s"choose() condition must be has(k[, p]) or hasLabel(l), got $other")
-          }
-          t = t.choose(c)(applySub(subFrag(tA)))(applySub(subFrag(fA)))
+          t = t.choose(condOf(condA))(applySub(subFrag(tA)))(applySub(subFrag(fA)))
         case ("coalesce", List(a, b)) =>
           t = t.coalesceT(applySub(subFrag(a)))(applySub(subFrag(b)))
         case ("coin", List(p)) =>
@@ -400,22 +405,38 @@ object GremlinLite {
             t = t.order(str(by.args.head), asc)
             i += 1
           }
-        case ("repeat", List(PArg(step, stepArgs))) =>
-          // followed by .times(n), optionally with .emit() between them —
-          // emit-after-repeat: every intermediate layer is emitted
-          val emit = i + 1 < n && steps(i + 1).name == "emit"
-          if (emit) i += 1
-          require(i + 1 < n && steps(i + 1).name == "times",
-            "repeat() needs .times(n)")
-          val times = num(steps(i + 1).args.head).toInt
-          val labels = stepArgs.map(str)
-          def body(tt: GraphTraversal): GraphTraversal = step match {
-            case "out" => tt.out(labels: _*)
-            case "in" => tt.in(labels: _*)
-            case "both" => tt.both(labels: _*)
-            case other => sys.error(s"unsupported repeat body: $other")
+        // bare emit() immediately before repeat(): the EMIT-FIRST form —
+        // the incoming traversers (layer 0) are emitted alongside every
+        // repeat layer (TinkerPop emit-before-repeat, layers 0..n)
+        case ("emit", Nil) =>
+          require(i + 1 < n && steps(i + 1).name == "repeat",
+            "bare emit() must immediately precede repeat() (emit-first form)")
+          emitFirst = true
+        case ("repeat", List(sub)) =>
+          // body = any sub-traversal chain (out/in/both/has/hasLabel/
+          // hasNot/dedup/limit — the applySub surface), followed by
+          // [.emit()] .times(n) for bounded repetition or .until(cond)
+          // for predicate-exit repetition
+          val bodyFrag = subFrag(sub)
+          val emitAfter = i + 1 < n && steps(i + 1).name == "emit"
+          if (emitAfter) i += 1
+          require(i + 1 < n, "repeat() needs .times(n) or .until(cond)")
+          steps(i + 1) match {
+            case Step("times", List(x)) =>
+              val times = num(x).toInt
+              require(!(emitFirst && emitAfter),
+                "emit() on both sides of one repeat() is unsupported")
+              t = if (emitFirst) t union t.repeatEmit(times)(applySub(bodyFrag))
+                  else if (emitAfter) t.repeatEmit(times)(applySub(bodyFrag))
+                  else t.repeat(times)(applySub(bodyFrag))
+            case Step("until", List(condA)) =>
+              require(!emitFirst && !emitAfter,
+                "emit() with until() is unsupported — use times(n) forms")
+              t = t.repeatUntil(condOf(condA))(applySub(bodyFrag))
+            case other => sys.error(
+              s"repeat() must be followed by times(n) or until(cond), got $other")
           }
-          t = if (emit) t.repeatEmit(times)(body) else t.repeat(times)(body)
+          emitFirst = false
           i += 1
         // terminal steps
         case ("values", List(k)) => result = Some(t.values(str(k)))

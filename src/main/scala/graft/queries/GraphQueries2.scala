@@ -953,6 +953,65 @@ object GraphQueries2 {
         "g.V('customer:1').repeat(out()).emit().times(2).groupCount('label')")
     },
 
+    q("q_gremlin_until",
+      // repeat(out()).until(hasLabel('region')): predicate-exit repetition
+      // (TinkerPop until-after-repeat) — each traverser exits the loop the
+      // FIRST time it reaches a region: depth 2 via its nation, depth 5 via
+      // order→part→supplier→nation (walk multiplicity preserved; the
+      // until-check keeps every non-region looping, frontier drains at
+      // round 5). Oracle = the two exit depths unrolled as join chains.
+      """SELECT name, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT r.r_name AS name
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE c.c_custkey IN (1, 2, 3)
+        |  UNION ALL
+        |  SELECT r.r_name
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey
+        |  JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l2.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE c.c_custkey IN (1, 2, 3)) z
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V('customer:1','customer:2','customer:3')" +
+          ".repeat(out()).until(hasLabel('region')).groupCount('name')")
+    },
+
+    q("q_gremlin_emit_first",
+      // emit().repeat(out()).times(2): the EMIT-FIRST form — layer 0 (the
+      // start vertex itself) is emitted alongside layers 1..2 (TinkerPop
+      // emit-before-repeat)
+      s"""WITH edges AS ($edgesSql),
+         |l1 AS (SELECT dst FROM edges WHERE src = 'customer:1'),
+         |l2 AS (SELECT e.dst FROM l1 JOIN edges e ON e.src = l1.dst),
+         |lays AS (SELECT 'customer:1' AS dst
+         |  UNION ALL SELECT dst FROM l1
+         |  UNION ALL SELECT dst FROM l2)
+         |SELECT split_part(dst, ':', 1) AS label, CAST(count(*) AS BIGINT) AS n
+         |FROM lays GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V('customer:1').emit().repeat(out()).times(2).groupCount('label')")
+    },
+
+    q("q_gremlin_repeat_body",
+      // multi-step repeat BODY from script text: each round is the full
+      // co-part closure step supplier→part with in-round dedups (the body
+      // is any sub-traversal chain, not just one hop) — two rounds from
+      // part:1 = parts sharing a supplier at distance ≤2 in the co-supply
+      // graph
+      """WITH s1 AS (SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_partkey = 1),
+        |p1 AS (SELECT DISTINCT l.l_partkey AS k FROM lineitem l JOIN s1 ON s1.k = l.l_suppkey),
+        |s2 AS (SELECT DISTINCT l.l_suppkey AS k FROM lineitem l JOIN p1 ON p1.k = l.l_partkey),
+        |p2 AS (SELECT DISTINCT l.l_partkey AS k FROM lineitem l JOIN s2 ON s2.k = l.l_suppkey)
+        |SELECT 'part:' || CAST(k AS VARCHAR) AS id FROM p2""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V('part:1').repeat(out('supplied_by').dedup().in('supplied_by').dedup())" +
+          ".times(2).id()")
+    },
+
     q("q_gremlin_union",
       // union(subA, subB): every branch starts from the same incoming
       // traversers; multiplicity preserved (TinkerPop branch step)

@@ -59,6 +59,52 @@ class GremlinLiteSpec extends SparkSpec {
     assert(ids(run("g.V().has('name', textContains('lop')).id()")) === Set("software:lop"))
   }
 
+  test("repeat().until(): traversers exit at first predicate hit, rest loop") {
+    // round 1 from marko: lop exits (software), vadas/josh loop;
+    // round 2: josh → ripple + lop exit, vadas drains — multiplicity kept
+    val names = run(
+      "g.V('person:marko').repeat(out()).until(hasLabel('software')).values('name')")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names === Seq("lop", "lop", "ripple"))
+  }
+
+  test("repeat().until() that never fires drains the frontier and returns empty") {
+    assert(run(
+      "g.V('person:marko').repeat(out()).until(has('age', gt(100))).id()")
+      .collect().isEmpty)
+  }
+
+  test("until() script equals the DSL repeatUntil") {
+    import graft.core.Cond
+    val viaScript = run(
+      "g.V('person:marko').repeat(out()).until(hasLabel('software')).id()")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val viaDsl = graft.api.Graft.g(g).V("person:marko")
+      .repeatUntil(Cond.eq("label", "software"))(_.out()).id()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(viaScript === viaDsl)
+  }
+
+  test("emit-first repeat: layer 0 is emitted alongside the repeat layers") {
+    val names = run(
+      "g.V('person:marko').emit().repeat(out('knows')).times(2).values('name')")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names === Seq("josh", "marko", "vadas"))
+  }
+
+  test("multi-step repeat body: filters apply inside every round") {
+    assert(ids(run(
+      "g.V('person:marko').repeat(out('knows').has('age', gt(30))).times(1).id()")) ===
+      Set("person:josh"))
+  }
+
+  test("bare emit() not before repeat() fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      run("g.V('person:marko').emit().out().id()")
+    }
+    assert(e.getMessage.contains("emit()"))
+  }
+
   test("malformed scripts fail cleanly") {
     intercept[Exception](run("g.V().nonsenseStep()"))
     intercept[Exception](run("notatraversal"))
