@@ -43,10 +43,21 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * deterministic and hash-comparable). ONE `WITH` pipeline stage is
   * supported between the pattern block and RETURN: it projects/aggregates
   * like RETURN, an optional following WHERE filters the stage's OUTPUT
-  * (the aggregate-then-filter idiom), bare-variable items keep their
-  * binding so RETURN can still access `v.prop`, and a further MATCH after
-  * WITH is rejected loudly. ORDER BY accepts RETURN aliases or `var.prop`
-  * references; SKIP/LIMIT follow Cypher order (skip first).
+  * (the aggregate-then-filter idiom), and bare-variable items keep their
+  * binding so RETURN can still access `v.prop`. A SECOND pattern block
+  * (`MATCH`/`OPTIONAL MATCH` after WITH — the openCypher pipeline) joins
+  * each chain onto the carried bindings; its WHERE filters the joined
+  * frontier; relationship variables there are single-hop only. ORDER BY
+  * accepts RETURN aliases or `var.prop` references; SKIP/LIMIT follow
+  * Cypher order (skip first).
+  *
+  * PATTERN PREDICATES — `WHERE (a)-[:l]->(b)`, `WHERE NOT (a)-[:l]-()`,
+  * anonymous/labeled end nodes, var-length rels — lower onto LEFT SEMI
+  * (NOT → LEFT ANTI) joins of the binding table against the pattern
+  * chain on every shared variable (openCypher existential semantics,
+  * never a row multiplier). They must sit as top-level AND conjuncts of
+  * their WHERE (optionally under one NOT) — the only placement that
+  * stays a join; OR-nesting is rejected loudly.
   *
   * VARIABLE-LENGTH relationships `-[:l*min..max]->` (also `*n` incl. `*0`,
   * `*..max`; `*0..max` adds the identity binding; bare `*` and `*min..`
@@ -114,6 +125,14 @@ object CypherLite {
   private[api] final case class AndE(l: BoolExpr, r: BoolExpr) extends BoolExpr
   private[api] final case class OrE(l: BoolExpr, r: BoolExpr) extends BoolExpr
   private[api] final case class NotE(e: BoolExpr) extends BoolExpr
+  /** A PATTERN PREDICATE — `WHERE (a)-[:knows]->(b)` / `WHERE NOT (a)-[:x]->()`
+    * (openCypher existential patterns). Lowered onto a LEFT SEMI (or, under
+    * NOT, LEFT ANTI) join of the binding table against the pattern chain —
+    * the engine's semi/anti join shapes, never a row-multiplying join.
+    * Restricted to top-level AND conjuncts (optionally under one NOT):
+    * that is the only placement that lowers to a join instead of a
+    * per-row correlated subquery. */
+  private[api] final case class PatE(mc: MatchClause) extends BoolExpr
 
   private sealed trait Tok
   private case object LP extends Tok
@@ -122,6 +141,30 @@ object CypherLite {
   private case object OrT extends Tok
   private case object NotT extends Tok
   private final case class CmpT(c: Cmp) extends Tok
+  private final case class PatTk(mc: MatchClause) extends Tok
+
+  /** A full linear pattern chain usable as a WHERE pattern predicate —
+    * `(a)-[:l]->(b)`, `NOT (a)<-[:l]-()`, `(a)-[:l*1..2]-(:label)` — at
+    * least one relationship (a lone `(v)` is never a predicate). */
+  private val patChainRe =
+    ("""^\(\s*\w*\s*(?::\s*\w+)?\s*\)""" +
+      """(?:\s*<?-\[[^\]]*\]->?\s*\(\s*\w*\s*(?::\s*\w+)?\s*\))+""").r
+  private val anonNodeRe = """\(\s*(:\s*\w+)?\s*\)""".r
+
+  /** Name the anonymous nodes of a pattern-predicate chain (`()`, `(:l)`)
+    * so [[parsePattern]] can bind them; `_pp<k>` never collides because a
+    * user `_pp*` variable is rejected below. */
+  private def nameAnonNodes(pattern: String): String = {
+    require(!"""\b_pp\d""".r.findFirstIn(pattern).isDefined,
+      "variable names matching _pp<digit> are reserved for anonymous " +
+        "pattern-predicate nodes — rename")
+    var k = -1
+    anonNodeRe.replaceAllIn(pattern, m => {
+      k += 1
+      val lbl = Option(m.group(1)).getOrElse("")
+      java.util.regex.Matcher.quoteReplacement(s"(_pp$k$lbl)")
+    })
+  }
 
   private def tokenize(body: String): List[Tok] = {
     val wordRe = """^(?i)(AND|OR|NOT)\b""".r
@@ -137,7 +180,17 @@ object CypherLite {
     def lhs(v: String, p: String): (String, String) =
       (checkVar(v), Option(p).getOrElse(""))
     while (rest.nonEmpty) {
-      if (rest.startsWith("(")) { out += LP; rest = rest.substring(1).trim }
+      val patM = patChainRe.findFirstMatchIn(rest)
+      if (patM.isDefined) {
+        val m = patM.get
+        val mc = parsePattern(nameAnonNodes(m.matched), optional = false)
+        require(mc.rels.forall(_.variable.isEmpty),
+          s"relationship variables are not allowed inside a pattern " +
+            s"predicate: ${m.matched}")
+        out += PatTk(mc)
+        rest = rest.substring(m.end).trim
+      }
+      else if (rest.startsWith("(")) { out += LP; rest = rest.substring(1).trim }
       else if (rest.startsWith(")")) { out += RP; rest = rest.substring(1).trim }
       else wordRe.findFirstMatchIn(rest) match {
         case Some(m) =>
@@ -199,6 +252,7 @@ object CypherLite {
         next(); val e = orE()
         require(peek.contains(RP), "expected ')' in WHERE"); next(); e
       case Some(CmpT(c)) => next(); c
+      case Some(PatTk(mc)) => next(); PatE(mc)
       case t => sys.error(s"unexpected token in WHERE: $t")
     }
     val e = orE()
@@ -236,6 +290,11 @@ object CypherLite {
       case AndE(l, r) => compileExpr(l, colOf) && compileExpr(r, colOf)
       case OrE(l, r) => compileExpr(l, colOf) || compileExpr(r, colOf)
       case NotE(x) => !compileExpr(x, colOf)
+      case PatE(_) => sys.error(
+        "a pattern predicate must be a TOP-LEVEL AND conjunct of the " +
+          "pattern block's WHERE, optionally under one NOT — nesting it " +
+          "under OR or filtering a WITH stage with it is unsupported " +
+          "(only the conjunct placement lowers to a semi/anti join)")
     }
 
   private def refs(e: BoolExpr): List[(String, String)] = e match {
@@ -246,6 +305,7 @@ object CypherLite {
     case AndE(l, r) => refs(l) ++ refs(r)
     case OrE(l, r) => refs(l) ++ refs(r)
     case NotE(x) => refs(x)
+    case PatE(_) => Nil
   }
 
   private def conjuncts(e: BoolExpr): List[BoolExpr] = e match {
@@ -270,6 +330,12 @@ object CypherLite {
   private[api] final case class Query(matches: List[MatchClause],
                                       where: Option[BoolExpr],
                                       withStage: Option[WithStage],
+                                      /** pattern block AFTER the WITH stage
+                                        * (openCypher pipeline `MATCH … WITH …
+                                        * MATCH … RETURN`) */
+                                      matches2: List[MatchClause],
+                                      /** WHERE after the second block */
+                                      where2: Option[BoolExpr],
                                       rets: List[Ret], retDistinct: Boolean,
                                       orderBy: List[OrderKey],
                                       skip: Option[Int], limit: Option[Int])
@@ -356,6 +422,8 @@ object CypherLite {
     var matches = List.empty[MatchClause]
     var where: Option[BoolExpr] = None
     var withStage: Option[WithStage] = None
+    var matches2 = List.empty[MatchClause]
+    var where2: Option[BoolExpr] = None
     var rets = List.empty[Ret]
     var retDistinct = false
     var orderBy = List.empty[OrderKey]
@@ -364,21 +432,23 @@ object CypherLite {
 
     clauses.foreach {
       case ("MATCH", body) =>
-        require(withStage.isEmpty,
-          "MATCH after WITH is unsupported (one pattern block, one WITH stage)")
-        matches :+= parsePattern(body, optional = false)
+        if (withStage.isEmpty) matches :+= parsePattern(body, optional = false)
+        else matches2 :+= parsePattern(body, optional = false)
       case ("OPTIONAL MATCH", body) =>
-        require(withStage.isEmpty,
-          "MATCH after WITH is unsupported (one pattern block, one WITH stage)")
-        matches :+= parsePattern(body, optional = true)
+        if (withStage.isEmpty) matches :+= parsePattern(body, optional = true)
+        else matches2 :+= parsePattern(body, optional = true)
       case ("WHERE", body) =>
-        // a WHERE after WITH filters the WITH stage's OUTPUT (the
-        // aggregate-then-filter idiom); before WITH it filters the bindings
+        // placement decides the target: before WITH it filters the first
+        // block's bindings; directly after WITH it filters the stage's
+        // OUTPUT (the aggregate-then-filter idiom); after a second MATCH
+        // block it filters the joined pipeline frontier
         val e = parseWhere(body)
-        withStage match {
-          case Some(w) => withStage =
+        (withStage, matches2) match {
+          case (Some(_), m2) if m2.nonEmpty =>
+            where2 = where2.map(AndE(_, e)).orElse(Some(e))
+          case (Some(w), _) => withStage =
             Some(w.copy(where = w.where.map(AndE(_, e)).orElse(Some(e))))
-          case None => where = where.map(AndE(_, e)).orElse(Some(e))
+          case (None, _) => where = where.map(AndE(_, e)).orElse(Some(e))
         }
       case ("WITH", body) =>
         require(withStage.isEmpty, "one WITH stage supported")
@@ -412,7 +482,8 @@ object CypherLite {
       case (kw, _) => sys.error(s"unsupported clause: $kw")
     }
     require(rets.nonEmpty, "query must have RETURN")
-    Query(matches, where, withStage, rets, retDistinct, orderBy, skip, limit)
+    Query(matches, where, withStage, matches2, where2, rets, retDistinct,
+      orderBy, skip, limit)
   }
 
   /** One linear chain → DataFrame of variable columns (vertex ids), plus
@@ -520,32 +591,74 @@ object CypherLite {
     out.reduce(_ unionByName _).distinct()
   }
 
+  /** Disconnected patterns are a cartesian product (Cypher semantics) —
+    * guard it: at scale an unintended unshared MATCH is a run-away
+    * product, and real Cypher engines warn. Counting both frontiers costs
+    * two small jobs on an ad-hoc frontend query; when one side is small it
+    * is broadcast (nested-loop join with no shuffle), which is also the
+    * fast plan. */
+  private def guardedCross(frontier: DataFrame, df: DataFrame): DataFrame = {
+    val cap = sys.props.get("graft.cypher.crossLimit")
+      .orElse(sys.env.get("GRAFT_CYPHER_CROSS_LIMIT"))
+      .getOrElse("100000").toLong
+    if (cap < 0) frontier.crossJoin(df)
+    else {
+      val (lc, rc) = (frontier.count(), df.count())
+      require(lc <= cap || rc <= cap,
+        s"disconnected MATCH builds a ${lc}x${rc} cartesian product — " +
+          "share a variable between the clauses, or raise/disable " +
+          "GRAFT_CYPHER_CROSS_LIMIT (currently " + cap + ") if intended")
+      if (rc <= lc) frontier.crossJoin(broadcast(df))
+      else {
+        val cols = (frontier.columns ++ df.columns).map(col).toSeq
+        df.crossJoin(broadcast(frontier)).select(cols: _*)
+      }
+    }
+  }
+
   def eval(g: PropertyGraph, cypher: String): DataFrame = {
     val q = parse(cypher)
 
-    // relationship variables: unique, disjoint from node variables
-    val relPats = q.matches.flatMap(_.rels)
-    val relVarOcc = relPats.flatMap(_.variable)
+    // relationship variables: unique (across BOTH pattern blocks), disjoint
+    // from node variables
+    val relVarOcc = (q.matches ++ q.matches2).flatMap(_.rels).flatMap(_.variable)
     require(relVarOcc.distinct.length == relVarOcc.length,
       s"duplicate relationship variable (openCypher relationship uniqueness): " +
         relVarOcc.diff(relVarOcc.distinct).mkString(", "))
-    val nodeVars = q.matches.flatMap(_.nodes.map(_.v)).toSet
+    val nodeVars = (q.matches ++ q.matches2).flatMap(_.nodes.map(_.v)).toSet
     relVarOcc.find(nodeVars).foreach(v =>
       sys.error(s"variable '$v' is bound to both a node and a relationship"))
     val relVars: Map[String, RelPat] =
-      relPats.flatMap(r => r.variable.map(_ -> r)).toMap
+      q.matches.flatMap(_.rels).flatMap(r => r.variable.map(_ -> r)).toMap
     val varLenVars = relVars.collect { case (v, r) if !r.singleHop => v }.toSet
+    // second-block relationship variables: single-hop only (the var-length
+    // ALL-hop pushdown is a pre-WITH WHERE shape)
+    val relVars2: Map[String, RelPat] =
+      q.matches2.flatMap(_.rels).flatMap(r => r.variable.map(_ -> r)).toMap
+    relVars2.foreach { case (v, r) =>
+      require(r.singleHop, s"a variable on a variable-length relationship " +
+        s"after WITH is unsupported ('$v') — drop the variable or move the " +
+        "pattern before WITH")
+    }
 
     // pre-WITH WHERE: var-length rel-var LITERAL conjuncts push into the
     // edge scan (ALL-hop semantics, see object doc); everything else
     // filters the bound rows
-    val (relFilters, residual) = q.where match {
-      case None => (Map.empty[String, Column], None)
+    val (relFilters, patPreds, residual) = q.where match {
+      case None =>
+        (Map.empty[String, Column], List.empty[(MatchClause, Boolean)], None)
       case Some(w) =>
         val cs = conjuncts(w)
-        val (push, keep) = cs.partition {
+        val (push, keep0) = cs.partition {
           case Cmp(v, p, _, value) =>
             varLenVars(v) && p.nonEmpty && !value.isInstanceOf[PropRef]
+          case _ => false
+        }
+        // top-level pattern predicates (optionally under one NOT) peel off
+        // into semi/anti joins; any deeper nesting reaches compileExpr's
+        // loud PatE error
+        val (pats, keep) = keep0.partition {
+          case PatE(_) | NotE(PatE(_)) => true
           case _ => false
         }
         keep.flatMap(refs).foreach { case (v, _) =>
@@ -558,7 +671,12 @@ object CypherLite {
           case (v, cmps) =>
             v -> cmps.map(c => cmpColumn(col(c.prop), c.op, c.value)).reduce(_ && _)
         }
-        (byVar, keep.reduceOption(AndE(_, _)))
+        val patList = pats.map {
+          case PatE(mc) => (mc, false)
+          case NotE(PatE(mc)) => (mc, true)
+          case other => sys.error(s"unreachable pattern conjunct: $other")
+        }
+        (byVar, patList, keep.reduceOption(AndE(_, _)))
     }
 
     // column resolver shared by every stage: a bare ref is the variable/
@@ -603,30 +721,19 @@ object CypherLite {
           frontier.join(df, shared, "left")
         }
         else if (shared.nonEmpty) frontier.join(df, shared)
-        else {
-          // disconnected patterns are a cartesian product (Cypher
-          // semantics) — guard it: at scale an unintended unshared MATCH
-          // is a run-away product, and real Cypher engines warn. Counting
-          // both frontiers costs two small jobs on an ad-hoc frontend
-          // query; when one side is small it is broadcast (nested-loop
-          // join with no shuffle), which is also the fast plan.
-          val cap = sys.props.get("graft.cypher.crossLimit")
-            .orElse(sys.env.get("GRAFT_CYPHER_CROSS_LIMIT"))
-            .getOrElse("100000").toLong
-          if (cap < 0) frontier.crossJoin(df)
-          else {
-            val (lc, rc) = (frontier.count(), df.count())
-            require(lc <= cap || rc <= cap,
-              s"disconnected MATCH builds a ${lc}x${rc} cartesian product — " +
-                "share a variable between the clauses, or raise/disable " +
-                "GRAFT_CYPHER_CROSS_LIMIT (currently " + cap + ") if intended")
-            if (rc <= lc) frontier.crossJoin(broadcast(df))
-            else {
-              val cols = (frontier.columns ++ df.columns).map(col).toSeq
-              df.crossJoin(broadcast(frontier)).select(cols: _*)
-            }
-          }
-        }
+        else guardedCross(frontier, df)
+    }
+    // pattern predicates: LEFT SEMI (NOT → LEFT ANTI) join the binding
+    // table against each predicate chain on its bound variables — the
+    // existence check never multiplies rows, and the anti form is the
+    // engine's q_anti_join shape (openCypher `WHERE NOT (a)-[:x]->(b)`)
+    patPreds.foreach { case (mc, negated) =>
+      val chain = evalChain(g, mc)
+      val shared = frontier.columns.intersect(chain.columns).toSeq
+      require(shared.nonEmpty,
+        "pattern predicate must reference at least one bound variable")
+      frontier = frontier.join(chain.select(shared.map(col): _*),
+        shared, if (negated) "left_anti" else "left_semi")
     }
     // attach vertex properties referenced by this stage, one join per
     // (var, prop); left joins so OPTIONAL-introduced nulls survive.
@@ -686,23 +793,69 @@ object CypherLite {
     q.withStage.foreach { w =>
       frontier = projectStage(w.items, w.distinct, Nil)
       // post-WITH property access joins the vertex table on the carried
-      // alias column (a bare-variable WITH item keeps its id binding)
-      val needed2 = (w.where.toList.flatMap(refs) ++
+      // alias column (a bare-variable WITH item keeps its id binding);
+      // second-block relationship-variable props already ride the frontier
+      def attach(needed: Seq[(String, String)]): Unit =
+        needed.foreach { case (v, p) =>
+          require(!relVars.contains(v),
+            s"relationship variable '$v' does not survive WITH — alias " +
+              s"'$v.$p' as a WITH item instead")
+          if (!frontier.columns.contains(s"${v}_$p") && !relVars2.contains(v)) {
+            require(frontier.columns.contains(v),
+              s"unknown variable '$v' after WITH (carry it as a WITH item)")
+            frontier = frontier.join(
+              g.vertices.select(col("id").as(v), col(p).as(s"${v}_$p")),
+              Seq(v), "left")
+          }
+        }
+      // the stage WHERE filters the WITH output BEFORE the second pattern
+      // block joins onto it (clause order = pipeline order)
+      attach(w.where.toList.flatMap(refs).distinct.filter(_._2.nonEmpty))
+      w.where.foreach(e => frontier = frontier.filter(compileExpr(e, colOf)))
+
+      // ---- second pattern block: MATCH/OPTIONAL MATCH after WITH joins
+      // each chain on the variables the stage carried through ----
+      val where2Conj = q.where2.map(conjuncts).getOrElse(Nil)
+      val (pats2, rest2) = where2Conj.partition {
+        case PatE(_) | NotE(PatE(_)) => true
+        case _ => false
+      }
+      val needed2All = (rest2.flatMap(refs) ++
         q.rets.filter(_.v.nonEmpty).map(r => (r.v, r.prop)) ++ orderProps)
         .distinct.filter(_._2.nonEmpty)
-      needed2.foreach { case (v, p) =>
-        require(!relVars.contains(v),
-          s"relationship variable '$v' does not survive WITH — alias " +
-            s"'$v.$p' as a WITH item instead")
-        if (!frontier.columns.contains(s"${v}_$p")) {
-          require(frontier.columns.contains(v),
-            s"unknown variable '$v' after WITH (carry it as a WITH item)")
-          frontier = frontier.join(
-            g.vertices.select(col("id").as(v), col(p).as(s"${v}_$p")),
-            Seq(v), "left")
-        }
+      q.rets.filter(r => r.prop.isEmpty && relVars2.contains(r.v)).foreach(r =>
+        sys.error(s"relationship variable '${r.v}' has no id binding — " +
+          s"project a property (${r.v}.prop) instead"))
+      val edgePropNeeds2: Map[String, Seq[String]] =
+        needed2All.filter(p => relVars2.contains(p._1))
+          .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).distinct }
+      q.matches2.foreach { mc =>
+        val df = evalChain(g, mc, edgePropNeeds2, Map.empty)
+        val shared = frontier.columns.intersect(df.columns).toSeq
+        frontier =
+          if (mc.optional) {
+            require(shared.nonEmpty, "OPTIONAL MATCH must share a variable")
+            frontier.join(df, shared, "left")
+          }
+          else if (shared.nonEmpty) frontier.join(df, shared)
+          else guardedCross(frontier, df)
       }
-      w.where.foreach(e => frontier = frontier.filter(compileExpr(e, colOf)))
+      pats2.foreach { p =>
+        val (mc, negated) = p match {
+          case PatE(m) => (m, false)
+          case NotE(PatE(m)) => (m, true)
+          case other => sys.error(s"unreachable pattern conjunct: $other")
+        }
+        val chain = evalChain(g, mc)
+        val shared = frontier.columns.intersect(chain.columns).toSeq
+        require(shared.nonEmpty,
+          "pattern predicate must reference at least one bound variable")
+        frontier = frontier.join(chain.select(shared.map(col): _*),
+          shared, if (negated) "left_anti" else "left_semi")
+      }
+      attach(needed2All)
+      rest2.reduceOption(AndE(_, _)).foreach(e =>
+        frontier = frontier.filter(compileExpr(e, colOf)))
     }
 
     // ---- final RETURN stage ----

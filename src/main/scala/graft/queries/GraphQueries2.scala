@@ -1067,6 +1067,56 @@ object GraphQueries2 {
           "RETURN c.name AS cust, n.name AS nation")
     },
 
+    q("q_cypher_pattern_semi",
+      // WHERE pattern predicate (openCypher existential): customers in the
+      // BUILDING segment who placed at least one order — lowered onto a
+      // LEFT SEMI join of the binding table against the pattern chain
+      // (never a row-multiplying join; oracle = EXISTS)
+      """SELECT c_name AS cust FROM customer c
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer) " +
+          "WHERE (c)-[:placed]->(:order) AND c.mktsegment = 'BUILDING' " +
+          "RETURN c.name AS cust")
+    },
+
+    q("q_cypher_pattern_anti",
+      // negated pattern predicate over a BOUND PAIR: for every
+      // (customer, nation) pair, keep those NOT joined by an in_nation
+      // edge — WHERE NOT (c)-[:in_nation]->(n) is a LEFT ANTI join of the
+      // binding table on BOTH endpoints (oracle = NOT EXISTS = the <>
+      // join), re-aggregated per nation
+      """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_foreign
+        |FROM customer c JOIN nation n ON c.c_nationkey <> n.n_nationkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer) MATCH (n:nation) " +
+          "WHERE NOT (c)-[:in_nation]->(n) " +
+          "RETURN n.name AS nation, count(*) AS n_foreign")
+    },
+
+    q("q_cypher_pipeline",
+      // MATCH after WITH — the openCypher pipeline: aggregate per customer,
+      // filter on the aggregate (HAVING), then a SECOND pattern block joins
+      // the surviving bindings to their nation and RETURN re-aggregates
+      """WITH heavy AS (
+        |  SELECT o_custkey AS ck, count(*) AS n_orders
+        |  FROM orders GROUP BY 1 HAVING count(*) >= 10)
+        |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_heavy,
+        |       CAST(max(h.n_orders) AS BIGINT) AS max_orders
+        |FROM heavy h
+        |JOIN customer c ON c.c_custkey = h.ck
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o:order) " +
+          "WITH c, count(*) AS n_orders WHERE n_orders >= 10 " +
+          "MATCH (c)-[:in_nation]->(n:nation) " +
+          "RETURN n.name AS nation, count(*) AS n_heavy, " +
+          "max(n_orders) AS max_orders")
+    },
+
     q("q_cypher_agg",
       // RETURN aggregations with openCypher implicit grouping: the
       // non-aggregated item (s.name) is the group key; count/sum/min over

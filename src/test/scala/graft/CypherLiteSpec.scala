@@ -355,11 +355,93 @@ class CypherLiteSpec extends SparkSpec {
     // the wrong point — rejected, not silently re-bound to the end
     intercept[Exception](run("MATCH (p:person)-[:created]->(s) " +
       "WITH p, count(*) AS n ORDER BY n DESC LIMIT 1 RETURN p.name"))
-    // loud errors: second WITH, MATCH after WITH, rel var through WITH
+    // loud errors: second WITH, rel var through WITH, var not carried
     intercept[Exception](run("MATCH (a:person) WITH a WITH a RETURN a.name"))
-    intercept[Exception](run("MATCH (a:person) WITH a MATCH (a)-[:knows]->(b) RETURN b.name"))
     intercept[Exception](run("MATCH (a)-[r:knows]->(b) WITH a RETURN r.weight"))
     intercept[Exception](run("MATCH (a:person) WITH a RETURN b.name")) // b not carried
+  }
+
+  test("MATCH after WITH: the pipeline's second pattern block") {
+    // aggregate per creator, then expand to who they know
+    val rows = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH p, count(*) AS n_sw MATCH (p)-[:knows]->(q:person) " +
+      "RETURN p.name AS who, n_sw, q.name AS other")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows === Set(("marko", 1L, "vadas"), ("marko", 1L, "josh")))
+    // WHERE after the second block filters the joined frontier
+    val filtered = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH p, count(*) AS n_sw MATCH (p)-[:knows]->(q:person) " +
+      "WHERE q.age > 30 RETURN p.name AS who, n_sw, q.name AS other")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(filtered === Set(("marko", 1L, "josh")))
+    // stage WHERE (between WITH and the second MATCH) still filters the
+    // stage output BEFORE the join
+    val staged = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH p, count(*) AS n_sw WHERE n_sw > 1 " +
+      "MATCH (p)-[:knows]->(q:person) RETURN p.name AS who")
+      .collect()
+    assert(staged.isEmpty) // josh creates 2 but knows nobody
+    // OPTIONAL MATCH after WITH left-joins
+    val opt = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH p, count(*) AS n_sw OPTIONAL MATCH (p)-[:knows]->(q:person) " +
+      "RETURN p.name AS who, n_sw, q.name AS other")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(opt === Set(
+      ("marko", 1L, Some("vadas")), ("marko", 1L, Some("josh")),
+      ("josh", 2L, None), ("peter", 1L, None)))
+    // relationship variable in the second block: edge-prop WHERE + RETURN
+    val rel = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH DISTINCT p MATCH (p)-[r:knows]->(q:person) " +
+      "WHERE r.weight >= 1.0 RETURN p.name AS who, r.weight AS w, q.name AS other")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(rel === Set(("marko", 1.0, "josh")))
+    // var-length rel VARIABLE after WITH is rejected; plain var-length works
+    intercept[Exception](run("MATCH (a:person) WITH a " +
+      "MATCH (a)-[r:knows*1..2]->(b) RETURN a.name"))
+    val vl = run("MATCH (p:person)-[:created]->(s:software) WITH DISTINCT p " +
+      "MATCH (p)-[:knows*1..2]->(q:person) RETURN p.name AS who, q.name AS other")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(vl === Set(("marko", "vadas"), ("marko", "josh")))
+  }
+
+  test("pattern predicates: WHERE (a)-[:l]->(b) semi joins, NOT anti joins") {
+    // existential: who created at least one software
+    val creators = run("MATCH (a:person) WHERE (a)-[:created]->(:software) " +
+      "RETURN a.name AS who").collect().map(_.getString(0)).toSet
+    assert(creators === Set("marko", "josh", "peter"))
+    // negated: who created nothing (anonymous unlabeled end node)
+    val non = run("MATCH (a:person) WHERE NOT (a)-[:created]->() " +
+      "RETURN a.name AS who").collect().map(_.getString(0)).toSet
+    assert(non === Set("vadas"))
+    // combined with a comparison conjunct; predicate on a non-start var
+    val rows = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WHERE (b)-[:created]->(:software) AND a.age > 25 " +
+      "RETURN b.name AS who").collect().map(_.getString(0)).toSet
+    assert(rows === Set("josh"))
+    // undirected predicate over the BOTH view
+    val und = run("MATCH (a:person) WHERE (a)-[:knows]-() RETURN a.name AS who")
+      .collect().map(_.getString(0)).toSet
+    assert(und === Set("marko", "vadas", "josh"))
+    // bound-to-bound predicate constrains the pair, not just one end
+    val pair = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "MATCH (c:software) WHERE (b)-[:created]->(c) " +
+      "RETURN b.name AS who, c.name AS sw")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pair === Set(("josh", "lop"), ("josh", "ripple")))
+    // pattern predicate in the second block's WHERE
+    val second = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH DISTINCT p MATCH (p)-[:knows]->(q:person) " +
+      "WHERE (q)-[:created]->(:software) RETURN q.name AS who")
+      .collect().map(_.getString(0)).toSet
+    assert(second === Set("josh"))
+    // loud errors: OR-nesting, rel variable inside the predicate,
+    // no bound variable
+    intercept[Exception](run("MATCH (a:person) " +
+      "WHERE (a)-[:created]->() OR a.age > 1 RETURN a.name"))
+    intercept[Exception](run("MATCH (a:person) " +
+      "WHERE (a)-[r:created]->() RETURN a.name"))
+    intercept[Exception](run("MATCH (a:person) " +
+      "WHERE (x)-[:created]->(y) RETURN a.name"))
   }
 
   test("variable-length rejects unbounded and over-cap windows loudly") {
