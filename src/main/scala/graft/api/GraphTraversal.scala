@@ -104,12 +104,35 @@ final case class GraphTraversal(
     copy(df = df.select((col("id").as("src") +: riderNames.map(col)): _*)
       .join(filtered, Seq("src")), isVertex = false)
   }
+  /** `bothE(labels…)` — incident edges in BOTH orientations (the reversed
+    * IN view unioned with OUT; storage is never duplicated). Each emitted
+    * edge row is oriented so `src` = the vertex it was reached from —
+    * follow with [[otherV]] (TinkerPop's pairing) to continue at the far
+    * endpoint; `inV`/`outV` would be orientation-ambiguous here. */
+  def bothE(labels: String*): GraphTraversal = {
+    val e = g.adjacency(Direction.BOTH, labels)
+    copy(df = df.select((col("id").as("src") +: riderNames.map(col)): _*)
+      .join(e, Seq("src")), isVertex = false)
+  }
   def inV(): GraphTraversal = // edge → head vertex
     copy(df = df.select((col("dst").as("id") +: riderNames.map(col)): _*)
       .join(g.vertices, Seq("id"), "left"), isVertex = true)
   def outV(): GraphTraversal =
     copy(df = df.select((col("src").as("id") +: riderNames.map(col)): _*)
       .join(g.vertices, Seq("id"), "left"), isVertex = true)
+  /** `otherV()` — the endpoint the edge was NOT reached from: every edge
+    * step orients its frame with `src` = the arriving vertex (outE keeps
+    * the stored orientation, inE/bothE ride the reversed view), so the far
+    * endpoint is always `dst`. */
+  def otherV(): GraphTraversal =
+    copy(df = df.select((col("dst").as("id") +: riderNames.map(col)): _*)
+      .join(g.vertices, Seq("id"), "left"), isVertex = true)
+  /** `bothV()` — BOTH endpoints of each edge (two traversers per edge). */
+  def bothV(): GraphTraversal = {
+    val ends = df.select((col("src").as("id") +: riderNames.map(col)): _*)
+      .unionByName(df.select((col("dst").as("id") +: riderNames.map(col)): _*))
+    copy(df = ends.join(g.vertices, Seq("id"), "left"), isVertex = true)
+  }
 
   /** `repeat(n)(…)` — bounded repetition (the reference's repeat/times). */
   def repeat(times: Int)(f: GraphTraversal => GraphTraversal): GraphTraversal =

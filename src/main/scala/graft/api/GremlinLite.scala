@@ -187,6 +187,7 @@ object GremlinLite {
         case PArg("has", List(k)) =>
           t.filter(org.apache.spark.sql.functions.col(str(k)).isNotNull)
         case PArg("hasNot", List(k)) => t.hasNot(str(k))
+        case PArg("hasId", as) if as.nonEmpty => t.hasId(as.map(str): _*)
         case PArg("dedup", Nil) => t.dedup()
         case PArg("limit", List(x)) => t.limit(num(x).toInt)
         case other => sys.error(s"unsupported sub-traversal step: $other")
@@ -214,6 +215,20 @@ object GremlinLite {
       case SArg(v) => Cond.neq(key, v); case _ => Cond.neq(key, num(x))
     }
     case PArg("within", xs) => Cond.in(key, xs.map { case SArg(v) => v; case n => num(n) })
+    case PArg("without", xs) => Cond.notIn(key, xs.map { case SArg(v) => v; case n => num(n) })
+    // numeric range P predicates: inside/outside are exclusive at both
+    // ends, between is [a, b) — TinkerPop's P contracts
+    case PArg("inside", List(a, b)) => Cond.gt(key, num(a)).and(Cond.lt(key, num(b)))
+    case PArg("outside", List(a, b)) => Cond.lt(key, num(a)).or(Cond.gt(key, num(b)))
+    case PArg("between", List(a, b)) => Cond.gte(key, num(a)).and(Cond.lt(key, num(b)))
+    // TextP string predicates: plain prefix/suffix/substring (textContains
+    // below keeps the reference's TOKENIZED word-containment semantics)
+    case PArg("startingWith", List(x)) => Cond.prefix(key, str(x))
+    case PArg("endingWith", List(x)) => Cond.suffix(key, str(x))
+    case PArg("containing", List(x)) => Cond.substr(key, str(x))
+    case PArg("notStartingWith", List(x)) => graft.core.Not(Cond.prefix(key, str(x)))
+    case PArg("notEndingWith", List(x)) => graft.core.Not(Cond.suffix(key, str(x)))
+    case PArg("notContaining", List(x)) => graft.core.Not(Cond.substr(key, str(x)))
     case PArg("textContains", List(x)) => Cond.textContains(key, str(x))
     case other => sys.error(s"unsupported predicate: $other")
   }
@@ -389,8 +404,12 @@ object GremlinLite {
         case ("both", as) => t = t.both(as.map(str): _*)
         case ("outE", as) => t = t.outE(as.map(str): _*)
         case ("inE", as) => t = t.inE(as.map(str): _*)
+        case ("bothE", as) => t = t.bothE(as.map(str): _*)
         case ("inV", Nil) => t = t.inV()
         case ("outV", Nil) => t = t.outV()
+        case ("otherV", Nil) => t = t.otherV()
+        case ("bothV", Nil) => t = t.bothV()
+        case ("hasId", as) if as.nonEmpty => t = t.hasId(as.map(str): _*)
         case ("dedup", Nil) => t = t.dedup()
         case ("simplePath", Nil) => t = t.simplePath()
         case ("cyclicPath", Nil) => t = t.cyclicPath()

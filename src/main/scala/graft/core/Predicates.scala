@@ -36,6 +36,10 @@ final case class Rel(key: String, op: RelOp.Value, value: Any) extends Cond {
       case IN  => c.isin(value.asInstanceOf[Seq[Any]]: _*)
       case NOT_IN => !c.isin(value.asInstanceOf[Seq[Any]]: _*)
       case PREFIX => c.startsWith(value.toString)
+      // TinkerPop TextP endingWith / containing — plain string suffix and
+      // substring (distinct from TEXT_CONTAINS' tokenized word semantics)
+      case SUFFIX => c.endsWith(value.toString)
+      case SUBSTR => c.contains(value.toString)
       // Tokenized word containment — the SEARCH-index semantic
       // (`Condition.java:94`, `GraphIndexTransaction.segmentWords:897`).
       case TEXT_CONTAINS =>
@@ -52,7 +56,7 @@ final case class Rel(key: String, op: RelOp.Value, value: Any) extends Cond {
 }
 
 object RelOp extends Enumeration {
-  val EQ, NEQ, GT, GTE, LT, LTE, IN, NOT_IN, PREFIX,
+  val EQ, NEQ, GT, GTE, LT, LTE, IN, NOT_IN, PREFIX, SUFFIX, SUBSTR,
       TEXT_CONTAINS, TEXT_CONTAINS_ANY, CONTAINS, CONTAINS_KEY, CONTAINS_VALUE = Value
 }
 
@@ -66,6 +70,8 @@ object Cond {
   def in(k: String, vs: Seq[Any]): Cond = Rel(k, RelOp.IN, vs)
   def notIn(k: String, vs: Seq[Any]): Cond = Rel(k, RelOp.NOT_IN, vs)
   def prefix(k: String, v: String): Cond = Rel(k, RelOp.PREFIX, v)
+  def suffix(k: String, v: String): Cond = Rel(k, RelOp.SUFFIX, v)
+  def substr(k: String, v: String): Cond = Rel(k, RelOp.SUBSTR, v)
   def textContains(k: String, w: String): Cond = Rel(k, RelOp.TEXT_CONTAINS, w)
   def textContainsAny(k: String, ws: Seq[String]): Cond = Rel(k, RelOp.TEXT_CONTAINS_ANY, ws)
   def contains(k: String, v: Any): Cond = Rel(k, RelOp.CONTAINS, v)

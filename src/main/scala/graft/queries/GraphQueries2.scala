@@ -1012,6 +1012,55 @@ object GraphQueries2 {
           ".times(2).id()")
     },
 
+    q("q_gremlin_textp",
+      // TinkerPop TextP predicates from script text: plain prefix/suffix/
+      // substring (NOT the tokenized textContains) + the negated form
+      """SELECT p_name AS name FROM part
+        |WHERE p_name LIKE '%bolt' AND p_type LIKE '%OM%'
+        |  AND p_name NOT LIKE 'blue%'""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('part').has('name', endingWith('bolt'))" +
+          ".has('type', containing('OM'))" +
+          ".has('name', notStartingWith('blue')).values('name')")
+    },
+
+    q("q_gremlin_numeric_p",
+      // inside/outside numeric P predicates (exclusive bounds) per the
+      // TinkerPop P contract
+      """SELECT CAST(p_size AS INT) AS size, CAST(count(*) AS BIGINT) AS n
+        |FROM part
+        |WHERE p_size > 3 AND p_size < 7
+        |  AND (p_retailprice < 1200 OR p_retailprice > 1800)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('part').has('size', inside(3, 7))" +
+          ".has('retailprice', outside(1200, 1800)).groupCount('size')")
+    },
+
+    q("q_gremlin_bothe",
+      // bothE().otherV(): incident edges in BOTH orientations from the
+      // reversed view (storage never duplicated), each continued at the
+      // far endpoint — nation:3's customers + suppliers (IN) + region (OUT)
+      """SELECT label, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT 'customer' AS label FROM customer WHERE c_nationkey = 3
+        |  UNION ALL SELECT 'supplier' FROM supplier WHERE s_nationkey = 3
+        |  UNION ALL SELECT 'region' FROM nation WHERE n_nationkey = 3) z
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V('nation:3').bothE().otherV().groupCount('label')")
+    },
+
+    q("q_gremlin_bothv",
+      // E(label).bothV(): both endpoints of each edge (two traversers per
+      // edge, multiplicity preserved)
+      """SELECT label, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT 'nation' AS label FROM nation
+        |  UNION ALL SELECT 'region' FROM nation) z
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.E('in_region').bothV().groupCount('label')")
+    },
+
     q("q_gremlin_union",
       // union(subA, subB): every branch starts from the same incoming
       // traversers; multiplicity preserved (TinkerPop branch step)

@@ -98,6 +98,36 @@ class GremlinLiteSpec extends SparkSpec {
       Set("person:josh"))
   }
 
+  test("bothE/otherV/bothV edge navigation") {
+    // josh's incident edges: knows IN from marko, created OUT to lop+ripple
+    assert(ids(run("g.V('person:josh').bothE().otherV().id()")) ===
+      Set("person:marko", "software:lop", "software:ripple"))
+    // bothV on an edge frame: both endpoints, two traversers per edge
+    val labels = run("g.E('knows').bothV().groupCount('label')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels === Map("person" -> 4L)) // 2 edges x 2 person endpoints
+    // hasId mid-chain
+    assert(ids(run("g.V().hasLabel('person').hasId('person:marko').out('created').id()")) ===
+      Set("software:lop"))
+  }
+
+  test("TextP and numeric P predicates") {
+    assert(ids(run("g.V().has('name', startingWith('ma')).id()")) === Set("person:marko"))
+    assert(ids(run("g.V().has('name', endingWith('pple')).id()")) === Set("software:ripple"))
+    assert(ids(run("g.V().has('name', containing('o s'))" +
+      ".id()")).isEmpty) // substring, not token match
+    assert(ids(run("g.V().hasLabel('person').has('name', notContaining('a')).id()")) ===
+      Set("person:josh", "person:peter"))
+    // inside/outside/between: (27,32) exclusive → only 29
+    assert(ids(run("g.V().has('age', inside(27, 32)).id()")) === Set("person:marko"))
+    assert(ids(run("g.V().has('age', outside(28, 34)).id()")) ===
+      Set("person:vadas", "person:peter"))
+    assert(ids(run("g.V().has('age', between(27, 32)).id()")) ===
+      Set("person:vadas", "person:marko")) // [27, 32)
+    assert(ids(run("g.V().hasLabel('person').has('name', without('marko', 'josh')).id()")) ===
+      Set("person:vadas", "person:peter"))
+  }
+
   test("bare emit() not before repeat() fails loudly") {
     val e = intercept[IllegalArgumentException] {
       run("g.V('person:marko').emit().out().id()")
