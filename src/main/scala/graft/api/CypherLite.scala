@@ -51,6 +51,22 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * accepts RETURN aliases or `var.prop` references; SKIP/LIMIT follow
   * Cypher order (skip first).
   *
+  * RETURN/WITH items may also be full VALUE EXPRESSIONS with a REQUIRED
+  * `AS` alias: property refs, aliases, literals, `+ - * / %` (with
+  * precedence and parens; `/` is always floating), the scalar functions
+  * `toUpper/toLower/abs/round/size/coalesce`, and aggregate atoms
+  * (`count(*) * 10`, `sum(l.price * (1 - l.discount))`,
+  * `sum(x) / count(*)`) — an expression containing an aggregate compiles
+  * whole as one Spark aggregate expression, with the non-aggregated items
+  * as implicit group keys.
+  *
+  * UNWIND comes in the two shapes a batch engine serves: a LEADING
+  * `UNWIND [lit, …] AS x` seeds the frontier (the parameter fan-out
+  * idiom — MATCH then joins via the guarded broadcast cross, WHERE
+  * equality cuts it), and a post-WITH `UNWIND alias AS x` explodes a
+  * `collect()`ed list back to rows (the list stays in scope; empty lists
+  * yield no rows).
+  *
   * PATTERN PREDICATES — `WHERE (a)-[:l]->(b)`, `WHERE NOT (a)-[:l]-()`,
   * anonymous/labeled end nodes, var-length rels — lower onto LEFT SEMI
   * (NOT → LEFT ANTI) joins of the binding table against the pattern
@@ -87,7 +103,7 @@ object CypherLite {
   // WITH / ENDS WITH string operators (input is whitespace-normalized to
   // single spaces before clause splitting, so the lookbehinds are fixed)
   private val clauseRe =
-    ("""(?i)\b(OPTIONAL\s+MATCH|MATCH|WHERE|(?<!STARTS )(?<!ENDS )WITH|""" +
+    ("""(?i)\b(OPTIONAL\s+MATCH|MATCH|UNWIND|WHERE|(?<!STARTS )(?<!ENDS )WITH|""" +
       """RETURN|ORDER\s+BY|SKIP|LIMIT)\b""").r
 
   /** Working/physical column names the planner owns; user variables with
@@ -313,6 +329,144 @@ object CypherLite {
     case x => List(x)
   }
 
+  // ---- RETURN/WITH value-expression grammar --------------------------------
+  /** A projected VALUE expression — `p.price * (1 - l.discount)`,
+    * `toUpper(c.name)`, `coalesce(o.tax, 0)` — over property references,
+    * aliases, literals, + - * / %, and a scalar-function whitelist.
+    * Integer literals stay integral so int-column arithmetic keeps its
+    * type (`/` is always floating, as in DuckDB). */
+  private[api] sealed trait ValExpr
+  private[api] final case class LitV(v: Any) extends ValExpr
+  private[api] final case class RefV(v: String, prop: String) extends ValExpr
+  private[api] final case class BinV(op: String, l: ValExpr, r: ValExpr) extends ValExpr
+  private[api] final case class FunV(fn: String, args: List[ValExpr]) extends ValExpr
+  /** An aggregate ATOM inside an expression — `count(*) * 10`,
+    * `sum(l.price) / count(*)`. The whole expression then compiles to one
+    * Spark aggregate expression (post-aggregation arithmetic included). */
+  private[api] final case class AggV(fn: String, arg: Option[ValExpr]) extends ValExpr
+
+  private def hasAgg(e: ValExpr): Boolean = e match {
+    case AggV(_, _) => true
+    case BinV(_, l, r) => hasAgg(l) || hasAgg(r)
+    case FunV(_, as) => as.exists(hasAgg)
+    case _ => false
+  }
+
+  private[api] def parseValExpr(s: String): ValExpr = {
+    var rest = s.trim
+    def eat(n: Int): Unit = { rest = rest.substring(n).trim }
+    val numRe = """^\d+(?:\.\d+)?(?:[eE][-+]?\d+)?""".r
+    val strRe = """^'([^']*)'""".r
+    val aggFunRe = """^(?i)(count|sum|avg|min|max)\s*\(""".r
+    val funRe = """^(?i)(toUpper|toLower|abs|round|coalesce|size)\s*\(""".r
+    val refRe = """^(\w+)(?:\.(\w+))?""".r
+    def addE(): ValExpr = {
+      var l = mulE()
+      while (rest.startsWith("+") || rest.startsWith("-")) {
+        val op = rest.substring(0, 1); eat(1); l = BinV(op, l, mulE())
+      }
+      l
+    }
+    def mulE(): ValExpr = {
+      var l = unary()
+      while (rest.startsWith("*") || rest.startsWith("/") || rest.startsWith("%")) {
+        val op = rest.substring(0, 1); eat(1); l = BinV(op, l, unary())
+      }
+      l
+    }
+    def unary(): ValExpr =
+      if (rest.startsWith("-")) { eat(1); BinV("-", LitV(0L), unary()) }
+      else atom()
+    def atom(): ValExpr = {
+      if (rest.startsWith("(")) {
+        eat(1); val e = addE()
+        require(rest.startsWith(")"), s"expected ')' in expression '$s'")
+        eat(1); e
+      } else aggFunRe.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          val fn = m.group(1).toLowerCase
+          rest = rest.substring(m.end).trim
+          val arg =
+            if (rest.startsWith("*")) {
+              require(fn == "count", s"'*' argument is count-only (in '$s')")
+              eat(1); None
+            } else Some(addE())
+          require(rest.startsWith(")"), s"expected ')' after $fn(… in '$s'")
+          eat(1)
+          require(fn == "count" || arg.isDefined, s"$fn() needs an argument")
+          AggV(fn, arg)
+        case None => funRe.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          val fn = m.group(1).toLowerCase
+          rest = rest.substring(m.end).trim
+          val args = List.newBuilder[ValExpr]
+          if (!rest.startsWith(")")) {
+            args += addE()
+            while (rest.startsWith(",")) { eat(1); args += addE() }
+          }
+          require(rest.startsWith(")"), s"expected ')' after $fn(… in '$s'")
+          eat(1)
+          FunV(fn, args.result())
+        case None => strRe.findFirstMatchIn(rest) match {
+          case Some(m) =>
+            val v = m.group(1); rest = rest.substring(m.end).trim; LitV(v)
+          case None => numRe.findFirstMatchIn(rest) match {
+            case Some(m) =>
+              val t = m.matched; rest = rest.substring(m.end).trim
+              LitV(if (t.contains('.') || t.exists(c => c == 'e' || c == 'E'))
+                t.toDouble else t.toLong)
+            case None => refRe.findFirstMatchIn(rest) match {
+              case Some(m) =>
+                val r = RefV(checkVar(m.group(1)), Option(m.group(2)).getOrElse(""))
+                rest = rest.substring(m.end).trim; r
+              case None => sys.error(s"cannot parse expression at: '$rest' (in '$s')")
+            }
+          }
+        }
+      }
+      }
+    }
+    val e = addE()
+    require(rest.isEmpty, s"trailing expression tokens: '$rest' (in '$s')")
+    e
+  }
+
+  private def compileVal(e: ValExpr, colOf: (String, String) => Column): Column =
+    e match {
+      case LitV(v) => lit(v)
+      case RefV(v, p) => colOf(v, p)
+      case BinV("+", l, r) => compileVal(l, colOf) + compileVal(r, colOf)
+      case BinV("-", l, r) => compileVal(l, colOf) - compileVal(r, colOf)
+      case BinV("*", l, r) => compileVal(l, colOf) * compileVal(r, colOf)
+      case BinV("/", l, r) => compileVal(l, colOf) / compileVal(r, colOf)
+      case BinV("%", l, r) => compileVal(l, colOf) % compileVal(r, colOf)
+      case BinV(op, _, _) => sys.error(s"unsupported operator: $op")
+      case FunV("toupper", List(a)) => upper(compileVal(a, colOf))
+      case FunV("tolower", List(a)) => lower(compileVal(a, colOf))
+      case FunV("abs", List(a)) => abs(compileVal(a, colOf))
+      case FunV("round", List(a)) => round(compileVal(a, colOf), 0)
+      // openCypher size() on a string → its length, as a long
+      case FunV("size", List(a)) => length(compileVal(a, colOf)).cast("long")
+      case FunV("coalesce", as) if as.nonEmpty =>
+        coalesce(as.map(compileVal(_, colOf)): _*)
+      case FunV(f, as) => sys.error(s"unsupported function: $f/${as.length} args")
+      case AggV("count", None) => count(lit(1))
+      case AggV("count", Some(a)) => count(compileVal(a, colOf))
+      case AggV("sum", Some(a)) => sum(compileVal(a, colOf))
+      case AggV("avg", Some(a)) => avg(compileVal(a, colOf))
+      case AggV("min", Some(a)) => min(compileVal(a, colOf))
+      case AggV("max", Some(a)) => max(compileVal(a, colOf))
+      case AggV(f, _) => sys.error(s"unsupported aggregate: $f")
+    }
+
+  private def valRefs(e: ValExpr): List[(String, String)] = e match {
+    case RefV(v, p) => List((v, p))
+    case BinV(_, l, r) => valRefs(l) ++ valRefs(r)
+    case FunV(_, as) => as.flatMap(valRefs)
+    case AggV(_, a) => a.toList.flatMap(valRefs)
+    case _ => Nil
+  }
+
   // ---- RETURN / WITH / ORDER BY ------------------------------------------
   /** A RETURN/WITH item: `v.prop` projection, a BARE variable (`prop`
     * empty — projects the binding/alias column, i.e. the vertex id for a
@@ -320,7 +474,16 @@ object CypherLite {
     * `distinctAgg` marks `count(DISTINCT …)` / `collect(DISTINCT …)`. */
   private[api] final case class Ret(v: String, prop: String, alias: String,
                                     agg: Option[String] = None,
-                                    distinctAgg: Boolean = false)
+                                    distinctAgg: Boolean = false,
+                                    /** general value expression (v/prop
+                                      * empty when set) — `a.x * 2 AS y` */
+                                    expr: Option[ValExpr] = None)
+
+  /** The (var, prop) references a RETURN/WITH item needs: the expression's
+    * refs, or the item's own (v, prop) pair. prop = "" marks a bare
+    * variable/alias reference. */
+  private def retRefs(r: Ret): List[(String, String)] =
+    r.expr.map(valRefs).getOrElse(if (r.v.nonEmpty) List((r.v, r.prop)) else Nil)
   private[api] final case class OrderKey(ref: String, asc: Boolean)
   /** One WITH pipeline stage: project/aggregate `items` (openCypher
     * implicit grouping), then filter `where` over the stage's output
@@ -329,6 +492,13 @@ object CypherLite {
                                           where: Option[BoolExpr])
   private[api] final case class Query(matches: List[MatchClause],
                                       where: Option[BoolExpr],
+                                      /** leading `UNWIND [lits…] AS x` —
+                                        * seeds the frontier (parameter
+                                        * fan-out idiom) */
+                                      unwind: Option[(List[Any], String)],
+                                      /** post-WITH `UNWIND alias AS x` —
+                                        * explodes a collected list */
+                                      unwind2: Option[(String, String)],
                                       withStage: Option[WithStage],
                                       /** pattern block AFTER the WITH stage
                                         * (openCypher pipeline `MATCH … WITH …
@@ -398,22 +568,56 @@ object CypherLite {
       // for a node variable that is the vertex id (Cypher `RETURN c`)
       Ret(checkVar(v), Option(prop).getOrElse(""),
         Option(alias).getOrElse(if (prop == null) v else s"${v}_$prop"), None)
-    case other => sys.error(s"bad return item: $other")
+    case other =>
+      // general value expression — `p.price * (1 - l.discount) AS net`,
+      // `sum(l.price * l.qty) AS total`, `toUpper(c.name) AS nm`. The
+      // alias is REQUIRED (openCypher auto-names by expression text; a
+      // hash-compared result needs a declared column name).
+      val asRe = """(?i)^(.*?)\s+AS\s+(\w+)$""".r
+      other match {
+        case asRe(body, alias) =>
+          val e = parseValExpr(body.trim)
+          // an expression containing aggregate atoms compiles WHOLE as one
+          // Spark aggregate expression (post-aggregation arithmetic like
+          // count(*) * 10 or sum(x) / count(*) included)
+          Ret("", "", alias, if (hasAgg(e)) Some("exprAgg") else None,
+            expr = Some(e))
+        case _ => sys.error(
+          s"bad return item (expressions need an AS alias): $other")
+      }
+  }
+
+  /** Split an item list on TOP-LEVEL commas only (quotes and parens
+    * respected — `coalesce(a, 0)` is one item). */
+  private def splitTop(s: String): List[String] = {
+    val out = List.newBuilder[String]
+    var depth = 0; var inQ = false; val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case ',' if !inQ && depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** Parse a RETURN/WITH item list with an optional leading DISTINCT. */
   private def parseItems(body: String): (Boolean, List[Ret]) = {
     val m = """(?i)^DISTINCT\s+""".r.findFirstMatchIn(body)
     val rest = m.fold(body)(mm => body.substring(mm.end))
-    (m.isDefined, rest.split(",").toList.map(parseRet))
+    (m.isDefined, splitTop(rest).map(parseRet))
   }
 
   private[api] def parse(q: String): Query = {
     val s = q.trim.replaceAll("\\s+", " ")
     // split into (keyword, body) clause pairs in textual order
     val ms = clauseRe.findAllMatchIn(s).toList
-    require(ms.nonEmpty && ms.head.start == 0 &&
-      ms.head.group(1).toUpperCase.endsWith("MATCH"), "query must start with MATCH")
+    require(ms.nonEmpty && ms.head.start == 0 && {
+      val kw = ms.head.group(1).toUpperCase
+      kw.endsWith("MATCH") || kw == "UNWIND"
+    }, "query must start with MATCH or UNWIND")
     val clauses = ms.zipWithIndex.map { case (m, i) =>
       val end = if (i + 1 < ms.length) ms(i + 1).start else s.length
       (m.group(1).toUpperCase.replaceAll("\\s+", " "), s.substring(m.end, end).trim)
@@ -421,6 +625,8 @@ object CypherLite {
 
     var matches = List.empty[MatchClause]
     var where: Option[BoolExpr] = None
+    var unwind: Option[(List[Any], String)] = None
+    var unwind2: Option[(String, String)] = None
     var withStage: Option[WithStage] = None
     var matches2 = List.empty[MatchClause]
     var where2: Option[BoolExpr] = None
@@ -437,14 +643,42 @@ object CypherLite {
       case ("OPTIONAL MATCH", body) =>
         if (withStage.isEmpty) matches :+= parsePattern(body, optional = true)
         else matches2 :+= parsePattern(body, optional = true)
+      case ("UNWIND", body) =>
+        val m = """(?i)^(.*)\s+AS\s+(\w+)$""".r.findFirstMatchIn(body)
+          .getOrElse(sys.error(s"UNWIND needs an AS alias: $body"))
+        val target = checkVar(m.group(2))
+        val src = m.group(1).trim
+        if (withStage.isEmpty) {
+          // leading literal-list UNWIND: seeds the frontier
+          require(matches.isEmpty && unwind.isEmpty,
+            "a literal UNWIND must LEAD the query (one allowed, before MATCH)")
+          require(src.startsWith("[") && src.endsWith("]"),
+            s"pre-WITH UNWIND takes a literal list [a, b, …]: $src")
+          val vals = splitTop(src.substring(1, src.length - 1))
+            .map(parseValExpr).map {
+              case LitV(v) => v
+              case other => sys.error(
+                s"UNWIND list elements must be literals, got $other")
+            }
+          require(vals.nonEmpty, "UNWIND of an empty list yields no rows")
+          unwind = Some((vals, target))
+        } else {
+          // post-WITH UNWIND: explode a collected-list alias
+          require(matches2.isEmpty,
+            "UNWIND must precede any post-WITH MATCH block")
+          require(unwind2.isEmpty, "one post-WITH UNWIND supported")
+          require(src.matches("""\w+"""),
+            s"post-WITH UNWIND takes a WITH alias (a collect()ed list): $src")
+          unwind2 = Some((src, target))
+        }
       case ("WHERE", body) =>
         // placement decides the target: before WITH it filters the first
         // block's bindings; directly after WITH it filters the stage's
-        // OUTPUT (the aggregate-then-filter idiom); after a second MATCH
-        // block it filters the joined pipeline frontier
+        // OUTPUT (the aggregate-then-filter idiom); after a post-WITH
+        // UNWIND or a second MATCH block it filters the pipeline frontier
         val e = parseWhere(body)
-        (withStage, matches2) match {
-          case (Some(_), m2) if m2.nonEmpty =>
+        (withStage, matches2.nonEmpty || unwind2.isDefined) match {
+          case (Some(_), true) =>
             where2 = where2.map(AndE(_, e)).orElse(Some(e))
           case (Some(w), _) => withStage =
             Some(w.copy(where = w.where.map(AndE(_, e)).orElse(Some(e))))
@@ -482,8 +716,8 @@ object CypherLite {
       case (kw, _) => sys.error(s"unsupported clause: $kw")
     }
     require(rets.nonEmpty, "query must have RETURN")
-    Query(matches, where, withStage, matches2, where2, rets, retDistinct,
-      orderBy, skip, limit)
+    Query(matches, where, unwind, unwind2, withStage, matches2, where2, rets,
+      retDistinct, orderBy, skip, limit)
   }
 
   /** One linear chain → DataFrame of variable columns (vertex ids), plus
@@ -695,24 +929,35 @@ object CypherLite {
     val stage1Items = q.withStage.map(_.items).getOrElse(q.rets)
     val stage1Order = if (q.withStage.isEmpty) orderProps else Nil
     val needed1 = (residual.toList.flatMap(refs) ++
-      stage1Items.filter(_.v.nonEmpty).map(r => (r.v, r.prop)) ++ stage1Order)
+      stage1Items.flatMap(retRefs) ++ stage1Order)
       .distinct.filter(_._2.nonEmpty)
     (needed1.map(_._1) ++
-      stage1Items.filter(r => r.v.nonEmpty && r.prop.isEmpty).map(_.v))
+      stage1Items.flatMap(retRefs).filter(_._2.isEmpty).map(_._1))
       .foreach { v =>
         require(!varLenVars(v),
           s"'$v' binds a variable-length relationship (a LIST) — projecting " +
             "it is unsupported; only the ALL-hop WHERE pushdown is")
       }
-    stage1Items.filter(r => r.prop.isEmpty && relVars.contains(r.v)).foreach(r =>
-      sys.error(s"relationship variable '${r.v}' has no id binding — " +
-        s"project a property (${r.v}.prop) instead"))
+    stage1Items.flatMap(retRefs)
+      .filter(p => p._2.isEmpty && relVars.contains(p._1)).foreach(p =>
+        sys.error(s"relationship variable '${p._1}' has no id binding — " +
+          s"project a property (${p._1}.prop) instead"))
     val edgePropNeeds: Map[String, Seq[String]] =
       needed1.filter(p => relVars.contains(p._1))
         .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).distinct }
 
-    var frontier = evalChain(g, q.matches.head, edgePropNeeds, relFilters)
-    q.matches.tail.foreach { mc =>
+    // a leading UNWIND seeds the frontier with the literal list (the
+    // parameter fan-out idiom); every MATCH then joins onto it — shared
+    // variables directly, otherwise through the guarded (broadcast-small)
+    // cross with WHERE equality cutting the product
+    var frontier = q.unwind match {
+      case Some((vals, v)) =>
+        g.vertices.sparkSession.range(1)
+          .select(explode(array(vals.map(lit): _*)).as(v))
+      case None => evalChain(g, q.matches.head, edgePropNeeds, relFilters)
+    }
+    val laterMatches = if (q.unwind.isDefined) q.matches else q.matches.tail
+    laterMatches.foreach { mc =>
       val df = evalChain(g, mc, edgePropNeeds, relFilters)
       val shared = frontier.columns.intersect(df.columns).toSeq
       frontier =
@@ -751,9 +996,11 @@ object CypherLite {
 
     // ---- projection/aggregation stage (shared by WITH and RETURN) ----
     def aggCol(r: Ret): Column = {
-      val c = colOf(r.v, r.prop)
+      if (r.agg.contains("exprAgg"))
+        return compileVal(r.expr.get, colOf).as(r.alias)
+      val c = r.expr.map(compileVal(_, colOf)).getOrElse(colOf(r.v, r.prop))
       (r.agg.get match {
-        case "count" if r.v.isEmpty => count(lit(1))
+        case "count" if r.v.isEmpty && r.expr.isEmpty => count(lit(1))
         case "count" if r.distinctAgg => countDistinct(c)
         case "count" => count(c)
         case "sum" => sum(c)
@@ -766,7 +1013,8 @@ object CypherLite {
         case "collect" => sort_array(collect_list(c))
       }).as(r.alias)
     }
-    def keyCol(r: Ret): Column = colOf(r.v, r.prop).as(r.alias)
+    def keyCol(r: Ret): Column =
+      r.expr.map(compileVal(_, colOf)).getOrElse(colOf(r.v, r.prop)).as(r.alias)
     def projectStage(items: List[Ret], dist: Boolean,
                      extraCarry: Seq[String]): DataFrame = {
       val hasAgg = items.exists(_.agg.isDefined)
@@ -813,6 +1061,15 @@ object CypherLite {
       attach(w.where.toList.flatMap(refs).distinct.filter(_._2.nonEmpty))
       w.where.foreach(e => frontier = frontier.filter(compileExpr(e, colOf)))
 
+      // post-WITH UNWIND: explode a collect()ed list alias into rows (the
+      // list column stays in scope, openCypher semantics; empty lists
+      // yield no rows on both engines)
+      q.unwind2.foreach { case (src, v) =>
+        require(frontier.columns.contains(src),
+          s"unknown WITH alias '$src' to UNWIND (carry it as a WITH item)")
+        frontier = frontier.withColumn(v, explode(col(src)))
+      }
+
       // ---- second pattern block: MATCH/OPTIONAL MATCH after WITH joins
       // each chain on the variables the stage carried through ----
       val where2Conj = q.where2.map(conjuncts).getOrElse(Nil)
@@ -821,11 +1078,12 @@ object CypherLite {
         case _ => false
       }
       val needed2All = (rest2.flatMap(refs) ++
-        q.rets.filter(_.v.nonEmpty).map(r => (r.v, r.prop)) ++ orderProps)
+        q.rets.flatMap(retRefs) ++ orderProps)
         .distinct.filter(_._2.nonEmpty)
-      q.rets.filter(r => r.prop.isEmpty && relVars2.contains(r.v)).foreach(r =>
-        sys.error(s"relationship variable '${r.v}' has no id binding — " +
-          s"project a property (${r.v}.prop) instead"))
+      q.rets.flatMap(retRefs)
+        .filter(p => p._2.isEmpty && relVars2.contains(p._1)).foreach(p =>
+          sys.error(s"relationship variable '${p._1}' has no id binding — " +
+            s"project a property (${p._1}.prop) instead"))
       val edgePropNeeds2: Map[String, Seq[String]] =
         needed2All.filter(p => relVars2.contains(p._1))
           .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).distinct }

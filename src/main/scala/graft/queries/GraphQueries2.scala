@@ -1166,6 +1166,66 @@ object GraphQueries2 {
           "max(n_orders) AS max_orders")
     },
 
+    q("q_cypher_unwind",
+      // leading UNWIND (parameter fan-out): the literal list seeds the
+      // frontier, MATCH joins via the guarded broadcast cross, WHERE
+      // equality cuts the product
+      """SELECT nm, CAST(count(*) AS BIGINT) AS n_sup
+        |FROM (VALUES ('NATION_1'), ('NATION_5'), ('NATION_9')) t(nm)
+        |JOIN nation n ON n.n_name = nm
+        |JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "UNWIND ['NATION_1', 'NATION_5', 'NATION_9'] AS nm " +
+          "MATCH (s:supplier)-[:in_nation]->(n:nation) WHERE n.name = nm " +
+          "RETURN nm, count(*) AS n_sup")
+    },
+
+    q("q_cypher_collect_unwind",
+      // collect() through WITH then UNWIND back to rows with a post-unwind
+      // WHERE — the round-trip equals the direct filter (the oracle)
+      """SELECT c.c_name AS cust, CAST(count(*) AS BIGINT) AS n_big
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > 200000
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o:order) " +
+          "WITH c, collect(o.totalprice) AS ps UNWIND ps AS p " +
+          "WHERE p > 200000 " +
+          "RETURN c.name AS cust, count(*) AS n_big")
+    },
+
+    q("q_cypher_expr_scalar",
+      // RETURN value expressions: scalar functions (toUpper, size) and
+      // arithmetic over properties — per-row, no aggregation
+      """SELECT c_name AS cust, upper(n_name) AS nat,
+        |       CAST(length(c_name) AS BIGINT) AS name_len,
+        |       c_acctbal - 5000 AS rebal
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c_acctbal >= 9000""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:in_nation]->(n:nation) WHERE c.acctbal >= 9000 " +
+          "RETURN c.name AS cust, toUpper(n.name) AS nat, " +
+          "size(c.name) AS name_len, c.acctbal - 5000 AS rebal")
+    },
+
+    q("q_cypher_expr_agg",
+      // aggregates over expressions with an EXPRESSION group key —
+      // sum(r.quantity * (10 - r.linenumber)) mixes an edge prop with
+      // arithmetic (quantity is integral, so the double sum is exact on
+      // both engines); the key p.size % 3 groups computed values
+      """SELECT CAST(p_size % 3 AS INT) AS szmod,
+        |       sum(l_quantity * (10 - l_linenumber)) AS wq,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p_size <= 20
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (o:order)-[r:contains]->(p:part) WHERE p.size <= 20 " +
+          "RETURN p.size % 3 AS szmod, " +
+          "sum(r.quantity * (10 - r.linenumber)) AS wq, count(*) AS n")
+    },
+
     q("q_cypher_agg",
       // RETURN aggregations with openCypher implicit grouping: the
       // non-aggregated item (s.name) is the group key; count/sum/min over

@@ -444,6 +444,59 @@ class CypherLiteSpec extends SparkSpec {
       "WHERE (x)-[:created]->(y) RETURN a.name"))
   }
 
+  test("RETURN value expressions: arithmetic, functions, aggregates over exprs") {
+    // per-row arithmetic with precedence and parens
+    val d = run("MATCH (p:person) RETURN p.name AS who, p.age * 2 + 1 AS d " +
+      "ORDER BY who ASC").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(d === Seq(("josh", 65L), ("marko", 59L), ("peter", 71L), ("vadas", 55L)))
+    // scalar functions + coalesce over a missing property
+    val f = run("MATCH (s:software) RETURN toUpper(s.name) AS nm, " +
+      "size(s.name) AS len, coalesce(s.age, 0) AS a ORDER BY nm ASC")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(f === Seq(("LOP", 3L, 0L), ("RIPPLE", 6L, 0L)))
+    // aggregate over an expression + an EXPRESSION group key
+    val m = run("MATCH (p:person) RETURN p.age % 2 AS parity, " +
+      "sum(p.age * 2) AS s, count(*) AS n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(m === Set((1L, 182L, 3L), (0L, 64L, 1L)))
+    // expression through a WITH stage, then reused by alias
+    val w = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH p, count(*) * 10 AS score WHERE score >= 10 " +
+      "RETURN p.name AS who, score + 1 AS s1 ORDER BY who ASC")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(w === Seq(("josh", 21L), ("marko", 11L), ("peter", 11L)))
+    // unary minus and division (always floating)
+    val u = run("MATCH (p:person) WHERE p.name = 'marko' " +
+      "RETURN -p.age AS neg, p.age / 2 AS half")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).head
+    assert(u === ((-29L, 14.5)))
+    // loud errors: expression without AS, unknown function
+    intercept[Exception](run("MATCH (p:person) RETURN p.age + 1"))
+    intercept[Exception](run("MATCH (p:person) RETURN frob(p.age) AS x"))
+  }
+
+  test("UNWIND: leading literal list and post-WITH collected-list explode") {
+    // parameter fan-out: literal list cross-joined small, WHERE equality cuts
+    val rows = run("UNWIND ['marko', 'josh', 'nobody'] AS nm " +
+      "MATCH (p:person)-[:created]->(s:software) WHERE p.name = nm " +
+      "RETURN nm, count(*) AS n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows === Set(("marko", 1L), ("josh", 2L)))
+    // pure literal unwind, no MATCH at all
+    val pure = run("UNWIND [3, 1, 2] AS x RETURN x ORDER BY x ASC")
+      .collect().map(_.getLong(0)).toSeq
+    assert(pure === Seq(1L, 2L, 3L))
+    // post-WITH: collect() then explode, WHERE filters post-unwind rows
+    val ex = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH p, collect(s.name) AS sw UNWIND sw AS one " +
+      "WHERE one STARTS WITH 'l' RETURN p.name AS who, one")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ex === Set(("marko", "lop"), ("josh", "lop"), ("peter", "lop")))
+    // loud: literal UNWIND not leading; post-WITH UNWIND of a non-alias
+    intercept[Exception](run("MATCH (p:person) UNWIND [1] AS x RETURN x"))
+    intercept[Exception](run("MATCH (p:person) WITH p UNWIND [1, 2] AS x RETURN x"))
+  }
+
   test("variable-length rejects unbounded and over-cap windows loudly") {
     intercept[Exception](
       run("MATCH (a)-[:knows*]->(b) RETURN a.name")) // bare * unbounded
