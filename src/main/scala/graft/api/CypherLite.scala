@@ -97,8 +97,9 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
 object CypherLite {
 
   private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
+  // label optional: `-[]->`, `-[r]->`, `-[*1..2]-` match every edge label
   private val relRe =
-    """(<?)-\[\s*(\w+)?\s*:\s*(\w+)\s*(\*\s*(\d+)?\s*(?:\.\.\s*(\d+)?)?)?\s*\]-(>?)""".r
+    """(<?)-\[\s*(\w+)?\s*(?::\s*(\w+))?\s*(\*\s*(\d+)?\s*(?:\.\.\s*(\d+)?)?)?\s*\]-(>?)""".r
   // the WITH alternative must NOT match the second word of the STARTS
   // WITH / ENDS WITH string operators (input is whitespace-normalized to
   // single spaces before clause splitting, so the lookbehinds are fixed)
@@ -117,6 +118,7 @@ object CypherLite {
   }
 
   private[api] final case class NodePat(v: String, label: Option[String])
+  /** `label` empty = unlabeled (`-[]->` / `-[*1..2]-`): every edge label. */
   private[api] final case class RelPat(label: String, forward: Boolean,
                                        undirected: Boolean = false,
                                        minHops: Int = 1, maxHops: Int = 1,
@@ -124,7 +126,11 @@ object CypherLite {
     def singleHop: Boolean = minHops == 1 && maxHops == 1
   }
   private[api] final case class MatchClause(nodes: List[NodePat], rels: List[RelPat],
-                                            optional: Boolean)
+                                            optional: Boolean,
+                                            /** `p = shortestPath(…)` — the
+                                              * path variable; `length(p)`
+                                              * reads the hop count */
+                                            pathVar: Option[String] = None)
 
   // ---- WHERE boolean-expression grammar ----------------------------------
   private[api] sealed trait BoolExpr
@@ -358,7 +364,7 @@ object CypherLite {
     val numRe = """^\d+(?:\.\d+)?(?:[eE][-+]?\d+)?""".r
     val strRe = """^'([^']*)'""".r
     val aggFunRe = """^(?i)(count|sum|avg|min|max)\s*\(""".r
-    val funRe = """^(?i)(toUpper|toLower|abs|round|coalesce|size)\s*\(""".r
+    val funRe = """^(?i)(toUpper|toLower|abs|round|coalesce|size|length)\s*\(""".r
     val refRe = """^(\w+)(?:\.(\w+))?""".r
     def addE(): ValExpr = {
       var l = mulE()
@@ -447,6 +453,11 @@ object CypherLite {
       case FunV("round", List(a)) => round(compileVal(a, colOf), 0)
       // openCypher size() on a string → its length, as a long
       case FunV("size", List(a)) => length(compileVal(a, colOf)).cast("long")
+      // length(p) on a shortestPath variable: the hop count rides the
+      // frontier as `<p>___len` (never attachable from the vertex table)
+      case FunV("length", List(RefV(v, ""))) => col(s"${v}___len")
+      case FunV("length", _) =>
+        sys.error("length() takes a shortestPath() path variable")
       case FunV("coalesce", as) if as.nonEmpty =>
         coalesce(as.map(compileVal(_, colOf)): _*)
       case FunV(f, as) => sys.error(s"unsupported function: $f/${as.length} args")
@@ -462,6 +473,8 @@ object CypherLite {
   private def valRefs(e: ValExpr): List[(String, String)] = e match {
     case RefV(v, p) => List((v, p))
     case BinV(_, l, r) => valRefs(l) ++ valRefs(r)
+    // length(p) reads the frontier-riding hop column, never a vertex prop
+    case FunV("length", _) => Nil
     case FunV(_, as) => as.flatMap(valRefs)
     case AggV(_, a) => a.toList.flatMap(valRefs)
     case _ => Nil
@@ -536,7 +549,8 @@ object CypherLite {
         s"bad hop range *$minH..$maxH in ${m.matched}")
       require(maxH <= 16,
         s"variable-length max $maxH exceeds the 16-hop expansion cap")
-      RelPat(m.group(3), forward = fwd, undirected = !back && !fwd,
+      RelPat(Option(m.group(3)).getOrElse(""), forward = fwd,
+        undirected = !back && !fwd,
         minHops = minH, maxHops = maxH,
         variable = Option(m.group(2)).map(checkVar))
     }.toList
@@ -636,10 +650,36 @@ object CypherLite {
     var skip: Option[Int] = None
     var limit: Option[Int] = None
 
+    // `MATCH p = shortestPath((a)-[:l*..k]-(b))`: one relationship segment,
+    // explicit max (bounded engine), min 0/1, no rel variable — lowered
+    // onto the layered first-seen BFS (pair semantics, min hop count)
+    val spRe = """(?i)^(\w+)\s*=\s*shortestPath\s*\((.+)\)\s*$""".r
+    def parseMatch(body: String): MatchClause = body.trim match {
+      case spRe(pv, inner) =>
+        val mc = parsePattern(inner, optional = false)
+        require(mc.nodes.length == 2 && mc.rels.length == 1,
+          s"shortestPath() takes exactly one relationship segment: $inner")
+        val r = mc.rels.head
+        require(r.minHops <= 1,
+          s"shortestPath() min hops must be 0 or 1, got *${r.minHops}..")
+        require(!r.singleHop,
+          "shortestPath() needs a variable-length relationship (e.g. *..4)")
+        require(r.variable.isEmpty,
+          "a relationship variable inside shortestPath() is unsupported")
+        require(mc.nodes.head.v != mc.nodes(1).v,
+          "shortestPath() endpoints must be distinct variables")
+        mc.copy(pathVar = Some(checkVar(pv)))
+      case b => parsePattern(b, optional = false)
+    }
     clauses.foreach {
       case ("MATCH", body) =>
-        if (withStage.isEmpty) matches :+= parsePattern(body, optional = false)
-        else matches2 :+= parsePattern(body, optional = false)
+        if (withStage.isEmpty) matches :+= parseMatch(body)
+        else {
+          val mc = parseMatch(body)
+          require(mc.pathVar.isEmpty,
+            "shortestPath() after WITH is unsupported — move it before WITH")
+          matches2 :+= mc
+        }
       case ("OPTIONAL MATCH", body) =>
         if (withStage.isEmpty) matches :+= parsePattern(body, optional = true)
         else matches2 :+= parsePattern(body, optional = true)
@@ -743,7 +783,7 @@ object CypherLite {
       val dir =
         if (rel.undirected) Direction.BOTH
         else if (rel.forward) Direction.OUT else Direction.IN
-      val e0 = EdgeStep(dir, Seq(rel.label)).edgesFor(g)
+      val e0 = EdgeStep(dir, Seq(rel.label).filter(_.nonEmpty)).edgesFor(g)
       // ALL-hop edge-property pushdown: the filter lands on the edge SCAN,
       // so a var-length expansion never walks a non-qualifying edge
       val e1 = rel.variable.flatMap(relFilters.get).fold(e0)(f => e0.filter(f))
@@ -825,6 +865,57 @@ object CypherLite {
     out.reduce(_ unionByName _).distinct()
   }
 
+  /** `shortestPath()` lowering: per-source layered BFS with FIRST-SEEN
+    * dedup — every emitted (start, reached) pair carries its MINIMUM hop
+    * count (pair semantics, the contract [[expandVarLength]] uses, plus
+    * the layer tag). Sources are optionally pre-filtered by equality
+    * conjuncts pushed from WHERE (the fan-out killer for the common
+    * `WHERE a.name = …` form); each round cuts lineage
+    * (`localCheckpoint`) and the loop stops early once no pair is new.
+    * Bounded by the parsed max (≤ 16). */
+  private def shortestChain(g: PropertyGraph, mc: MatchClause,
+                            srcFilter: Option[Column]): DataFrame = {
+    val pv = mc.pathVar.get
+    val n0 = mc.nodes.head
+    val n1 = mc.nodes(1)
+    val rel = mc.rels.head
+    val dir = if (rel.undirected) Direction.BOTH
+              else if (rel.forward) Direction.OUT else Direction.IN
+    val e = EdgeStep(dir, Seq(rel.label).filter(_.nonEmpty)).edgesFor(g)
+      .select(col("src"), col("dst"))
+    val base0 = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
+    val base = srcFilter.fold(base0)(f => base0.filter(f))
+    val srcs = base.select(col("id").as("__a")).distinct()
+    def emit(df: DataFrame): DataFrame =
+      n1.label.fold(df)(l => df.join(g.verticesOf(l).select(col("id")),
+        df("__x") === col("id"), "left_semi"))
+    var frontier = srcs.select(col("__a"), col("__a").as("__x"))
+      .localCheckpoint(true)
+    var seen = frontier
+    var out = List.empty[DataFrame]
+    if (rel.minHops == 0)
+      out ::= emit(frontier).withColumn("__len", lit(0L))
+    var h = 1
+    var drained = false
+    while (h <= rel.maxHops && !drained) {
+      val stepped = frontier.join(e, frontier("__x") === e("src"))
+        .select(col("__a"), col("dst").as("__x")).distinct()
+      val fresh = stepped.join(seen, Seq("__a", "__x"), "left_anti")
+        .localCheckpoint(true)
+      if (fresh.isEmpty) drained = true
+      else {
+        seen = seen.unionByName(fresh)
+        out ::= emit(fresh).withColumn("__len", lit(h.toLong))
+        frontier = fresh
+      }
+      h += 1
+    }
+    val pairs = out.reduceOption(_ unionByName _)
+      .getOrElse(frontier.withColumn("__len", lit(0L)).limit(0))
+    pairs.select(col("__a").as(n0.v), col("__x").as(n1.v),
+      col("__len").as(s"${pv}___len"))
+  }
+
   /** Disconnected patterns are a cartesian product (Cypher semantics) —
     * guard it: at scale an unintended unshared MATCH is a run-away
     * product, and real Cypher engines warn. Counting both frontiers costs
@@ -862,6 +953,13 @@ object CypherLite {
     val nodeVars = (q.matches ++ q.matches2).flatMap(_.nodes.map(_.v)).toSet
     relVarOcc.find(nodeVars).foreach(v =>
       sys.error(s"variable '$v' is bound to both a node and a relationship"))
+    val pathVars = q.matches.flatMap(_.pathVar).toSet
+    pathVars.intersect(nodeVars).foreach(v =>
+      sys.error(s"variable '$v' is bound to both a path and a node"))
+    (q.rets ++ q.withStage.map(_.items).getOrElse(Nil))
+      .flatMap(retRefs).filter(r => pathVars(r._1)).foreach { case (v, _) =>
+        sys.error(s"'$v' is a path variable — only length($v) is projectable")
+      }
     val relVars: Map[String, RelPat] =
       q.matches.flatMap(_.rels).flatMap(r => r.variable.map(_ -> r)).toMap
     val varLenVars = relVars.collect { case (v, r) if !r.singleHop => v }.toSet
@@ -950,15 +1048,29 @@ object CypherLite {
     // parameter fan-out idiom); every MATCH then joins onto it — shared
     // variables directly, otherwise through the guarded (broadcast-small)
     // cross with WHERE equality cutting the product
+    // shortestPath clauses: push top-level WHERE equality conjuncts on the
+    // START variable into the BFS source set (the fan-out killer); the
+    // conjunct also stays in the residual filter (idempotent)
+    def srcPushFor(mc: MatchClause): Option[Column] = {
+      val v0 = mc.nodes.head.v
+      residual.toList.flatMap(conjuncts).collect {
+        case Cmp(`v0`, p, "=", value)
+          if p.nonEmpty && !value.isInstanceOf[PropRef] => col(p) === lit(value)
+      }.reduceOption(_ && _)
+    }
+    def chainOf(mc: MatchClause): DataFrame =
+      if (mc.pathVar.isDefined) shortestChain(g, mc, srcPushFor(mc))
+      else evalChain(g, mc, edgePropNeeds, relFilters)
+
     var frontier = q.unwind match {
       case Some((vals, v)) =>
         g.vertices.sparkSession.range(1)
           .select(explode(array(vals.map(lit): _*)).as(v))
-      case None => evalChain(g, q.matches.head, edgePropNeeds, relFilters)
+      case None => chainOf(q.matches.head)
     }
     val laterMatches = if (q.unwind.isDefined) q.matches else q.matches.tail
     laterMatches.foreach { mc =>
-      val df = evalChain(g, mc, edgePropNeeds, relFilters)
+      val df = chainOf(mc)
       val shared = frontier.columns.intersect(df.columns).toSeq
       frontier =
         if (mc.optional) {

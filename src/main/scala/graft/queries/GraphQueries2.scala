@@ -1166,6 +1166,30 @@ object GraphQueries2 {
           "max(n_orders) AS max_orders")
     },
 
+    q("q_cypher_shortestpath",
+      // MATCH p = shortestPath((c)-[*..3]-(s:supplier)): layered
+      // first-seen BFS over the UNLABELED BOTH view, min hop count per
+      // reached supplier, WHERE equality pushed into the source set —
+      // len 2 = same-nation suppliers (c-n-s), len 3 = co-trade suppliers
+      // (c-o-p-s); oracle = the recursive-CTE BFS with min(d)
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |adj AS ($bothEdgesSql),
+         |bfs(x, d) AS (
+         |  SELECT 'customer:1', 0
+         |  UNION
+         |  SELECT a.dst, b.d + 1 FROM bfs b JOIN adj a ON a.src = b.x
+         |  WHERE b.d < 3),
+         |md AS (SELECT x, min(d) AS len FROM bfs GROUP BY 1),
+         |hits AS (SELECT len FROM md
+         |  JOIN supplier s ON md.x = 'supplier:' || CAST(s_suppkey AS VARCHAR))
+         |SELECT CAST(len AS BIGINT) AS len, CAST(count(*) AS BIGINT) AS n_sup
+         |FROM hits GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH p = shortestPath((c:customer)-[*..3]-(s:supplier)) " +
+          "WHERE c.name = 'Customer#000000001' " +
+          "RETURN length(p) AS len, count(*) AS n_sup")
+    },
+
     q("q_cypher_unwind",
       // leading UNWIND (parameter fan-out): the literal list seeds the
       // frontier, MATCH joins via the guarded broadcast cross, WHERE

@@ -497,6 +497,37 @@ class CypherLiteSpec extends SparkSpec {
     intercept[Exception](run("MATCH (p:person) WITH p UNWIND [1, 2] AS x RETURN x"))
   }
 
+  test("shortestPath(): min-hop pairs, unlabeled rels, length(p)") {
+    // undirected unlabeled BFS from one source (WHERE equality pushed into
+    // the source set): lop at 1 hop, ripple at 2 (through josh)
+    val sp = run("MATCH p = shortestPath((a:person)-[*..3]-(s:software)) " +
+      "WHERE a.name = 'marko' RETURN s.name AS sw, length(p) AS len")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sp === Set(("lop", 1L), ("ripple", 2L)))
+    // directed + labeled, all sources
+    val kn = run("MATCH p = shortestPath((a:person)-[:knows*..2]->(b:person)) " +
+      "RETURN a.name AS who, b.name AS other, length(p) AS len")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(kn === Set(("marko", "vadas", 1L), ("marko", "josh", 1L)))
+    // *0.. includes the identity pair at length 0
+    val z = run("MATCH p = shortestPath((a:person)-[:knows*0..2]->(b:person)) " +
+      "WHERE a.name = 'vadas' RETURN b.name AS other, length(p) AS len")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(z === Set(("vadas", 0L)))
+    // unlabeled single-hop rel in a plain pattern
+    val un = run("MATCH (a:person)-[]->(x) WHERE a.name = 'marko' " +
+      "RETURN x.name AS n").collect().map(_.getString(0)).toSet
+    assert(un === Set("vadas", "josh", "lop"))
+    // loud errors: single-hop shortestPath, bare path projection,
+    // length() of a non-path
+    intercept[Exception](run(
+      "MATCH p = shortestPath((a)-[:knows]->(b)) RETURN length(p) AS l"))
+    intercept[Exception](run(
+      "MATCH p = shortestPath((a)-[:knows*..2]->(b)) RETURN p"))
+    intercept[Exception](run(
+      "MATCH (a:person) RETURN length(a.name) AS l"))
+  }
+
   test("variable-length rejects unbounded and over-cap windows loudly") {
     intercept[Exception](
       run("MATCH (a)-[:knows*]->(b) RETURN a.name")) // bare * unbounded
