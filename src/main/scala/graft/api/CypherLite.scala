@@ -51,6 +51,14 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * accepts RETURN aliases or `var.prop` references; SKIP/LIMIT follow
   * Cypher order (skip first).
   *
+  * WHERE comparisons beyond `ref op literal` take full value expressions
+  * on BOTH sides (`p.age % 2 = 0`, `(p.price + 1) * 2 > 64`,
+  * `size(c.name) >= 5`, `a.age + 3 = b.age`) — the simple form stays the
+  * scan-pushable [[Cmp]]; expression comparisons compile as residual
+  * Catalyst filters. Generic `CASE WHEN cond THEN val … [ELSE val] END`
+  * expressions nest anywhere a value expression does (conditions reuse
+  * the WHERE grammar; the simple `CASE <expr>` form is rejected).
+  *
   * RETURN/WITH items may also be full VALUE EXPRESSIONS with a REQUIRED
   * `AS` alias: property refs, aliases, literals, `+ - * / %` (with
   * precedence and parens; `/` is always floating), the scalar functions
@@ -144,6 +152,12 @@ object CypherLite {
     * is a String/Double literal or a [[PropRef]]. */
   private[api] final case class Cmp(v: String, prop: String, op: String,
                                     value: Any) extends BoolExpr
+  /** An EXPRESSION comparison — `p.age % 2 = 0`,
+    * `(p.price * (1 - l.discount)) > 100`, `size(c.name) >= 5` — both
+    * sides full value expressions. Simple `ref op literal` comparisons
+    * stay [[Cmp]] (the scan-pushdown form); this is the general fallback. */
+  private[api] final case class CmpE(l: ValExpr, op: String,
+                                     r: ValExpr) extends BoolExpr
   private[api] final case class AndE(l: BoolExpr, r: BoolExpr) extends BoolExpr
   private[api] final case class OrE(l: BoolExpr, r: BoolExpr) extends BoolExpr
   private[api] final case class NotE(e: BoolExpr) extends BoolExpr
@@ -163,7 +177,58 @@ object CypherLite {
   private case object OrT extends Tok
   private case object NotT extends Tok
   private final case class CmpT(c: Cmp) extends Tok
+  private final case class CmpET(c: CmpE) extends Tok
   private final case class PatTk(mc: MatchClause) extends Tok
+
+  private def isWordCh(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** The extent of one comparison operand group: up to the first TOP-LEVEL
+    * `AND`/`OR` keyword or unmatched `)` (quote/paren aware). */
+  private def boundarySegment(sIn: String): String = {
+    var i = 0; var depth = 0; var inQ = false
+    while (i < sIn.length) {
+      val c = sIn(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => if (depth == 0) return sIn.substring(0, i) else depth -= 1
+        case _ =>
+          if (depth == 0 && (i == 0 || !isWordCh(sIn(i - 1)))) {
+            val up = sIn.substring(i).toUpperCase
+            List("AND", "OR").foreach { kw =>
+              if (up.startsWith(kw) &&
+                  (up.length == kw.length || !isWordCh(up(kw.length))))
+                return sIn.substring(0, i)
+            }
+          }
+      }
+      i += 1
+    }
+    sIn
+  }
+
+  /** First TOP-LEVEL comparator in a segment: (start, end, op). */
+  private def topCmp(seg: String): Option[(Int, Int, String)] = {
+    var i = 0; var depth = 0; var inQ = false
+    while (i < seg.length) {
+      val c = seg(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ if depth == 0 =>
+          val two = if (i + 1 < seg.length) seg.substring(i, i + 2) else ""
+          if (two == "<>" || two == ">=" || two == "<=") return Some((i, i + 2, two))
+          else if (c == '=' || c == '>' || c == '<')
+            return Some((i, i + 1, c.toString))
+          else i += 1
+        case _ => i += 1
+      }
+    }
+    None
+  }
 
   /** A full linear pattern chain usable as a WHERE pattern predicate —
     * `(a)-[:l]->(b)`, `NOT (a)<-[:l]-()`, `(a)-[:l*1..2]-(:label)` — at
@@ -212,15 +277,31 @@ object CypherLite {
         out += PatTk(mc)
         rest = rest.substring(m.end).trim
       }
-      else if (rest.startsWith("(")) { out += LP; rest = rest.substring(1).trim }
+      else if (wordRe.findFirstMatchIn(rest).isDefined) {
+        val m = wordRe.findFirstMatchIn(rest).get
+        out += (m.group(1).toUpperCase match {
+          case "AND" => AndT; case "OR" => OrT; case "NOT" => NotT
+        })
+        rest = rest.substring(m.end).trim
+      }
+      else {
+        // an EXPRESSION comparison claims the whole operand segment when
+        // the simple ref-vs-literal forms don't cover it (a boolean
+        // grouping paren has no top-level comparator in its segment and
+        // falls through to LP)
+        val seg = boundarySegment(rest)
+        val simpleFull = List(nullRe, strRe, cmpRe)
+          .flatMap(_.findFirstMatchIn(seg)).exists(_.end >= seg.trim.length)
+        val exprCmp = if (simpleFull) None else topCmp(seg)
+        exprCmp match {
+          case Some((st, en, op)) =>
+            out += CmpET(CmpE(parseValExpr(seg.substring(0, st)), op,
+              parseValExpr(seg.substring(en))))
+            rest = rest.substring(seg.length).trim
+          case None =>
+      if (rest.startsWith("(")) { out += LP; rest = rest.substring(1).trim }
       else if (rest.startsWith(")")) { out += RP; rest = rest.substring(1).trim }
-      else wordRe.findFirstMatchIn(rest) match {
-        case Some(m) =>
-          out += (m.group(1).toUpperCase match {
-            case "AND" => AndT; case "OR" => OrT; case "NOT" => NotT
-          })
-          rest = rest.substring(m.end).trim
-        case None => (nullRe.findFirstMatchIn(rest), strRe.findFirstMatchIn(rest),
+      else (nullRe.findFirstMatchIn(rest), strRe.findFirstMatchIn(rest),
                       cmpRe.findFirstMatchIn(rest)) match {
           case (Some(m), _, _) =>
             val (v, p) = lhs(m.group(1), m.group(2))
@@ -246,6 +327,7 @@ object CypherLite {
             out += CmpT(Cmp(v, p, m.group(3), value))
             rest = rest.substring(m.end).trim
           case _ => sys.error(s"cannot parse WHERE at: '$rest'")
+        }
         }
       }
     }
@@ -274,6 +356,7 @@ object CypherLite {
         next(); val e = orE()
         require(peek.contains(RP), "expected ')' in WHERE"); next(); e
       case Some(CmpT(c)) => next(); c
+      case Some(CmpET(c)) => next(); c
       case Some(PatTk(mc)) => next(); PatE(mc)
       case t => sys.error(s"unexpected token in WHERE: $t")
     }
@@ -309,6 +392,17 @@ object CypherLite {
     e match {
       case Cmp(v, p, op, value) =>
         cmpColumn(colOf(v, p), op, value, pr => colOf(pr.v, pr.prop))
+      case CmpE(l, op, r) =>
+        val lc = compileVal(l, colOf)
+        val rc = compileVal(r, colOf)
+        op match {
+          case "=" => lc === rc
+          case "<>" => lc =!= rc
+          case ">" => lc > rc
+          case ">=" => lc >= rc
+          case "<" => lc < rc
+          case "<=" => lc <= rc
+        }
       case AndE(l, r) => compileExpr(l, colOf) && compileExpr(r, colOf)
       case OrE(l, r) => compileExpr(l, colOf) || compileExpr(r, colOf)
       case NotE(x) => !compileExpr(x, colOf)
@@ -324,6 +418,7 @@ object CypherLite {
       case PropRef(rv, rp) => List((rv, rp))
       case _ => Nil
     })
+    case CmpE(l, _, r) => valRefs(l) ++ valRefs(r)
     case AndE(l, r) => refs(l) ++ refs(r)
     case OrE(l, r) => refs(l) ++ refs(r)
     case NotE(x) => refs(x)
@@ -350,11 +445,16 @@ object CypherLite {
     * `sum(l.price) / count(*)`. The whole expression then compiles to one
     * Spark aggregate expression (post-aggregation arithmetic included). */
   private[api] final case class AggV(fn: String, arg: Option[ValExpr]) extends ValExpr
+  /** Generic `CASE WHEN cond THEN val … [ELSE val] END` — conditions reuse
+    * the WHERE boolean grammar; values nest arbitrarily (including CASE). */
+  private[api] final case class CaseV(branches: List[(BoolExpr, ValExpr)],
+                                      els: Option[ValExpr]) extends ValExpr
 
   private def hasAgg(e: ValExpr): Boolean = e match {
     case AggV(_, _) => true
     case BinV(_, l, r) => hasAgg(l) || hasAgg(r)
     case FunV(_, as) => as.exists(hasAgg)
+    case CaseV(bs, els) => bs.exists(b => hasAgg(b._2)) || els.exists(hasAgg)
     case _ => false
   }
 
@@ -383,8 +483,58 @@ object CypherLite {
     def unary(): ValExpr =
       if (rest.startsWith("-")) { eat(1); BinV("-", LitV(0L), unary()) }
       else atom()
+    def isWord(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    def keyword(w: String): Boolean =
+      rest.length >= w.length &&
+        rest.substring(0, w.length).equalsIgnoreCase(w) &&
+        (rest.length == w.length || !isWord(rest(w.length)))
+    def eatKw(w: String): Unit = {
+      require(keyword(w), s"expected $w in CASE (in '$s')")
+      rest = rest.substring(w.length).trim
+    }
+    // the WHEN condition's extent: up to the first top-level THEN (a
+    // BoolExpr cannot itself contain CASE, so paren/quote depth suffices)
+    def scanCond(): String = {
+      var i = 0; var depth = 0; var inQ = false
+      while (i < rest.length) {
+        val c = rest(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && (i == 0 || !isWord(rest(i - 1))) &&
+                rest.length >= i + 4 &&
+                rest.substring(i, i + 4).equalsIgnoreCase("THEN") &&
+                (rest.length == i + 4 || !isWord(rest(i + 4)))) {
+              val cond = rest.substring(0, i).trim
+              rest = rest.substring(i).trim
+              return cond
+            }
+        }
+        i += 1
+      }
+      sys.error(s"CASE WHEN without THEN (in '$s')")
+    }
+    def caseE(): ValExpr = {
+      eatKw("CASE")
+      require(keyword("WHEN"),
+        s"only the generic CASE WHEN form is supported (in '$s')")
+      val branches = List.newBuilder[(BoolExpr, ValExpr)]
+      while (keyword("WHEN")) {
+        eatKw("WHEN")
+        val cond = parseWhere(scanCond())
+        eatKw("THEN")
+        branches += ((cond, addE()))
+      }
+      val els = if (keyword("ELSE")) { eatKw("ELSE"); Some(addE()) } else None
+      eatKw("END")
+      CaseV(branches.result(), els)
+    }
     def atom(): ValExpr = {
-      if (rest.startsWith("(")) {
+      if (keyword("CASE")) caseE()
+      else if (rest.startsWith("(")) {
         eat(1); val e = addE()
         require(rest.startsWith(")"), s"expected ')' in expression '$s'")
         eat(1); e
@@ -468,6 +618,11 @@ object CypherLite {
       case AggV("min", Some(a)) => min(compileVal(a, colOf))
       case AggV("max", Some(a)) => max(compileVal(a, colOf))
       case AggV(f, _) => sys.error(s"unsupported aggregate: $f")
+      case CaseV(bs, els) =>
+        val w = bs.tail.foldLeft(
+          when(compileExpr(bs.head._1, colOf), compileVal(bs.head._2, colOf)))(
+          (acc, b) => acc.when(compileExpr(b._1, colOf), compileVal(b._2, colOf)))
+        els.fold(w)(e => w.otherwise(compileVal(e, colOf)))
     }
 
   private def valRefs(e: ValExpr): List[(String, String)] = e match {
@@ -477,6 +632,8 @@ object CypherLite {
     case FunV("length", _) => Nil
     case FunV(_, as) => as.flatMap(valRefs)
     case AggV(_, a) => a.toList.flatMap(valRefs)
+    case CaseV(bs, els) =>
+      bs.flatMap(b => refs(b._1) ++ valRefs(b._2)) ++ els.toList.flatMap(valRefs)
     case _ => Nil
   }
 

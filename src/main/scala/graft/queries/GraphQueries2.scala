@@ -1219,6 +1219,35 @@ object GraphQueries2 {
           "RETURN c.name AS cust, count(*) AS n_big")
     },
 
+    q("q_cypher_where_expr",
+      // WHERE expression comparisons: arithmetic over an edge prop on the
+      // lhs, modulo on a node prop — the general CmpE fallback beyond the
+      // pushable ref-vs-literal form
+      """SELECT p.p_name AS pname, l.l_quantity AS qty,
+        |       CAST(l.l_linenumber AS INT) AS ln
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity * (10 - l.l_linenumber) > 300
+        |  AND p.p_size % 5 = 0""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (o:order)-[r:contains]->(p:part) " +
+          "WHERE r.quantity * (10 - r.linenumber) > 300 AND p.size % 5 = 0 " +
+          "RETURN p.name AS pname, r.quantity AS qty, r.linenumber AS ln")
+    },
+
+    q("q_cypher_case",
+      // generic CASE WHEN bucketing under implicit grouping — conditions
+      // reuse the WHERE boolean grammar, branches evaluate in order
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer) RETURN " +
+          "CASE WHEN c.acctbal < 0 THEN 'neg' WHEN c.acctbal < 5000 " +
+          "THEN 'mid' ELSE 'high' END AS bucket, count(*) AS n")
+    },
+
     q("q_cypher_expr_scalar",
       // RETURN value expressions: scalar functions (toUpper, size) and
       // arithmetic over properties — per-row, no aggregation

@@ -528,6 +528,53 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:person) RETURN length(a.name) AS l"))
   }
 
+  test("WHERE expression comparisons: arithmetic, parens, functions") {
+    val e = run("MATCH (p:person) WHERE p.age % 2 = 1 " +
+      "RETURN p.name AS who ORDER BY who ASC")
+      .collect().map(_.getString(0)).toSeq
+    assert(e === Seq("marko", "peter", "vadas")) // 29, 35, 27 odd
+    val f = run("MATCH (p:person) WHERE (p.age + 1) * 2 > 64 " +
+      "RETURN p.name AS who").collect().map(_.getString(0)).toSet
+    assert(f === Set("josh", "peter"))
+    val s = run("MATCH (p:person) WHERE size(p.name) = 5 AND p.age < 30 " +
+      "RETURN p.name AS who").collect().map(_.getString(0)).toSet
+    assert(s === Set("marko", "vadas"))
+    // expression-to-expression across variables
+    val h = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WHERE a.age + 3 = b.age RETURN b.name AS who")
+      .collect().map(_.getString(0)).toSet
+    assert(h === Set("josh")) // 29 + 3 = 32
+    // boolean grouping parens still group (no comparator at top level)
+    val p = run("MATCH (p:person) WHERE (p.age > 30 OR p.age < 28) " +
+      "AND p.name <> 'peter' RETURN p.name AS who")
+      .collect().map(_.getString(0)).toSet
+    assert(p === Set("vadas", "josh"))
+  }
+
+  test("CASE expressions: multi-branch, missing ELSE, inside aggregates") {
+    val b = run("MATCH (p:person) RETURN CASE WHEN p.age > 30 THEN 'old' " +
+      "ELSE 'young' END AS bucket, count(*) AS n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(b === Set(("old", 2L), ("young", 2L)))
+    // no ELSE → null for non-matching rows
+    val v = run("MATCH (p:person) WHERE p.name = 'vadas' " +
+      "RETURN CASE WHEN p.age >= 30 THEN 1 END AS x").collect().head
+    assert(v.isNullAt(0))
+    // boolean-grammar condition (OR) + CASE nested inside an aggregate
+    val n = run("MATCH (p:person) RETURN " +
+      "sum(CASE WHEN p.age < 30 OR p.age > 34 THEN 1 ELSE 0 END) AS n")
+      .head().getLong(0)
+    assert(n === 3L) // 29, 27, 35
+    // multi-branch with arithmetic values
+    val m = run("MATCH (p:person) RETURN p.name AS who, " +
+      "CASE WHEN p.age % 2 = 0 THEN p.age * 10 ELSE p.age END AS v " +
+      "ORDER BY who ASC").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(m === Seq(("josh", 320L), ("marko", 29L), ("peter", 35L), ("vadas", 27L)))
+    // the simple CASE <expr> form is rejected loudly
+    intercept[Exception](run(
+      "MATCH (p:person) RETURN CASE p.age WHEN 29 THEN 'x' END AS y"))
+  }
+
   test("variable-length rejects unbounded and over-cap windows loudly") {
     intercept[Exception](
       run("MATCH (a)-[:knows*]->(b) RETURN a.name")) // bare * unbounded
