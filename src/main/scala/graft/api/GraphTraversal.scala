@@ -348,6 +348,20 @@ final case class GraphTraversal(
     df.groupBy(col(key)).agg(F.count(lit(1)).as("n"))
   def group(key: String, valueKey: String): DataFrame =
     df.groupBy(col(key)).agg(sort_array(collect_list(col(valueKey))).as("values"))
+  /** `group().by(key).by(<agg>(prop))` — grouped SCALAR aggregation (the
+    * TinkerPop group step with an aggregating value traversal); `count`
+    * ignores `valueKey`. */
+  def groupAgg(key: String, agg: String, valueKey: String): DataFrame = {
+    val a = agg match {
+      case "count" => F.count(lit(1))
+      case "sum" => F.sum(col(valueKey))
+      case "mean" => F.avg(col(valueKey))
+      case "max" => F.max(col(valueKey))
+      case "min" => F.min(col(valueKey))
+      case other => sys.error(s"unsupported group value aggregate: $other")
+    }
+    df.groupBy(col(key)).agg(a.as("value"))
+  }
   def fold(): DataFrame = df.agg(sort_array(collect_list(col("id"))).as("ids"))
   def max(key: String): DataFrame = df.agg(F.max(col(key)).as("max"))
   def min(key: String): DataFrame = df.agg(F.min(col(key)).as("min"))

@@ -464,7 +464,37 @@ object GremlinLite {
         case ("path", Nil) => result = Some(t.path())
         case ("count", Nil) => result = Some(t.count())
         case ("groupCount", List(k)) => result = Some(t.groupCount(str(k)))
+        // modulator form: groupCount().by(key)
+        case ("groupCount", Nil) =>
+          require(i + 1 < n && steps(i + 1).name == "by" &&
+            steps(i + 1).args.length == 1, "groupCount() needs .by(key)")
+          result = Some(t.groupCount(str(steps(i + 1).args.head)))
+          i += 1
         case ("group", List(k, v)) => result = Some(t.group(str(k), str(v)))
+        // modulator form: group().by(key)[.by(prop | <agg>(prop) | count()
+        // | values(prop).fold() | values(prop).<agg>())] — no value by()
+        // collects the element ids
+        case ("group", Nil) =>
+          require(i + 1 < n && steps(i + 1).name == "by" &&
+            steps(i + 1).args.length == 1, "group() needs .by(key)")
+          val k = str(steps(i + 1).args.head)
+          i += 1
+          if (i + 1 < n && steps(i + 1).name == "by" &&
+              steps(i + 1).args.length == 1) {
+            i += 1
+            result = Some(steps(i).args.head match {
+              case SArg(p) => t.group(k, p)
+              case PArg("count", Nil) => t.groupAgg(k, "count", "id")
+              case PArg(agg @ ("sum" | "mean" | "max" | "min"), List(p)) =>
+                t.groupAgg(k, agg, str(p))
+              case CArg(List(PArg("values", List(p)), PArg("fold", Nil))) =>
+                t.group(k, str(p))
+              case CArg(List(PArg("values", List(p)),
+                             PArg(agg @ ("sum" | "mean" | "max" | "min"), Nil))) =>
+                t.groupAgg(k, agg, str(p))
+              case other => sys.error(s"unsupported group() value by(): $other")
+            })
+          } else result = Some(t.group(k, "id"))
         case ("fold", Nil) => result = Some(t.fold())
         case ("sum", List(k)) => result = Some(t.sum(str(k)))
         case ("max", List(k)) => result = Some(t.max(str(k)))

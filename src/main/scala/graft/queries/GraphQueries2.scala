@@ -1012,6 +1012,37 @@ object GraphQueries2 {
           ".times(2).id()")
     },
 
+    q("q_gremlin_group_agg",
+      // group().by(key).by(sum(prop)): grouped scalar aggregation via the
+      // TinkerPop modulator form (integral int sums — exact on both
+      // engines; Spark sum(int) = long, DuckDB HUGEINT → BIGINT)
+      """SELECT p_brand AS brand, CAST(sum(p_size) AS BIGINT) AS value
+        |FROM part GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('part').group().by('brand').by(sum('size'))")
+    },
+
+    q("q_gremlin_groupcount_by",
+      // groupCount().by(key): the modulator twin of groupCount(key)
+      """SELECT c_mktsegment AS mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('customer').groupCount().by('mktsegment')")
+    },
+
+    q("q_gremlin_group_fold",
+      // group().by(key) with no value by(): collect the element ids per
+      // key (sorted for determinism; serialized to csv — arrays don't
+      // survive the driver's pandas comparator)
+      """SELECT CAST(p_size AS INT) AS size,
+        |       array_to_string(list_sort(list('part:' || CAST(p_partkey AS VARCHAR))), ',') AS members
+        |FROM part WHERE p_size < 6
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('part').has('size', lt(6)).group().by('size')")
+        .select(col("size"), array_join(col("values"), ",").as("members"))
+    },
+
     q("q_gremlin_textp",
       // TinkerPop TextP predicates from script text: plain prefix/suffix/
       // substring (NOT the tokenized textContains) + the negated form

@@ -128,6 +128,33 @@ class GremlinLiteSpec extends SparkSpec {
       Set("person:vadas", "person:peter"))
   }
 
+  test("group()/groupCount() modulator by() forms") {
+    // groupCount().by(key)
+    val gc = run("g.V().hasLabel('person').groupCount().by('age')")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gc === Map(29 -> 1L, 27 -> 1L, 32 -> 1L, 35 -> 1L))
+    // group().by(key).by(agg(prop)) and the values(prop).agg() longhand
+    val s1 = run("g.V().hasLabel('person').group().by('label').by(sum('age'))")
+      .head().getLong(1)
+    assert(s1 === 123L)
+    val s2 = run("g.V().hasLabel('person').group().by('label')" +
+      ".by(values('age').sum())").head().getLong(1)
+    assert(s2 === 123L)
+    // count() value traversal
+    val c = run("g.V().group().by('label').by(count())")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c === Map("person" -> 4L, "software" -> 2L))
+    // no value by(): collect ids; values(prop).fold() longhand collects props
+    val ids0 = run("g.V().hasLabel('software').group().by('lang')")
+      .head().getSeq[String](1).toList
+    assert(ids0 === List("software:lop", "software:ripple"))
+    val names = run("g.V().hasLabel('software').group().by('lang')" +
+      ".by(values('name').fold())").head().getSeq[String](1).toList
+    assert(names === List("lop", "ripple"))
+    // loud: group() without by
+    intercept[Exception](run("g.V().group()"))
+  }
+
   test("bare emit() not before repeat() fails loudly") {
     val e = intercept[IllegalArgumentException] {
       run("g.V('person:marko').emit().out().id()")
