@@ -30,7 +30,15 @@ object Explain {
     "q_cypher_edgeprops" -> "r12: relationship variable carries edge props through the join; the r.quantity filter is a plain column predicate Catalyst pushes into the edge scan",
     "q_cypher_varlen_edgefilter" -> "r12: the var-length rel-var conjunct pre-filters the edge table BEFORE expansion (ALL-hop pushdown) — every layer walks only qualifying edges",
     "q_cypher_agg" -> "r12: openCypher implicit grouping lowers to one hash aggregate over the joined pattern; partial aggregation map-side",
-    "q_gremlin_select" -> "r12: as() bindings are rider columns on the traverser rows — select().by() is two broadcast-able property joins on the binding table, no window")
+    "q_gremlin_select" -> "r12: as() bindings are rider columns on the traverser rows — select().by() is two broadcast-able property joins on the binding table, no window",
+    "q_cypher_pattern_semi" -> "r12b: WHERE (c)-[:placed]->(:order) is a LeftSemi join — existence never multiplies rows; the mktsegment filter pushes to the vertex scan",
+    "q_cypher_pattern_anti" -> "r12b: NOT (c)-[:in_nation]->(n) anti-joins the 15k x 25 pair frame on BOTH endpoints; the small nation side broadcasts",
+    "q_cypher_pipeline" -> "r12b: MATCH after WITH = hash agg (HAVING) then a join back onto the carried bindings; the 25-row nation side broadcasts into the final re-aggregation",
+    "q_cypher_expr_agg" -> "r12b: aggregate-over-expression compiles into the SAME hash aggregate as a plain sum — the arithmetic rides the partial-agg projection, no extra pass",
+    "q_cypher_unwind" -> "r12b: a literal UNWIND seed is a 3-row local relation — the guarded cross broadcasts it; WHERE equality cuts the product before any wide join",
+    "q_cypher_shortestpath" -> "r12b: first-seen BFS — per-round localCheckpoint keeps the plan depth O(rounds); the WHERE c.name pushdown makes the source set 1 row, so every hop is a broadcast frontier join",
+    "q_gremlin_until" -> "r12b: repeat().until() splits each checkpointed round into exit/continue filters — one edge-scan join per round, frontier always the broadcast side",
+    "q_gremlin_group_agg" -> "r12b: group().by().by(sum) is one partial-agg hash aggregate over the vertex scan — the modulator form adds zero plan nodes vs groupCount")
 
   /** Measured numbers that a plan dump alone can't show; refreshed by hand
     * when the underlying experiment is re-run. */
