@@ -397,6 +397,20 @@ object Explain {
       |each MS-BFS depth scans the full 30× edge table to join the
       |bitmask frontier — the documented compute-linear component — yet
       |stays 3× under linear.
+      |
+      |## 30× frontend-BFS smoke (round 12 continuation —
+      |SPARK_GRAFT_SMOKE_ONLY=cyphersp,until ScaleSmoke 30)
+      |
+      |The two new frontend loop shapes, same 30-copy tier:
+      |
+      |    operator              1x       30x      ratio   notes
+      |    cypher_shortestpath   3.79 s   46.76 s  12.3x   un-suffixed name matches ONE customer PER COPY → the 30x run is a 30-source multi-wave (30x the BFS work too): 0.41/source-copy
+      |    gremlin_until         4.67 s   48.89 s  10.5x   same 3-source probe over 30x data — per-round cost = edge-scan-bound, the rings/ecc class (8-10x)
+      |
+      |Both sit in the documented scan-bound-per-round, sub-linear-per-
+      |work class of the path heavies above; neither loop re-shuffles the
+      |adjacency per round (PlanAudit loop-body sweep covers both via
+      |their registered queries).
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -228,6 +228,26 @@ object ScaleSmoke {
         Seq("nation:1" + suf, "nation:7" + suf),
         Traversals.adjacencyView(gN, Direction.BOTH), maxDepth = 4).count()))
 
+    // round-12 frontend BFS loops: Cypher shortestPath (first-seen layered
+    // BFS — the un-suffixed name matches ONE customer per copy, so the Nx
+    // tier is a multi-source wave over N disjoint copies) and Gremlin
+    // repeat().until() (predicate-exit rounds with per-round checkpoints)
+    if (wanted("cyphersp")) {
+      val q = "MATCH p = shortestPath((c:customer)-[*..3]-(s:supplier)) " +
+        "WHERE c.name = 'Customer#000000001' " +
+        "RETURN length(p) AS len, count(*) AS n_sup"
+      results("cypher_shortestpath") = (
+        time("cyphersp 1x")(graft.api.CypherLite.eval(g1, q).count()),
+        time(s"cyphersp ${copies}x")(graft.api.CypherLite.eval(gN, q).count()))
+    }
+    if (wanted("until")) {
+      def q(s: String) = s"g.V('customer:1$s','customer:2$s','customer:3$s')" +
+        ".repeat(out()).until(hasLabel('region')).groupCount('name')"
+      results("gremlin_until") = (
+        time("until 1x")(graft.api.GremlinLite.eval(g1, q("")).count()),
+        time(s"until ${copies}x")(graft.api.GremlinLite.eval(gN, q(suf)).count()))
+    }
+
     println(f"%n[scale] | operator | 1x | ${copies}x | ratio |")
     println(s"[scale] |---|---|---|---|")
     results.foreach { case (k, (a, b)) =>
