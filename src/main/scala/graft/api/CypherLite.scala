@@ -657,9 +657,14 @@ object CypherLite {
   private[api] final case class OrderKey(ref: String, asc: Boolean)
   /** One WITH pipeline stage: project/aggregate `items` (openCypher
     * implicit grouping), then filter `where` over the stage's output
-    * (Cypher's aggregate-then-filter / HAVING idiom). */
+    * (Cypher's aggregate-then-filter / HAVING idiom), then optionally
+    * order/paginate the stage output (`WITH … ORDER BY … LIMIT k` — the
+    * top-k-then-expand idiom; keys must be stage item aliases). */
   private[api] final case class WithStage(items: List[Ret], distinct: Boolean,
-                                          where: Option[BoolExpr])
+                                          where: Option[BoolExpr],
+                                          orderBy: List[OrderKey] = Nil,
+                                          skip: Option[Int] = None,
+                                          limit: Option[Int] = None)
   private[api] final case class Query(matches: List[MatchClause],
                                       where: Option[BoolExpr],
                                       /** leading `UNWIND [lits…] AS x` —
@@ -889,27 +894,35 @@ object CypherLite {
         val (dist, items) = parseItems(body)
         retDistinct = dist; rets = items
       case ("ORDER BY", body) =>
-        // ORDER BY/SKIP/LIMIT bind to the FINAL result here; accepting
-        // them inside a WITH stage (openCypher's WITH … ORDER BY … LIMIT)
-        // would silently reorder/paginate at the wrong point — reject
-        require(rets.nonEmpty,
-          "ORDER BY/SKIP/LIMIT must follow RETURN (WITH-stage ordering " +
-            "and pagination are unsupported)")
-        orderBy = body.split(",").toList.map(_.trim).map { k =>
+        // after RETURN: orders the final result. Directly after WITH
+        // (before any second pattern block): orders/paginates the STAGE
+        // output — openCypher's `WITH … ORDER BY … LIMIT k` top-k-then-
+        // expand idiom. Anywhere else: rejected.
+        val keys = body.split(",").toList.map(_.trim).map { k =>
           val m = """(\S+)(?:\s+(?i)(ASC|DESC))?""".r.findFirstMatchIn(k)
             .getOrElse(sys.error(s"bad order key: $k"))
           OrderKey(m.group(1), !Option(m.group(2)).exists(_.equalsIgnoreCase("DESC")))
         }
+        if (rets.nonEmpty) orderBy = keys
+        else withStage match {
+          case Some(w) if matches2.isEmpty && unwind2.isEmpty =>
+            withStage = Some(w.copy(orderBy = keys))
+          case _ => sys.error("ORDER BY must follow RETURN or WITH")
+        }
       case ("SKIP", body) =>
-        require(rets.nonEmpty,
-          "ORDER BY/SKIP/LIMIT must follow RETURN (WITH-stage ordering " +
-            "and pagination are unsupported)")
-        skip = Some(body.trim.toInt)
+        if (rets.nonEmpty) skip = Some(body.trim.toInt)
+        else withStage match {
+          case Some(w) if matches2.isEmpty && unwind2.isEmpty =>
+            withStage = Some(w.copy(skip = Some(body.trim.toInt)))
+          case _ => sys.error("SKIP must follow RETURN or WITH")
+        }
       case ("LIMIT", body) =>
-        require(rets.nonEmpty,
-          "ORDER BY/SKIP/LIMIT must follow RETURN (WITH-stage ordering " +
-            "and pagination are unsupported)")
-        limit = Some(body.trim.toInt)
+        if (rets.nonEmpty) limit = Some(body.trim.toInt)
+        else withStage match {
+          case Some(w) if matches2.isEmpty && unwind2.isEmpty =>
+            withStage = Some(w.copy(limit = Some(body.trim.toInt)))
+          case _ => sys.error("LIMIT must follow RETURN or WITH")
+        }
       case (kw, _) => sys.error(s"unsupported clause: $kw")
     }
     require(rets.nonEmpty, "query must have RETURN")
@@ -1329,6 +1342,24 @@ object CypherLite {
       // block joins onto it (clause order = pipeline order)
       attach(w.where.toList.flatMap(refs).distinct.filter(_._2.nonEmpty))
       w.where.foreach(e => frontier = frontier.filter(compileExpr(e, colOf)))
+
+      // WITH … ORDER BY … [SKIP] LIMIT: the top-k-then-expand idiom —
+      // keys must be stage item aliases, and ordering REQUIRES pagination
+      // (a bare mid-pipeline sort would silently vanish under the joins
+      // that follow; compiles to TakeOrderedAndProject with LIMIT)
+      if (w.orderBy.nonEmpty) {
+        require(w.limit.isDefined || w.skip.isDefined,
+          "WITH-stage ORDER BY needs SKIP/LIMIT — a bare mid-pipeline " +
+            "sort does not survive the joins that follow")
+        val cols = w.orderBy.map { k =>
+          require(w.items.exists(_.alias == k.ref),
+            s"WITH-stage ORDER BY key '${k.ref}' must be a stage item alias")
+          if (k.asc) col(k.ref).asc else col(k.ref).desc
+        }
+        frontier = frontier.orderBy(cols: _*)
+      }
+      w.skip.foreach(n0 => frontier = frontier.offset(n0))
+      w.limit.foreach(n0 => frontier = frontier.limit(n0))
 
       // post-WITH UNWIND: explode a collect()ed list alias into rows (the
       // list column stays in scope, openCypher semantics; empty lists

@@ -1265,6 +1265,25 @@ object GraphQueries2 {
           "RETURN p.name AS pname, r.quantity AS qty, r.linenumber AS ln")
     },
 
+    q("q_cypher_with_topk",
+      // WITH … ORDER BY … LIMIT (top-k-then-expand): top-3 customers by
+      // order count (id tiebreak — both engines must pick the same rows),
+      // then the second block expands the survivors to their nation
+      """WITH top AS (
+        |  SELECT o_custkey AS ck, count(*) AS n FROM orders GROUP BY 1
+        |  ORDER BY n DESC, 'customer:' || CAST(o_custkey AS VARCHAR) ASC
+        |  LIMIT 3)
+        |SELECT c.c_name AS cust, CAST(t.n AS BIGINT) AS n, nn.n_name AS nation
+        |FROM top t
+        |JOIN customer c ON c.c_custkey = t.ck
+        |JOIN nation nn ON nn.n_nationkey = c.c_nationkey""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o:order) " +
+          "WITH c, count(*) AS n ORDER BY n DESC, c ASC LIMIT 3 " +
+          "MATCH (c)-[:in_nation]->(nt:nation) " +
+          "RETURN c.name AS cust, n, nt.name AS nation")
+    },
+
     q("q_cypher_case",
       // generic CASE WHEN bucketing under implicit grouping — conditions
       // reuse the WHERE boolean grammar, branches evaluate in order

@@ -351,10 +351,18 @@ class CypherLiteSpec extends SparkSpec {
       "WITH p, count(s) AS n WHERE n = 0 RETURN p.name AS who")
       .collect().map(_.getString(0)).toSet
     assert(zero === Set("vadas"))
-    // ORDER BY/SKIP/LIMIT inside a WITH stage would reorder/paginate at
-    // the wrong point — rejected, not silently re-bound to the end
+    // WITH … ORDER BY … LIMIT paginates the STAGE output (top-k-then-
+    // expand); a bare stage ORDER BY without pagination is rejected
+    val topc = run("MATCH (p:person)-[:created]->(s) " +
+      "WITH p, count(*) AS n ORDER BY n DESC LIMIT 1 " +
+      "MATCH (p)-[:created]->(s2:software) " +
+      "RETURN p.name AS who, n, s2.name AS sw ORDER BY sw ASC")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(topc === Seq(("josh", 2L, "lop"), ("josh", 2L, "ripple")))
     intercept[Exception](run("MATCH (p:person)-[:created]->(s) " +
-      "WITH p, count(*) AS n ORDER BY n DESC LIMIT 1 RETURN p.name"))
+      "WITH p, count(*) AS n ORDER BY n DESC RETURN p.name AS who"))
+    intercept[Exception](run("MATCH (p:person)-[:created]->(s) " +
+      "WITH p, count(*) AS n ORDER BY p.age DESC LIMIT 1 RETURN p.name AS who"))
     // loud errors: second WITH, rel var through WITH, var not carried
     intercept[Exception](run("MATCH (a:person) WITH a WITH a RETURN a.name"))
     intercept[Exception](run("MATCH (a)-[r:knows]->(b) WITH a RETURN r.weight"))
