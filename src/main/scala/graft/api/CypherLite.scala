@@ -40,16 +40,19 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * non-aggregated items become the group keys. A leading `DISTINCT`
   * dedups the projected rows. `collect()` returns a SORTED array
   * (openCypher leaves collect order unspecified; sorting makes results
-  * deterministic and hash-comparable). ONE `WITH` pipeline stage is
-  * supported between the pattern block and RETURN: it projects/aggregates
-  * like RETURN, an optional following WHERE filters the stage's OUTPUT
-  * (the aggregate-then-filter idiom), and bare-variable items keep their
-  * binding so RETURN can still access `v.prop`. A SECOND pattern block
-  * (`MATCH`/`OPTIONAL MATCH` after WITH — the openCypher pipeline) joins
-  * each chain onto the carried bindings; its WHERE filters the joined
-  * frontier; relationship variables there are single-hop only. ORDER BY
-  * accepts RETURN aliases or `var.prop` references; SKIP/LIMIT follow
-  * Cypher order (skip first).
+  * deterministic and hash-comparable). `WITH` pipeline STAGES chain —
+  * `MATCH … WITH … MATCH … WITH … RETURN`: each stage projects/aggregates
+  * the previous frontier like RETURN, an optional following WHERE filters
+  * the stage's OUTPUT (the aggregate-then-filter idiom), `ORDER BY …
+  * [SKIP] LIMIT` directly after the WITH paginates the stage (top-k-then-
+  * expand; keys must be stage item aliases, ordering requires pagination),
+  * an UNWIND explodes a collected alias, and the stage's own
+  * MATCH/OPTIONAL MATCH block joins onto the carried bindings with a
+  * WHERE over the joined frontier. Bare-variable items keep their binding
+  * so later stages can still access `v.prop`; relationship variables die
+  * at the next WITH (alias their props as items) and are single-hop
+  * inside stage blocks. ORDER BY after RETURN accepts RETURN aliases or
+  * `var.prop` references; SKIP/LIMIT follow Cypher order (skip first).
   *
   * WHERE comparisons beyond `ref op literal` take full value expressions
   * on BOTH sides (`p.age % 2 = 0`, `(p.price + 1) * 2 > 64`,
@@ -665,22 +668,23 @@ object CypherLite {
                                           orderBy: List[OrderKey] = Nil,
                                           skip: Option[Int] = None,
                                           limit: Option[Int] = None)
+  /** One pipeline stage opened by a WITH clause: the projection/aggregation
+    * (`withStage`), an optional post-WITH `UNWIND alias AS x` (explodes a
+    * collected list), a pattern block of further MATCH/OPTIONAL MATCH
+    * clauses joining onto the carried bindings, and a WHERE over the
+    * joined frontier. Stages chain: `MATCH … WITH … MATCH … WITH … RETURN`. */
+  private[api] final case class PipeStage(withStage: WithStage,
+                                          unwind: Option[(String, String)],
+                                          matches: List[MatchClause],
+                                          where2: Option[BoolExpr])
   private[api] final case class Query(matches: List[MatchClause],
                                       where: Option[BoolExpr],
                                       /** leading `UNWIND [lits…] AS x` —
                                         * seeds the frontier (parameter
                                         * fan-out idiom) */
                                       unwind: Option[(List[Any], String)],
-                                      /** post-WITH `UNWIND alias AS x` —
-                                        * explodes a collected list */
-                                      unwind2: Option[(String, String)],
-                                      withStage: Option[WithStage],
-                                      /** pattern block AFTER the WITH stage
-                                        * (openCypher pipeline `MATCH … WITH …
-                                        * MATCH … RETURN`) */
-                                      matches2: List[MatchClause],
-                                      /** WHERE after the second block */
-                                      where2: Option[BoolExpr],
+                                      /** WITH pipeline stages, in order */
+                                      stages: List[PipeStage],
                                       rets: List[Ret], retDistinct: Boolean,
                                       orderBy: List[OrderKey],
                                       skip: Option[Int], limit: Option[Int])
@@ -802,10 +806,10 @@ object CypherLite {
     var matches = List.empty[MatchClause]
     var where: Option[BoolExpr] = None
     var unwind: Option[(List[Any], String)] = None
-    var unwind2: Option[(String, String)] = None
-    var withStage: Option[WithStage] = None
-    var matches2 = List.empty[MatchClause]
-    var where2: Option[BoolExpr] = None
+    val stages = scala.collection.mutable.ListBuffer[PipeStage]()
+    def lastStage: PipeStage = stages.last
+    def updLast(f: PipeStage => PipeStage): Unit =
+      stages(stages.length - 1) = f(stages.last)
     var rets = List.empty[Ret]
     var retDistinct = false
     var orderBy = List.empty[OrderKey]
@@ -835,22 +839,23 @@ object CypherLite {
     }
     clauses.foreach {
       case ("MATCH", body) =>
-        if (withStage.isEmpty) matches :+= parseMatch(body)
+        if (stages.isEmpty) matches :+= parseMatch(body)
         else {
           val mc = parseMatch(body)
           require(mc.pathVar.isEmpty,
             "shortestPath() after WITH is unsupported — move it before WITH")
-          matches2 :+= mc
+          updLast(s0 => s0.copy(matches = s0.matches :+ mc))
         }
       case ("OPTIONAL MATCH", body) =>
-        if (withStage.isEmpty) matches :+= parsePattern(body, optional = true)
-        else matches2 :+= parsePattern(body, optional = true)
+        if (stages.isEmpty) matches :+= parsePattern(body, optional = true)
+        else updLast(s0 =>
+          s0.copy(matches = s0.matches :+ parsePattern(body, optional = true)))
       case ("UNWIND", body) =>
         val m = """(?i)^(.*)\s+AS\s+(\w+)$""".r.findFirstMatchIn(body)
           .getOrElse(sys.error(s"UNWIND needs an AS alias: $body"))
         val target = checkVar(m.group(2))
         val src = m.group(1).trim
-        if (withStage.isEmpty) {
+        if (stages.isEmpty) {
           // leading literal-list UNWIND: seeds the frontier
           require(matches.isEmpty && unwind.isEmpty,
             "a literal UNWIND must LEAD the query (one allowed, before MATCH)")
@@ -866,67 +871,65 @@ object CypherLite {
           unwind = Some((vals, target))
         } else {
           // post-WITH UNWIND: explode a collected-list alias
-          require(matches2.isEmpty,
-            "UNWIND must precede any post-WITH MATCH block")
-          require(unwind2.isEmpty, "one post-WITH UNWIND supported")
+          require(lastStage.matches.isEmpty,
+            "UNWIND must precede the stage's MATCH block")
+          require(lastStage.unwind.isEmpty,
+            "one UNWIND per pipeline stage supported")
           require(src.matches("""\w+"""),
             s"post-WITH UNWIND takes a WITH alias (a collect()ed list): $src")
-          unwind2 = Some((src, target))
+          updLast(_.copy(unwind = Some((src, target))))
         }
       case ("WHERE", body) =>
-        // placement decides the target: before WITH it filters the first
-        // block's bindings; directly after WITH it filters the stage's
-        // OUTPUT (the aggregate-then-filter idiom); after a post-WITH
-        // UNWIND or a second MATCH block it filters the pipeline frontier
+        // placement decides the target: before any WITH it filters the
+        // first block's bindings; directly after a WITH it filters that
+        // stage's OUTPUT (the aggregate-then-filter idiom); after the
+        // stage's UNWIND or MATCH block it filters the joined frontier
         val e = parseWhere(body)
-        (withStage, matches2.nonEmpty || unwind2.isDefined) match {
-          case (Some(_), true) =>
-            where2 = where2.map(AndE(_, e)).orElse(Some(e))
-          case (Some(w), _) => withStage =
-            Some(w.copy(where = w.where.map(AndE(_, e)).orElse(Some(e))))
-          case (None, _) => where = where.map(AndE(_, e)).orElse(Some(e))
-        }
+        if (stages.isEmpty) where = where.map(AndE(_, e)).orElse(Some(e))
+        else if (lastStage.matches.nonEmpty || lastStage.unwind.isDefined)
+          updLast(s0 =>
+            s0.copy(where2 = s0.where2.map(AndE(_, e)).orElse(Some(e))))
+        else updLast(s0 => s0.copy(withStage = s0.withStage.copy(
+          where = s0.withStage.where.map(AndE(_, e)).orElse(Some(e)))))
       case ("WITH", body) =>
-        require(withStage.isEmpty, "one WITH stage supported")
         val (dist, items) = parseItems(body)
-        withStage = Some(WithStage(items, dist, None))
+        stages += PipeStage(WithStage(items, dist, None), None, Nil, None)
       case ("RETURN", body) =>
         val (dist, items) = parseItems(body)
         retDistinct = dist; rets = items
       case ("ORDER BY", body) =>
-        // after RETURN: orders the final result. Directly after WITH
-        // (before any second pattern block): orders/paginates the STAGE
-        // output — openCypher's `WITH … ORDER BY … LIMIT k` top-k-then-
-        // expand idiom. Anywhere else: rejected.
+        // after RETURN: orders the final result. Directly after a WITH
+        // (before that stage's UNWIND/MATCH block): orders/paginates the
+        // STAGE output — openCypher's `WITH … ORDER BY … LIMIT k`
+        // top-k-then-expand idiom. Anywhere else: rejected.
         val keys = body.split(",").toList.map(_.trim).map { k =>
           val m = """(\S+)(?:\s+(?i)(ASC|DESC))?""".r.findFirstMatchIn(k)
             .getOrElse(sys.error(s"bad order key: $k"))
           OrderKey(m.group(1), !Option(m.group(2)).exists(_.equalsIgnoreCase("DESC")))
         }
         if (rets.nonEmpty) orderBy = keys
-        else withStage match {
-          case Some(w) if matches2.isEmpty && unwind2.isEmpty =>
-            withStage = Some(w.copy(orderBy = keys))
-          case _ => sys.error("ORDER BY must follow RETURN or WITH")
-        }
+        else if (stages.nonEmpty && lastStage.matches.isEmpty &&
+            lastStage.unwind.isEmpty)
+          updLast(s0 => s0.copy(withStage = s0.withStage.copy(orderBy = keys)))
+        else sys.error("ORDER BY must follow RETURN or WITH")
       case ("SKIP", body) =>
         if (rets.nonEmpty) skip = Some(body.trim.toInt)
-        else withStage match {
-          case Some(w) if matches2.isEmpty && unwind2.isEmpty =>
-            withStage = Some(w.copy(skip = Some(body.trim.toInt)))
-          case _ => sys.error("SKIP must follow RETURN or WITH")
-        }
+        else if (stages.nonEmpty && lastStage.matches.isEmpty &&
+            lastStage.unwind.isEmpty)
+          updLast(s0 => s0.copy(withStage =
+            s0.withStage.copy(skip = Some(body.trim.toInt))))
+        else sys.error("SKIP must follow RETURN or WITH")
       case ("LIMIT", body) =>
         if (rets.nonEmpty) limit = Some(body.trim.toInt)
-        else withStage match {
-          case Some(w) if matches2.isEmpty && unwind2.isEmpty =>
-            withStage = Some(w.copy(limit = Some(body.trim.toInt)))
-          case _ => sys.error("LIMIT must follow RETURN or WITH")
-        }
+        else if (stages.nonEmpty && lastStage.matches.isEmpty &&
+            lastStage.unwind.isEmpty)
+          updLast(s0 => s0.copy(withStage =
+            s0.withStage.copy(limit = Some(body.trim.toInt))))
+        else sys.error("LIMIT must follow RETURN or WITH")
       case (kw, _) => sys.error(s"unsupported clause: $kw")
     }
     require(rets.nonEmpty, "query must have RETURN")
-    Query(matches, where, unwind, unwind2, withStage, matches2, where2, rets,
+    Query(matches, where, unwind, stages.toList, rets,
       retDistinct, orderBy, skip, limit)
   }
 
@@ -1114,30 +1117,31 @@ object CypherLite {
   def eval(g: PropertyGraph, cypher: String): DataFrame = {
     val q = parse(cypher)
 
-    // relationship variables: unique (across BOTH pattern blocks), disjoint
+    // relationship variables: unique (across EVERY pattern block), disjoint
     // from node variables
-    val relVarOcc = (q.matches ++ q.matches2).flatMap(_.rels).flatMap(_.variable)
+    val allStageMatches = q.stages.flatMap(_.matches)
+    val relVarOcc = (q.matches ++ allStageMatches).flatMap(_.rels).flatMap(_.variable)
     require(relVarOcc.distinct.length == relVarOcc.length,
       s"duplicate relationship variable (openCypher relationship uniqueness): " +
         relVarOcc.diff(relVarOcc.distinct).mkString(", "))
-    val nodeVars = (q.matches ++ q.matches2).flatMap(_.nodes.map(_.v)).toSet
+    val nodeVars = (q.matches ++ allStageMatches).flatMap(_.nodes.map(_.v)).toSet
     relVarOcc.find(nodeVars).foreach(v =>
       sys.error(s"variable '$v' is bound to both a node and a relationship"))
     val pathVars = q.matches.flatMap(_.pathVar).toSet
     pathVars.intersect(nodeVars).foreach(v =>
       sys.error(s"variable '$v' is bound to both a path and a node"))
-    (q.rets ++ q.withStage.map(_.items).getOrElse(Nil))
+    (q.rets ++ q.stages.flatMap(_.withStage.items))
       .flatMap(retRefs).filter(r => pathVars(r._1)).foreach { case (v, _) =>
         sys.error(s"'$v' is a path variable — only length($v) is projectable")
       }
     val relVars: Map[String, RelPat] =
       q.matches.flatMap(_.rels).flatMap(r => r.variable.map(_ -> r)).toMap
     val varLenVars = relVars.collect { case (v, r) if !r.singleHop => v }.toSet
-    // second-block relationship variables: single-hop only (the var-length
+    // stage-block relationship variables: single-hop only (the var-length
     // ALL-hop pushdown is a pre-WITH WHERE shape)
-    val relVars2: Map[String, RelPat] =
-      q.matches2.flatMap(_.rels).flatMap(r => r.variable.map(_ -> r)).toMap
-    relVars2.foreach { case (v, r) =>
+    val stageRelVars: List[Map[String, RelPat]] = q.stages.map(
+      _.matches.flatMap(_.rels).flatMap(r => r.variable.map(_ -> r)).toMap)
+    stageRelVars.flatten.foreach { case (v, r) =>
       require(r.singleHop, s"a variable on a variable-length relationship " +
         s"after WITH is unsupported ('$v') — drop the variable or move the " +
         "pattern before WITH")
@@ -1194,8 +1198,9 @@ object CypherLite {
     }
 
     // ---- stage 1 property needs: pre-WITH WHERE + the stage's items ----
-    val stage1Items = q.withStage.map(_.items).getOrElse(q.rets)
-    val stage1Order = if (q.withStage.isEmpty) orderProps else Nil
+    val stage1Items =
+      q.stages.headOption.map(_.withStage.items).getOrElse(q.rets)
+    val stage1Order = if (q.stages.isEmpty) orderProps else Nil
     val needed1 = (residual.toList.flatMap(refs) ++
       stage1Items.flatMap(retRefs) ++ stage1Order)
       .distinct.filter(_._2.nonEmpty)
@@ -1318,19 +1323,28 @@ object CypherLite {
       out
     }
 
-    // ---- optional WITH stage: project/aggregate, then filter its OUTPUT
-    // (the aggregate-then-filter idiom) ----
-    q.withStage.foreach { w =>
-      frontier = projectStage(w.items, w.distinct, Nil)
-      // post-WITH property access joins the vertex table on the carried
-      // alias column (a bare-variable WITH item keeps its id binding);
-      // second-block relationship-variable props already ride the frontier
+    // ---- WITH pipeline stages: each projects/aggregates the previous
+    // frontier, filters its OUTPUT (the aggregate-then-filter idiom),
+    // optionally paginates, unwinds, joins its own pattern block, and
+    // filters the joined frontier — chained in clause order ----
+    // relationship variables from every EARLIER block die at each WITH
+    var goneRelVars: Set[String] = relVars.keySet
+    q.stages.zipWithIndex.foreach { case (st, si) =>
+      val w = st.withStage
+      val relVarsS = stageRelVars(si)
+      val isLast = si == q.stages.length - 1
+      // property access joins the vertex table on the carried alias column
+      // (a bare-variable WITH item keeps its id binding); THIS stage's
+      // relationship-variable props ride the frontier from its evalChain
       def attach(needed: Seq[(String, String)]): Unit =
         needed.foreach { case (v, p) =>
-          require(!relVars.contains(v),
-            s"relationship variable '$v' does not survive WITH — alias " +
-              s"'$v.$p' as a WITH item instead")
-          if (!frontier.columns.contains(s"${v}_$p") && !relVars2.contains(v)) {
+          // a `<v>_<p>` column already riding the frontier (an earlier
+          // stage's rel-var prop carried as a rider, or a prior attach)
+          // needs nothing
+          if (!frontier.columns.contains(s"${v}_$p")) {
+            require(!goneRelVars.contains(v) && !relVarsS.contains(v),
+              s"relationship variable '$v' does not survive WITH — alias " +
+                s"'$v.$p' as a WITH item instead")
             require(frontier.columns.contains(v),
               s"unknown variable '$v' after WITH (carry it as a WITH item)")
             frontier = frontier.join(
@@ -1338,7 +1352,11 @@ object CypherLite {
               Seq(v), "left")
           }
         }
-      // the stage WHERE filters the WITH output BEFORE the second pattern
+      // stages after the first project from the PREVIOUS stage's frontier —
+      // their items' props attach here (the first stage's came via needed1)
+      if (si > 0) attach(w.items.flatMap(retRefs).distinct.filter(_._2.nonEmpty))
+      frontier = projectStage(w.items, w.distinct, Nil)
+      // the stage WHERE filters the WITH output BEFORE the stage's pattern
       // block joins onto it (clause order = pipeline order)
       attach(w.where.toList.flatMap(refs).distinct.filter(_._2.nonEmpty))
       w.where.foreach(e => frontier = frontier.filter(compileExpr(e, colOf)))
@@ -1361,33 +1379,39 @@ object CypherLite {
       w.skip.foreach(n0 => frontier = frontier.offset(n0))
       w.limit.foreach(n0 => frontier = frontier.limit(n0))
 
-      // post-WITH UNWIND: explode a collect()ed list alias into rows (the
+      // stage UNWIND: explode a collect()ed list alias into rows (the
       // list column stays in scope, openCypher semantics; empty lists
       // yield no rows on both engines)
-      q.unwind2.foreach { case (src, v) =>
+      st.unwind.foreach { case (src, v) =>
         require(frontier.columns.contains(src),
           s"unknown WITH alias '$src' to UNWIND (carry it as a WITH item)")
         frontier = frontier.withColumn(v, explode(col(src)))
       }
 
-      // ---- second pattern block: MATCH/OPTIONAL MATCH after WITH joins
-      // each chain on the variables the stage carried through ----
-      val where2Conj = q.where2.map(conjuncts).getOrElse(Nil)
+      // ---- the stage's pattern block: MATCH/OPTIONAL MATCH joins each
+      // chain on the variables the stage carried through ----
+      val where2Conj = st.where2.map(conjuncts).getOrElse(Nil)
       val (pats2, rest2) = where2Conj.partition {
         case PatE(_) | NotE(PatE(_)) => true
         case _ => false
       }
-      val needed2All = (rest2.flatMap(refs) ++
-        q.rets.flatMap(retRefs) ++ orderProps)
+      val downstream =
+        if (isLast) q.rets.flatMap(retRefs) ++ orderProps
+        else Nil
+      val needed2All = (rest2.flatMap(refs) ++ downstream)
         .distinct.filter(_._2.nonEmpty)
-      q.rets.flatMap(retRefs)
-        .filter(p => p._2.isEmpty && relVars2.contains(p._1)).foreach(p =>
+      if (isLast) q.rets.flatMap(retRefs)
+        .filter(p => p._2.isEmpty && relVarsS.contains(p._1)).foreach(p =>
           sys.error(s"relationship variable '${p._1}' has no id binding — " +
             s"project a property (${p._1}.prop) instead"))
       val edgePropNeeds2: Map[String, Seq[String]] =
-        needed2All.filter(p => relVars2.contains(p._1))
+        (needed2All ++
+          (if (isLast) Nil
+           else q.stages(si + 1).withStage.items.flatMap(retRefs)
+             .distinct.filter(_._2.nonEmpty)))
+          .filter(p => relVarsS.contains(p._1))
           .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).distinct }
-      q.matches2.foreach { mc =>
+      st.matches.foreach { mc =>
         val df = evalChain(g, mc, edgePropNeeds2, Map.empty)
         val shared = frontier.columns.intersect(df.columns).toSeq
         frontier =
@@ -1414,6 +1438,7 @@ object CypherLite {
       attach(needed2All)
       rest2.reduceOption(AndE(_, _)).foreach(e =>
         frontier = frontier.filter(compileExpr(e, colOf)))
+      goneRelVars ++= relVarsS.keySet
     }
 
     // ---- final RETURN stage ----

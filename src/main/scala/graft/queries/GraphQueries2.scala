@@ -1265,6 +1265,20 @@ object GraphQueries2 {
           "RETURN p.name AS pname, r.quantity AS qty, r.linenumber AS ln")
     },
 
+    q("q_cypher_multistage",
+      // chained WITH stages (the openCypher pipeline): orders per customer,
+      // then the DISTRIBUTION of those counts — aggregate of an aggregate
+      """SELECT n, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |      FROM orders GROUP BY 1) z
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o:order) " +
+          "WITH c, count(*) AS n " +
+          "WITH n, count(*) AS n_customers " +
+          "RETURN n, n_customers")
+    },
+
     q("q_cypher_with_topk",
       // WITH … ORDER BY … LIMIT (top-k-then-expand): top-3 customers by
       // order count (id tiebreak — both engines must pick the same rows),

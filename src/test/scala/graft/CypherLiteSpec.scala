@@ -363,10 +363,39 @@ class CypherLiteSpec extends SparkSpec {
       "WITH p, count(*) AS n ORDER BY n DESC RETURN p.name AS who"))
     intercept[Exception](run("MATCH (p:person)-[:created]->(s) " +
       "WITH p, count(*) AS n ORDER BY p.age DESC LIMIT 1 RETURN p.name AS who"))
-    // loud errors: second WITH, rel var through WITH, var not carried
-    intercept[Exception](run("MATCH (a:person) WITH a WITH a RETURN a.name"))
+    // loud errors: rel var through WITH, var not carried
     intercept[Exception](run("MATCH (a)-[r:knows]->(b) WITH a RETURN r.weight"))
     intercept[Exception](run("MATCH (a:person) WITH a RETURN b.name")) // b not carried
+  }
+
+  test("multiple WITH pipeline stages chain in clause order") {
+    // stage 1 aggregates per creator, stage 2 re-aggregates the counts
+    val two = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH p, count(*) AS n " +
+      "WITH n, count(*) AS creators " +
+      "RETURN n, creators ORDER BY n ASC")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(two === Seq((1L, 2L), (2L, 1L))) // marko+peter created 1, josh 2
+    // MATCH inside BOTH stages; rel-var prop crosses a stage as an alias
+    val rel = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH DISTINCT p " +
+      "MATCH (p)-[r:knows]->(q:person) " +
+      "WITH p, r.weight AS w, q " +
+      "WHERE w >= 1.0 " +
+      "MATCH (q)-[:created]->(s2:software) " +
+      "RETURN p.name AS who, w, s2.name AS sw ORDER BY sw ASC")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(rel === Seq(("marko", 1.0, "lop"), ("marko", 1.0, "ripple")))
+    // three stages with pagination in the middle
+    val three = run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH p, count(*) AS n ORDER BY n DESC, p ASC LIMIT 2 " +
+      "WITH p, n * 10 AS score " +
+      "RETURN p.name AS who, score ORDER BY score DESC, who ASC")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(three === Seq(("josh", 20L), ("marko", 10L)))
+    // a rel var from an EARLIER stage still dies at the next WITH
+    intercept[Exception](run("MATCH (a:person) WITH a " +
+      "MATCH (a)-[r:knows]->(b) WITH a, b RETURN r.weight AS w"))
   }
 
   test("MATCH after WITH: the pipeline's second pattern block") {
