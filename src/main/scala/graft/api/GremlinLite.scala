@@ -15,10 +15,20 @@ import graft.core.{Cond, PropertyGraph}
   *   g.E('created').groupCount('label')
   * }}}
   *
-  * Supported: V(ids…), E(labels…), hasLabel, has(k,v), has(k,pred) with
-  * gt/gte/lt/lte/neq/within, hasNot, out/in/both(labels…), outE/inE,
-  * inV/outV, dedup, limit(n), range(a,b), sample(f), coin(p) (deterministic
-  * md5 draw), order().by(k[,decr]), repeat(step).times(n), the branch/
+  * Supported: V(ids…), E(labels…), hasLabel, hasId, has(k,v), has(k,pred)
+  * with gt/gte/lt/lte/neq/within/without, the numeric range P forms
+  * inside/outside/between (TinkerPop exclusive-bounds contracts), the
+  * TextP forms startingWith/endingWith/containing (+not variants — plain
+  * string semantics; textContains keeps the reference's tokenized
+  * word-containment), hasNot, out/in/both(labels…), outE/inE/bothE,
+  * inV/outV/otherV/bothV, dedup, limit(n), range(a,b), sample(f), coin(p)
+  * (deterministic md5 draw), order().by(k[,decr]),
+  * repeat(sub).times(n) with MULTI-STEP sub-traversal bodies,
+  * repeat(sub).until(cond) (do-while predicate exit, drained-frontier
+  * stop, 16-round cap), emit() after repeat (layers 1..n) or BEFORE it
+  * (layer 0 included), group()/groupCount() with modulator by() forms —
+  * group().by(k)[.by(prop | <agg>(prop) | count() | values(p).fold() |
+  * values(p).<agg>())] — and the branch/
   * filter sub-traversal steps where(sub)/not(sub)/optional(sub)/
   * choose(cond, sub, sub)/coalesce(sub, sub)/union(sub, …) (lowered onto
   * the SAME DSL implementations — sub = a chain of vertex steps,
