@@ -370,6 +370,10 @@ final case class GraphTraversal(
 
   def order(key: String, asc: Boolean = true): GraphTraversal =
     copy(df = df.orderBy(if (asc) col(key).asc else col(key).desc))
+  /** `order().by(k1).by(k2, decr)…` — multi-key ordering. */
+  def orderBy(keys: Seq[(String, Boolean)]): GraphTraversal =
+    copy(df = df.orderBy(keys.map { case (k, asc) =>
+      if (asc) col(k).asc else col(k).desc }: _*))
 
   def union(other: GraphTraversal): GraphTraversal =
     copy(df = df.unionByName(other.df, allowMissingColumns = true))

@@ -427,13 +427,15 @@ object GremlinLite {
         case ("range", List(a, b)) => t = t.range(num(a).toInt, num(b).toInt)
         case ("sample", List(x)) => t = t.sample(num(x))
         case ("order", Nil) =>
-          // look ahead for .by(key[, 'decr'])
-          if (i + 1 < n && steps(i + 1).name == "by") {
+          // look ahead for .by(key[, 'decr'])… — multi-key ordering
+          val keys = scala.collection.mutable.ListBuffer[(String, Boolean)]()
+          while (i + 1 < n && steps(i + 1).name == "by") {
             val by = steps(i + 1)
-            val asc = by.args.length < 2 || str(by.args(1)) != "decr"
-            t = t.order(str(by.args.head), asc)
+            keys += ((str(by.args.head),
+              by.args.length < 2 || str(by.args(1)) != "decr"))
             i += 1
           }
+          if (keys.nonEmpty) t = t.orderBy(keys.toSeq)
         // bare emit() immediately before repeat(): the EMIT-FIRST form —
         // the incoming traversers (layer 0) are emitted alongside every
         // repeat layer (TinkerPop emit-before-repeat, layers 0..n)

@@ -42,6 +42,13 @@ class GremlinLiteSpec extends SparkSpec {
     assert(top === "peter")
   }
 
+  test("order() with multiple by() keys on a traversal") {
+    val names = run("g.V().hasLabel('software')" +
+      ".order().by('lang').by('name', 'decr').values('name')")
+      .collect().map(_.getString(0)).toSeq
+    assert(names === Seq("ripple", "lop")) // same lang, name DESC
+  }
+
   test("aggregations: sum and mean") {
     assert(run("g.V().hasLabel('software').sum('price')").head().getLong(0) === 527L)
     assert(run("g.V().hasLabel('person').mean('age')").head().getDouble(0) === 30.75)
