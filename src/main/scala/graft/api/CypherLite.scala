@@ -590,10 +590,27 @@ object CypherLite {
     e
   }
 
+  private def isStrLit(e: ValExpr): Boolean = e match {
+    case LitV(_: String) => true
+    case _ => false
+  }
+
   private def compileVal(e: ValExpr, colOf: (String, String) => Column): Column =
     e match {
       case LitV(v) => lit(v)
       case RefV(v, p) => colOf(v, p)
+      // Cypher `+` with a string operand is CONCATENATION — compiling it
+      // to numeric addition would silently yield NULL under non-ANSI
+      // Spark. A string LITERAL side is detectable at compile time →
+      // concat (both sides cast to string, the Neo4j 'a' + 1 = "a1"
+      // contract); string-vs-string via two column refs stays numeric
+      // (types unknowable here) and is documented as unsupported.
+      case BinV("+", l, r) if isStrLit(l) || isStrLit(r) =>
+        concat(compileVal(l, colOf).cast("string"),
+          compileVal(r, colOf).cast("string"))
+      case BinV(op, l, r) if (isStrLit(l) || isStrLit(r)) &&
+          "-*/%".contains(op) =>
+        sys.error(s"operator '$op' does not take a string literal operand")
       case BinV("+", l, r) => compileVal(l, colOf) + compileVal(r, colOf)
       case BinV("-", l, r) => compileVal(l, colOf) - compileVal(r, colOf)
       case BinV("*", l, r) => compileVal(l, colOf) * compileVal(r, colOf)
@@ -837,7 +854,16 @@ object CypherLite {
         mc.copy(pathVar = Some(checkVar(pv)))
       case b => parsePattern(b, optional = false)
     }
-    clauses.foreach {
+    clauses.foreach { kwBody =>
+      // openCypher: RETURN closes the query — only its ORDER BY/SKIP/LIMIT
+      // modifiers may follow. Without this check a trailing WITH/MATCH
+      // would silently execute as a pipeline stage BEFORE the RETURN
+      // (eval runs stages then rets regardless of textual order).
+      require(rets.isEmpty ||
+        Set("ORDER BY", "SKIP", "LIMIT").contains(kwBody._1),
+        s"clause ${kwBody._1} after RETURN — RETURN must be the last " +
+          "clause (only ORDER BY / SKIP / LIMIT may follow it)")
+      kwBody match {
       case ("MATCH", body) =>
         if (stages.isEmpty) matches :+= parseMatch(body)
         else {
@@ -861,13 +887,17 @@ object CypherLite {
             "a literal UNWIND must LEAD the query (one allowed, before MATCH)")
           require(src.startsWith("[") && src.endsWith("]"),
             s"pre-WITH UNWIND takes a literal list [a, b, …]: $src")
+          // unary minus over a literal folds to a negative literal (-1
+          // parses to BinV via the unary-minus rule); an empty list [] is
+          // valid openCypher and seeds an EMPTY frontier (zero rows)
           val vals = splitTop(src.substring(1, src.length - 1))
             .map(parseValExpr).map {
               case LitV(v) => v
+              case BinV("-", LitV(0L), LitV(n: Long)) => -n
+              case BinV("-", LitV(0L), LitV(n: Double)) => -n
               case other => sys.error(
                 s"UNWIND list elements must be literals, got $other")
             }
-          require(vals.nonEmpty, "UNWIND of an empty list yields no rows")
           unwind = Some((vals, target))
         } else {
           // post-WITH UNWIND: explode a collected-list alias
@@ -902,10 +932,14 @@ object CypherLite {
         // (before that stage's UNWIND/MATCH block): orders/paginates the
         // STAGE output — openCypher's `WITH … ORDER BY … LIMIT k`
         // top-k-then-expand idiom. Anywhere else: rejected.
-        val keys = body.split(",").toList.map(_.trim).map { k =>
-          val m = """(\S+)(?:\s+(?i)(ASC|DESC))?""".r.findFirstMatchIn(k)
+        // keys split on top-level commas; each is an alias, a var.prop, or
+        // a full VALUE EXPRESSION (`size(c.name)`, `p.age % 2`) with an
+        // optional trailing ASC/DESC
+        val keys = splitTop(body).map { k =>
+          val m = """(?is)^(.+?)(?:\s+(ASC|DESC))?$""".r.findFirstMatchIn(k)
             .getOrElse(sys.error(s"bad order key: $k"))
-          OrderKey(m.group(1), !Option(m.group(2)).exists(_.equalsIgnoreCase("DESC")))
+          OrderKey(m.group(1).trim,
+            !Option(m.group(2)).exists(_.equalsIgnoreCase("DESC")))
         }
         if (rets.nonEmpty) orderBy = keys
         else if (stages.nonEmpty && lastStage.matches.isEmpty &&
@@ -927,7 +961,7 @@ object CypherLite {
             s0.withStage.copy(limit = Some(body.trim.toInt))))
         else sys.error("LIMIT must follow RETURN or WITH")
       case (kw, _) => sys.error(s"unsupported clause: $kw")
-    }
+    } }
     require(rets.nonEmpty, "query must have RETURN")
     Query(matches, where, unwind, stages.toList, rets,
       retDistinct, orderBy, skip, limit)
@@ -1091,8 +1125,11 @@ object CypherLite {
 
   /** Disconnected patterns are a cartesian product (Cypher semantics) —
     * guard it: at scale an unintended unshared MATCH is a run-away
-    * product, and real Cypher engines warn. Counting both frontiers costs
-    * two small jobs on an ad-hoc frontend query; when one side is small it
+    * product, and real Cypher engines warn. The guard PROBES each side
+    * with `limit(cap + 1).count()` instead of a full count — on a huge
+    * frontier the probe job stops after cap + 1 rows (a LocalLimit cuts
+    * the scan), so the guard's cost is bounded by the cap it enforces,
+    * never by the frontier it protects against. When one side is small it
     * is broadcast (nested-loop join with no shuffle), which is also the
     * fast plan. */
   private def guardedCross(frontier: DataFrame, df: DataFrame): DataFrame = {
@@ -1101,9 +1138,10 @@ object CypherLite {
       .getOrElse("100000").toLong
     if (cap < 0) frontier.crossJoin(df)
     else {
-      val (lc, rc) = (frontier.count(), df.count())
+      val probe = (cap.min(Int.MaxValue - 1L) + 1L).toInt
+      val (lc, rc) = (frontier.limit(probe).count(), df.limit(probe).count())
       require(lc <= cap || rc <= cap,
-        s"disconnected MATCH builds a ${lc}x${rc} cartesian product — " +
+        s"disconnected MATCH builds a (>$cap)x(>$cap) cartesian product — " +
           "share a variable between the clauses, or raise/disable " +
           "GRAFT_CYPHER_CROSS_LIMIT (currently " + cap + ") if intended")
       if (rc <= lc) frontier.crossJoin(broadcast(df))
@@ -1190,11 +1228,16 @@ object CypherLite {
     val colOf: (String, String) => Column =
       (v, p) => if (p.isEmpty) col(v) else col(s"${v}_$p")
 
+    // ORDER BY key shapes: a bare alias, `var.prop`, or a value EXPRESSION
+    // (ADVICE r12: `ORDER BY size(c.name)` / arithmetic — reuses the
+    // RETURN/WITH value-expression compiler in the ORDER BY position)
+    def orderExprOf(ref: String): Option[ValExpr] =
+      if (ref.matches("""\w+(\.\w+)?""")) None else Some(parseValExpr(ref))
     val orderProps = q.orderBy.flatMap { k =>
-      k.ref.split("\\.") match {
-        case Array(v, p) => Some((v, p))
-        case _ => None
-      }
+      if (k.ref.matches("""\w+\.\w+""")) {
+        val Array(v, p) = k.ref.split("\\."); List((v, p))
+      } else orderExprOf(k.ref).map(valRefs(_).filter(_._2.nonEmpty))
+        .getOrElse(Nil)
     }
 
     // ---- stage 1 property needs: pre-WITH WHERE + the stage's items ----
@@ -1238,6 +1281,10 @@ object CypherLite {
       else evalChain(g, mc, edgePropNeeds, relFilters)
 
     var frontier = q.unwind match {
+      case Some((Nil, v)) =>
+        // UNWIND [] AS x — zero rows (openCypher), typed string so later
+        // joins/filters on the alias still resolve
+        g.vertices.sparkSession.range(0).select(lit(null).cast("string").as(v))
       case Some((vals, v)) =>
         g.vertices.sparkSession.range(1)
           .select(explode(array(vals.map(lit): _*)).as(v))
@@ -1385,6 +1432,12 @@ object CypherLite {
       st.unwind.foreach { case (src, v) =>
         require(frontier.columns.contains(src),
           s"unknown WITH alias '$src' to UNWIND (carry it as a WITH item)")
+        // openCypher rejects re-declaring a bound variable; withColumn
+        // would silently REPLACE the carried binding and corrupt every
+        // downstream join on it
+        require(!frontier.columns.contains(v),
+          s"UNWIND alias '$v' re-declares a carried binding — pick a " +
+            "fresh variable name")
         frontier = frontier.withColumn(v, explode(col(src)))
       }
 
@@ -1446,21 +1499,34 @@ object CypherLite {
     def orderCol(k: OrderKey): Column = {
       val base =
         if (q.rets.exists(_.alias == k.ref)) col(k.ref)
-        else k.ref.split("\\.") match {
+        else if (k.ref.matches("""\w+\.\w+""")) {
+          val Array(v, p) = k.ref.split("\\.")
           // a var.prop that is also RETURNed resolves to its alias — the
           // source column is projected away (plain projections preferred
           // over an aggregate of the same property)
-          case Array(v, p) =>
-            q.rets.filter(r => r.v == v && r.prop == p)
-              .sortBy(_.agg.isDefined).headOption match {
-              case Some(r) => col(r.alias)
-              case None =>
-                require(!hasAgg, s"ORDER BY ${k.ref} must appear in RETURN " +
-                  "when aggregating (implicit grouping)")
-                col(s"${v}_$p")
-            }
-          case _ => sys.error(s"unknown order key: ${k.ref}")
+          q.rets.filter(r => r.v == v && r.prop == p)
+            .sortBy(_.agg.isDefined).headOption match {
+            case Some(r) => col(r.alias)
+            case None =>
+              require(!hasAgg, s"ORDER BY ${k.ref} must appear in RETURN " +
+                "when aggregating (implicit grouping)")
+              col(s"${v}_$p")
+          }
         }
+        else if (!k.ref.matches("""\w+""")) {
+          // value-expression key — compiled with the shared resolver; under
+          // aggregation only RETURN aliases are in scope (source columns
+          // are grouped away)
+          val e = parseValExpr(k.ref)
+          if (hasAgg) valRefs(e).foreach { case (v, p) =>
+            require(p.isEmpty && q.rets.exists(_.alias == v),
+              s"ORDER BY expression '${k.ref}' may only reference RETURN " +
+                s"aliases when aggregating (implicit grouping): '$v" +
+                (if (p.nonEmpty) s".$p" else "") + "' is not one")
+          }
+          compileVal(e, colOf)
+        }
+        else sys.error(s"unknown order key: ${k.ref}")
       if (k.asc) base.asc else base.desc
     }
     // keep the order keys' source columns through a non-agg projection

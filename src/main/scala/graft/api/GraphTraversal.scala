@@ -160,7 +160,10 @@ final case class GraphTraversal(
     * looping (TinkerPop: has() on an absent key is false). Bounded at
     * `maxRounds` — this is a bounded engine by design (the reference caps
     * traverser depth the same way, HugeTraverser.DEFAULT_MAX_DEPTH);
-    * traversers still looping at the cap are dropped. Each round cuts
+    * traversers still looping at the cap are dropped, and the drop is
+    * OBSERVABLE: a stderr warning reports the dropped-frontier count (a
+    * result-set truncation must never be silent — the ANN null-drop
+    * standard). Each round cuts
     * lineage (`localCheckpoint`) and stops early on an empty frontier —
     * the loop discipline every frontier iteration in this engine follows,
     * so the emitted union's plan depth is O(rounds), not O(2^rounds). */
@@ -181,6 +184,16 @@ final case class GraphTraversal(
       val cont = pinned.copy(df = pinned.df.filter(coalesce(!c, lit(true))))
       if (cont.df.isEmpty) drained = true else cur = cont
       r += 1
+    }
+    if (!drained) {
+      // cap hit with traversers still looping: they are DROPPED from the
+      // result — count them (one job on the already-checkpointed frontier)
+      // and warn, so a truncated answer is observable, never silent
+      val dropped = cur.df.count()
+      if (dropped > 0) System.err.println(
+        s"[graft] repeat().until() hit the $maxRounds-round cap with " +
+          s"$dropped traverser(s) still looping — they are dropped from " +
+          "the result (raise maxRounds if the full fixpoint is intended)")
     }
     acc.get
   }

@@ -1450,5 +1450,21 @@ object GraphQueries2 {
         "MATCH (p:part)-[r:supplied_by*1..2]-(x:part) " +
           "WHERE p.size = 1 AND r.quantity > 49 " +
           "RETURN p.name AS pname, count(*) AS n")
+    },
+
+    q("q_cypher_orderby_expr",
+      // ORDER BY value EXPRESSIONS (r12 ask #8): a function key over a
+      // non-returned property (size(n.name)) and an arithmetic key
+      // (acctbal * -1) — both compiled by the shared value-expression
+      // compiler in the ORDER BY position; cust is the unique tiebreak
+      """SELECT cust, nation FROM (
+        |  SELECT c.c_name AS cust, n.n_name AS nation
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  ORDER BY length(n.n_name) ASC, c.c_acctbal * -1 ASC, cust ASC
+        |  LIMIT 25) z""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:in_nation]->(n:nation) " +
+          "RETURN c.name AS cust, n.name AS nation " +
+          "ORDER BY size(n.name) ASC, c.acctbal * -1 ASC, cust ASC LIMIT 25")
     })
 }

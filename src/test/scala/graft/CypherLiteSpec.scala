@@ -612,6 +612,58 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (p:person) RETURN CASE p.age WHEN 29 THEN 'x' END AS y"))
   }
 
+  test("string-literal + concatenates; other ops reject string operands") {
+    val cat = run("MATCH (p:person) WHERE p.name = 'marko' " +
+      "RETURN p.name + '!' AS x").head().getString(0)
+    assert(cat === "marko!")
+    // number + string literal concatenates too (Neo4j 'a1' contract)
+    val mix = run("MATCH (p:person) WHERE p.name = 'marko' " +
+      "RETURN p.age + '!' AS x").head().getString(0)
+    assert(mix === "29!")
+    intercept[Exception](run("MATCH (p:person) RETURN p.age - 'x' AS y"))
+    intercept[Exception](run("MATCH (p:person) RETURN 'x' * 2 AS y"))
+  }
+
+  test("RETURN must be the last clause (only ORDER BY/SKIP/LIMIT follow)") {
+    intercept[Exception](run(
+      "MATCH (a:person) RETURN a.name AS x WITH a RETURN a.name AS y"))
+    intercept[Exception](run(
+      "MATCH (a:person) RETURN a.name AS x MATCH (b:software) RETURN b"))
+    // the legal modifiers still work after RETURN
+    val ok = run("MATCH (a:person) RETURN a.name AS x ORDER BY x ASC LIMIT 2")
+      .collect().map(_.getString(0)).toSeq
+    assert(ok === Seq("josh", "marko"))
+  }
+
+  test("UNWIND edge cases: empty list, negative literals, alias collision") {
+    assert(run("UNWIND [] AS x RETURN x").collect().isEmpty)
+    val neg = run("UNWIND [-1, 2, -3.5] AS x RETURN x ORDER BY x ASC")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(neg === Seq(-3.5, -1.0, 2.0))
+    // post-WITH UNWIND must not silently rebind a carried variable
+    intercept[Exception](run("MATCH (p:person)-[:created]->(s:software) " +
+      "WITH p, collect(s.name) AS xs UNWIND xs AS p RETURN p"))
+  }
+
+  test("ORDER BY value expressions") {
+    // function key over a non-returned property expression
+    val bySize = run("MATCH (s:software) RETURN s.name AS nm " +
+      "ORDER BY size(s.name) DESC").collect().map(_.getString(0)).toSeq
+    assert(bySize === Seq("ripple", "lop"))
+    // arithmetic key (unary minus flips the order); prop not in RETURN
+    val arith = run("MATCH (p:person) RETURN p.name AS who ORDER BY -p.age ASC")
+      .collect().map(_.getString(0)).toSeq
+    assert(arith === Seq("peter", "josh", "marko", "vadas"))
+    // under aggregation: expression over a RETURN alias is legal…
+    val agg = run("MATCH (p:person)-[:created]->(s:software) " +
+      "RETURN s.name AS sw, count(*) AS n ORDER BY n * -1 ASC")
+      .collect().map(_.getString(0)).toSeq
+    assert(agg === Seq("lop", "ripple"))
+    // …but a grouped-away source property is rejected loudly
+    intercept[Exception](run("MATCH (p:person)-[:created]->(s:software) " +
+      "RETURN s.name AS sw, count(*) AS n ORDER BY p.age + 1"))
+  }
+
   test("variable-length rejects unbounded and over-cap windows loudly") {
     intercept[Exception](
       run("MATCH (a)-[:knows*]->(b) RETURN a.name")) // bare * unbounded

@@ -377,4 +377,24 @@ class GremlinLiteSpec extends SparkSpec {
     intercept[Exception]( // one by() per variable
       run("g.V().as('a').out('x').as('b').select('a', 'b').by('name')"))
   }
+
+  test("repeat().until() cap hit warns with the dropped-frontier count") {
+    import graft.api.Graft
+    import graft.core.Cond
+    // marko.out() → {vadas, josh, lop}; lop exits (software), the two
+    // people would need another round — maxRounds = 1 drops them
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    val out = try {
+      Graft.g(g).V("person:marko")
+        .repeatUntil(Cond.eq("label", "software"), maxRounds = 1)(_.out())
+        .id().collect().map(_.getString(0)).toSet
+    } finally System.setErr(prevErr)
+    // results are the emitted exits only — unchanged by the warning
+    assert(out === Set("software:lop"))
+    val msg = errBuf.toString("UTF-8")
+    assert(msg.contains("still looping") && msg.contains("2 traverser"),
+      s"expected a dropped-frontier warning, got: $msg")
+  }
 }
