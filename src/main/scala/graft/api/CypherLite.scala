@@ -88,15 +88,31 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   *
   * VARIABLE-LENGTH relationships `-[:l*min..max]->` (also `*n` incl. `*0`,
   * `*..max`; `*0..max` adds the identity binding; bare `*` and `*min..`
-  * are rejected — this is a bounded engine, state the max) lower
-  * onto the layered frontier expansion every traverser uses: hop layers
-  * are per-layer DISTINCT (endpoint-pair semantics — the binding is "x is
-  * reachable from a within the hop window", one row per distinct (a, x)
-  * pair, the reference's kout/kneighbor contract). openCypher's per-PATH
-  * multiplicity with relationship-uniqueness is served by the exact path
-  * enumerators ([[graft.traverse.PathTraversals.paths]]); the only
-  * observable divergence here is a pair whose EVERY in-window walk reuses
-  * an edge — such a pair still matches (walk semantics, stated loudly).
+  * are rejected — this is a bounded engine, state the max) pick their
+  * plan by what the consuming projection OBSERVES
+  * ([[multiplicitySensitive]]):
+  *  - multiplicity-observing shapes — plain non-DISTINCT projections,
+  *    count(*)/count/sum/avg/collect — run the exact PER-PATH expansion
+  *    with openCypher relationship-uniqueness (one row per path; a
+  *    content-keyed edge view makes the two BOTH-view twins one
+  *    relationship, so a walk can't re-use an edge backwards);
+  *  - multiplicity-blind shapes — DISTINCT projections, min/max,
+  *    count(DISTINCT)/collect(DISTINCT), pattern predicates — keep the
+  *    per-layer-DISTINCT pair expansion (within-window WALK reachability,
+  *    the reference's kout/kneighbor contract). The one stated divergence
+  *    from openCypher lives only here: a pair whose EVERY in-window walk
+  *    reuses an edge still matches in pair mode.
+  *
+  * NAMED PATHS `MATCH p = (a)-[:l*1..2]->(b)` (one relationship segment,
+  * single-hop or variable-length) always enumerate per path and bind `p`:
+  * `RETURN p` renders the vertex sequence ("v0->v1->v2"), `nodes(p)` the
+  * vertex-id array, `length(p)` the hop count. `p = allShortestPaths(…)`
+  * lowers onto the path-carrying first-seen BFS (every min-hop path per
+  * endpoint pair); `p = shortestPath(…)` stays the pair BFS where only
+  * `length(p)` is materialized. Path projections live on the first
+  * projection stage only — alias them as WITH items to carry them on.
+  * `relationships(p)` is rejected loudly (relationship lists are not
+  * materialized).
   * A variable on a variable-length relationship (`-[r:l*1..3]-`) binds a
   * LIST of relationships in openCypher; here the supported subset is the
   * ALL-hop predicate pushdown — `WHERE r.prop <op> lit` must appear as a
@@ -138,10 +154,20 @@ object CypherLite {
   }
   private[api] final case class MatchClause(nodes: List[NodePat], rels: List[RelPat],
                                             optional: Boolean,
-                                            /** `p = shortestPath(…)` — the
-                                              * path variable; `length(p)`
-                                              * reads the hop count */
-                                            pathVar: Option[String] = None)
+                                            /** `p = shortestPath(…)` /
+                                              * `p = allShortestPaths(…)` /
+                                              * `p = (a)-[:l*1..2]->(b)` —
+                                              * the path variable */
+                                            pathVar: Option[String] = None,
+                                            /** allShortestPaths(): every
+                                              * min-hop path, not one per
+                                              * pair */
+                                            pathAll: Boolean = false,
+                                            /** plain named path — exact
+                                              * per-path enumeration with
+                                              * `p`/`nodes(p)`/`length(p)`
+                                              * projectable */
+                                            pathPlain: Boolean = false)
 
   // ---- WHERE boolean-expression grammar ----------------------------------
   private[api] sealed trait BoolExpr
@@ -467,7 +493,9 @@ object CypherLite {
     val numRe = """^\d+(?:\.\d+)?(?:[eE][-+]?\d+)?""".r
     val strRe = """^'([^']*)'""".r
     val aggFunRe = """^(?i)(count|sum|avg|min|max)\s*\(""".r
-    val funRe = """^(?i)(toUpper|toLower|abs|round|coalesce|size|length)\s*\(""".r
+    val funRe =
+      ("""^(?i)(toUpper|toLower|abs|round|coalesce|size|length|nodes""" +
+        """|relationships)\s*\(""").r
     val refRe = """^(\w+)(?:\.(\w+))?""".r
     def addE(): ValExpr = {
       var l = mulE()
@@ -623,11 +651,20 @@ object CypherLite {
       case FunV("round", List(a)) => round(compileVal(a, colOf), 0)
       // openCypher size() on a string → its length, as a long
       case FunV("size", List(a)) => length(compileVal(a, colOf)).cast("long")
-      // length(p) on a shortestPath variable: the hop count rides the
-      // frontier as `<p>___len` (never attachable from the vertex table)
+      // length(p)/nodes(p) on a path variable: the hop count / vertex
+      // array ride the frontier as `<p>___len` / `<p>___nodes` (never
+      // attachable from the vertex table); argument validation against the
+      // query's declared path variables happens in [[eval]]
       case FunV("length", List(RefV(v, ""))) => col(s"${v}___len")
       case FunV("length", _) =>
-        sys.error("length() takes a shortestPath() path variable")
+        sys.error("length() takes a named path variable")
+      case FunV("nodes", List(RefV(v, ""))) => col(s"${v}___nodes")
+      case FunV("nodes", _) =>
+        sys.error("nodes() takes a named path variable")
+      case FunV("relationships", _) => sys.error(
+        "relationships(p) is unsupported — relationship lists are not " +
+          "materialized; bind a single-hop relationship variable and " +
+          "project its properties instead")
       case FunV("coalesce", as) if as.nonEmpty =>
         coalesce(as.map(compileVal(_, colOf)): _*)
       case FunV(f, as) => sys.error(s"unsupported function: $f/${as.length} args")
@@ -648,12 +685,38 @@ object CypherLite {
   private def valRefs(e: ValExpr): List[(String, String)] = e match {
     case RefV(v, p) => List((v, p))
     case BinV(_, l, r) => valRefs(l) ++ valRefs(r)
-    // length(p) reads the frontier-riding hop column, never a vertex prop
-    case FunV("length", _) => Nil
+    // length(p)/nodes(p) read frontier-riding path columns, never a
+    // vertex prop
+    case FunV("length", _) | FunV("nodes", _) => Nil
     case FunV(_, as) => as.flatMap(valRefs)
     case AggV(_, a) => a.toList.flatMap(valRefs)
     case CaseV(bs, els) =>
       bs.flatMap(b => refs(b._1) ++ valRefs(b._2)) ++ els.toList.flatMap(valRefs)
+    case _ => Nil
+  }
+
+  /** (fn, var) pairs for every length()/nodes() call in a value expression
+    * — [[eval]] validates the argument against the query's declared path
+    * variables (a non-path argument would otherwise die later with an
+    * opaque unresolved-column error on `<v>___len`). */
+  private def pathFnRefs(e: ValExpr): List[(String, String)] = e match {
+    case FunV(f @ ("length" | "nodes"), as) => as match {
+      case List(RefV(v, "")) => List((f, v))
+      case _ => sys.error(s"$f() takes a named path variable")
+    }
+    case BinV(_, l, r) => pathFnRefs(l) ++ pathFnRefs(r)
+    case FunV(_, as) => as.flatMap(pathFnRefs)
+    case AggV(_, a) => a.toList.flatMap(pathFnRefs)
+    case CaseV(bs, els) =>
+      bs.flatMap(b => boolPathFnRefs(b._1) ++ pathFnRefs(b._2)) ++
+        els.toList.flatMap(pathFnRefs)
+    case _ => Nil
+  }
+  private def boolPathFnRefs(e: BoolExpr): List[(String, String)] = e match {
+    case CmpE(l, _, r) => pathFnRefs(l) ++ pathFnRefs(r)
+    case AndE(l, r) => boolPathFnRefs(l) ++ boolPathFnRefs(r)
+    case OrE(l, r) => boolPathFnRefs(l) ++ boolPathFnRefs(r)
+    case NotE(x) => boolPathFnRefs(x)
     case _ => Nil
   }
 
@@ -835,23 +898,39 @@ object CypherLite {
 
     // `MATCH p = shortestPath((a)-[:l*..k]-(b))`: one relationship segment,
     // explicit max (bounded engine), min 0/1, no rel variable — lowered
-    // onto the layered first-seen BFS (pair semantics, min hop count)
-    val spRe = """(?i)^(\w+)\s*=\s*shortestPath\s*\((.+)\)\s*$""".r
+    // onto the layered first-seen BFS (pair semantics, min hop count).
+    // `p = allShortestPaths(…)`: same constraints, EVERY min-hop path per
+    // pair (path-carrying BFS — PathTraversals.allShortestPaths's contract,
+    // reference ShortestPathTraverser.java:104). `p = (a)-[:l*1..2]->(b)`:
+    // a PLAIN named path — exact per-path enumeration with
+    // relationship-uniqueness; `p`, `nodes(p)` and `length(p)` projectable.
+    val spRe = """(?i)^(\w+)\s*=\s*(shortestPath|allShortestPaths)\s*\((.+)\)\s*$""".r
+    val plainPathRe = """^(\w+)\s*=\s*(\(.+)$""".r
     def parseMatch(body: String): MatchClause = body.trim match {
-      case spRe(pv, inner) =>
+      case spRe(pv, kind0, inner) =>
+        val kind = kind0.toLowerCase
         val mc = parsePattern(inner, optional = false)
         require(mc.nodes.length == 2 && mc.rels.length == 1,
-          s"shortestPath() takes exactly one relationship segment: $inner")
+          s"$kind0() takes exactly one relationship segment: $inner")
         val r = mc.rels.head
         require(r.minHops <= 1,
-          s"shortestPath() min hops must be 0 or 1, got *${r.minHops}..")
+          s"$kind0() min hops must be 0 or 1, got *${r.minHops}..")
         require(!r.singleHop,
-          "shortestPath() needs a variable-length relationship (e.g. *..4)")
+          s"$kind0() needs a variable-length relationship (e.g. *..4)")
         require(r.variable.isEmpty,
-          "a relationship variable inside shortestPath() is unsupported")
+          s"a relationship variable inside $kind0() is unsupported")
         require(mc.nodes.head.v != mc.nodes(1).v,
-          "shortestPath() endpoints must be distinct variables")
-        mc.copy(pathVar = Some(checkVar(pv)))
+          s"$kind0() endpoints must be distinct variables")
+        mc.copy(pathVar = Some(checkVar(pv)),
+          pathAll = kind == "allshortestpaths")
+      case plainPathRe(pv, inner) =>
+        val mc = parsePattern(inner, optional = false)
+        require(mc.nodes.length == 2 && mc.rels.length == 1,
+          "a named path takes exactly one relationship segment " +
+            s"(chain patterns under a path variable are unsupported): $inner")
+        require(mc.nodes.head.v != mc.nodes(1).v,
+          "named-path endpoints must be distinct variables")
+        mc.copy(pathVar = Some(checkVar(pv)), pathPlain = true)
       case b => parsePattern(b, optional = false)
     }
     clauses.foreach { kwBody =>
@@ -869,7 +948,8 @@ object CypherLite {
         else {
           val mc = parseMatch(body)
           require(mc.pathVar.isEmpty,
-            "shortestPath() after WITH is unsupported — move it before WITH")
+            "a named path after WITH is unsupported — move it before WITH " +
+              "(carry the projections you need as WITH items)")
           updLast(s0 => s0.copy(matches = s0.matches :+ mc))
         }
       case ("OPTIONAL MATCH", body) =>
@@ -976,13 +1056,23 @@ object CypherLite {
     *                   carry through the join (single-hop rels only)
     * @param relFilters per relationship variable, a predicate over RAW edge
     *                   columns pushed into the edge scan before expansion
-    *                   (the var-length ALL-hop pushdown) */
+    *                   (the var-length ALL-hop pushdown)
+    * @param pathMode   variable-length rels expand PER PATH (openCypher row
+    *                   multiplicity with relationship-uniqueness) instead of
+    *                   per distinct endpoint pair — selected by [[eval]]
+    *                   when the consuming projection observes multiplicity
+    * @param srcFilter  equality conjuncts pushed into the START node's
+    *                   vertex scan (the fan-out killer; idempotent — the
+    *                   conjunct stays in the residual filter) */
   private[api] def evalChain(g: PropertyGraph, mc: MatchClause,
                              edgeProps: Map[String, Seq[String]] = Map.empty,
-                             relFilters: Map[String, Column] = Map.empty): DataFrame = {
+                             relFilters: Map[String, Column] = Map.empty,
+                             pathMode: Boolean = false,
+                             srcFilter: Option[Column] = None): DataFrame = {
     val n0 = mc.nodes.head
     var frontier: DataFrame = {
-      val base = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
+      val base0 = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
+      val base = srcFilter.fold(base0)(f => base0.filter(f))
       base.select(col("id").as(n0.v))
     }
     mc.nodes.tail.zip(mc.rels).zipWithIndex.foreach { case ((node, rel), i) =>
@@ -1009,6 +1099,29 @@ object CypherLite {
         if (rel.singleHop)
           bind(frontier.join(e, frontier(prevVar) === e("src")).drop("src"),
             "dst")
+        else if (pathMode || mc.pathPlain) {
+          // variable-length PER PATH (openCypher multiplicity with
+          // relationship-uniqueness): one row per qualifying walk, joined
+          // back onto the binding table so each binding row extends once
+          // per path. The content-keyed edge view makes a BOTH-view edge
+          // and its reversed twin one relationship for the uniqueness
+          // filter. `__vp` (the vertex array) is carried only for a named
+          // path (`p = …`) that will project it.
+          val keyed = keyedEdgeView(g, rel, rel.variable.flatMap(relFilters.get))
+          val endFilter = node.label.map(l => g.verticesOf(l).select(col("id")))
+          val paths = expandVarLengthPaths(keyed,
+            frontier.select(col(prevVar).as("__a")).distinct(),
+            rel.minHops, rel.maxHops, endFilter, carryNodes = mc.pathPlain)
+          var joined = bind(frontier.join(paths, frontier(prevVar) === paths("__a"))
+            .drop("__a"), "__x")
+          if (mc.pathPlain) {
+            val pv = mc.pathVar.get
+            joined = joined
+              .withColumn(s"${pv}___len", (size(col("__vp")) - 1).cast("long"))
+              .withColumnRenamed("__vp", s"${pv}___nodes")
+          }
+          joined
+        }
         else {
           // variable-length: expand the DISTINCT source bindings through
           // the bounded layer loop (each layer distinct — pair semantics,
@@ -1032,6 +1145,16 @@ object CypherLite {
         frontier = frontier.join(
           g.verticesOf(node.label.get).select(col("id").as(node.v)),
           Seq(node.v), "left_semi")
+    }
+    // a SINGLE-HOP named path (`p = (a)-[:l]->(b)`): the join above is
+    // already one row per relationship (parallel edges included) — the
+    // path columns derive from the two bindings
+    if (mc.pathPlain && mc.rels.head.singleHop) {
+      val pv = mc.pathVar.get
+      frontier = frontier
+        .withColumn(s"${pv}___nodes",
+          array(col(mc.nodes.head.v), col(mc.nodes(1).v)))
+        .withColumn(s"${pv}___len", lit(1L))
     }
     frontier
   }
@@ -1070,6 +1193,81 @@ object CypherLite {
       if (h >= minHops) out ::= (if (h < maxHops) emit(layer) else stepped)
     }
     out.reduce(_ unionByName _).distinct()
+  }
+
+  /** The stored-orientation edge view with a CONTENT identity key `__ek`,
+    * projected to the requested direction. Both directional twins of one
+    * physical edge share the key (the key is computed BEFORE the reversed
+    * view is unioned in), so a path filter on `__ek` enforces openCypher
+    * relationship-uniqueness across the BOTH view — a walk may not re-use
+    * an undirected edge backwards. Identity is content-based (md5 over
+    * every stored column): IDENTICAL parallel edges (same endpoints,
+    * label, every property) are indistinguishable — each still contributes
+    * its own path row (multiplicity preserved: the join emits one row per
+    * stored edge), but a single path may use at most one edge of an
+    * identical-content class. Stated divergence from openCypher's
+    * per-relationship identity; the DuckDB oracles apply the same
+    * content-key rule, so results stay comparable. */
+  private def keyedEdgeView(g: PropertyGraph, rel: RelPat,
+                            relFilter: Option[Column]): DataFrame = {
+    val s0 = g.edges
+    val s1 = if (rel.label.isEmpty) s0 else s0.filter(
+      g.schema.edgeLabelCond(Seq(rel.label), s0.columns.contains("sub_label")))
+    val s2 = relFilter.fold(s1)(f => s1.filter(f))
+    val keyCols = s2.columns.toSeq.map(c => coalesce(col(c).cast("string"), lit("")))
+    val keyed = s2.withColumn("__ek", md5(concat_ws("\u0001", keyCols: _*)))
+      .select(col("src"), col("dst"), col("__ek"))
+    lazy val rev = keyed.select(col("dst").as("src"), col("src").as("dst"),
+      col("__ek"))
+    if (rel.undirected) keyed.unionByName(rev)
+    else if (rel.forward) keyed
+    else rev
+  }
+
+  /** Bounded PER-PATH variable-length expansion — openCypher row
+    * multiplicity with relationship-uniqueness: one row per walk of length
+    * in [minHops, maxHops] whose relationships are pairwise distinct
+    * (`__eks` accumulates the content keys of the edges used; the hop
+    * join's array_contains guard rejects reuse). NO distinct anywhere —
+    * parallel edges yield one path each, and paths are distinct by
+    * construction (their key sequences differ). Like [[expandVarLength]]
+    * this is ONE lazy plan (≤ 16 hop self-joins, no per-hop
+    * materialization) and the FINAL hop pre-filters its edge side to the
+    * end label, so the widest layer never emits non-qualifying rows.
+    * minHops = 0 contributes the zero-length path. Returns
+    * (__a, __x[, __vp]) — `__vp` the ordered vertex array when
+    * `carryNodes` (named-path projection). */
+  private def expandVarLengthPaths(e: DataFrame, srcs: DataFrame,
+                                   minHops: Int, maxHops: Int,
+                                   endFilter: Option[DataFrame],
+                                   carryNodes: Boolean): DataFrame = {
+    def emit(df: DataFrame): DataFrame =
+      endFilter.fold(df)(f => df.join(f, df("__x") === f("id"), "left_semi"))
+    val eEnd = endFilter.fold(e)(f =>
+      e.join(f, e("dst") === f("id"), "left_semi"))
+    var layer = srcs.select(
+      (col("__a") +: col("__a").as("__x") +:
+        array().cast("array<string>").as("__eks") +:
+        (if (carryNodes) Seq(array(col("__a")).as("__vp")) else Nil)): _*)
+    var out = List.empty[DataFrame]
+    if (minHops == 0) out ::= emit(layer)
+    for (h <- 1 to maxHops) {
+      val right = if (h == maxHops) eEnd else e
+      // plain col() refs in the SELECT (dst/__ek live only on the edge
+      // side post-join) — df-qualified refs there would carry dataset-id
+      // tags into the next hop's self-join and trip the ambiguity check
+      val cols = col("__a") +: col("dst").as("__x") +:
+        concat(col("__eks"), array(col("__ek"))).as("__eks") +:
+        (if (carryNodes)
+          Seq(concat(col("__vp"), array(col("dst"))).as("__vp")) else Nil)
+      val stepped = layer.join(right,
+          layer("__x") === right("src") &&
+            !array_contains(layer("__eks"), right("__ek")))
+        .select(cols: _*)
+      layer = stepped
+      if (h >= minHops) out ::= (if (h < maxHops) emit(stepped) else stepped)
+    }
+    out.map(_.drop("__eks")).reduce(_ unionByName _)
   }
 
   /** `shortestPath()` lowering: per-source layered BFS with FIRST-SEEN
@@ -1123,6 +1321,64 @@ object CypherLite {
       col("__len").as(s"${pv}___len"))
   }
 
+  /** `allShortestPaths()` lowering — the PATH-CARRYING twin of
+    * [[shortestChain]]: per round, walks extending last round's shortest
+    * paths; a (start, reached) pair is settled the FIRST round it appears,
+    * and EVERY walk reaching it that round is a shortest path (a
+    * minimal-length walk can never revisit a vertex or repeat an edge —
+    * cutting the loop would shorten it — so the walks ARE simple paths and
+    * need no uniqueness bookkeeping; a walk whose endpoint pair was seen
+    * earlier can prefix no shortest path either, so the frontier stays
+    * exactly the new shortest paths). Multiplicity is openCypher's: the
+    * edge view preserves parallel edges, one path row per relationship
+    * combination. Engine twin of [[graft.traverse.PathTraversals
+    * .allShortestPaths]] (reference `ShortestPathTraverser.java:104`),
+    * generalized to frontier sources with the same per-round
+    * localCheckpoint + drained-frontier discipline. Emits one row per path
+    * with `<p>___len` (hop count) and `<p>___nodes` (vertex array). */
+  private def allShortestChain(g: PropertyGraph, mc: MatchClause,
+                               srcFilter: Option[Column]): DataFrame = {
+    val pv = mc.pathVar.get
+    val n0 = mc.nodes.head
+    val n1 = mc.nodes(1)
+    val rel = mc.rels.head
+    val dir = if (rel.undirected) Direction.BOTH
+              else if (rel.forward) Direction.OUT else Direction.IN
+    val e = EdgeStep(dir, Seq(rel.label).filter(_.nonEmpty)).edgesFor(g)
+      .select(col("src"), col("dst"))
+    val base0 = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
+    val base = srcFilter.fold(base0)(f => base0.filter(f))
+    val srcs = base.select(col("id").as("__a")).distinct()
+    def emit(df: DataFrame): DataFrame =
+      n1.label.fold(df)(l => df.join(g.verticesOf(l).select(col("id")),
+        df("__x") === col("id"), "left_semi"))
+    var frontier = srcs.select(col("__a"), col("__a").as("__x"),
+      array(col("__a")).as("__vp")).localCheckpoint(true)
+    var seen = frontier.select(col("__a"), col("__x"))
+    var out = List.empty[DataFrame]
+    if (rel.minHops == 0) out ::= emit(frontier).withColumn("__len", lit(0L))
+    var h = 1
+    var drained = false
+    while (h <= rel.maxHops && !drained) {
+      val stepped = frontier.join(e, frontier("__x") === e("src"))
+        .select(col("__a"), col("dst").as("__x"),
+          concat(col("__vp"), array(col("dst"))).as("__vp"))
+      val fresh = stepped.join(seen, Seq("__a", "__x"), "left_anti")
+        .localCheckpoint(true)
+      if (fresh.isEmpty) drained = true
+      else {
+        seen = seen.unionByName(fresh.select(col("__a"), col("__x")).distinct())
+        out ::= emit(fresh).withColumn("__len", lit(h.toLong))
+        frontier = fresh
+      }
+      h += 1
+    }
+    val paths = out.reduceOption(_ unionByName _)
+      .getOrElse(frontier.withColumn("__len", lit(0L)).limit(0))
+    paths.select(col("__a").as(n0.v), col("__x").as(n1.v),
+      col("__len").as(s"${pv}___len"), col("__vp").as(s"${pv}___nodes"))
+  }
+
   /** Disconnected patterns are a cartesian product (Cypher semantics) —
     * guard it: at scale an unintended unshared MATCH is a run-away
     * product, and real Cypher engines warn. The guard PROBES each side
@@ -1152,6 +1408,36 @@ object CypherLite {
     }
   }
 
+  /** Does a projection stage OBSERVE row multiplicity? Decides which
+    * variable-length plan fires (the r12 verdict's #1 ask): a plain
+    * non-DISTINCT projection and count/sum/avg/collect aggregates return a
+    * different number per extra path → the exact PER-PATH expansion
+    * (openCypher semantics, relationship-unique); DISTINCT projections and
+    * min/max/count(DISTINCT)/collect(DISTINCT) shapes don't → the
+    * pair-distinct fast path (within-window WALK reachability, the
+    * reference's kout/kneighbor contract — one row per endpoint pair, the
+    * documented divergence: a pair reachable ONLY by edge-reusing walks
+    * still matches there, never in path mode). */
+  private def exprAggSensitive(e: ValExpr): Boolean = e match {
+    case AggV(f, _) => f != "min" && f != "max"
+    case BinV(_, l, r) => exprAggSensitive(l) || exprAggSensitive(r)
+    case FunV(_, as) => as.exists(exprAggSensitive)
+    case CaseV(bs, els) =>
+      bs.exists(b => exprAggSensitive(b._2)) || els.exists(exprAggSensitive)
+    case _ => false
+  }
+  private[api] def multiplicitySensitive(items: List[Ret],
+                                         dist: Boolean): Boolean = {
+    def itemSensitive(r: Ret): Boolean = r.agg match {
+      case None => false // plain item: the stage-level dist flag decides
+      case Some("min") | Some("max") => false
+      case Some("count") | Some("collect") => !r.distinctAgg
+      case Some("exprAgg") => exprAggSensitive(r.expr.get)
+      case Some(_) => true // sum/avg
+    }
+    !dist && (items.forall(_.agg.isEmpty) || items.exists(itemSensitive))
+  }
+
   def eval(g: PropertyGraph, cypher: String): DataFrame = {
     val q = parse(cypher)
 
@@ -1166,12 +1452,66 @@ object CypherLite {
     relVarOcc.find(nodeVars).foreach(v =>
       sys.error(s"variable '$v' is bound to both a node and a relationship"))
     val pathVars = q.matches.flatMap(_.pathVar).toSet
+    // path vars whose VERTEX ARRAY rides the frontier (plain named paths +
+    // allShortestPaths) — `p` and `nodes(p)` are projectable for these;
+    // shortestPath() carries only the hop count (length(p))
+    val nodePathVars = q.matches
+      .filter(m => m.pathPlain || m.pathAll).flatMap(_.pathVar).toSet
     pathVars.intersect(nodeVars).foreach(v =>
       sys.error(s"variable '$v' is bound to both a path and a node"))
     (q.rets ++ q.stages.flatMap(_.withStage.items))
-      .flatMap(retRefs).filter(r => pathVars(r._1)).foreach { case (v, _) =>
-        sys.error(s"'$v' is a path variable — only length($v) is projectable")
+      .flatMap(retRefs).filter(r => pathVars(r._1)).foreach { case (v, p) =>
+        if (p.nonEmpty) sys.error(s"'$v' is a path variable — project it " +
+          s"bare (the vertex-sequence rendering), or via nodes($v)/length($v)")
+        else if (!nodePathVars(v)) sys.error(s"'$v' is a shortestPath() " +
+          s"variable — only length($v) is projectable (relationships are " +
+          "not materialized; use allShortestPaths() or a plain named path " +
+          s"to project $v / nodes($v))")
       }
+    // length()/nodes() arguments must be DECLARED path variables, and path
+    // projections (bare `p`, length(p), nodes(p)) exist ONLY on the first
+    // projection stage's INPUT — legal surfaces are the pre-WITH WHERE,
+    // the first WITH's items, and (with no stages) the RETURN items and
+    // final ORDER BY. A WITH projects the path columns away: alias them as
+    // stage items to carry them forward. Anything else errors loudly here
+    // instead of dying later on an opaque unresolved `<v>___len` column.
+    locally {
+      def fnsOf(items: List[Ret], wheres: List[BoolExpr]): List[(String, String)] =
+        items.flatMap(_.expr).flatMap(pathFnRefs) ++ wheres.flatMap(boolPathFnRefs)
+      val stage1Items =
+        q.stages.headOption.map(_.withStage.items).getOrElse(q.rets)
+      val orderFns =
+        if (q.stages.isEmpty)
+          q.orderBy.flatMap(k =>
+            if (k.ref.matches("""\w+(\.\w+)?""")) Nil
+            else pathFnRefs(parseValExpr(k.ref)))
+        else Nil
+      (fnsOf(stage1Items, q.where.toList) ++ orderFns).foreach { case (f, v) =>
+        require(pathVars(v),
+          s"$f() takes a named path variable — '$v' is not one")
+        if (f == "nodes") require(nodePathVars(v),
+          s"nodes($v) requires allShortestPaths() or a plain named path — " +
+            "shortestPath() materializes only the hop count")
+      }
+      // POST-projection surfaces: every stage's output WHERE / block
+      // where2, later stage items, and (when stages exist) the RETURN
+      val later: List[(List[Ret], List[BoolExpr])] =
+        if (q.stages.isEmpty) Nil
+        else ((List.empty[Ret],
+            q.stages.head.withStage.where.toList ++
+              q.stages.head.where2.toList)) +:
+          q.stages.tail.map(s => (s.withStage.items,
+            s.withStage.where.toList ++ s.where2.toList)) :+
+          ((q.rets, List.empty[BoolExpr]))
+      later.foreach { case (items, wheres) =>
+        val fns = fnsOf(items, wheres)
+        val bare = items.flatMap(retRefs)
+          .filter(r => r._2.isEmpty && pathVars(r._1))
+        require(fns.isEmpty && bare.isEmpty,
+          "path projections (p / nodes(p) / length(p)) do not survive " +
+            "WITH — alias them as items in the first WITH stage")
+      }
+    }
     val relVars: Map[String, RelPat] =
       q.matches.flatMap(_.rels).flatMap(r => r.variable.map(_ -> r)).toMap
     val varLenVars = relVars.collect { case (v, r) if !r.singleHop => v }.toSet
@@ -1224,9 +1564,14 @@ object CypherLite {
     }
 
     // column resolver shared by every stage: a bare ref is the variable/
-    // alias column itself (vertex id pre-WITH, alias value post-WITH)
+    // alias column itself (vertex id pre-WITH, alias value post-WITH); a
+    // bare NODE-PATH variable renders as its vertex-sequence string
+    // ("v0->v1->v2" — RETURN p, comparable and hashable)
     val colOf: (String, String) => Column =
-      (v, p) => if (p.isEmpty) col(v) else col(s"${v}_$p")
+      (v, p) =>
+        if (p.isEmpty && nodePathVars(v)) concat_ws("->", col(s"${v}___nodes"))
+        else if (p.isEmpty) col(v)
+        else col(s"${v}_$p")
 
     // ORDER BY key shapes: a bare alias, `var.prop`, or a value EXPRESSION
     // (ADVICE r12: `ORDER BY size(c.name)` / arithmetic — reuses the
@@ -1276,9 +1621,22 @@ object CypherLite {
           if p.nonEmpty && !value.isInstanceOf[PropRef] => col(p) === lit(value)
       }.reduceOption(_ && _)
     }
+    // which variable-length plan fires for the PRE-WITH pattern block:
+    // decided by the first projection stage (see multiplicitySensitive)
+    val pathMode1 = {
+      val (items, dist) = q.stages.headOption
+        .map(s => (s.withStage.items, s.withStage.distinct))
+        .getOrElse((q.rets, q.retDistinct))
+      multiplicitySensitive(items, dist)
+    }
     def chainOf(mc: MatchClause): DataFrame =
-      if (mc.pathVar.isDefined) shortestChain(g, mc, srcPushFor(mc))
-      else evalChain(g, mc, edgePropNeeds, relFilters)
+      if (mc.pathVar.isDefined && !mc.pathPlain) {
+        if (mc.pathAll) allShortestChain(g, mc, srcPushFor(mc))
+        else shortestChain(g, mc, srcPushFor(mc))
+      }
+      else evalChain(g, mc, edgePropNeeds, relFilters,
+        pathMode = pathMode1,
+        srcFilter = if (mc.optional) None else srcPushFor(mc))
 
     var frontier = q.unwind match {
       case Some((Nil, v)) =>
@@ -1464,8 +1822,18 @@ object CypherLite {
              .distinct.filter(_._2.nonEmpty)))
           .filter(p => relVarsS.contains(p._1))
           .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).distinct }
+      // variable-length plan for THIS stage's block: decided by the stage
+      // that consumes its rows (the next WITH, or the RETURN)
+      val pathMode2 = {
+        val (items, dist) =
+          if (isLast) (q.rets, q.retDistinct)
+          else (q.stages(si + 1).withStage.items,
+            q.stages(si + 1).withStage.distinct)
+        multiplicitySensitive(items, dist)
+      }
       st.matches.foreach { mc =>
-        val df = evalChain(g, mc, edgePropNeeds2, Map.empty)
+        val df = evalChain(g, mc, edgePropNeeds2, Map.empty,
+          pathMode = pathMode2)
         val shared = frontier.columns.intersect(df.columns).toSeq
         frontier =
           if (mc.optional) {
@@ -1532,10 +1900,16 @@ object CypherLite {
     // keep the order keys' source columns through a non-agg projection
     val retSources =
       q.rets.map(r => if (r.prop.isEmpty) r.v else s"${r.v}_${r.prop}").toSet
+    // ORDER BY expression keys calling length(p)/nodes(p) need the
+    // frontier-riding path columns carried through the projection
+    val orderPathCols =
+      if (q.stages.nonEmpty) Nil
+      else q.orderBy.flatMap(k => orderExprOf(k.ref).toList.flatMap(pathFnRefs))
+        .map { case (f, v) => if (f == "length") s"${v}___len" else s"${v}___nodes" }
     val extra =
       if (hasAgg) Nil
-      else orderProps.map { case (v, p) => s"${v}_$p" }.distinct
-        .filterNot(retSources)
+      else (orderProps.map { case (v, p) => s"${v}_$p" } ++ orderPathCols)
+        .distinct.filterNot(retSources)
     var result = projectStage(q.rets, q.retDistinct, extra)
     if (q.orderBy.nonEmpty) result = result.orderBy(q.orderBy.map(orderCol): _*)
     // project down to the declared aliases (drops order-only carry columns)
@@ -1543,5 +1917,125 @@ object CypherLite {
     q.skip.foreach(n => result = result.offset(n))
     q.limit.foreach(n => result = result.limit(n))
     result
+  }
+
+  // ---- write clauses (r12 ask #6): CREATE / SET / DETACH DELETE ----------
+  /** Cypher write statements, batch semantics (SURVEY §2.1 sinks — the
+    * reference translates full openCypher including writes; here the three
+    * clause shapes a BATCH engine serves map onto the columnar mutation
+    * surface, reference `GraphTransaction.addVertex:617` / Action enum):
+    *
+    *  - `CREATE (v:label {k: lit, …})[, (w:label {…})]*` — INSERT a node
+    *    batch. The id is the schema's PRIMARY_KEY splice over the given
+    *    properties ([[graft.core.IdSplicer]] — `label:key`), or an explicit
+    *    `id` property when the label's key columns aren't node properties
+    *    (the TPC-H projection); colliding ids are rejected loudly (CREATE
+    *    never upserts — the merge-on-write path is
+    *    [[graft.core.Mutations.upsertVertices]], oracled separately).
+    *  - `MATCH … [WHERE …] SET v.prop = <value expr>` — a COLUMN UPDATE
+    *    over the matched id set: one semi-join marks the rows, the
+    *    property column is conditionally rewritten — no per-row mutation,
+    *    the scale-correct shape (the expression may read v's own
+    *    properties, e.g. `SET c.bal = c.bal * 2`).
+    *  - `MATCH … [WHERE …] DETACH DELETE v` — drop the matched vertices
+    *    and every incident edge (two anti joins). Plain DELETE is rejected
+    *    (openCypher errors on attached vertices; a batch engine can't
+    *    cheaply prove detachment per row — say DETACH).
+    *
+    * MERGE and transactional multi-statement scripts stay non-goals
+    * (COVERAGE §2.14 — adjacent to the transactions non-goal). Returns the
+    * mutated graph; reads compose via [[eval]] on the result. */
+  def evalWrite(g: PropertyGraph, stmt: String): PropertyGraph = {
+    val s = stmt.trim.replaceAll("\\s+", " ")
+    val createRe = """(?i)^CREATE\s+(.+)$""".r
+    val setRe = """(?i)^(MATCH .+?)\s+SET\s+(\w+)\.(\w+)\s*=\s*(.+)$""".r
+    val delRe = """(?i)^(MATCH .+?)\s+(DETACH\s+)?DELETE\s+(\w+)$""".r
+    s match {
+      case setRe(matchPart, v, prop, valuePart) =>
+        val e = parseValExpr(valuePart)
+        valRefs(e).foreach { case (rv, _) =>
+          require(rv == v, s"SET expressions may only read '$v' itself " +
+            s"(got '$rv') — batch column updates are per-row")
+        }
+        require(g.vertices.columns.contains(prop),
+          s"unknown property '$prop' (the columnar schema is closed)")
+        val ids = eval(g, s"$matchPart RETURN DISTINCT $v AS matched_id")
+          .withColumnRenamed("matched_id", "id").withColumn("__hit", lit(true))
+        val newVal = compileVal(e, (_, p) => col(p))
+        val updated = g.vertices.join(ids, Seq("id"), "left")
+          .withColumn(prop,
+            when(col("__hit"), newVal.cast(g.vertices.schema(prop).dataType))
+              .otherwise(col(prop)))
+          .drop("__hit")
+        g.copy(vertices = updated)
+      case delRe(matchPart, detach, v) =>
+        require(detach != null,
+          "plain DELETE is unsupported — use DETACH DELETE (openCypher " +
+            "errors on attached vertices; a batch engine deletes the " +
+            "incident edges with the vertex)")
+        val ids = eval(g, s"$matchPart RETURN DISTINCT $v AS id")
+        g.copy(
+          vertices = g.vertices.join(ids, Seq("id"), "left_anti"),
+          edges = g.edges
+            .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+            .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+      case createRe(body) =>
+        val nodeRe = """\(\s*(\w+)\s*:\s*(\w+)\s*\{([^}]*)\}\s*\)""".r
+        val items = splitTop(body)
+        require(items.nonEmpty, "CREATE needs at least one node pattern")
+        val rows = items.map {
+          case nodeRe(v, label, propsBody) =>
+            checkVar(v)
+            val props: Map[String, Any] = splitTop(propsBody).map { kv =>
+              val m = """^(\w+)\s*:\s*(.+)$""".r.findFirstMatchIn(kv.trim)
+                .getOrElse(sys.error(s"bad CREATE property: $kv"))
+              m.group(1) -> (parseValExpr(m.group(2)) match {
+                case LitV(x) => x
+                case BinV("-", LitV(0L), LitV(n: Long)) => -n
+                case BinV("-", LitV(0L), LitV(n: Double)) => -n
+                case other => sys.error(
+                  s"CREATE property values must be literals, got $other")
+              })
+            }.toMap
+            val vl = g.schema.vertexLabels.find(_.name == label).getOrElse(
+              sys.error(s"unknown vertex label '$label' (closed schema)"))
+            // id: PRIMARY_KEY splice over given props, else an explicit id
+            val id = if (vl.primaryKeys.nonEmpty &&
+                vl.primaryKeys.forall(props.contains))
+              label + ":" + vl.primaryKeys.map(k => props(k).toString)
+                .mkString("!")
+            else props.getOrElse("id", sys.error(
+              s"cannot derive an id for (:$label …): give every primary-key " +
+                "property or an explicit id")).toString
+            (id, label, props - "id")
+          case other => sys.error(
+            s"CREATE takes node patterns (v:label {k: lit, …}): $other")
+        }
+        rows.flatMap(_._3.keys).distinct.foreach(k =>
+          require(g.vertices.columns.contains(k),
+            s"unknown property '$k' (the columnar schema is closed)"))
+        val spark = g.vertices.sparkSession
+        import spark.implicits._
+        var batch = rows.map(r => (r._1, r._2)).toDF("id", "label")
+        g.vertices.columns.filterNot(Set("id", "label")).foreach { c =>
+          val dt = g.vertices.schema(c).dataType
+          val vals = rows.map(_._3.get(c))
+          batch = batch.withColumn(c,
+            coalesce((rows.map(_._1) zip vals).foldLeft(lit(null).cast(dt)) {
+              case (acc, (id, Some(value))) =>
+                when(col("id") === id, lit(value).cast(dt)).otherwise(acc)
+              case (acc, (_, None)) => acc
+            }, lit(null).cast(dt)))
+        }
+        val clash = batch.join(g.vertices, Seq("id"), "left_semi")
+        require(clash.isEmpty,
+          "CREATE would collide with existing ids — CREATE never upserts " +
+            "(use the Mutations.upsertVertices merge path for that)")
+        g.copy(vertices =
+          g.vertices.unionByName(batch.select(g.vertices.columns.map(col): _*)))
+      case _ => sys.error(
+        "unsupported write statement — supported: CREATE (v:label {…})…, " +
+          "MATCH … SET v.prop = expr, MATCH … DETACH DELETE v")
+    }
   }
 }

@@ -66,10 +66,11 @@ final case class GraphTraversal(
   }
 
   // ---------------------------------------------------------- traversal steps
-  /** rider columns that survive position changes: the where/not anchor and
-    * every `as()` step-label binding (`~as_<label>`) */
+  /** rider columns that survive position changes: the where/not anchor,
+    * the sack value, and every `as()` step-label binding (`~as_<label>`) */
   private def riderNames: Seq[String] =
-    df.columns.filter(c => c == "~anchor" || c.startsWith("~as_")).toSeq
+    df.columns.filter(c => c == "~anchor" || c == "~sack" ||
+      c.startsWith("~as_")).toSeq
 
   /** columns that ride along through traversal steps (path + riders) */
   private def carried: Seq[Column] =
@@ -390,6 +391,53 @@ final case class GraphTraversal(
 
   def union(other: GraphTraversal): GraphTraversal =
     copy(df = df.unionByName(other.df, allowMissingColumns = true))
+
+  /** `withSack(init)` — attach a per-traverser numeric SACK (TinkerPop's
+    * side-effect value), carried as a `~sack` rider column through every
+    * later step. The dataflow reading of the sack machinery: a sack is a
+    * column, `sack(op).by(prop)` is a column update, the terminal `sack()`
+    * projects it — no mutable traverser state (COVERAGE §2.9's documented
+    * equivalent, now script-reachable). */
+  def withSack(init: Double): GraphTraversal =
+    copy(df = df.withColumn("~sack", lit(init)))
+
+  /** `sack(sum|minus|mult).by(prop)` at an EDGE position — fold the edge's
+    * property into the carried sack (the weighted-walk accumulation idiom;
+    * a missing property contributes the operator's identity). */
+  def sackBy(op: String, prop: String): GraphTraversal = {
+    require(df.columns.contains("~sack"),
+      "sack(): no sack on this traversal — start with withSack(init)")
+    require(!isVertex,
+      "sack(op).by(prop) folds an EDGE property — position the traversal " +
+        "on edges first (outE/inE/bothE)")
+    val v = col(prop).cast("double")
+    copy(df = df.withColumn("~sack", op match {
+      case "sum" => col("~sack") + coalesce(v, lit(0.0))
+      case "minus" => col("~sack") - coalesce(v, lit(0.0))
+      case "mult" => col("~sack") * coalesce(v, lit(1.0))
+      case other => sys.error(s"unsupported sack operator: $other")
+    }))
+  }
+
+  /** Terminal `sack()` — one row per traverser holding its sack value. */
+  def sack(): DataFrame = {
+    require(df.columns.contains("~sack"),
+      "sack(): no sack on this traversal — start with withSack(init)")
+    df.select(col("~sack").as("sack"))
+  }
+
+  /** TinkerPop `tree()` — the traversal tree of the surviving traversers,
+    * serialized as its PATH-PREFIX SET: one row per distinct
+    * root-to-position prefix at every depth (exactly the tree's node set;
+    * the nested-map rendering is a driver-side fold the dataflow engine
+    * doesn't materialize). Requires path tracking. */
+  def tree(): DataFrame = {
+    require(pathTracked, "tree() requires withPath()")
+    df.select(
+      explode(transform(sequence(lit(1), size(col("~path"))),
+        k => concat_ws("->", slice(col("~path"), lit(1), k)))).as("branch"))
+      .distinct()
+  }
 
   /** `inject(ids…)` — add literal elements to the stream. */
   def inject(idsToAdd: String*): GraphTraversal = {

@@ -47,6 +47,17 @@ import graft.core.{Cond, PropertyGraph}
   * [[MatchStep]] shared-variable join planner the DSL uses, so scripts and
   * the fluent API reach one step surface (the reference routes scripts and
   * API through one GraphTraversal the same way).
+  *
+  * SIDE-EFFECT steps (reference `ProcessBasicSuite.java:168-178`) in their
+  * dataflow readings: `g.withSack(n).V(…)` + `sack(sum|minus|mult)
+  * .by(prop)` after an edge step + terminal `sack()` — the sack is a
+  * carried numeric rider column, updates are column expressions;
+  * `aggregate('k')`/`store('k')` [+ `.by(prop)`] snapshot the current
+  * elements into a named collection that `cap('k')` emits as one sorted
+  * list (eager-vs-lazy timing dissolves in batch dataflow — both are the
+  * same lazy snapshot); `tree()` (after `g.withPath(…)`) emits the
+  * traversal tree as its path-prefix set, one row per distinct
+  * root-to-position prefix.
   * The whole chain compiles to ONE Catalyst plan.
   */
 object GremlinLite {
@@ -100,6 +111,9 @@ object GremlinLite {
     case f if f.matches("[a-zA-Z]+\\(.*\\)") =>
       val op = f.substring(0, f.indexOf('('))
       PArg(op, splitArgs(f.substring(f.indexOf('(') + 1, f.lastIndexOf(')'))).map(parseArg))
+    // a bare identifier — Gremlin enum tokens like `sum` in sack(sum) —
+    // parses as a zero-arg predicate form
+    case w if w.matches("[a-zA-Z_]\\w*") => PArg(w, Nil)
     case n => NArg(n.toDouble)
   }
 
@@ -245,8 +259,16 @@ object GremlinLite {
 
   /** Evaluate a script against a graph; returns a DataFrame. */
   def eval(g: PropertyGraph, script: String): DataFrame = {
-    val steps = parse(script)
-    require(steps.nonEmpty, "empty traversal")
+    val steps0 = parse(script)
+    require(steps0.nonEmpty, "empty traversal")
+    // traversal-source configuration: g.withSack(init).V(…) attaches the
+    // per-traverser sack before the source step
+    val (sackInit, steps) = steps0.head match {
+      case Step("withSack", List(x)) =>
+        require(steps0.length > 1, "withSack() needs a traversal after it")
+        (Some(num(x)), steps0.tail)
+      case _ => (None, steps0)
+    }
     val src = Graft.g(g)
     var t: GraphTraversal = steps.head match {
       case Step("V", args) => src.V(args.map(str): _*)
@@ -254,8 +276,13 @@ object GremlinLite {
       case Step("E", args) => src.E(args.map(str): _*)
       case other => sys.error(s"traversal must start with V()/E(), got $other")
     }
+    sackInit.foreach(v => t = t.withSack(v))
     var result: Option[DataFrame] = None
     var matchRes: Option[MatchResult] = None
+    // named side-effect collections (aggregate('k')/store('k') snapshots,
+    // emitted by cap('k')) — a snapshot is a lazy single-column frame, so
+    // nothing materializes unless cap() is reached
+    val sideEffects = scala.collection.mutable.Map[String, DataFrame]()
     var emitFirst = false
     var i = 1
     val n = steps.length
@@ -469,6 +496,35 @@ object GremlinLite {
           }
           emitFirst = false
           i += 1
+        // ---- sack / side-effect steps (the reference suite's sack/tree/
+        // aggregate/store family, ProcessBasicSuite.java:168-178 — lowered
+        // onto the documented dataflow equivalents: carried weight column,
+        // path-prefix set, snapshot + collect) ----
+        case ("sack", List(PArg(op @ ("sum" | "minus" | "mult"), Nil))) =>
+          require(i + 1 < n && steps(i + 1).name == "by" &&
+            steps(i + 1).args.length == 1, "sack(op) needs .by(prop)")
+          t = t.sackBy(op, str(steps(i + 1).args.head))
+          i += 1
+        case ("sack", Nil) => result = Some(t.sack())
+        case ("aggregate" | "store", List(SArg(k))) =>
+          // snapshot the CURRENT elements (ids, or a property via .by) into
+          // the named collection; the traversal continues unchanged.
+          // aggregate-vs-store eager/lazy timing dissolves in batch
+          // dataflow — both are the same lazy snapshot here.
+          val by =
+            if (i + 1 < n && steps(i + 1).name == "by" &&
+                steps(i + 1).args.length == 1) {
+              i += 1; Some(str(steps(i).args.head))
+            } else None
+          import org.apache.spark.sql.functions.col
+          sideEffects(k) = by.fold(t.id().select(col("id").as("v")))(p =>
+            t.toDF.select(col(p).as("v")))
+        case ("cap", List(SArg(k))) =>
+          import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+          val s = sideEffects.getOrElse(k, sys.error(
+            s"cap('$k') has no upstream aggregate('$k')/store('$k')"))
+          result = Some(s.agg(sort_array(collect_list(col("v"))).as(k)))
+        case ("tree", Nil) => result = Some(t.tree())
         // terminal steps
         case ("values", List(k)) => result = Some(t.values(str(k)))
         case ("valueMap", as) => result = Some(t.valueMap(as.map(str): _*))

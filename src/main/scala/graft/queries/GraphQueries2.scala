@@ -1428,20 +1428,27 @@ object GraphQueries2 {
     q("q_cypher_varlen_edgefilter",
       // variable-length + edge-property predicate interaction: the rel-var
       // conjunct pushes into the edge SCAN before expansion (ALL-hop
-      // semantics, openCypher's all(x IN r WHERE …)) — the oracle unrolls
-      // the 2-hop window over the PRE-FILTERED bidirectional edge set with
-      // the same per-layer-distinct pair semantics as q_cypher_varlen
+      // semantics, openCypher's all(x IN r WHERE …)). count(*) observes
+      // multiplicity → the PER-PATH plan fires (r13): the oracle unrolls
+      // the 2-hop window over the PRE-FILTERED edge multiset with a
+      // content-key inequality enforcing relationship-uniqueness — the
+      // same identity rule the engine's keyed edge view applies
       """WITH f AS (SELECT 'part:' || CAST(l_partkey AS VARCHAR) AS src,
-        |                  'supplier:' || CAST(l_suppkey AS VARCHAR) AS dst
+        |                  'supplier:' || CAST(l_suppkey AS VARCHAR) AS dst,
+        |                  'part:' || CAST(l_partkey AS VARCHAR) || '|' ||
+        |                  'supplier:' || CAST(l_suppkey AS VARCHAR) || '|' ||
+        |                  CAST(l_quantity AS VARCHAR) AS k
         |           FROM lineitem WHERE l_quantity > 49),
-        |bidir AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
-        |l0 AS (SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS a,
-        |              'part:' || CAST(p_partkey AS VARCHAR) AS x
+        |bidir AS (SELECT src, dst, k FROM f
+        |          UNION ALL SELECT dst, src, k FROM f),
+        |l0 AS (SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS a
         |       FROM part WHERE p_size = 1),
-        |l1 AS (SELECT DISTINCT l.a, b.dst AS x FROM l0 l JOIN bidir b ON b.src = l.x),
-        |l2 AS (SELECT DISTINCT l.a, b.dst AS x FROM l1 l JOIN bidir b ON b.src = l.x),
-        |pairs AS (SELECT a, x FROM l1 UNION SELECT a, x FROM l2),
-        |hits AS (SELECT z.a FROM pairs z
+        |p1 AS (SELECT l.a, b.dst AS x, b.k AS k1
+        |       FROM l0 l JOIN bidir b ON b.src = l.a),
+        |p2 AS (SELECT p.a, b.dst AS x
+        |       FROM p1 p JOIN bidir b ON b.src = p.x AND b.k <> p.k1),
+        |paths AS (SELECT a, x FROM p1 UNION ALL SELECT a, x FROM p2),
+        |hits AS (SELECT z.a FROM paths z
         |         JOIN part pp ON z.x = 'part:' || CAST(pp.p_partkey AS VARCHAR))
         |SELECT p.p_name AS pname, CAST(count(*) AS BIGINT) AS n
         |FROM hits h JOIN part p ON h.a = 'part:' || CAST(p.p_partkey AS VARCHAR)
@@ -1450,6 +1457,186 @@ object GraphQueries2 {
         "MATCH (p:part)-[r:supplied_by*1..2]-(x:part) " +
           "WHERE p.size = 1 AND r.quantity > 49 " +
           "RETURN p.name AS pname, count(*) AS n")
+    },
+
+    q("q_cypher_varlen_paths",
+      // the r12 verdict's #1 ask: count(*) over a variable-length pattern
+      // counts PATHS with relationship-uniqueness (openCypher), not
+      // distinct endpoint pairs — exercised over supplied_by's PARALLEL
+      // edges (distinct lineitems between one part and one supplier each
+      // contribute a path; a 2-hop path may return to the start part
+      // through a DIFFERENT parallel edge, never the same one). Oracle =
+      // unrolled joins over the edge multiset with the content-key
+      // inequality (identical-content parallels share a key on both sides)
+      """WITH f AS (SELECT 'part:' || CAST(l_partkey AS VARCHAR) AS src,
+        |                  'supplier:' || CAST(l_suppkey AS VARCHAR) AS dst,
+        |                  'part:' || CAST(l_partkey AS VARCHAR) || '|' ||
+        |                  'supplier:' || CAST(l_suppkey AS VARCHAR) || '|' ||
+        |                  CAST(l_quantity AS VARCHAR) AS k
+        |           FROM lineitem),
+        |bidir AS (SELECT src, dst, k FROM f
+        |          UNION ALL SELECT dst, src, k FROM f),
+        |l0 AS (SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS a
+        |       FROM part WHERE p_size = 1),
+        |p1 AS (SELECT l.a, b.dst AS x, b.k AS k1
+        |       FROM l0 l JOIN bidir b ON b.src = l.a),
+        |p2 AS (SELECT p.a, b.dst AS x
+        |       FROM p1 p JOIN bidir b ON b.src = p.x AND b.k <> p.k1),
+        |paths AS (SELECT a, x FROM p1 UNION ALL SELECT a, x FROM p2)
+        |SELECT p.p_name AS pname, CAST(count(*) AS BIGINT) AS n_paths
+        |FROM paths z JOIN part p ON z.a = 'part:' || CAST(p.p_partkey AS VARCHAR)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (p:part)-[:supplied_by*1..2]-(x) WHERE p.size = 1 " +
+          "RETURN p.name AS pname, count(*) AS n_paths")
+    },
+
+    q("q_cypher_path_nodes",
+      // plain NAMED path projection (r12 ask #2): `p =` binds the path,
+      // RETURN p renders the vertex sequence, length(p) the hop count —
+      // one row per relationship-unique path; oracle = the unrolled path
+      // strings over the keyed bidirectional in_nation view
+      """WITH edges AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS src,
+        |                      'nation:' || CAST(c_nationkey AS VARCHAR) AS dst
+        |               FROM customer
+        |               UNION ALL
+        |               SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+        |                      'nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier),
+        |f AS (SELECT src, dst, src || '|' || dst AS k FROM edges),
+        |bi AS (SELECT src, dst, k FROM f UNION ALL SELECT dst, src, k FROM f),
+        |l0 AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS a
+        |       FROM customer WHERE c_name = 'Customer#000000001'),
+        |p1 AS (SELECT l.a, b.dst AS x, b.k AS k1, l.a || '->' || b.dst AS path
+        |       FROM l0 l JOIN bi b ON b.src = l.a),
+        |p2 AS (SELECT p.a, b.dst AS x, p.path || '->' || b.dst AS path
+        |       FROM p1 p JOIN bi b ON b.src = p.x AND b.k <> p.k1),
+        |paths AS (SELECT x, path, 1 AS len FROM p1
+        |          UNION ALL SELECT x, path, 2 FROM p2)
+        |SELECT path, CAST(len AS BIGINT) AS len
+        |FROM paths JOIN supplier s
+        |  ON x = 'supplier:' || CAST(s_suppkey AS VARCHAR)""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH p = (c:customer)-[:in_nation*1..2]-(x:supplier) " +
+          "WHERE c.name = 'Customer#000000001' " +
+          "RETURN p AS path, length(p) AS len")
+    },
+
+    q("q_cypher_allshortest",
+      // allShortestPaths() (r12 ask #2): EVERY min-hop path per endpoint
+      // pair — len 2 = same-nation suppliers (one path each), len 3 =
+      // co-trade suppliers with one path per (order, part) route,
+      // multiplicities included. Oracle = the recursive walk CTE: walks at
+      // a vertex's min depth ARE exactly its shortest paths (a shorter
+      // cut would contradict minimality)
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |adj AS (SELECT src, dst FROM edges
+         |        UNION ALL SELECT dst, src FROM edges),
+         |w(x, d) AS (
+         |  SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 0
+         |  FROM customer WHERE c_name = 'Customer#000000001'
+         |  UNION ALL
+         |  SELECT a.dst, w.d + 1 FROM w JOIN adj a ON a.src = w.x
+         |  WHERE w.d < 3),
+         |md AS (SELECT x, min(d) AS len FROM w GROUP BY 1),
+         |sp AS (SELECT w.x, w.d FROM w JOIN md ON md.x = w.x AND md.len = w.d),
+         |hits AS (SELECT sp.x AS sup, sp.d AS len FROM sp
+         |         JOIN supplier s ON sp.x = 'supplier:' || CAST(s_suppkey AS VARCHAR))
+         |SELECT sup, CAST(len AS BIGINT) AS len,
+         |       CAST(count(*) AS BIGINT) AS n_paths
+         |FROM hits GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH p = allShortestPaths((c:customer)-[*..3]-(s:supplier)) " +
+          "WHERE c.name = 'Customer#000000001' " +
+          "RETURN s AS sup, length(p) AS len, count(*) AS n_paths")
+    },
+
+    q("q_cypher_create",
+      // Cypher WRITE surface (r12 ask #6), mutate-then-read: CREATE a node
+      // batch (explicit ids — the TPC-H projection's key columns aren't
+      // node properties), then read it back through the normal read path.
+      // The mutation is an immutable batch union — the cached graph is
+      // untouched (no cross-query contamination)
+      """SELECT name, bal
+        |FROM (VALUES ('CYPHER_A', 12.5), ('CYPHER_B', -3.5)) t(name, bal)""".stripMargin) { (s, d) =>
+      val g1 = graft.api.CypherLite.evalWrite(g(s, d),
+        "CREATE (v:customer {id: 'customer:900001', name: 'CYPHER_A', " +
+          "acctbal: 12.5, mktsegment: 'GRAFT_TEST'}), " +
+          "(w:customer {id: 'customer:900002', name: 'CYPHER_B', " +
+          "acctbal: -3.5, mktsegment: 'GRAFT_TEST'})")
+      graft.api.CypherLite.eval(g1,
+        "MATCH (c:customer) WHERE c.mktsegment = 'GRAFT_TEST' " +
+          "RETURN c.name AS name, c.acctbal AS bal")
+    },
+
+    q("q_cypher_set",
+      // MATCH … SET: a column update over the matched id set (one semi
+      // join + conditional rewrite, never per-row mutation) — oracled by
+      // the CASE twin of the update
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'DEBT' ELSE c_mktsegment END AS seg,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1""".stripMargin) { (s, d) =>
+      val g1 = graft.api.CypherLite.evalWrite(g(s, d),
+        "MATCH (c:customer) WHERE c.acctbal < 0 SET c.mktsegment = 'DEBT'")
+      graft.api.CypherLite.eval(g1,
+        "MATCH (c:customer) RETURN c.mktsegment AS seg, count(*) AS n")
+    },
+
+    q("q_cypher_delete",
+      // MATCH … DETACH DELETE: the vertex set and every incident edge go
+      // (two anti joins); reading the supplier→nation adjacency afterwards
+      // equals the oracle's filtered join
+      """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_sup
+        |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name <> 'NATION_3'
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val g1 = graft.api.CypherLite.evalWrite(g(s, d),
+        "MATCH (n:nation) WHERE n.name = 'NATION_3' DETACH DELETE n")
+      graft.api.CypherLite.eval(g1,
+        "MATCH (s:supplier)-[:in_nation]->(n:nation) " +
+          "RETURN n.name AS nation, count(*) AS n_sup")
+    },
+
+    q("q_gremlin_sack",
+      // sack() from script text (r12 ask #5): per-walk weight accumulation
+      // as a carried column — order:1's lineitem quantities plus the
+      // supplied_by quantities of each part's suppliers, one sum per
+      // 2-hop walk; single additions, so doubles are exact on both sides
+      """SELECT CAST(l1.l_quantity + l2.l_quantity AS DOUBLE) AS sack
+        |FROM lineitem l1 JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey
+        |WHERE l1.l_orderkey = 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.withSack(0).V('order:1').outE('contains').sack(sum).by('quantity')" +
+          ".inV().outE('supplied_by').sack(sum).by('quantity').inV().sack()")
+    },
+
+    q("q_gremlin_aggregate",
+      // aggregate('x') snapshot + cap('x'): the named side-effect
+      // collection emitted as ONE sorted list (csv-serialized — arrays
+      // don't survive the driver's comparator); the traversal continues
+      // past the snapshot (out step) without disturbing it
+      """SELECT array_to_string(list_sort(list(n_name)), ',') AS x
+        |FROM nation""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('nation').aggregate('x').by('name')" +
+          ".out('in_region').cap('x')")
+        .select(array_join(col("x"), ",").as("x"))
+    },
+
+    q("q_gremlin_tree",
+      // tree() from script text: the traversal tree of customer:1's
+      // order→part walks, serialized as its path-prefix set (root, each
+      // order branch, each order→part leaf — the tree's node set)
+      """SELECT 'customer:1' AS branch
+        |UNION
+        |SELECT DISTINCT 'customer:1->order:' || CAST(o_orderkey AS VARCHAR)
+        |FROM orders WHERE o_custkey = 1
+        |UNION
+        |SELECT DISTINCT 'customer:1->order:' || CAST(l.l_orderkey AS VARCHAR)
+        |       || '->part:' || CAST(l.l_partkey AS VARCHAR)
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_custkey = 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.withPath('customer:1').out('placed').out('contains').tree()")
     },
 
     q("q_cypher_orderby_expr",

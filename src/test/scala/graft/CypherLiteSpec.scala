@@ -85,20 +85,32 @@ class CypherLiteSpec extends SparkSpec {
       ("vadas", "marko"), ("josh", "marko")))
   }
 
-  test("variable-length: hop window, direction, distinct pair semantics") {
-    // undirected *1..2 from vadas: hop1 {marko}, hop2 (walks) {vadas, josh}
+  test("variable-length: hop window, direction, path-vs-pair mode selection") {
+    // PLAIN projection observes multiplicity → PER-PATH mode with
+    // relationship-uniqueness (openCypher): from vadas, hop1 {marko}, hop2
+    // only vadas→marko→josh (the walk back reuses the edge → excluded)
     val v12 = run("MATCH (a:person)-[:knows*1..2]-(b:person) " +
       "WHERE a.name = 'vadas' RETURN b.name")
       .collect().map(_.getString(0)).toSet
-    assert(v12 === Set("marko", "vadas", "josh"))
-    // *2..2 excludes the 1-hop layer; vadas appears (WALK semantics — the
-    // back-and-forth walk reuses the edge; documented divergence from
-    // openCypher's relationship-uniqueness)
+    assert(v12 === Set("marko", "josh"))
+    // DISTINCT → the pair-distinct fast path (WALK reachability, the
+    // reference's kout/kneighbor contract — documented divergence: vadas
+    // itself is reachable only by re-walking the edge and still matches)
+    val v12d = run("MATCH (a:person)-[:knows*1..2]-(b:person) " +
+      "WHERE a.name = 'vadas' RETURN DISTINCT b.name")
+      .collect().map(_.getString(0)).toSet
+    assert(v12d === Set("marko", "vadas", "josh"))
+    // *2..2 excludes the 1-hop layer; path mode drops the edge-reusing
+    // walk back to vadas, pair mode keeps it
     val v22 = run("MATCH (a:person)-[:knows*2..2]-(b:person) " +
       "WHERE a.name = 'vadas' RETURN b.name")
       .collect().map(_.getString(0)).toSet
-    assert(v22 === Set("vadas", "josh"))
-    // *0..1 includes the identity binding (hop 0)
+    assert(v22 === Set("josh"))
+    val v22d = run("MATCH (a:person)-[:knows*2..2]-(b:person) " +
+      "WHERE a.name = 'vadas' RETURN DISTINCT b.name")
+      .collect().map(_.getString(0)).toSet
+    assert(v22d === Set("vadas", "josh"))
+    // *0..1 includes the identity binding (hop 0) in both modes
     val v01 = run("MATCH (a:person)-[:knows*0..1]-(b) " +
       "WHERE a.name = 'vadas' RETURN b.name")
       .collect().map(_.getString(0)).toSet
@@ -113,12 +125,19 @@ class CypherLiteSpec extends SparkSpec {
       "WHERE s.name = 'lop' RETURN p.name")
       .collect().map(_.getString(0)).toSet
     assert(exact === Set("marko", "josh", "peter"))
-    // grouped count over a variable-length reach
+    // grouped count(*) counts PATHS (openCypher): each person has one
+    // 1-hop neighbor set and exactly one relationship-unique 2-hop path
+    // (vadas→marko→josh etc.); the walks back are excluded
     val m = run("MATCH (a:person)-[:knows*1..2]-(b:person) " +
       "RETURN a.name AS who, count(*) AS n")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // marko: vadas,josh (hop1) + marko (hop2 walks back) = 3
-    assert(m("marko") === 3L && m("vadas") === 3L && m("josh") === 3L)
+    assert(m === Map("marko" -> 2L, "vadas" -> 2L, "josh" -> 2L))
+    // min/max aggregates don't observe multiplicity → pair mode fires
+    // (vadas' walk-only self-pair contributes its own age 27)
+    val mm = run("MATCH (a:person)-[:knows*2..2]-(b:person) " +
+      "WHERE a.name = 'vadas' RETURN min(b.age) AS young")
+      .head().getInt(0)
+    assert(mm === 27) // pair mode: {vadas 27, josh 32}; path mode would say 32
   }
 
   test("repeated variables constrain equality (cycle patterns), never rebind") {
@@ -132,10 +151,15 @@ class CypherLiteSpec extends SparkSpec {
     // directed cycle on a DAG: none
     assert(run("MATCH (a:person)-[:knows]->(b:person)-[:knows]->(a) " +
       "RETURN a.name").collect().isEmpty)
-    // var-length back to the start: every knows-endpoint walks back in 2
+    // var-length back to the start: PATH mode (plain projection) needs two
+    // DISTINCT edges a→x→a — modern has no parallel edges, so none exist…
     val cyc = run("MATCH (a:person)-[:knows*2..2]-(a) RETURN a.name")
       .collect().map(_.getString(0)).toSet
-    assert(cyc === Set("marko", "vadas", "josh"))
+    assert(cyc === Set.empty)
+    // …while DISTINCT (pair mode, walk semantics) keeps the walks back
+    val cycd = run("MATCH (a:person)-[:knows*2..2]-(a) RETURN DISTINCT a.name")
+      .collect().map(_.getString(0)).toSet
+    assert(cycd === Set("marko", "vadas", "josh"))
     // *0 exact: identity only — a IS b
     val z = run("MATCH (a:person)-[:knows*0]-(b) WHERE a.name = 'vadas' RETURN b.name")
       .collect().map(_.getString(0)).toSet
@@ -218,18 +242,29 @@ class CypherLiteSpec extends SparkSpec {
   }
 
   test("variable-length + edge-property filter pushes into every hop") {
-    // all knows edges qualify at >= 0.5: marko reaches {vadas, josh} in 1,
-    // itself back in 2 (walk semantics)
+    // all knows edges qualify at >= 0.5: path mode (plain projection) —
+    // marko reaches {vadas, josh} in 1; every 2-hop walk would reuse its
+    // first edge (relationship-uniqueness) so nothing is added
     val all = run("MATCH (a:person)-[r:knows*1..2]-(b) " +
       "WHERE a.name = 'marko' AND r.weight >= 0.5 RETURN b.name")
       .collect().map(_.getString(0)).toSet
-    assert(all === Set("vadas", "josh", "marko"))
-    // only marko-josh (1.0) qualifies at > 0.6 — vadas unreachable, and the
-    // 2-hop walk back to marko uses only the qualifying edge
+    assert(all === Set("vadas", "josh"))
+    // DISTINCT (pair mode, walk semantics) keeps the walk back to marko
+    val alld = run("MATCH (a:person)-[r:knows*1..2]-(b) " +
+      "WHERE a.name = 'marko' AND r.weight >= 0.5 RETURN DISTINCT b.name")
+      .collect().map(_.getString(0)).toSet
+    assert(alld === Set("vadas", "josh", "marko"))
+    // only marko-josh (1.0) qualifies at > 0.6 — vadas unreachable; the
+    // 2-hop walk back would reuse the one qualifying edge → path mode
+    // yields josh only, pair mode adds marko
     val strict = run("MATCH (a:person)-[r:knows*1..2]-(b) " +
       "WHERE a.name = 'marko' AND r.weight > 0.6 RETURN b.name")
       .collect().map(_.getString(0)).toSet
-    assert(strict === Set("josh", "marko"))
+    assert(strict === Set("josh"))
+    val strictd = run("MATCH (a:person)-[r:knows*1..2]-(b) " +
+      "WHERE a.name = 'marko' AND r.weight > 0.6 RETURN DISTINCT b.name")
+      .collect().map(_.getString(0)).toSet
+    assert(strictd === Set("josh", "marko"))
     // RETURN r.prop on a var-length rel is list-valued → loud error
     intercept[Exception](run("MATCH (a)-[r:knows*1..2]-(b) RETURN r.weight"))
     // a var-length rel predicate under OR cannot push → loud error
@@ -565,6 +600,100 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:person) RETURN length(a.name) AS l"))
   }
 
+  test("plain named paths: RETURN p, nodes(p), length(p), per-path rows") {
+    // var-length named path: one ROW PER PATH, p renders the vertex
+    // sequence, nodes(p) the id array, length(p) the hop count
+    val rows = run("MATCH p = (a:person)-[:knows*1..2]-(b:person) " +
+      "WHERE a.name = 'vadas' RETURN p AS path, length(p) AS len")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows === Set(
+      ("person:vadas->person:marko", 1L),
+      ("person:vadas->person:marko->person:josh", 2L)))
+    val ns = run("MATCH p = (a:person)-[:created*1..2]->(s:software) " +
+      "WHERE a.name = 'marko' RETURN nodes(p) AS ns")
+      .collect().map(_.getSeq[String](0).toList)
+    assert(ns.toList === List(List("person:marko", "software:lop")))
+    // single-hop named path: one row per relationship
+    val sh = run("MATCH p = (a:person)-[:created]->(s:software) " +
+      "RETURN p AS path, length(p) AS len ORDER BY path ASC")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sh === Seq(
+      ("person:josh->software:lop", 1L),
+      ("person:josh->software:ripple", 1L),
+      ("person:marko->software:lop", 1L),
+      ("person:peter->software:lop", 1L)))
+    // *0..1: the zero-length path is a one-node path
+    val z = run("MATCH p = (a:person)-[:knows*0..1]->(b) " +
+      "WHERE a.name = 'vadas' RETURN p AS path, length(p) AS len")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(z === Set(("person:vadas", 0L)))
+    // ORDER BY length(p) as an expression key
+    val byLen = run("MATCH p = (a:person)-[:knows*1..2]-(b:person) " +
+      "WHERE a.name = 'vadas' RETURN p AS path ORDER BY length(p) DESC")
+      .collect().map(_.getString(0)).toSeq
+    assert(byLen.head === "person:vadas->person:marko->person:josh")
+    // aggregating over paths counts PATHS
+    val cnt = run("MATCH p = (a:person)-[:knows*1..2]-(b:person) " +
+      "RETURN count(*) AS n").head().getLong(0)
+    assert(cnt === 6L) // 4 one-hop walks (both orientations) + 2 two-hop
+  }
+
+  test("allShortestPaths(): every min-hop path, nodes/length projectable") {
+    val asp = run("MATCH p = allShortestPaths((a:person)-[*..2]-(s:software)) " +
+      "WHERE a.name = 'marko' RETURN s.name AS sw, length(p) AS len, " +
+      "count(*) AS n_paths")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // lop directly created (1 hop); ripple through josh (2 hops, 1 path) —
+    // lop at 2 hops is NOT shortest so it stays at len 1
+    assert(asp === Set(("lop", 1L, 1L), ("ripple", 2L, 1L)))
+    // path projection: the actual vertex sequences
+    val paths = run("MATCH p = allShortestPaths((a:person)-[*..2]-(s:software)) " +
+      "WHERE a.name = 'vadas' RETURN p AS path")
+      .collect().map(_.getString(0)).toSet
+    assert(paths === Set("person:vadas->person:marko->software:lop"))
+    // nodes(p) on allShortestPaths works (unlike shortestPath)
+    val n = run("MATCH p = allShortestPaths((a:person)-[:knows*..2]->(b:person)) " +
+      "WHERE a.name = 'marko' RETURN nodes(p) AS ns")
+      .collect().map(_.getSeq[String](0).toList).toSet
+    assert(n === Set(List("person:marko", "person:vadas"),
+      List("person:marko", "person:josh")))
+  }
+
+  test("path-variable misuse fails loudly at parse/plan time") {
+    // nodes() on a shortestPath variable (only length is materialized)
+    intercept[Exception](run(
+      "MATCH p = shortestPath((a)-[:knows*..2]->(b)) RETURN nodes(p) AS n"))
+    // length()/nodes() on a non-path variable
+    intercept[Exception](run(
+      "MATCH (a:person) RETURN length(a) AS l"))
+    intercept[Exception](run(
+      "MATCH (a:person)-[:knows]->(b) RETURN nodes(b) AS n"))
+    // path projections don't survive WITH
+    intercept[Exception](run(
+      "MATCH p = (a:person)-[:knows*1..2]-(b:person) WITH a, b " +
+        "RETURN length(p) AS len"))
+    intercept[Exception](run(
+      "MATCH p = (a:person)-[:knows*1..2]-(b:person) WITH a, b " +
+        "RETURN p"))
+    // …but aliasing them in the first WITH carries them forward
+    val ok = run("MATCH p = (a:person)-[:knows*1..2]-(b:person) " +
+      "WHERE a.name = 'vadas' WITH b, length(p) AS len " +
+      "RETURN b.name AS other, len ORDER BY len ASC")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ok === Seq(("marko", 1L), ("josh", 2L)))
+    // named path after WITH is unsupported (loud)
+    intercept[Exception](run(
+      "MATCH (a:person) WITH a MATCH p = (a)-[:knows*1..2]->(b) " +
+        "RETURN length(p) AS l"))
+    // a multi-segment named path is rejected
+    intercept[Exception](run(
+      "MATCH p = (a)-[:knows]->(b)-[:created]->(s) RETURN p"))
+    // relationships(p): loud, with guidance (rel lists not materialized)
+    val e = intercept[Exception](run(
+      "MATCH p = (a:person)-[:knows*1..2]-(b) RETURN relationships(p) AS r"))
+    assert(e.getMessage.contains("relationships(p) is unsupported"))
+  }
+
   test("WHERE expression comparisons: arithmetic, parens, functions") {
     val e = run("MATCH (p:person) WHERE p.age % 2 = 1 " +
       "RETURN p.name AS who ORDER BY who ASC")
@@ -662,6 +791,48 @@ class CypherLiteSpec extends SparkSpec {
     // …but a grouped-away source property is rejected loudly
     intercept[Exception](run("MATCH (p:person)-[:created]->(s:software) " +
       "RETURN s.name AS sw, count(*) AS n ORDER BY p.age + 1"))
+  }
+
+  test("write clauses: CREATE / SET / DETACH DELETE, batch semantics") {
+    // CREATE with the PRIMARY_KEY id splice (person ids are person:<name>)
+    val g1 = CypherLite.evalWrite(g,
+      "CREATE (v:person {name: 'newguy', age: 99, city: 'Oslo'})")
+    val back = CypherLite.eval(g1,
+      "MATCH (p:person) WHERE p.age > 40 RETURN p AS id, p.age AS age")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(back === Set(("person:newguy", 99)))
+    // the source graph is untouched (immutable batches)
+    assert(CypherLite.eval(g, "MATCH (p:person) WHERE p.age > 40 RETURN p")
+      .collect().isEmpty)
+    // id collision is loud (CREATE never upserts)
+    intercept[Exception](CypherLite.evalWrite(g1,
+      "CREATE (v:person {name: 'newguy', age: 1})"))
+    // SET: a column update over the matched set, reading the row itself
+    val g2 = CypherLite.evalWrite(g,
+      "MATCH (p:person) WHERE p.age > 30 SET p.age = p.age * 10")
+    val ages = CypherLite.eval(g2,
+      "MATCH (p:person) RETURN p.name AS nm, p.age AS age")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(ages === Set(("marko", 29), ("vadas", 27),
+      ("josh", 320), ("peter", 350)))
+    // DETACH DELETE drops the vertex and every incident edge
+    val g3 = CypherLite.evalWrite(g,
+      "MATCH (s:software) WHERE s.name = 'lop' DETACH DELETE s")
+    assert(CypherLite.eval(g3, "MATCH (s:software) RETURN s.name AS nm")
+      .collect().map(_.getString(0)).toSet === Set("ripple"))
+    assert(CypherLite.eval(g3,
+      "MATCH (p:person)-[:created]->(x) RETURN DISTINCT p.name AS nm")
+      .collect().map(_.getString(0)).toSet === Set("josh"))
+    // loud rejections: plain DELETE, SET reading another variable,
+    // unknown property, underivable id
+    intercept[Exception](CypherLite.evalWrite(g,
+      "MATCH (s:software) DELETE s"))
+    intercept[Exception](CypherLite.evalWrite(g,
+      "MATCH (a:person)-[:knows]->(b) SET a.age = b.age"))
+    intercept[Exception](CypherLite.evalWrite(g,
+      "MATCH (p:person) SET p.frobnitz = 1"))
+    intercept[Exception](CypherLite.evalWrite(g,
+      "CREATE (v:person {age: 5})"))
   }
 
   test("variable-length rejects unbounded and over-cap windows loudly") {

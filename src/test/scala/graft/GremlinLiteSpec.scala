@@ -378,6 +378,61 @@ class GremlinLiteSpec extends SparkSpec {
       run("g.V().as('a').out('x').as('b').select('a', 'b').by('name')"))
   }
 
+  test("sack(): carried weight accumulates along edge steps") {
+    // one hop: each knows edge's weight lands in its traverser's sack
+    val one = run("g.withSack(0).V('person:marko').outE('knows')" +
+      ".sack(sum).by('weight').inV().sack()")
+      .collect().map(_.getDouble(0)).toSet
+    assert(one === Set(0.5, 1.0))
+    // two hops: weights accumulate per WALK (marko→josh 1.0, then josh's
+    // created edges 0.4 / 1.0 → sums 1.4, 2.0; the vadas walk dies —
+    // vadas created nothing)
+    val two = run("g.withSack(0).V('person:marko').outE('knows')" +
+      ".sack(sum).by('weight').inV().outE('created')" +
+      ".sack(sum).by('weight').inV().sack()")
+      .collect().map(_.getDouble(0)).toSet
+    assert(two === Set(1.4, 2.0))
+    // script == DSL
+    import graft.api.Graft
+    val dsl = Graft.g(g).V("person:marko").withSack(0.0)
+      .outE("knows").sackBy("sum", "weight").inV()
+      .sack().collect().map(_.getDouble(0)).toSet
+    assert(dsl === one)
+    // loud errors: sack without withSack; sack(op) at a vertex position
+    intercept[Exception](run("g.V('person:marko').outE('knows')" +
+      ".sack(sum).by('weight').inV().sack()"))
+    intercept[Exception](run("g.withSack(0).V('person:marko')" +
+      ".sack(sum).by('age').id()"))
+  }
+
+  test("aggregate()/store() snapshots + cap() emit the sorted collection") {
+    val xs = run("g.V().hasLabel('person').has('age', gt(29))" +
+      ".aggregate('x').cap('x')")
+      .head().getSeq[String](0).toList
+    assert(xs === List("person:josh", "person:peter"))
+    // store().by(prop) snapshots a property; the traversal CONTINUES
+    // past the snapshot before cap() reads it
+    val names = run("g.V().hasLabel('person').store('n').by('name')" +
+      ".out('created').cap('n')")
+      .head().getSeq[String](0).toList
+    assert(names === List("josh", "marko", "peter", "vadas"))
+    intercept[Exception](run("g.V().cap('nope')"))
+  }
+
+  test("tree() emits the traversal tree as its path-prefix set") {
+    val br = run("g.withPath('person:marko').out('knows').out('created').tree()")
+      .collect().map(_.getString(0)).toSet
+    // surviving traversers: marko→josh→{lop, ripple} (the vadas branch
+    // dies — vadas created nothing); the tree = every prefix
+    assert(br === Set(
+      "person:marko",
+      "person:marko->person:josh",
+      "person:marko->person:josh->software:lop",
+      "person:marko->person:josh->software:ripple"))
+    // tree() without path tracking is loud
+    intercept[Exception](run("g.V('person:marko').out('knows').tree()"))
+  }
+
   test("repeat().until() cap hit warns with the dropped-frontier count") {
     import graft.api.Graft
     import graft.core.Cond
