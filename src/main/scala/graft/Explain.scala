@@ -38,7 +38,11 @@ object Explain {
     "q_cypher_unwind" -> "r12b: a literal UNWIND seed is a 3-row local relation — the guarded cross broadcasts it; WHERE equality cuts the product before any wide join",
     "q_cypher_shortestpath" -> "r12b: first-seen BFS — per-round localCheckpoint keeps the plan depth O(rounds); the WHERE c.name pushdown makes the source set 1 row, so every hop is a broadcast frontier join",
     "q_gremlin_until" -> "r12b: repeat().until() splits each checkpointed round into exit/continue filters — one edge-scan join per round, frontier always the broadcast side",
-    "q_gremlin_group_agg" -> "r12b: group().by().by(sum) is one partial-agg hash aggregate over the vertex scan — the modulator form adds zero plan nodes vs groupCount")
+    "q_gremlin_group_agg" -> "r12b: group().by().by(sum) is one partial-agg hash aggregate over the vertex scan — the modulator form adds zero plan nodes vs groupCount",
+    "q_cypher_varlen_paths" -> "r13: PER-PATH expansion is still ONE lazy plan — the content-key edge view is computed once per hop side, the relationship-uniqueness guard is a join-filter on the equi-join (no cartesian), no distincts anywhere, and the final hop pre-filters to the end label",
+    "q_cypher_allshortest" -> "r13: path-carrying first-seen BFS — per-round localCheckpoint, the pushed source equality makes every hop a broadcast frontier join; the vertex-array column rides the frontier, no re-derivation",
+    "q_cypher_set" -> "r13: MATCH…SET is a column update — the matched id set (one aggregate-free semi-ish left join) conditionally rewrites ONE column; the vertex table is scanned once and never row-mutated",
+    "q_gremlin_sack" -> "r13: the sack is a rider column — two edge joins and a projection, zero extra exchanges vs the same walk without the sack")
 
   /** Measured numbers that a plan dump alone can't show; refreshed by hand
     * when the underlying experiment is re-run. */
