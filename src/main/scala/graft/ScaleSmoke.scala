@@ -248,6 +248,30 @@ object ScaleSmoke {
         time(s"until ${copies}x")(graft.api.GremlinLite.eval(gN, q(suf)).count()))
     }
 
+    // round-13 frontend shapes: the PER-PATH variable-length expansion
+    // (openCypher multiplicity with relationship-uniqueness —
+    // q_cypher_varlen_paths' plan; p.size = 1 matches parts in EVERY copy,
+    // so the Nx tier is the FULL scale-up: Nx sources, Nx paths — expect
+    // ≲ linear growth, the honest cost of path multiplicity) and
+    // allShortestPaths' path-carrying BFS (the un-suffixed name matches
+    // one customer per copy → a multi-source wave over disjoint copies,
+    // expect sub-linear per source like cyphersp)
+    if (wanted("varlenpaths")) {
+      val q = "MATCH (p:part)-[:supplied_by*1..2]-(x) WHERE p.size = 1 " +
+        "RETURN p.name AS pname, count(*) AS n_paths"
+      results("cypher_varlen_paths") = (
+        time("varlenpaths 1x")(graft.api.CypherLite.eval(g1, q).count()),
+        time(s"varlenpaths ${copies}x")(graft.api.CypherLite.eval(gN, q).count()))
+    }
+    if (wanted("allshortest")) {
+      val q = "MATCH p = allShortestPaths((c:customer)-[*..3]-(s:supplier)) " +
+        "WHERE c.name = 'Customer#000000001' " +
+        "RETURN s AS sup, length(p) AS len, count(*) AS n_paths"
+      results("cypher_allshortest") = (
+        time("allshortest 1x")(graft.api.CypherLite.eval(g1, q).count()),
+        time(s"allshortest ${copies}x")(graft.api.CypherLite.eval(gN, q).count()))
+    }
+
     println(f"%n[scale] | operator | 1x | ${copies}x | ratio |")
     println(s"[scale] |---|---|---|---|")
     results.foreach { case (k, (a, b)) =>

@@ -102,6 +102,13 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   *    the reference's kout/kneighbor contract). The one stated divergence
   *    from openCypher lives only here: a pair whose EVERY in-window walk
   *    reuses an edge still matches in pair mode.
+  * Relationship-uniqueness SCOPE: enforced WITHIN each variable-length
+  * segment. openCypher additionally forbids reuse ACROSS the segments of
+  * one MATCH (a single-hop edge reappearing inside a later var-length
+  * walk); enforcing that would widen every per-hop join row by a
+  * per-binding used-edge set — stated as out of scope (the only affected
+  * shape: segments over ONE edge label where the same physical edge can
+  * appear in two segments).
   *
   * NAMED PATHS `MATCH p = (a)-[:l*1..2]->(b)` (one relationship segment,
   * single-hop or variable-length) always enumerate per path and bind `p`:
