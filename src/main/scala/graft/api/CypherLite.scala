@@ -502,7 +502,7 @@ object CypherLite {
     val aggFunRe = """^(?i)(count|sum|avg|min|max)\s*\(""".r
     val funRe =
       ("""^(?i)(toUpper|toLower|abs|round|coalesce|size|length|nodes""" +
-        """|relationships)\s*\(""").r
+        """|relationships|type)\s*\(""").r
     val refRe = """^(\w+)(?:\.(\w+))?""".r
     def addE(): ValExpr = {
       var l = mulE()
@@ -672,6 +672,12 @@ object CypherLite {
         "relationships(p) is unsupported — relationship lists are not " +
           "materialized; bind a single-hop relationship variable and " +
           "project its properties instead")
+      // type(r): the relationship's label, carried like any edge property
+      // (`<r>_label` rider; argument validated against the declared
+      // relationship variables in eval)
+      case FunV("type", List(RefV(v, ""))) => col(s"${v}_label")
+      case FunV("type", _) =>
+        sys.error("type() takes a relationship variable")
       case FunV("coalesce", as) if as.nonEmpty =>
         coalesce(as.map(compileVal(_, colOf)): _*)
       case FunV(f, as) => sys.error(s"unsupported function: $f/${as.length} args")
@@ -695,6 +701,9 @@ object CypherLite {
     // length(p)/nodes(p) read frontier-riding path columns, never a
     // vertex prop
     case FunV("length", _) | FunV("nodes", _) => Nil
+    // type(r) reads the edge LABEL — declare it as the (r, label) property
+    // need so the rider-carry machinery attaches it like any edge prop
+    case FunV("type", List(RefV(v, ""))) => List((v, "label"))
     case FunV(_, as) => as.flatMap(valRefs)
     case AggV(_, a) => a.toList.flatMap(valRefs)
     case CaseV(bs, els) =>
@@ -702,30 +711,35 @@ object CypherLite {
     case _ => Nil
   }
 
-  /** (fn, var) pairs for every length()/nodes() call in a value expression
-    * — [[eval]] validates the argument against the query's declared path
-    * variables (a non-path argument would otherwise die later with an
-    * opaque unresolved-column error on `<v>___len`). */
-  private def pathFnRefs(e: ValExpr): List[(String, String)] = e match {
-    case FunV(f @ ("length" | "nodes"), as) => as match {
-      case List(RefV(v, "")) => List((f, v))
-      case _ => sys.error(s"$f() takes a named path variable")
+  /** (fn, var) pairs for every call of one of `fns` on a bare variable in
+    * a value expression — [[eval]] validates the arguments (length/nodes
+    * against declared path variables, type against relationship
+    * variables; a bad argument would otherwise die later with an opaque
+    * unresolved-column analysis error). */
+  private def fnVarRefs(fns: Set[String])(e: ValExpr): List[(String, String)] =
+    e match {
+      case FunV(f, as) if fns(f) => as match {
+        case List(RefV(v, "")) => List((f, v))
+        case _ => sys.error(s"$f() takes a bare variable argument")
+      }
+      case BinV(_, l, r) => fnVarRefs(fns)(l) ++ fnVarRefs(fns)(r)
+      case FunV(_, as) => as.flatMap(fnVarRefs(fns))
+      case AggV(_, a) => a.toList.flatMap(fnVarRefs(fns))
+      case CaseV(bs, els) =>
+        bs.flatMap(b => boolFnVarRefs(fns)(b._1) ++ fnVarRefs(fns)(b._2)) ++
+          els.toList.flatMap(fnVarRefs(fns))
+      case _ => Nil
     }
-    case BinV(_, l, r) => pathFnRefs(l) ++ pathFnRefs(r)
-    case FunV(_, as) => as.flatMap(pathFnRefs)
-    case AggV(_, a) => a.toList.flatMap(pathFnRefs)
-    case CaseV(bs, els) =>
-      bs.flatMap(b => boolPathFnRefs(b._1) ++ pathFnRefs(b._2)) ++
-        els.toList.flatMap(pathFnRefs)
-    case _ => Nil
-  }
-  private def boolPathFnRefs(e: BoolExpr): List[(String, String)] = e match {
-    case CmpE(l, _, r) => pathFnRefs(l) ++ pathFnRefs(r)
-    case AndE(l, r) => boolPathFnRefs(l) ++ boolPathFnRefs(r)
-    case OrE(l, r) => boolPathFnRefs(l) ++ boolPathFnRefs(r)
-    case NotE(x) => boolPathFnRefs(x)
-    case _ => Nil
-  }
+  private def boolFnVarRefs(fns: Set[String])(e: BoolExpr): List[(String, String)] =
+    e match {
+      case CmpE(l, _, r) => fnVarRefs(fns)(l) ++ fnVarRefs(fns)(r)
+      case AndE(l, r) => boolFnVarRefs(fns)(l) ++ boolFnVarRefs(fns)(r)
+      case OrE(l, r) => boolFnVarRefs(fns)(l) ++ boolFnVarRefs(fns)(r)
+      case NotE(x) => boolFnVarRefs(fns)(x)
+      case _ => Nil
+    }
+  private val pathFnRefs = fnVarRefs(Set("length", "nodes")) _
+  private val boolPathFnRefs = boolFnVarRefs(Set("length", "nodes")) _
 
   // ---- RETURN / WITH / ORDER BY ------------------------------------------
   /** A RETURN/WITH item: `v.prop` projection, a BARE variable (`prop`
@@ -1530,6 +1544,27 @@ object CypherLite {
       require(r.singleHop, s"a variable on a variable-length relationship " +
         s"after WITH is unsupported ('$v') — drop the variable or move the " +
         "pattern before WITH")
+    }
+    // type(r): the argument must be a declared SINGLE-HOP relationship
+    // variable (a var-length r binds a relationship LIST — its type set is
+    // not a scalar; a node variable has labels, not a type)
+    locally {
+      val allRelVars: Map[String, RelPat] = relVars ++ stageRelVars.flatten
+      val items = q.rets ++ q.stages.flatMap(_.withStage.items)
+      val wheres = q.where.toList ++
+        q.stages.flatMap(s => s.withStage.where.toList ++ s.where2.toList)
+      val orderKeys = q.orderBy.map(_.ref)
+        .filterNot(_.matches("""\w+(\.\w+)?""")).map(parseValExpr)
+      val tRefs = items.flatMap(_.expr).flatMap(fnVarRefs(Set("type"))) ++
+        wheres.flatMap(boolFnVarRefs(Set("type"))) ++
+        orderKeys.flatMap(fnVarRefs(Set("type")))
+      tRefs.foreach { case (_, v) =>
+        val r = allRelVars.getOrElse(v, sys.error(
+          s"type($v): '$v' is not a relationship variable"))
+        require(r.singleHop,
+          s"type($v) on a variable-length relationship is list-valued — " +
+            "unsupported")
+      }
     }
 
     // pre-WITH WHERE: var-length rel-var LITERAL conjuncts push into the

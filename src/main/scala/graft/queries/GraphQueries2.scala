@@ -1639,6 +1639,21 @@ object GraphQueries2 {
         "g.withPath('customer:1').out('placed').out('contains').tree()")
     },
 
+    q("q_cypher_type",
+      // type(r) over an UNLABELED relationship variable: the edge label is
+      // carried like any edge property (a `<r>_label` rider) and grouped —
+      // customers below the balance cut have one in_nation edge each plus
+      // one placed edge per order
+      """WITH f AS (SELECT c_custkey FROM customer WHERE c_acctbal < 100)
+        |SELECT 'in_nation' AS t, CAST(count(*) AS BIGINT) AS n FROM f
+        |UNION ALL
+        |SELECT 'placed', CAST(count(*) AS BIGINT)
+        |FROM orders o JOIN f ON f.c_custkey = o.o_custkey""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[r]->(x) WHERE c.acctbal < 100 " +
+          "RETURN type(r) AS t, count(*) AS n")
+    },
+
     q("q_cypher_orderby_expr",
       // ORDER BY value EXPRESSIONS (r12 ask #8): a function key over a
       // non-returned property (size(n.name)) and an arithmetic key

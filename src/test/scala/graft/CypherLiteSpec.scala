@@ -793,6 +793,24 @@ class CypherLiteSpec extends SparkSpec {
       "RETURN s.name AS sw, count(*) AS n ORDER BY p.age + 1"))
   }
 
+  test("type(r) projects the relationship label; validated arguments") {
+    // grouped by type over an UNLABELED relationship variable
+    val t = run("MATCH (a:person)-[r]->(x) WHERE a.name = 'marko' " +
+      "RETURN type(r) AS t, count(*) AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t === Map("knows" -> 2L, "created" -> 1L))
+    // type() in WHERE (expression comparison)
+    val w = run("MATCH (a:person)-[r]->(x) WHERE type(r) = 'created' " +
+      "RETURN a.name AS who, x.name AS what")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w === Set(("marko", "lop"), ("josh", "lop"),
+      ("josh", "ripple"), ("peter", "lop")))
+    // loud: node variable, var-length relationship variable
+    intercept[Exception](run("MATCH (a:person) RETURN type(a) AS t"))
+    intercept[Exception](run("MATCH (a)-[r:knows*1..2]-(b) " +
+      "WHERE r.weight >= 0.5 RETURN type(r) AS t"))
+  }
+
   test("write clauses: CREATE / SET / DETACH DELETE, batch semantics") {
     // CREATE with the PRIMARY_KEY id splice (person ids are person:<name>)
     val g1 = CypherLite.evalWrite(g,
