@@ -502,7 +502,7 @@ object CypherLite {
     val aggFunRe = """^(?i)(count|sum|avg|min|max)\s*\(""".r
     val funRe =
       ("""^(?i)(toUpper|toLower|abs|round|coalesce|size|length|nodes""" +
-        """|relationships|type)\s*\(""").r
+        """|relationships|type|labels)\s*\(""").r
     val refRe = """^(\w+)(?:\.(\w+))?""".r
     def addE(): ValExpr = {
       var l = mulE()
@@ -678,6 +678,12 @@ object CypherLite {
       case FunV("type", List(RefV(v, ""))) => col(s"${v}_label")
       case FunV("type", _) =>
         sys.error("type() takes a relationship variable")
+      // labels(n): the node's label list — this engine's vertices carry
+      // exactly one label (closed schema), so the list is a singleton; the
+      // label attaches like any vertex property (`<n>_label` join)
+      case FunV("labels", List(RefV(v, ""))) => array(col(s"${v}_label"))
+      case FunV("labels", _) =>
+        sys.error("labels() takes a node variable")
       case FunV("coalesce", as) if as.nonEmpty =>
         coalesce(as.map(compileVal(_, colOf)): _*)
       case FunV(f, as) => sys.error(s"unsupported function: $f/${as.length} args")
@@ -701,9 +707,10 @@ object CypherLite {
     // length(p)/nodes(p) read frontier-riding path columns, never a
     // vertex prop
     case FunV("length", _) | FunV("nodes", _) => Nil
-    // type(r) reads the edge LABEL — declare it as the (r, label) property
-    // need so the rider-carry machinery attaches it like any edge prop
+    // type(r)/labels(n) read the element LABEL — declare it as a (v, label)
+    // property need so the carry machinery attaches it like any property
     case FunV("type", List(RefV(v, ""))) => List((v, "label"))
+    case FunV("labels", List(RefV(v, ""))) => List((v, "label"))
     case FunV(_, as) => as.flatMap(valRefs)
     case AggV(_, a) => a.toList.flatMap(valRefs)
     case CaseV(bs, els) =>
@@ -1555,15 +1562,20 @@ object CypherLite {
         q.stages.flatMap(s => s.withStage.where.toList ++ s.where2.toList)
       val orderKeys = q.orderBy.map(_.ref)
         .filterNot(_.matches("""\w+(\.\w+)?""")).map(parseValExpr)
-      val tRefs = items.flatMap(_.expr).flatMap(fnVarRefs(Set("type"))) ++
-        wheres.flatMap(boolFnVarRefs(Set("type"))) ++
-        orderKeys.flatMap(fnVarRefs(Set("type")))
-      tRefs.foreach { case (_, v) =>
-        val r = allRelVars.getOrElse(v, sys.error(
-          s"type($v): '$v' is not a relationship variable"))
-        require(r.singleHop,
-          s"type($v) on a variable-length relationship is list-valued — " +
-            "unsupported")
+      val tRefs = items.flatMap(_.expr).flatMap(fnVarRefs(Set("type", "labels"))) ++
+        wheres.flatMap(boolFnVarRefs(Set("type", "labels"))) ++
+        orderKeys.flatMap(fnVarRefs(Set("type", "labels")))
+      tRefs.foreach {
+        case ("type", v) =>
+          val r = allRelVars.getOrElse(v, sys.error(
+            s"type($v): '$v' is not a relationship variable"))
+          require(r.singleHop,
+            s"type($v) on a variable-length relationship is list-valued — " +
+              "unsupported")
+        case (_, v) => // labels(n): a NODE (or carried-binding) variable
+          require(!allRelVars.contains(v) && !pathVars(v),
+            s"labels($v): '$v' is not a node variable (use type() for " +
+              "relationships)")
       }
     }
 

@@ -1654,6 +1654,20 @@ object GraphQueries2 {
           "RETURN type(r) AS t, count(*) AS n")
     },
 
+    q("q_cypher_labels",
+      // labels(n) over an UNLABELED start node: in_nation sources are
+      // customers AND suppliers — the label list (a singleton under the
+      // closed single-label schema) is the implicit group key,
+      // csv-serialized for the comparator
+      """SELECT 'customer' AS lbls, CAST(count(*) AS BIGINT) AS n FROM customer
+        |UNION ALL
+        |SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (a)-[:in_nation]->(n:nation) " +
+          "RETURN labels(a) AS lbls, count(*) AS n")
+        .select(array_join(col("lbls"), ",").as("lbls"), col("n"))
+    },
+
     q("q_cypher_orderby_expr",
       // ORDER BY value EXPRESSIONS (r12 ask #8): a function key over a
       // non-returned property (size(n.name)) and an arithmetic key

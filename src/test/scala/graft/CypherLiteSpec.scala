@@ -809,6 +809,13 @@ class CypherLiteSpec extends SparkSpec {
     intercept[Exception](run("MATCH (a:person) RETURN type(a) AS t"))
     intercept[Exception](run("MATCH (a)-[r:knows*1..2]-(b) " +
       "WHERE r.weight >= 0.5 RETURN type(r) AS t"))
+    // labels(n): singleton label list for nodes (closed single-label schema)
+    val l = run("MATCH (a)-[:created]->(s) " +
+      "RETURN labels(a) AS la, labels(s) AS ls, count(*) AS n").head()
+    assert(l.getSeq[String](0).toList === List("person") &&
+      l.getSeq[String](1).toList === List("software") && l.getLong(2) === 4L)
+    intercept[Exception](run(
+      "MATCH (a)-[r:knows]->(b) RETURN labels(r) AS x"))
   }
 
   test("write clauses: CREATE / SET / DETACH DELETE, batch semantics") {
