@@ -502,7 +502,7 @@ object CypherLite {
     val aggFunRe = """^(?i)(count|sum|avg|min|max)\s*\(""".r
     val funRe =
       ("""^(?i)(toUpper|toLower|abs|round|coalesce|size|length|nodes""" +
-        """|relationships|type|labels)\s*\(""").r
+        """|relationships|type|labels|toInteger|toFloat|toString)\s*\(""").r
     val refRe = """^(\w+)(?:\.(\w+))?""".r
     def addE(): ValExpr = {
       var l = mulE()
@@ -684,6 +684,12 @@ object CypherLite {
       case FunV("labels", List(RefV(v, ""))) => array(col(s"${v}_label"))
       case FunV("labels", _) =>
         sys.error("labels() takes a node variable")
+      // openCypher conversion functions — try_cast (toInteger truncates
+      // toward zero on fractional input, and a non-numeric string yields
+      // NULL, both the openCypher contract — an ANSI cast would throw)
+      case FunV("tointeger", List(a)) => compileVal(a, colOf).try_cast("long")
+      case FunV("tofloat", List(a)) => compileVal(a, colOf).try_cast("double")
+      case FunV("tostring", List(a)) => compileVal(a, colOf).cast("string")
       case FunV("coalesce", as) if as.nonEmpty =>
         coalesce(as.map(compileVal(_, colOf)): _*)
       case FunV(f, as) => sys.error(s"unsupported function: $f/${as.length} args")

@@ -168,7 +168,12 @@ final case class GraphTraversal(
     * lineage (`localCheckpoint`) and stops early on an empty frontier —
     * the loop discipline every frontier iteration in this engine follows,
     * so the emitted union's plan depth is O(rounds), not O(2^rounds). */
-  def repeatUntil(cond: Cond, maxRounds: Int = 16)(
+  /** `emitEach = true` is the `repeat(sub).emit().until(cond)` form:
+    * EVERY traverser is emitted each round it survives (TinkerPop
+    * emit-with-until multiplicity), while `cond` still controls which
+    * traversers exit the loop. */
+  def repeatUntil(cond: Cond, maxRounds: Int = 16,
+                  emitEach: Boolean = false)(
       f: GraphTraversal => GraphTraversal): GraphTraversal = {
     require(maxRounds >= 1 && maxRounds <= 64,
       s"repeat().until() rounds cap must be in [1, 64], got $maxRounds")
@@ -180,7 +185,8 @@ final case class GraphTraversal(
       val stepped = f(cur)
       val pinned = stepped.copy(df = stepped.df.localCheckpoint(true))
       val c = cond.compile
-      val exit = pinned.copy(df = pinned.df.filter(c))
+      val exit = if (emitEach) pinned
+        else pinned.copy(df = pinned.df.filter(c))
       acc = Some(acc.fold(exit)(_ union exit))
       val cont = pinned.copy(df = pinned.df.filter(coalesce(!c, lit(true))))
       if (cont.df.isEmpty) drained = true else cur = cont
@@ -194,7 +200,9 @@ final case class GraphTraversal(
       if (dropped > 0) System.err.println(
         s"[graft] repeat().until() hit the $maxRounds-round cap with " +
           s"$dropped traverser(s) still looping — they are dropped from " +
-          "the result (raise maxRounds if the full fixpoint is intended)")
+          "further expansion" +
+          (if (emitEach) "" else " and from the result") +
+          " (raise maxRounds if the full fixpoint is intended)")
     }
     acc.get
   }

@@ -488,9 +488,13 @@ object GremlinLite {
                   else if (emitAfter) t.repeatEmit(times)(applySub(bodyFrag))
                   else t.repeat(times)(applySub(bodyFrag))
             case Step("until", List(condA)) =>
-              require(!emitFirst && !emitAfter,
-                "emit() with until() is unsupported — use times(n) forms")
-              t = t.repeatUntil(condOf(condA))(applySub(bodyFrag))
+              // repeat(sub).emit().until(cond): every traverser emitted
+              // each round it survives, cond exits it from further looping
+              require(!emitFirst,
+                "emit() BEFORE repeat() with until() is unsupported — " +
+                  "use the repeat(sub).emit().until(cond) form")
+              t = t.repeatUntil(condOf(condA), emitEach = emitAfter)(
+                applySub(bodyFrag))
             case other => sys.error(
               s"repeat() must be followed by times(n) or until(cond), got $other")
           }

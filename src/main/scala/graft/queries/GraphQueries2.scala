@@ -1654,6 +1654,45 @@ object GraphQueries2 {
           "RETURN type(r) AS t, count(*) AS n")
     },
 
+    q("q_gremlin_emit_until",
+      // repeat(out()).emit().until(hasLabel('part')): every traverser is
+      // emitted each round it survives, parts exit the loop — from
+      // customer:1 that is round 1 (its nation + every placed order) plus
+      // round 2 (the nation's region + one part per lineitem, multiplicity
+      // preserved); round 3 is empty (region has no out-edges, parts
+      // exited) so the loop drains
+      """SELECT 'nation:' || CAST(c_nationkey AS VARCHAR) AS id
+        |FROM customer WHERE c_custkey = 1
+        |UNION ALL
+        |SELECT 'order:' || CAST(o_orderkey AS VARCHAR)
+        |FROM orders WHERE o_custkey = 1
+        |UNION ALL
+        |SELECT 'region:' || CAST(n_regionkey AS VARCHAR)
+        |FROM nation JOIN customer ON n_nationkey = c_nationkey
+        |WHERE c_custkey = 1
+        |UNION ALL
+        |SELECT 'part:' || CAST(l_partkey AS VARCHAR)
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE o_custkey = 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V('customer:1').repeat(out()).emit().until(hasLabel('part')).id()")
+    },
+
+    q("q_cypher_casts",
+      // toInteger/toFloat/toString conversions: toInteger truncates toward
+      // zero (DuckDB CAST rounds — trunc() on the oracle side keeps the
+      // openCypher contract), toString over an integral size is
+      // format-stable on both engines
+      """SELECT CAST(trunc(c_acctbal) AS BIGINT) AS i,
+        |       CAST(length(c_name) AS VARCHAR) AS s,
+        |       c_acctbal AS f
+        |FROM customer WHERE c_acctbal > 9900""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer) WHERE c.acctbal > 9900 " +
+          "RETURN toInteger(c.acctbal) AS i, toString(size(c.name)) AS s, " +
+          "toFloat(c.acctbal) AS f")
+    },
+
     q("q_cypher_labels",
       // labels(n) over an UNLABELED start node: in_nation sources are
       // customers AND suppliers — the label list (a singleton under the

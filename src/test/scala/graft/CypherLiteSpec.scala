@@ -818,6 +818,17 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a)-[r:knows]->(b) RETURN labels(r) AS x"))
   }
 
+  test("conversion functions: toInteger / toFloat / toString") {
+    val r = run("MATCH (p:person) WHERE p.name = 'marko' " +
+      "RETURN toInteger(p.age / 2) AS i, toFloat(p.age) AS f, " +
+      "toString(p.age) AS s").head()
+    assert(r.getLong(0) === 14L && r.getDouble(1) === 29.0 &&
+      r.getString(2) === "29")
+    // non-numeric string → null (openCypher)
+    assert(run("MATCH (p:person) WHERE p.name = 'marko' " +
+      "RETURN toInteger(p.city) AS i").head().isNullAt(0))
+  }
+
   test("write clauses: CREATE / SET / DETACH DELETE, batch semantics") {
     // CREATE with the PRIMARY_KEY id splice (person ids are person:<name>)
     val g1 = CypherLite.evalWrite(g,

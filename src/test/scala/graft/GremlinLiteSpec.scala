@@ -433,6 +433,20 @@ class GremlinLiteSpec extends SparkSpec {
     intercept[Exception](run("g.V('person:marko').out('knows').tree()"))
   }
 
+  test("repeat().emit().until(): every surviving round emitted") {
+    // round 1: marko.out() = {vadas, josh, lop} all EMITTED, lop exits;
+    // round 2: out(vadas) = {}, out(josh) = {lop, ripple} emitted, both
+    // exit -> drained. Multiset keeps the two lop sightings.
+    val ids = run("g.V('person:marko').repeat(out()).emit()" +
+      ".until(hasLabel('software')).id()")
+      .collect().map(_.getString(0)).sorted.toList
+    assert(ids === List("person:vadas", "person:josh", "software:lop",
+      "software:lop", "software:ripple").sorted)
+    // emit-first with until stays rejected (loud)
+    intercept[Exception](run(
+      "g.V('person:marko').emit().repeat(out()).until(hasLabel('software')).id()"))
+  }
+
   test("repeat().until() cap hit warns with the dropped-frontier count") {
     import graft.api.Graft
     import graft.core.Cond
