@@ -60,7 +60,8 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * scan-pushable [[Cmp]]; expression comparisons compile as residual
   * Catalyst filters. Generic `CASE WHEN cond THEN val … [ELSE val] END`
   * expressions nest anywhere a value expression does (conditions reuse
-  * the WHERE grammar; the simple `CASE <expr>` form is rejected).
+  * the WHERE grammar; the simple `CASE <expr> WHEN <val>` form compiles
+  * to subject-equality branches).
   *
   * RETURN/WITH items may also be full VALUE EXPRESSIONS with a REQUIRED
   * `AS` alias: property refs, aliases, literals, `+ - * / %` (with
@@ -530,9 +531,11 @@ object CypherLite {
       require(keyword(w), s"expected $w in CASE (in '$s')")
       rest = rest.substring(w.length).trim
     }
-    // the WHEN condition's extent: up to the first top-level THEN (a
-    // BoolExpr cannot itself contain CASE, so paren/quote depth suffices)
-    def scanCond(): String = {
+    // the extent of a CASE segment: up to the first top-level `kw` keyword
+    // (a BoolExpr cannot itself contain CASE, so paren/quote depth
+    // suffices) — kw = THEN for a WHEN condition, WHEN for the simple
+    // form's subject expression
+    def scanTo(kw: String): String = {
       var i = 0; var depth = 0; var inQ = false
       while (i < rest.length) {
         val c = rest(i)
@@ -543,26 +546,33 @@ object CypherLite {
           case ')' => depth -= 1
           case _ =>
             if (depth == 0 && (i == 0 || !isWord(rest(i - 1))) &&
-                rest.length >= i + 4 &&
-                rest.substring(i, i + 4).equalsIgnoreCase("THEN") &&
-                (rest.length == i + 4 || !isWord(rest(i + 4)))) {
-              val cond = rest.substring(0, i).trim
+                rest.length >= i + kw.length &&
+                rest.substring(i, i + kw.length).equalsIgnoreCase(kw) &&
+                (rest.length == i + kw.length || !isWord(rest(i + kw.length)))) {
+              val seg = rest.substring(0, i).trim
               rest = rest.substring(i).trim
-              return cond
+              return seg
             }
         }
         i += 1
       }
-      sys.error(s"CASE WHEN without THEN (in '$s')")
+      sys.error(s"CASE segment without $kw (in '$s')")
     }
     def caseE(): ValExpr = {
       eatKw("CASE")
-      require(keyword("WHEN"),
-        s"only the generic CASE WHEN form is supported (in '$s')")
+      // simple form `CASE <expr> WHEN <val> THEN …` compiles to the
+      // generic form with subject-equality conditions
+      val subject: Option[ValExpr] =
+        if (keyword("WHEN")) None else Some(parseValExpr(scanTo("WHEN")))
       val branches = List.newBuilder[(BoolExpr, ValExpr)]
       while (keyword("WHEN")) {
         eatKw("WHEN")
-        val cond = parseWhere(scanCond())
+        val cond = subject match {
+          case Some(subj) =>
+            val v = addE()
+            CmpE(subj, "=", v)
+          case None => parseWhere(scanTo("THEN"))
+        }
         eatKw("THEN")
         branches += ((cond, addE()))
       }
@@ -987,6 +997,11 @@ object CypherLite {
           updLast(s0 => s0.copy(matches = s0.matches :+ mc))
         }
       case ("OPTIONAL MATCH", body) =>
+        // a path variable on an OPTIONAL pattern would otherwise be
+        // SILENTLY ignored (parsePattern skips the `p =` prefix)
+        require(!body.trim.matches("""(?s)^\w+\s*=.*"""),
+          "a named path on OPTIONAL MATCH is unsupported — bind it on a " +
+            "plain MATCH")
         if (stages.isEmpty) matches :+= parsePattern(body, optional = true)
         else updLast(s0 =>
           s0.copy(matches = s0.matches :+ parsePattern(body, optional = true)))
@@ -2071,6 +2086,9 @@ object CypherLite {
           case other => sys.error(
             s"CREATE takes node patterns (v:label {k: lit, …}): $other")
         }
+        require(rows.map(_._1).distinct.length == rows.length,
+          "CREATE batch contains duplicate ids: " +
+            rows.map(_._1).diff(rows.map(_._1).distinct).mkString(", "))
         rows.flatMap(_._3.keys).distinct.foreach(k =>
           require(g.vertices.columns.contains(k),
             s"unknown property '$k' (the columnar schema is closed)"))

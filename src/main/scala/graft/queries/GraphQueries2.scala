@@ -1693,6 +1693,19 @@ object GraphQueries2 {
           "toFloat(c.acctbal) AS f")
     },
 
+    q("q_cypher_case_simple",
+      // the simple CASE <expr> WHEN <val> form (r13) — compiles to
+      // subject-equality branches on the generic CASE machinery
+      """SELECT CASE n_regionkey WHEN 0 THEN 'zero' WHEN 1 THEN 'one'
+        |       ELSE 'rest' END AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM nation GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (n:nation)-[:in_region]->(r:region) " +
+          "RETURN CASE r WHEN 'region:0' THEN 'zero' WHEN 'region:1' " +
+          "THEN 'one' ELSE 'rest' END AS bucket, count(*) AS n")
+    },
+
     q("q_cypher_labels",
       // labels(n) over an UNLABELED start node: in_nation sources are
       // customers AND suppliers — the label list (a singleton under the

@@ -692,6 +692,11 @@ class CypherLiteSpec extends SparkSpec {
     val e = intercept[Exception](run(
       "MATCH p = (a:person)-[:knows*1..2]-(b) RETURN relationships(p) AS r"))
     assert(e.getMessage.contains("relationships(p) is unsupported"))
+    // a named path on OPTIONAL MATCH would silently drop the binding —
+    // rejected loudly instead
+    intercept[Exception](run(
+      "MATCH (a:person) OPTIONAL MATCH p = (a)-[:knows*1..2]->(b) " +
+        "RETURN a.name AS who"))
   }
 
   test("WHERE expression comparisons: arithmetic, parens, functions") {
@@ -736,9 +741,16 @@ class CypherLiteSpec extends SparkSpec {
       "CASE WHEN p.age % 2 = 0 THEN p.age * 10 ELSE p.age END AS v " +
       "ORDER BY who ASC").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(m === Seq(("josh", 320L), ("marko", 29L), ("peter", 35L), ("vadas", 27L)))
-    // the simple CASE <expr> form is rejected loudly
-    intercept[Exception](run(
-      "MATCH (p:person) RETURN CASE p.age WHEN 29 THEN 'x' END AS y"))
+    // the simple CASE <expr> form compiles to subject-equality branches
+    val simple = run("MATCH (p:person) RETURN p.name AS who, " +
+      "CASE p.age WHEN 29 THEN 'exact' WHEN 27 THEN 'young' ELSE 'other' " +
+      "END AS bucket ORDER BY who ASC")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(simple === Seq(("josh", "other"), ("marko", "exact"),
+      ("peter", "other"), ("vadas", "young")))
+    // no ELSE + no match → null
+    assert(run("MATCH (p:person) WHERE p.name = 'peter' " +
+      "RETURN CASE p.age WHEN 1 THEN 'x' END AS y").head().isNullAt(0))
   }
 
   test("string-literal + concatenates; other ops reject string operands") {
@@ -869,6 +881,9 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (p:person) SET p.frobnitz = 1"))
     intercept[Exception](CypherLite.evalWrite(g,
       "CREATE (v:person {age: 5})"))
+    // duplicate ids WITHIN one CREATE batch are loud too
+    intercept[Exception](CypherLite.evalWrite(g,
+      "CREATE (v:person {name: 'dup', age: 1}), (w:person {name: 'dup', age: 2})"))
   }
 
   test("variable-length rejects unbounded and over-cap windows loudly") {
