@@ -2017,12 +2017,18 @@ object CypherLite {
     *    (openCypher errors on attached vertices; a batch engine can't
     *    cheaply prove detachment per row — say DETACH).
     *
-    * MERGE and transactional multi-statement scripts stay non-goals
-    * (COVERAGE §2.14 — adjacent to the transactions non-goal). Returns the
-    * mutated graph; reads compose via [[eval]] on the result. */
+    *  - `MERGE (v:label {k: lit, …})…` — the NODE form: match by id, else
+    *    create (idempotent insert). A same-id node with DIFFERENT given
+    *    properties is a loud conflict (under PRIMARY_KEY ids openCypher's
+    *    create-a-second-node answer is a constraint violation).
+    *
+    * MERGE on relationships/patterns, ON CREATE/ON MATCH clauses, and
+    * transactional multi-statement scripts stay non-goals (COVERAGE §2.14
+    * — adjacent to the transactions non-goal). Returns the mutated graph;
+    * reads compose via [[eval]] on the result. */
   def evalWrite(g: PropertyGraph, stmt: String): PropertyGraph = {
     val s = stmt.trim.replaceAll("\\s+", " ")
-    val createRe = """(?i)^CREATE\s+(.+)$""".r
+    val createRe = """(?i)^(CREATE|MERGE)\s+(.+)$""".r
     val setRe = """(?i)^(MATCH .+?)\s+SET\s+(\w+)\.(\w+)\s*=\s*(.+)$""".r
     val delRe = """(?i)^(MATCH .+?)\s+(DETACH\s+)?DELETE\s+(\w+)$""".r
     s match {
@@ -2054,22 +2060,23 @@ object CypherLite {
           edges = g.edges
             .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
             .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
-      case createRe(body) =>
+      case createRe(kw0, body) =>
+        val kw = kw0.toUpperCase
         val nodeRe = """\(\s*(\w+)\s*:\s*(\w+)\s*\{([^}]*)\}\s*\)""".r
         val items = splitTop(body)
-        require(items.nonEmpty, "CREATE needs at least one node pattern")
+        require(items.nonEmpty, s"$kw needs at least one node pattern")
         val rows = items.map {
           case nodeRe(v, label, propsBody) =>
             checkVar(v)
             val props: Map[String, Any] = splitTop(propsBody).map { kv =>
               val m = """^(\w+)\s*:\s*(.+)$""".r.findFirstMatchIn(kv.trim)
-                .getOrElse(sys.error(s"bad CREATE property: $kv"))
+                .getOrElse(sys.error(s"bad $kw property: $kv"))
               m.group(1) -> (parseValExpr(m.group(2)) match {
                 case LitV(x) => x
                 case BinV("-", LitV(0L), LitV(n: Long)) => -n
                 case BinV("-", LitV(0L), LitV(n: Double)) => -n
                 case other => sys.error(
-                  s"CREATE property values must be literals, got $other")
+                  s"$kw property values must be literals, got $other")
               })
             }.toMap
             val vl = g.schema.vertexLabels.find(_.name == label).getOrElse(
@@ -2084,10 +2091,10 @@ object CypherLite {
                 "property or an explicit id")).toString
             (id, label, props - "id")
           case other => sys.error(
-            s"CREATE takes node patterns (v:label {k: lit, …}): $other")
+            s"$kw takes node patterns (v:label {k: lit, …}): $other")
         }
         require(rows.map(_._1).distinct.length == rows.length,
-          "CREATE batch contains duplicate ids: " +
+          s"$kw batch contains duplicate ids: " +
             rows.map(_._1).diff(rows.map(_._1).distinct).mkString(", "))
         rows.flatMap(_._3.keys).distinct.foreach(k =>
           require(g.vertices.columns.contains(k),
@@ -2095,7 +2102,8 @@ object CypherLite {
         val spark = g.vertices.sparkSession
         import spark.implicits._
         var batch = rows.map(r => (r._1, r._2)).toDF("id", "label")
-        g.vertices.columns.filterNot(Set("id", "label")).foreach { c =>
+        val propCols = g.vertices.columns.filterNot(Set("id", "label")).toSeq
+        propCols.foreach { c =>
           val dt = g.vertices.schema(c).dataType
           val vals = rows.map(_._3.get(c))
           batch = batch.withColumn(c,
@@ -2105,15 +2113,41 @@ object CypherLite {
               case (acc, (_, None)) => acc
             }, lit(null).cast(dt)))
         }
-        val clash = batch.join(g.vertices, Seq("id"), "left_semi")
-        require(clash.isEmpty,
-          "CREATE would collide with existing ids — CREATE never upserts " +
-            "(use the Mutations.upsertVertices merge path for that)")
-        g.copy(vertices =
-          g.vertices.unionByName(batch.select(g.vertices.columns.map(col): _*)))
+        if (kw == "CREATE") {
+          val clash = batch.join(g.vertices, Seq("id"), "left_semi")
+          require(clash.isEmpty,
+            "CREATE would collide with existing ids — CREATE never upserts " +
+              "(use MERGE, or the Mutations.upsertVertices merge path)")
+          g.copy(vertices = g.vertices
+            .unionByName(batch.select(g.vertices.columns.map(col): _*)))
+        } else {
+          // MERGE, node form: match by id, else create. openCypher MERGE
+          // matches the WHOLE given property map — under PRIMARY_KEY ids a
+          // same-id node with DIFFERENT given properties would demand a
+          // second node with a colliding id, so that case is a loud
+          // conflict instead of a silent second node. Matching rows are
+          // no-ops (given props all agree); absent ids insert. One join to
+          // detect conflicts, one anti join to pick the inserts — batch
+          // shapes, no per-row probing.
+          val existing = g.vertices.select(
+            (col("id") +: col("label").as("__vl") +:
+              propCols.map(c => col(c).as(s"__v_$c"))): _*)
+          val matched = batch.join(existing, Seq("id"))
+          val conflict = (col("label") =!= col("__vl")) +: propCols.map(c =>
+            col(c).isNotNull &&
+              (col(s"__v_$c").isNull || col(s"__v_$c") =!= col(c)))
+          require(matched.filter(conflict.reduce(_ || _)).isEmpty,
+            "MERGE conflicts with an existing node: same id, different " +
+              "label or property values (PRIMARY_KEY ids cannot host a " +
+              "second node — change the properties or use SET)")
+          val fresh = batch.join(g.vertices, Seq("id"), "left_anti")
+          g.copy(vertices = g.vertices
+            .unionByName(fresh.select(g.vertices.columns.map(col): _*)))
+        }
       case _ => sys.error(
-        "unsupported write statement — supported: CREATE (v:label {…})…, " +
-          "MATCH … SET v.prop = expr, MATCH … DETACH DELETE v")
+        "unsupported write statement — supported: CREATE/MERGE " +
+          "(v:label {…})…, MATCH … SET v.prop = expr, " +
+          "MATCH … DETACH DELETE v")
     }
   }
 }

@@ -1568,6 +1568,24 @@ object GraphQueries2 {
           "RETURN c.name AS name, c.acctbal AS bal")
     },
 
+    q("q_cypher_merge",
+      // MERGE, node form (match-by-id-else-create): merged twice — the
+      // second statement re-merges an existing row (no-op) and adds one —
+      // so the read-back proves idempotency; oracle = the final VALUES set
+      """SELECT name FROM (VALUES ('MERGE_A'), ('MERGE_B')) t(name)""") { (s, d) =>
+      val g1 = graft.api.CypherLite.evalWrite(g(s, d),
+        "MERGE (v:customer {id: 'customer:910001', name: 'MERGE_A', " +
+          "mktsegment: 'GRAFT_MERGE'})")
+      val g2 = graft.api.CypherLite.evalWrite(g1,
+        "MERGE (v:customer {id: 'customer:910001', name: 'MERGE_A', " +
+          "mktsegment: 'GRAFT_MERGE'}), " +
+          "(w:customer {id: 'customer:910002', name: 'MERGE_B', " +
+          "mktsegment: 'GRAFT_MERGE'})")
+      graft.api.CypherLite.eval(g2,
+        "MATCH (c:customer) WHERE c.mktsegment = 'GRAFT_MERGE' " +
+          "RETURN c.name AS name")
+    },
+
     q("q_cypher_set",
       // MATCH … SET: a column update over the matched id set (one semi
       // join + conditional rewrite, never per-row mutation) — oracled by

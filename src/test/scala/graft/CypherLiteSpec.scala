@@ -884,6 +884,19 @@ class CypherLiteSpec extends SparkSpec {
     // duplicate ids WITHIN one CREATE batch are loud too
     intercept[Exception](CypherLite.evalWrite(g,
       "CREATE (v:person {name: 'dup', age: 1}), (w:person {name: 'dup', age: 2})"))
+    // MERGE (node form): idempotent — matching nodes are no-ops, absent
+    // ids insert; re-merging the same batch changes nothing
+    val m1 = CypherLite.evalWrite(g,
+      "MERGE (v:person {name: 'marko', age: 29}), " +
+        "(w:person {name: 'newbie', age: 1})")
+    assert(m1.vertices.count() === g.vertices.count() + 1)
+    val m2 = CypherLite.evalWrite(m1,
+      "MERGE (v:person {name: 'marko', age: 29}), " +
+        "(w:person {name: 'newbie', age: 1})")
+    assert(m2.vertices.count() === m1.vertices.count())
+    // same id, different given property → loud conflict
+    intercept[Exception](CypherLite.evalWrite(g,
+      "MERGE (v:person {name: 'marko', age: 99})"))
   }
 
   test("variable-length rejects unbounded and over-cap windows loudly") {
