@@ -42,7 +42,8 @@ object Explain {
     "q_cypher_varlen_paths" -> "r13: PER-PATH expansion is still ONE lazy plan — the content-key edge view is computed once per hop side, the relationship-uniqueness guard is a join-filter on the equi-join (no cartesian), no distincts anywhere, and the final hop pre-filters to the end label",
     "q_cypher_allshortest" -> "r13: path-carrying first-seen BFS — per-round localCheckpoint, the pushed source equality makes every hop a broadcast frontier join; the vertex-array column rides the frontier, no re-derivation",
     "q_cypher_set" -> "r13: MATCH…SET is a column update — the matched id set (one aggregate-free semi-ish left join) conditionally rewrites ONE column; the vertex table is scanned once and never row-mutated",
-    "q_gremlin_sack" -> "r13: the sack is a rider column — two edge joins and a projection, zero extra exchanges vs the same walk without the sack")
+    "q_gremlin_sack" -> "r13: the sack is a rider column — two edge joins and a projection, zero extra exchanges vs the same walk without the sack",
+    "q_cypher_merge" -> "r13: MERGE is two batch joins — one inner join over the tiny literal batch for conflict detection, one anti join to pick the inserts; the vertex table scans twice and never row-mutates")
 
   /** Measured numbers that a plan dump alone can't show; refreshed by hand
     * when the underlying experiment is re-run. */
