@@ -635,8 +635,19 @@ object CypherLite {
     e
   }
 
-  private def isStrLit(e: ValExpr): Boolean = e match {
+  /** Is an expression STRING-PRODUCING at compile time? A string literal, a
+    * string-returning function, or a `+` with a string-producing side (that
+    * `+` compiles to concat below, so its result is a string). Recursive so
+    * `('a' + c.name) + d.name` classifies the OUTER `+` as concat too (r13
+    * ADVICE #2 — the immediate-operand check silently compiled it to
+    * numeric addition). Two bare column refs stay numeric (types unknowable
+    * here) — the documented unsupported case. */
+  private def producesString(e: ValExpr): Boolean = e match {
     case LitV(_: String) => true
+    case BinV("+", l, r) => producesString(l) || producesString(r)
+    case FunV("toupper" | "tolower" | "tostring", _) => true
+    case CaseV(bs, els) =>
+      bs.exists(b => producesString(b._2)) || els.exists(producesString)
     case _ => false
   }
 
@@ -646,16 +657,16 @@ object CypherLite {
       case RefV(v, p) => colOf(v, p)
       // Cypher `+` with a string operand is CONCATENATION — compiling it
       // to numeric addition would silently yield NULL under non-ANSI
-      // Spark. A string LITERAL side is detectable at compile time →
+      // Spark. A string-PRODUCING side is detectable at compile time →
       // concat (both sides cast to string, the Neo4j 'a' + 1 = "a1"
       // contract); string-vs-string via two column refs stays numeric
       // (types unknowable here) and is documented as unsupported.
-      case BinV("+", l, r) if isStrLit(l) || isStrLit(r) =>
+      case BinV("+", l, r) if producesString(l) || producesString(r) =>
         concat(compileVal(l, colOf).cast("string"),
           compileVal(r, colOf).cast("string"))
-      case BinV(op, l, r) if (isStrLit(l) || isStrLit(r)) &&
+      case BinV(op, l, r) if (producesString(l) || producesString(r)) &&
           "-*/%".contains(op) =>
-        sys.error(s"operator '$op' does not take a string literal operand")
+        sys.error(s"operator '$op' does not take a string-typed operand")
       case BinV("+", l, r) => compileVal(l, colOf) + compileVal(r, colOf)
       case BinV("-", l, r) => compileVal(l, colOf) - compileVal(r, colOf)
       case BinV("*", l, r) => compileVal(l, colOf) * compileVal(r, colOf)
@@ -1484,7 +1495,13 @@ object CypherLite {
       case Some("exprAgg") => exprAggSensitive(r.expr.get)
       case Some(_) => true // sum/avg
     }
-    !dist && (items.forall(_.agg.isEmpty) || items.exists(itemSensitive))
+    // A stage-level DISTINCT over an AGGREGATED projection is a no-op
+    // (grouped rows are already distinct) — it must not demote a
+    // multiplicity-observing aggregate (count/sum/collect) to the
+    // pair-distinct plan (r13 ADVICE #1). Only an all-plain projection
+    // lets DISTINCT pick pair mode.
+    if (items.exists(_.agg.isDefined)) items.exists(itemSensitive)
+    else !dist
   }
 
   def eval(g: PropertyGraph, cypher: String): DataFrame = {
@@ -1559,6 +1576,18 @@ object CypherLite {
         require(fns.isEmpty && bare.isEmpty,
           "path projections (p / nodes(p) / length(p)) do not survive " +
             "WITH — alias them as items in the first WITH stage")
+      }
+      // the final ORDER BY is also post-projection when stages exist (r13
+      // ADVICE #3: it previously skipped this sweep and died later on an
+      // opaque unresolved `<p>___len` analysis error)
+      if (q.stages.nonEmpty) {
+        val lateOrderFns = q.orderBy.flatMap(k =>
+          if (k.ref.matches("""\w+(\.\w+)?""")) Nil
+          else pathFnRefs(parseValExpr(k.ref)))
+        require(lateOrderFns.isEmpty,
+          "path projections (p / nodes(p) / length(p)) do not survive " +
+            "WITH — alias them as items in the first WITH stage (the " +
+            "final ORDER BY may then use the alias)")
       }
     }
     val relVars: Map[String, RelPat] =
@@ -2026,40 +2055,95 @@ object CypherLite {
     * transactional multi-statement scripts stay non-goals (COVERAGE §2.14
     * — adjacent to the transactions non-goal). Returns the mutated graph;
     * reads compose via [[eval]] on the result. */
+  /** First TOP-LEVEL (outside single quotes) occurrence of a keyword, as a
+    * whole word, case-insensitive — the SET/DELETE clause split must not
+    * trigger on ' set '/' delete ' INSIDE a string literal of the MATCH's
+    * WHERE (r13 ADVICE #4: the regex split misparsed those). */
+  private def topKeywordIdx(s: String, kw: String): Int = {
+    var i = 0; var inQ = false
+    while (i < s.length) {
+      val c = s(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if ((i == 0 || !isWordCh(s(i - 1))) &&
+          s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i + kw.length == s.length || !isWordCh(s(i + kw.length))))
+        return i
+      i += 1
+    }
+    -1
+  }
+
   def evalWrite(g: PropertyGraph, stmt: String): PropertyGraph = {
     val s = stmt.trim.replaceAll("\\s+", " ")
     val createRe = """(?i)^(CREATE|MERGE)\s+(.+)$""".r
-    val setRe = """(?i)^(MATCH .+?)\s+SET\s+(\w+)\.(\w+)\s*=\s*(.+)$""".r
-    val delRe = """(?i)^(MATCH .+?)\s+(DETACH\s+)?DELETE\s+(\w+)$""".r
-    s match {
-      case setRe(matchPart, v, prop, valuePart) =>
-        val e = parseValExpr(valuePart)
-        valRefs(e).foreach { case (rv, _) =>
-          require(rv == v, s"SET expressions may only read '$v' itself " +
-            s"(got '$rv') — batch column updates are per-row")
-        }
-        require(g.vertices.columns.contains(prop),
-          s"unknown property '$prop' (the columnar schema is closed)")
-        val ids = eval(g, s"$matchPart RETURN DISTINCT $v AS matched_id")
-          .withColumnRenamed("matched_id", "id").withColumn("__hit", lit(true))
-        val newVal = compileVal(e, (_, p) => col(p))
-        val updated = g.vertices.join(ids, Seq("id"), "left")
-          .withColumn(prop,
-            when(col("__hit"), newVal.cast(g.vertices.schema(prop).dataType))
-              .otherwise(col(prop)))
-          .drop("__hit")
-        g.copy(vertices = updated)
-      case delRe(matchPart, detach, v) =>
-        require(detach != null,
+    // quote-aware clause split: the first top-level SET / DELETE keyword
+    // decides the statement shape (never one inside a WHERE string literal)
+    val setIdx = if (s.toUpperCase.startsWith("MATCH")) topKeywordIdx(s, "SET") else -1
+    val delIdx = if (s.toUpperCase.startsWith("MATCH")) topKeywordIdx(s, "DELETE") else -1
+    val shaped: String =
+      if (setIdx > 0 && (delIdx < 0 || setIdx < delIdx)) "set"
+      else if (delIdx > 0) "del"
+      else "other"
+    shaped match {
+      case "set" =>
+        val matchPart = s.substring(0, setIdx).trim
+        val m = """(?i)^SET\s+(\w+)\.(\w+)\s*=\s*(.+)$""".r
+          .findFirstMatchIn(s.substring(setIdx))
+          .getOrElse(sys.error(
+            "SET takes one `v.prop = <value expr>` assignment: " +
+              s.substring(setIdx)))
+        evalSet(g, matchPart, m.group(1), m.group(2), m.group(3))
+      case "del" =>
+        val before = s.substring(0, delIdx).trim
+        val detach = before.toUpperCase.endsWith("DETACH")
+        val matchPart =
+          if (detach) before.substring(0, before.length - "DETACH".length).trim
+          else before
+        require(detach,
           "plain DELETE is unsupported — use DETACH DELETE (openCypher " +
             "errors on attached vertices; a batch engine deletes the " +
             "incident edges with the vertex)")
-        val ids = eval(g, s"$matchPart RETURN DISTINCT $v AS id")
-        g.copy(
-          vertices = g.vertices.join(ids, Seq("id"), "left_anti"),
-          edges = g.edges
-            .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-            .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+        val v = s.substring(delIdx + "DELETE".length).trim
+        require(v.matches("""\w+"""), s"DELETE takes one bound variable: $v")
+        evalDelete(g, matchPart, v)
+      case _ => evalWriteRest(g, s, createRe)
+    }
+  }
+
+  private def evalSet(g: PropertyGraph, matchPart: String, v: String,
+                      prop: String, valuePart: String): PropertyGraph = {
+    val e = parseValExpr(valuePart)
+    valRefs(e).foreach { case (rv, _) =>
+      require(rv == v, s"SET expressions may only read '$v' itself " +
+        s"(got '$rv') — batch column updates are per-row")
+    }
+    require(g.vertices.columns.contains(prop),
+      s"unknown property '$prop' (the columnar schema is closed)")
+    val ids = eval(g, s"$matchPart RETURN DISTINCT $v AS matched_id")
+      .withColumnRenamed("matched_id", "id").withColumn("__hit", lit(true))
+    val newVal = compileVal(e, (_, p) => col(p))
+    val updated = g.vertices.join(ids, Seq("id"), "left")
+      .withColumn(prop,
+        when(col("__hit"), newVal.cast(g.vertices.schema(prop).dataType))
+          .otherwise(col(prop)))
+      .drop("__hit")
+    g.copy(vertices = updated)
+  }
+
+  private def evalDelete(g: PropertyGraph, matchPart: String,
+                         v: String): PropertyGraph = {
+    val ids = eval(g, s"$matchPart RETURN DISTINCT $v AS id")
+    g.copy(
+      vertices = g.vertices.join(ids, Seq("id"), "left_anti"),
+      edges = g.edges
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+  }
+
+  private def evalWriteRest(g: PropertyGraph, s: String,
+                            createRe: scala.util.matching.Regex): PropertyGraph = {
+    s match {
       case createRe(kw0, body) =>
         val kw = kw0.toUpperCase
         val nodeRe = """\(\s*(\w+)\s*:\s*(\w+)\s*\{([^}]*)\}\s*\)""".r

@@ -899,6 +899,54 @@ class CypherLiteSpec extends SparkSpec {
       "MERGE (v:person {name: 'marko', age: 99})"))
   }
 
+  test("DISTINCT over an aggregated projection keeps path mode (r13 advice)") {
+    // `RETURN DISTINCT b.name, count(*)` — DISTINCT over grouped rows is a
+    // no-op, so the count must be the openCypher PER-PATH count, not the
+    // pair-distinct walk count: from vadas, hop2 back to vadas reuses the
+    // edge and is excluded (no vadas row at all)
+    val m = run("MATCH (a:person)-[:knows*1..2]-(b:person) " +
+      "WHERE a.name = 'vadas' RETURN DISTINCT b.name AS nm, count(*) AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("marko" -> 1L, "josh" -> 1L))
+    // an all-plain DISTINCT projection still picks the pair plan
+    val d = run("MATCH (a:person)-[:knows*1..2]-(b:person) " +
+      "WHERE a.name = 'vadas' RETURN DISTINCT b.name AS nm")
+      .collect().map(_.getString(0)).toSet
+    assert(d === Set("marko", "vadas", "josh"))
+  }
+
+  test("nested string concat classifies recursively (r13 advice)") {
+    val s = run("MATCH (p:person) WHERE p.name = 'marko' " +
+      "RETURN ('x_' + p.name) + p.city AS s")
+      .collect().map(_.getString(0)).toSet
+    assert(s === Set("x_markoBeijing"))
+    // a numeric operator over a string-producing nested expression is loud,
+    // not a silent NULL
+    val e = intercept[Exception](run("MATCH (p:person) " +
+      "RETURN ('a_' + p.name) * 2 AS x"))
+    assert(e.getMessage.contains("string"))
+  }
+
+  test("ORDER BY length(p) after WITH fails loudly (r13 advice)") {
+    val e = intercept[Exception](run(
+      "MATCH p = (a:person)-[:knows*1..2]->(b) WITH a.name AS nm " +
+        "RETURN nm ORDER BY length(p)"))
+    assert(e.getMessage.contains("do not survive WITH"))
+  }
+
+  test("SET/DELETE keywords inside string literals don't split (r13 advice)") {
+    // ' set ' inside the WHERE literal must not be taken as the SET clause
+    val g1 = CypherLite.evalWrite(g,
+      "MATCH (p:person) WHERE p.city = 'the set place' SET p.age = 1")
+    assert(g1.vertices.count() === g.vertices.count())
+    assert(CypherLite.eval(g1, "MATCH (p:person) WHERE p.age = 1 RETURN p")
+      .collect().isEmpty)
+    // ' delete ' inside a literal likewise
+    val g2 = CypherLite.evalWrite(g,
+      "MATCH (p:person) WHERE p.name = 'they delete things' DETACH DELETE p")
+    assert(g2.vertices.count() === g.vertices.count())
+  }
+
   test("variable-length rejects unbounded and over-cap windows loudly") {
     intercept[Exception](
       run("MATCH (a)-[:knows*]->(b) RETURN a.name")) // bare * unbounded
