@@ -2132,14 +2132,9 @@ object CypherLite {
   }
 
   private def evalDelete(g: PropertyGraph, matchPart: String,
-                         v: String): PropertyGraph = {
-    val ids = eval(g, s"$matchPart RETURN DISTINCT $v AS id")
-    g.copy(
-      vertices = g.vertices.join(ids, Seq("id"), "left_anti"),
-      edges = g.edges
-        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
-  }
+                         v: String): PropertyGraph =
+    graft.core.Mutations.dropVertices(g,
+      eval(g, s"$matchPart RETURN DISTINCT $v AS id"))
 
   private def evalWriteRest(g: PropertyGraph, s: String,
                             createRe: scala.util.matching.Regex): PropertyGraph = {
@@ -2163,71 +2158,17 @@ object CypherLite {
                   s"$kw property values must be literals, got $other")
               })
             }.toMap
-            val vl = g.schema.vertexLabels.find(_.name == label).getOrElse(
-              sys.error(s"unknown vertex label '$label' (closed schema)"))
-            // id: PRIMARY_KEY splice over given props, else an explicit id
-            val id = if (vl.primaryKeys.nonEmpty &&
-                vl.primaryKeys.forall(props.contains))
-              label + ":" + vl.primaryKeys.map(k => props(k).toString)
-                .mkString("!")
-            else props.getOrElse("id", sys.error(
-              s"cannot derive an id for (:$label …): give every primary-key " +
-                "property or an explicit id")).toString
+            val id = graft.core.Mutations.deriveVertexId(g.schema, label, props)
             (id, label, props - "id")
           case other => sys.error(
             s"$kw takes node patterns (v:label {k: lit, …}): $other")
         }
-        require(rows.map(_._1).distinct.length == rows.length,
-          s"$kw batch contains duplicate ids: " +
-            rows.map(_._1).diff(rows.map(_._1).distinct).mkString(", "))
-        rows.flatMap(_._3.keys).distinct.foreach(k =>
-          require(g.vertices.columns.contains(k),
-            s"unknown property '$k' (the columnar schema is closed)"))
-        val spark = g.vertices.sparkSession
-        import spark.implicits._
-        var batch = rows.map(r => (r._1, r._2)).toDF("id", "label")
-        val propCols = g.vertices.columns.filterNot(Set("id", "label")).toSeq
-        propCols.foreach { c =>
-          val dt = g.vertices.schema(c).dataType
-          val vals = rows.map(_._3.get(c))
-          batch = batch.withColumn(c,
-            coalesce((rows.map(_._1) zip vals).foldLeft(lit(null).cast(dt)) {
-              case (acc, (id, Some(value))) =>
-                when(col("id") === id, lit(value).cast(dt)).otherwise(acc)
-              case (acc, (_, None)) => acc
-            }, lit(null).cast(dt)))
-        }
-        if (kw == "CREATE") {
-          val clash = batch.join(g.vertices, Seq("id"), "left_semi")
-          require(clash.isEmpty,
-            "CREATE would collide with existing ids — CREATE never upserts " +
-              "(use MERGE, or the Mutations.upsertVertices merge path)")
-          g.copy(vertices = g.vertices
-            .unionByName(batch.select(g.vertices.columns.map(col): _*)))
-        } else {
-          // MERGE, node form: match by id, else create. openCypher MERGE
-          // matches the WHOLE given property map — under PRIMARY_KEY ids a
-          // same-id node with DIFFERENT given properties would demand a
-          // second node with a colliding id, so that case is a loud
-          // conflict instead of a silent second node. Matching rows are
-          // no-ops (given props all agree); absent ids insert. One join to
-          // detect conflicts, one anti join to pick the inserts — batch
-          // shapes, no per-row probing.
-          val existing = g.vertices.select(
-            (col("id") +: col("label").as("__vl") +:
-              propCols.map(c => col(c).as(s"__v_$c"))): _*)
-          val matched = batch.join(existing, Seq("id"))
-          val conflict = (col("label") =!= col("__vl")) +: propCols.map(c =>
-            col(c).isNotNull &&
-              (col(s"__v_$c").isNull || col(s"__v_$c") =!= col(c)))
-          require(matched.filter(conflict.reduce(_ || _)).isEmpty,
-            "MERGE conflicts with an existing node: same id, different " +
-              "label or property values (PRIMARY_KEY ids cannot host a " +
-              "second node — change the properties or use SET)")
-          val fresh = batch.join(g.vertices, Seq("id"), "left_anti")
-          g.copy(vertices = g.vertices
-            .unionByName(fresh.select(g.vertices.columns.map(col): _*)))
-        }
+        // MERGE, node form: match by id, else create (openCypher MERGE
+        // matches the WHOLE given property map — under PRIMARY_KEY ids a
+        // same-id node with DIFFERENT given properties is a loud conflict).
+        // Batch machinery shared with Gremlin addV: Mutations.insertVertexBatch.
+        graft.core.Mutations.insertVertexBatch(g, rows,
+          merge = kw == "MERGE", kw = kw)
       case _ => sys.error(
         "unsupported write statement — supported: CREATE/MERGE " +
           "(v:label {…})…, MATCH … SET v.prop = expr, " +

@@ -25,7 +25,12 @@ final case class GraphTraversal(
     g: PropertyGraph,
     df: DataFrame,
     isVertex: Boolean,
-    pathTracked: Boolean = false) {
+    pathTracked: Boolean = false,
+    /** edge-positioned frames only: does the frame carry the STORED
+      * orientation (E()/outE — src,dst as written) or the reversed view
+      * (inE/bothE — src = arriving vertex)? [[drop]] on edges needs the
+      * stored orientation to identify rows. */
+    edgeStored: Boolean = true) {
 
   private def vcols = g.vertices.columns
 
@@ -103,7 +108,7 @@ final case class GraphTraversal(
     val e = g.inEdges
     val filtered = if (labels.isEmpty) e else e.filter(col("label").isin(labels: _*))
     copy(df = df.select((col("id").as("src") +: riderNames.map(col)): _*)
-      .join(filtered, Seq("src")), isVertex = false)
+      .join(filtered, Seq("src")), isVertex = false, edgeStored = false)
   }
   /** `bothE(labels…)` — incident edges in BOTH orientations (the reversed
     * IN view unioned with OUT; storage is never duplicated). Each emitted
@@ -113,7 +118,7 @@ final case class GraphTraversal(
   def bothE(labels: String*): GraphTraversal = {
     val e = g.adjacency(Direction.BOTH, labels)
     copy(df = df.select((col("id").as("src") +: riderNames.map(col)): _*)
-      .join(e, Seq("src")), isVertex = false)
+      .join(e, Seq("src")), isVertex = false, edgeStored = false)
   }
   def inV(): GraphTraversal = // edge → head vertex
     copy(df = df.select((col("dst").as("id") +: riderNames.map(col)): _*)
@@ -466,6 +471,40 @@ final case class GraphTraversal(
   def tail(n: Int): GraphTraversal =
     copy(df = df.orderBy(col("id").desc).limit(n).orderBy(col("id").asc))
 
+  // ------------------------------------------------------------ write steps
+  /** Gremlin `drop()` (reference `GraphTransaction.removeVertex` /
+    * `removeEdge` — the mutation surface's delete Action): on a VERTEX
+    * position, DETACH-drop the matched vertices and every incident edge
+    * (the Cypher DETACH DELETE shape, three anti joins); on an EDGE
+    * position, drop the matched edge rows by content key. Edge drops need
+    * the STORED orientation (E()/outE) — inE/bothE frames ride the
+    * reversed view whose rows don't identify stored edges, so they are
+    * rejected loudly instead of silently deleting nothing. Returns the
+    * mutated graph (immutable batches — the source graph is untouched). */
+  def drop(): graft.core.PropertyGraph =
+    if (isVertex) graft.core.Mutations.dropVertices(g, df.select(col("id")))
+    else {
+      require(edgeStored,
+        "drop() on an edge position needs the STORED orientation — " +
+          "reach the edges via E()/outE(), not inE()/bothE() (those ride " +
+          "the reversed view)")
+      graft.core.Mutations.dropEdges(g, df)
+    }
+
+  /** Gremlin `addE(label).to(dst)` from a vertex position (reference
+    * `GraphTransaction.addEdge`): one new edge per CURRENT vertex to the
+    * fixed target, with literal properties — the batch fan-in shape
+    * (`g.V().hasLabel('x').addE('l').to(v)`). Endpoints must exist;
+    * SINGLE-frequency duplicate edges are loud ([[graft.core.Mutations
+    * .insertEdges]]). */
+  def addE(label: String, dst: String,
+           props: Map[String, Any] = Map.empty): graft.core.PropertyGraph = {
+    require(isVertex, "addE() must start from a vertex position")
+    graft.core.Mutations.insertEdges(g, label,
+      df.select(col("id").as("src")).distinct().withColumn("dst", lit(dst)),
+      props)
+  }
+
   def toDF: DataFrame = df
 }
 
@@ -484,6 +523,26 @@ object Graft {
     def E(labels: String*): GraphTraversal = {
       val base = if (labels.isEmpty) g.edges else g.edges.filter(col("label").isin(labels: _*))
       GraphTraversal(g, base, isVertex = false)
+    }
+    /** Gremlin `g.addV(label).property(k, v)…` — batch node insert; id from
+      * the PRIMARY_KEY splice or an explicit `id` property. Colliding ids
+      * are loud (addV never upserts — reference
+      * `GraphTransaction.addVertex:617`). One map per new vertex. */
+    def addV(label: String, props: Map[String, Any]*): graft.core.PropertyGraph = {
+      val rows = props.map { p =>
+        (graft.core.Mutations.deriveVertexId(g.schema, label, p), label,
+          p - "id")
+      }
+      graft.core.Mutations.insertVertexBatch(g, rows, merge = false, kw = "addV")
+    }
+    /** Gremlin `g.addE(label).from(src).to(dst).property(k, v)…` — the
+      * single-edge form. */
+    def addE(label: String, src: String, dst: String,
+             props: Map[String, Any] = Map.empty): graft.core.PropertyGraph = {
+      val spark = g.vertices.sparkSession
+      import spark.implicits._
+      graft.core.Mutations.insertEdges(g, label,
+        Seq((src, dst)).toDF("src", "dst"), props)
     }
   }
   def g(graph: PropertyGraph): Source = new Source(graph)

@@ -582,4 +582,126 @@ object GremlinLite {
       "match() must be followed by select(vars…)")
     result.getOrElse(t.id())
   }
+
+  // ---------------------------------------------------------- write scripts
+  /** A vertex-id argument of from()/to(): a bare id string or `V('id')`. */
+  private def vertexIdArg(a: Arg): String = a match {
+    case SArg(id) => id
+    case PArg("V", List(SArg(id))) => id
+    case other => sys.error(s"expected a vertex id or V('id'), got $other")
+  }
+
+  /** The filter/step surface allowed on a write chain's READ part (before
+    * addE/drop) — deliberately small: the steps whose matched set is
+    * well-defined for a mutation. */
+  private def applyWriteStep(t: GraphTraversal, name: String,
+                             args: List[Arg]): GraphTraversal = (name, args) match {
+    case ("hasLabel", as) => t.hasLabel(as.map(str): _*)
+    case ("has", List(k, v)) => t.has(pred(str(k), v))
+    case ("has", List(k)) =>
+      t.filter(org.apache.spark.sql.functions.col(str(k)).isNotNull)
+    case ("hasNot", List(k)) => t.hasNot(str(k))
+    case ("hasId", as) if as.nonEmpty => t.hasId(as.map(str): _*)
+    case ("out", as) => t.out(as.map(str): _*)
+    case ("in", as) => t.in(as.map(str): _*)
+    case ("both", as) => t.both(as.map(str): _*)
+    case ("outE", as) => t.outE(as.map(str): _*)
+    case ("dedup", Nil) => t.dedup()
+    case ("limit", List(x)) => t.limit(num(x).toInt)
+    case other => sys.error(s"unsupported step in a write script: $other")
+  }
+
+  /** Gremlin WRITE scripts (the reference's mutation surface,
+    * `GraphTransaction.java:617-622` / Action enum, reached through the
+    * primary Gremlin entry point — r13 verdict ask #1). Batch semantics,
+    * lowered onto the SAME [[graft.core.Mutations]] machinery as
+    * [[CypherLite.evalWrite]]; returns the mutated graph (immutable
+    * batches). Supported shapes:
+    *
+    *  - `g.addV('label').property(k, lit)…[, chained .addV(…)…]` — node
+    *    batch insert (each addV opens a vertex, property() attaches; the
+    *    TinkerPop chained-addV reading: one new vertex per addV).
+    *  - `g.addE('label').from(src).to(dst)[.property(k, lit)]…` — the
+    *    single-edge form; src/dst are `'id'` or `V('id')`.
+    *  - `g.V(…)<filters>.addE('label').to(dst)[.property(k, lit)]…` — one
+    *    edge per matched vertex to the fixed target (batch fan-in).
+    *  - `g.V(…)<filters>.drop()` — DETACH-drop the matched vertices;
+    *    `g.E(label)<filters>.drop()` / `g.V(…).outE(l)<filters>.drop()` —
+    *    drop the matched edges (stored orientation).
+    */
+  def evalWrite(g: PropertyGraph, script: String): PropertyGraph = {
+    val steps = parse(script)
+    require(steps.nonEmpty, "empty write script")
+    steps.head.name match {
+      case "addV" =>
+        var cur: Option[(String, Map[String, Any])] = None
+        val rows = scala.collection.mutable.ListBuffer[(String, Map[String, Any])]()
+        steps.foreach {
+          case Step("addV", List(l)) =>
+            cur.foreach(rows += _); cur = Some((str(l), Map.empty))
+          case Step("property", List(k, v)) =>
+            require(cur.isDefined, "property() must follow addV()")
+            cur = cur.map { case (l, m) => (l, m + (str(k) -> argVal(v))) }
+          case other => sys.error(s"unsupported step in addV script: $other")
+        }
+        cur.foreach(rows += _)
+        val triples = rows.toSeq.map { case (l, props) =>
+          (graft.core.Mutations.deriveVertexId(g.schema, l, props), l,
+            props - "id")
+        }
+        graft.core.Mutations.insertVertexBatch(g, triples, merge = false,
+          kw = "addV")
+      case "addE" =>
+        require(steps.head.args.length == 1,
+          "addE takes one edge label: addE('label')")
+        val label = str(steps.head.args.head)
+        var from: Option[String] = None
+        var to: Option[String] = None
+        val props = scala.collection.mutable.Map[String, Any]()
+        steps.tail.foreach {
+          case Step("from", List(a)) => from = Some(vertexIdArg(a))
+          case Step("to", List(a)) => to = Some(vertexIdArg(a))
+          case Step("property", List(k, v)) => props(str(k)) = argVal(v)
+          case other => sys.error(s"unsupported step in addE script: $other")
+        }
+        val s0 = from.getOrElse(sys.error("addE needs .from(src)"))
+        val d0 = to.getOrElse(sys.error("addE needs .to(dst)"))
+        Graft.g(g).addE(label, s0, d0, props.toMap)
+      case "V" | "E" =>
+        val src = Graft.g(g)
+        var t = steps.head match {
+          case Step("V", as) => src.V(as.map(str): _*)
+          case Step("E", as) => src.E(as.map(str): _*)
+          case other => sys.error(s"unreachable: $other")
+        }
+        val addEIdx = steps.indexWhere(_.name == "addE")
+        if (addEIdx >= 0) {
+          // g.V(…)….addE(l).to(dst).property(k, lit)… — batch fan-in
+          steps.slice(1, addEIdx).foreach(s =>
+            t = applyWriteStep(t, s.name, s.args))
+          require(steps(addEIdx).args.length == 1,
+            "addE takes one edge label: addE('label')")
+          val label = str(steps(addEIdx).args.head)
+          var to: Option[String] = None
+          val props = scala.collection.mutable.Map[String, Any]()
+          steps.drop(addEIdx + 1).foreach {
+            case Step("to", List(a)) => to = Some(vertexIdArg(a))
+            case Step("property", List(k, v)) => props(str(k)) = argVal(v)
+            case other => sys.error(
+              s"unsupported step after mid-chain addE: $other " +
+                "(from() is the incoming vertex — use to())")
+          }
+          t.addE(label,
+            to.getOrElse(sys.error("addE needs .to(dst)")), props.toMap)
+        } else {
+          require(steps.last.name == "drop" && steps.last.args.isEmpty,
+            "a V()/E() write script must end with .drop() or contain .addE()")
+          steps.slice(1, steps.length - 1).foreach(s =>
+            t = applyWriteStep(t, s.name, s.args))
+          t.drop()
+        }
+      case other => sys.error(
+        s"write script must start with addV/addE/V/E, got $other")
+    }
+  }
 }

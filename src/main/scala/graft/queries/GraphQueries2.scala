@@ -1752,5 +1752,64 @@ object GraphQueries2 {
         "MATCH (c:customer)-[:in_nation]->(n:nation) " +
           "RETURN c.name AS cust, n.name AS nation " +
           "ORDER BY size(n.name) ASC, c.acctbal * -1 ASC, cust ASC LIMIT 25")
+    },
+
+    q("q_gremlin_addv",
+      // Gremlin write surface (r13 ask #1), mutate-then-read: addV node
+      // batch through the script frontend (explicit ids — the TPC-H
+      // projection's key columns aren't node properties), read back via a
+      // script projection. Immutable batches — the cached graph untouched.
+      """SELECT name, bal
+        |FROM (VALUES ('GADD_A', 11.5), ('GADD_B', -2.5)) t(name, bal)""".stripMargin) { (s, d) =>
+      val g1 = graft.api.GremlinLite.evalWrite(g(s, d),
+        "g.addV('customer').property('id', 'customer:920001')" +
+          ".property('name', 'GADD_A').property('acctbal', 11.5)" +
+          ".property('mktsegment', 'GRAFT_GADD')" +
+          ".addV('customer').property('id', 'customer:920002')" +
+          ".property('name', 'GADD_B').property('acctbal', -2.5)" +
+          ".property('mktsegment', 'GRAFT_GADD')")
+      graft.api.GremlinLite.eval(g1,
+        "g.V().hasLabel('customer').has('mktsegment', 'GRAFT_GADD')" +
+          ".project('name', 'acctbal')")
+        .withColumnRenamed("acctbal", "bal")
+    },
+
+    q("q_gremlin_adde",
+      // addE (single form): a new supplied_by edge with a quantity
+      // property appended to part:1's edge list (MULTIPLE frequency),
+      // read back as the part's outgoing quantities
+      """SELECT l_quantity AS quantity FROM lineitem WHERE l_partkey = 1
+        |UNION ALL SELECT CAST(42 AS DOUBLE)""".stripMargin) { (s, d) =>
+      val g1 = graft.api.GremlinLite.evalWrite(g(s, d),
+        "g.addE('supplied_by').from(V('part:1')).to('supplier:1')" +
+          ".property('quantity', 42)")
+      graft.api.GremlinLite.eval(g1,
+        "g.V('part:1').outE('supplied_by').values('quantity')")
+    },
+
+    q("q_gremlin_drop",
+      // drop() on a vertex position: DETACH semantics (vertex + incident
+      // edges, three anti joins — the q_cypher_delete twin through the
+      // Gremlin frontend); reading the supplier→nation adjacency
+      // afterwards equals the oracle's filtered join
+      """SELECT n_name AS name, CAST(count(*) AS BIGINT) AS n
+        |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name <> 'NATION_3'
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val g1 = graft.api.GremlinLite.evalWrite(g(s, d),
+        "g.V().hasLabel('nation').has('name', 'NATION_3').drop()")
+      graft.api.GremlinLite.eval(g1,
+        "g.V().hasLabel('supplier').out('in_nation').groupCount('name')")
+    },
+
+    q("q_gremlin_drop_edges",
+      // drop() on an edge position (stored orientation): customer:1's
+      // placed edges go, the order vertices stay — the remaining placed
+      // edge count is every other customer's
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+        |WHERE o_custkey <> 1""".stripMargin) { (s, d) =>
+      val g1 = graft.api.GremlinLite.evalWrite(g(s, d),
+        "g.V('customer:1').outE('placed').drop()")
+      graft.api.GremlinLite.eval(g1, "g.E('placed').count()")
     })
 }

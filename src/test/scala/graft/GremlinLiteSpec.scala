@@ -447,6 +447,67 @@ class GremlinLiteSpec extends SparkSpec {
       "g.V('person:marko').emit().repeat(out()).until(hasLabel('software')).id()"))
   }
 
+  test("write steps: addV / addE / drop, script == DSL") {
+    import graft.api.{Graft, GremlinLite => GL}
+    // addV: chained batch, PRIMARY_KEY id splice — script and DSL agree
+    val s1 = GL.evalWrite(g,
+      "g.addV('person').property('name', 'newguy').property('age', 99)" +
+        ".addV('person').property('name', 'other').property('age', 1)")
+    val d1 = Graft.g(g).addV("person",
+      Map("name" -> "newguy", "age" -> 99L), Map("name" -> "other", "age" -> 1L))
+    assert(s1.vertices.count() === g.vertices.count() + 2)
+    assert(GL.eval(s1, "g.V('person:newguy').values('age')")
+      .head().getInt(0) === 99)
+    assert(d1.vertices.orderBy("id").collect().toSeq ===
+      s1.vertices.orderBy("id").collect().toSeq)
+    // addV id collision is loud (never upserts)
+    intercept[Exception](GL.evalWrite(g,
+      "g.addV('person').property('name', 'marko')"))
+    // addE single form, from()/to() with both id-literal and V('id') args;
+    // created label is SINGLE frequency → duplicate is loud
+    val s2 = GL.evalWrite(g,
+      "g.addE('created').from(V('person:vadas')).to('software:ripple')" +
+        ".property('weight', 0.9)")
+    val d2 = Graft.g(g).addE("created", "person:vadas", "software:ripple",
+      Map("weight" -> 0.9))
+    assert(GL.eval(s2, "g.V('person:vadas').outE('created').values('weight')")
+      .head().getDouble(0) === 0.9)
+    assert(d2.edges.orderBy("src", "dst", "label").collect().toSeq ===
+      s2.edges.orderBy("src", "dst", "label").collect().toSeq)
+    intercept[Exception](GL.evalWrite(g,
+      "g.addE('created').from('person:marko').to('software:lop')"))
+    // endpoints must exist
+    intercept[Exception](GL.evalWrite(g,
+      "g.addE('created').from('person:ghost').to('software:lop')"))
+    // batch fan-in: one edge per matched vertex to the fixed target
+    val s3 = GL.evalWrite(g,
+      "g.V().hasLabel('person').has('age', gt(30)).addE('knows')" +
+        ".to('person:vadas').property('weight', 0.1)")
+    assert(GL.eval(s3, "g.V('person:vadas').inE('knows').count()")
+      .head().getLong(0) === 3L) // marko + josh + peter
+    // the source graph is untouched (immutable batches)
+    assert(GL.eval(g, "g.V('person:vadas').inE('knows').count()")
+      .head().getLong(0) === 1L)
+    // vertex drop: DETACH semantics, script == DSL
+    val s4 = GL.evalWrite(g, "g.V().hasLabel('software').has('name', 'lop').drop()")
+    val d4 = Graft.g(g).V().hasLabel("software").has("name", "lop").drop()
+    assert(ids(GL.eval(s4, "g.V().hasLabel('software').id()")) ===
+      Set("software:ripple"))
+    assert(GL.eval(s4, "g.V('person:peter').out('created').count()")
+      .head().getLong(0) === 0L)
+    assert(d4.vertices.orderBy("id").collect().toSeq ===
+      s4.vertices.orderBy("id").collect().toSeq)
+    // edge drop via E(label) and via outE (stored orientation)
+    val s5 = GL.evalWrite(g, "g.E('knows').drop()")
+    assert(GL.eval(s5, "g.V('person:marko').out('knows').count()")
+      .head().getLong(0) === 0L)
+    assert(s5.vertices.count() === g.vertices.count()) // vertices untouched
+    val s6 = GL.evalWrite(g, "g.V('person:marko').outE('created').drop()")
+    assert(GL.eval(s6, "g.V().out('created').count()").head().getLong(0) === 3L)
+    // inE/bothE before drop() is loud (reversed view)
+    intercept[Exception](Graft.g(g).V("person:vadas").inE("knows").drop())
+  }
+
   test("repeat().until() cap hit warns with the dropped-frontier count") {
     import graft.api.Graft
     import graft.core.Cond
