@@ -2107,7 +2107,10 @@ object CypherLite {
         val v = s.substring(delIdx + "DELETE".length).trim
         require(v.matches("""\w+"""), s"DELETE takes one bound variable: $v")
         evalDelete(g, matchPart, v)
-      case _ => evalWriteRest(g, s, createRe)
+      case _ =>
+        if (s.toUpperCase.startsWith("MERGE") && s.contains("-["))
+          evalMergeRel(g, s)
+        else evalWriteRest(g, s, createRe)
     }
   }
 
@@ -2136,6 +2139,134 @@ object CypherLite {
     graft.core.Mutations.dropVertices(g,
       eval(g, s"$matchPart RETURN DISTINCT $v AS id"))
 
+  /** `{k: lit, …}` property-map body → literal map (CREATE/MERGE/addE and
+    * the ON CREATE/ON MATCH setters share this grammar — values must be
+    * literals; a batch write has no row context to evaluate expressions
+    * against). */
+  private def parseLitProps(propsBody: String, kw: String): Map[String, Any] =
+    splitTop(propsBody).map { kv =>
+      val m = """^(\w+)\s*:\s*(.+)$""".r.findFirstMatchIn(kv.trim)
+        .getOrElse(sys.error(s"bad $kw property: $kv"))
+      m.group(1) -> parseLit(m.group(2), kw)
+    }.toMap
+
+  private def parseLit(body: String, kw: String): Any =
+    parseValExpr(body) match {
+      case LitV(x) => x
+      case BinV("-", LitV(0L), LitV(n: Long)) => -n
+      case BinV("-", LitV(0L), LitV(n: Double)) => -n
+      case other => sys.error(s"$kw property values must be literals, got $other")
+    }
+
+  /** Relationship MERGE (r13 verdict ask #2 — reference: full openCypher
+    * through `CypherAPI.java:49-95`): match the edge by its IDENTITY KEY
+    * (src, label, dst[, spliced sort keys]) — the same splice the
+    * reference's 6-part EdgeId uses — else create it; conflict-checked
+    * like the node form (a key-matching edge whose OTHER given properties
+    * differ is a loud conflict — under EdgeId identity openCypher's
+    * create-a-second-edge answer would collide). Endpoint nodes go through
+    * the NODE-form MERGE first (idempotent, conflict-checked), so an
+    * absent endpoint is created — openCypher's whole-pattern MERGE.
+    *
+    * `ON CREATE SET r.p = lit[, …]` applies only when the edge is created;
+    * `ON MATCH SET r.p = lit[, …]` only when it matched (a column update
+    * over the key-matched rows — never per-row mutation). One forward
+    * pattern per statement: `MERGE (a:l {…})-[r:el {…}]->(b:l {…})`.
+    * What stays a non-goal is narrowed to transactional multi-statement
+    * scripts (COVERAGE §2.14). */
+  private def evalMergeRel(g: PropertyGraph, s: String): PropertyGraph = {
+    val node = """\(\s*\w+\s*:\s*(\w+)\s*\{([^}]*)\}\s*\)"""
+    val rel = """-\[\s*(\w+)?\s*:\s*(\w+)\s*(?:\{([^}]*)\})?\s*\]->"""
+    val m = ("""(?i)^MERGE\s+""" + node + rel + node + """\s*(.*)$""").r
+      .findFirstMatchIn(s).getOrElse(sys.error(
+        "relationship MERGE takes one FORWARD pattern " +
+          "`MERGE (a:l {…})-[r:el {…}]->(b:l {…})` with literal property " +
+          "maps on both nodes (match-by-id-else-create needs derivable ids)"))
+    val (aLabel, aProps) = (m.group(1), parseLitProps(m.group(2), "MERGE"))
+    val relVar = Option(m.group(3))
+    val relLabel = m.group(4)
+    val relProps = Option(m.group(5)).map(parseLitProps(_, "MERGE"))
+      .getOrElse(Map.empty[String, Any])
+    val (bLabel, bProps) = (m.group(6), parseLitProps(m.group(7), "MERGE"))
+    // trailing ON CREATE SET / ON MATCH SET clauses (each a comma list of
+    // `r.prop = lit` assignments on the relationship variable)
+    val onRe = """(?i)\bON\s+(CREATE|MATCH)\s+SET\s+""".r
+    val rest = m.group(8).trim
+    val onMs = onRe.findAllMatchIn(rest).toList
+    require(onMs.isEmpty || onMs.head.start == 0,
+      s"unparsed text after the MERGE pattern: $rest")
+    val onSets: Map[String, Map[String, Any]] = onMs.zipWithIndex.map {
+      case (om, i) =>
+        val end = if (i + 1 < onMs.length) onMs(i + 1).start else rest.length
+        val body = rest.substring(om.end, end).trim.stripSuffix(",").trim
+        val assigns = splitTop(body).map { a =>
+          val am = """^(\w+)\.(\w+)\s*=\s*(.+)$""".r.findFirstMatchIn(a.trim)
+            .getOrElse(sys.error(s"bad ON ${om.group(1)} SET assignment: $a"))
+          require(relVar.contains(am.group(1)),
+            s"ON ${om.group(1).toUpperCase} SET targets the relationship " +
+              s"variable (${relVar.getOrElse("<none bound>")}), got " +
+              s"'${am.group(1)}'")
+          am.group(2) -> parseLit(am.group(3), "SET")
+        }.toMap
+        om.group(1).toUpperCase -> assigns
+    }.toMap
+    require(onMs.map(_.group(1).toUpperCase).distinct.length == onMs.length,
+      "at most one ON CREATE SET and one ON MATCH SET clause")
+
+    // endpoints: node-form MERGE (idempotent, conflict-checked) — the
+    // whole-pattern MERGE contract
+    val aId = graft.core.Mutations.deriveVertexId(g.schema, aLabel, aProps)
+    val bId = graft.core.Mutations.deriveVertexId(g.schema, bLabel, bProps)
+    val nodeRows = Seq((aId, aLabel, aProps - "id"), (bId, bLabel, bProps - "id"))
+      .distinctBy(_._1)
+    val g1 = graft.core.Mutations.insertVertexBatch(g, nodeRows,
+      merge = true, kw = "MERGE")
+
+    val defs = g1.schema.edgeLabels.filter(_.name == relLabel)
+    require(defs.nonEmpty, s"unknown edge label '$relLabel' (closed schema)")
+    val sortKeys = defs.flatMap(_.sortKeys).distinct
+    val sortVal: Option[String] =
+      if (sortKeys.nonEmpty && sortKeys.forall(relProps.contains))
+        Some(sortKeys.map(k => relProps(k).toString).mkString("!"))
+      else None
+    val keyCond = col("src") === aId && col("label") === relLabel &&
+      col("dst") === bId &&
+      (if (g1.edges.columns.contains("sort_values"))
+        col("sort_values") <=> sortVal.map(lit(_)).getOrElse(lit(null))
+      else lit(true))
+    val matched = g1.edges.filter(keyCond)
+    if (!matched.isEmpty) {
+      // key matched: other given properties must agree (the node form's
+      // conflict contract), then ON MATCH SET column-updates the rows
+      val checkProps = relProps.filterNot(p => sortKeys.contains(p._1))
+      checkProps.foreach { case (k, _) =>
+        require(g1.edges.columns.contains(k),
+          s"unknown edge property '$k' (the columnar schema is closed)") }
+      val conflict = checkProps.map { case (k, v) =>
+        col(k).isNull || col(k) =!= lit(v) }.reduceOption(_ || _)
+      conflict.foreach(c => require(matched.filter(c).isEmpty,
+        "MERGE conflicts with an existing relationship: same " +
+          "(src, label, dst" + (if (sortVal.isDefined) ", sort keys" else "") +
+          "), different property values — change the properties or use " +
+          "ON MATCH SET"))
+      val sets = onSets.getOrElse("MATCH", Map.empty)
+      sets.keys.foreach(k => require(g1.edges.columns.contains(k),
+        s"unknown edge property '$k' (the columnar schema is closed)"))
+      val updated = sets.foldLeft(g1.edges) { case (e, (k, v)) =>
+        e.withColumn(k,
+          when(keyCond, lit(v).cast(g1.edges.schema(k).dataType))
+            .otherwise(col(k)))
+      }
+      g1.copy(edges = updated)
+    } else {
+      val spark = g1.vertices.sparkSession
+      import spark.implicits._
+      graft.core.Mutations.insertEdges(g1, relLabel,
+        Seq((aId, bId)).toDF("src", "dst"),
+        relProps ++ onSets.getOrElse("CREATE", Map.empty))
+    }
+  }
+
   private def evalWriteRest(g: PropertyGraph, s: String,
                             createRe: scala.util.matching.Regex): PropertyGraph = {
     s match {
@@ -2147,17 +2278,7 @@ object CypherLite {
         val rows = items.map {
           case nodeRe(v, label, propsBody) =>
             checkVar(v)
-            val props: Map[String, Any] = splitTop(propsBody).map { kv =>
-              val m = """^(\w+)\s*:\s*(.+)$""".r.findFirstMatchIn(kv.trim)
-                .getOrElse(sys.error(s"bad $kw property: $kv"))
-              m.group(1) -> (parseValExpr(m.group(2)) match {
-                case LitV(x) => x
-                case BinV("-", LitV(0L), LitV(n: Long)) => -n
-                case BinV("-", LitV(0L), LitV(n: Double)) => -n
-                case other => sys.error(
-                  s"$kw property values must be literals, got $other")
-              })
-            }.toMap
+            val props = parseLitProps(propsBody, kw)
             val id = graft.core.Mutations.deriveVertexId(g.schema, label, props)
             (id, label, props - "id")
           case other => sys.error(

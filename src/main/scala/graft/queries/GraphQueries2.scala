@@ -1754,6 +1754,23 @@ object GraphQueries2 {
           "ORDER BY size(n.name) ASC, c.acctbal * -1 ASC, cust ASC LIMIT 25")
     },
 
+    q("q_cypher_merge_rel",
+      // relationship MERGE (r13 ask #2), mutate-then-read idempotency
+      // proof: the first merge CREATES the endpoint supplier (node-form
+      // MERGE) and the edge with the ON CREATE quantity; the second
+      // matches the (src, label, dst) key and ON MATCH re-sets the
+      // quantity — one edge row, the matched value
+      """SELECT 'part:1' AS pid, CAST(99 AS DOUBLE) AS qty""") { (s, d) =>
+      val stmt = "MERGE (p:part {id: 'part:1'})-[r:supplied_by]->" +
+        "(s:supplier {id: 'supplier:930001', name: 'MR_S'}) " +
+        "ON CREATE SET r.quantity = 77 ON MATCH SET r.quantity = 99"
+      val g1 = graft.api.CypherLite.evalWrite(g(s, d), stmt)
+      val g2 = graft.api.CypherLite.evalWrite(g1, stmt)
+      graft.api.CypherLite.eval(g2,
+        "MATCH (p:part)-[r:supplied_by]->(x:supplier) " +
+          "WHERE x.name = 'MR_S' RETURN p AS pid, r.quantity AS qty")
+    },
+
     q("q_gremlin_addv",
       // Gremlin write surface (r13 ask #1), mutate-then-read: addV node
       // batch through the script frontend (explicit ids — the TPC-H

@@ -899,6 +899,54 @@ class CypherLiteSpec extends SparkSpec {
       "MERGE (v:person {name: 'marko', age: 99})"))
   }
 
+  test("relationship MERGE: match-by-key-else-create, ON CREATE/ON MATCH") {
+    val stmt = "MERGE (a:person {name: 'vadas'})-[r:created]->" +
+      "(s:software {name: 'lop'}) " +
+      "ON CREATE SET r.weight = 0.3 ON MATCH SET r.weight = 0.7"
+    // vadas never created lop → created with the ON CREATE value
+    val g1 = CypherLite.evalWrite(g, stmt)
+    assert(g1.edges.count() === g.edges.count() + 1)
+    def w(gr: graft.core.PropertyGraph) = CypherLite.eval(gr,
+      "MATCH (a:person)-[r:created]->(s:software) WHERE a.name = 'vadas' " +
+        "RETURN r.weight AS w").collect().map(_.getDouble(0)).toSeq
+    assert(w(g1) === Seq(0.3))
+    // re-merge: key matches → no new edge, ON MATCH SET fires
+    val g2 = CypherLite.evalWrite(g1, stmt)
+    assert(g2.edges.count() === g1.edges.count())
+    assert(w(g2) === Seq(0.7))
+    // key-matching edge with DIFFERENT given props is a loud conflict
+    intercept[Exception](CypherLite.evalWrite(g,
+      "MERGE (a:person {name: 'marko'})-[r:created {weight: 9.9}]->" +
+        "(s:software {name: 'lop'})"))
+    // …matching given props are a no-op
+    val g3 = CypherLite.evalWrite(g,
+      "MERGE (a:person {name: 'marko'})-[r:created {weight: 0.4}]->" +
+        "(s:software {name: 'lop'})")
+    assert(g3.edges.count() === g.edges.count())
+    // an absent endpoint is node-MERGEd in (whole-pattern MERGE)
+    val g4 = CypherLite.evalWrite(g,
+      "MERGE (a:person {name: 'marko'})-[r:created]->" +
+        "(s:software {name: 'neo', lang: 'scala'})")
+    assert(g4.vertices.count() === g.vertices.count() + 1)
+    assert(g4.edges.count() === g.edges.count() + 1)
+    // sort-keyed MULTIPLE label: same sort key matches, a different one
+    // creates the sort-distinguished second edge (EdgeId splice semantics)
+    val g5 = CypherLite.evalWrite(g,
+      "MERGE (a:person {name: 'marko'})-[r:knows {date: '20160110'}]->" +
+        "(b:person {name: 'vadas'})")
+    assert(g5.edges.count() === g.edges.count())
+    val g6 = CypherLite.evalWrite(g,
+      "MERGE (a:person {name: 'marko'})-[r:knows {date: '20991231'}]->" +
+        "(b:person {name: 'vadas'})")
+    assert(g6.edges.count() === g.edges.count() + 1)
+    // backward patterns and non-literal props are loud
+    intercept[Exception](CypherLite.evalWrite(g,
+      "MERGE (a:person {name: 'vadas'})<-[r:knows]-(b:person {name: 'marko'})"))
+    intercept[Exception](CypherLite.evalWrite(g,
+      "MERGE (a:person {name: 'marko'})-[r:knows]->(b:person {name: 'vadas'}) " +
+        "ON MATCH SET r.weight = r.weight + 1"))
+  }
+
   test("DISTINCT over an aggregated projection keeps path mode (r13 advice)") {
     // `RETURN DISTINCT b.name, count(*)` — DISTINCT over grouped rows is a
     // no-op, so the count must be the openCypher PER-PATH count, not the
