@@ -651,7 +651,7 @@ object CypherLite {
     case _ => false
   }
 
-  private def compileVal(e: ValExpr, colOf: (String, String) => Column): Column =
+  private[api] def compileVal(e: ValExpr, colOf: (String, String) => Column): Column =
     e match {
       case LitV(v) => lit(v)
       case RefV(v, p) => colOf(v, p)
@@ -728,7 +728,7 @@ object CypherLite {
         els.fold(w)(e => w.otherwise(compileVal(e, colOf)))
     }
 
-  private def valRefs(e: ValExpr): List[(String, String)] = e match {
+  private[api] def valRefs(e: ValExpr): List[(String, String)] = e match {
     case RefV(v, p) => List((v, p))
     case BinV(_, l, r) => valRefs(l) ++ valRefs(r)
     // length(p)/nodes(p) read frontier-riding path columns, never a

@@ -344,6 +344,69 @@ final case class GraphTraversal(
     hit.union(miss)
   }
 
+  /** TinkerPop `branch(sel).option(v, sub)…` (reference ProcessBasicSuite
+    * BranchTest): per-element multi-way routing — an element whose selector
+    * equals an option's value takes that branch, `None` is the
+    * `option(none, …)` default (selector null or unlisted). Lowered onto
+    * the SAME filter+union shape as [[choose]] — every branch starts from
+    * the matching slice of the incoming traversers, results union
+    * (multiplicity preserved). */
+  def branch(sel: Column,
+             options: Seq[(Option[Any], GraphTraversal => GraphTraversal)]): GraphTraversal = {
+    require(options.nonEmpty, "branch() needs at least one option()")
+    val listed = options.collect { case (Some(v), _) => v }
+    options.map { case (key, f) =>
+      val slice = key match {
+        case Some(v) => copy(df = df.filter(sel === lit(v)))
+        case None =>
+          copy(df = df.filter(
+            if (listed.isEmpty) lit(true) else sel.isNull || !sel.isin(listed: _*)))
+      }
+      f(slice)
+    }.reduce(_ union _)
+  }
+
+  /** TinkerPop `local(sub.limit(n))` (reference ProcessBasicSuite
+    * LocalTest): per-element scoping of a limit — the top n of EACH
+    * incoming element's sub-results, not a global cut. Dataflow reading: a
+    * PARTITIONED window (`row_number() ≤ n` per anchor) — the engine's
+    * degree-cap shape, no global sort. Order is deterministic: the element
+    * id at a vertex end, every non-rider column at an edge end
+    * (content-identical parallel edges are interchangeable). The traversal
+    * continues from the sub's end position. */
+  def localLimit(n: Int)(f: GraphTraversal => GraphTraversal): GraphTraversal = {
+    require(isVertex, "local() anchors at a vertex position")
+    require(!df.columns.contains("~anchor"),
+      "local() cannot nest inside where()/not()/optional() sub-traversals")
+    val anchored = copy(df = df.withColumn("~anchor", col("id")),
+      pathTracked = false)
+    val stepped = f(anchored)
+    val keys: Seq[Column] =
+      if (stepped.isVertex) Seq(col("id"))
+      else stepped.df.columns.filterNot(c => c == "src" || c.startsWith("~"))
+        .map(c => coalesce(col(c).cast("string"), F.lit(""))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("~anchor")).orderBy(keys: _*)
+    stepped.copy(df = stepped.df.withColumn("~lrn", row_number().over(w))
+      .filter(col("~lrn") <= n).drop("~lrn", "~anchor"))
+  }
+
+  /** TinkerPop `local(sub.count())` — one count PER incoming traverser
+    * (elements with no sub-results emit 0, the local-count contract);
+    * terminal. One grouped count over the distinct anchors + a join back,
+    * so incoming multiplicity is preserved without re-running the sub per
+    * duplicate. */
+  def localCount(f: GraphTraversal => GraphTraversal): DataFrame = {
+    require(isVertex, "local() anchors at a vertex position")
+    val anchored = copy(df = df.select(col("id")).distinct()
+      .withColumn("~anchor", col("id")), pathTracked = false)
+    val counts = f(anchored).df.groupBy(col("~anchor"))
+      .agg(F.count(lit(1)).as("~lc"))
+    df.select(col("id").as("~anchor"))
+      .join(counts, Seq("~anchor"), "left")
+      .select(coalesce(col("~lc"), lit(0L)).as("n"))
+  }
+
   /** `coalesce(sub1, sub2)` — per element, the first branch's results if it
     * yields any; otherwise the second branch's. */
   def coalesceT(first: GraphTraversal => GraphTraversal)(

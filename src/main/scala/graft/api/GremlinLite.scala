@@ -214,6 +214,12 @@ object GremlinLite {
         case PArg("hasId", as) if as.nonEmpty => t.hasId(as.map(str): _*)
         case PArg("dedup", Nil) => t.dedup()
         case PArg("limit", List(x)) => t.limit(num(x).toInt)
+        case PArg("outE", as) => t.outE(as.map(str): _*)
+        case PArg("inE", as) => t.inE(as.map(str): _*)
+        case PArg("bothE", as) => t.bothE(as.map(str): _*)
+        case PArg("inV", Nil) => t.inV()
+        case PArg("outV", Nil) => t.outV()
+        case PArg("otherV", Nil) => t.otherV()
         case other => sys.error(s"unsupported sub-traversal step: $other")
       }
     }
@@ -417,6 +423,88 @@ object GremlinLite {
         // starts from the SAME incoming traversers (multiplicity preserved)
         case ("union", subs) if subs.nonEmpty =>
           t = subs.map(sub => applySub(subFrag(sub))(t)).reduce(_ union _)
+        // branch(sel).option(v, sub)….option(none, sub) — multi-way routing
+        // (ProcessBasicSuite BranchTest, r13 verdict ask #6); selector =
+        // values(k) or label(), lowered onto GraphTraversal.branch (the
+        // choose/union machinery)
+        case ("branch", List(selArg)) =>
+          val selCol = selArg match {
+            case PArg("values", List(k)) => org.apache.spark.sql.functions.col(str(k))
+            case PArg("label", Nil) => org.apache.spark.sql.functions.col("label")
+            case other => sys.error(
+              s"branch() selector must be values(k) or label(), got $other")
+          }
+          val opts = scala.collection.mutable.ListBuffer[
+            (Option[Any], GraphTraversal => GraphTraversal)]()
+          while (i + 1 < n && steps(i + 1).name == "option") {
+            val o = steps(i + 1)
+            require(o.args.length == 2, "option() takes (value, sub-traversal)")
+            val key = o.args.head match {
+              case PArg("none", Nil) => None
+              case a => Some(argVal(a))
+            }
+            opts += ((key, applySub(subFrag(o.args(1))) _))
+            i += 1
+          }
+          t = t.branch(selCol, opts.toSeq)
+        // local(sub.limit(n)) / local(sub.count()) — per-element scoping
+        // (ProcessBasicSuite LocalTest): the limit form is a partitioned
+        // window (traversal continues), the count form is terminal
+        case ("local", List(sub)) =>
+          val frag = subFrag(sub)
+          require(frag.length >= 2,
+            "local() takes a sub-traversal ending in limit(n) or count()")
+          frag.last match {
+            case PArg("limit", List(x)) =>
+              t = t.localLimit(num(x).toInt)(applySub(frag.dropRight(1)))
+            case PArg("count", Nil) =>
+              result = Some(t.localCount(applySub(frag.dropRight(1))))
+            case other => sys.error(
+              "local() supports sub-traversals ending in limit(n) " +
+                s"(per-element window) or count() (per-element count), got $other")
+          }
+        // math('a + _ / 2').by(prop)… — the TinkerPop math step
+        // (ProcessBasicSuite.java:149, r13 verdict ask #3): the small
+        // arithmetic grammar over step-label bindings and `_` (the current
+        // element), compiled by CypherLite's value-expression compiler to
+        // native Columns. by(prop) modulators apply round-robin over the
+        // variables in first-appearance order (TinkerPop's contract); the
+        // result is a double column named `value`. Terminal.
+        case ("math", List(exprA)) =>
+          import org.apache.spark.sql.functions.{col => c}
+          val e = CypherLite.parseValExpr(str(exprA))
+          val vars = CypherLite.valRefs(e).map { case (v, p) =>
+            require(p.isEmpty,
+              s"math() variables are bare bindings or _, got $v.$p")
+            v
+          }.distinct
+          require(vars.nonEmpty, "math() expression references no variable")
+          val bys = scala.collection.mutable.ListBuffer[String]()
+          while (i + 1 < n && steps(i + 1).name == "by" &&
+              steps(i + 1).args.length == 1) {
+            bys += str(steps(i + 1).args.head); i += 1
+          }
+          require(bys.nonEmpty,
+            "math() needs at least one by(prop) value modulator")
+          var frame = t.toDF
+          val colFor = scala.collection.mutable.Map[String, org.apache.spark.sql.Column]()
+          vars.zipWithIndex.foreach { case (v, ix) =>
+            val by = bys(ix % bys.length)
+            if (v == "_") colFor(v) = c(by) // the current element's property
+            else {
+              val bind = s"~as_$v"
+              require(frame.columns.contains(bind),
+                s"math: no as('$v') binding upstream")
+              val al = s"~math_$ix"
+              frame = frame.join(
+                g.vertices.select(c("id").as(bind), c(by).as(al)),
+                Seq(bind), "left")
+              colFor(v) = c(al)
+            }
+          }
+          result = Some(frame.select(
+            CypherLite.compileVal(e, (v, _) => colFor(v))
+              .cast("double").as("value")))
         case ("where", List(sub)) => t = t.where(applySub(subFrag(sub)))
         case ("not", List(sub)) => t = t.not(applySub(subFrag(sub)))
         case ("optional", List(sub)) => t = t.optional(applySub(subFrag(sub)))

@@ -1754,6 +1754,55 @@ object GraphQueries2 {
           "ORDER BY size(n.name) ASC, c.acctbal * -1 ASC, cust ASC LIMIT 25")
     },
 
+    q("q_gremlin_branch",
+      // branch(sel).option(v, sub).option(none, sub) from script text (r13
+      // ask #6): NATION_3 hops to its region, every other nation stays —
+      // per-element routing on the choose/union machinery
+      """SELECT 'region:' || CAST(n_regionkey AS VARCHAR) AS id
+        |FROM nation WHERE n_name = 'NATION_3'
+        |UNION ALL
+        |SELECT 'nation:' || CAST(n_nationkey AS VARCHAR)
+        |FROM nation WHERE n_name <> 'NATION_3'""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('nation').branch(values('name'))" +
+          ".option('NATION_3', out('in_region')).option(none, identity()).id()")
+    },
+
+    q("q_gremlin_local",
+      // local(outE.limit(2)) — the per-element window (row_number ≤ 2 per
+      // customer over the deterministic content order), NOT a global
+      // limit; traversal continues to the order vertex
+      """SELECT id FROM (
+        |  SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS id,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY 'order:' || CAST(o_orderkey AS VARCHAR)) AS rn
+        |  FROM orders) z WHERE rn <= 2""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('customer').local(outE('placed').limit(2)).inV().id()")
+    },
+
+    q("q_gremlin_local_count",
+      // local(out.count()) — one count per element, zeros included (the
+      // local-count contract; a bare count() would collapse to one row)
+      """SELECT CAST(coalesce(z.cnt, 0) AS BIGINT) AS n
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) z
+        |ON z.o_custkey = c.c_custkey""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('customer').local(out('placed').count())")
+    },
+
+    q("q_gremlin_math",
+      // math('a / 2 + b') with round-robin by() modulators over the two
+      // bindings — compiled to native Columns by the shared
+      // value-expression compiler, one row per placed edge
+      """SELECT c_acctbal / 2 + o_totalprice AS value
+        |FROM customer JOIN orders ON o_custkey = c_custkey""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('customer').as('a').out('placed').as('b')" +
+          ".math('a / 2 + b').by('acctbal').by('totalprice')")
+    },
+
     q("q_cypher_merge_rel",
       // relationship MERGE (r13 ask #2), mutate-then-read idempotency
       // proof: the first merge CREATES the endpoint supplier (node-form

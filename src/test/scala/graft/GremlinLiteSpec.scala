@@ -447,6 +447,67 @@ class GremlinLiteSpec extends SparkSpec {
       "g.V('person:marko').emit().repeat(out()).until(hasLabel('software')).id()"))
   }
 
+  test("branch(sel).option(v, sub).option(none, sub) routes per element") {
+    import graft.api.Graft
+    import org.apache.spark.sql.functions.col
+    // age-29 people hop to their created software, everyone else stays
+    val s = run("g.V().hasLabel('person').branch(values('age'))" +
+      ".option(29, out('created')).option(none, identity()).id()")
+      .collect().map(_.getString(0)).toSet
+    assert(s === Set("software:lop", "person:vadas", "person:josh", "person:peter"))
+    // DSL parity
+    val d = Graft.g(g).V().hasLabel("person")
+      .branch(col("age"), Seq(
+        (Some(29L), (t: graft.api.GraphTraversal) => t.out("created")),
+        (None, (t: graft.api.GraphTraversal) => t)))
+      .id().collect().map(_.getString(0)).toSet
+    assert(d === s)
+    // label() selector
+    val l = run("g.V().branch(label()).option('software', identity())" +
+      ".option(none, out('created')).id()")
+      .collect().map(_.getString(0)).toList.sorted
+    assert(l === List("software:lop", "software:lop", "software:lop",
+      "software:lop", "software:ripple", "software:ripple"))
+  }
+
+  test("local(): per-element limit window and per-element count") {
+    import graft.api.Graft
+    // per-person first created edge (deterministic content order), then inV
+    val s = run("g.V().hasLabel('person').local(outE('created').limit(1)).inV().id()")
+      .collect().map(_.getString(0)).toList.sorted
+    // marko→lop, josh→{lop,ripple} take lop (content order), peter→lop
+    assert(s === List("software:lop", "software:lop", "software:lop"))
+    val d = Graft.g(g).V().hasLabel("person")
+      .localLimit(1)(_.outE("created")).inV().id()
+      .collect().map(_.getString(0)).toList.sorted
+    assert(d === s)
+    // a GLOBAL limit(1) would return one row total — local is per element
+    assert(s.length === 3)
+    // per-element count including zeros (vadas created nothing)
+    val c = run("g.V().hasLabel('person').local(out('created').count())")
+      .collect().map(_.getLong(0)).toList.sorted
+    assert(c === List(0L, 1L, 1L, 2L))
+    val dc = Graft.g(g).V().hasLabel("person").localCount(_.out("created"))
+      .collect().map(_.getLong(0)).toList.sorted
+    assert(dc === c)
+  }
+
+  test("math() over bindings and _ with by() modulators") {
+    // two bindings, round-robin bys
+    val m = run("g.V().hasLabel('person').as('a').out('knows').as('b')" +
+      ".math('a + b').by('age')")
+      .collect().map(_.getDouble(0)).toList.sorted
+    assert(m === List(29.0 + 27.0, 29.0 + 32.0).sorted)
+    // `_` = the current element; mixed with a binding and arithmetic
+    val m2 = run("g.V('person:marko').as('a').out('knows')" +
+      ".math('_ - a / 2').by('age')")
+      .collect().map(_.getDouble(0)).toSet
+    assert(m2 === Set(27.0 - 14.5, 32.0 - 14.5))
+    // loud: no by(), unknown binding
+    intercept[Exception](run("g.V().as('a').math('a + 1')"))
+    intercept[Exception](run("g.V().math('zz + 1').by('age')"))
+  }
+
   test("write steps: addV / addE / drop, script == DSL") {
     import graft.api.{Graft, GremlinLite => GL}
     // addV: chained batch, PRIMARY_KEY id splice — script and DSL agree
