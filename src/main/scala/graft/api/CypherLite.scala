@@ -1504,7 +1504,60 @@ object CypherLite {
     else !dist
   }
 
+  /** Entry point. A TOP-LEVEL `UNION` / `UNION ALL` between two (or more)
+    * complete single-query bodies (r13 verdict ask #4 — a common
+    * hand-written shape the reference serves through full openCypher)
+    * splits here and combines with `unionByName` (+ a terminal distinct
+    * for bare UNION, openCypher set semantics). The split is quote-aware
+    * and only fires when the text after the keyword starts a query
+    * (MATCH/OPTIONAL MATCH/UNWIND), so a variable or literal spelled
+    * "union" never splits. Mixing UNION and UNION ALL is rejected
+    * (openCypher); sides must return the same column names in the same
+    * order. ORDER BY/SKIP/LIMIT bind to their own segment. */
   def eval(g: PropertyGraph, cypher: String): DataFrame = {
+    val s = cypher.trim.replaceAll("\\s+", " ")
+    val segs = scala.collection.mutable.ListBuffer[String]()
+    val allFlags = scala.collection.mutable.ListBuffer[Boolean]()
+    var rest = s
+    var from = 0
+    var done = false
+    while (!done) {
+      val idx = topKeywordIdx(rest.substring(from), "UNION") match {
+        case -1 => -1
+        case k => from + k
+      }
+      if (idx < 0) done = true
+      else {
+        var after = rest.substring(idx + "UNION".length).trim
+        val isAll = after.toUpperCase.startsWith("ALL") &&
+          (after.length == 3 || !isWordCh(after(3)))
+        if (isAll) after = after.substring(3).trim
+        val up = after.toUpperCase
+        if (up.startsWith("MATCH") || up.startsWith("OPTIONAL MATCH") ||
+            up.startsWith("UNWIND")) {
+          segs += rest.substring(0, idx).trim
+          allFlags += isAll
+          rest = after
+          from = 0
+        } else from = idx + "UNION".length // not a union seam — keep scanning
+      }
+    }
+    segs += rest.trim
+    if (segs.length == 1) evalOne(g, s)
+    else {
+      require(allFlags.distinct.length == 1,
+        "mixing UNION and UNION ALL in one query is unsupported (openCypher)")
+      val dfs = segs.toList.map(q => evalOne(g, q))
+      val colSets = dfs.map(_.columns.toSeq).distinct
+      require(colSets.length == 1,
+        "UNION sides must return the same column names in the same order, " +
+          s"got ${colSets.mkString(" vs ")}")
+      val u = dfs.reduce(_ unionByName _)
+      if (allFlags.head) u else u.distinct()
+    }
+  }
+
+  private def evalOne(g: PropertyGraph, cypher: String): DataFrame = {
     val q = parse(cypher)
 
     // relationship variables: unique (across EVERY pattern block), disjoint

@@ -1754,6 +1754,37 @@ object GraphQueries2 {
           "ORDER BY size(n.name) ASC, c.acctbal * -1 ASC, cust ASC LIMIT 25")
     },
 
+    q("q_cypher_union",
+      // query-level UNION (r13 ask #4): two complete bodies, set
+      // semantics (terminal distinct) — customers and suppliers of one
+      // nation as one name column
+      """SELECT c_name AS name
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE n.n_name = 'NATION_1'
+        |UNION
+        |SELECT s_name
+        |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name = 'NATION_1'""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:in_nation]->(n:nation) " +
+          "WHERE n.name = 'NATION_1' RETURN c.name AS name " +
+          "UNION MATCH (x:supplier)-[:in_nation]->(n:nation) " +
+          "WHERE n.name = 'NATION_1' RETURN x.name AS name")
+    },
+
+    q("q_cypher_union_all",
+      // UNION ALL preserves multiplicity — one row per placed order plus
+      // one per supplier, both sides sharing the grouped-count shape
+      """SELECT 'order' AS kind, CAST(count(*) AS BIGINT) AS n FROM orders
+        |UNION ALL
+        |SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o) RETURN 'order' AS kind, " +
+          "count(*) AS n " +
+          "UNION ALL MATCH (x:supplier)-[:in_nation]->(nn:nation) " +
+          "RETURN 'supplier' AS kind, count(*) AS n")
+    },
+
     q("q_gremlin_branch",
       // branch(sel).option(v, sub).option(none, sub) from script text (r13
       // ask #6): NATION_3 hops to its region, every other nation stays —

@@ -899,6 +899,36 @@ class CypherLiteSpec extends SparkSpec {
       "MERGE (v:person {name: 'marko', age: 99})"))
   }
 
+  test("UNION and UNION ALL combine complete queries") {
+    // bare UNION dedups (set semantics): marko appears on both sides once
+    val u = run("MATCH (p:person)-[:knows]->(q:person) RETURN p.name AS nm " +
+      "UNION MATCH (p:person)-[:created]->(s:software) RETURN p.name AS nm")
+      .collect().map(_.getString(0)).toSet
+    assert(u === Set("marko", "josh", "peter"))
+    // UNION ALL preserves multiplicity: marko knows 2 + creates 4 rows
+    val ua = run("MATCH (p:person)-[:knows]->(q:person) RETURN p.name AS nm " +
+      "UNION ALL MATCH (p:person)-[:created]->(s:software) RETURN p.name AS nm")
+      .collect().map(_.getString(0)).toList.sorted
+    assert(ua === List("josh", "josh", "marko", "marko", "marko", "peter"))
+    // three segments chain; ORDER BY binds to its own segment
+    val t3 = run("MATCH (p:person) WHERE p.age > 30 RETURN p.name AS nm " +
+      "UNION ALL MATCH (s:software) RETURN s.name AS nm " +
+      "UNION ALL MATCH (p:person) WHERE p.age < 28 RETURN p.name AS nm " +
+      "ORDER BY nm LIMIT 1")
+      .collect().map(_.getString(0)).toList.sorted
+    assert(t3 === List("josh", "lop", "peter", "ripple", "vadas"))
+    // a literal ' UNION ' never splits (quote-aware scan)
+    val lit = run("MATCH (p:person) WHERE p.city = 'UNION town' " +
+      "RETURN p.name AS nm").collect()
+    assert(lit.isEmpty)
+    // mismatched columns and mixed UNION kinds are loud
+    intercept[Exception](run("MATCH (p:person) RETURN p.name AS a " +
+      "UNION MATCH (s:software) RETURN s.name AS b"))
+    intercept[Exception](run("MATCH (p:person) RETURN p.name AS nm " +
+      "UNION MATCH (s:software) RETURN s.name AS nm " +
+      "UNION ALL MATCH (s:software) RETURN s.name AS nm"))
+  }
+
   test("relationship MERGE: match-by-key-else-create, ON CREATE/ON MATCH") {
     val stmt = "MERGE (a:person {name: 'vadas'})-[r:created]->" +
       "(s:software {name: 'lop'}) " +
