@@ -103,13 +103,14 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   *    the reference's kout/kneighbor contract). The one stated divergence
   *    from openCypher lives only here: a pair whose EVERY in-window walk
   *    reuses an edge still matches in pair mode.
-  * Relationship-uniqueness SCOPE: enforced WITHIN each variable-length
-  * segment. openCypher additionally forbids reuse ACROSS the segments of
-  * one MATCH (a single-hop edge reappearing inside a later var-length
-  * walk); enforcing that would widen every per-hop join row by a
-  * per-binding used-edge set — stated as out of scope (the only affected
-  * shape: segments over ONE edge label where the same physical edge can
-  * appear in two segments).
+  * Relationship-uniqueness SCOPE: in path mode, enforced across the WHOLE
+  * MATCH clause (openCypher): when two segments could bind the same
+  * physical edge (same label, or any unlabeled segment), the used-edge
+  * accumulator threads through every segment — single hops join through
+  * the content-keyed view with a reuse guard, var-length walks start from
+  * each row's accumulated set. Disjoint labeled segments provably can't
+  * share an edge and keep the plain unkeyed joins (no md5/array cost on
+  * the common chain shapes). Pair mode keeps the stated divergence.
   *
   * NAMED PATHS `MATCH p = (a)-[:l*1..2]->(b)` (one relationship segment,
   * single-hop or variable-length) always enumerate per path and bind `p`:
@@ -119,8 +120,10 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * endpoint pair); `p = shortestPath(…)` stays the pair BFS where only
   * `length(p)` is materialized. Path projections live on the first
   * projection stage only — alias them as WITH items to carry them on.
-  * `relationships(p)` is rejected loudly (relationship lists are not
-  * materialized).
+  * `relationships(p)` renders the per-hop relationship list
+  * ("u-[label]-v" per hop, traversal order) for LABELED plain/allShortest
+  * segments; an unlabeled segment mixes edge labels the rendering cannot
+  * name and is rejected loudly.
   * A variable on a variable-length relationship (`-[r:l*1..3]-`) binds a
   * LIST of relationships in openCypher; here the supported subset is the
   * ALL-hop predicate pushdown — `WHERE r.prop <op> lit` must appear as a
@@ -689,10 +692,13 @@ object CypherLite {
       case FunV("nodes", List(RefV(v, ""))) => col(s"${v}___nodes")
       case FunV("nodes", _) =>
         sys.error("nodes() takes a named path variable")
-      case FunV("relationships", _) => sys.error(
-        "relationships(p) is unsupported — relationship lists are not " +
-          "materialized; bind a single-hop relationship variable and " +
-          "project its properties instead")
+      // relationships(p): the per-hop relationship list, rendered from the
+      // path's vertex array + the segment's label ("u-[l]-v" per hop,
+      // traversal order — the `<p>___rels` rider materialized by the path
+      // plan; labeled segments only, validated in [[eval]])
+      case FunV("relationships", List(RefV(v, ""))) => col(s"${v}___rels")
+      case FunV("relationships", _) =>
+        sys.error("relationships() takes a named path variable")
       // type(r): the relationship's label, carried like any edge property
       // (`<r>_label` rider; argument validated against the declared
       // relationship variables in eval)
@@ -731,9 +737,9 @@ object CypherLite {
   private[api] def valRefs(e: ValExpr): List[(String, String)] = e match {
     case RefV(v, p) => List((v, p))
     case BinV(_, l, r) => valRefs(l) ++ valRefs(r)
-    // length(p)/nodes(p) read frontier-riding path columns, never a
-    // vertex prop
-    case FunV("length", _) | FunV("nodes", _) => Nil
+    // length(p)/nodes(p)/relationships(p) read frontier-riding path
+    // columns, never a vertex prop
+    case FunV("length", _) | FunV("nodes", _) | FunV("relationships", _) => Nil
     // type(r)/labels(n) read the element LABEL — declare it as a (v, label)
     // property need so the carry machinery attaches it like any property
     case FunV("type", List(RefV(v, ""))) => List((v, "label"))
@@ -772,8 +778,17 @@ object CypherLite {
       case NotE(x) => boolFnVarRefs(fns)(x)
       case _ => Nil
     }
-  private val pathFnRefs = fnVarRefs(Set("length", "nodes")) _
-  private val boolPathFnRefs = boolFnVarRefs(Set("length", "nodes")) _
+  private val pathFnRefs = fnVarRefs(Set("length", "nodes", "relationships")) _
+  private val boolPathFnRefs =
+    boolFnVarRefs(Set("length", "nodes", "relationships")) _
+
+  /** "u-[label]-v" per hop, traversal order, from the path's vertex array —
+    * the [[eval]]-validated rendering behind `relationships(p)` (the
+    * reference returns relationship objects; a hash-comparable engine
+    * renders them). Zero-length paths render []. */
+  private def renderRels(nodes: Column, label: String): Column =
+    transform(slice(nodes, lit(1), size(nodes) - 1),
+      (x, i) => concat(x, lit(s"-[$label]-"), element_at(nodes, i + lit(2))))
 
   // ---- RETURN / WITH / ORDER BY ------------------------------------------
   /** A RETURN/WITH item: `v.prop` projection, a BARE variable (`prop`
@@ -1130,10 +1145,24 @@ object CypherLite {
                              pathMode: Boolean = false,
                              srcFilter: Option[Column] = None): DataFrame = {
     val n0 = mc.nodes.head
+    // CROSS-SEGMENT relationship uniqueness (r13 verdict ask #7 — the last
+    // stated openCypher divergence): in PATH mode, when two segments of one
+    // MATCH could bind the same physical edge (same label, or any segment
+    // unlabeled), the used-edge accumulator `__eks` THREADS across the
+    // whole clause — single hops join through the content-keyed edge view
+    // with an array_contains reuse guard, var-length segments start from
+    // each row's accumulated set. Disjoint labeled segments can never
+    // share an edge (one label per edge), so they keep the plain
+    // unkeyed joins — no md5/array cost on the common chain shapes.
+    val segLabels = mc.rels.map(_.label)
+    val threadEks = pathMode && mc.rels.length > 1 &&
+      (segLabels.exists(_.isEmpty) ||
+        segLabels.distinct.length < segLabels.length)
     var frontier: DataFrame = {
       val base0 = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
       val base = srcFilter.fold(base0)(f => base0.filter(f))
-      base.select(col("id").as(n0.v))
+      val b = base.select(col("id").as(n0.v))
+      if (threadEks) b.withColumn("__eks", array().cast("array<string>")) else b
     }
     mc.nodes.tail.zip(mc.rels).zipWithIndex.foreach { case ((node, rel), i) =>
       val prevVar = mc.nodes(i).v
@@ -1156,9 +1185,42 @@ object CypherLite {
         if (rebound) df.filter(col(node.v) === col(endCol)).drop(endCol)
         else df.withColumn(node.v, col(endCol)).drop(endCol)
       frontier =
-        if (rel.singleHop)
+        if (rel.singleHop && threadEks) {
+          // keyed single hop: the reuse guard rejects edges already walked
+          // by an EARLIER segment of this row (openCypher match-wide
+          // relationship uniqueness), and this hop's key joins the set
+          val keyed = keyedEdgeView(g, rel,
+            rel.variable.flatMap(relFilters.get),
+            carry = rel.variable.toSeq.flatMap(rv =>
+              edgeProps.getOrElse(rv, Nil).map(p => (p, s"${rv}_$p"))))
+          val joined = frontier.join(keyed,
+              frontier(prevVar) === keyed("src") &&
+                !array_contains(frontier("__eks"), keyed("__ek")))
+            .drop("src")
+            .withColumn("__eks", concat(col("__eks"), array(col("__ek"))))
+            .drop("__ek")
+          bind(joined, "dst")
+        }
+        else if (rel.singleHop)
           bind(frontier.join(e, frontier(prevVar) === e("src")).drop("src"),
             "dst")
+        else if (threadEks) {
+          // var-length segment under the threaded accumulator: expand the
+          // DISTINCT (source, used-set) pairs — a row's walk may not reuse
+          // any edge its earlier segments bound — and join back on both
+          val keyed = keyedEdgeView(g, rel, rel.variable.flatMap(relFilters.get))
+          val endFilter = node.label.map(l => g.verticesOf(l).select(col("id")))
+          val srcs = frontier.select(col(prevVar).as("__a"),
+            col("__eks").as("__eks0")).distinct()
+          val paths = expandVarLengthPathsFrom(keyed, srcs,
+            rel.minHops, rel.maxHops, endFilter)
+          val joined = frontier.join(paths,
+              frontier(prevVar) === paths("__a") &&
+                frontier("__eks") <=> paths("__eks0"))
+            .drop("__a").drop("__eks0").drop("__eks")
+            .withColumnRenamed("__eks1", "__eks")
+          bind(joined, "__x")
+        }
         else if (pathMode || mc.pathPlain) {
           // variable-length PER PATH (openCypher multiplicity with
           // relationship-uniqueness): one row per qualifying walk, joined
@@ -1179,6 +1241,10 @@ object CypherLite {
             joined = joined
               .withColumn(s"${pv}___len", (size(col("__vp")) - 1).cast("long"))
               .withColumnRenamed("__vp", s"${pv}___nodes")
+            // relationships(p) rider — labeled segments only (unused
+            // columns are pruned by Catalyst, so this is free otherwise)
+            if (rel.label.nonEmpty) joined = joined.withColumn(
+              s"${pv}___rels", renderRels(col(s"${pv}___nodes"), rel.label))
           }
           joined
         }
@@ -1206,6 +1272,9 @@ object CypherLite {
           g.verticesOf(node.label.get).select(col("id").as(node.v)),
           Seq(node.v), "left_semi")
     }
+    // the threaded used-edge set is internal — never let it leak into the
+    // shared-variable joins between chains
+    if (threadEks) frontier = frontier.drop("__eks")
     // a SINGLE-HOP named path (`p = (a)-[:l]->(b)`): the join above is
     // already one row per relationship (parallel edges included) — the
     // path columns derive from the two bindings
@@ -1215,6 +1284,9 @@ object CypherLite {
         .withColumn(s"${pv}___nodes",
           array(col(mc.nodes.head.v), col(mc.nodes(1).v)))
         .withColumn(s"${pv}___len", lit(1L))
+      if (mc.rels.head.label.nonEmpty) frontier = frontier.withColumn(
+        s"${pv}___rels",
+        renderRels(col(s"${pv}___nodes"), mc.rels.head.label))
     }
     frontier
   }
@@ -1269,19 +1341,50 @@ object CypherLite {
     * per-relationship identity; the DuckDB oracles apply the same
     * content-key rule, so results stay comparable. */
   private def keyedEdgeView(g: PropertyGraph, rel: RelPat,
-                            relFilter: Option[Column]): DataFrame = {
+                            relFilter: Option[Column],
+                            carry: Seq[(String, String)] = Nil): DataFrame = {
     val s0 = g.edges
     val s1 = if (rel.label.isEmpty) s0 else s0.filter(
       g.schema.edgeLabelCond(Seq(rel.label), s0.columns.contains("sub_label")))
     val s2 = relFilter.fold(s1)(f => s1.filter(f))
     val keyCols = s2.columns.toSeq.map(c => coalesce(col(c).cast("string"), lit("")))
+    val carryCols = carry.map { case (c, a) => col(c).as(a) }
     val keyed = s2.withColumn("__ek", md5(concat_ws("\u0001", keyCols: _*)))
-      .select(col("src"), col("dst"), col("__ek"))
-    lazy val rev = keyed.select(col("dst").as("src"), col("src").as("dst"),
-      col("__ek"))
+      .select((col("src") +: col("dst") +: col("__ek") +: carryCols): _*)
+    lazy val rev = keyed.select((col("dst").as("src") +: col("src").as("dst") +:
+      col("__ek") +: carry.map(c => col(c._2))): _*)
     if (rel.undirected) keyed.unionByName(rev)
     else if (rel.forward) keyed
     else rev
+  }
+
+  /** [[expandVarLengthPaths]] generalized to PER-ROW initial used-edge sets
+    * (`__eks0`) -- the cross-segment uniqueness form: a walk may not reuse
+    * any edge its row's earlier segments bound. Returns
+    * (__a, __eks0, __x, __eks1) -- join back on (__a, __eks0), thread
+    * `__eks1` on. */
+  private def expandVarLengthPathsFrom(e: DataFrame, srcs: DataFrame,
+                                       minHops: Int, maxHops: Int,
+                                       endFilter: Option[DataFrame]): DataFrame = {
+    def emit(df: DataFrame): DataFrame =
+      endFilter.fold(df)(f => df.join(f, df("__x") === f("id"), "left_semi"))
+    val eEnd = endFilter.fold(e)(f =>
+      e.join(f, e("dst") === f("id"), "left_semi"))
+    var layer = srcs.select(col("__a"), col("__eks0"),
+      col("__a").as("__x"), col("__eks0").as("__eks"))
+    var out = List.empty[DataFrame]
+    if (minHops == 0) out ::= emit(layer)
+    for (h <- 1 to maxHops) {
+      val right = if (h == maxHops) eEnd else e
+      val stepped = layer.join(right,
+          layer("__x") === right("src") &&
+            !array_contains(layer("__eks"), right("__ek")))
+        .select(col("__a"), col("__eks0"), col("dst").as("__x"),
+          concat(col("__eks"), array(col("__ek"))).as("__eks"))
+      layer = stepped
+      if (h >= minHops) out ::= (if (h < maxHops) emit(stepped) else stepped)
+    }
+    out.reduce(_ unionByName _).withColumnRenamed("__eks", "__eks1")
   }
 
   /** Bounded PER-PATH variable-length expansion — openCypher row
@@ -1435,8 +1538,11 @@ object CypherLite {
     }
     val paths = out.reduceOption(_ unionByName _)
       .getOrElse(frontier.withColumn("__len", lit(0L)).limit(0))
-    paths.select(col("__a").as(n0.v), col("__x").as(n1.v),
+    val projected = paths.select(col("__a").as(n0.v), col("__x").as(n1.v),
       col("__len").as(s"${pv}___len"), col("__vp").as(s"${pv}___nodes"))
+    if (rel.label.nonEmpty) projected.withColumn(s"${pv}___rels",
+      renderRels(col(s"${pv}___nodes"), rel.label))
+    else projected
   }
 
   /** Disconnected patterns are a cartesian product (Cypher semantics) —
@@ -1605,12 +1711,18 @@ object CypherLite {
             if (k.ref.matches("""\w+(\.\w+)?""")) Nil
             else pathFnRefs(parseValExpr(k.ref)))
         else Nil
+      val pathVarLabel: Map[String, String] = q.matches
+        .filter(_.pathVar.isDefined)
+        .map(m => m.pathVar.get -> m.rels.head.label).toMap
       (fnsOf(stage1Items, q.where.toList) ++ orderFns).foreach { case (f, v) =>
         require(pathVars(v),
           s"$f() takes a named path variable — '$v' is not one")
-        if (f == "nodes") require(nodePathVars(v),
-          s"nodes($v) requires allShortestPaths() or a plain named path — " +
+        if (f == "nodes" || f == "relationships") require(nodePathVars(v),
+          s"$f($v) requires allShortestPaths() or a plain named path — " +
             "shortestPath() materializes only the hop count")
+        if (f == "relationships") require(pathVarLabel(v).nonEmpty,
+          s"relationships($v) needs a LABELED relationship segment — an " +
+            "unlabeled path mixes edge labels the rendering cannot name")
       }
       // POST-projection surfaces: every stage's output WHERE / block
       // where2, later stage items, and (when stages exist) the RETURN
@@ -2062,7 +2174,10 @@ object CypherLite {
     val orderPathCols =
       if (q.stages.nonEmpty) Nil
       else q.orderBy.flatMap(k => orderExprOf(k.ref).toList.flatMap(pathFnRefs))
-        .map { case (f, v) => if (f == "length") s"${v}___len" else s"${v}___nodes" }
+        .map { case (f, v) =>
+          if (f == "length") s"${v}___len"
+          else if (f == "relationships") s"${v}___rels"
+          else s"${v}___nodes" }
     val extra =
       if (hasAgg) Nil
       else (orderProps.map { case (v, p) => s"${v}_$p" } ++ orderPathCols)

@@ -1754,6 +1754,35 @@ object GraphQueries2 {
           "ORDER BY size(n.name) ASC, c.acctbal * -1 ASC, cust ASC LIMIT 25")
     },
 
+    q("q_cypher_multiseg_unique",
+      // cross-segment relationship uniqueness (r13 ask #7): both segments
+      // bind in_nation edges, so the threaded used-edge set excludes the
+      // out-and-back on one edge — per nation the customer pairs are
+      // c·(c−1), not the walk reading's c²
+      """SELECT n_name AS nation, CAST(c * (c - 1) AS BIGINT) AS n
+        |FROM (SELECT n_name, count(*) AS c
+        |      FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |      GROUP BY 1) z""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (a:customer)-[:in_nation]->(n:nation)<-[:in_nation]-(b:customer) " +
+          "RETURN n.name AS nation, count(*) AS n")
+    },
+
+    q("q_cypher_relationships",
+      // relationships(p) — the per-hop relationship list rendered from the
+      // path plan's vertex array + segment label, csv-serialized for the
+      // comparator
+      """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) ||
+        |       '-[placed]-order:' || CAST(o_orderkey AS VARCHAR) AS rels
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |WHERE c_name = 'Customer#000000001'""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH p = (c:customer)-[:placed*1..2]->(o) " +
+          "WHERE c.name = 'Customer#000000001' " +
+          "RETURN relationships(p) AS rels")
+        .select(array_join(col("rels"), ",").as("rels"))
+    },
+
     q("q_cypher_union",
       // query-level UNION (r13 ask #4): two complete bodies, set
       // semantics (terminal distinct) — customers and suppliers of one

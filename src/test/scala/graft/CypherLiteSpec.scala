@@ -141,12 +141,18 @@ class CypherLiteSpec extends SparkSpec {
   }
 
   test("repeated variables constrain equality (cycle patterns), never rebind") {
-    // single-hop cycle over the BOTH view: a knows b and b knows a (the
-    // same undirected edge) — a rebinding bug would relabel every endpoint
+    // single-hop cycle over the BOTH view: modern has no two DISTINCT
+    // knows edges between one pair, so under match-wide relationship
+    // uniqueness (path mode, r14) the out-and-back on the same edge is
+    // EXCLUDED — empty (a rebinding bug would instead relabel endpoints)
     val rows = run("MATCH (a:person)-[:knows]-(b:person)-[:knows]-(a) " +
-      "RETURN a.name, b.name")
+      "RETURN a.name, b.name").collect()
+    assert(rows.isEmpty)
+    // pair mode (DISTINCT) keeps the documented walk-reachability reading
+    val rowsd = run("MATCH (a:person)-[:knows]-(b:person)-[:knows]-(a) " +
+      "RETURN DISTINCT a.name, b.name")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(rows === Set(("marko", "vadas"), ("vadas", "marko"),
+    assert(rowsd === Set(("marko", "vadas"), ("vadas", "marko"),
       ("marko", "josh"), ("josh", "marko")))
     // directed cycle on a DAG: none
     assert(run("MATCH (a:person)-[:knows]->(b:person)-[:knows]->(a) " +
@@ -688,10 +694,10 @@ class CypherLiteSpec extends SparkSpec {
     // a multi-segment named path is rejected
     intercept[Exception](run(
       "MATCH p = (a)-[:knows]->(b)-[:created]->(s) RETURN p"))
-    // relationships(p): loud, with guidance (rel lists not materialized)
-    val e = intercept[Exception](run(
-      "MATCH p = (a:person)-[:knows*1..2]-(b) RETURN relationships(p) AS r"))
-    assert(e.getMessage.contains("relationships(p) is unsupported"))
+    // relationships(p) on a LABELED plain path is supported since r14 (see
+    // the dedicated test); a non-path argument stays loud
+    intercept[Exception](run(
+      "MATCH (a:person)-[:knows]->(b) RETURN relationships(a) AS r"))
     // a named path on OPTIONAL MATCH would silently drop the binding —
     // rejected loudly instead
     intercept[Exception](run(
@@ -897,6 +903,62 @@ class CypherLiteSpec extends SparkSpec {
     // same id, different given property → loud conflict
     intercept[Exception](CypherLite.evalWrite(g,
       "MERGE (v:person {name: 'marko', age: 99})"))
+  }
+
+  test("cross-segment relationship uniqueness in path mode (r13 ask #7)") {
+    // diamond through marko: the same physical knows edge may not serve
+    // BOTH segments of one MATCH (openCypher match-wide uniqueness) — so
+    // a walk out and straight back on one edge is excluded
+    val rows = run("MATCH (a:person)-[:knows]-(b:person)-[:knows]-(c:person) " +
+      "RETURN a.name AS a, b.name AS b, c.name AS c")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set(("vadas", "marko", "josh"), ("josh", "marko", "vadas")))
+    // single-hop + var-length mix: the var-length walk may not reuse the
+    // first segment's edge
+    val mix = run("MATCH (a:person)-[:knows]-(b)-[:knows*1..2]-(c) " +
+      "WHERE a.name = 'vadas' RETURN a.name AS a, b.name AS b, c.name AS c")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(mix === Set(("vadas", "marko", "josh")))
+    // pair mode (DISTINCT) keeps the documented walk-reachability
+    // divergence: the same query under DISTINCT also reaches back
+    val pair = run("MATCH (a:person)-[:knows]-(b)-[:knows*1..2]-(c) " +
+      "WHERE a.name = 'vadas' RETURN DISTINCT c.name AS c")
+      .collect().map(_.getString(0)).toSet
+    assert(pair === Set("vadas", "josh", "marko"))
+    // disjoint labeled segments never share an edge — results unchanged by
+    // the threading guard (knows vs created)
+    val dj = run("MATCH (a:person)-[:knows]->(b:person)-[:created]->(s:software) " +
+      "RETURN a.name AS a, s.name AS s")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dj === Set(("marko", "lop"), ("marko", "ripple")))
+  }
+
+  test("relationships(p) renders the per-hop relationship list") {
+    // var-length named path: one array element per hop, traversal order
+    val r = run("MATCH p = (a:person)-[:knows*1..2]->(b) " +
+      "WHERE a.name = 'marko' RETURN b.name AS nm, relationships(p) AS rels")
+      .collect().map(x => (x.getString(0), x.getSeq[String](1).toList)).toSet
+    assert(r === Set(
+      ("vadas", List("person:marko-[knows]-person:vadas")),
+      ("josh", List("person:marko-[knows]-person:josh"))))
+    // single-hop named path
+    val s1 = run("MATCH p = (j:person)-[:created]->(s:software) " +
+      "WHERE j.name = 'josh' RETURN relationships(p) AS rels")
+      .collect().map(_.getSeq[String](0).toList).toSet
+    assert(s1 === Set(List("person:josh-[created]-software:lop"),
+      List("person:josh-[created]-software:ripple")))
+    // allShortestPaths with a labeled segment renders too
+    val asp = run("MATCH p = allShortestPaths((a:person)-[:knows*..2]->(b)) " +
+      "WHERE a.name = 'marko' RETURN relationships(p) AS rels")
+      .collect().map(_.getSeq[String](0).toList)
+    assert(asp.forall(_.forall(_.contains("-[knows]-"))))
+    // unlabeled segments and shortestPath() are loud
+    val e1 = intercept[Exception](run(
+      "MATCH p = (a:person)-[*1..2]->(b) RETURN relationships(p) AS r"))
+    assert(e1.getMessage.contains("LABELED"))
+    intercept[Exception](run(
+      "MATCH p = shortestPath((a:person)-[:knows*..2]->(b)) " +
+        "RETURN relationships(p) AS r"))
   }
 
   test("UNION and UNION ALL combine complete queries") {
