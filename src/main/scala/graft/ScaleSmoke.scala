@@ -263,6 +263,23 @@ object ScaleSmoke {
         time("varlenpaths 1x")(graft.api.CypherLite.eval(g1, q).count()),
         time(s"varlenpaths ${copies}x")(graft.api.CypherLite.eval(gN, q).count()))
     }
+    // round-14 write path: relationship MERGE (node-form endpoint MERGE +
+    // keyed edge match-else-create + read-back scan). Cost is dominated by
+    // the conflict-check joins and the full-edge read-back — expect ≈
+    // linear in |E|; a super-linear move means a conflict probe stopped
+    // being a semi-join
+    if (wanted("mergewrite")) {
+      def m(s: String): Long = {
+        val g0 = if (s.isEmpty) g1 else gN
+        val stmt = s"MERGE (p:part {id: 'part:1$s'})-[r:supplied_by]->" +
+          s"(x:supplier {id: 'supplier:999001$s', name: 'SMOKE_S'}) " +
+          "ON CREATE SET r.quantity = 7"
+        graft.api.CypherLite.evalWrite(g0, stmt).edges.count()
+      }
+      results("cypher_merge_rel") = (
+        time("mergewrite 1x")(m("")),
+        time(s"mergewrite ${copies}x")(m(suf)))
+    }
     if (wanted("allshortest")) {
       val q = "MATCH p = allShortestPaths((c:customer)-[*..3]-(s:supplier)) " +
         "WHERE c.name = 'Customer#000000001' " +

@@ -1327,6 +1327,68 @@ object CypherLite {
     out.reduce(_ unionByName _).distinct()
   }
 
+  /** Post-execution row-explosion warning for the per-path expansion (r13
+    * verdict ask #5, the `repeatUntil` truncation-warning standard applied
+    * to path-mode multiplicity): the expansion output carries a
+    * CollectMetrics observation (row count + approx distinct sources —
+    * accumulator-based, ZERO extra jobs and no plan barrier), and a
+    * once-per-session QueryExecutionListener warns on stderr after any
+    * action whose expansion exceeded `factor` × its source count. Results
+    * are never changed — openCypher's per-path semantics ARE the row
+    * count; the warning makes a combinatorial wall observable instead of
+    * silent. factor ≤ 0 (graft.cypher.pathWarnFactor /
+    * GRAFT_CYPHER_PATH_WARN_FACTOR) disables the observation entirely. */
+  private object PathExplosionWatch {
+    private val installed = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[Integer]()
+    private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+    def factor: Long = sys.props.get("graft.cypher.pathWarnFactor")
+      .orElse(sys.env.get("GRAFT_CYPHER_PATH_WARN_FACTOR"))
+      .getOrElse("32").toLong
+
+    def tag(df: DataFrame): DataFrame = {
+      val f = factor
+      if (f <= 0) df
+      else {
+        install(df.sparkSession)
+        df.observe(s"graft_varlen_${seq.incrementAndGet()}",
+          count(lit(1)).as("rows"),
+          approx_count_distinct(col("__a")).as("srcs"))
+      }
+    }
+
+    private def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+      val key = Integer.valueOf(System.identityHashCode(spark))
+      if (installed.add(key)) {
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit = {
+              val f = factor
+              if (f > 0) qe.observedMetrics.foreach { case (name, row) =>
+                if (name.startsWith("graft_varlen_")) {
+                  val rows = row.getAs[Long]("rows")
+                  val srcs = math.max(row.getAs[Long]("srcs"), 1L)
+                  if (rows > f * srcs) System.err.println(
+                    s"[graft] variable-length PATH expansion produced " +
+                      s"$rows rows from ~$srcs distinct source(s) " +
+                      s"(> ${f}x) — openCypher per-path semantics " +
+                      "enumerate every relationship-unique walk; add " +
+                      "DISTINCT for pair reachability, tighten the hop " +
+                      "window, or raise graft.cypher.pathWarnFactor")
+                }
+              }
+            }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+      }
+    }
+  }
+
   /** The stored-orientation edge view with a CONTENT identity key `__ek`,
     * projected to the requested direction. Both directional twins of one
     * physical edge share the key (the key is computed BEFORE the reversed
@@ -1384,7 +1446,8 @@ object CypherLite {
       layer = stepped
       if (h >= minHops) out ::= (if (h < maxHops) emit(stepped) else stepped)
     }
-    out.reduce(_ unionByName _).withColumnRenamed("__eks", "__eks1")
+    PathExplosionWatch.tag(
+      out.reduce(_ unionByName _).withColumnRenamed("__eks", "__eks1"))
   }
 
   /** Bounded PER-PATH variable-length expansion — openCypher row
@@ -1430,7 +1493,7 @@ object CypherLite {
       layer = stepped
       if (h >= minHops) out ::= (if (h < maxHops) emit(stepped) else stepped)
     }
-    out.map(_.drop("__eks")).reduce(_ unionByName _)
+    PathExplosionWatch.tag(out.map(_.drop("__eks")).reduce(_ unionByName _))
   }
 
   /** `shortestPath()` lowering: per-source layered BFS with FIRST-SEEN

@@ -961,6 +961,35 @@ class CypherLiteSpec extends SparkSpec {
         "RETURN relationships(p) AS r"))
   }
 
+  test("path-mode explosion warning fires without changing results") {
+    // factor 1: any expansion wider than its source count warns — from
+    // marko, *1..2 yields 2 paths from 1 source. The observation is an
+    // accumulator (no extra jobs); results are untouched.
+    System.setProperty("graft.cypher.pathWarnFactor", "1")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    var msg = ""
+    val out = try {
+      val o = run("MATCH (a:person)-[:knows*1..2]-(b) WHERE a.name = 'marko' " +
+        "RETURN b.name").collect().map(_.getString(0)).toSet
+      // the listener reports asynchronously on the listener bus — keep the
+      // stderr redirect active while polling for it
+      msg = errBuf.toString("UTF-8")
+      val deadline = System.nanoTime() + 10000000000L
+      while (!msg.contains("PATH expansion") && System.nanoTime() < deadline) {
+        Thread.sleep(50); msg = errBuf.toString("UTF-8")
+      }
+      o
+    } finally {
+      System.setErr(prevErr)
+      System.setProperty("graft.cypher.pathWarnFactor", "32")
+    }
+    assert(out === Set("vadas", "josh"))
+    assert(msg.contains("PATH expansion") && msg.contains("distinct source"),
+      s"expected an explosion warning, got: $msg")
+  }
+
   test("UNION and UNION ALL combine complete queries") {
     // bare UNION dedups (set semantics): marko appears on both sides once
     val u = run("MATCH (p:person)-[:knows]->(q:person) RETURN p.name AS nm " +
