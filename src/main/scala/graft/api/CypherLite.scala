@@ -30,7 +30,9 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * boolean grammar — `AND`/`OR`/`NOT`/parentheses over comparisons
   * `<lhs> (=|<>|>|>=|<|<=) <rhs>` where lhs is `var.prop` or a bare
   * variable/alias and rhs a literal OR another property reference
-  * (`a.age > b.age`), plus `IS [NOT] NULL` and the string operators
+  * (`a.age > b.age`), plus `IS [NOT] NULL`, literal-list membership
+  * `ref IN ['a', 2, …]` (scan-pushable isin(); `IN []` is always false;
+  * NOT IN composes via NOT), and the string operators
   * `STARTS WITH` / `ENDS WITH` / `CONTAINS` — all with SQL three-valued
   * null semantics (openCypher's: a null comparison never matches).
   * RETURN/WITH items are `var.prop` projections, BARE variables
@@ -66,7 +68,13 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * RETURN/WITH items may also be full VALUE EXPRESSIONS with a REQUIRED
   * `AS` alias: property refs, aliases, literals, `+ - * / %` (with
   * precedence and parens; `/` is always floating), the scalar functions
-  * `toUpper/toLower/abs/round/size/coalesce`, and aggregate atoms
+  * `toUpper/toLower/abs/round[(x, n)]/size/coalesce`, the openCypher
+  * string functions `substring` (0-BASED start; 2-arg form runs to the
+  * end) / `left/right/trim/ltrim/rtrim/reverse` / `replace` (literal,
+  * never regex) / `split` (array-valued), the math functions
+  * `sqrt/floor/ceil` (FLOAT results) / `sign` (INTEGER) /
+  * `exp/log/log10` (log = natural), the conversions
+  * `toInteger/toFloat/toString`, and aggregate atoms
   * (`count(*) * 10`, `sum(l.price * (1 - l.discount))`,
   * `sum(x) / count(*)`) — an expression containing an aggregate compiles
   * whole as one Spark aggregate expression, with the non-aggregated items
@@ -86,6 +94,18 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * never a row multiplier). They must sit as top-level AND conjuncts of
   * their WHERE (optionally under one NOT) — the only placement that
   * stays a join; OR-nesting is rejected loudly.
+  * The modern `EXISTS { [MATCH] <pattern> [WHERE …] }` subquery form
+  * lowers onto the SAME semi/anti joins, with the inner WHERE filtering
+  * the pattern chain first; unlike the bare form it may bind
+  * RELATIONSHIP variables — edge-property conjuncts ride the chain and
+  * Catalyst pushes them into the edge scan. Same top-level-conjunct
+  * placement rule; clause keywords inside the braces (and inside string
+  * literals) never split the outer query.
+  * `COUNT { [MATCH] <pattern> [WHERE …] } <op> <numeric lit>` is the
+  * count-subquery twin (GQL/openCypher): a groupBy-count over the
+  * pattern chain's shared variables + a LEFT join back (zero-match rows
+  * count 0) + the comparison filter. Negate by inverting the comparator
+  * (NOT COUNT is rejected loudly); same conjunct placement rule.
   *
   * VARIABLE-LENGTH relationships `-[:l*min..max]->` (also `*n` incl. `*0`,
   * `*..max`; `*0..max` adds the identity binding; bare `*` and `*min..`
@@ -207,8 +227,28 @@ object CypherLite {
     * the engine's semi/anti join shapes, never a row-multiplying join.
     * Restricted to top-level AND conjuncts (optionally under one NOT):
     * that is the only placement that lowers to a join instead of a
-    * per-row correlated subquery. */
-  private[api] final case class PatE(mc: MatchClause) extends BoolExpr
+    * per-row correlated subquery.
+    * `inner` carries an EXISTS-subquery's own WHERE —
+    * `EXISTS { MATCH (a)-[r:l]->(x) WHERE x.p > 5 AND r.w > 0.1 }` filters
+    * the pattern chain BEFORE the semi join (edge-property conjuncts ride
+    * the chain as `<r>_<prop>` columns, Catalyst pushes them to the edge
+    * scan). A bare pattern predicate is the `inner = None` case. */
+  private[api] final case class PatE(mc: MatchClause,
+                                     inner: Option[BoolExpr] = None)
+      extends BoolExpr
+  /** A COUNT subquery conjunct — `COUNT { [MATCH] <pattern> [WHERE …] }
+    * <op> <numeric lit>` (GQL/openCypher count subquery). Lowered onto a
+    * groupBy-count over the pattern chain's shared variables + a LEFT
+    * join back (zero-match rows count 0) + the comparison filter — an
+    * aggregate twin of the EXISTS semi join. Top-level AND conjuncts
+    * only; negate by inverting the comparator, not NOT. */
+  private[api] final case class CntE(mc: MatchClause, inner: Option[BoolExpr],
+                                     op: String, n: Double) extends BoolExpr
+
+  /** One peeled existential conjunct, ready for [[applyPatPreds]]. */
+  private final case class PatPred(mc: MatchClause, inner: Option[BoolExpr],
+                                   negated: Boolean,
+                                   cnt: Option[(String, Double)])
 
   private sealed trait Tok
   private case object LP extends Tok
@@ -218,7 +258,10 @@ object CypherLite {
   private case object NotT extends Tok
   private final case class CmpT(c: Cmp) extends Tok
   private final case class CmpET(c: CmpE) extends Tok
-  private final case class PatTk(mc: MatchClause) extends Tok
+  private final case class PatTk(mc: MatchClause,
+                                 inner: Option[BoolExpr] = None) extends Tok
+  private final case class CntTk(mc: MatchClause, inner: Option[BoolExpr],
+                                 op: String, n: Double) extends Tok
 
   private def isWordCh(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
@@ -302,13 +345,66 @@ object CypherLite {
     val cmpRe =
       ("""^(\w+)(?:\.(\w+))?\s*(=|<>|>=|<=|>|<)\s*""" +
         """(?:('[^']*')|([-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)|(\w+)(?:\.(\w+))?)""").r
+    val inRe = """^(\w+)(?:\.(\w+))?\s+(?i)IN\s+\[([^\]]*)\]""".r
     val out = List.newBuilder[Tok]
     var rest = body.trim
     def lhs(v: String, p: String): (String, String) =
       (checkVar(v), Option(p).getOrElse(""))
+    val existsRe = """^(?i)(EXISTS|COUNT)\s*\{""".r
     while (rest.nonEmpty) {
-      val patM = patChainRe.findFirstMatchIn(rest)
-      if (patM.isDefined) {
+      val exM = existsRe.findFirstMatchIn(rest)
+      val patM = if (exM.isDefined) None else patChainRe.findFirstMatchIn(rest)
+      if (exM.isDefined) {
+        // EXISTS { [MATCH] <pattern> [WHERE <boolexpr>] } — the modern
+        // openCypher existential subquery; same semi-join lowering as a
+        // bare pattern predicate, with the inner WHERE filtering the
+        // chain first. COUNT { … } <op> <num> — the count-subquery twin
+        // (groupBy-count + left join). Quote-aware brace matching.
+        val isCount = exM.get.group(1).equalsIgnoreCase("COUNT")
+        val start = exM.get.end
+        var j = start; var depth = 1; var inQ = false
+        while (j < rest.length && depth > 0) {
+          val c = rest(j)
+          if (inQ) { if (c == '\'') inQ = false }
+          else c match {
+            case '\'' => inQ = true
+            case '{' => depth += 1
+            case '}' => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        require(depth == 0, "EXISTS { … } without a closing brace: " + rest)
+        val body0 = rest.substring(start, j - 1).trim
+        rest = rest.substring(j).trim
+        val body =
+          if (body0.toUpperCase.startsWith("MATCH") &&
+              (body0.length == 5 || !isWordCh(body0(5))))
+            body0.substring(5).trim
+          else body0
+        val wIdx = topKeywordIdx(body, "WHERE")
+        val (patPart, innerW) =
+          if (wIdx >= 0)
+            (body.substring(0, wIdx).trim,
+              Some(parseWhere(body.substring(wIdx + 5).trim)))
+          else (body, None)
+        require(patChainRe.findFirstMatchIn(patPart).exists(
+          _.end >= patPart.length),
+          s"EXISTS subquery body must be one linear pattern chain: $patPart")
+        val mc = parsePattern(nameAnonNodes(patPart), optional = false)
+        // relationship variables ARE allowed here (unlike the bare
+        // pattern-predicate form): the inner WHERE may filter edge props
+        if (isCount) {
+          val opM = """^(=|<>|>=|<=|>|<)\s*(\d+(?:\.\d+)?)""".r
+            .findFirstMatchIn(rest).getOrElse(sys.error(
+              "COUNT { … } must be followed by `<op> <numeric literal>` " +
+                s"(negate by inverting the comparator): $rest"))
+          rest = rest.substring(opM.end).trim
+          out += CntTk(mc, innerW, opM.group(1), opM.group(2).toDouble)
+        }
+        else out += PatTk(mc, innerW)
+      }
+      else if (patM.isDefined) {
         val m = patM.get
         val mc = parsePattern(nameAnonNodes(m.matched), optional = false)
         require(mc.rels.forall(_.variable.isEmpty),
@@ -330,7 +426,7 @@ object CypherLite {
         // grouping paren has no top-level comparator in its segment and
         // falls through to LP)
         val seg = boundarySegment(rest)
-        val simpleFull = List(nullRe, strRe, cmpRe)
+        val simpleFull = List(nullRe, strRe, cmpRe, inRe)
           .flatMap(_.findFirstMatchIn(seg)).exists(_.end >= seg.trim.length)
         val exprCmp = if (simpleFull) None else topCmp(seg)
         exprCmp match {
@@ -341,6 +437,21 @@ object CypherLite {
           case None =>
       if (rest.startsWith("(")) { out += LP; rest = rest.substring(1).trim }
       else if (rest.startsWith(")")) { out += RP; rest = rest.substring(1).trim }
+      else if (inRe.findFirstMatchIn(rest).isDefined) {
+        // `ref IN ['a', 2, …]` — openCypher list membership over literal
+        // lists, the scan-pushable isin() shape (NOT IN composes via NOT)
+        val m = inRe.findFirstMatchIn(rest).get
+        val (v, p) = lhs(m.group(1), m.group(2))
+        val vals: List[Any] = splitTop(m.group(3)).filter(_.nonEmpty).map {
+          item =>
+            val t = item.trim
+            if (t.startsWith("'") && t.endsWith("'"))
+              t.stripPrefix("'").stripSuffix("'")
+            else t.toDouble
+        }
+        out += CmpT(Cmp(v, p, "in", vals)) // [] is legal: always false
+        rest = rest.substring(m.end).trim
+      }
       else (nullRe.findFirstMatchIn(rest), strRe.findFirstMatchIn(rest),
                       cmpRe.findFirstMatchIn(rest)) match {
           case (Some(m), _, _) =>
@@ -397,7 +508,8 @@ object CypherLite {
         require(peek.contains(RP), "expected ')' in WHERE"); next(); e
       case Some(CmpT(c)) => next(); c
       case Some(CmpET(c)) => next(); c
-      case Some(PatTk(mc)) => next(); PatE(mc)
+      case Some(PatTk(mc, inner)) => next(); PatE(mc, inner)
+      case Some(CntTk(mc, inner, op, n)) => next(); CntE(mc, inner, op, n)
       case t => sys.error(s"unexpected token in WHERE: $t")
     }
     val e = orE()
@@ -422,6 +534,10 @@ object CypherLite {
       case "<=" => c <= rhs
       case "isnull" => c.isNull
       case "notnull" => c.isNotNull
+      case "in" => value.asInstanceOf[Seq[Any]] match {
+        case Nil => lit(false) // openCypher: `x IN []` is always false
+        case vs => c.isin(vs: _*)
+      }
       case "startswith" => c.startsWith(value.asInstanceOf[String])
       case "endswith" => c.endsWith(value.asInstanceOf[String])
       case "contains" => c.contains(value.asInstanceOf[String])
@@ -446,11 +562,13 @@ object CypherLite {
       case AndE(l, r) => compileExpr(l, colOf) && compileExpr(r, colOf)
       case OrE(l, r) => compileExpr(l, colOf) || compileExpr(r, colOf)
       case NotE(x) => !compileExpr(x, colOf)
-      case PatE(_) => sys.error(
-        "a pattern predicate must be a TOP-LEVEL AND conjunct of the " +
-          "pattern block's WHERE, optionally under one NOT — nesting it " +
-          "under OR or filtering a WITH stage with it is unsupported " +
-          "(only the conjunct placement lowers to a semi/anti join)")
+      case (_: PatE) | (_: CntE) => sys.error(
+        "a pattern predicate / EXISTS / COUNT subquery must be a " +
+          "TOP-LEVEL AND conjunct of the pattern block's WHERE " +
+          "(a pattern/EXISTS optionally under one NOT; negate COUNT by " +
+          "inverting the comparator) — nesting under OR or filtering a " +
+          "WITH stage with it is unsupported (only the conjunct " +
+          "placement lowers to a join)")
     }
 
   private def refs(e: BoolExpr): List[(String, String)] = e match {
@@ -462,7 +580,8 @@ object CypherLite {
     case AndE(l, r) => refs(l) ++ refs(r)
     case OrE(l, r) => refs(l) ++ refs(r)
     case NotE(x) => refs(x)
-    case PatE(_) => Nil
+    case _: PatE => Nil
+    case _: CntE => Nil
   }
 
   private def conjuncts(e: BoolExpr): List[BoolExpr] = e match {
@@ -506,7 +625,9 @@ object CypherLite {
     val aggFunRe = """^(?i)(count|sum|avg|min|max)\s*\(""".r
     val funRe =
       ("""^(?i)(toUpper|toLower|abs|round|coalesce|size|length|nodes""" +
-        """|relationships|type|labels|toInteger|toFloat|toString)\s*\(""").r
+        """|relationships|type|labels|toInteger|toFloat|toString""" +
+        """|substring|left|right|trim|ltrim|rtrim|replace|reverse|split""" +
+        """|sqrt|floor|ceil|sign|exp|log|log10|id)\s*\(""").r
     val refRe = """^(\w+)(?:\.(\w+))?""".r
     def addE(): ValExpr = {
       var l = mulE()
@@ -648,7 +769,9 @@ object CypherLite {
   private def producesString(e: ValExpr): Boolean = e match {
     case LitV(_: String) => true
     case BinV("+", l, r) => producesString(l) || producesString(r)
-    case FunV("toupper" | "tolower" | "tostring", _) => true
+    case FunV("toupper" | "tolower" | "tostring" | "substring" | "left" |
+              "right" | "trim" | "ltrim" | "rtrim" | "replace" |
+              "reverse", _) => true
     case CaseV(bs, els) =>
       bs.exists(b => producesString(b._2)) || els.exists(producesString)
     case _ => false
@@ -680,6 +803,46 @@ object CypherLite {
       case FunV("tolower", List(a)) => lower(compileVal(a, colOf))
       case FunV("abs", List(a)) => abs(compileVal(a, colOf))
       case FunV("round", List(a)) => round(compileVal(a, colOf), 0)
+      case FunV("round", List(a, LitV(n: Long))) =>
+        round(compileVal(a, colOf), n.toInt)
+      // openCypher string functions. substring() is 0-BASED (Spark's
+      // substr is 1-based); the 2-arg form runs to the end of the string.
+      case FunV("substring", List(a, st)) =>
+        compileVal(a, colOf).substr(
+          compileVal(st, colOf).cast("int") + lit(1), lit(Int.MaxValue))
+      case FunV("substring", List(a, st, len)) =>
+        compileVal(a, colOf).substr(
+          compileVal(st, colOf).cast("int") + lit(1),
+          compileVal(len, colOf).cast("int"))
+      case FunV("left", List(a, n)) =>
+        compileVal(a, colOf).substr(lit(1), compileVal(n, colOf).cast("int"))
+      case FunV("right", List(a, n)) => {
+        val s = compileVal(a, colOf); val k = compileVal(n, colOf).cast("int")
+        s.substr(greatest(length(s) - k + lit(1), lit(1)), k)
+      }
+      case FunV("trim", List(a)) => trim(compileVal(a, colOf))
+      case FunV("ltrim", List(a)) => ltrim(compileVal(a, colOf))
+      case FunV("rtrim", List(a)) => rtrim(compileVal(a, colOf))
+      case FunV("reverse", List(a)) => reverse(compileVal(a, colOf))
+      // openCypher replace() is LITERAL substring replacement (not regex)
+      case FunV("replace", List(a, LitV(find: String), LitV(repl: String))) =>
+        regexp_replace(compileVal(a, colOf),
+          java.util.regex.Pattern.quote(find),
+          java.util.regex.Matcher.quoteReplacement(repl))
+      case FunV("replace", _) => sys.error(
+        "replace() takes (expr, 'find', 'replacement') with literal strings")
+      case FunV("split", List(a, LitV(delim: String))) =>
+        split(compileVal(a, colOf), java.util.regex.Pattern.quote(delim))
+      case FunV("split", _) =>
+        sys.error("split() takes (expr, 'delimiter') with a literal delimiter")
+      // openCypher math: floor/ceil return FLOAT, sign returns INTEGER
+      case FunV("sqrt", List(a)) => sqrt(compileVal(a, colOf))
+      case FunV("floor", List(a)) => floor(compileVal(a, colOf)).cast("double")
+      case FunV("ceil", List(a)) => ceil(compileVal(a, colOf)).cast("double")
+      case FunV("sign", List(a)) => signum(compileVal(a, colOf)).cast("long")
+      case FunV("exp", List(a)) => exp(compileVal(a, colOf))
+      case FunV("log", List(a)) => log(compileVal(a, colOf))
+      case FunV("log10", List(a)) => log10(compileVal(a, colOf))
       // openCypher size() on a string → its length, as a long
       case FunV("size", List(a)) => length(compileVal(a, colOf)).cast("long")
       // length(p)/nodes(p) on a path variable: the hop count / vertex
@@ -719,6 +882,10 @@ object CypherLite {
       case FunV("tostring", List(a)) => compileVal(a, colOf).cast("string")
       case FunV("coalesce", as) if as.nonEmpty =>
         coalesce(as.map(compileVal(_, colOf)): _*)
+      // id(n): the element id — this engine's ids ARE the binding values
+      // (spliced strings, not synthetic longs), so id(n) = the bare column
+      case FunV("id", List(RefV(v, ""))) => colOf(v, "")
+      case FunV("id", _) => sys.error("id() takes a bound variable")
       case FunV(f, as) => sys.error(s"unsupported function: $f/${as.length} args")
       case AggV("count", None) => count(lit(1))
       case AggV("count", Some(a)) => count(compileVal(a, colOf))
@@ -943,7 +1110,26 @@ object CypherLite {
   private[api] def parse(q: String): Query = {
     val s = q.trim.replaceAll("\\s+", " ")
     // split into (keyword, body) clause pairs in textual order
-    val ms = clauseRe.findAllMatchIn(s).toList
+    // clause keywords inside an EXISTS { … } body or a string literal
+    // belong to the subquery/literal, never to the outer clause structure
+    val maskedAt: Int => Boolean = {
+      val masked = new Array[Boolean](s.length)
+      var d = 0; var inQ = false
+      var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (inQ) { masked(i) = true; if (c == '\'') inQ = false }
+        else {
+          if (c == '\'') { inQ = true; masked(i) = true }
+          else if (c == '{') { d += 1; masked(i) = true }
+          else if (c == '}') { masked(i) = d > 0; d = math.max(0, d - 1) }
+          else masked(i) = d > 0
+        }
+        i += 1
+      }
+      p => p < s.length && masked(p)
+    }
+    val ms = clauseRe.findAllMatchIn(s).filterNot(m => maskedAt(m.start)).toList
     require(ms.nonEmpty && ms.head.start == 0 && {
       val kw = ms.head.group(1).toUpperCase
       kw.endsWith("MATCH") || kw == "UNWIND"
@@ -1139,6 +1325,82 @@ object CypherLite {
     * @param srcFilter  equality conjuncts pushed into the START node's
     *                   vertex scan (the fan-out killer; idempotent — the
     *                   conjunct stays in the residual filter) */
+  private def peelPred(e: BoolExpr): PatPred = e match {
+    case PatE(mc, inner) => PatPred(mc, inner, negated = false, cnt = None)
+    case NotE(PatE(mc, inner)) => PatPred(mc, inner, negated = true, cnt = None)
+    case CntE(mc, inner, op, n) =>
+      PatPred(mc, inner, negated = false, cnt = Some((op, n)))
+    case other => sys.error(s"unreachable pattern conjunct: $other")
+  }
+
+  /** Lower the peeled existential conjuncts onto the frontier: pattern
+    * predicates / EXISTS as LEFT SEMI (NOT → LEFT ANTI) joins, COUNT
+    * subqueries as a groupBy-count over the shared variables + LEFT join
+    * (zero-match rows count 0) + the comparison filter. Joins key on
+    * shared VARIABLES only — never a row multiplier. */
+  private def applyPatPreds(g: PropertyGraph, frontier0: DataFrame,
+                            preds: Seq[PatPred]): DataFrame = {
+    var frontier = frontier0
+    preds.foreach { pp =>
+      val chain = patPredDf(g, pp.mc, pp.inner)
+      val shared = frontier.columns.intersect(chain.columns).toSeq
+      require(shared.nonEmpty,
+        "pattern/EXISTS/COUNT predicate must reference at least one " +
+          "bound variable")
+      frontier = pp.cnt match {
+        case None =>
+          frontier.join(chain.select(shared.map(col): _*),
+            shared, if (pp.negated) "left_anti" else "left_semi")
+        case Some((op, n)) =>
+          val counts = chain.groupBy(shared.map(col): _*)
+            .agg(count(lit(1)).as("__cnt"))
+          frontier.join(counts, shared, "left")
+            .withColumn("__cnt", coalesce(col("__cnt"), lit(0L)))
+            .filter(cmpColumn(col("__cnt"), op, n))
+            .drop("__cnt")
+      }
+    }
+    frontier
+  }
+
+  /** A pattern-predicate / EXISTS-subquery chain as a binding table: the
+    * pattern chain with the inner WHERE's referenced properties attached
+    * and its filter applied — ready for the semi/anti join. Edge-property
+    * refs ride the chain via evalChain's edgeProps carry (Catalyst pushes
+    * the filter into the edge scan); vertex-property refs join on demand. */
+  private def patPredDf(g: PropertyGraph, mc: MatchClause,
+                        inner: Option[BoolExpr]): DataFrame = {
+    val relVs = mc.rels.flatMap(_.variable).toSet
+    val innerRefs = inner.map(refs).getOrElse(Nil).distinct
+    val edgeProps = innerRefs
+      .filter(r => relVs.contains(r._1) && r._2.nonEmpty)
+      .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).distinct }
+    var chain = evalChain(g, mc, edgeProps = edgeProps)
+    inner.foreach { w =>
+      innerRefs.foreach { case (v, p) =>
+        if (relVs.contains(v))
+          require(p.nonEmpty,
+            s"bare relationship variable '$v' is not a value — reference " +
+              s"'$v.<prop>' in the EXISTS subquery's WHERE")
+        else {
+          require(chain.columns.contains(v),
+            s"EXISTS subquery WHERE references '$v', which is not bound " +
+              "inside the subquery's pattern")
+          if (p.nonEmpty && !chain.columns.contains(s"${v}_$p"))
+            chain = chain.join(
+              g.vertices.select(col("id").as(v), col(p).as(s"${v}_$p")),
+              Seq(v), "left")
+        }
+      }
+      chain = chain.filter(compileExpr(w,
+        (v, p) => if (p.isEmpty) col(v) else col(s"${v}_$p")))
+    }
+    // project back down to the node bindings: the semi/anti join must key
+    // on shared VARIABLES only, never on an attached property column (an
+    // outer column with a colliding `v_p` name must not become a join key)
+    chain.select(mc.nodes.map(n => col(n.v)): _*)
+  }
+
   private[api] def evalChain(g: PropertyGraph, mc: MatchClause,
                              edgeProps: Map[String, Seq[String]] = Map.empty,
                              relFilters: Map[String, Column] = Map.empty,
@@ -1683,6 +1945,58 @@ object CypherLite {
     * "union" never splits. Mixing UNION and UNION ALL is rejected
     * (openCypher); sides must return the same column names in the same
     * order. ORDER BY/SKIP/LIMIT bind to their own segment. */
+  /** Parameterized entry points — the reference's Cypher API takes a
+    * `{name: value}` parameter map alongside the query
+    * (`CypherAPI.java:49-95`); here `$name` placeholders substitute
+    * BEFORE parsing (quote-aware: a `$` inside a string literal is
+    * text). Values render as grammar literals: strings quoted (single
+    * quotes rejected loudly — the grammar has no escapes), numbers
+    * plain, Seq → `[…]` (the IN-list / leading-UNWIND shapes). */
+  def eval(g: PropertyGraph, cypher: String,
+           params: Map[String, Any]): DataFrame =
+    eval(g, substituteParams(cypher, params))
+
+  def evalWrite(g: PropertyGraph, stmt: String,
+                params: Map[String, Any]): PropertyGraph =
+    evalWrite(g, substituteParams(stmt, params))
+
+  private def renderParam(v: Any): String = v match {
+    case s: String =>
+      require(!s.contains("'"),
+        "string parameters may not contain single quotes (the grammar " +
+          "has no escape sequences)")
+      "'" + s + "'"
+    case _: Int | _: Long | _: Short | _: Byte => v.toString
+    case _: Double | _: Float => v.toString
+    case xs: Seq[_] => xs.map(renderParam).mkString("[", ", ", "]")
+    case other => sys.error(
+      s"unsupported parameter type: ${other.getClass.getName} " +
+        "(strings, numbers and Seqs of them render as literals)")
+  }
+
+  private[api] def substituteParams(q: String,
+                                    params: Map[String, Any]): String = {
+    val nameRe = """^\$(\w+)""".r
+    val sb = new StringBuilder
+    var i = 0; var inQ = false
+    while (i < q.length) {
+      val c = q(i)
+      if (inQ) { sb += c; if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { sb += c; inQ = true; i += 1 }
+      else if (c == '$') {
+        val m = nameRe.findFirstMatchIn(q.substring(i)).getOrElse(
+          sys.error(s"dangling '$$' in query at: ${q.substring(i)}"))
+        val name = m.group(1)
+        val v = params.getOrElse(name,
+          sys.error(s"missing query parameter $$$name"))
+        sb ++= renderParam(v)
+        i += m.end
+      }
+      else { sb += c; i += 1 }
+    }
+    sb.result()
+  }
+
   def eval(g: PropertyGraph, cypher: String): DataFrame = {
     val s = cypher.trim.replaceAll("\\s+", " ")
     val segs = scala.collection.mutable.ListBuffer[String]()
@@ -1861,8 +2175,7 @@ object CypherLite {
     // edge scan (ALL-hop semantics, see object doc); everything else
     // filters the bound rows
     val (relFilters, patPreds, residual) = q.where match {
-      case None =>
-        (Map.empty[String, Column], List.empty[(MatchClause, Boolean)], None)
+      case None => (Map.empty[String, Column], List.empty[PatPred], None)
       case Some(w) =>
         val cs = conjuncts(w)
         val (push, keep0) = cs.partition {
@@ -1874,7 +2187,7 @@ object CypherLite {
         // into semi/anti joins; any deeper nesting reaches compileExpr's
         // loud PatE error
         val (pats, keep) = keep0.partition {
-          case PatE(_) | NotE(PatE(_)) => true
+          case (_: PatE) | NotE(_: PatE) | (_: CntE) => true
           case _ => false
         }
         keep.flatMap(refs).foreach { case (v, _) =>
@@ -1887,11 +2200,7 @@ object CypherLite {
           case (v, cmps) =>
             v -> cmps.map(c => cmpColumn(col(c.prop), c.op, c.value)).reduce(_ && _)
         }
-        val patList = pats.map {
-          case PatE(mc) => (mc, false)
-          case NotE(PatE(mc)) => (mc, true)
-          case other => sys.error(s"unreachable pattern conjunct: $other")
-        }
+        val patList = pats.map(peelPred)
         (byVar, patList, keep.reduceOption(AndE(_, _)))
     }
 
@@ -1996,14 +2305,7 @@ object CypherLite {
     // table against each predicate chain on its bound variables — the
     // existence check never multiplies rows, and the anti form is the
     // engine's q_anti_join shape (openCypher `WHERE NOT (a)-[:x]->(b)`)
-    patPreds.foreach { case (mc, negated) =>
-      val chain = evalChain(g, mc)
-      val shared = frontier.columns.intersect(chain.columns).toSeq
-      require(shared.nonEmpty,
-        "pattern predicate must reference at least one bound variable")
-      frontier = frontier.join(chain.select(shared.map(col): _*),
-        shared, if (negated) "left_anti" else "left_semi")
-    }
+    frontier = applyPatPreds(g, frontier, patPreds)
     // attach vertex properties referenced by this stage, one join per
     // (var, prop); left joins so OPTIONAL-introduced nulls survive.
     // Relationship-variable props already ride the frontier as
@@ -2135,7 +2437,7 @@ object CypherLite {
       // chain on the variables the stage carried through ----
       val where2Conj = st.where2.map(conjuncts).getOrElse(Nil)
       val (pats2, rest2) = where2Conj.partition {
-        case PatE(_) | NotE(PatE(_)) => true
+        case (_: PatE) | NotE(_: PatE) | (_: CntE) => true
         case _ => false
       }
       val downstream =
@@ -2175,19 +2477,7 @@ object CypherLite {
           else if (shared.nonEmpty) frontier.join(df, shared)
           else guardedCross(frontier, df)
       }
-      pats2.foreach { p =>
-        val (mc, negated) = p match {
-          case PatE(m) => (m, false)
-          case NotE(PatE(m)) => (m, true)
-          case other => sys.error(s"unreachable pattern conjunct: $other")
-        }
-        val chain = evalChain(g, mc)
-        val shared = frontier.columns.intersect(chain.columns).toSeq
-        require(shared.nonEmpty,
-          "pattern predicate must reference at least one bound variable")
-        frontier = frontier.join(chain.select(shared.map(col): _*),
-          shared, if (negated) "left_anti" else "left_semi")
-      }
+      frontier = applyPatPreds(g, frontier, pats2.map(peelPred))
       attach(needed2All)
       rest2.reduceOption(AndE(_, _)).foreach(e =>
         frontier = frontier.filter(compileExpr(e, colOf)))
@@ -2267,11 +2557,18 @@ object CypherLite {
     *    (the TPC-H projection); colliding ids are rejected loudly (CREATE
     *    never upserts — the merge-on-write path is
     *    [[graft.core.Mutations.upsertVertices]], oracled separately).
-    *  - `MATCH … [WHERE …] SET v.prop = <value expr>` — a COLUMN UPDATE
-    *    over the matched id set: one semi-join marks the rows, the
-    *    property column is conditionally rewritten — no per-row mutation,
-    *    the scale-correct shape (the expression may read v's own
-    *    properties, e.g. `SET c.bal = c.bal * 2`).
+    *  - `MATCH … [WHERE …] SET v.prop = <value expr>[, v.prop = …]` — a
+    *    COLUMN UPDATE over the matched id set: one semi-join marks the
+    *    rows, each property column is conditionally rewritten — no
+    *    per-row mutation, the scale-correct shape (the expression may
+    *    read v's own properties, e.g. `SET c.bal = c.bal * 2`). Multiple
+    *    assignments apply IN ORDER over the ONE match (openCypher SET-item
+    *    sequencing: a later item reading an earlier item's property sees
+    *    the update, and updating the very property the WHERE filtered on
+    *    never re-runs the match).
+    *  - `MATCH … [WHERE …] REMOVE v.prop[, v.prop…]` — property removal
+    *    as a batch null-out of the matched rows' cells. `REMOVE v:Label`
+    *    is rejected (the label is the storage partition here).
     *  - `MATCH … [WHERE …] DETACH DELETE v` — drop the matched vertices
     *    and every incident edge (two anti joins). Plain DELETE is rejected
     *    (openCypher errors on attached vertices; a batch engine can't
@@ -2282,10 +2579,12 @@ object CypherLite {
     *    properties is a loud conflict (under PRIMARY_KEY ids openCypher's
     *    create-a-second-node answer is a constraint violation).
     *
-    * MERGE on relationships/patterns, ON CREATE/ON MATCH clauses, and
-    * transactional multi-statement scripts stay non-goals (COVERAGE §2.14
-    * — adjacent to the transactions non-goal). Returns the mutated graph;
-    * reads compose via [[eval]] on the result. */
+    *  - `MERGE (a:l {…})-[r:el {…}]->(b:l {…}) [ON CREATE SET …]
+    *    [ON MATCH SET …]` — the relationship form ([[evalMergeRel]]).
+    *
+    * Transactional multi-statement scripts stay a non-goal (adjacent to
+    * the transactions non-goal). Returns the mutated graph; reads compose
+    * via [[eval]] on the result. */
   /** First TOP-LEVEL (outside single quotes) occurrence of a keyword, as a
     * whole word, case-insensitive — the SET/DELETE clause split must not
     * trigger on ' set '/' delete ' INSIDE a string literal of the MATCH's
@@ -2312,19 +2611,52 @@ object CypherLite {
     // decides the statement shape (never one inside a WHERE string literal)
     val setIdx = if (s.toUpperCase.startsWith("MATCH")) topKeywordIdx(s, "SET") else -1
     val delIdx = if (s.toUpperCase.startsWith("MATCH")) topKeywordIdx(s, "DELETE") else -1
-    val shaped: String =
-      if (setIdx > 0 && (delIdx < 0 || setIdx < delIdx)) "set"
-      else if (delIdx > 0) "del"
-      else "other"
+    val remIdx = if (s.toUpperCase.startsWith("MATCH")) topKeywordIdx(s, "REMOVE") else -1
+    val idxs = Seq("set" -> setIdx, "del" -> delIdx, "rem" -> remIdx)
+      .filter(_._2 > 0)
+    val shaped: String = if (idxs.isEmpty) "other" else idxs.minBy(_._2)._1
     shaped match {
       case "set" =>
         val matchPart = s.substring(0, setIdx).trim
-        val m = """(?i)^SET\s+(\w+)\.(\w+)\s*=\s*(.+)$""".r
-          .findFirstMatchIn(s.substring(setIdx))
-          .getOrElse(sys.error(
-            "SET takes one `v.prop = <value expr>` assignment: " +
-              s.substring(setIdx)))
-        evalSet(g, matchPart, m.group(1), m.group(2), m.group(3))
+        val body = s.substring(setIdx).trim
+        require(body.toUpperCase.startsWith("SET"), s"expected SET: $body")
+        val itemRe = """(?i)^(\w+)\.(\w+)\s*=\s*(.+)$""".r
+        val assigns = splitTop(body.substring(3).trim).map { item =>
+          val m = itemRe.findFirstMatchIn(item.trim).getOrElse(sys.error(
+            s"SET items are `v.prop = <value expr>` assignments: $item"))
+          (m.group(1), m.group(2), m.group(3))
+        }
+        require(assigns.nonEmpty, "SET needs at least one assignment")
+        val vars = assigns.map(_._1).distinct
+        require(vars.length == 1,
+          s"SET assignments must target ONE bound variable per statement " +
+            s"(got ${vars.mkString(", ")}) — the match runs once, then " +
+            "every assignment applies to its rows")
+        evalSet(g, matchPart, vars.head, assigns.map(a => (a._2, a._3)))
+      case "rem" =>
+        // REMOVE v.prop[, v.prop…] — openCypher property removal; in a
+        // columnar store that is a null-out of the matched rows (the
+        // reference removes the property cell the same way —
+        // GraphTransaction property removal). REMOVE v:Label is rejected:
+        // the label is the storage partition here, not a mutable tag.
+        val matchPart = s.substring(0, remIdx).trim
+        val body = s.substring(remIdx).trim.substring("REMOVE".length).trim
+        val itemRe = """^(\w+)\.(\w+)$""".r
+        val items = splitTop(body).map { item =>
+          val t = item.trim
+          require(!t.contains(":"),
+            s"REMOVE v:Label is unsupported — the label is the storage " +
+              s"partition, not a removable tag: $t")
+          val m = itemRe.findFirstMatchIn(t).getOrElse(
+            sys.error(s"REMOVE items are `v.prop` references: $t"))
+          (m.group(1), m.group(2))
+        }
+        require(items.nonEmpty, "REMOVE needs at least one v.prop item")
+        val vars = items.map(_._1).distinct
+        require(vars.length == 1,
+          s"REMOVE items must target ONE bound variable per statement " +
+            s"(got ${vars.mkString(", ")})")
+        evalRemove(g, matchPart, vars.head, items.map(_._2))
       case "del" =>
         val before = s.substring(0, delIdx).trim
         val detach = before.toUpperCase.endsWith("DETACH")
@@ -2346,22 +2678,48 @@ object CypherLite {
   }
 
   private def evalSet(g: PropertyGraph, matchPart: String, v: String,
-                      prop: String, valuePart: String): PropertyGraph = {
-    val e = parseValExpr(valuePart)
-    valRefs(e).foreach { case (rv, _) =>
-      require(rv == v, s"SET expressions may only read '$v' itself " +
-        s"(got '$rv') — batch column updates are per-row")
+                      assigns: Seq[(String, String)]): PropertyGraph = {
+    val exprs = assigns.map { case (prop, valuePart) =>
+      val e = parseValExpr(valuePart)
+      valRefs(e).foreach { case (rv, _) =>
+        require(rv == v, s"SET expressions may only read '$v' itself " +
+          s"(got '$rv') — batch column updates are per-row")
+      }
+      require(g.vertices.columns.contains(prop),
+        s"unknown property '$prop' (the columnar schema is closed)")
+      (prop, e)
     }
-    require(g.vertices.columns.contains(prop),
-      s"unknown property '$prop' (the columnar schema is closed)")
+    // one MATCH, then the assignments apply IN ORDER over its rows — a
+    // later item reading an earlier item's property sees the updated value
+    // (openCypher SET-item sequencing), but the match itself never re-runs
     val ids = eval(g, s"$matchPart RETURN DISTINCT $v AS matched_id")
       .withColumnRenamed("matched_id", "id").withColumn("__hit", lit(true))
-    val newVal = compileVal(e, (_, p) => col(p))
-    val updated = g.vertices.join(ids, Seq("id"), "left")
-      .withColumn(prop,
-        when(col("__hit"), newVal.cast(g.vertices.schema(prop).dataType))
-          .otherwise(col(prop)))
-      .drop("__hit")
+    val updated = exprs.foldLeft(g.vertices.join(ids, Seq("id"), "left")) {
+      case (vdf, (prop, e)) =>
+        val newVal = compileVal(e, (_, p) => col(p))
+        vdf.withColumn(prop,
+          when(col("__hit"), newVal.cast(g.vertices.schema(prop).dataType))
+            .otherwise(col(prop)))
+    }.drop("__hit")
+    g.copy(vertices = updated)
+  }
+
+  /** `MATCH … REMOVE v.prop[, …]` — null out the matched rows' property
+    * cells (one batch column update; the columnar twin of the reference's
+    * property removal). */
+  private def evalRemove(g: PropertyGraph, matchPart: String, v: String,
+                         props: Seq[String]): PropertyGraph = {
+    props.foreach(p => require(g.vertices.columns.contains(p),
+      s"unknown property '$p' (the columnar schema is closed)"))
+    val ids = eval(g, s"$matchPart RETURN DISTINCT $v AS matched_id")
+      .withColumnRenamed("matched_id", "id").withColumn("__hit", lit(true))
+    val updated = props.foldLeft(g.vertices.join(ids, Seq("id"), "left")) {
+      (vdf, prop) =>
+        vdf.withColumn(prop,
+          when(col("__hit"),
+            lit(null).cast(g.vertices.schema(prop).dataType))
+            .otherwise(col(prop)))
+    }.drop("__hit")
     g.copy(vertices = updated)
   }
 
@@ -2523,8 +2881,8 @@ object CypherLite {
           merge = kw == "MERGE", kw = kw)
       case _ => sys.error(
         "unsupported write statement — supported: CREATE/MERGE " +
-          "(v:label {…})…, MATCH … SET v.prop = expr, " +
-          "MATCH … DETACH DELETE v")
+          "(v:label {…})…, MATCH … SET v.prop = expr[, v.prop = expr…], " +
+          "MATCH … REMOVE v.prop[, v.prop…], MATCH … DETACH DELETE v")
     }
   }
 }

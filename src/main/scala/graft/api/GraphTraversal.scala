@@ -179,6 +179,26 @@ final case class GraphTraversal(
     * traversers exit the loop. */
   def repeatUntil(cond: Cond, maxRounds: Int = 16,
                   emitEach: Boolean = false)(
+      f: GraphTraversal => GraphTraversal): GraphTraversal =
+    repeatUntilCore(Some(cond), None, maxRounds, emitEach)(f)
+
+  /** `repeat(…).until(loops().is(n))` — TinkerPop's loop-counter exit: the
+    * counter increments after each body application (do-while placement),
+    * so a traverser exits once `exitAt(round)` holds (round is 1-based).
+    * `loops().is(n)` is `_ == n`; `is(gt(n))` is `_ > n`. A pure loops()
+    * exit is `repeat(n)` when `exitAt` is equality — the step earns its
+    * keep combined with a property condition (`untilCond`), TinkerPop's
+    * `until(loops().is(n).or(has(…)))` escape-hatch shape: exit on
+    * whichever fires first. */
+  def repeatUntilLoops(exitAt: Int => Boolean, maxRounds: Int = 16,
+                       emitEach: Boolean = false,
+                       untilCond: Option[Cond] = None)(
+      f: GraphTraversal => GraphTraversal): GraphTraversal =
+    repeatUntilCore(untilCond, Some(exitAt), maxRounds, emitEach)(f)
+
+  private def repeatUntilCore(cond: Option[Cond],
+                              loopsExit: Option[Int => Boolean],
+                              maxRounds: Int, emitEach: Boolean)(
       f: GraphTraversal => GraphTraversal): GraphTraversal = {
     require(maxRounds >= 1 && maxRounds <= 64,
       s"repeat().until() rounds cap must be in [1, 64], got $maxRounds")
@@ -189,7 +209,10 @@ final case class GraphTraversal(
     while (r < maxRounds && !drained) {
       val stepped = f(cur)
       val pinned = stepped.copy(df = stepped.df.localCheckpoint(true))
-      val c = cond.compile
+      val loopsHit = loopsExit.exists(_(r + 1))
+      val c =
+        if (loopsHit) lit(true)
+        else cond.map(_.compile).getOrElse(lit(false))
       val exit = if (emitEach) pinned
         else pinned.copy(df = pinned.df.filter(c))
       acc = Some(acc.fold(exit)(_ union exit))
@@ -426,6 +449,16 @@ final case class GraphTraversal(
   def id(): DataFrame = df.select(col("id"))
   def values(key: String): DataFrame = df.select(col(key)).filter(col(key).isNotNull)
   def valueMap(keys: String*): DataFrame = df.select(col("id") +: keys.map(col): _*)
+  /** `elementMap(keys…)` — TinkerPop's id+label+properties projection
+    * (valueMap plus the element identity columns); no keys projects every
+    * property column of the current frame (rider columns excluded). */
+  def elementMap(keys: String*): DataFrame = {
+    val props =
+      if (keys.nonEmpty) keys
+      else df.columns.toSeq.filterNot(c =>
+        c == "id" || c == "label" || c.startsWith("~") || c.startsWith("__"))
+    df.select((col("id") +: col("label") +: props.map(col)): _*)
+  }
   def path(): DataFrame = {
     require(pathTracked, "path() requires withPath()")
     df.select(concat_ws("->", col("~path")).as("path"))
@@ -566,6 +599,32 @@ final case class GraphTraversal(
     graft.core.Mutations.insertEdges(g, label,
       df.select(col("id").as("src")).distinct().withColumn("dst", lit(dst)),
       props)
+  }
+
+  /** Gremlin mid-traversal `property(k, v)` as the UPDATE it is in
+    * TinkerPop (Cardinality.single — reference
+    * `GraphTransaction.addVertexProperty`): set the given literal
+    * properties on every CURRENT vertex, one batch column update (the
+    * same update shape Cypher SET lowers to — never per-row probing).
+    * The columnar schema is closed: unknown keys are loud, values cast
+    * to the column's type. */
+  def property(kvs: (String, Any)*): graft.core.PropertyGraph = {
+    require(isVertex, "property() update must sit on a vertex position")
+    require(kvs.nonEmpty, "property() update needs at least one (key, value)")
+    kvs.foreach { case (k, _) =>
+      require(g.vertices.columns.contains(k),
+        s"unknown property '$k' (the columnar schema is closed)")
+      require(k != "id" && k != "label",
+        s"property() cannot rewrite the element identity column '$k'")
+    }
+    val hits = df.select(col("id")).distinct().withColumn("__hit", lit(true))
+    val updated = kvs.foldLeft(
+      g.vertices.join(hits, Seq("id"), "left")) { case (v, (k, x)) =>
+      v.withColumn(k,
+        when(col("__hit"), lit(x).cast(g.vertices.schema(k).dataType))
+          .otherwise(col(k)))
+    }.drop("__hit")
+    g.copy(vertices = updated)
   }
 
   def toDF: DataFrame = df

@@ -25,7 +25,11 @@ import graft.core.{Cond, PropertyGraph}
   * (deterministic md5 draw), order().by(k[,decr]),
   * repeat(sub).times(n) with MULTI-STEP sub-traversal bodies,
   * repeat(sub).until(cond) (do-while predicate exit, drained-frontier
-  * stop, 16-round cap), emit() after repeat (layers 1..n) or BEFORE it
+  * stop, 16-round cap), until(loops().is(n | gt/gte/lt/lte(n))) — the
+  * loop-counter exit, optionally or()-combined with one property
+  * condition in either order (TinkerPop's
+  * `until(has(…).or().loops().is(n))` escape-hatch idiom) —
+  * emit() after repeat (layers 1..n) or BEFORE it
   * (layer 0 included), group()/groupCount() with modulator by() forms —
   * group().by(k)[.by(prop | <agg>(prop) | count() | values(p).fold() |
   * values(p).<agg>())] — and the branch/
@@ -35,7 +39,8 @@ import graft.core.{Cond, PropertyGraph}
   * identity() allowed), the binding-compare where forms
   * where(eq('a'))/where(neq('a')) (current element vs binding) and
   * where('a', eq('b'))/where('a', neq('b')) (binding vs binding),
-  * values(k), valueMap(k…), id(), path() via
+  * values(k), valueMap(k…), elementMap(k…) (id+label+props; no keys =
+  * every property column), id(), path() via
   * pathed(), count, groupCount(k), group(k,v), fold, sum/max/min/mean(k),
   * mid-traversal STEP LABELING — as('a') binds the current vertex,
   * select('a') back-steps to it (traversal continues), select('a','b')
@@ -224,6 +229,42 @@ object GremlinLite {
       }
     }
 
+  /** `loops().is(p)` exit predicate over the 1-based round counter —
+    * TinkerPop's loop-counter step (reference suite
+    * `ProcessBasicSuite.java` repeat families). */
+  private def loopsExitOf(a: Arg): Int => Boolean = a match {
+    case NArg(v) => r => r == v.toInt
+    case PArg("gt", List(x)) => val n = num(x).toInt; r => r > n
+    case PArg("gte", List(x)) => val n = num(x).toInt; r => r >= n
+    case PArg("lt", List(x)) => val n = num(x).toInt; r => r < n
+    case PArg("lte", List(x)) => val n = num(x).toInt; r => r <= n
+    case other => sys.error(
+      s"loops().is(…) takes n or gt/gte/lt/lte(n), got $other")
+  }
+
+  /** An until() argument mentioning `loops()`: pure `loops().is(p)`, or
+    * or()-combined with one property condition in either order —
+    * `loops().is(p).or().has(…)` / `has(…).or().loops().is(p)` (TinkerPop's
+    * escape-hatch idiom: exit on whichever fires first). */
+  private def untilLoopsOf(parts: List[Arg]): (Int => Boolean, Option[Cond]) =
+    parts match {
+      case List(PArg("loops", Nil), PArg("is", List(x))) =>
+        (loopsExitOf(x), None)
+      case List(PArg("loops", Nil), PArg("is", List(x)), PArg("or", Nil), c) =>
+        (loopsExitOf(x), Some(condOf(c)))
+      case List(c, PArg("or", Nil), PArg("loops", Nil), PArg("is", List(x))) =>
+        (loopsExitOf(x), Some(condOf(c)))
+      case other => sys.error(
+        "until(loops()…) supports loops().is(p), optionally or()-combined " +
+          s"with has(k[, p])/hasLabel(l), got $other")
+    }
+
+  private def mentionsLoops(a: Arg): Boolean = a match {
+    case CArg(ps) => ps.exists(mentionsLoops)
+    case PArg("loops", Nil) => true
+    case _ => false
+  }
+
   /** A per-element boolean condition argument — `has(k[, p])` or
     * `hasLabel(l)` — as a [[Cond]] (choose() branch conditions and
     * repeat().until() exit predicates share this grammar). */
@@ -264,6 +305,18 @@ object GremlinLite {
   }
 
   /** Evaluate a script against a graph; returns a DataFrame. */
+  /** Parameterized entry points — the reference's Gremlin API takes a
+    * `bindings` map alongside the script (`GremlinAPI.java:51-88`); here
+    * `$name` placeholders substitute before parsing (quote-aware, shared
+    * with [[CypherLite]]'s parameter machinery). */
+  def eval(g: PropertyGraph, script: String,
+           params: Map[String, Any]): DataFrame =
+    eval(g, CypherLite.substituteParams(script, params))
+
+  def evalWrite(g: PropertyGraph, script: String,
+                params: Map[String, Any]): PropertyGraph =
+    evalWrite(g, CypherLite.substituteParams(script, params))
+
   def eval(g: PropertyGraph, script: String): DataFrame = {
     val steps0 = parse(script)
     require(steps0.nonEmpty, "empty traversal")
@@ -581,7 +634,11 @@ object GremlinLite {
               require(!emitFirst,
                 "emit() BEFORE repeat() with until() is unsupported — " +
                   "use the repeat(sub).emit().until(cond) form")
-              t = t.repeatUntil(condOf(condA), emitEach = emitAfter)(
+              t = if (mentionsLoops(condA)) {
+                val (exitAt, extra) = untilLoopsOf(subFrag(condA))
+                t.repeatUntilLoops(exitAt, emitEach = emitAfter,
+                  untilCond = extra)(applySub(bodyFrag))
+              } else t.repeatUntil(condOf(condA), emitEach = emitAfter)(
                 applySub(bodyFrag))
             case other => sys.error(
               s"repeat() must be followed by times(n) or until(cond), got $other")
@@ -620,6 +677,7 @@ object GremlinLite {
         // terminal steps
         case ("values", List(k)) => result = Some(t.values(str(k)))
         case ("valueMap", as) => result = Some(t.valueMap(as.map(str): _*))
+        case ("elementMap", as) => result = Some(t.elementMap(as.map(str): _*))
         case ("id", Nil) => result = Some(t.id())
         case ("path", Nil) => result = Some(t.path())
         case ("count", Nil) => result = Some(t.count())
@@ -716,6 +774,11 @@ object GremlinLite {
     *  - `g.V(…)<filters>.drop()` — DETACH-drop the matched vertices;
     *    `g.E(label)<filters>.drop()` / `g.V(…).outE(l)<filters>.drop()` —
     *    drop the matched edges (stored orientation).
+    *  - `g.V(…)<filters>.property(k, lit)…` — TinkerPop's mid-traversal
+    *    property() as the UPDATE it is (Cardinality.single): one batch
+    *    column update per key over the matched vertices
+    *    ([[GraphTraversal.property]] — the same shape Cypher SET lowers
+    *    to). Updates must trail the chain; unknown keys are loud.
     */
   def evalWrite(g: PropertyGraph, script: String): PropertyGraph = {
     val steps = parse(script)
@@ -781,9 +844,26 @@ object GremlinLite {
           }
           t.addE(label,
             to.getOrElse(sys.error("addE needs .to(dst)")), props.toMap)
+        } else if (steps.last.name == "property") {
+          // g.V(…)<filters>.property(k, lit)… — TinkerPop's mid-traversal
+          // property() IS an update (Cardinality.single): one batch column
+          // update over the matched vertices
+          val firstProp = steps.indexWhere(_.name == "property")
+          require(steps.drop(firstProp).forall(_.name == "property"),
+            "property() updates must be the trailing steps of the chain")
+          require(steps.head.name == "V",
+            "property() update targets vertices — start the chain at g.V(…)")
+          steps.slice(1, firstProp).foreach(s =>
+            t = applyWriteStep(t, s.name, s.args))
+          val kvs = steps.drop(firstProp).map {
+            case Step("property", List(k, v)) => str(k) -> argVal(v)
+            case other => sys.error(s"property() takes (key, literal): $other")
+          }
+          t.property(kvs: _*)
         } else {
           require(steps.last.name == "drop" && steps.last.args.isEmpty,
-            "a V()/E() write script must end with .drop() or contain .addE()")
+            "a V()/E() write script must end with .drop() or contain " +
+              ".addE() or end with .property(k, v) updates")
           steps.slice(1, steps.length - 1).foreach(s =>
             t = applyWriteStep(t, s.name, s.args))
           t.drop()

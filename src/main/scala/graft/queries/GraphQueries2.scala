@@ -1937,5 +1937,188 @@ object GraphQueries2 {
       val g1 = graft.api.GremlinLite.evalWrite(g(s, d),
         "g.V('customer:1').outE('placed').drop()")
       graft.api.GremlinLite.eval(g1, "g.E('placed').count()")
+    },
+
+    q("q_gremlin_loops",
+      // loops() exit counter (TinkerPop loop-counter step): pure
+      // until(loops().is(2)) — every traverser exits after round 2, so
+      // customer:1's 2-hop walk frontier: nation→region (1) and
+      // order→part (one per lineitem of its orders, walk multiplicity)
+      """WITH o1 AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1),
+        |l1 AS (SELECT l_partkey FROM lineitem JOIN o1 ON l_orderkey = o_orderkey)
+        |SELECT 'region' AS label, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'part', count(*) FROM l1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V('customer:1').repeat(out()).until(loops().is(2)).groupCount('label')")
+    },
+
+    q("q_gremlin_loops_or",
+      // the escape-hatch idiom until(hasLabel(...).or().loops().is(n)):
+      // the region traverser exits at round 2 via the property condition,
+      // everything else runs to the loops() cap — parts take one more hop
+      // to suppliers (per supplied_by edge, walk multiplicity)
+      """WITH o1 AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1),
+        |l1 AS (SELECT l_partkey FROM lineitem JOIN o1 ON l_orderkey = o_orderkey),
+        |s3 AS (SELECT l2.l_suppkey FROM l1 JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey)
+        |SELECT 'region' AS label, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'supplier', count(*) FROM s3""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V('customer:1').repeat(out())" +
+          ".until(hasLabel('region').or().loops().is(3)).groupCount('label')")
+    },
+
+    q("q_gremlin_elementmap",
+      // elementMap(keys…): TinkerPop's id+label+properties projection
+      """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS id,
+        |       'nation' AS label, n_name AS name FROM nation""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('nation').elementMap('name')")
+    },
+
+    q("q_gremlin_property_update",
+      // mid-traversal property(k, v) as the UPDATE it is in TinkerPop
+      // (Cardinality.single): negative-balance customers get a segment
+      // tag and a zeroed balance, one batch column update; read back via
+      // the tag
+      """SELECT c_name AS name, CAST(0 AS DOUBLE) AS acctbal
+        |FROM customer WHERE c_acctbal < 0""".stripMargin) { (s, d) =>
+      val g1 = graft.api.GremlinLite.evalWrite(g(s, d),
+        "g.V().hasLabel('customer').has('acctbal', lt(0))" +
+          ".property('mktsegment', 'DELINQUENT').property('acctbal', 0)")
+      graft.api.GremlinLite.eval(g1,
+        "g.V().hasLabel('customer').has('mktsegment', 'DELINQUENT')" +
+          ".project('name', 'acctbal')")
+    },
+
+    q("q_cypher_remove",
+      // REMOVE v.prop — openCypher property removal as a batch null-out
+      // of the matched rows' cells; read back by IS NULL
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE c_acctbal < 0""".stripMargin) { (s, d) =>
+      val g1 = graft.api.CypherLite.evalWrite(g(s, d),
+        "MATCH (c:customer) WHERE c.acctbal < 0 REMOVE c.mktsegment")
+      graft.api.CypherLite.eval(g1,
+        "MATCH (c:customer) WHERE c.mktsegment IS NULL RETURN count(*) AS n")
+    },
+
+    q("q_cypher_set_multi",
+      // multi-assignment SET with openCypher item sequencing: the second
+      // assignment reads the FIRST one's update (name becomes '0.0', the
+      // already-zeroed balance), while the match itself never re-runs
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE c_acctbal < 0""".stripMargin) { (s, d) =>
+      val g1 = graft.api.CypherLite.evalWrite(g(s, d),
+        "MATCH (c:customer) WHERE c.acctbal < 0 " +
+          "SET c.acctbal = 0, c.name = toString(c.acctbal)")
+      graft.api.CypherLite.eval(g1,
+        "MATCH (c:customer) WHERE c.name = '0.0' RETURN count(*) AS n")
+    },
+
+    q("q_cypher_string_funcs",
+      // openCypher string function surface — substring is 0-BASED (vs
+      // DuckDB's 1-based substr), replace is literal; split() is
+      // array-valued (driver comparator takes no arrays) so its second
+      // element is projected via size()+substring composition in
+      // CypherLiteSpec instead
+      """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id,
+        |       substr(c_name, 10) AS tail, left(c_name, 8) AS head,
+        |       right(c_name, 3) AS sfx, reverse(c_mktsegment) AS rev,
+        |       replace(c_name, 'Customer#', 'C') AS cname,
+        |       lower(trim(c_mktsegment)) AS seg
+        |FROM customer""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer) RETURN c AS id, substring(c.name, 9) AS tail, " +
+          "left(c.name, 8) AS head, right(c.name, 3) AS sfx, " +
+          "reverse(c.mktsegment) AS rev, " +
+          "replace(c.name, 'Customer#', 'C') AS cname, " +
+          "toLower(trim(c.mktsegment)) AS seg")
+    },
+
+    q("q_cypher_exists",
+      // EXISTS { MATCH … WHERE … } subquery (modern openCypher
+      // existential form) — lowered to the same LEFT SEMI join as a bare
+      // pattern predicate, the inner WHERE filtering the chain first;
+      // never a row multiplier (a customer with many qualifying orders
+      // appears once)
+      """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id
+        |FROM customer
+        |WHERE c_acctbal > 9000 AND EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin) {
+      (s, d) =>
+        graft.api.CypherLite.eval(g(s, d),
+          "MATCH (c:customer) WHERE c.acctbal > 9000 AND EXISTS " +
+            "{ MATCH (c)-[:placed]->(o:order) WHERE o.totalprice > 300000 } " +
+            "RETURN c AS id")
+    },
+
+    q("q_cypher_not_exists",
+      // NOT EXISTS { … } → LEFT ANTI join
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) {
+      (s, d) =>
+        graft.api.CypherLite.eval(g(s, d),
+          "MATCH (c:customer) WHERE NOT EXISTS " +
+            "{ MATCH (c)-[:placed]->(:order) } RETURN count(*) AS n")
+    },
+
+    q("q_cypher_exists_edgeprop",
+      // a relationship variable inside the subquery: the edge-property
+      // conjunct rides the chain as `r_quantity` and Catalyst pushes it
+      // into the edge scan before the semi join
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n
+        |FROM lineitem WHERE l_quantity > 49""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (p:part) WHERE EXISTS " +
+          "{ MATCH (p)-[r:supplied_by]->(:supplier) WHERE r.quantity > 49 } " +
+          "RETURN count(*) AS n")
+    },
+
+    q("q_cypher_count_sub",
+      // COUNT { … } subquery conjunct (GQL count subquery): customers
+      // with 20+ orders over 100k — groupBy-count + LEFT join (zero
+      // counts included) + comparison filter, never a row multiplier
+      """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id
+        |FROM customer
+        |WHERE 20 <= (SELECT count(*) FROM orders
+        |             WHERE o_custkey = c_custkey AND o_totalprice > 100000)""".stripMargin) {
+      (s, d) =>
+        graft.api.CypherLite.eval(g(s, d),
+          "MATCH (c:customer) WHERE " +
+            "COUNT { MATCH (c)-[:placed]->(o:order) WHERE o.totalprice > 100000 } >= 20 " +
+            "RETURN c AS id")
+    },
+
+    q("q_cypher_in_list",
+      // literal-list membership: `ref IN [...]` → scan-pushable isin(),
+      // NOT IN via NOT; grouped to keep the row set small
+      """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 0
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer) WHERE c.mktsegment IN ['BUILDING', 'MACHINERY'] " +
+          "AND c.acctbal > 0 RETURN c.mktsegment AS seg, count(*) AS n")
+    },
+
+    q("q_cypher_math_funcs",
+      // openCypher math function surface — floor/ceil return FLOAT, sign
+      // returns INTEGER (both per the openCypher type contracts)
+      """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id,
+        |       round(sqrt(abs(c_acctbal)), 6) AS sq,
+        |       floor(c_acctbal) AS fl, ceil(c_acctbal) AS ce,
+        |       CAST(sign(c_acctbal) AS BIGINT) AS sg,
+        |       round(exp(c_acctbal / 10000), 6) AS ex,
+        |       round(log10(abs(c_acctbal) + 1), 6) AS lg,
+        |       round(c_acctbal, 1) AS r1
+        |FROM customer""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer) RETURN c AS id, " +
+          "round(sqrt(abs(c.acctbal)), 6) AS sq, floor(c.acctbal) AS fl, " +
+          "ceil(c.acctbal) AS ce, sign(c.acctbal) AS sg, " +
+          "round(exp(c.acctbal / 10000), 6) AS ex, " +
+          "round(log10(abs(c.acctbal) + 1), 6) AS lg, " +
+          "round(c.acctbal, 1) AS r1")
     })
 }

@@ -1126,4 +1126,187 @@ class CypherLiteSpec extends SparkSpec {
     intercept[Exception](
       run("MATCH (a)-[:knows*3..2]->(b) RETURN a.name")) // inverted range
   }
+
+  test("REMOVE nulls out the matched rows' property cells") {
+    val g1 = CypherLite.evalWrite(g,
+      "MATCH (p:person) WHERE p.age > 30 REMOVE p.age, p.city")
+    assert(CypherLite.eval(g1,
+      "MATCH (p:person) WHERE p.age IS NULL RETURN count(*) AS n")
+      .head().getLong(0) === 2L) // josh + peter
+    // unmatched rows keep their values; the source graph is untouched
+    assert(CypherLite.eval(g1,
+      "MATCH (p:person) WHERE p.name = 'marko' RETURN p.age AS a")
+      .head().getInt(0) === 29)
+    assert(run("MATCH (p:person) WHERE p.age IS NULL RETURN count(*) AS n")
+      .head().getLong(0) === 0L)
+    // REMOVE v:Label and unknown properties are loud
+    intercept[Exception](CypherLite.evalWrite(g,
+      "MATCH (p:person) REMOVE p:person"))
+    intercept[Exception](CypherLite.evalWrite(g,
+      "MATCH (p:person) REMOVE p.nope"))
+    // ' remove ' inside a WHERE string literal never splits the clause
+    val g2 = CypherLite.evalWrite(g,
+      "MATCH (p:person) WHERE p.name = 'they remove things' REMOVE p.age")
+    assert(CypherLite.eval(g2,
+      "MATCH (p:person) WHERE p.age IS NULL RETURN count(*) AS n")
+      .head().getLong(0) === 0L)
+  }
+
+  test("multi-assignment SET: items apply in order over ONE match") {
+    // the second item reads the FIRST one's update (openCypher SET-item
+    // sequencing) — and the match never re-runs, so updating the very
+    // property the WHERE filtered on still hits the originally-matched rows
+    val g1 = CypherLite.evalWrite(g,
+      "MATCH (p:person) WHERE p.age < 30 " +
+        "SET p.age = 999, p.city = toString(p.age)")
+    val rows = CypherLite.eval(g1,
+      "MATCH (p:person) WHERE p.age = 999 RETURN p.name AS n, p.city AS c")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows === Map("marko" -> "999", "vadas" -> "999"))
+    // assignments across two variables are loud (one match, one target)
+    intercept[Exception](CypherLite.evalWrite(g,
+      "MATCH (a:person)-[:knows]->(b:person) SET a.age = 1, b.age = 2"))
+  }
+
+  test("string functions: substring 0-based, left/right/replace/split/trim") {
+    val r = run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
+      "substring(p.name, 1, 3) AS s1, substring(p.name, 3) AS s2, " +
+      "left(p.name, 2) AS l, right(p.name, 2) AS rr, reverse(p.name) AS rv, " +
+      "replace(p.name, 'ko', 'KO') AS rp, trim(p.name) AS tr, " +
+      "ltrim(p.name) AS lt, rtrim(p.name) AS rt, split(p.name, 'a') AS parts")
+      .head()
+    assert(r.getString(0) === "ark" && r.getString(1) === "ko")
+    assert(r.getString(2) === "ma" && r.getString(3) === "ko")
+    assert(r.getString(4) === "okram" && r.getString(5) === "marKO")
+    assert(r.getString(6) === "marko" && r.getString(7) === "marko" &&
+      r.getString(8) === "marko")
+    assert(r.getSeq[String](9) === Seq("m", "rko"))
+    // replace is LITERAL, never a regex — '.' matches only a dot
+    assert(run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
+      "replace(p.name, '.', 'X') AS x").head().getString(0) === "marko")
+    // right(s, n) with n beyond the length returns the whole string
+    assert(run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
+      "right(p.name, 99) AS x").head().getString(0) === "marko")
+  }
+
+  test("math functions: sqrt/floor/ceil/sign/exp/log/round(x, n)") {
+    val r = run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
+      "sqrt(p.age * 0 + 4) AS sq, floor(p.age / 2) AS fl, " +
+      "ceil(p.age / 2) AS ce, sign(0 - p.age) AS sg, " +
+      "round(exp(p.age * 0), 6) AS ex, round(log(p.age * 0 + 1), 6) AS ln, " +
+      "log10(p.age * 0 + 100) AS lg, round(p.age / 7, 2) AS r2").head()
+    assert(r.getDouble(0) === 2.0)
+    assert(r.getDouble(1) === 14.0 && r.getDouble(2) === 15.0) // FLOAT, openCypher
+    assert(r.getLong(3) === -1L) // INTEGER, openCypher
+    assert(r.getDouble(4) === 1.0 && r.getDouble(5) === 0.0)
+    assert(r.getDouble(6) === 2.0)
+    assert(r.getDouble(7) === 4.14)
+  }
+
+  test("EXISTS { … } subqueries: inner WHERE, NOT form, edge props, loud OR") {
+    // inner WHERE on a node property
+    assert(run("MATCH (p:person) WHERE EXISTS " +
+      "{ MATCH (p)-[:created]->(s:software) WHERE s.name = 'ripple' } " +
+      "RETURN p.name AS n").collect().map(_.getString(0)).toSet === Set("josh"))
+    // semi-join semantics: never a row multiplier (josh created TWO
+    // java-lang packages but appears once)
+    assert(run("MATCH (p:person) WHERE EXISTS " +
+      "{ MATCH (p)-[:created]->(s:software) WHERE s.lang = 'java' } " +
+      "RETURN p.name AS n").count() === 3L)
+    // NOT EXISTS → anti join
+    assert(run("MATCH (p:person) WHERE NOT EXISTS " +
+      "{ MATCH (p)-[:created]->(:software) } RETURN p.name AS n")
+      .collect().map(_.getString(0)).toSet === Set("vadas"))
+    // relationship variable + edge-property filter inside the subquery
+    assert(run("MATCH (p:person) WHERE EXISTS " +
+      "{ MATCH (p)-[r:knows]->(x:person) WHERE r.weight >= 0.9 } " +
+      "RETURN p.name AS n").collect().map(_.getString(0)).toSet === Set("marko"))
+    // MATCH keyword optional; anonymous end node
+    assert(run("MATCH (p:person) WHERE EXISTS { (p)-[:knows]->() } " +
+      "RETURN p.name AS n").collect().map(_.getString(0)).toSet === Set("marko"))
+    // combined with an ordinary conjunct
+    assert(run("MATCH (p:person) WHERE p.age > 30 AND EXISTS " +
+      "{ MATCH (p)-[:created]->(s:software) WHERE s.lang = 'java' } " +
+      "RETURN p.name AS n").collect().map(_.getString(0)).toSet ===
+      Set("josh", "peter"))
+    // inner WHERE referencing an unbound variable is loud
+    intercept[Exception](run("MATCH (p:person) WHERE EXISTS " +
+      "{ MATCH (p)-[:knows]->(x) WHERE zz.age > 1 } RETURN p.name AS n")
+      .collect())
+    // OR-nesting is loud (only the conjunct placement lowers to a join)
+    intercept[Exception](run("MATCH (p:person) WHERE p.age > 90 OR EXISTS " +
+      "{ MATCH (p)-[:knows]->(x) } RETURN p.name AS n").collect())
+  }
+
+  test("COUNT { … } subquery conjuncts: zero counts, inner WHERE, loud NOT") {
+    // marko created 1, josh 2, peter 1, vadas 0
+    assert(run("MATCH (p:person) WHERE COUNT { (p)-[:created]->(:software) } >= 2 " +
+      "RETURN p.name AS n").collect().map(_.getString(0)).toSet === Set("josh"))
+    // zero-match rows count 0 (the LEFT join, not an inner join)
+    assert(run("MATCH (p:person) WHERE COUNT { (p)-[:created]->(:software) } = 0 " +
+      "RETURN p.name AS n").collect().map(_.getString(0)).toSet === Set("vadas"))
+    // inner WHERE filters the chain before counting
+    assert(run("MATCH (p:person) WHERE " +
+      "COUNT { MATCH (p)-[r:knows]->(x) WHERE r.weight >= 0.9 } = 1 " +
+      "RETURN p.name AS n").collect().map(_.getString(0)).toSet === Set("marko"))
+    // composes with ordinary conjuncts; never multiplies rows
+    assert(run("MATCH (p:person) WHERE p.age < 33 AND " +
+      "COUNT { (p)-[:created]->() } >= 1 RETURN p.name AS n")
+      .collect().map(_.getString(0)).toSet === Set("marko", "josh"))
+    // NOT COUNT is loud — invert the comparator instead
+    intercept[Exception](run("MATCH (p:person) WHERE " +
+      "NOT COUNT { (p)-[:created]->() } > 0 RETURN p.name AS n").collect())
+    // missing comparator is loud
+    intercept[Exception](run("MATCH (p:person) WHERE " +
+      "COUNT { (p)-[:created]->() } RETURN p.name AS n").collect())
+  }
+
+  test("IN list membership: strings, numbers, NOT IN, empty list") {
+    assert(run("MATCH (p:person) WHERE p.name IN ['marko', 'vadas', 'nope'] " +
+      "RETURN p.name AS n").collect().map(_.getString(0)).toSet ===
+      Set("marko", "vadas"))
+    assert(run("MATCH (p:person) WHERE p.age IN [29, 35] RETURN p.name AS n")
+      .collect().map(_.getString(0)).toSet === Set("marko", "peter"))
+    assert(run("MATCH (p:person) WHERE NOT p.name IN ['marko'] " +
+      "RETURN count(*) AS n").head().getLong(0) === 3L)
+    // `IN []` is always false (openCypher), never an error
+    assert(run("MATCH (p:person) WHERE p.name IN [] RETURN count(*) AS n")
+      .head().getLong(0) === 0L)
+    // composes with other conjuncts and edge props
+    assert(run("MATCH (a:person)-[r:knows]->(b) " +
+      "WHERE r.weight IN [1.0] RETURN b.name AS n")
+      .collect().map(_.getString(0)).toSet === Set("josh"))
+  }
+
+  test("id(n) projects the element id; query parameters substitute") {
+    assert(run("MATCH (p:person) WHERE p.name = 'marko' RETURN id(p) AS i")
+      .head().getString(0) === "person:marko")
+    // $param substitution: strings, numbers, lists; quote-aware ($ inside
+    // a string literal is text)
+    assert(CypherLite.eval(g,
+      "MATCH (p:person) WHERE p.name = $who AND p.age > $min " +
+        "RETURN p.name AS n", Map("who" -> "marko", "min" -> 20))
+      .head().getString(0) === "marko")
+    assert(CypherLite.eval(g,
+      "MATCH (p:person) WHERE p.name IN $names RETURN count(*) AS n",
+      Map("names" -> Seq("marko", "vadas"))).head().getLong(0) === 2L)
+    assert(CypherLite.eval(g,
+      "MATCH (p:person) WHERE p.name = '$who' RETURN count(*) AS n",
+      Map("who" -> "x")).head().getLong(0) === 0L) // literal '$who', no sub
+    intercept[Exception](CypherLite.eval(g,
+      "MATCH (p:person) WHERE p.name = $who RETURN p.name AS n", Map.empty))
+    intercept[Exception](CypherLite.eval(g,
+      "MATCH (p:person) WHERE p.name = $who RETURN p.name AS n",
+      Map("who" -> "o'brien"))) // unescapable quote is loud
+    // Gremlin scripts share the machinery
+    assert(graft.api.GremlinLite.eval(g,
+      "g.V().hasLabel('person').has('age', gt($min)).values('name')",
+      Map("min" -> 30)).collect().map(_.getString(0)).toSet ===
+      Set("josh", "peter"))
+  }
+
+  test("string-producing functions concatenate under +") {
+    assert(run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
+      "left(p.name, 3) + p.age AS x").head().getString(0) === "mar29")
+  }
 }

@@ -569,6 +569,75 @@ class GremlinLiteSpec extends SparkSpec {
     intercept[Exception](Graft.g(g).V("person:vadas").inE("knows").drop())
   }
 
+  test("loops() exit counter: pure, or-combined (both orders), DSL twin") {
+    import graft.api.Graft
+    import graft.core.Cond
+    // pure loops().is(2): everyone exits after round 2 — josh's layer-2
+    // fan-out only (vadas/lop dead-end silently)
+    assert(ids(run("g.V('person:marko').repeat(out()).until(loops().is(2)).id()"))
+      === Set("software:lop", "software:ripple"))
+    // DSL twin
+    assert(Graft.g(g).V("person:marko").repeatUntilLoops(_ == 2)(_.out())
+      .id().collect().map(_.getString(0)).toSet ===
+      Set("software:lop", "software:ripple"))
+    // or-combined: lop exits at round 1 via the property condition, the
+    // people run to the loops() cap — 3 rows (lop twice: r1 exit + josh's
+    // r2 copy)
+    val comb = run("g.V('person:marko').repeat(out())" +
+      ".until(hasLabel('software').or().loops().is(2)).id()")
+    assert(comb.count() === 3L)
+    assert(ids(comb) === Set("software:lop", "software:ripple"))
+    // reversed operand order parses to the same plan
+    assert(run("g.V('person:marko').repeat(out())" +
+      ".until(loops().is(2).or().hasLabel('software')).id()").count() === 3L)
+    // gt form: loops().is(gt(1)) exits after round 2
+    assert(ids(run("g.V('person:marko').repeat(out())" +
+      ".until(loops().is(gt(1))).id()")) ===
+      Set("software:lop", "software:ripple"))
+    // DSL twin with a combined condition
+    assert(Graft.g(g).V("person:marko")
+      .repeatUntilLoops(_ == 2, untilCond = Some(Cond.eq("label", "software")))(
+        _.out()).id().count() === 3L)
+  }
+
+  test("elementMap(): id + label + properties") {
+    val r = run("g.V('person:marko').elementMap('name', 'age')").head()
+    assert(r.getString(0) === "person:marko" && r.getString(1) === "person" &&
+      r.getString(2) === "marko" && r.getInt(3) === 29)
+    // no-arg form projects every property column, riders excluded
+    val cols = run("g.V().hasLabel('person').elementMap()").columns.toSeq
+    assert(cols.take(2) === Seq("id", "label"))
+    assert(cols.contains("name") && cols.contains("age"))
+    assert(!cols.exists(c => c.startsWith("~") || c.startsWith("__")))
+  }
+
+  test("property() update: script == DSL, batch column update, loud unknowns") {
+    import graft.api.Graft
+    import graft.core.Cond
+    val s1 = GremlinLite.evalWrite(g,
+      "g.V().hasLabel('person').has('age', gt(30)).property('age', 99)" +
+        ".property('city', 'zeta')")
+    val d1 = Graft.g(g).V().hasLabel("person").has(Cond.gt("age", 30))
+      .property("age" -> 99, "city" -> "zeta")
+    assert(d1.vertices.orderBy("id").collect().toSeq ===
+      s1.vertices.orderBy("id").collect().toSeq)
+    // josh(32) + peter(35) updated, marko/vadas untouched
+    val ages = GremlinLite.eval(s1, "g.V().hasLabel('person').valueMap('age')")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ages === Map("person:marko" -> 29, "person:vadas" -> 27,
+      "person:josh" -> 99, "person:peter" -> 99))
+    // source graph untouched (immutable batches)
+    assert(run("g.V('person:josh').values('age')").head().getInt(0) === 32)
+    // unknown property / identity columns are loud
+    intercept[Exception](GremlinLite.evalWrite(g,
+      "g.V().hasLabel('person').property('nope', 1)"))
+    intercept[Exception](GremlinLite.evalWrite(g,
+      "g.V().hasLabel('person').property('label', 'x')"))
+    // property() updates must trail the chain
+    intercept[Exception](GremlinLite.evalWrite(g,
+      "g.V().property('age', 1).hasLabel('person')"))
+  }
+
   test("repeat().until() cap hit warns with the dropped-frontier count") {
     import graft.api.Graft
     import graft.core.Cond
