@@ -463,6 +463,31 @@ final case class GraphTraversal(
     require(pathTracked, "path() requires withPath()")
     df.select(concat_ws("->", col("~path")).as("path"))
   }
+  /** `path().by(prop)` — render each path element by a vertex property
+    * instead of its id (TinkerPop's by() path modulator). The `~path`
+    * rider carries ids (simplePath/cyclicPath need identity), so the
+    * rendering explodes, joins the property once against the vertex
+    * table, and regroups in position order — per-traverser multiplicity
+    * preserved via a row id. An element whose property is absent renders
+    * as its id (TinkerPop throws per-element; a batch engine degrades
+    * observably instead). */
+  def pathBy(prop: String): DataFrame = {
+    require(pathTracked, "path() requires withPath()")
+    require(g.vertices.columns.contains(prop),
+      s"unknown property '$prop' (the columnar schema is closed)")
+    val rowed = df.select(col("~path"))
+      .withColumn("__pid", monotonically_increasing_id())
+    val ex = rowed.select(col("__pid"),
+      posexplode(col("~path")).as(Seq("__pos", "__v")))
+    val nm = ex.join(
+      g.vertices.select(col("id").as("__v"),
+        coalesce(col(prop).cast("string"), col("id")).as("__pv")),
+      Seq("__v"), "left")
+    nm.groupBy(col("__pid"))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__pv")))).as("__a"))
+      .select(concat_ws("->",
+        transform(col("__a"), e => e.getField("__pv"))).as("path"))
+  }
   def project(cols: Column*): DataFrame = df.select(cols: _*)
 
   // ------------------------------------------------------- aggregation steps

@@ -40,7 +40,8 @@ import graft.core.{Cond, PropertyGraph}
   * where(eq('a'))/where(neq('a')) (current element vs binding) and
   * where('a', eq('b'))/where('a', neq('b')) (binding vs binding),
   * values(k), valueMap(k…), elementMap(k…) (id+label+props; no keys =
-  * every property column), id(), path() via
+  * every property column), id(), path() [+ .by(prop) property rendering,
+  * id fallback on absent props] via
   * pathed(), count, groupCount(k), group(k,v), fold, sum/max/min/mean(k),
   * mid-traversal STEP LABELING — as('a') binds the current vertex,
   * select('a') back-steps to it (traversal continues), select('a','b')
@@ -679,7 +680,13 @@ object GremlinLite {
         case ("valueMap", as) => result = Some(t.valueMap(as.map(str): _*))
         case ("elementMap", as) => result = Some(t.elementMap(as.map(str): _*))
         case ("id", Nil) => result = Some(t.id())
-        case ("path", Nil) => result = Some(t.path())
+        case ("path", Nil) =>
+          // path().by(prop): render elements by a property (id fallback)
+          if (i + 1 < n && steps(i + 1).name == "by" &&
+              steps(i + 1).args.length == 1) {
+            result = Some(t.pathBy(str(steps(i + 1).args.head)))
+            i += 1
+          } else result = Some(t.path())
         case ("count", Nil) => result = Some(t.count())
         case ("groupCount", List(k)) => result = Some(t.groupCount(str(k)))
         // modulator form: groupCount().by(key)

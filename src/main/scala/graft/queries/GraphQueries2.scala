@@ -1939,6 +1939,18 @@ object GraphQueries2 {
       graft.api.GremlinLite.eval(g1, "g.E('placed').count()")
     },
 
+    q("q_gremlin_path_by",
+      // path().by(prop) rendering (TinkerPop path modulator): every
+      // supplier's 1-hop path to its nation, rendered by name — one row
+      // per traverser, explode+join+regroup (the ~path rider keeps ids
+      // for simplePath identity)
+      """SELECT s_name || '->' || n_name AS path
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey""".stripMargin) {
+      (s, d) =>
+        graft.api.GremlinLite.eval(g(s, d),
+          "g.withPath().hasLabel('supplier').out('in_nation').path().by('name')")
+    },
+
     q("q_gremlin_loops",
       // loops() exit counter (TinkerPop loop-counter step): pure
       // until(loops().is(2)) — every traverser exits after round 2, so

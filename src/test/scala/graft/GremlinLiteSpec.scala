@@ -638,6 +638,26 @@ class GremlinLiteSpec extends SparkSpec {
       "g.V().property('age', 1).hasLabel('person')"))
   }
 
+  test("path().by(prop): property rendering with id fallback, DSL twin") {
+    import graft.api.Graft
+    val p = run("g.withPath('person:marko').out('created').path().by('name')")
+      .collect().map(_.getString(0)).toSet
+    assert(p === Set("marko->lop"))
+    // multiplicity preserved: one row per traverser, not per distinct path
+    val p2 = run("g.withPath('person:josh').out('created').path().by('name')")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(p2 === Seq("josh->lop", "josh->ripple"))
+    // absent property degrades to the id (software has no age)
+    val p3 = run("g.withPath('person:marko').out('created').path().by('age')")
+      .head().getString(0)
+    assert(p3 === "29->software:lop")
+    // DSL twin
+    assert(Graft.g(g).withPath("person:marko").out("created").pathBy("name")
+      .head().getString(0) === "marko->lop")
+    intercept[Exception](run(
+      "g.withPath('person:marko').out('created').path().by('nope')"))
+  }
+
   test("repeat().until() cap hit warns with the dropped-frontier count") {
     import graft.api.Graft
     import graft.core.Cond
