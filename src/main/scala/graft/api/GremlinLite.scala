@@ -40,7 +40,11 @@ import graft.core.{Cond, PropertyGraph}
   * where(eq('a'))/where(neq('a')) (current element vs binding) and
   * where('a', eq('b'))/where('a', neq('b')) (binding vs binding),
   * values(k), valueMap(k…), elementMap(k…) (id+label+props; no keys =
-  * every property column), id(), path() [+ .by(prop) property rendering,
+  * every property column), properties(k…) (flattened (id, key, value)
+  * rows, absent props dropped), constant(v), inject(ids…),
+  * is('id') on the vertex stream and is(P)/unfold()/count() as
+  * RESULT-frame modulators (values(k).is(gt(x)).count(),
+  * fold().unfold()), id(), path() [+ .by(prop) property rendering,
   * id fallback on absent props] via
   * pathed(), count, groupCount(k), group(k,v), fold, sum/max/min/mean(k),
   * mid-traversal STEP LABELING — as('a') binds the current vertex,
@@ -365,9 +369,11 @@ object GremlinLite {
       // returning UNsampled data. Only the result-frame modulators may
       // follow.
       if (result.isDefined)
-        require(Set("by", "order", "limit", "range").contains(name),
+        require(Set("by", "order", "limit", "range", "is", "unfold",
+          "count").contains(name),
           s"step $name() after a terminal step would be silently ignored " +
-            "— only order/by/limit/range may follow a terminal")
+            "— only order/by/limit/range/is/unfold/count may follow a " +
+            "terminal")
       (name, args) match {
         // ---- match() and its result steps (the MatchStep planner path) ----
         case ("match", pats) =>
@@ -403,6 +409,27 @@ object GremlinLite {
           result = Some(mr.df.select(
             picked.zip(vs).map { case (cn, v) => col(cn).as(v) }: _*))
         // ---- post-terminal modulators on a produced result frame ----
+        // is(P) on a produced VALUE frame — `values(k).is(gt(x))`,
+        // `count().is(n)` (TinkerPop IsTest family): filter the
+        // single-column result by the predicate
+        case ("is", List(p)) if result.isDefined =>
+          val r = result.get
+          require(r.columns.length == 1,
+            "is() applies to a single-column value result")
+          result = Some(r.filter(pred(r.columns.head, p).compile))
+        // unfold() a fold()/group()-produced list column back to rows
+        case ("unfold", Nil) if result.isDefined =>
+          import org.apache.spark.sql.functions.{col, explode}
+          val r = result.get
+          require(r.columns.length == 1 &&
+            r.schema.head.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+            "unfold() needs a single array-column result (fold()/cap())")
+          val cn = r.columns.head
+          result = Some(r.select(explode(col(cn)).as(cn)))
+        // count() over a produced frame — the values(k).is(p).count() tail
+        case ("count", Nil) if result.isDefined =>
+          import org.apache.spark.sql.functions.{count => cnt, lit}
+          result = Some(result.get.agg(cnt(lit(1)).as("n")))
         case ("order", Nil) if result.isDefined =>
           import org.apache.spark.sql.functions.col
           val sorts = scala.collection.mutable.ListBuffer[org.apache.spark.sql.Column]()
@@ -589,6 +616,11 @@ object GremlinLite {
         case ("otherV", Nil) => t = t.otherV()
         case ("bothV", Nil) => t = t.bothV()
         case ("hasId", as) if as.nonEmpty => t = t.hasId(as.map(str): _*)
+        // inject(ids…): add literal vertex elements to the stream
+        case ("inject", as) if as.nonEmpty => t = t.inject(as.map(str): _*)
+        // is('id') on a vertex stream: identity equality (the P forms live
+        // on produced value frames — values(k).is(p), below)
+        case ("is", List(SArg(v))) => t = t.is(v)
         case ("dedup", Nil) => t = t.dedup()
         case ("simplePath", Nil) => t = t.simplePath()
         case ("cyclicPath", Nil) => t = t.cyclicPath()
@@ -679,6 +711,22 @@ object GremlinLite {
         case ("values", List(k)) => result = Some(t.values(str(k)))
         case ("valueMap", as) => result = Some(t.valueMap(as.map(str): _*))
         case ("elementMap", as) => result = Some(t.elementMap(as.map(str): _*))
+        case ("constant", List(v)) => result = Some(t.constant(str(v)))
+        // properties(k…): one row per PRESENT property — (id, key, value),
+        // values stringified (TinkerPop property objects are (key, value)
+        // pairs; a columnar engine emits the flattened rows)
+        case ("properties", ks) if ks.nonEmpty =>
+          import org.apache.spark.sql.functions._
+          val cols = ks.map(str)
+          cols.foreach(k => require(t.toDF.columns.contains(k),
+            s"unknown property '$k' (the columnar schema is closed)"))
+          val pairs = cols.map(k =>
+            struct(lit(k).as("key"), col(k).cast("string").as("value")))
+          result = Some(t.toDF
+            .select(col("id"), explode(array(pairs: _*)).as("kv"))
+            .select(col("id"), col("kv.key").as("key"),
+              col("kv.value").as("value"))
+            .filter(col("value").isNotNull))
         case ("id", Nil) => result = Some(t.id())
         case ("path", Nil) =>
           // path().by(prop): render elements by a property (id fallback)

@@ -1951,6 +1951,35 @@ object GraphQueries2 {
           "g.withPath().hasLabel('supplier').out('in_nation').path().by('name')")
     },
 
+    q("q_gremlin_is_count",
+      // is(P) on a produced value frame + count() tail (TinkerPop IsTest):
+      // values(k).is(gt(x)).count()
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE c_acctbal > 9000""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V().hasLabel('customer').values('acctbal').is(gt(9000)).count()")
+    },
+
+    q("q_gremlin_properties",
+      // properties(k…): flattened (id, key, value) rows, absent props
+      // dropped — the property-object surface of PropertiesTest
+      """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS id,
+        |       'name' AS key, n_name AS value FROM nation""".stripMargin) {
+      (s, d) =>
+        graft.api.GremlinLite.eval(g(s, d),
+          "g.V().hasLabel('nation').properties('name')")
+    },
+
+    q("q_gremlin_inject",
+      // inject(ids…): literal elements join the stream before the hop
+      """SELECT n_name AS name, CAST(count(*) AS BIGINT) AS n
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_custkey IN (1, 2) GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.V('customer:1').inject('customer:2').out('in_nation')" +
+          ".groupCount('name')")
+    },
+
     q("q_gremlin_loops",
       // loops() exit counter (TinkerPop loop-counter step): pure
       // until(loops().is(2)) — every traverser exits after round 2, so

@@ -658,6 +658,32 @@ class GremlinLiteSpec extends SparkSpec {
       "g.withPath('person:marko').out('created').path().by('nope')"))
   }
 
+  test("inject/constant/is/unfold/properties script steps") {
+    // inject adds literal vertex elements to the stream
+    assert(ids(run("g.V('person:marko').inject('person:peter').id()")) ===
+      Set("person:marko", "person:peter"))
+    // constant maps every traverser to a constant
+    assert(run("g.V().hasLabel('software').constant('x')")
+      .collect().map(_.getString(0)).toSeq === Seq("x", "x"))
+    // is(P) filters a produced value frame; count() tails it
+    assert(run("g.V().hasLabel('person').values('age').is(gt(30)).count()")
+      .head().getLong(0) === 2L)
+    assert(run("g.V().hasLabel('person').values('age').is(29)")
+      .head().getInt(0) === 29)
+    // is('id') on the vertex stream is identity equality
+    assert(ids(run("g.V().hasLabel('person').is('person:josh').id()")) ===
+      Set("person:josh"))
+    // fold().unfold() round-trips
+    assert(run("g.V().hasLabel('software').fold().unfold()").count() === 2L)
+    // properties(k…) emits the PRESENT (id, key, value) rows
+    val pr = run("g.V('person:marko').properties('name', 'age')")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(pr === Set(("name", "marko"), ("age", "29")))
+    // absent property rows are dropped, unknown keys loud
+    assert(run("g.V().hasLabel('software').properties('age')").count() === 0L)
+    intercept[Exception](run("g.V('person:marko').properties('nope')"))
+  }
+
   test("repeat().until() cap hit warns with the dropped-frontier count") {
     import graft.api.Graft
     import graft.core.Cond
