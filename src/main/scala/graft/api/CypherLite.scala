@@ -1047,6 +1047,9 @@ object CypherLite {
   private val plainRetRe = """^(\w+)(?:\.(\w+))?(?:\s+(?i:AS)\s+(\w+))?$""".r
 
   private def parseRet(item: String): Ret = item.trim match {
+    // `RETURN *` — sentinel, expanded to the declared node variables at
+    // eval time (see evalOne)
+    case "*" => Ret("*", "", "*")
     case aggRetRe(agg0, dist0, star, v, prop, alias) =>
       val agg = agg0.toLowerCase
       val dist = dist0 != null
@@ -2041,7 +2044,27 @@ object CypherLite {
   }
 
   private def evalOne(g: PropertyGraph, cypher: String): DataFrame = {
-    val q = parse(cypher)
+    val q0 = parse(cypher)
+
+    // `RETURN *` — expand the sentinel to every declared NODE variable in
+    // declaration order (openCypher returns all named bindings; rel/path
+    // variables have no scalar binding here and are omitted — project
+    // them explicitly). Pre-WITH queries only: after a WITH the bindings
+    // are the stage's own items, so just list them.
+    val q = if (q0.rets.exists(r => r.v == "*" && r.agg.isEmpty)) {
+      require(q0.stages.isEmpty,
+        "RETURN * is supported without WITH stages — after a WITH, the " +
+          "carried items ARE the bindings: list them explicitly")
+      val vars = (q0.unwind.map(_._2).toList ++
+        q0.matches.flatMap(_.nodes.map(_.v))).distinct
+      require(vars.nonEmpty, "RETURN * with no bound variables")
+      q0.copy(rets = q0.rets.flatMap { r =>
+        if (r.v == "*" && r.agg.isEmpty) vars.map(v => Ret(v, "", v))
+        else List(r)
+      })
+    } else q0
+    q.stages.flatMap(_.withStage.items).find(_.v == "*").foreach(_ =>
+      sys.error("WITH * is unsupported — list the carried items explicitly"))
 
     // relationship variables: unique (across EVERY pattern block), disjoint
     // from node variables

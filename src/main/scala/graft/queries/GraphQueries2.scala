@@ -2131,6 +2131,18 @@ object GraphQueries2 {
             "RETURN c AS id")
     },
 
+    q("q_cypher_return_star",
+      // RETURN * — expands to the declared node variables in declaration
+      // order (rel/path variables have no scalar binding and are omitted)
+      """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS c,
+        |       'order:' || CAST(o_orderkey AS VARCHAR) AS o
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9900""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o:order) WHERE c.acctbal > 9900 " +
+          "RETURN *")
+    },
+
     q("q_cypher_in_list",
       // literal-list membership: `ref IN [...]` → scan-pushable isin(),
       // NOT IN via NOT; grouped to keep the row set small

@@ -1305,6 +1305,24 @@ class CypherLiteSpec extends SparkSpec {
       Set("josh", "peter"))
   }
 
+  test("RETURN * expands to the declared node variables") {
+    val df = run("MATCH (a:person)-[:created]->(s:software) " +
+      "WHERE s.name = 'ripple' RETURN *")
+    assert(df.columns.toSeq === Seq("a", "s"))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("person:josh", "software:ripple")))
+    // mixes with explicit items; leading UNWIND alias joins the expansion
+    val df2 = run("MATCH (a:person)-[:knows]->(b) RETURN *, a.age AS age")
+    assert(df2.columns.toSeq === Seq("a", "b", "age"))
+    // rel variables are omitted (no scalar binding) — project explicitly
+    assert(run("MATCH (a:person)-[r:knows]->(b) RETURN *").columns.toSeq ===
+      Seq("a", "b"))
+    // WITH * is loud; RETURN * after a WITH is loud
+    intercept[Exception](run("MATCH (a:person) WITH * RETURN a"))
+    intercept[Exception](run(
+      "MATCH (a:person) WITH a AS x RETURN *"))
+  }
+
   test("string-producing functions concatenate under +") {
     assert(run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
       "left(p.name, 3) + p.age AS x").head().getString(0) === "mar29")
