@@ -844,7 +844,15 @@ object CypherLite {
       case FunV("log", List(a)) => log(compileVal(a, colOf))
       case FunV("log10", List(a)) => log10(compileVal(a, colOf))
       // openCypher size() on a string → its length, as a long
-      case FunV("size", List(a)) => length(compileVal(a, colOf)).cast("long")
+      // openCypher size(): list length for LIST-producing expressions
+      // (split()/nodes()/relationships()/labels()), string length otherwise
+      case FunV("size", List(a)) =>
+        val arrayProducing = a match {
+          case FunV("split" | "nodes" | "relationships" | "labels", _) => true
+          case _ => false
+        }
+        if (arrayProducing) size(compileVal(a, colOf)).cast("long")
+        else length(compileVal(a, colOf)).cast("long")
       // length(p)/nodes(p) on a path variable: the hop count / vertex
       // array ride the frontier as `<p>___len` / `<p>___nodes` (never
       // attachable from the vertex table); argument validation against the

@@ -1184,6 +1184,11 @@ class CypherLiteSpec extends SparkSpec {
     // replace is LITERAL, never a regex — '.' matches only a dot
     assert(run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
       "replace(p.name, '.', 'X') AS x").head().getString(0) === "marko")
+    // size() is LIST length on list-producing expressions, string
+    // length otherwise
+    val sz = run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
+      "size(split(p.name, 'a')) AS ns, size(p.name) AS nc").head()
+    assert(sz.getLong(0) === 2L && sz.getLong(1) === 5L)
     // right(s, n) with n beyond the length returns the whole string
     assert(run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
       "right(p.name, 99) AS x").head().getString(0) === "marko")
