@@ -346,6 +346,8 @@ object CypherLite {
       ("""^(\w+)(?:\.(\w+))?\s*(=|<>|>=|<=|>|<)\s*""" +
         """(?:('[^']*')|([-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)|(\w+)(?:\.(\w+))?)""").r
     val inRe = """^(\w+)(?:\.(\w+))?\s+(?i)IN\s+\[([^\]]*)\]""".r
+    // `ref =~ 'pattern'` — openCypher regex operator (WHOLE-string match)
+    val regexRe = """^(\w+)(?:\.(\w+))?\s*=~\s*'([^']*)'""".r
     val out = List.newBuilder[Tok]
     var rest = body.trim
     def lhs(v: String, p: String): (String, String) =
@@ -426,7 +428,7 @@ object CypherLite {
         // grouping paren has no top-level comparator in its segment and
         // falls through to LP)
         val seg = boundarySegment(rest)
-        val simpleFull = List(nullRe, strRe, cmpRe, inRe)
+        val simpleFull = List(nullRe, strRe, cmpRe, inRe, regexRe)
           .flatMap(_.findFirstMatchIn(seg)).exists(_.end >= seg.trim.length)
         val exprCmp = if (simpleFull) None else topCmp(seg)
         exprCmp match {
@@ -437,6 +439,14 @@ object CypherLite {
           case None =>
       if (rest.startsWith("(")) { out += LP; rest = rest.substring(1).trim }
       else if (rest.startsWith(")")) { out += RP; rest = rest.substring(1).trim }
+      else if (regexRe.findFirstMatchIn(rest).isDefined) {
+        // ref =~ 'pattern': openCypher regex — matches the WHOLE string
+        // (java.util.regex matches(), not find())
+        val m = regexRe.findFirstMatchIn(rest).get
+        val (v, p) = lhs(m.group(1), m.group(2))
+        out += CmpT(Cmp(v, p, "regex", m.group(3)))
+        rest = rest.substring(m.end).trim
+      }
       else if (inRe.findFirstMatchIn(rest).isDefined) {
         // `ref IN ['a', 2, …]` — openCypher list membership over literal
         // lists, the scan-pushable isin() shape (NOT IN composes via NOT)
@@ -538,6 +548,10 @@ object CypherLite {
         case Nil => lit(false) // openCypher: `x IN []` is always false
         case vs => c.isin(vs: _*)
       }
+      // openCypher =~ matches the WHOLE string (Java matches()); rlike is
+      // find() — anchor the pattern (the non-capturing wrap keeps user
+      // alternations and anchors correct)
+      case "regex" => c.rlike("^(?:" + value.asInstanceOf[String] + ")$")
       case "startswith" => c.startsWith(value.asInstanceOf[String])
       case "endswith" => c.endsWith(value.asInstanceOf[String])
       case "contains" => c.contains(value.asInstanceOf[String])
@@ -627,7 +641,7 @@ object CypherLite {
       ("""^(?i)(toUpper|toLower|abs|round|coalesce|size|length|nodes""" +
         """|relationships|type|labels|toInteger|toFloat|toString""" +
         """|substring|left|right|trim|ltrim|rtrim|replace|reverse|split""" +
-        """|sqrt|floor|ceil|sign|exp|log|log10|id)\s*\(""").r
+        """|sqrt|floor|ceil|sign|exp|log|log10|id|head|last)\s*\(""").r
     val refRe = """^(\w+)(?:\.(\w+))?""".r
     def addE(): ValExpr = {
       var l = mulE()
@@ -894,6 +908,15 @@ object CypherLite {
       // (spliced strings, not synthetic longs), so id(n) = the bare column
       case FunV("id", List(RefV(v, ""))) => colOf(v, "")
       case FunV("id", _) => sys.error("id() takes a bound variable")
+      // head()/last() over a LIST expression (split()/nodes()/…) — null
+      // on empty lists (openCypher; the size guard keeps ANSI mode from
+      // throwing on the out-of-bounds index)
+      case FunV("head", List(a)) =>
+        val arr = compileVal(a, colOf)
+        when(size(arr) > 0, element_at(arr, 1))
+      case FunV("last", List(a)) =>
+        val arr = compileVal(a, colOf)
+        when(size(arr) > 0, element_at(arr, size(arr)))
       case FunV(f, as) => sys.error(s"unsupported function: $f/${as.length} args")
       case AggV("count", None) => count(lit(1))
       case AggV("count", Some(a)) => count(compileVal(a, colOf))

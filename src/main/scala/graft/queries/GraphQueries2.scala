@@ -2143,6 +2143,17 @@ object GraphQueries2 {
           "RETURN *")
     },
 
+    q("q_cypher_regex",
+      // `=~` regex operator — openCypher WHOLE-string semantics (DuckDB's
+      // regexp_full_match twin); rlike is find(), so the compile anchors
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE regexp_full_match(c_name, 'Customer#0+1[0-9]{2}')""".stripMargin) {
+      (s, d) =>
+        graft.api.CypherLite.eval(g(s, d),
+          "MATCH (c:customer) WHERE c.name =~ 'Customer#0+1[0-9]{2}' " +
+            "RETURN count(*) AS n")
+    },
+
     q("q_cypher_in_list",
       // literal-list membership: `ref IN [...]` → scan-pushable isin(),
       // NOT IN via NOT; grouped to keep the row set small

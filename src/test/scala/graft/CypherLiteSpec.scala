@@ -1328,6 +1328,21 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:person) WITH a AS x RETURN *"))
   }
 
+  test("=~ regex operator (whole-string) and head()/last() list functions") {
+    // =~ matches the WHOLE string (openCypher / java matches())
+    assert(run("MATCH (p:person) WHERE p.name =~ 'm.*o' RETURN p.name AS n")
+      .collect().map(_.getString(0)).toSet === Set("marko"))
+    assert(run("MATCH (p:person) WHERE p.name =~ 'ark' RETURN count(*) AS n")
+      .head().getLong(0) === 0L) // substring find() would match marko
+    // alternation + NOT
+    assert(run("MATCH (p:person) WHERE NOT p.name =~ 'marko|vadas' " +
+      "RETURN count(*) AS n").head().getLong(0) === 2L)
+    // head()/last() over split lists
+    val hl = run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
+      "head(split(p.name, 'r')) AS h, last(split(p.name, 'r')) AS l").head()
+    assert(hl.getString(0) === "ma" && hl.getString(1) === "ko")
+  }
+
   test("string-producing functions concatenate under +") {
     assert(run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
       "left(p.name, 3) + p.age AS x").head().getString(0) === "mar29")
