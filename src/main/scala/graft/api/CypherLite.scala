@@ -32,7 +32,9 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * variable/alias and rhs a literal OR another property reference
   * (`a.age > b.age`), plus `IS [NOT] NULL`, literal-list membership
   * `ref IN ['a', 2, …]` (scan-pushable isin(); `IN []` is always false;
-  * NOT IN composes via NOT), and the string operators
+  * NOT IN composes via NOT), the regex operator `ref =~ 'pattern'`
+  * (openCypher WHOLE-string matches() — the compile anchors, rlike alone
+  * is find()), and the string operators
   * `STARTS WITH` / `ENDS WITH` / `CONTAINS` — all with SQL three-valued
   * null semantics (openCypher's: a null comparison never matches).
   * RETURN/WITH items are `var.prop` projections, BARE variables
