@@ -709,6 +709,10 @@ object GremlinLite {
         case ("tree", Nil) => result = Some(t.tree())
         // terminal steps
         case ("values", List(k)) => result = Some(t.values(str(k)))
+        // valueMap(true, k…) — the with-tokens form (id + label join the
+        // map): TinkerPop's pre-elementMap spelling, same projection
+        case ("valueMap", PArg("true", Nil) :: as) =>
+          result = Some(t.elementMap(as.map(str): _*))
         case ("valueMap", as) => result = Some(t.valueMap(as.map(str): _*))
         case ("elementMap", as) => result = Some(t.elementMap(as.map(str): _*))
         case ("constant", List(v)) => result = Some(t.constant(str(v)))

@@ -604,6 +604,9 @@ class GremlinLiteSpec extends SparkSpec {
     val r = run("g.V('person:marko').elementMap('name', 'age')").head()
     assert(r.getString(0) === "person:marko" && r.getString(1) === "person" &&
       r.getString(2) === "marko" && r.getInt(3) === 29)
+    // valueMap(true, k…) is the with-tokens spelling of the same projection
+    val vm = run("g.V('person:marko').valueMap(true, 'name', 'age')").head()
+    assert(vm.getString(0) === "person:marko" && vm.getString(1) === "person")
     // no-arg form projects every property column, riders excluded
     val cols = run("g.V().hasLabel('person').elementMap()").columns.toSeq
     assert(cols.take(2) === Seq("id", "label"))
