@@ -74,6 +74,38 @@ object GremlinLite {
 
   // ------------------------------------------------------------------ lexer
   private[api] final case class Step(name: String, args: List[Arg])
+
+  /** Per-step row counts from the LAST `profile()`d traversal whose action
+    * ran on this JVM (TinkerPop profile() metrics, batch rendering —
+    * reference ProcessBasicSuite.java:156). Key = "NNN_stepName" in step
+    * order (the head V()/E() is the steps' input, not a key). Counts ride
+    * CollectMetrics accumulators on each step's output frame — zero extra
+    * jobs, no plan barrier, profiled results byte-identical to unprofiled
+    * (asserted by GremlinLiteSpec). Dev/diagnostic surface: one profiled
+    * traversal at a time (concurrent profiled actions interleave). */
+  val lastProfile = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private val profInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+  private def installProfileListener(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val key = Integer.valueOf(System.identityHashCode(spark))
+    if (profInstalled.add(key))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_gprof_"))
+                lastProfile.put(name.stripPrefix("graft_gprof_"),
+                  row.getAs[Long]("rows"))
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+  }
   private[api] sealed trait Arg
   private[api] final case class SArg(v: String) extends Arg
   private[api] final case class NArg(v: Double) extends Arg
@@ -347,11 +379,25 @@ object GremlinLite {
     // emitted by cap('k')) — a snapshot is a lazy single-column frame, so
     // nothing materializes unless cap() is reached
     val sideEffects = scala.collection.mutable.Map[String, DataFrame]()
+    // subgraph('k') edge collections — cap('k') emits the edge list
+    val subgraphs = scala.collection.mutable.Map[String, DataFrame]()
+    // terminal profile() (ProcessBasicSuite.java:156): every step's output
+    // frame gets a CollectMetrics observation (accumulator-based — ZERO
+    // extra jobs, no plan barrier, results byte-identical); the registered
+    // listener fills [[lastProfile]] when the caller's action runs
+    val profiling = steps.length > 1 && steps.last.name == "profile"
+    if (profiling) {
+      lastProfile.clear()
+      installProfileListener(g.vertices.sparkSession)
+    }
     var emitFirst = false
     var i = 1
     val n = steps.length
     while (i < n) {
       val Step(name, args) = steps(i)
+      // profile(): reference-compare snapshots so only frames this step
+      // actually changed get an observation
+      val tPrev = t; val resultPrev = result
       // Once match() has produced bindings, the ONLY legal continuations are
       // select(...).by(...) and then order/limit/range on the result frame —
       // any other recognized step would silently operate on the PRE-match
@@ -370,10 +416,10 @@ object GremlinLite {
       // follow.
       if (result.isDefined)
         require(Set("by", "order", "limit", "range", "is", "unfold",
-          "count").contains(name),
+          "count", "profile").contains(name),
           s"step $name() after a terminal step would be silently ignored " +
-            "— only order/by/limit/range/is/unfold/count may follow a " +
-            "terminal")
+            "— only order/by/limit/range/is/unfold/count/profile may " +
+            "follow a terminal")
       (name, args) match {
         // ---- match() and its result steps (the MatchStep planner path) ----
         case ("match", pats) =>
@@ -426,10 +472,20 @@ object GremlinLite {
             "unfold() needs a single array-column result (fold()/cap())")
           val cn = r.columns.head
           result = Some(r.select(explode(col(cn)).as(cn)))
-        // count() over a produced frame — the values(k).is(p).count() tail
+        // count() over a produced frame — the values(k).is(p).count() tail.
+        // SINGLE-COLUMN value frames only (r14 ADVICE #4): counting a
+        // multi-column result (e.g. groupCount(k).count()) would count one
+        // row per key where TinkerPop counts the ONE emitted map — a
+        // silent divergence, so it is rejected loudly instead.
         case ("count", Nil) if result.isDefined =>
           import org.apache.spark.sql.functions.{count => cnt, lit}
-          result = Some(result.get.agg(cnt(lit(1)).as("n")))
+          val r = result.get
+          require(r.columns.length == 1,
+            "post-terminal count() applies to a single-column VALUE " +
+              "result — counting a multi-column frame (groupCount(k)" +
+              ".count() et al.) diverges from TinkerPop's count-the-one-" +
+              "map semantics; drop the trailing count()")
+          result = Some(r.agg(cnt(lit(1)).as("n")))
         case ("order", Nil) if result.isDefined =>
           import org.apache.spark.sql.functions.col
           val sorts = scala.collection.mutable.ListBuffer[org.apache.spark.sql.Column]()
@@ -701,11 +757,27 @@ object GremlinLite {
           import org.apache.spark.sql.functions.col
           sideEffects(k) = by.fold(t.id().select(col("id").as("v")))(p =>
             t.toDF.select(col(p).as("v")))
+        case ("subgraph", List(SArg(k))) =>
+          // TinkerPop subgraph('k') side effect (ProcessBasicSuite
+          // .java:177): collect the TRAVERSED edges into the named
+          // edge-induced graph; cap('k') emits its edge list (src, label,
+          // dst — the hash-comparable rendering; the graph-shaped view is
+          // PropertyGraph.subgraph, SubgraphStrategy's filter semantics).
+          // The traversal itself continues unchanged (side effect only).
+          require(!t.isVertex,
+            "subgraph('k') must follow an EDGE step (E()/outE()/inE())")
+          import org.apache.spark.sql.functions.col
+          subgraphs(k) =
+            t.toDF.select(col("src"), col("label"), col("dst")).distinct()
         case ("cap", List(SArg(k))) =>
           import org.apache.spark.sql.functions.{col, collect_list, sort_array}
-          val s = sideEffects.getOrElse(k, sys.error(
-            s"cap('$k') has no upstream aggregate('$k')/store('$k')"))
-          result = Some(s.agg(sort_array(collect_list(col("v"))).as(k)))
+          if (subgraphs.contains(k)) result = Some(subgraphs(k))
+          else {
+            val s = sideEffects.getOrElse(k, sys.error(
+              s"cap('$k') has no upstream aggregate('$k')/store('$k')/" +
+                s"subgraph('$k')"))
+            result = Some(s.agg(sort_array(collect_list(col("v"))).as(k)))
+          }
         case ("tree", Nil) => result = Some(t.tree())
         // terminal steps
         case ("values", List(k)) => result = Some(t.values(str(k)))
@@ -777,7 +849,19 @@ object GremlinLite {
         case ("max", List(k)) => result = Some(t.max(str(k)))
         case ("min", List(k)) => result = Some(t.min(str(k)))
         case ("mean", List(k)) => result = Some(t.mean(str(k)))
+        // terminal profile(): validated position; the observation tagging
+        // below + the registered listener do the work
+        case ("profile", Nil) =>
+          require(i == n - 1, "profile() must be the LAST step")
         case other => sys.error(s"unsupported step: $other")
+      }
+      if (profiling && name != "profile") {
+        import org.apache.spark.sql.functions.{count => cnt, lit}
+        val lbl = f"graft_gprof_$i%03d_$name"
+        if (!(result eq resultPrev) && result.isDefined)
+          result = result.map(_.observe(lbl, cnt(lit(1)).as("rows")))
+        else if (!(t eq tPrev))
+          t = t.copy(df = t.toDF.observe(lbl, cnt(lit(1)).as("rows")))
       }
       i += 1
     }

@@ -2184,5 +2184,132 @@ object GraphQueries2 {
           "round(exp(c.acctbal / 10000), 6) AS ex, " +
           "round(log10(abs(c.acctbal) + 1), 6) AS lg, " +
           "round(c.acctbal, 1) AS r1")
+    },
+
+    q("q_cypher_listcomp",
+      // list comprehension `[x IN xs WHERE p | e]` over a collect()ed
+      // alias → Spark higher-order filter/transform (codegen'd lambdas,
+      // no UDF, no explode-regroup shuffle); head() of the filtered
+      // SORTED collect = the filtered min (r14 verdict ask #1)
+      """SELECT c.c_name AS cust,
+        |  CAST(count(*) FILTER (WHERE o.o_totalprice > 150000) AS BIGINT)
+        |    AS n_big,
+        |  min(o.o_totalprice) FILTER (WHERE o.o_totalprice > 150000)
+        |    AS min_big
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o:order) " +
+          "WITH c.name AS cust, collect(o.totalprice) AS ps " +
+          "RETURN cust, size([p IN ps WHERE p > 150000]) AS n_big, " +
+          "head([p IN ps WHERE p > 150000 | p + 0]) AS min_big")
+    },
+
+    q("q_cypher_reduce",
+      // reduce() left fold → Spark higher-order aggregate; the CASE-max
+      // fold is fp-exact (no accumulation), the counter fold is integral
+      // (r14 verdict ask #1)
+      """SELECT c.c_name AS cust, max(o.o_totalprice) AS max_p,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o:order) " +
+          "WITH c.name AS cust, collect(o.totalprice) AS ps " +
+          "RETURN cust, " +
+          "reduce(m = 0.0, p IN ps | CASE WHEN p > m THEN p ELSE m END) " +
+          "AS max_p, reduce(c = 0, p IN ps | c + 1) AS n_orders")
+    },
+
+    q("q_cypher_range",
+      // range(start, end[, step]) → guarded sequence(): INCLUSIVE end,
+      // EMPTY when unreachable (nationkey 0 → range(1, 0) → []); the
+      // triangular-number fold checks the data-dependent end bound
+      """SELECT n_name AS nm,
+        |  CAST(n_nationkey * (n_nationkey + 1) / 2 AS BIGINT) AS tri,
+        |  CAST(7 AS BIGINT) AS n7
+        |FROM nation""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (n:nation) RETURN n.name AS nm, " +
+          "reduce(s = 0, x IN range(1, toInteger(last(split(id(n), ':')))) " +
+          "| s + x) AS tri, size(range(0, 20, 3)) AS n7")
+    },
+
+    q("q_gremlin_subgraph",
+      // subgraph('k') script step (reference ProcessBasicSuite.java:177):
+      // the edge-filtered traversal's edges collect into the named graph;
+      // cap emits the induced edge list — filter pushed to the edge scan
+      """SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR) AS src,
+        |       'contains' AS label,
+        |       'part:' || CAST(l_partkey AS VARCHAR) AS dst
+        |FROM lineitem WHERE l_quantity > 45""".stripMargin) { (s, d) =>
+      graft.api.GremlinLite.eval(g(s, d),
+        "g.E('contains').has('quantity', gt(45)).subgraph('sg').cap('sg')")
+    },
+
+    q("q_cypher_merge_oncreate",
+      // node-form MERGE with ON CREATE SET / ON MATCH SET (r14 verdict
+      // ask #3): merged twice — the first creates (ON CREATE path), the
+      // second matches (ON MATCH path); the read-back proves both setter
+      // paths landed
+      """SELECT name, seg FROM (VALUES ('OC_A', 'OC_MATCHED')) t(name, seg)""") {
+      (s, d) =>
+      val g1 = graft.api.CypherLite.evalWrite(g(s, d),
+        "MERGE (v:customer {id: 'customer:920001', name: 'OC_A'}) " +
+          "ON CREATE SET v.mktsegment = 'OC_CREATED' " +
+          "ON MATCH SET v.mktsegment = 'OC_WRONG'")
+      val g2 = graft.api.CypherLite.evalWrite(g1,
+        "MERGE (v:customer {id: 'customer:920001', name: 'OC_A'}) " +
+          "ON CREATE SET v.mktsegment = 'OC_WRONG' " +
+          "ON MATCH SET v.mktsegment = 'OC_MATCHED'")
+      graft.api.CypherLite.eval(g2,
+        "MATCH (c:customer) WHERE c.name = 'OC_A' " +
+          "RETURN c.name AS name, c.mktsegment AS seg")
+    },
+
+    q("q_cypher_set_map",
+      // SET v += {map} — openCypher map-merge update lowered onto the
+      // multi-assignment column update (r14 verdict ask #4); oracle = the
+      // CASE twin of the update
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'DEBT2' ELSE c_mktsegment END
+        |         AS seg,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       min(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END) AS mn
+        |FROM customer GROUP BY 1""".stripMargin) { (s, d) =>
+      val g1 = graft.api.CypherLite.evalWrite(g(s, d),
+        "MATCH (c:customer) WHERE c.acctbal < 0 " +
+          "SET c += {mktsegment: 'DEBT2', acctbal: 0}")
+      graft.api.CypherLite.eval(g1,
+        "MATCH (c:customer) RETURN c.mktsegment AS seg, count(*) AS n, " +
+          "min(c.acctbal) AS mn")
+    },
+
+    q("q_cypher_foreach",
+      // FOREACH (x IN <collected alias> | SET …) — explode the alias back
+      // to rows + ONE batch column update (r14 verdict ask #4), never a
+      // per-element loop; oracle = the direct filter twin
+      """SELECT CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > 300000""".stripMargin) { (s, d) =>
+      val g1 = graft.api.CypherLite.evalWrite(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o:order) " +
+          "WHERE o.totalprice > 300000 WITH collect(c) AS heavy " +
+          "FOREACH (x IN heavy | SET x.mktsegment = 'WHALE')")
+      graft.api.CypherLite.eval(g1,
+        "MATCH (c:customer) WHERE c.mktsegment = 'WHALE' " +
+          "RETURN count(*) AS n")
+    },
+
+    q("q_cypher_in_alias",
+      // `'lit' IN alias` — membership in a collect()ed list via
+      // array_contains (r14 verdict ask #1: IN over a collected alias;
+      // the literal-list form stays the pushable isin)
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_f
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE o.o_orderstatus = 'F'""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o:order) " +
+          "WITH c, collect(o.orderstatus) AS sts WHERE 'F' IN sts " +
+          "RETURN count(*) AS n_f")
     })
 }

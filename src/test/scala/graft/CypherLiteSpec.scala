@@ -6,6 +6,7 @@ import graft.core.ModernGraph
 class CypherLiteSpec extends SparkSpec {
   lazy val g = ModernGraph.build(spark)
   def run(q: String) = CypherLite.eval(g, q)
+  def run2(g2: graft.core.PropertyGraph, q: String) = CypherLite.eval(g2, q)
 
   test("MATCH-WHERE-RETURN over knows") {
     val rows = run("MATCH (a:person)-[:knows]->(b:person) WHERE a.age > 25 RETURN a.name AS x, b.name AS y")
@@ -1346,5 +1347,145 @@ class CypherLiteSpec extends SparkSpec {
   test("string-producing functions concatenate under +") {
     assert(run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
       "left(p.name, 3) + p.age AS x").head().getString(0) === "mar29")
+  }
+
+  test("list comprehension filters and transforms a collected list") {
+    // marko knows vadas(27) and josh(32); collect is sorted → [27, 32]
+    val r = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WITH a.name AS who, collect(b.age) AS ages " +
+      "RETURN who, [x IN ages WHERE x > 27 | x * 2] AS big, " +
+      "size([x IN ages WHERE x > 27]) AS n").head()
+    assert(r.getString(0) === "marko")
+    assert(r.getSeq[Int](1).toList === List(64))
+    assert(r.getLong(2) === 1L)
+  }
+
+  test("filter-only and transform-only comprehension forms") {
+    val r = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WITH collect(b.age) AS ages " +
+      "RETURN [x IN ages WHERE x < 30] AS kept, [x IN ages | x + 1] AS bumped")
+      .head()
+    assert(r.getSeq[Int](0).toList === List(27))
+    assert(r.getSeq[Int](1).toList === List(28, 33))
+  }
+
+  test("reduce folds a collected list left-to-right") {
+    val r = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WITH a.name AS who, collect(b.age) AS ages " +
+      "RETURN who, reduce(s = 0, x IN ages | s + x) AS total").head()
+    assert(r.getString(0) === "marko" && r.getLong(1) === 59L)
+    // string fold: init fixes the accumulator type, + concatenates
+    val cat = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WITH collect(b.name) AS names " +
+      "RETURN reduce(s = '', x IN names | s + x) AS cat").head().getString(0)
+    assert(cat === "joshvadas") // sorted collect
+  }
+
+  test("range() is inclusive and empty when unreachable") {
+    val r = run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
+      "size(range(1, 10)) AS a, size(range(1, 10, 3)) AS b, " +
+      "size(range(5, 1)) AS c, reduce(s = 0, x IN range(1, 4) | s + x) AS d")
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((10L, 4L, 0L, 10L)))
+  }
+
+  test("nested comprehension over a range with outer-scope refs") {
+    // per person: count of range(1, age) values divisible by 10
+    val rows = run("MATCH (p:person) " +
+      "RETURN p.name AS who, size([x IN range(1, p.age) WHERE x % 10 = 0]) AS n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows === Set(("marko", 2L), ("vadas", 2L), ("josh", 3L), ("peter", 3L)))
+  }
+
+  test("literal IN collected alias filters a WITH stage") {
+    val rows = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WITH a, collect(b.name) AS known WHERE 'josh' IN known " +
+      "MATCH (a)-[:created]->(s:software) " +
+      "RETURN s.name AS sw").collect().map(_.getString(0)).toSet
+    assert(rows === Set("lop"))
+  }
+
+  test("ref IN collected alias joins per-row membership") {
+    val n = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WITH a, collect(b.age) AS ages MATCH (a)-[:knows]->(c:person) " +
+      "WHERE c.age IN ages RETURN count(*) AS n").head().getLong(0)
+    assert(n === 2L)
+  }
+
+  test("list literal projects and quote-aware IN list brackets") {
+    val r = run("MATCH (p:person) WHERE p.name IN ['a]b', 'marko'] " +
+      "RETURN size([1, 2, 3]) AS n, head([p.age, 0]) AS h").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 29L)
+  }
+
+  test("IN list keeps integral literals as longs (ANSI fail-loud on " +
+      "type mismatch, exact match on long columns)") {
+    // integral literals stay Long (r14 ADVICE #2): a long-typed column
+    // matches exactly; a STRING column vs integer members is a TYPE error
+    // under ANSI (loud), never a silent implicit-cast match
+    val n = run("MATCH (p:person) WHERE p.age IN [29, 35] " +
+      "RETURN count(*) AS n").head().getLong(0)
+    assert(n === 2L)
+    intercept[Exception](run("MATCH (p:person) WHERE p.city IN [1, 2] " +
+      "RETURN count(*) AS n").head())
+  }
+
+  test("node MERGE ON CREATE SET / ON MATCH SET") {
+    // first merge creates → ON CREATE SET applies
+    val g1 = CypherLite.evalWrite(g, "MERGE (v:person {name: 'newguy'}) " +
+      "ON CREATE SET v.age = 1, v.city = 'Oslo' ON MATCH SET v.age = 2")
+    val r1 = run2(g1, "MATCH (p:person) WHERE p.name = 'newguy' " +
+      "RETURN p.age AS a, p.city AS c").head()
+    assert(r1.getInt(0) === 1 && r1.getString(1) === "Oslo")
+    // second merge matches → ON MATCH SET applies
+    val g2 = CypherLite.evalWrite(g1, "MERGE (v:person {name: 'newguy'}) " +
+      "ON MATCH SET v.age = 2")
+    assert(run2(g2, "MATCH (p:person) WHERE p.name = 'newguy' " +
+      "RETURN p.age AS a").head().getInt(0) === 2)
+    // a key-matched row with conflicting pattern props stays loud
+    intercept[Exception](CypherLite.evalWrite(g2,
+      "MERGE (v:person {name: 'marko', age: 99}) ON MATCH SET v.age = 1"))
+  }
+
+  test("SET += map merges the given keys only") {
+    val g1 = CypherLite.evalWrite(g, "MATCH (p:person) WHERE p.age > 30 " +
+      "SET p += {city: 'BigCity', age: 40}")
+    val rows = run2(g1, "MATCH (p:person) RETURN p.name AS n, p.age AS a, " +
+      "p.city AS c").collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows.contains(("josh", 40, "BigCity")))
+    assert(rows.contains(("peter", 40, "BigCity")))
+    // untouched rows keep every property
+    assert(rows.exists(t => t._1 == "marko" && t._2 == 29))
+  }
+
+  test("FOREACH over a collected alias batch-updates the elements") {
+    val g1 = CypherLite.evalWrite(g,
+      "MATCH (a:person)-[:created]->(s:software) WITH collect(a) AS makers " +
+        "FOREACH (x IN makers | SET x.city = 'DevTown', x.age = x.age + 100)")
+    val rows = run2(g1, "MATCH (p:person) WHERE p.city = 'DevTown' " +
+      "RETURN p.name AS n, p.age AS a").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rows === Set(("marko", 129), ("josh", 132), ("peter", 135)))
+    // rejections: non-element target, missing WITH pipeline
+    intercept[Exception](CypherLite.evalWrite(g,
+      "MATCH (a:person)-[:created]->(s:software) WITH collect(a) AS ms " +
+        "FOREACH (x IN ms | SET a.city = 'X')"))
+  }
+
+  test("list expression rejections are loud") {
+    // property access on a lambda variable
+    intercept[Exception](run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WITH collect(b.name) AS xs RETURN [x IN xs WHERE x.foo = 1 | x] AS z"))
+    // reduce without the | body
+    intercept[Exception](run("MATCH (p:person) " +
+      "RETURN reduce(s = 0, x IN [1, 2]) AS z"))
+    // negative substring start
+    intercept[Exception](run("MATCH (p:person) " +
+      "RETURN substring(p.name, -1) AS z"))
+    // IN with a non-alias RHS expression
+    intercept[Exception](run("MATCH (p:person) " +
+      "WHERE p.age IN size(p.name) RETURN p.name AS x"))
   }
 }

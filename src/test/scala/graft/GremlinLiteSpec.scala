@@ -706,4 +706,45 @@ class GremlinLiteSpec extends SparkSpec {
     assert(msg.contains("still looping") && msg.contains("2 traverser"),
       s"expected a dropped-frontier warning, got: $msg")
   }
+
+  test("subgraph('k') collects traversed edges, cap emits the edge list") {
+    val rows = run("g.E('knows').subgraph('sg').cap('sg')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(rows === Set(
+      ("person:marko", "knows", "person:vadas"),
+      ("person:marko", "knows", "person:josh")))
+    // the traversal continues past the side effect
+    val rows2 = run("g.E('created').has('weight', gte(1)).subgraph('sg')" +
+      ".cap('sg')").collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(rows2 === Set(("person:josh", "software:ripple")))
+    // vertex-position subgraph is loud
+    intercept[Exception](run("g.V().subgraph('sg').cap('sg')"))
+  }
+
+  test("profile() leaves results identical and captures per-step counts") {
+    val plain = run("g.V().hasLabel('person').out('knows').values('name')")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val prof =
+      run("g.V().hasLabel('person').out('knows').values('name').profile()")
+    assert(prof.collect().map(_.getString(0)).sorted.toSeq === plain)
+    // metrics arrive via the (async) QueryExecutionListener — poll briefly
+    val deadline = System.currentTimeMillis + 15000
+    while (GremlinLite.lastProfile.size < 3 &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+    import scala.jdk.CollectionConverters._
+    val m = GremlinLite.lastProfile.asScala.toMap
+    assert(m === Map("001_hasLabel" -> 4L, "002_out" -> 2L,
+      "003_values" -> 2L))
+    // profile() anywhere but last is loud
+    intercept[Exception](run("g.V().profile().count()"))
+  }
+
+  test("post-terminal count() rejects multi-column results loudly") {
+    intercept[Exception](
+      run("g.V().hasLabel('person').groupCount('age').count()"))
+    // single-column tail stays supported
+    assert(run("g.V().hasLabel('person').values('age').count()")
+      .head().getLong(0) === 4L)
+  }
 }
