@@ -165,7 +165,7 @@ object CypherLite {
   // single spaces before clause splitting, so the lookbehinds are fixed)
   private val clauseRe =
     ("""(?i)\b(OPTIONAL\s+MATCH|MATCH|UNWIND|WHERE|(?<!STARTS )(?<!ENDS )WITH|""" +
-      """RETURN|ORDER\s+BY|SKIP|LIMIT)\b""").r
+      """RETURN|ORDER\s+BY|SKIP|LIMIT|CALL)\b""").r
 
   /** Working/physical column names the planner owns; user variables with
     * these names would silently corrupt joins (`__a`/`__x` are the
@@ -1304,7 +1304,11 @@ object CypherLite {
                                       stages: List[PipeStage],
                                       rets: List[Ret], retDistinct: Boolean,
                                       orderBy: List[OrderKey],
-                                      skip: Option[Int], limit: Option[Int])
+                                      skip: Option[Int], limit: Option[Int],
+                                      /** `CALL { WITH v MATCH … RETURN … }`
+                                        * — raw inner text, joined onto the
+                                        * pre-WITH frontier (see evalParsed) */
+                                      call: Option[String] = None)
 
   private def parsePattern(pattern: String, optional: Boolean): MatchClause = {
     val nodes = nodeRe.findAllMatchIn(pattern).map(m =>
@@ -1449,6 +1453,7 @@ object CypherLite {
     var matches = List.empty[MatchClause]
     var where: Option[BoolExpr] = None
     var unwind: Option[(List[Any], String)] = None
+    var callSub: Option[String] = None
     val stages = scala.collection.mutable.ListBuffer[PipeStage]()
     def lastStage: PipeStage = stages.last
     def updLast(f: PipeStage => PipeStage): Unit =
@@ -1608,11 +1613,22 @@ object CypherLite {
           updLast(s0 => s0.copy(withStage =
             s0.withStage.copy(limit = Some(body.trim.toInt))))
         else sys.error("LIMIT must follow RETURN or WITH")
+      case ("CALL", body0) =>
+        // `CALL { WITH <vars> MATCH … RETURN … }` — the returning
+        // subquery; the braces masked its inner clause keywords from the
+        // splitter, so the whole braced body is this clause's text
+        val body = body0.trim
+        require(stages.isEmpty && matches.nonEmpty && callSub.isEmpty,
+          "CALL { … } is supported ONCE, directly after the first MATCH " +
+            "block (before any WITH)")
+        require(body.startsWith("{") && body.endsWith("}"),
+          s"CALL takes a braced subquery `CALL { … }`: $body")
+        callSub = Some(body.substring(1, body.length - 1).trim)
       case (kw, _) => sys.error(s"unsupported clause: $kw")
     } }
     require(rets.nonEmpty, "query must have RETURN")
     Query(matches, where, unwind, stages.toList, rets,
-      retDistinct, orderBy, skip, limit)
+      retDistinct, orderBy, skip, limit, callSub)
   }
 
   /** One linear chain → DataFrame of variable columns (vertex ids), plus
@@ -2348,28 +2364,42 @@ object CypherLite {
     }
   }
 
-  private def evalOne(g: PropertyGraph, cypher: String): DataFrame = {
-    val q0 = parse(cypher)
+  private def evalOne(g: PropertyGraph, cypher: String): DataFrame =
+    evalParsed(g, parse(cypher))
 
-    // `RETURN *` — expand the sentinel to every declared NODE variable in
-    // declaration order (openCypher returns all named bindings; rel/path
-    // variables have no scalar binding here and are omitted — project
-    // them explicitly). Pre-WITH queries only: after a WITH the bindings
-    // are the stage's own items, so just list them.
-    val q = if (q0.rets.exists(r => r.v == "*" && r.agg.isEmpty)) {
-      require(q0.stages.isEmpty,
-        "RETURN * is supported without WITH stages — after a WITH, the " +
-          "carried items ARE the bindings: list them explicitly")
-      val vars = (q0.unwind.map(_._2).toList ++
+  private def evalParsed(g: PropertyGraph, q0: Query): DataFrame = {
+
+    // `RETURN *` / `WITH *` — expand the sentinel to every binding VISIBLE
+    // at that clause, in declaration order (openCypher carries all named
+    // bindings; rel/path variables have no scalar binding here and are
+    // omitted — project them explicitly). Visible bindings: pre-WITH =
+    // the leading UNWIND alias + match-block node variables; after a WITH
+    // = that stage's item aliases + its UNWIND target + its own match
+    // block's node variables (r14 verdict ask #9 — `WITH *` was a loud
+    // rejection). `WITH *, expr AS x` composes; an explicit item whose
+    // alias collides with a carried binding wins (the binding is skipped).
+    val hasStar = (q0.rets ++ q0.stages.flatMap(_.withStage.items))
+      .exists(r => r.v == "*" && r.agg.isEmpty)
+    val q = if (hasStar) {
+      def expand(items: List[Ret], vars: List[String]): List[Ret] =
+        items.flatMap { r =>
+          if (r.v == "*" && r.agg.isEmpty) {
+            require(vars.nonEmpty, "* with no bound variables")
+            vars.filterNot(v => items.exists(i =>
+              i.alias == v && !(i.v == "*" && i.agg.isEmpty)))
+              .map(v => Ret(v, "", v))
+          } else List(r)
+        }
+      var vars = (q0.unwind.map(_._2).toList ++
         q0.matches.flatMap(_.nodes.map(_.v))).distinct
-      require(vars.nonEmpty, "RETURN * with no bound variables")
-      q0.copy(rets = q0.rets.flatMap { r =>
-        if (r.v == "*" && r.agg.isEmpty) vars.map(v => Ret(v, "", v))
-        else List(r)
-      })
+      val newStages = q0.stages.map { st =>
+        val items2 = expand(st.withStage.items, vars)
+        vars = (items2.map(_.alias) ++ st.unwind.map(_._2).toList ++
+          st.matches.flatMap(_.nodes.map(_.v))).distinct
+        st.copy(withStage = st.withStage.copy(items = items2))
+      }
+      q0.copy(stages = newStages, rets = expand(q0.rets, vars))
     } else q0
-    q.stages.flatMap(_.withStage.items).find(_.v == "*").foreach(_ =>
-      sys.error("WITH * is unsupported — list the carried items explicitly"))
 
     // relationship variables: unique (across EVERY pattern block), disjoint
     // from node variables
@@ -2647,6 +2677,55 @@ object CypherLite {
       }
     }
     residual.foreach(e => frontier = frontier.filter(compileExpr(e, colOf)))
+
+    // ---- CALL { WITH v MATCH … RETURN … } — the returning subquery (r14
+    // verdict ask #7). Spark-first lowering: the inner query evaluates
+    // ONCE as a set (its RETURN implicitly grouped by the imported
+    // variables), then joins back onto the outer frontier on the imports —
+    // never a per-row invocation. An ALL-aggregate subquery yields exactly
+    // one row per import group → LEFT join, with count() coalesced to 0
+    // for empty groups (openCypher's empty-aggregation row); any
+    // non-aggregate item makes the subquery row-multiplying → INNER join
+    // (openCypher drops outer rows whose subquery returns nothing).
+    // Writes inside CALL, nested CALL, RETURN *, and inner ORDER BY/SKIP/
+    // LIMIT (per-outer-row in openCypher — a global page would silently
+    // diverge) are rejected loudly. ----
+    q.call.foreach { innerText =>
+      val hm = """^(?i)WITH\s+(\w+(?:\s*,\s*\w+)*)\s+(?=(?i:MATCH|OPTIONAL))""".r
+        .findFirstMatchIn(innerText).getOrElse(sys.error(
+          "CALL subquery must start with an importing WITH followed by " +
+            "MATCH (writes / non-importing subqueries unsupported): " +
+            innerText))
+      val imports = hm.group(1).split(",").map(s0 => checkVar(s0.trim)).toList
+      imports.foreach(v => require(frontier.columns.contains(v),
+        s"CALL imports '$v', which is not a bound variable of the outer " +
+          "MATCH block"))
+      val innerQ0 = parse(innerText.substring(hm.end).trim)
+      require(innerQ0.call.isEmpty, "nested CALL subqueries are unsupported")
+      require(!innerQ0.rets.exists(r => r.v == "*"),
+        "RETURN * inside CALL is unsupported — list the columns")
+      require(innerQ0.orderBy.isEmpty && innerQ0.skip.isEmpty &&
+        innerQ0.limit.isEmpty,
+        "ORDER BY/SKIP/LIMIT inside CALL is per-outer-row in openCypher — " +
+          "a global page would silently diverge; aggregate instead")
+      val aliases = innerQ0.rets.map(_.alias)
+      (aliases ++ imports).groupBy(identity).foreach { case (a, os) =>
+        require(os.length == 1,
+          s"CALL subquery column '$a' duplicates an import/alias") }
+      aliases.foreach(a => require(!frontier.columns.contains(a),
+        s"CALL subquery column '$a' collides with an outer binding"))
+      val allAgg = innerQ0.rets.forall(_.agg.isDefined)
+      val innerDf = evalParsed(g,
+        innerQ0.copy(rets = imports.map(v => Ret(v, "", v)) ++ innerQ0.rets))
+      frontier =
+        if (allAgg) {
+          var f = frontier.join(innerDf, imports, "left")
+          innerQ0.rets.filter(_.agg.contains("count")).foreach { r =>
+            f = f.withColumn(r.alias, coalesce(col(r.alias), lit(0L)))
+          }
+          f
+        } else frontier.join(innerDf, imports)
+    }
 
     // ---- projection/aggregation stage (shared by WITH and RETURN) ----
     def aggCol(r: Ret): Column = {

@@ -2235,6 +2235,41 @@ object GraphQueries2 {
           "| s + x) AS tri, size(range(0, 20, 3)) AS n7")
     },
 
+    q("q_cypher_call_subquery",
+      // CALL { WITH c MATCH … RETURN aggs } — the returning subquery
+      // (r14 verdict ask #7): evaluated ONCE as a set grouped by the
+      // import, LEFT-joined back (count 0 / max NULL on empty groups —
+      // openCypher's empty-aggregation row), never per-row invocation
+      """SELECT c.c_name AS cust,
+        |  CAST(coalesce(z.n, 0) AS BIGINT) AS n_orders,
+        |  z.mx AS max_p
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n, max(o_totalprice) AS mx
+        |  FROM orders GROUP BY 1) z ON z.o_custkey = c.c_custkey"""
+        .stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer) " +
+          "CALL { WITH c MATCH (c)-[:placed]->(o:order) " +
+          "RETURN count(*) AS n_orders, max(o.totalprice) AS max_p } " +
+          "RETURN c.name AS cust, n_orders, max_p")
+    },
+
+    q("q_cypher_with_star",
+      // WITH * (carry every visible binding) + a further MATCH block —
+      // the star expands to the stage's bindings at parse time, so the
+      // plan is identical to the explicit listing (r14 verdict ask #9)
+      """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_big
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE o.o_totalprice > 300000
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o:order) " +
+          "WITH * WHERE o.totalprice > 300000 " +
+          "MATCH (c)-[:in_nation]->(n:nation) " +
+          "RETURN n.name AS nation, count(*) AS n_big")
+    },
+
     q("q_gremlin_subgraph",
       // subgraph('k') script step (reference ProcessBasicSuite.java:177):
       // the edge-filtered traversal's edges collect into the named graph;

@@ -1431,6 +1431,56 @@ class CypherLiteSpec extends SparkSpec {
       "RETURN count(*) AS n").head())
   }
 
+  test("WITH * carries all bindings and RETURN * works after WITH") {
+    val rows = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WITH * WHERE b.age > 27 RETURN a.name AS x, b.name AS y")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("marko", "josh")))
+    // WITH *, expr AS alias composes; post-WITH RETURN * expands to the
+    // stage's bindings in declaration order
+    val df = run("MATCH (a:person)-[:created]->(s:software) " +
+      "WITH *, a.age AS age WHERE age > 30 RETURN *")
+    assert(df.columns.toSeq === Seq("a", "s", "age"))
+    val r2 = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(r2 === Set(("person:josh", "software:lop", 32),
+      ("person:josh", "software:ripple", 32),
+      ("person:peter", "software:lop", 35)))
+  }
+
+  test("CALL subquery: all-aggregate form left-joins, count 0 on empty") {
+    val rows = run("MATCH (p:person) " +
+      "CALL { WITH p MATCH (p)-[:created]->(s:software) " +
+      "RETURN count(*) AS n } " +
+      "RETURN p.name AS who, n ORDER BY who ASC")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("josh", 2L), ("marko", 1L), ("peter", 1L),
+      ("vadas", 0L)))
+  }
+
+  test("CALL subquery: non-aggregate form inner-joins (empty drops rows)") {
+    val rows = run("MATCH (p:person) " +
+      "CALL { WITH p MATCH (p)-[:created]->(s:software) " +
+      "RETURN s.name AS sw } " +
+      "RETURN p.name AS who, sw")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("marko", "lop"), ("josh", "lop"),
+      ("josh", "ripple"), ("peter", "lop")))
+  }
+
+  test("CALL rejections are loud") {
+    // no importing WITH
+    intercept[Exception](run("MATCH (p:person) " +
+      "CALL { MATCH (q:person) RETURN count(*) AS n } RETURN n"))
+    // write inside CALL
+    intercept[Exception](run("MATCH (p:person) " +
+      "CALL { WITH p CREATE (x:person {name: 'z'}) } RETURN p.name AS w"))
+    // inner LIMIT (per-outer-row in openCypher — would silently diverge)
+    intercept[Exception](run("MATCH (p:person) " +
+      "CALL { WITH p MATCH (p)-[:created]->(s:software) " +
+      "RETURN s.name AS sw LIMIT 1 } RETURN p.name AS w, sw"))
+  }
+
   test("node MERGE ON CREATE SET / ON MATCH SET") {
     // first merge creates → ON CREATE SET applies
     val g1 = CypherLite.evalWrite(g, "MERGE (v:person {name: 'newguy'}) " +
