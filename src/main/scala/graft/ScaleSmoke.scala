@@ -280,6 +280,28 @@ object ScaleSmoke {
         time("mergewrite 1x")(m("")),
         time(s"mergewrite ${copies}x")(m(suf)))
     }
+    // round-15 write path: Gremlin addV (batch insert + conflict anti-join)
+    // → addE (endpoint-existence semi joins + edge append) → drop (matched-
+    // row anti join) → full-edge read-back. Expect ≈ linear in |V|+|E|
+    // (the conflict/existence probes and the read-back scan); a
+    // super-linear move means a probe stopped being a semi/anti join
+    if (wanted("gremlinwrite")) {
+      def w(s: String): Long = {
+        val g0 = if (s.isEmpty) g1 else gN
+        val g2 = graft.api.GremlinLite.evalWrite(g0,
+          s"g.addV('supplier').property('id', 'supplier:998001$s')" +
+            ".property('name', 'SMOKE_W')")
+        val g3 = graft.api.GremlinLite.evalWrite(g2,
+          s"g.addE('supplied_by').from(V('part:1$s'))" +
+            s".to('supplier:998001$s').property('quantity', 5)")
+        val g4 = graft.api.GremlinLite.evalWrite(g3,
+          s"g.V('part:1$s').outE('supplied_by').drop()")
+        g4.edges.count()
+      }
+      results("gremlin_write") = (
+        time("gremlinwrite 1x")(w("")),
+        time(s"gremlinwrite ${copies}x")(w(suf)))
+    }
     if (wanted("allshortest")) {
       val q = "MATCH p = allShortestPaths((c:customer)-[*..3]-(s:supplier)) " +
         "WHERE c.name = 'Customer#000000001' " +

@@ -82,6 +82,14 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * whole as one Spark aggregate expression, with the non-aggregated items
   * as implicit group keys.
   *
+  * QUANTIFIED LIST PREDICATES `any/all/none/single(x IN list WHERE pred)`
+  * compile onto Spark's higher-order `exists`/`forall`/`filter` functions
+  * (codegen'd lambdas over the array — no explode, no shuffle). They are
+  * boolean-VALUED: usable as WHERE conjuncts (incl. under NOT/AND/OR) and
+  * as projected RETURN/WITH items. WHERE is REQUIRED inside the
+  * quantifier (openCypher); a NULL list yields NULL (three-valued — never
+  * matches as a filter).
+  *
   * UNWIND comes in the two shapes a batch engine serves: a LEADING
   * `UNWIND [lit, …] AS x` seeds the frontier (the parameter fan-out
   * idiom — MATCH then joins via the guarded broadcast cross, WHERE
@@ -450,6 +458,32 @@ object CypherLite {
           case None =>
       if (rest.startsWith("(")) { out += LP; rest = rest.substring(1).trim }
       else if (rest.startsWith(")")) { out += RP; rest = rest.substring(1).trim }
+      else if ("""^(?i)(any|all|none|single)\s*\(""".r
+                 .findFirstMatchIn(rest).isDefined) {
+        // standalone quantified list predicate as a WHERE conjunct —
+        // `any/all/none/single(x IN list WHERE pred)`. The call's extent
+        // is the matching ')' (quote/bracket-aware); it compiles as a
+        // boolean-valued expression compared to TRUE (SQL three-valued:
+        // a NULL list never matches). A comparison form like
+        // `any(…) = false` takes the expression-comparison path above.
+        val m = """^(?i)(any|all|none|single)\s*\(""".r
+          .findFirstMatchIn(rest).get
+        var j = m.end; var depth = 1; var inQ = false
+        while (j < rest.length && depth > 0) {
+          val c = rest(j)
+          if (inQ) { if (c == '\'') inQ = false }
+          else c match {
+            case '\'' => inQ = true
+            case '(' | '[' => depth += 1
+            case ')' | ']' => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        require(depth == 0, s"unclosed '(' after ${m.group(1)}( in: $rest")
+        out += CmpET(CmpE(parseValExpr(rest.substring(0, j)), "=", LitV(true)))
+        rest = rest.substring(j).trim
+      }
       else if (regexRe.findFirstMatchIn(rest).isDefined) {
         // ref =~ 'pattern': openCypher regex — matches the WHOLE string
         // (java.util.regex matches(), not find())
@@ -690,6 +724,14 @@ object CypherLite {
   private[api] final case class ReduceV(acc: String, init: ValExpr, v: String,
                                         list: ValExpr,
                                         body: ValExpr) extends ValExpr
+  /** List-predicate quantifier `any/all/none/single(x IN list WHERE pred)`
+    * — openCypher's quantified list predicates; compile onto Spark's
+    * higher-order `exists`/`forall`/`filter` functions (codegen'd lambda
+    * over the array, no UDF). Boolean-VALUED, so usable both as a WHERE
+    * conjunct and as a projected RETURN/WITH item. NULL list → NULL (the
+    * openCypher contract; `single` guards explicitly — size(NULL) is -1). */
+  private[api] final case class QuantV(kind: String, v: String, list: ValExpr,
+                                       pred: BoolExpr) extends ValExpr
 
   private def hasAgg(e: ValExpr): Boolean = e match {
     case AggV(_, _) => true
@@ -701,6 +743,7 @@ object CypherLite {
       hasAgg(l) || pred.exists(boolHasAgg) || proj.exists(hasAgg)
     case ReduceV(_, init, _, l, body) =>
       hasAgg(init) || hasAgg(l) || hasAgg(body)
+    case QuantV(_, _, l, pred) => hasAgg(l) || boolHasAgg(pred)
     case _ => false
   }
 
@@ -725,6 +768,7 @@ object CypherLite {
         """|substring|left|right|trim|ltrim|rtrim|replace|reverse|split""" +
         """|sqrt|floor|ceil|sign|exp|log|log10|id|head|last|range)\s*\(""").r
     val reduceRe = """^(?i)reduce\s*\(""".r
+    val quantRe = """^(?i)(any|all|none|single)\s*\(""".r
     val refRe = """^(\w+)(?:\.(\w+))?""".r
     def addE(): ValExpr = {
       var l = mulE()
@@ -885,10 +929,57 @@ object CypherLite {
       eat(1)
       ReduceV(acc, init, v, listExpr, body)
     }
+    // `any/all/none/single(x IN list WHERE pred)` — quantified list
+    // predicate. The call's extent is the matching ')' (quote/bracket
+    // aware); the body splits at the REQUIRED top-level WHERE.
+    def quantE(): ValExpr = {
+      val m = quantRe.findFirstMatchIn(rest).get
+      val kind = m.group(1).toLowerCase
+      var i = m.end; var depth = 1; var inQ = false
+      while (i < rest.length && depth > 0) {
+        val c = rest(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' | '[' => depth += 1
+          case ')' | ']' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      require(depth == 0, s"unclosed '(' after $kind( in '$s'")
+      val inner = rest.substring(m.end, i - 1).trim
+      rest = rest.substring(i).trim
+      val vM = """^(\w+)\s+(?i:IN)(?![\w])""".r.findFirstMatchIn(inner)
+        .getOrElse(sys.error(s"$kind() needs `x IN list WHERE pred`: '$inner'"))
+      val v = checkVar(vM.group(1))
+      val body = inner.substring(vM.end).trim
+      var j = 0; var d = 0; var q2 = false; var whereIdx = -1
+      while (j < body.length && whereIdx < 0) {
+        val c = body(j)
+        if (q2) { if (c == '\'') q2 = false }
+        else c match {
+          case '\'' => q2 = true
+          case '[' | '(' => d += 1
+          case ']' | ')' => d -= 1
+          case _ =>
+            if (d == 0 && (j == 0 || !isWord(body(j - 1))) &&
+                body.regionMatches(true, j, "WHERE", 0, 5) &&
+                (body.length == j + 5 || !isWord(body(j + 5))))
+              whereIdx = j
+        }
+        j += 1
+      }
+      require(whereIdx >= 0,
+        s"$kind() requires a WHERE predicate (openCypher): '$inner'")
+      QuantV(kind, v, parseValExpr(body.substring(0, whereIdx).trim),
+        parseWhere(body.substring(whereIdx + 5).trim))
+    }
     def atom(): ValExpr = {
       if (keyword("CASE")) caseE()
       else if (rest.startsWith("[")) listE()
       else if (reduceRe.findFirstMatchIn(rest).isDefined) reduceE()
+      else if (quantRe.findFirstMatchIn(rest).isDefined) quantE()
       else if (rest.startsWith("(")) {
         eat(1); val e = addE()
         require(rest.startsWith(")"), s"expected ')' in expression '$s'")
@@ -1156,6 +1247,21 @@ object CypherLite {
         aggregate(compileVal(listE, colOf), compileVal(init, colOf),
           (a: Column, x: Column) =>
             compileVal(body2, lambdaColOf(acc, a, lambdaColOf(v, x, colOf))))
+      // quantified list predicates → higher-order exists/forall/filter
+      // (codegen'd lambda over the array — no explode, no shuffle)
+      case QuantV(kind, v, listE, pred) =>
+        val arr = compileVal(listE, colOf)
+        def lam(x: Column) = compileExpr(pred, lambdaColOf(v, x, colOf))
+        kind match {
+          case "any" => exists(arr, lam)
+          case "all" => forall(arr, lam)
+          case "none" => !exists(arr, lam)
+          // size(NULL) is -1, never 1 — the when() keeps the openCypher
+          // NULL-list → NULL contract explicit
+          case "single" =>
+            when(arr.isNull, lit(null))
+              .otherwise(size(filter(arr, lam(_))) === 1)
+        }
     }
 
   /** Rewrite every `+` in a string-fold reduce body to the internal
@@ -1170,6 +1276,7 @@ object CypherLite {
     case CaseV(bs, els) =>
       CaseV(bs.map { case (c, v) => (c, strPlusRewrite(v)) },
         els.map(strPlusRewrite))
+    case QuantV(k, v, l, p) => QuantV(k, v, strPlusRewrite(l), p)
     case other => other
   }
 
@@ -1208,6 +1315,8 @@ object CypherLite {
     case ReduceV(acc, init, v, l, body) =>
       valRefs(init) ++ valRefs(l) ++
         valRefs(body).filterNot(r => r._1 == v || r._1 == acc)
+    case QuantV(_, v, l, pred) =>
+      valRefs(l) ++ refs(pred).filterNot(_._1 == v)
     case _ => Nil
   }
 
@@ -1234,6 +1343,8 @@ object CypherLite {
           proj.toList.flatMap(fnVarRefs(fns))
       case ReduceV(_, init, _, l, body) =>
         List(init, l, body).flatMap(fnVarRefs(fns))
+      case QuantV(_, _, l, pred) =>
+        fnVarRefs(fns)(l) ++ boolFnVarRefs(fns)(pred)
       case _ => Nil
     }
   private def boolFnVarRefs(fns: Set[String])(e: BoolExpr): List[(String, String)] =
@@ -1419,11 +1530,13 @@ object CypherLite {
     // split into (keyword, body) clause pairs in textual order
     // clause keywords inside an EXISTS { … } body, a `[…]` bracket group
     // (list literal / comprehension — `[x IN xs WHERE p | e]` carries its
-    // own WHERE), or a string literal belong to the subexpression, never
-    // to the outer clause structure
+    // own WHERE), a `(…)` paren group (quantifiers —
+    // `any(x IN xs WHERE p)` carries its own WHERE; openCypher clause
+    // boundaries never sit inside parens), or a string literal belong to
+    // the subexpression, never to the outer clause structure
     val maskedAt: Int => Boolean = {
       val masked = new Array[Boolean](s.length)
-      var d = 0; var db = 0; var inQ = false
+      var d = 0; var db = 0; var dp = 0; var inQ = false
       var i = 0
       while (i < s.length) {
         val c = s(i)
@@ -1434,7 +1547,9 @@ object CypherLite {
           else if (c == '}') { masked(i) = d > 0; d = math.max(0, d - 1) }
           else if (c == '[') { db += 1; masked(i) = true }
           else if (c == ']') { masked(i) = d > 0 || db > 0; db = math.max(0, db - 1) }
-          else masked(i) = d > 0 || db > 0
+          else if (c == '(') { dp += 1; masked(i) = true }
+          else if (c == ')') { masked(i) = d > 0 || db > 0 || dp > 0; dp = math.max(0, dp - 1) }
+          else masked(i) = d > 0 || db > 0 || dp > 0
         }
         i += 1
       }

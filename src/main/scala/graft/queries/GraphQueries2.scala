@@ -2205,6 +2205,28 @@ object GraphQueries2 {
           "head([p IN ps WHERE p > 150000 | p + 0]) AS min_big")
     },
 
+    q("q_cypher_quantifiers",
+      // any/all/none/single(x IN list WHERE pred) — openCypher quantified
+      // list predicates over a collect()ed alias → Spark higher-order
+      // exists/forall/filter (codegen'd lambdas, no explode shuffle);
+      // also exercised as a standalone WHERE conjunct (the `none` cut)
+      """SELECT cust, has_big, all_1k, one_300k FROM (
+        |  SELECT c.c_name AS cust,
+        |    count(*) FILTER (WHERE o.o_totalprice > 150000) > 0 AS has_big,
+        |    count(*) FILTER (WHERE NOT o.o_totalprice > 1000) = 0 AS all_1k,
+        |    count(*) FILTER (WHERE o.o_totalprice > 300000) = 1 AS one_300k,
+        |    count(*) FILTER (WHERE o.o_totalprice > 400000) = 0 AS none_huge
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1) WHERE none_huge""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[:placed]->(o:order) " +
+          "WITH c.name AS cust, collect(o.totalprice) AS ps " +
+          "WHERE none(x IN ps WHERE x > 400000) " +
+          "RETURN cust, any(x IN ps WHERE x > 150000) AS has_big, " +
+          "all(x IN ps WHERE x > 1000) AS all_1k, " +
+          "single(x IN ps WHERE x > 300000) AS one_300k")
+    },
+
     q("q_cypher_reduce",
       // reduce() left fold → Spark higher-order aggregate; the CASE-max
       // fold is fp-exact (no accumulation), the counter fold is integral

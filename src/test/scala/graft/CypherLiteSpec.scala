@@ -1323,10 +1323,11 @@ class CypherLiteSpec extends SparkSpec {
     // rel variables are omitted (no scalar binding) — project explicitly
     assert(run("MATCH (a:person)-[r:knows]->(b) RETURN *").columns.toSeq ===
       Seq("a", "b"))
-    // WITH * is loud; RETURN * after a WITH is loud
-    intercept[Exception](run("MATCH (a:person) WITH * RETURN a"))
-    intercept[Exception](run(
-      "MATCH (a:person) WITH a AS x RETURN *"))
+    // WITH * / post-WITH RETURN * are supported since r15 (see the
+    // dedicated WITH * test); the rename flows through the star
+    assert(run("MATCH (a:person) WITH * RETURN a").columns.toSeq === Seq("a"))
+    assert(run("MATCH (a:person) WITH a AS x RETURN *").columns.toSeq ===
+      Seq("x"))
   }
 
   test("=~ regex operator (whole-string) and head()/last() list functions") {
@@ -1379,6 +1380,41 @@ class CypherLiteSpec extends SparkSpec {
       "WITH collect(b.name) AS names " +
       "RETURN reduce(s = '', x IN names | s + x) AS cat").head().getString(0)
     assert(cat === "joshvadas") // sorted collect
+  }
+
+  test("quantified list predicates any/all/none/single") {
+    // marko knows vadas(27) and josh(32); collect sorted → [27, 32]
+    val r = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WITH a.name AS who, collect(b.age) AS ages " +
+      "RETURN who, any(x IN ages WHERE x > 30) AS a1, " +
+      "all(x IN ages WHERE x > 30) AS a2, " +
+      "none(x IN ages WHERE x > 40) AS a3, " +
+      "single(x IN ages WHERE x > 30) AS a4").head()
+    assert(r.getString(0) === "marko")
+    assert((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+      r.getBoolean(4)) === ((true, false, true, true)))
+  }
+
+  test("quantifier as a standalone WHERE conjunct and under NOT/AND") {
+    val who = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WITH a.name AS who, collect(b.age) AS ages " +
+      "WHERE all(x IN ages WHERE x > 25) AND NOT none(x IN ages WHERE x > 30) " +
+      "RETURN who").collect().map(_.getString(0)).toSet
+    assert(who === Set("marko"))
+    // inner predicate with AND + an outer-scope ref
+    val n = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WITH a, collect(b.age) AS ages " +
+      "WHERE single(x IN ages WHERE x > 25 AND x < 30) " +
+      "RETURN count(*) AS n").head().getLong(0)
+    assert(n === 1L)
+  }
+
+  test("quantifier requires WHERE and rejects property access on the " +
+      "lambda variable") {
+    intercept[Exception](run(
+      "MATCH (p:person) RETURN any(x IN range(1, 3)) AS a"))
+    intercept[Exception](run(
+      "MATCH (p:person) RETURN any(x IN range(1, 3) WHERE x.p = 1) AS a"))
   }
 
   test("range() is inclusive and empty when unreachable") {
