@@ -127,19 +127,16 @@ object Bench {
         d => graft.ops.Ann.saveIndex(d, annCands, 8, 2, 4, 8, 64),
         () => graft.ops.Ann.buildIndex(annCands,
           nCentroids = 8, iters = 2, m = 4, ks = 8, dims = 64))
-      // semantic dedup (q_semantic_dedup) clusters the FULL embedding table
-      // — a different pinned candidate set (and thus memo key) than the
-      // probe-split index above. Train its quantizer here too, through the
-      // same frame construction semanticNearDups uses, so Pin's sameResult
-      // dedup lands the query on these centroids instead of re-training
-      // inside the timed run. Params mirror the registered query.
-      locally {
-        import org.apache.spark.sql.functions.col
-        graft.ops.Ann.kmeansCentroids(
-          graft.core.Tables.embeddings(spark, sfDir)
-            .select(col("vec_id").as("vec_id"), col("embedding").as("embedding")),
-          nCentroids = 8, iters = 2)
-      }
+      // the FULL-table quantizer (q_semantic_dedup, q_knn_graph,
+      // q_knn_outlier) — a different pinned candidate set (and thus memo
+      // key) than the probe-split index above. Train it here on the RAW
+      // embeddings frame — the exact construction every full-table
+      // consumer passes (semanticNearDups skips its no-op rename for
+      // canonical column names, so all of them now share ONE pin and ONE
+      // memo entry; a divergent frame here made q_knn_outlier retrain
+      // k-means inside its timed run — the r14 17× bench spread).
+      graft.ops.Ann.kmeansCentroids(
+        graft.core.Tables.embeddings(spark, sfDir), nCentroids = 8, iters = 2)
     }
     // the trained quality classifier (weights + memoized scored table) —
     // the train half of the train-batch/serve-stream split: a deployment

@@ -316,9 +316,16 @@ object Dedup {
                        nClusters: Int, iters: Int, threshold: Double,
                        cellCap: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = graft.ops.Ann.cellAssignments(
-      embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
-      nClusters, iters)
+    // skip the rename when the columns already carry the canonical names:
+    // a no-op alias-Project still changes the ANALYZED plan, so Pin would
+    // key a SEPARATE materialization (and Ann a separate k-means memo
+    // entry) from the raw-table consumers (knnGraph/knnOutlierScores) —
+    // the quantizer would silently retrain inside the first timed query
+    // (measured: q_knn_outlier rep-0 25 jobs vs 8 warm)
+    val canon =
+      if (idCol == "vec_id" && vecCol == "embedding") embeddings
+      else embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val assigned = graft.ops.Ann.cellAssignments(canon, nClusters, iters)
     val capped =
       if (cellCap > 0) {
         val w = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
