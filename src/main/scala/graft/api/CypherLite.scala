@@ -80,7 +80,11 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * (`count(*) * 10`, `sum(l.price * (1 - l.discount))`,
   * `sum(x) / count(*)`) — an expression containing an aggregate compiles
   * whole as one Spark aggregate expression, with the non-aggregated items
-  * as implicit group keys.
+  * as implicit group keys. The openCypher statistics aggregates ride the
+  * same path (AS alias required): `stDev` (sample) / `stDevP`
+  * (population), `percentileCont(x, p)` (exact linear interpolation) and
+  * `percentileDisc(x, p)` (the element at 1-based rank ceil(p·n) of the
+  * sorted values — exact, never interpolated); p is a literal in [0, 1].
   *
   * QUANTIFIED LIST PREDICATES `any/all/none/single(x IN list WHERE pred)`
   * compile onto Spark's higher-order `exists`/`forall`/`filter` functions
@@ -761,7 +765,8 @@ object CypherLite {
     def eat(n: Int): Unit = { rest = rest.substring(n).trim }
     val numRe = """^\d+(?:\.\d+)?(?:[eE][-+]?\d+)?""".r
     val strRe = """^'([^']*)'""".r
-    val aggFunRe = """^(?i)(count|sum|avg|min|max)\s*\(""".r
+    val aggFunRe =
+      """^(?i)(count|sum|avg|min|max|stDevP|stDev|percentileCont|percentileDisc)\s*\(""".r
     val funRe =
       ("""^(?i)(toUpper|toLower|abs|round|coalesce|size|length|nodes""" +
         """|relationships|type|labels|toInteger|toFloat|toString""" +
@@ -986,13 +991,28 @@ object CypherLite {
         eat(1); e
       } else aggFunRe.findFirstMatchIn(rest) match {
         case Some(m) =>
-          val fn = m.group(1).toLowerCase
+          var fn = m.group(1).toLowerCase
           rest = rest.substring(m.end).trim
           val arg =
             if (rest.startsWith("*")) {
               require(fn == "count", s"'*' argument is count-only (in '$s')")
               eat(1); None
             } else Some(addE())
+          // percentileCont/percentileDisc take a SECOND argument — the
+          // literal percentile in [0, 1]; it rides the fn tag
+          // ("percentilecont:0.5") so [[AggV]] stays a (fn, arg) pair for
+          // every downstream traversal (hasAgg/valRefs/sensitivity)
+          if (fn.startsWith("percentile")) {
+            require(rest.startsWith(","),
+              s"$fn() takes (expr, percentile): '$s'")
+            eat(1)
+            val pM = """^\d+(?:\.\d+)?""".r.findFirstMatchIn(rest).getOrElse(
+              sys.error(s"$fn() percentile must be a numeric literal: '$s'"))
+            val p = pM.matched.toDouble
+            require(p >= 0 && p <= 1, s"$fn() percentile must be in [0, 1]")
+            rest = rest.substring(pM.end).trim
+            fn = s"$fn:$p"
+          }
           require(rest.startsWith(")"), s"expected ')' after $fn(… in '$s'")
           eat(1)
           require(fn == "count" || arg.isDefined, s"$fn() needs an argument")
@@ -1222,6 +1242,26 @@ object CypherLite {
       case AggV("avg", Some(a)) => avg(compileVal(a, colOf))
       case AggV("min", Some(a)) => min(compileVal(a, colOf))
       case AggV("max", Some(a)) => max(compileVal(a, colOf))
+      // openCypher statistics aggregates. stDev is the SAMPLE deviation,
+      // stDevP the population one (the openCypher names); both are NULL
+      // on empty groups (and stDev on single rows) — SQL semantics, which
+      // DuckDB shares. Compare rounded: deviation accumulation order is
+      // engine-specific in the last bits.
+      case AggV("stdev", Some(a)) => stddev_samp(compileVal(a, colOf))
+      case AggV("stdevp", Some(a)) => stddev_pop(compileVal(a, colOf))
+      // percentileCont: exact linear-interpolated percentile (Spark's
+      // exact `percentile`, not the approx sketch). percentileDisc: the
+      // openCypher discrete form — the element at 1-based rank
+      // ceil(p * n) of the sorted values (rank 0 → 1); built from
+      // sort+element_at so the picked element is EXACT, never
+      // interpolated. Both carry the literal p in the fn tag.
+      case AggV(f, Some(a)) if f.startsWith("percentilecont:") =>
+        percentile(compileVal(a, colOf), lit(f.stripPrefix("percentilecont:").toDouble))
+      case AggV(f, Some(a)) if f.startsWith("percentiledisc:") =>
+        val p = f.stripPrefix("percentiledisc:").toDouble
+        val c = compileVal(a, colOf)
+        element_at(array_sort(collect_list(c)),
+          greatest(ceil(lit(p) * count(c)).cast("int"), lit(1)))
       case AggV(f, _) => sys.error(s"unsupported aggregate: $f")
       case CaseV(bs, els) =>
         val w = bs.tail.foldLeft(

@@ -2205,6 +2205,28 @@ object GraphQueries2 {
           "head([p IN ps WHERE p > 150000 | p + 0]) AS min_big")
     },
 
+    q("q_cypher_stats_agg",
+      // openCypher statistics aggregates: stDev (sample) / stDevP
+      // (population) → codegen'd stddev; percentileCont → Spark's EXACT
+      // percentile (sort-based, not the approx sketch); percentileDisc →
+      // the element at 1-based rank ceil(p·n) of the sorted values
+      // (explicit list construction on BOTH sides — engines' quantile_disc
+      // conventions differ). Rounded: deviation/interpolation accumulation
+      // order is engine-specific in the last bits.
+      """SELECT c_mktsegment AS seg,
+        |  round(stddev_samp(c_acctbal), 4) AS sd,
+        |  round(stddev_pop(c_acctbal), 4) AS sdp,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+        |  list_sort(list(c_acctbal))[greatest(CAST(ceil(0.9 * count(*)) AS BIGINT), 1)] AS p90d
+        |FROM customer GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer) RETURN c.mktsegment AS seg, " +
+          "round(stDev(c.acctbal), 4) AS sd, " +
+          "round(stDevP(c.acctbal), 4) AS sdp, " +
+          "round(percentileCont(c.acctbal, 0.5), 4) AS p50, " +
+          "percentileDisc(c.acctbal, 0.9) AS p90d")
+    },
+
     q("q_cypher_quantifiers",
       // any/all/none/single(x IN list WHERE pred) — openCypher quantified
       // list predicates over a collect()ed alias → Spark higher-order

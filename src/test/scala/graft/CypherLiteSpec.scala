@@ -1417,6 +1417,26 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (p:person) RETURN any(x IN range(1, 3) WHERE x.p = 1) AS a"))
   }
 
+  test("statistics aggregates stDev/stDevP/percentileCont/percentileDisc") {
+    // person ages: 27, 29, 32, 35 — mean 30.75, pop var 8.6875
+    val r = run("MATCH (p:person) RETURN " +
+      "round(stDev(p.age), 6) AS sd, round(stDevP(p.age), 6) AS sdp, " +
+      "percentileCont(p.age, 0.5) AS med, " +
+      "percentileDisc(p.age, 0.5) AS dmed, " +
+      "percentileDisc(p.age, 1.0) AS dmax").head()
+    assert(r.getDouble(0) === 3.5) // sqrt(36.75/3)
+    assert(r.getDouble(1) === 3.031089) // sqrt(36.75/4)
+    assert(r.getDouble(2) === 30.5) // (29+32)/2
+    assert(r.getInt(3) === 29) // ceil(0.5*4)=2nd of [27,29,32,35]
+    assert(r.getInt(4) === 35)
+    // grouped + composed in an expression; p out of range is loud
+    val g1 = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "RETURN a.name AS who, percentileDisc(b.age, 0.5) AS m").head()
+    assert(g1.getString(0) === "marko" && g1.getInt(1) === 27)
+    intercept[Exception](run(
+      "MATCH (p:person) RETURN percentileCont(p.age, 1.5) AS x"))
+  }
+
   test("range() is inclusive and empty when unreachable") {
     val r = run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
       "size(range(1, 10)) AS a, size(range(1, 10, 3)) AS b, " +
