@@ -430,6 +430,25 @@ object Explain {
       |data; the smoke shows the ENGINE cost still grows sub-linearly in
       |that output — the plan is hop joins + one aggregate, no distinct
       |of the widest layer, no per-path shuffle.
+      |
+      |## 10×/30× Gremlin write-path smoke (round 15 —
+      |SPARK_GRAFT_SMOKE_ONLY=gremlinwrite ScaleSmoke {10,30})
+      |
+      |The r14-landed Gremlin write steps (addV → addE → drop, then a full
+      |edge read-back) on the replicated tiers — the write twin of the r14
+      |merge-write tier:
+      |
+      |    operator        1x       Nx       ratio   notes
+      |    gremlin_write   12.73 s  19.23 s   1.5x   10× tier (cold JIT 1x run)
+      |    gremlin_write    2.04 s  17.13 s   8.4x   30× tier (warm 1x run)
+      |
+      |Both tiers grow SUB-LINEARLY in |V|+|E| (10× data → 1.5×, 30× →
+      |8.4×): the addV conflict probe and the addE endpoint-existence
+      |probes stay semi/anti joins against the scaled tables, the appended
+      |row count is constant, and the wall-clock is dominated by the
+      |read-back scan — exactly the ≈ linear-in-scan-bytes ceiling the
+      |plan predicts. No super-linear move = no probe degenerated into a
+      |cartesian or a driver collect.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
