@@ -766,7 +766,8 @@ object CypherLite {
     val numRe = """^\d+(?:\.\d+)?(?:[eE][-+]?\d+)?""".r
     val strRe = """^'([^']*)'""".r
     val aggFunRe =
-      """^(?i)(count|sum|avg|min|max|stDevP|stDev|percentileCont|percentileDisc)\s*\(""".r
+      ("""^(?i)(count|sum|avg|min|max|stDevP|stDev|percentileCont""" +
+        """|percentileDisc)\s*\(\s*((?i:DISTINCT)\s+)?""").r
     val funRe =
       ("""^(?i)(toUpper|toLower|abs|round|coalesce|size|length|nodes""" +
         """|relationships|type|labels|toInteger|toFloat|toString""" +
@@ -992,12 +993,21 @@ object CypherLite {
       } else aggFunRe.findFirstMatchIn(rest) match {
         case Some(m) =>
           var fn = m.group(1).toLowerCase
+          // DISTINCT inside an expression-level aggregate — openCypher
+          // allows it in every aggregate; rides the fn tag ("!d" suffix)
+          // like the percentile literal so AggV stays a (fn, arg) pair
+          val dist = m.group(2) != null
+          require(!dist || Set("count", "sum", "avg")(fn),
+            s"DISTINCT inside $fn() is a no-op (min/max) or unsupported " +
+              s"(statistics aggregates): $s")
           rest = rest.substring(m.end).trim
           val arg =
             if (rest.startsWith("*")) {
-              require(fn == "count", s"'*' argument is count-only (in '$s')")
+              require(fn == "count" && !dist,
+                s"'*' argument is count-only (in '$s')")
               eat(1); None
             } else Some(addE())
+          if (dist) fn = s"$fn!d"
           // percentileCont/percentileDisc take a SECOND argument — the
           // literal percentile in [0, 1]; it rides the fn tag
           // ("percentilecont:0.5") so [[AggV]] stays a (fn, arg) pair for
@@ -1240,6 +1250,13 @@ object CypherLite {
       case AggV("count", Some(a)) => count(compileVal(a, colOf))
       case AggV("sum", Some(a)) => sum(compileVal(a, colOf))
       case AggV("avg", Some(a)) => avg(compileVal(a, colOf))
+      // DISTINCT expression-level aggregates (fn tag "!d") — avg(DISTINCT)
+      // is the exact sum/count over the distinct value set
+      case AggV("count!d", Some(a)) => count_distinct(compileVal(a, colOf))
+      case AggV("sum!d", Some(a)) => sum_distinct(compileVal(a, colOf))
+      case AggV("avg!d", Some(a)) =>
+        val c = compileVal(a, colOf)
+        sum_distinct(c) / count_distinct(c)
       case AggV("min", Some(a)) => min(compileVal(a, colOf))
       case AggV("max", Some(a)) => max(compileVal(a, colOf))
       // openCypher statistics aggregates. stDev is the SAMPLE deviation,
@@ -1508,8 +1525,9 @@ object CypherLite {
     case aggRetRe(agg0, dist0, star, v, prop, alias) =>
       val agg = agg0.toLowerCase
       val dist = dist0 != null
-      require(!dist || agg == "count" || agg == "collect",
-        s"DISTINCT inside $agg() unsupported (count/collect only): $item")
+      // openCypher allows DISTINCT inside every aggregate: count/collect
+      // dedup, sum/avg aggregate the distinct value SET, min/max are
+      // semantic no-ops under DISTINCT
       if (star != null) {
         require(agg == "count" && !dist, s"bad aggregate: $item")
         Ret("", "*", Option(alias).getOrElse("n"), Some("count"))
@@ -2388,7 +2406,9 @@ object CypherLite {
     * documented divergence: a pair reachable ONLY by edge-reusing walks
     * still matches there, never in path mode). */
   private def exprAggSensitive(e: ValExpr): Boolean = e match {
-    case AggV(f, _) => f != "min" && f != "max"
+    // min/max and the "!d" DISTINCT forms observe only the distinct value
+    // set — multiplicity-blind
+    case AggV(f, _) => f != "min" && f != "max" && !f.endsWith("!d")
     case BinV(_, l, r) => exprAggSensitive(l) || exprAggSensitive(r)
     case FunV(_, as) => as.exists(exprAggSensitive)
     case CaseV(bs, els) =>
@@ -2400,9 +2420,12 @@ object CypherLite {
     def itemSensitive(r: Ret): Boolean = r.agg match {
       case None => false // plain item: the stage-level dist flag decides
       case Some("min") | Some("max") => false
-      case Some("count") | Some("collect") => !r.distinctAgg
+      // DISTINCT aggregates observe only the distinct value set, which the
+      // pair-distinct expansion preserves — sum/avg(DISTINCT) included
+      case Some("count") | Some("collect") | Some("sum") | Some("avg") =>
+        !r.distinctAgg
       case Some("exprAgg") => exprAggSensitive(r.expr.get)
-      case Some(_) => true // sum/avg
+      case Some(_) => true
     }
     // A stage-level DISTINCT over an AGGREGATED projection is a no-op
     // (grouped rows are already distinct) — it must not demote a
@@ -2891,8 +2914,13 @@ object CypherLite {
         case "count" if r.v.isEmpty && r.expr.isEmpty => count(lit(1))
         case "count" if r.distinctAgg => countDistinct(c)
         case "count" => count(c)
+        case "sum" if r.distinctAgg => sum_distinct(c)
         case "sum" => sum(c)
+        // avg(DISTINCT): Spark has no avg_distinct Column helper — the
+        // exact equivalent over the distinct value set
+        case "avg" if r.distinctAgg => sum_distinct(c) / countDistinct(c)
         case "avg" => avg(c)
+        // DISTINCT under min/max is a semantic no-op (openCypher allows it)
         case "min" => min(c)
         case "max" => max(c)
         // sorted for determinism (openCypher leaves collect order open)

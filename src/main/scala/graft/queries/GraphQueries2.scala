@@ -1403,15 +1403,22 @@ object GraphQueries2 {
     },
 
     q("q_cypher_distinct_agg",
-      // count(DISTINCT) under implicit grouping + a RETURN DISTINCT dedup
-      // (separate branches of the same surface; one query each)
+      // DISTINCT inside aggregates under implicit grouping: count (r12) +
+      // the r15 sum/avg(DISTINCT) forms (aggregate the distinct value
+      // SET; avg = exact sum/count over it; rounded — distinct-set
+      // accumulation order is engine-specific in the last bits)
       """SELECT o.o_orderpriority AS pri,
-        |       CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS nseg
+        |       CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS nseg,
+        |       round(sum(DISTINCT c.c_acctbal), 2) AS sbal,
+        |       round(sum(DISTINCT c.c_acctbal) / count(DISTINCT c.c_acctbal), 4) AS abal
         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         |GROUP BY 1""".stripMargin) { (s, d) =>
       graft.api.CypherLite.eval(g(s, d),
         "MATCH (c:customer)-[:placed]->(o:order) " +
-          "RETURN o.orderpriority AS pri, count(DISTINCT c.mktsegment) AS nseg")
+          "RETURN o.orderpriority AS pri, " +
+          "count(DISTINCT c.mktsegment) AS nseg, " +
+          "round(sum(DISTINCT c.acctbal), 2) AS sbal, " +
+          "round(avg(DISTINCT c.acctbal), 4) AS abal")
     },
 
     q("q_cypher_return_distinct",

@@ -369,7 +369,9 @@ class CypherLiteSpec extends SparkSpec {
     val cd = run("MATCH (p:person)-[:created]->(s:software) " +
       "RETURN collect(DISTINCT s.name) AS sw").head().getSeq[String](0).toList
     assert(cd === List("lop", "ripple"))
-    intercept[Exception](run("MATCH (p:person) RETURN sum(DISTINCT p.age)"))
+    // sum(DISTINCT) is supported since r15 — see the dedicated test
+    assert(run("MATCH (p:person) RETURN sum(DISTINCT p.age) AS s")
+      .head().getLong(0) === 123L)
   }
 
   test("WITH stage: aggregate then filter, bindings survive into RETURN") {
@@ -1415,6 +1417,26 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (p:person) RETURN any(x IN range(1, 3)) AS a"))
     intercept[Exception](run(
       "MATCH (p:person) RETURN any(x IN range(1, 3) WHERE x.p = 1) AS a"))
+  }
+
+  test("DISTINCT inside sum/avg aggregates (item and expression level)") {
+    // marko creates lop(0.4); josh creates ripple(1.0) + lop(0.4);
+    // peter creates lop(0.2) — weights on created edges... use ages:
+    // knows targets of marko: vadas 27, josh 32; plus josh also knows
+    // nothing. Duplicate values via BOTH-direction: simpler — person ages
+    // 27,29,32,35 all distinct; force dupes via two patterns on b.age
+    // pairs a.age > b.age: b.age 27 appears 3x, 29 2x, 32 1x — DISTINCT
+    // collapses to {27, 29, 32}: sum 88, avg 29.33, count 3
+    val r = run("MATCH (a:person) MATCH (b:person) WHERE a.age > b.age " +
+      "RETURN sum(DISTINCT b.age) AS sd, " +
+      "round(avg(DISTINCT b.age), 2) AS ad, " +
+      "count(DISTINCT b.age) AS cd").head()
+    assert(r.getLong(0) === 88L)
+    assert(r.getDouble(1) === 29.33)
+    assert(r.getLong(2) === 3L)
+    // min/max accept and ignore DISTINCT
+    assert(run("MATCH (p:person) RETURN min(DISTINCT p.age) AS m")
+      .head().getInt(0) === 27)
   }
 
   test("statistics aggregates stDev/stDevP/percentileCont/percentileDisc") {
