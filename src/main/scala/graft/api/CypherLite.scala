@@ -23,7 +23,10 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * Multiple MATCH clauses join on shared variables (cartesian when none are
   * shared, as in Cypher — guarded, see [[eval]]); OPTIONAL MATCH is a left
   * outer join on the shared variables. Directions `->`, `<-` and UNDIRECTED
-  * `-[:l]-` (the BOTH view), optional node labels, and RELATIONSHIP
+  * `-[:l]-` (the BOTH view), optional node labels, LABEL ALTERNATION
+  * `-[:a|b]->` (matches any listed edge label — one isin-style scan
+  * filter, the same plan as a single label; named paths need a single
+  * label only for `relationships(p)` rendering), and RELATIONSHIP
   * VARIABLES `-[r:label]->` that expose edge properties to WHERE / RETURN /
   * ORDER BY as `r.prop` (the reference's edge-property query surface —
   * `EdgeCoreTest.java` sort-key/edge-prop families). WHERE is a full
@@ -169,9 +172,10 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
 object CypherLite {
 
   private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
-  // label optional: `-[]->`, `-[r]->`, `-[*1..2]-` match every edge label
+  // label optional: `-[]->`, `-[r]->`, `-[*1..2]-` match every edge label;
+  // `:a|b` label ALTERNATION (openCypher) matches any of the listed labels
   private val relRe =
-    """(<?)-\[\s*(\w+)?\s*(?::\s*(\w+))?\s*(\*\s*(\d+)?\s*(?:\.\.\s*(\d+)?)?)?\s*\]-(>?)""".r
+    """(<?)-\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*))?\s*(\*\s*(\d+)?\s*(?:\.\.\s*(\d+)?)?)?\s*\]-(>?)""".r
   // the WITH alternative must NOT match the second word of the STARTS
   // WITH / ENDS WITH string operators (input is whitespace-normalized to
   // single spaces before clause splitting, so the lookbehinds are fixed)
@@ -190,12 +194,19 @@ object CypherLite {
   }
 
   private[api] final case class NodePat(v: String, label: Option[String])
-  /** `label` empty = unlabeled (`-[]->` / `-[*1..2]-`): every edge label. */
+  /** `label` empty = unlabeled (`-[]->` / `-[*1..2]-`): every edge label;
+    * `"a|b"` = openCypher label alternation (any of the listed labels). */
   private[api] final case class RelPat(label: String, forward: Boolean,
                                        undirected: Boolean = false,
                                        minHops: Int = 1, maxHops: Int = 1,
                                        variable: Option[String] = None) {
     def singleHop: Boolean = minHops == 1 && maxHops == 1
+    /** The label set for edge filtering: Nil = every label. */
+    def labels: Seq[String] =
+      if (label.isEmpty) Nil else label.split('|').toSeq
+    /** Exactly one named label — the shapes that must NAME the label
+      * (relationship rendering) reject alternations like unlabeled. */
+    def singleLabel: Boolean = label.nonEmpty && !label.contains('|')
   }
   private[api] final case class MatchClause(nodes: List[NodePat], rels: List[RelPat],
                                             optional: Boolean,
@@ -1504,7 +1515,8 @@ object CypherLite {
         s"bad hop range *$minH..$maxH in ${m.matched}")
       require(maxH <= 16,
         s"variable-length max $maxH exceeds the 16-hop expansion cap")
-      RelPat(Option(m.group(3)).getOrElse(""), forward = fwd,
+      RelPat(Option(m.group(3)).getOrElse("").replaceAll("""\s*\|\s*""", "|"),
+        forward = fwd,
         undirected = !back && !fwd,
         minHops = minH, maxHops = maxH,
         variable = Option(m.group(2)).map(checkVar))
@@ -1912,10 +1924,12 @@ object CypherLite {
     // each row's accumulated set. Disjoint labeled segments can never
     // share an edge (one label per edge), so they keep the plain
     // unkeyed joins — no md5/array cost on the common chain shapes.
-    val segLabels = mc.rels.map(_.label)
+    // multi-label alternations participate as their label SET: two
+    // segments may share an edge when their sets intersect
+    val segLabels = mc.rels.map(_.labels.toSet)
     val threadEks = pathMode && mc.rels.length > 1 &&
       (segLabels.exists(_.isEmpty) ||
-        segLabels.distinct.length < segLabels.length)
+        segLabels.combinations(2).exists(p => (p.head & p.last).nonEmpty))
     var frontier: DataFrame = {
       val base0 = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
       val base = srcFilter.fold(base0)(f => base0.filter(f))
@@ -1927,7 +1941,7 @@ object CypherLite {
       val dir =
         if (rel.undirected) Direction.BOTH
         else if (rel.forward) Direction.OUT else Direction.IN
-      val e0 = EdgeStep(dir, Seq(rel.label).filter(_.nonEmpty)).edgesFor(g)
+      val e0 = EdgeStep(dir, rel.labels).edgesFor(g)
       // ALL-hop edge-property pushdown: the filter lands on the edge SCAN,
       // so a var-length expansion never walks a non-qualifying edge
       val e1 = rel.variable.flatMap(relFilters.get).fold(e0)(f => e0.filter(f))
@@ -2001,7 +2015,7 @@ object CypherLite {
               .withColumnRenamed("__vp", s"${pv}___nodes")
             // relationships(p) rider — labeled segments only (unused
             // columns are pruned by Catalyst, so this is free otherwise)
-            if (rel.label.nonEmpty) joined = joined.withColumn(
+            if (rel.singleLabel) joined = joined.withColumn(
               s"${pv}___rels", renderRels(col(s"${pv}___nodes"), rel.label))
           }
           joined
@@ -2042,7 +2056,7 @@ object CypherLite {
         .withColumn(s"${pv}___nodes",
           array(col(mc.nodes.head.v), col(mc.nodes(1).v)))
         .withColumn(s"${pv}___len", lit(1L))
-      if (mc.rels.head.label.nonEmpty) frontier = frontier.withColumn(
+      if (mc.rels.head.singleLabel) frontier = frontier.withColumn(
         s"${pv}___rels",
         renderRels(col(s"${pv}___nodes"), mc.rels.head.label))
     }
@@ -2165,7 +2179,7 @@ object CypherLite {
                             carry: Seq[(String, String)] = Nil): DataFrame = {
     val s0 = g.edges
     val s1 = if (rel.label.isEmpty) s0 else s0.filter(
-      g.schema.edgeLabelCond(Seq(rel.label), s0.columns.contains("sub_label")))
+      g.schema.edgeLabelCond(rel.labels, s0.columns.contains("sub_label")))
     val s2 = relFilter.fold(s1)(f => s1.filter(f))
     val keyCols = s2.columns.toSeq.map(c => coalesce(col(c).cast("string"), lit("")))
     val carryCols = carry.map { case (c, a) => col(c).as(a) }
@@ -2270,7 +2284,7 @@ object CypherLite {
     val rel = mc.rels.head
     val dir = if (rel.undirected) Direction.BOTH
               else if (rel.forward) Direction.OUT else Direction.IN
-    val e = EdgeStep(dir, Seq(rel.label).filter(_.nonEmpty)).edgesFor(g)
+    val e = EdgeStep(dir, rel.labels).edgesFor(g)
       .select(col("src"), col("dst"))
     val base0 = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
     val base = srcFilter.fold(base0)(f => base0.filter(f))
@@ -2328,7 +2342,7 @@ object CypherLite {
     val rel = mc.rels.head
     val dir = if (rel.undirected) Direction.BOTH
               else if (rel.forward) Direction.OUT else Direction.IN
-    val e = EdgeStep(dir, Seq(rel.label).filter(_.nonEmpty)).edgesFor(g)
+    val e = EdgeStep(dir, rel.labels).edgesFor(g)
       .select(col("src"), col("dst"))
     val base0 = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
     val base = srcFilter.fold(base0)(f => base0.filter(f))
@@ -2361,7 +2375,7 @@ object CypherLite {
       .getOrElse(frontier.withColumn("__len", lit(0L)).limit(0))
     val projected = paths.select(col("__a").as(n0.v), col("__x").as(n1.v),
       col("__len").as(s"${pv}___len"), col("__vp").as(s"${pv}___nodes"))
-    if (rel.label.nonEmpty) projected.withColumn(s"${pv}___rels",
+    if (rel.singleLabel) projected.withColumn(s"${pv}___rels",
       renderRels(col(s"${pv}___nodes"), rel.label))
     else projected
   }
@@ -2633,9 +2647,11 @@ object CypherLite {
         if (f == "nodes" || f == "relationships") require(nodePathVars(v),
           s"$f($v) requires allShortestPaths() or a plain named path — " +
             "shortestPath() materializes only the hop count")
-        if (f == "relationships") require(pathVarLabel(v).nonEmpty,
-          s"relationships($v) needs a LABELED relationship segment — an " +
-            "unlabeled path mixes edge labels the rendering cannot name")
+        if (f == "relationships") require(pathVarLabel(v).nonEmpty &&
+            !pathVarLabel(v).contains('|'),
+          s"relationships($v) needs a SINGLE-LABEL relationship segment — " +
+            "an unlabeled or multi-label (`:a|b`) path mixes edge labels " +
+            "the rendering cannot name")
       }
       // POST-projection surfaces: every stage's output WHERE / block
       // where2, later stage items, and (when stages exist) the RETURN

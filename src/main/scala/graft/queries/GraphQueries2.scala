@@ -2212,6 +2212,20 @@ object GraphQueries2 {
           "head([p IN ps WHERE p > 150000 | p + 0]) AS min_big")
     },
 
+    q("q_cypher_label_alt",
+      // -[:a|b]-> label alternation (openCypher): one isin-style label
+      // filter on the edge scan — the same pushdown plan as a single
+      // label; type(r) carries the per-row matched label
+      """SELECT label AS lbl, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT 'in_nation' AS label FROM customer
+        |  UNION ALL
+        |  SELECT 'placed' AS label FROM orders)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (c:customer)-[r:in_nation|placed]->(x) " +
+          "RETURN type(r) AS lbl, count(*) AS n")
+    },
+
     q("q_cypher_stats_agg",
       // openCypher statistics aggregates: stDev (sample) / stDevP
       // (population) → codegen'd stddev; percentileCont → Spark's EXACT

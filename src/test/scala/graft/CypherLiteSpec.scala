@@ -958,7 +958,7 @@ class CypherLiteSpec extends SparkSpec {
     // unlabeled segments and shortestPath() are loud
     val e1 = intercept[Exception](run(
       "MATCH p = (a:person)-[*1..2]->(b) RETURN relationships(p) AS r"))
-    assert(e1.getMessage.contains("LABELED"))
+    assert(e1.getMessage.contains("SINGLE-LABEL"))
     intercept[Exception](run(
       "MATCH p = shortestPath((a:person)-[:knows*..2]->(b)) " +
         "RETURN relationships(p) AS r"))
@@ -1417,6 +1417,27 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (p:person) RETURN any(x IN range(1, 3)) AS a"))
     intercept[Exception](run(
       "MATCH (p:person) RETURN any(x IN range(1, 3) WHERE x.p = 1) AS a"))
+  }
+
+  test("label alternation -[:a|b]-> matches any listed edge label") {
+    // marko -[:knows]-> vadas, josh; marko -[:created]-> lop
+    val rows = run("MATCH (a:person)-[:knows|created]->(x) " +
+      "WHERE a.name = 'marko' RETURN x AS tgt ORDER BY tgt ASC")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("person:josh", "person:vadas", "software:lop"))
+    // var-length with alternation: 2 hops over either label
+    val n2 = run("MATCH (a:person)-[:knows|created*2]->(x) " +
+      "WHERE a.name = 'marko' RETURN count(*) AS n").head().getLong(0)
+    assert(n2 === 2L) // marko->josh->{ripple, lop}
+    // whitespace around the pipe normalizes; rel var + alternation compose
+    val withVar = run("MATCH (a:person)-[r:knows | created]->(x) " +
+      "WHERE a.name = 'marko' RETURN type(r) AS t, count(*) AS n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(withVar === Map("knows" -> 2L, "created" -> 1L))
+    // relationships(p) refuses a multi-label named path (cannot name it)
+    intercept[Exception](run(
+      "MATCH p = (a:person)-[:knows|created*1..2]->(x) " +
+        "RETURN relationships(p) AS r"))
   }
 
   test("DISTINCT inside sum/avg aggregates (item and expression level)") {
