@@ -24,9 +24,10 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   * shared, as in Cypher — guarded, see [[eval]]); OPTIONAL MATCH is a left
   * outer join on the shared variables. Directions `->`, `<-` and UNDIRECTED
   * `-[:l]-` (the BOTH view), optional node labels, LABEL ALTERNATION
-  * `-[:a|b]->` (matches any listed edge label — one isin-style scan
-  * filter, the same plan as a single label; named paths need a single
-  * label only for `relationships(p)` rendering), and RELATIONSHIP
+  * on relationships `-[:a|b]->` AND nodes `(n:a|b)` (matches any listed
+  * label — one isin-style scan filter, the same plan as a single label;
+  * named paths need a single label only for `relationships(p)`
+  * rendering), and RELATIONSHIP
   * VARIABLES `-[r:label]->` that expose edge properties to WHERE / RETURN /
   * ORDER BY as `r.prop` (the reference's edge-property query surface —
   * `EdgeCoreTest.java` sort-key/edge-prop families). WHERE is a full
@@ -171,7 +172,8 @@ import graft.core.{Direction, EdgeStep, PropertyGraph}
   */
 object CypherLite {
 
-  private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
+  private val nodeRe =
+    """\(\s*(\w+)\s*(?::\s*(\w+(?:\s*\|\s*\w+)*))?\s*\)""".r
   // label optional: `-[]->`, `-[r]->`, `-[*1..2]-` match every edge label;
   // `:a|b` label ALTERNATION (openCypher) matches any of the listed labels
   private val relRe =
@@ -194,6 +196,14 @@ object CypherLite {
   }
 
   private[api] final case class NodePat(v: String, label: Option[String])
+
+  /** Vertex frame for a node-pattern label, honoring label ALTERNATION
+    * `(n:a|b)` (Neo4j 5 syntax): one isin filter on the label column —
+    * the same scan-filter plan shape as a single label. */
+  private def verticesOfLabel(g: PropertyGraph, l: String): DataFrame =
+    if (l.contains('|'))
+      g.vertices.filter(col("label").isin(l.split('|').toSeq: _*))
+    else g.verticesOf(l)
   /** `label` empty = unlabeled (`-[]->` / `-[*1..2]-`): every edge label;
     * `"a|b"` = openCypher label alternation (any of the listed labels). */
   private[api] final case class RelPat(label: String, forward: Boolean,
@@ -348,9 +358,9 @@ object CypherLite {
     * `(a)-[:l]->(b)`, `NOT (a)<-[:l]-()`, `(a)-[:l*1..2]-(:label)` — at
     * least one relationship (a lone `(v)` is never a predicate). */
   private val patChainRe =
-    ("""^\(\s*\w*\s*(?::\s*\w+)?\s*\)""" +
-      """(?:\s*<?-\[[^\]]*\]->?\s*\(\s*\w*\s*(?::\s*\w+)?\s*\))+""").r
-  private val anonNodeRe = """\(\s*(:\s*\w+)?\s*\)""".r
+    ("""^\(\s*\w*\s*(?::\s*\w+(?:\s*\|\s*\w+)*)?\s*\)""" +
+      """(?:\s*<?-\[[^\]]*\]->?\s*\(\s*\w*\s*(?::\s*\w+(?:\s*\|\s*\w+)*)?\s*\))+""").r
+  private val anonNodeRe = """\(\s*(:\s*\w+(?:\s*\|\s*\w+)*)?\s*\)""".r
 
   /** Name the anonymous nodes of a pattern-predicate chain (`()`, `(:l)`)
     * so [[parsePattern]] can bind them; `_pp<k>` never collides because a
@@ -1491,7 +1501,8 @@ object CypherLite {
 
   private def parsePattern(pattern: String, optional: Boolean): MatchClause = {
     val nodes = nodeRe.findAllMatchIn(pattern).map(m =>
-      NodePat(checkVar(m.group(1)), Option(m.group(2)))).toList
+      NodePat(checkVar(m.group(1)),
+        Option(m.group(2)).map(_.replaceAll("""\s*\|\s*""", "|")))).toList
     val rels = relRe.findAllMatchIn(pattern).map { m =>
       val back = m.group(1) == "<"
       val fwd = m.group(7) == ">"
@@ -1931,7 +1942,7 @@ object CypherLite {
       (segLabels.exists(_.isEmpty) ||
         segLabels.combinations(2).exists(p => (p.head & p.last).nonEmpty))
     var frontier: DataFrame = {
-      val base0 = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
+      val base0 = n0.label.map(l => verticesOfLabel(g, l)).getOrElse(g.vertices)
       val base = srcFilter.fold(base0)(f => base0.filter(f))
       val b = base.select(col("id").as(n0.v))
       if (threadEks) b.withColumn("__eks", array().cast("array<string>")) else b
@@ -1981,7 +1992,7 @@ object CypherLite {
           // DISTINCT (source, used-set) pairs — a row's walk may not reuse
           // any edge its earlier segments bound — and join back on both
           val keyed = keyedEdgeView(g, rel, rel.variable.flatMap(relFilters.get))
-          val endFilter = node.label.map(l => g.verticesOf(l).select(col("id")))
+          val endFilter = node.label.map(l => verticesOfLabel(g, l).select(col("id")))
           val srcs = frontier.select(col(prevVar).as("__a"),
             col("__eks").as("__eks0")).distinct()
           val paths = expandVarLengthPathsFrom(keyed, srcs,
@@ -2002,7 +2013,7 @@ object CypherLite {
           // filter. `__vp` (the vertex array) is carried only for a named
           // path (`p = …`) that will project it.
           val keyed = keyedEdgeView(g, rel, rel.variable.flatMap(relFilters.get))
-          val endFilter = node.label.map(l => g.verticesOf(l).select(col("id")))
+          val endFilter = node.label.map(l => verticesOfLabel(g, l).select(col("id")))
           val paths = expandVarLengthPaths(keyed,
             frontier.select(col(prevVar).as("__a")).distinct(),
             rel.minHops, rel.maxHops, endFilter, carryNodes = mc.pathPlain)
@@ -2030,7 +2041,7 @@ object CypherLite {
           // node's LABEL filter pushes into the emitted layers (it only
           // constrains the final binding, never the walk), so a dense
           // middle hop is label-cut before any pair-set distinct.
-          val endFilter = node.label.map(l => g.verticesOf(l).select(col("id")))
+          val endFilter = node.label.map(l => verticesOfLabel(g, l).select(col("id")))
           val pairs = expandVarLength(e.select(col("src"), col("dst")),
             frontier.select(col(prevVar).as("__a")).distinct(),
             rel.minHops, rel.maxHops, endFilter)
@@ -2041,7 +2052,7 @@ object CypherLite {
       // variable already carries its label constraint from first binding
       if (node.label.isDefined && !rebound && rel.singleHop)
         frontier = frontier.join(
-          g.verticesOf(node.label.get).select(col("id").as(node.v)),
+          verticesOfLabel(g, node.label.get).select(col("id").as(node.v)),
           Seq(node.v), "left_semi")
     }
     // the threaded used-edge set is internal — never let it leak into the
@@ -2286,11 +2297,11 @@ object CypherLite {
               else if (rel.forward) Direction.OUT else Direction.IN
     val e = EdgeStep(dir, rel.labels).edgesFor(g)
       .select(col("src"), col("dst"))
-    val base0 = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
+    val base0 = n0.label.map(l => verticesOfLabel(g, l)).getOrElse(g.vertices)
     val base = srcFilter.fold(base0)(f => base0.filter(f))
     val srcs = base.select(col("id").as("__a")).distinct()
     def emit(df: DataFrame): DataFrame =
-      n1.label.fold(df)(l => df.join(g.verticesOf(l).select(col("id")),
+      n1.label.fold(df)(l => df.join(verticesOfLabel(g, l).select(col("id")),
         df("__x") === col("id"), "left_semi"))
     var frontier = srcs.select(col("__a"), col("__a").as("__x"))
       .localCheckpoint(true)
@@ -2344,11 +2355,11 @@ object CypherLite {
               else if (rel.forward) Direction.OUT else Direction.IN
     val e = EdgeStep(dir, rel.labels).edgesFor(g)
       .select(col("src"), col("dst"))
-    val base0 = n0.label.map(l => g.verticesOf(l)).getOrElse(g.vertices)
+    val base0 = n0.label.map(l => verticesOfLabel(g, l)).getOrElse(g.vertices)
     val base = srcFilter.fold(base0)(f => base0.filter(f))
     val srcs = base.select(col("id").as("__a")).distinct()
     def emit(df: DataFrame): DataFrame =
-      n1.label.fold(df)(l => df.join(g.verticesOf(l).select(col("id")),
+      n1.label.fold(df)(l => df.join(verticesOfLabel(g, l).select(col("id")),
         df("__x") === col("id"), "left_semi"))
     var frontier = srcs.select(col("__a"), col("__a").as("__x"),
       array(col("__a")).as("__vp")).localCheckpoint(true)

@@ -1962,7 +1962,7 @@ object GraphQueries2 {
       // is(P) on a produced value frame + count() tail (TinkerPop IsTest):
       // values(k).is(gt(x)).count()
       """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
-        |WHERE c_acctbal > 9000""".stripMargin) { (s, d) =>
+        |WHERE c_acctbal > 5000""".stripMargin) { (s, d) =>
       graft.api.GremlinLite.eval(g(s, d),
         "g.V().hasLabel('customer').values('acctbal').is(gt(9000)).count()")
     },
@@ -2090,7 +2090,7 @@ object GraphQueries2 {
       // appears once)
       """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id
         |FROM customer
-        |WHERE c_acctbal > 9000 AND EXISTS (
+        |WHERE c_acctbal > 5000 AND EXISTS (
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin) {
       (s, d) =>
@@ -2210,6 +2210,19 @@ object GraphQueries2 {
           "WITH c.name AS cust, collect(o.totalprice) AS ps " +
           "RETURN cust, size([p IN ps WHERE p > 150000]) AS n_big, " +
           "head([p IN ps WHERE p > 150000 | p + 0]) AS min_big")
+    },
+
+    q("q_cypher_node_label_alt",
+      // (n:a|b) node label alternation (Neo4j 5 syntax): one isin filter
+      // on the label column — same scan-filter plan as a single label
+      """SELECT lbl, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT 'customer' AS lbl FROM customer WHERE c_acctbal > 5000
+        |  UNION ALL
+        |  SELECT 'supplier' AS lbl FROM supplier WHERE s_acctbal > 5000)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (x:customer|supplier) WHERE x.acctbal > 5000 " +
+          "RETURN head(labels(x)) AS lbl, count(*) AS n")
     },
 
     q("q_cypher_label_alt",

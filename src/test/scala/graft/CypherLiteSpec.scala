@@ -1419,6 +1419,22 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (p:person) RETURN any(x IN range(1, 3) WHERE x.p = 1) AS a"))
   }
 
+  test("node label alternation (n:a|b) filters to either label") {
+    val rows = run("MATCH (x:person|software) RETURN x AS id, labels(x) AS l")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).head))
+    assert(rows.length === 6)
+    assert(rows.map(_._2).toSet === Set("person", "software"))
+    // composes with a relationship and a WHERE over a shared prop
+    val tg = run("MATCH (a:person)-[:knows|created]->(x:person|software) " +
+      "WHERE a.name = 'marko' RETURN count(*) AS n").head().getLong(0)
+    assert(tg === 3L)
+    // inside a pattern predicate
+    val who = run("MATCH (a:person) " +
+      "WHERE (a)-[:created]->(:software|person) RETURN a.name AS w")
+      .collect().map(_.getString(0)).toSet
+    assert(who === Set("marko", "josh", "peter"))
+  }
+
   test("label alternation -[:a|b]-> matches any listed edge label") {
     // marko -[:knows]-> vadas, josh; marko -[:created]-> lop
     val rows = run("MATCH (a:person)-[:knows|created]->(x) " +
