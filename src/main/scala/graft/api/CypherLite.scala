@@ -521,7 +521,11 @@ object CypherLite {
         val m = inPrefRe.findFirstMatchIn(rest).get
         val litLhs: Option[String] = Option(m.group(1))
         val after = rest.substring(m.end)
-        if (after.startsWith("[")) {
+        // a `[x IN …]` comprehension inside the brackets is a list
+        // EXPRESSION, not a literal list — route to the general path
+        val bracketIsComp = after.startsWith("[") &&
+          """^\[\s*\w+\s+(?i:IN)(?![\w])""".r.findFirstMatchIn(after).isDefined
+        if (after.startsWith("[") && !bracketIsComp) {
           // `ref IN ['a', 2, …]` — openCypher list membership over literal
           // lists, the scan-pushable isin() shape (NOT IN composes via
           // NOT). The closing bracket is found by a QUOTE-AWARE scan, so a
@@ -557,17 +561,42 @@ object CypherLite {
           out += CmpT(Cmp(v, p, "in", vals)) // [] is legal: always false
           rest = rest.substring(m.end + j).trim
         } else {
-          // `<ref|'lit'> IN <alias>` — membership in a collect()ed list /
-          // list-valued WITH alias: array_contains over the array column
-          // (values are per-row, so isin cannot express it)
-          val aM = """^(\w+)(?![\w.('\[])""".r.findFirstMatchIn(after)
-            .getOrElse(sys.error(
-              s"IN takes a literal list […] or a bare list-alias name: $rest"))
-          val item: ValExpr = litLhs.map(LitV(_): ValExpr).getOrElse(
-            RefV(checkVar(m.group(2)), Option(m.group(3)).getOrElse("")))
-          out += CmpET(InE(item, RefV(checkVar(aM.group(1)), "")))
-          rest = rest.substring(m.end + aM.end).trim
+          // `<ref|'lit'> IN <list expr>` — membership in a collect()ed
+          // alias or any list-PRODUCING value expression (range(),
+          // split(), a comprehension): array_contains over the computed
+          // array (values are per-row, so isin cannot express it). The
+          // expression's extent is the rest of the operand segment
+          // (boundarySegment already stopped at the first top-level
+          // AND/OR/')').
+          // LHS: a quoted string literal, a NUMERIC literal (integral
+          // stays Long — type-strict membership), or a variable/prop ref
+          val item: ValExpr = litLhs.map(LitV(_): ValExpr).getOrElse {
+            val t = m.group(2); val p3 = m.group(3)
+            if (p3 == null && t.matches("""\d+""")) LitV(t.toLong)
+            // "3.5" tokenizes as ref "3" prop "5" — rejoin the double
+            else if (t.matches("""\d+""") && p3 != null && p3.matches("""\d+"""))
+              LitV(s"$t.$p3".toDouble)
+            else RefV(checkVar(t), Option(p3).getOrElse(""))
+          }
+          val seg2 = boundarySegment(after)
+          require(seg2.trim.nonEmpty,
+            s"IN needs a list operand: $rest")
+          out += CmpET(InE(item, parseValExpr(seg2)))
+          rest = rest.substring(m.end + seg2.length).trim
         }
+      }
+      else if ({
+        // general `<expr> IN <expr>` — an expression LHS the inPrefRe
+        // ref/literal fast path can't take (`toInteger(…) IN range(…)`).
+        // First DEPTH-0 IN keyword in the operand segment (an IN inside
+        // parens/brackets belongs to a quantifier/comprehension).
+        topInIdx(boundarySegment(rest)) > 0
+      }) {
+        val seg = boundarySegment(rest)
+        val k = topInIdx(seg)
+        out += CmpET(InE(parseValExpr(seg.substring(0, k)),
+          parseValExpr(seg.substring(k + 2))))
+        rest = rest.substring(seg.length).trim
       }
       else (nullRe.findFirstMatchIn(rest), strRe.findFirstMatchIn(rest),
                       cmpRe.findFirstMatchIn(rest)) match {
@@ -3206,6 +3235,28 @@ object CypherLite {
     * whole word, case-insensitive — the SET/DELETE clause split must not
     * trigger on ' set '/' delete ' INSIDE a string literal of the MATCH's
     * WHERE (r13 ADVICE #4: the regex split misparsed those). */
+  /** First IN keyword at paren/bracket depth 0 (quote-aware) — the
+    * general-expression membership split point; -1 if none. */
+  private def topInIdx(s: String): Int = {
+    var i = 0; var depth = 0; var inQ = false
+    while (i < s.length) {
+      val c = s(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ =>
+          if (depth == 0 && (i == 0 || !isWordCh(s(i - 1))) &&
+              s.regionMatches(true, i, "IN", 0, 2) &&
+              (i + 2 == s.length || !isWordCh(s(i + 2))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
   private def topKeywordIdx(s: String, kw: String): Int = {
     var i = 0; var inQ = false
     while (i < s.length) {

@@ -2212,6 +2212,19 @@ object GraphQueries2 {
           "head([p IN ps WHERE p > 150000 | p + 0]) AS min_big")
     },
 
+    q("q_cypher_in_expr",
+      // `x IN <list expression>` membership beyond literal lists / bare
+      // aliases (r15): range() here — compiles to array_contains over the
+      // computed array, evaluated per row in codegen
+      """SELECT r_name AS reg, CAST(count(*) AS BIGINT) AS n
+        |FROM nation JOIN region ON r_regionkey = n_regionkey
+        |WHERE n_nationkey % 4 = 0 GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (n:nation)-[:in_region]->(r:region) " +
+          "WHERE toInteger(last(split(id(n), ':'))) IN range(0, 24, 4) " +
+          "RETURN r.name AS reg, count(*) AS n")
+    },
+
     q("q_cypher_node_label_alt",
       // (n:a|b) node label alternation (Neo4j 5 syntax): one isin filter
       // on the label column — same scan-filter plan as a single label

@@ -1419,6 +1419,28 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (p:person) RETURN any(x IN range(1, 3) WHERE x.p = 1) AS a"))
   }
 
+  test("IN over list-producing expressions (range/split/comprehension)") {
+    // ages 27,29,32,35; range(25, 33, 2) = [25,27,29,31,33]
+    val n = run("MATCH (p:person) WHERE p.age IN range(25, 33, 2) " +
+      "RETURN count(*) AS n").head().getLong(0)
+    assert(n === 2L) // 27, 29
+    val who = run("MATCH (p:person) " +
+      "WHERE 'mar' IN split(p.name, 'ko') RETURN p.name AS w")
+      .collect().map(_.getString(0)).toSet
+    assert(who === Set("marko"))
+    // membership in a filtered comprehension over a collected alias
+    val w2 = run("MATCH (a:person)-[:knows]->(b:person) " +
+      "WITH a, collect(b.age) AS ages " +
+      "WHERE 32 IN [x IN ages WHERE x > 30] RETURN a.name AS w")
+      .collect().map(_.getString(0)).toSet
+    assert(w2 === Set("marko"))
+    // expression LHS: the general `<expr> IN <expr>` split
+    val n3 = run("MATCH (p:person) " +
+      "WHERE p.age + 1 IN range(28, 36, 2) RETURN count(*) AS n")
+      .head().getLong(0)
+    assert(n3 === 2L) // 27+1=28, 29+1=30
+  }
+
   test("node label alternation (n:a|b) filters to either label") {
     val rows = run("MATCH (x:person|software) RETURN x AS id, labels(x) AS l")
       .collect().map(r => (r.getString(0), r.getSeq[String](1).head))
