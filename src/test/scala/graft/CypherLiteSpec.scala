@@ -1438,7 +1438,7 @@ class CypherLiteSpec extends SparkSpec {
     val n3 = run("MATCH (p:person) " +
       "WHERE p.age + 1 IN range(28, 36, 2) RETURN count(*) AS n")
       .head().getLong(0)
-    assert(n3 === 2L) // 27+1=28, 29+1=30
+    assert(n3 === 3L) // 27+1=28, 29+1=30, 35+1=36 (inclusive end)
   }
 
   test("node label alternation (n:a|b) filters to either label") {
