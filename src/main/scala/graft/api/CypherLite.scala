@@ -820,9 +820,11 @@ object CypherLite {
         """|percentileDisc)\s*\(\s*((?i:DISTINCT)\s+)?""").r
     val funRe =
       ("""^(?i)(toUpper|toLower|abs|round|coalesce|size|length|nodes""" +
-        """|relationships|type|labels|toInteger|toFloat|toString""" +
+        """|relationships|type|labels|toInteger|toFloat|toString|toBoolean""" +
         """|substring|left|right|trim|ltrim|rtrim|replace|reverse|split""" +
-        """|sqrt|floor|ceil|sign|exp|log|log10|id|head|last|range)\s*\(""").r
+        """|sqrt|floor|ceil|sign|exp|log10|log|id|elementId|head|last|tail""" +
+        """|range|isEmpty|sin|cos|tan|asin|acos|atan2|atan|pi|degrees""" +
+        """|radians)\s*\(""").r
     val reduceRe = """^(?i)reduce\s*\(""".r
     val quantRe = """^(?i)(any|all|none|single)\s*\(""".r
     val refRe = """^(\w+)(?:\.(\w+))?""".r
@@ -1213,13 +1215,25 @@ object CypherLite {
       case FunV("exp", List(a)) => exp(compileVal(a, colOf))
       case FunV("log", List(a)) => log(compileVal(a, colOf))
       case FunV("log10", List(a)) => log10(compileVal(a, colOf))
+      // openCypher trigonometric surface (all FLOAT-valued)
+      case FunV("sin", List(a)) => sin(compileVal(a, colOf))
+      case FunV("cos", List(a)) => cos(compileVal(a, colOf))
+      case FunV("tan", List(a)) => tan(compileVal(a, colOf))
+      case FunV("asin", List(a)) => asin(compileVal(a, colOf))
+      case FunV("acos", List(a)) => acos(compileVal(a, colOf))
+      case FunV("atan", List(a)) => atan(compileVal(a, colOf))
+      case FunV("atan2", List(y, x)) =>
+        atan2(compileVal(y, colOf), compileVal(x, colOf))
+      case FunV("pi", Nil) => lit(math.Pi)
+      case FunV("degrees", List(a)) => degrees(compileVal(a, colOf))
+      case FunV("radians", List(a)) => radians(compileVal(a, colOf))
       // openCypher size() on a string → its length, as a long
       // openCypher size(): list length for LIST-producing expressions
       // (split()/nodes()/relationships()/labels()), string length otherwise
       case FunV("size", List(a)) =>
         val arrayProducing = a match {
           case FunV("split" | "nodes" | "relationships" | "labels" |
-                    "range", _) => true
+                    "range" | "tail", _) => true
           case _: ListLitV | _: ListCompV => true
           case _ => false
         }
@@ -1260,12 +1274,20 @@ object CypherLite {
       case FunV("tointeger", List(a)) => compileVal(a, colOf).try_cast("long")
       case FunV("tofloat", List(a)) => compileVal(a, colOf).try_cast("double")
       case FunV("tostring", List(a)) => compileVal(a, colOf).cast("string")
+      // toBoolean: 'true'/'false' (case-insensitive) → boolean, other
+      // strings → NULL (openCypher); booleans pass through
+      case FunV("toboolean", List(a)) =>
+        compileVal(a, colOf).cast("string").try_cast("boolean")
       case FunV("coalesce", as) if as.nonEmpty =>
         coalesce(as.map(compileVal(_, colOf)): _*)
       // id(n): the element id — this engine's ids ARE the binding values
       // (spliced strings, not synthetic longs), so id(n) = the bare column
       case FunV("id", List(RefV(v, ""))) => colOf(v, "")
       case FunV("id", _) => sys.error("id() takes a bound variable")
+      // elementId(n) — the Neo4j 5 name; same spliced-string identity
+      case FunV("elementid", List(RefV(v, ""))) => colOf(v, "")
+      case FunV("elementid", _) =>
+        sys.error("elementId() takes a bound variable")
       // head()/last() over a LIST expression (split()/nodes()/…) — null
       // on empty lists (openCypher; the size guard keeps ANSI mode from
       // throwing on the out-of-bounds index)
@@ -1275,6 +1297,23 @@ object CypherLite {
       case FunV("last", List(a)) =>
         val arr = compileVal(a, colOf)
         when(size(arr) > 0, element_at(arr, size(arr)))
+      // tail(list): all but the first element (openCypher); empty stays
+      // empty, NULL stays NULL (slice of NULL is NULL)
+      case FunV("tail", List(a)) =>
+        val arr = compileVal(a, colOf)
+        // slice(arr, 1, 0) is the type-preserving empty list
+        when(size(arr) > 1, slice(arr, lit(2), size(arr) - 1))
+          .otherwise(when(arr.isNotNull, slice(arr, lit(1), lit(0))))
+      // isEmpty(list-or-string): size/length 0; NULL → NULL
+      case FunV("isempty", List(a)) =>
+        val arrayProducing = a match {
+          case FunV("split" | "nodes" | "relationships" | "labels" |
+                    "range" | "tail", _) => true
+          case _: ListLitV | _: ListCompV => true
+          case _ => false
+        }
+        if (arrayProducing) size(compileVal(a, colOf)) === 0
+        else length(compileVal(a, colOf)) === 0
       // range(start, end[, step]) — openCypher INCLUSIVE integer range;
       // an unreachable end (wrong step sign / start past end) yields the
       // EMPTY list, where Spark's sequence would auto-reverse or throw.

@@ -2212,6 +2212,27 @@ object GraphQueries2 {
           "head([p IN ps WHERE p > 150000 | p + 0]) AS min_big")
     },
 
+    q("q_cypher_trig_funcs",
+      // openCypher trig/conversion surface (r15): sin/atan2/pi/degrees,
+      // toBoolean (non-boolean strings → NULL), tail() list length —
+      // all codegen'd column expressions, rounded (libm last bits)
+      """SELECT n_name AS nm,
+        |  round(sin(n_nationkey / 25.0), 6) AS s,
+        |  round(degrees(atan2(1.0, n_nationkey + 1.0)), 4) AS dg,
+        |  round(pi(), 6) AS p,
+        |  CAST(len(string_split(n_name, 'A')) - 1 AS BIGINT) AS nt,
+        |  (n_nationkey % 2 = 0) AS tb
+        |FROM nation""".stripMargin) { (s, d) =>
+      graft.api.CypherLite.eval(g(s, d),
+        "MATCH (n:nation) RETURN n.name AS nm, " +
+          "round(sin(toFloat(last(split(id(n), ':'))) / 25), 6) AS s, " +
+          "round(degrees(atan2(1.0, toFloat(last(split(id(n), ':'))) + 1)), 4) AS dg, " +
+          "round(pi(), 6) AS p, " +
+          "size(tail(split(n.name, 'A'))) AS nt, " +
+          "toBoolean(CASE WHEN toInteger(last(split(id(n), ':'))) % 2 = 0 " +
+          "THEN 'true' ELSE 'false' END) AS tb")
+    },
+
     q("q_cypher_in_expr",
       // `x IN <list expression>` membership beyond literal lists / bare
       // aliases (r15): range() here — compiles to array_contains over the

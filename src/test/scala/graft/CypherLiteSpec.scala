@@ -1419,6 +1419,27 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (p:person) RETURN any(x IN range(1, 3) WHERE x.p = 1) AS a"))
   }
 
+  test("trig/toBoolean/tail/isEmpty/elementId scalar functions") {
+    val r = run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
+      "round(sin(pi() / 2), 6) AS s, round(degrees(pi()), 4) AS d, " +
+      "round(atan2(1.0, 1.0) * 4, 6) AS pi4, " +
+      "toBoolean('TRUE') AS tb, toBoolean('nope') AS tn, " +
+      "elementId(p) AS eid").head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 180.0)
+    assert(r.getDouble(2) === math.Pi.floor + 0.141593) // rounded pi
+    assert(r.getBoolean(3) === true)
+    assert(r.isNullAt(4))
+    assert(r.getString(5) === "person:marko")
+    // tail: list minus head; isEmpty on strings and lists
+    val t = run("MATCH (p:person) WHERE p.name = 'marko' RETURN " +
+      "tail(split(p.name, 'a')) AS tl, size(tail(range(1, 3))) AS n, " +
+      "isEmpty(tail(range(1, 1))) AS e1, isEmpty(p.name) AS e2").head()
+    assert(t.getSeq[String](0).toList === List("rko"))
+    assert(t.getLong(1) === 2L)
+    assert(t.getBoolean(2) === true && t.getBoolean(3) === false)
+  }
+
   test("IN over list-producing expressions (range/split/comprehension)") {
     // ages 27,29,32,35; range(25, 33, 2) = [25,27,29,31,33]
     val n = run("MATCH (p:person) WHERE p.age IN range(25, 33, 2) " +
