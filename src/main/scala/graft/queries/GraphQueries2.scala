@@ -1962,7 +1962,7 @@ object GraphQueries2 {
       // is(P) on a produced value frame + count() tail (TinkerPop IsTest):
       // values(k).is(gt(x)).count()
       """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
-        |WHERE c_acctbal > 5000""".stripMargin) { (s, d) =>
+        |WHERE c_acctbal > 9000""".stripMargin) { (s, d) =>
       graft.api.GremlinLite.eval(g(s, d),
         "g.V().hasLabel('customer').values('acctbal').is(gt(9000)).count()")
     },
@@ -2090,7 +2090,7 @@ object GraphQueries2 {
       // appears once)
       """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id
         |FROM customer
-        |WHERE c_acctbal > 5000 AND EXISTS (
+        |WHERE c_acctbal > 9000 AND EXISTS (
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin) {
       (s, d) =>
