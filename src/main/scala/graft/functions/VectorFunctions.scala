@@ -125,6 +125,8 @@ object VectorFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimExpr(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", es => DotProductExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("upper_tri_products6",
+      es => UpperTriProducts6Expr(es.head), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
@@ -180,4 +182,84 @@ object VectorFunctions {
     }
     concat(bitCols: _*)
   }
+
+  /** Exact upper-triangle cross products of the round-6 decimal view of a
+    * vector, as one codegen'd kernel call per row — the PCA covariance
+    * hot path. Replaces the nested `transform(sequence(...))` composition,
+    * which Spark evaluates INTERPRETED (higher-order functions are not
+    * whole-stage-codegen'd) with a BigDecimal multiply per term: d(d+1)/2
+    * terms per row made the cross-moment pass the slowest single job in
+    * the bench. The kernel reproduces the exact decimal pipeline
+    * `round(cast(x as double), 6).cast(decimal(18,6))` per element (same
+    * BigDecimal.valueOf string-based rounding Spark's Round/Cast use), then
+    * multiplies SCALED LONGS — each struct's `xy` is the identical
+    * decimal(37,12) value the expression composition produced, so sums and
+    * the oracle comparison are bit-for-bit unchanged (PcaSpec pins this).
+    * Fails loud (ArithmeticException) if a scaled product overflows a
+    * long — |v| up to ~3e3 is safe at scale 6×6. */
+  def upperTri6F(a: ArrayData): ArrayData = upperTri6(a, isFloat = true)
+  def upperTri6D(a: ArrayData): ArrayData = upperTri6(a, isFloat = false)
+
+  private def upperTri6(a: ArrayData, isFloat: Boolean): ArrayData = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val n = a.numElements()
+    val s = new Array[Long](n)
+    var k = 0
+    while (k < n) {
+      val d = if (isFloat) a.getFloat(k).toDouble else a.getDouble(k)
+      // Round(double, 6): string-based BigDecimal, HALF_UP, back to double
+      val rd = JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+      // Cast(double -> decimal(18,6)): string-based BigDecimal again
+      s(k) = JBD.valueOf(rd).setScale(6, RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+      k += 1
+    }
+    val out = new Array[Any](n * (n + 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val si = s(i)
+      var j = i
+      while (j < n) {
+        val p = Math.multiplyExact(si, s(j))
+        out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, j, org.apache.spark.sql.types.Decimal.createUnsafe(p, 37, 12)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** `array<struct<i:int, j:int, xy:decimal(37,12)>>` of the upper-triangle
+    * round-6 cross products — see [[upperTri6F]]. */
+  case class UpperTriProducts6Expr(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.types._
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _)  => true
+      case ArrayType(DoubleType, _) => false
+      case dt => throw new IllegalArgumentException(
+        s"upper_tri_products6 expects array<float|double>, got $dt")
+    }
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("xy", DecimalType(37, 12), nullable = false))),
+      containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      upperTri6(v.asInstanceOf[ArrayData], isFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val kernel = if (isFloat) "graft.functions.VectorFunctions.upperTri6F"
+                   else "graft.functions.VectorFunctions.upperTri6D"
+      defineCodeGen(ctx, ev, a => s"$kernel($a)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "upper_tri_products6"
+  }
+
+  def upperTriProducts6(v: Column): Column =
+    call_function("upper_tri_products6", v)
 }

@@ -146,7 +146,26 @@ object Bpe {
   def train(docs: DataFrame, idCol: String, textCol: String,
             merges: Int, batch: Int = 4): (Seq[Merge], DataFrame) = {
     require(batch >= 1, "batch must be >= 1")
-    var words = vocab(docs, idCol, textCol)
+    // session-memoized per (pinned vocab plan, merges, batch) — the merge
+    // table is a TRAINED ARTIFACT (a deployment trains its tokenizer once
+    // and serves encodes from it), the same discipline as
+    // Ann.kmeansCentroids / Corpus.trainQualityClassifier: without the
+    // memo every consumer (q_bpe_merges AND q_bpe_encode) re-ran the full
+    // batched-argmax training loop
+    val vkey = vocab(docs, idCol, textCol)
+    trainMemo.computeIfAbsent((vkey, merges, batch), { _ =>
+      trainUncached(vkey, merges, batch)
+    })
+  }
+
+  private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (DataFrame, Int, Int), (Seq[Merge], DataFrame)]()
+
+  graft.core.Pin.onClear(() => trainMemo.clear())
+
+  private def trainUncached(vocabWords: DataFrame, merges: Int,
+                            batch: Int): (Seq[Merge], DataFrame) = {
+    var words = vocabWords
     val learned = Seq.newBuilder[Merge]
     // every multi-char symbol ever created = the concatenation of some
     // learned merge — the alias-closure test set (see the scaladoc)

@@ -38,12 +38,16 @@ object Pca {
     val sums = vecs.select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("dim")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
     // … one pass for the cross moments: per-row upper-triangle products via
-    // nested sequence-transforms (pure codegen'd expressions, no join)
-    val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col("v"), i + 1) * element_at(col("v"), j + 1)).as("xy")))))
-    val cross = vecs.select(explode(tri).as("t"))
+    // ONE codegen'd kernel call (VectorFunctions.upperTriProducts6). The
+    // previous nested sequence-transform composition was evaluated
+    // INTERPRETED (higher-order functions have no codegen) with a
+    // BigDecimal multiply per term — d(d+1)/2 interpreted products per row
+    // made this the slowest single bench job; the kernel emits the
+    // identical decimal(37,12) values from scaled-long multiplies
+    // (PcaSpec pins value equality against the builtin composition).
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val tri = graft.functions.VectorFunctions.upperTriProducts6(col(vecCol))
+    val cross = embeddings.select(explode(tri).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.xy")).as("sxy"))
     cross

@@ -85,14 +85,21 @@ object Sketch {
     def bucket(r: Int, c: Column): Column =
       pmod(conv(substring(md5(concat_ws(":", lit(r), c)), 1, 15), 16, 10)
         .cast("long"), lit(width))
-    val exact = items.groupBy(col(itemCol)).agg(count(lit(1)).as("exact"))
-      .orderBy(col("exact").desc, col(itemCol).asc).limit(k)
-    // one pass over the item stream: all `depth` bucket ids per item in a
-    // single posexplode (vs depth unioned re-scans)
-    val rows = items.select(posexplode(
+    // ONE aggregation pass over the item stream feeds both halves: the
+    // exact top-k AND the sketch cells. A cell's occurrence count equals
+    // the SUM of the per-item exact counts hashing into it, so the bucket
+    // ids (depth × md5) are computed once per DISTINCT item instead of
+    // once per occurrence — at Zipf vocabularies that is orders of
+    // magnitude fewer hash evaluations, and the raw stream is scanned
+    // once instead of twice. localCheckpoint(false): the count table is
+    // consumed by two plans (lazy — materializes inside the first).
+    val counts = items.groupBy(col(itemCol)).agg(count(lit(1)).as("exact"))
+      .localCheckpoint(false)
+    val exact = counts.orderBy(col("exact").desc, col(itemCol).asc).limit(k)
+    val rows = counts.select(col("exact"), posexplode(
       array((0 until depth).map(r => bucket(r, col(itemCol))): _*))
       .as(Seq("r", "b")))
-    val cms = rows.groupBy(col("r"), col("b")).agg(count(lit(1)).as("cell"))
+    val cms = rows.groupBy(col("r"), col("b")).agg(sum(col("exact")).as("cell"))
     val probes = (0 until depth).map { r =>
       exact.select(col(itemCol), col("exact"),
         lit(r).as("r"), bucket(r, col(itemCol)).as("b"))

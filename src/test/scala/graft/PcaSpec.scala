@@ -90,4 +90,43 @@ class PcaSpec extends SparkSpec {
     assert(a eq b)
     graft.core.Pin.clear()
   }
+
+  test("upper_tri_products6 kernel ≡ builtin transform composition (bit-exact decimals)") {
+    // the covariance cross-moment kernel must reproduce the exact
+    // decimal(37,12) per-(i,j) sums the round/cast/multiply expression
+    // composition produced — the oracle comparison rides on this
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    def sums(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), java.math.BigDecimal] = {
+      val v6 = transform(col("embedding"),
+        x => round(x.cast("double"), 6).cast("decimal(18,6)"))
+      val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+        transform(sequence(i, lit(dim - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("v"), i + 1) * element_at(col("v"), j + 1)).as("xy")))))
+      df.select(v6.as("v")).select(explode(tri).as("t"))
+        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+        .agg(sum(col("t.xy")).as("sxy")).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+    }
+    def kernelSums(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), java.math.BigDecimal] =
+      df.select(explode(VectorFunctions.upperTriProducts6(col("embedding"))).as("t"))
+        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+        .agg(sum(col("t.xy")).as("sxy")).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+    val exp = sums(vecs)
+    val got = kernelSums(vecs)
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (k, v) =>
+      assert(got(k).compareTo(v) == 0, s"sxy$k: ${got(k)} vs $v") }
+    // the array<double> element path too (negative values, .xx5 shapes)
+    val dvecs = Seq(
+      (1L, Array(-0.1234565, 2.5, -3.0000005, 0.0)),
+      (2L, Array(1.0000015, -2.0, 0.5, 7.25))).toDF("vec_id", "embedding")
+    val dexp = sums(dvecs)
+    val dgot = kernelSums(dvecs)
+    assert(dgot.keySet === dexp.keySet)
+    dexp.foreach { case (k, v) =>
+      assert(dgot(k).compareTo(v) == 0, s"double sxy$k: ${dgot(k)} vs $v") }
+  }
 }
