@@ -2013,7 +2013,7 @@ object CypherLite {
       val base0 = n0.label.map(l => verticesOfLabel(g, l)).getOrElse(g.vertices)
       val base = srcFilter.fold(base0)(f => base0.filter(f))
       val b = base.select(col("id").as(n0.v))
-      if (threadEks) b.withColumn("__eks", array().cast("array<string>")) else b
+      if (threadEks) b.withColumn("__eks", array().cast("array<binary>")) else b
     }
     mc.nodes.tail.zip(mc.rels).zipWithIndex.foreach { case ((node, rel), i) =>
       val prevVar = mc.nodes(i).v
@@ -2262,7 +2262,13 @@ object CypherLite {
     val s2 = relFilter.fold(s1)(f => s1.filter(f))
     val keyCols = s2.columns.toSeq.map(c => coalesce(col(c).cast("string"), lit("")))
     val carryCols = carry.map { case (c, a) => col(c).as(a) }
-    val keyed = s2.withColumn("__ek", md5(concat_ws("\u0001", keyCols: _*)))
+    // unhex: the key is carried per-row through every hop's join and
+    // accumulated into the per-path `__eks` array -- 16 raw bytes instead
+    // of the 32-char hex string halves the hot columns' bytes and makes
+    // the array_contains uniqueness probe a byte compare (same md5
+    // identity, bijective recode -- results unchanged)
+    val keyed = s2.withColumn("__ek",
+      unhex(md5(concat_ws("\u0001", keyCols: _*))))
       .select((col("src") +: col("dst") +: col("__ek") +: carryCols): _*)
     lazy val rev = keyed.select((col("dst").as("src") +: col("src").as("dst") +:
       col("__ek") +: carry.map(c => col(c._2))): _*)
@@ -2324,7 +2330,7 @@ object CypherLite {
       e.join(f, e("dst") === f("id"), "left_semi"))
     var layer = srcs.select(
       (col("__a") +: col("__a").as("__x") +:
-        array().cast("array<string>").as("__eks") +:
+        array().cast("array<binary>").as("__eks") +:
         (if (carryNodes) Seq(array(col("__a")).as("__vp")) else Nil)): _*)
     var out = List.empty[DataFrame]
     if (minHops == 0) out ::= emit(layer)

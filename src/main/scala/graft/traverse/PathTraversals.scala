@@ -189,10 +189,23 @@ object PathTraversals {
     var acc = frontier.filter(lit(false)).select(col("wid"), col("path"))
     val pruner = new Traversals.FrontierPruner
     for (s <- 1 to steps) {
-      val cand = frontier
+      // the BFS-flavor membership flag ((prev, dst) is an edge) used to be
+      // a LEFT join with the full pinned view on the RIGHT — a side that
+      // big can only sort-merge, so every step re-shuffled+re-sorted the
+      // whole edge table (the exact per-step anti-pattern the frontier
+      // joins avoid). Invert it: stream the pinned view once against the
+      // BROADCAST candidate pair set (walk-table-sized) to extract the
+      // matching pairs, then left-join those (still walk-table-sized) back
+      // — the edge table is never shuffled, any graph scale.
+      val cand0 = frontier
         .join(pruner.prune(edges, frontier, "cur")
           .withColumnRenamed("src", "cur"), Seq("cur"))
-        .join(nbView, Seq("prev", "dst"), "left")
+        .localCheckpoint(false)
+      val nbHits = nbView
+        .join(broadcast(cand0.filter(col("prev").isNotNull)
+          .select(col("prev"), col("dst")).distinct()),
+          Seq("prev", "dst"), "left_semi")
+      val cand = cand0.join(broadcast(nbHits), Seq("prev", "dst"), "left")
       val u = (graft.ops.Packing.hash16(
         concat_ws(":", col("wid"), lit(s), col("dst"))) + 1).cast("double") / 65536.0
       val w = when(col("dst") === col("prev"), lit(1.0 / p))

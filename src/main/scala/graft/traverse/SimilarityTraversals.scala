@@ -28,21 +28,29 @@ object SimilarityTraversals {
     // other traversal over the same (direction, label) distinct view
     val fwd = graft.core.Pin.pin(
       g.adjacency(dir, Seq(label)).select(col("src"), col("dst")).distinct())
-    val nbrs = fwd.join(sources.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+    // everything below `back` is bounded by the SEED fan-out (|sources| ×
+    // per-vertex degree), never by |E| — broadcast those sides explicitly
+    // so the pinned view streams un-shuffled through both passes and the
+    // small tail doesn't pay a shuffle stage per join (measured: the plan
+    // was ~23 AQE stage-jobs on sub-10k-row frames; the hints keep the
+    // big-side scans as the only full-width work, the scale-correct
+    // frontier shape)
+    val nbrs = fwd.join(broadcast(sources.withColumnRenamed("id", "src")),
+        Seq("src"), "left_semi")
       .select(col("src").as("v"), col("dst").as("t"))
     val nbrCount = nbrs.groupBy(col("v")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minNeighbors)
     val back = fwd.select(col("dst").as("t"), col("src").as("cand"))
-    val counts = nbrs.join(nbrCount, Seq("v"), "left_semi")
+    val counts = broadcast(nbrs.join(broadcast(nbrCount), Seq("v"), "left_semi"))
       .join(back, Seq("t"))
       .groupBy(col("v"), col("cand")).agg(count(lit(1)).as("c"))
       .filter(col("v") =!= col("cand"))
-    val scored = counts.join(nbrCount, Seq("v"))
+    val scored = counts.join(broadcast(nbrCount), Seq("v"))
       .withColumn("score", col("c").cast("double") / col("n"))
       .filter(col("score") >= alpha)
     val withEnough = scored.join(
-      scored.groupBy(col("v")).agg(count(lit(1)).as("ns"))
-        .filter(col("ns") >= minSimilars).select(col("v")),
+      broadcast(scored.groupBy(col("v")).agg(count(lit(1)).as("ns"))
+        .filter(col("ns") >= minSimilars).select(col("v"))),
       Seq("v"), "left_semi")
     val ranked =
       if (top > 0) {
@@ -61,18 +69,22 @@ object SimilarityTraversals {
                      label: String): DataFrame = {
     val adj = graft.core.Pin.pin(
       g.adjacency(dir, Seq(label)).select(col("src"), col("dst")).distinct())
+    // the source's neighbor set and the 2-hop candidate set are bounded by
+    // per-vertex fan-out, not |E| — broadcast them so the pinned adjacency
+    // streams un-shuffled through every pass (same rationale as
+    // fusiformSimilarity above)
     val srcN = adj.filter(col("src") === source).select(col("dst"))
-    val cands = adj.join(srcN.withColumnRenamed("dst", "mid"),
+    val cands = adj.join(broadcast(srcN.withColumnRenamed("dst", "mid")),
         col("dst") === col("mid"), "inner")
       .select(col("src").as("cand")).filter(col("cand") =!= source).distinct()
     // |N(source) ∩ N(cand)| and |N(cand)| via one aggregation
-    val inter = adj.join(cands.withColumnRenamed("cand", "src"), Seq("src"), "left_semi")
-      .join(srcN.withColumnRenamed("dst", "d2"), col("dst") === col("d2"), "left_semi")
+    val inter = adj.join(broadcast(cands.withColumnRenamed("cand", "src")), Seq("src"), "left_semi")
+      .join(broadcast(srcN.withColumnRenamed("dst", "d2")), col("dst") === col("d2"), "left_semi")
       .groupBy(col("src").as("cand")).agg(count(lit(1)).as("inter"))
-    val candDeg = adj.join(cands.withColumnRenamed("cand", "src"), Seq("src"), "left_semi")
+    val candDeg = adj.join(broadcast(cands.withColumnRenamed("cand", "src")), Seq("src"), "left_semi")
       .groupBy(col("src").as("cand")).agg(count(lit(1)).as("deg"))
     val srcDeg = srcN.count().toDouble
-    inter.join(candDeg, Seq("cand"))
+    inter.join(broadcast(candDeg), Seq("cand"))
       .withColumn("similarity",
         col("inter").cast("double") /
           (col("deg").cast("double") + lit(srcDeg) - col("inter")))
