@@ -367,7 +367,10 @@ object Dedup {
     val wins = Corpus.tokens(docs, idCol, textCol)
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.rawShinglesFromTokens(col("toks"), n)).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
+      // unhex: the window fingerprint is shuffled once per window (the
+      // corpus-sized pass) — 16 raw bytes instead of the 32-char hex
+      // string halves the hot column; same md5 identity, internal only
+      .select(col("doc_id"), unhex(md5(col("w"))).as("h"))
     val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("freq"))
     wins.join(freq, Seq("h"))
       .groupBy(col("doc_id"))
