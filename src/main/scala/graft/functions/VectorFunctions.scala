@@ -126,7 +126,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimExpr(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", es => DotProductExpr(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("upper_tri_products6",
-      es => UpperTriProducts6Expr(es.head), "built-in")
+      es => UpperTriProducts6Expr(es.head,
+        es(1).eval().asInstanceOf[Int]), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
@@ -195,35 +196,54 @@ object VectorFunctions {
     * multiplies SCALED LONGS — each struct's `xy` is the identical
     * decimal(37,12) value the expression composition produced, so sums and
     * the oracle comparison are bit-for-bit unchanged (PcaSpec pins this).
-    * Fails loud (ArithmeticException) if a scaled product overflows a
-    * long — |v| up to ~3e3 is safe at scale 6×6. */
-  def upperTri6F(a: ArrayData): ArrayData = upperTri6(a, isFloat = true)
-  def upperTri6D(a: ArrayData): ArrayData = upperTri6(a, isFloat = false)
+    * r16 hardening (r15 ADVICE): iterates the CALLER's `dim` (extra array
+    * elements are ignored, exactly dim(dim+1)/2 terms emitted); a missing
+    * (index ≥ length) or null element yields a null `xy` (the old
+    * element_at null propagation); a scaled-long product overflow
+    * (element magnitudes past ~3e3 at scale 6×6) falls back to the exact
+    * BigDecimal multiply the old expression path computed — identical
+    * decimal(37,12) value, never a crash. */
+  def upperTri6F(a: ArrayData, dim: Int): ArrayData = upperTri6(a, dim, isFloat = true)
+  def upperTri6D(a: ArrayData, dim: Int): ArrayData = upperTri6(a, dim, isFloat = false)
 
-  private def upperTri6(a: ArrayData, isFloat: Boolean): ArrayData = {
-    import java.math.{BigDecimal => JBD, RoundingMode}
+  private def upperTri6(a: ArrayData, dim: Int, isFloat: Boolean): ArrayData = {
+    import java.math.{BigDecimal => JBD, BigInteger, RoundingMode}
     val n = a.numElements()
-    val s = new Array[Long](n)
+    val s = new Array[Long](dim)
+    val nul = new Array[Boolean](dim)
     var k = 0
-    while (k < n) {
-      val d = if (isFloat) a.getFloat(k).toDouble else a.getDouble(k)
-      // Round(double, 6): string-based BigDecimal, HALF_UP, back to double
-      val rd = JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
-      // Cast(double -> decimal(18,6)): string-based BigDecimal again
-      s(k) = JBD.valueOf(rd).setScale(6, RoundingMode.HALF_UP)
-        .movePointRight(6).longValueExact()
+    while (k < dim) {
+      if (k >= n || a.isNullAt(k)) nul(k) = true
+      else {
+        val d = if (isFloat) a.getFloat(k).toDouble else a.getDouble(k)
+        // Round(double, 6): string-based BigDecimal, HALF_UP, back to double
+        val rd = JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+        // Cast(double -> decimal(18,6)): string-based BigDecimal again
+        s(k) = JBD.valueOf(rd).setScale(6, RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact()
+      }
       k += 1
     }
-    val out = new Array[Any](n * (n + 1) / 2)
+    val out = new Array[Any](dim * (dim + 1) / 2)
     var idx = 0
     var i = 0
-    while (i < n) {
+    while (i < dim) {
       val si = s(i)
       var j = i
-      while (j < n) {
-        val p = Math.multiplyExact(si, s(j))
+      while (j < dim) {
+        val xy: Any =
+          if (nul(i) || nul(j)) null
+          else try
+            org.apache.spark.sql.types.Decimal.createUnsafe(
+              Math.multiplyExact(si, s(j)), 37, 12)
+          catch { case _: ArithmeticException =>
+            org.apache.spark.sql.types.Decimal(
+              scala.math.BigDecimal(new JBD(
+                BigInteger.valueOf(si).multiply(BigInteger.valueOf(s(j))), 12)),
+              37, 12)
+          }
         out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](i, j, org.apache.spark.sql.types.Decimal.createUnsafe(p, 37, 12)))
+          Array[Any](i, j, xy))
         idx += 1
         j += 1
       }
@@ -234,7 +254,7 @@ object VectorFunctions {
 
   /** `array<struct<i:int, j:int, xy:decimal(37,12)>>` of the upper-triangle
     * round-6 cross products — see [[upperTri6F]]. */
-  case class UpperTriProducts6Expr(child: Expression)
+  case class UpperTriProducts6Expr(child: Expression, dim: Int)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     import org.apache.spark.sql.types._
     private lazy val isFloat = child.dataType match {
@@ -246,20 +266,21 @@ object VectorFunctions {
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("i", IntegerType, nullable = false),
       StructField("j", IntegerType, nullable = false),
-      StructField("xy", DecimalType(37, 12), nullable = false))),
+      // nullable: a null/missing element propagates into its products
+      StructField("xy", DecimalType(37, 12), nullable = true))),
       containsNull = false)
     override def nullSafeEval(v: Any): Any =
-      upperTri6(v.asInstanceOf[ArrayData], isFloat)
+      upperTri6(v.asInstanceOf[ArrayData], dim, isFloat)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val kernel = if (isFloat) "graft.functions.VectorFunctions.upperTri6F"
                    else "graft.functions.VectorFunctions.upperTri6D"
-      defineCodeGen(ctx, ev, a => s"$kernel($a)")
+      defineCodeGen(ctx, ev, a => s"$kernel($a, $dim)")
     }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
     override def prettyName: String = "upper_tri_products6"
   }
 
-  def upperTriProducts6(v: Column): Column =
-    call_function("upper_tri_products6", v)
+  def upperTriProducts6(v: Column, dim: Int): Column =
+    call_function("upper_tri_products6", v, lit(dim))
 }

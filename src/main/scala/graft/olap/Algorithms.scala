@@ -485,9 +485,12 @@ object Algorithms {
   private val msbfsMaxRoots = 256
 
   /** One ≤63-root bitmask BFS wave over `adj`. Per layer: one frontier⋈adj
-    * join, one dst-keyed bit_or, one seen-mask merge — every aggregation
-    * partial-combines map-side. Works unchanged on directed adjacency (the
-    * seen mask is the complete visit history, not a two-layer window).
+    * join feeding ONE id-keyed aggregation that computes the dst bit_or and
+    * the seen-mask merge together (expansion rows ∪ tagged seen rows —
+    * fused in r16; the former separate full-outer merge join paid two
+    * per-layer sorts and an extra stage). Every aggregation partial-combines
+    * map-side. Works unchanged on directed adjacency (the seen mask is the
+    * complete visit history, not a two-layer window).
     * Returns (root, id, dist) via a 63-row broadcast bit-explode. */
   private def msbfsBatch(spark: org.apache.spark.sql.SparkSession,
                          roots: Array[String], adj: DataFrame,
@@ -503,19 +506,28 @@ object Algorithms {
     var cnt = roots.length.toLong
     while (cnt > 0 && d < maxDepth) {
       d += 1
-      val exp = frontier.select(col("id").as("src"), col("mask"))
+      // ONE id-keyed aggregation per layer yields the expansion bit_or AND
+      // the seen-mask merge: the frontier fan-out rows and the seen rows
+      // enter the SAME groupBy (tagged by `__old`), replacing the former
+      // groupBy + full-outer merge join — that join was exchange-free
+      // (co-partitioned) but sort-merge, paying two O(|V| log |V|) sorts
+      // and an extra stage-job per layer (guide §2.4: two operations keyed
+      // the same way share one exchange — here they share one AGGREGATION).
+      // Map-side partial bit_or still collapses the expansion fan-out
+      // before the shuffle exactly as before; the seen rows (id-unique,
+      // 17 bytes) ride the same exchange — the narrow |V|-row-per-layer
+      // Pregel shape. Groups never null out: a side missing from a group
+      // contributes bit_or(0L).
+      val merged = frontier.select(col("id").as("src"), col("mask"))
         .join(pruner.prune(adj, frontier), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(expr("bit_or(mask)").as("m"))
-      // ONE full-outer join yields both the next frontier (newly-set bits)
-      // and the merged seen mask; the lazy checkpoint materializes it once
-      // for both consumers. exp arrives hash-partitioned on id from its
-      // groupBy, and seen's checkpoint preserves the same partitioning, so
-      // the join adds no Exchange beyond the per-layer dst aggregation.
-      val merged = exp
-        .join(seen.withColumnRenamed("mask", "old"), Seq("id"), "full")
+        .select(col("dst").as("id"), col("mask"), lit(false).as("__old"))
+        .unionByName(seen.select(col("id"), col("mask"), lit(true).as("__old")))
+        .groupBy(col("id"))
+        .agg(expr("bit_or(if(__old, 0L, mask))").as("m"),
+          expr("bit_or(if(__old, mask, 0L))").as("old"))
         .select(col("id"),
-          expr("coalesce(m, 0L) & ~coalesce(old, 0L)").as("new"),
-          expr("coalesce(m, 0L) | coalesce(old, 0L)").as("mask"))
+          expr("m & ~old").as("new"),
+          expr("m | old").as("mask"))
         .localCheckpoint(false)
       frontier = merged.filter(col("new") =!= 0L)
         .select(col("id"), col("new").as("mask"))
@@ -830,15 +842,17 @@ object Algorithms {
     val v = graft.core.Pin.pin(verts.select(col("id")).repartition(col("id")))
     var labels = v.select(col("id"), col("id").as("lbl"))
     for (_ <- 0 until iterations) {
-      val freq = labels.select(col("id").as("src"), col("lbl"))
+      // deterministic majority: highest count, then lexicographically
+      // smallest label. mode(lbl, deterministic=true) IS that contract
+      // (ties → lowest value) and it is a hash-map TypedImperativeAggregate
+      // with map-side partial merge — ONE id-keyed exchange per round where
+      // the former (id, lbl)-count + argmin pair of aggregations paid two
+      // (guide §2.4: fewer shuffles per iteration). The per-group map is
+      // bounded by the distinct-label count.
+      val pick = labels.select(col("id").as("src"), col("lbl"))
         .join(adj, Seq("src"))
-        .groupBy(col("dst").as("id"), col("lbl")).agg(count(lit(1)).as("n"))
-      // deterministic: highest count, then lexicographically smallest label —
-      // expressed via min over (-n, lbl)
-      val pick = freq
-        .select(col("id"), struct((col("n") * -1).as("neg"), col("lbl")).as("key"))
-        .groupBy(col("id")).agg(min(col("key")).as("k"))
-        .select(col("id"), col("k.lbl").as("nbr_lbl"))
+        .groupBy(col("dst").as("id"))
+        .agg(mode(col("lbl"), deterministic = true).as("nbr_lbl"))
       labels = v.join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("nbr_lbl"), col("id")).as("lbl"))
         // lazy cut — single consumer per round, same as pageRank above
@@ -872,14 +886,14 @@ object Algorithms {
     var labels = v.join(sd, Seq("id"), "left")
       .select(col("id"), col("__seed").as("lbl"), col("__seed"))
     for (_ <- 0 until iterations) {
-      val freq = labels.filter(col("lbl").isNotNull)
+      // majority vote fused into ONE id-keyed aggregation per round —
+      // mode(lbl, deterministic=true) = (count desc, lbl asc), identical
+      // tie-break to the former count + argmin-struct pair (see [[lpa]])
+      val pick = labels.filter(col("lbl").isNotNull)
         .select(col("id").as("src"), col("lbl"))
         .join(adj, Seq("src"))
-        .groupBy(col("dst").as("id"), col("lbl")).agg(count(lit(1)).as("n"))
-      val pick = freq
-        .select(col("id"), struct((col("n") * -1).as("neg"), col("lbl")).as("key"))
-        .groupBy(col("id")).agg(min(col("key")).as("k"))
-        .select(col("id"), col("k.lbl").as("vote"))
+        .groupBy(col("dst").as("id"))
+        .agg(mode(col("lbl"), deterministic = true).as("vote"))
       labels = labels.join(pick, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("__seed"), col("vote"), col("lbl")).as("lbl"), col("__seed"))

@@ -152,14 +152,32 @@ object Bpe {
     // Ann.kmeansCentroids / Corpus.trainQualityClassifier: without the
     // memo every consumer (q_bpe_merges AND q_bpe_encode) re-ran the full
     // batched-argmax training loop
+    // PLAN-keyed (semanticHash bucket + sameResult probe, the Pin.PlanMemo
+    // discipline): a reference key only worked because vocab() routes
+    // through pinDerived — an equivalent vocab frame built without it
+    // would have silently re-trained (r15 ADVICE).
     val vkey = vocab(docs, idCol, textCol)
-    trainMemo.computeIfAbsent((vkey, merges, batch), { _ =>
-      trainUncached(vkey, merges, batch)
-    })
+    val plan = vkey.queryExecution.analyzed
+    val bucket = trainMemo.computeIfAbsent(
+      (plan.semanticHash(), merges, batch),
+      _ => new java.util.concurrent.CopyOnWriteArrayList[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          (Seq[Merge], DataFrame))]())
+    bucket.synchronized {
+      var hit: (Seq[Merge], DataFrame) = null
+      bucket.forEach { case (p, r) => if (hit == null && p.sameResult(plan)) hit = r }
+      if (hit == null) {
+        hit = trainUncached(vkey, merges, batch)
+        bucket.add((plan, hit))
+      }
+      hit
+    }
   }
 
   private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
-    (DataFrame, Int, Int), (Seq[Merge], DataFrame)]()
+    (Int, Int, Int), java.util.concurrent.CopyOnWriteArrayList[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        (Seq[Merge], DataFrame))]]()
 
   graft.core.Pin.onClear(() => trainMemo.clear())
 

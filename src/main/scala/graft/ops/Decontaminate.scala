@@ -79,10 +79,9 @@ object Decontaminate {
     * Scale shape: the broadcast is the set-bit table — AT MOST `mBits`
     * rows regardless of benchmark size (vs one row per distinct benchmark
     * gram in [[contaminated]]); the corpus side stays a narrow
-    * shingle→hash map into that broadcast join, and only surviving
-    * (id, gram, bit) rows — ≤ kHashes per flagged gram — reach the two
-    * bounded aggregations. Returns (idCol, n_flagged) over DISTINCT
-    * flagged grams. */
+    * shingle→hash map, probed against that broadcast once per DISTINCT
+    * gram, and only fully flagged grams rejoin the occurrence stream.
+    * Returns (idCol, n_flagged) over DISTINCT flagged grams. */
   def bloomContaminated(corpus: DataFrame, bench: DataFrame,
                         idCol: String, textCol: String, benchTextCol: String,
                         ngram: Int = 5, mBits: Int = 4096,
@@ -97,16 +96,27 @@ object Decontaminate {
       .select(TextFunctions.shinglesFromTokens(col("toks"), ngram).as("g"))
       .select(explode(col("g")).as("gram"))
       .select(explode(bits(md5(col("gram")))).as("p")).distinct())
-    // semi-join FIRST (the [[contaminated]] discipline — the corpus side
-    // never shuffles before the broadcast filter); duplicate grams within a
-    // doc are harmless because the all-bits-set test counts DISTINCT hash
-    // indices j, not rows
-    grams(corpus, idCol, textCol, ngram)
+    // Probe the filter once per DISTINCT gram, not per occurrence (guide
+    // §2.3 — shuffle keys, not payloads; r15 verdict item 7): the former
+    // shape computed kHashes bucket hashes and exploded kHashes rows for
+    // EVERY gram occurrence, and every occurrence-row with ≥1 matching bit
+    // entered the (id, gh) aggregation exchange. Zipf corpora have far
+    // fewer distinct grams than occurrences, so the hash work and the
+    // mid-pipeline exchange now scale with the vocabulary: one narrow
+    // gh-only distinct, the kHashes probes per distinct gh, and only FULLY
+    // flagged grams (bounded by the benchmark's reach + the filter's false
+    // positives — the [[clean]] regime, no broadcast hint: AQE broadcasts
+    // the small hit set at runtime) rejoin the occurrence stream.
+    val occ = grams(corpus, idCol, textCol, ngram)
       .select(col(idCol), md5(col("gram")).as("gh"))
-      .select(col(idCol), col("gh"), posexplode(bits(col("gh"))).as(Seq("j", "p")))
+    val flagged = occ.select(col("gh")).distinct()
+      .select(col("gh"), posexplode(bits(col("gh"))).as(Seq("j", "p")))
       .join(setBits, Seq("p"), "left_semi")
-      .groupBy(col(idCol), col("gh")).agg(countDistinct(col("j")).as("n_set"))
+      .groupBy(col("gh")).agg(countDistinct(col("j")).as("n_set"))
       .filter(col("n_set") === kHashes)
+      .select(col("gh"))
+    occ.join(flagged, Seq("gh"), "left_semi")
+      .groupBy(col(idCol), col("gh")).agg(count(lit(1)).as("__m"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_flagged"))
   }
 

@@ -46,7 +46,7 @@ object Pca {
     // identical decimal(37,12) values from scaled-long multiplies
     // (PcaSpec pins value equality against the builtin composition).
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
-    val tri = graft.functions.VectorFunctions.upperTriProducts6(col(vecCol))
+    val tri = graft.functions.VectorFunctions.upperTriProducts6(col(vecCol), dim)
     val cross = embeddings.select(explode(tri).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.xy")).as("sxy"))

@@ -88,20 +88,34 @@ object Search {
                  k: Int, basketCap: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bi = basketView(baskets, basketCol, itemCol)
+    // per-item stats: catalog-sized (distinct items), far smaller than the
+    // pair stream that joins it twice — broadcast it when a capped count
+    // proves it fits (guide §3.1: broadcast the side that fits; the probe
+    // also materializes the lazy checkpoint both broadcast builds reuse).
+    // Oversized catalogs fall back to the former shuffle joins.
     val freq = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val freqFits = freq.limit(
+      (graft.traverse.Traversals.bfsBroadcastMaxRows + 1).toInt).count() <=
+      graft.traverse.Traversals.bfsBroadcastMaxRows
+    def stats(df: DataFrame) = if (freqFits) broadcast(df) else df
     val capW = Window.partitionBy(col("b")).orderBy(col("i").asc)
     val capped = bi.withColumn("__rn", row_number().over(capW))
       .filter(col("__rn") <= basketCap).drop("__rn")
+    // lazy-checkpointed: both union branches below read ONE materialization
+    // of the self-join aggregation (the former plan reused its exchange but
+    // ran the final-aggregate stage twice, once per branch)
     val pairs = capped.as("l").join(capped.as("r"),
         col("l.b") === col("r.b") && col("l.i") < col("r.i"))
       .groupBy(col("l.i").as("ia"), col("r.i").as("ib"))
       .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(false)
     // both directions: a recommender serves neighbors FOR every item
     val sym = pairs.unionByName(pairs.select(col("ib").as("ia"),
       col("ia").as("ib"), col("n_ab")))
     val scored = sym
-      .join(freq.select(col("i").as("ia"), col("n").as("na")), Seq("ia"))
-      .join(freq.select(col("i").as("ib"), col("n").as("nb")), Seq("ib"))
+      .join(stats(freq.select(col("i").as("ia"), col("n").as("na"))), Seq("ia"))
+      .join(stats(freq.select(col("i").as("ib"), col("n").as("nb"))), Seq("ib"))
       .withColumn("cos",
         col("n_ab") / sqrt(col("na").cast("double") * col("nb")))
     // per-item top-k via the row-carrying bounded heap, ranked (cos DESC,

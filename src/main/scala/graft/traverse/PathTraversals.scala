@@ -115,8 +115,20 @@ object PathTraversals {
       "labels" -> graft.sources.GraphStore.keyOfList(labels))
   }
 
+  /** Seed-count gate for the forced broadcasts inside the walk loops: walk
+    * tables carry exactly one row per source, so every hinted side is
+    * bounded by |sources| (hop key sets) or |sources| × per-vertex degree
+    * (the node2vec candidate pair set). Past the gate the hints drop and
+    * the joins fall back to Spark's own planning (shuffled at worst) — a
+    * |V|-scale walk corpus must never force a driver-sized broadcast
+    * (r15 verdict item 3). Declared walk queries pass dozens of sources;
+    * the gate only exists for the 100 TB design point. */
+  private[graft] val walkBroadcastMaxSources = 50000
+
   private def guidedWalksCompute(g: PropertyGraph, sources: Seq[String], steps: Int,
                                  dir: Direction.Value, labels: Seq[String]): DataFrame = {
+    def maybeB(df: DataFrame): DataFrame =
+      if (sources.size <= walkBroadcastMaxSources) broadcast(df) else df
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val edges = Traversals.adjacencyView(g, dir, labels)
@@ -139,7 +151,7 @@ object PathTraversals {
           concat(col("m.path"), lit("->"), col("m.dst")).as("path"))
         .localCheckpoint(true)
       acc = acc.unionByName(
-        frontier.join(broadcast(hop.select(col("wid"))), Seq("wid"), "left_anti")
+        frontier.join(maybeB(hop.select(col("wid"))), Seq("wid"), "left_anti")
           .select(col("wid"), col("path")))
       frontier = hop
     }
@@ -178,6 +190,13 @@ object PathTraversals {
   private def node2vecWalksCompute(g: PropertyGraph, sources: Seq[String], steps: Int,
                     dir: Direction.Value, p: Double, q: Double,
                     labels: Seq[String]): DataFrame = {
+    // seed-count gate (r15 verdict item 3): the candidate pair set below is
+    // walk-table-bounded (|sources| × per-step degree) — broadcast it only
+    // while the walk count is point-query-sized; a |V|-scale walk sweep
+    // falls back to Spark's planned join (the edge view then shuffles, but
+    // so does everything at that frontier size — never a driver OOM)
+    def maybeB(df: DataFrame): DataFrame =
+      if (sources.size <= walkBroadcastMaxSources) broadcast(df) else df
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val edges = Traversals.adjacencyView(g, dir, labels)
@@ -202,10 +221,10 @@ object PathTraversals {
           .withColumnRenamed("src", "cur"), Seq("cur"))
         .localCheckpoint(false)
       val nbHits = nbView
-        .join(broadcast(cand0.filter(col("prev").isNotNull)
+        .join(maybeB(cand0.filter(col("prev").isNotNull)
           .select(col("prev"), col("dst")).distinct()),
           Seq("prev", "dst"), "left_semi")
-      val cand = cand0.join(broadcast(nbHits), Seq("prev", "dst"), "left")
+      val cand = cand0.join(maybeB(nbHits), Seq("prev", "dst"), "left")
       val u = (graft.ops.Packing.hash16(
         concat_ws(":", col("wid"), lit(s), col("dst"))) + 1).cast("double") / 65536.0
       val w = when(col("dst") === col("prev"), lit(1.0 / p))
@@ -219,7 +238,7 @@ object PathTraversals {
           concat(col("m.path"), lit("->"), col("m.dst")).as("path"))
         .localCheckpoint(true)
       acc = acc.unionByName(
-        frontier.join(broadcast(hop.select(col("wid"))), Seq("wid"), "left_anti")
+        frontier.join(maybeB(hop.select(col("wid"))), Seq("wid"), "left_anti")
           .select(col("wid"), col("path")))
       frontier = hop
     }

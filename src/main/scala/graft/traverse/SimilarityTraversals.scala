@@ -21,6 +21,18 @@ object SimilarityTraversals {
     *    deterministic tiebreak; the reference's map order is unspecified).
     * One aggregation pipeline for ALL sources — the reference loops vertex
     * by vertex; at scale the whole frontier is two joins + two groupBys. */
+  /** Seed-count cap for the forced broadcasts in the similarity
+    * traversals (r15 ADVICE / verdict item 3): every hinted side is
+    * bounded by the seed fan-out (|seeds| × per-vertex degree), sound for
+    * point queries but unbounded for a |V|-scale seed sweep. At or below
+    * the cap the hints apply; above it they drop and Spark plans the
+    * joins (shuffled at worst — graceful, never a driver OOM). The probe
+    * is a capped count (LocalLimit stops the scan at cap+1 rows). */
+  private val simBroadcastMaxSeeds = 10000L
+
+  private def seedsWithinCap(sources: DataFrame): Boolean =
+    sources.limit((simBroadcastMaxSeeds + 1).toInt).count() <= simBroadcastMaxSeeds
+
   def fusiformSimilarity(g: PropertyGraph, sources: DataFrame, dir: Direction.Value,
                          label: String, minNeighbors: Int, alpha: Double,
                          minSimilars: Int, top: Int): DataFrame = {
@@ -34,22 +46,25 @@ object SimilarityTraversals {
     // small tail doesn't pay a shuffle stage per join (measured: the plan
     // was ~23 AQE stage-jobs on sub-10k-row frames; the hints keep the
     // big-side scans as the only full-width work, the scale-correct
-    // frontier shape)
-    val nbrs = fwd.join(broadcast(sources.withColumnRenamed("id", "src")),
+    // frontier shape). Hints are seed-count-gated — see
+    // [[simBroadcastMaxSeeds]].
+    val hintsOn = seedsWithinCap(sources) // ONE capped-count probe
+    def maybeB(df: DataFrame): DataFrame = if (hintsOn) broadcast(df) else df
+    val nbrs = fwd.join(maybeB(sources.withColumnRenamed("id", "src")),
         Seq("src"), "left_semi")
       .select(col("src").as("v"), col("dst").as("t"))
     val nbrCount = nbrs.groupBy(col("v")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minNeighbors)
     val back = fwd.select(col("dst").as("t"), col("src").as("cand"))
-    val counts = broadcast(nbrs.join(broadcast(nbrCount), Seq("v"), "left_semi"))
+    val counts = maybeB(nbrs.join(maybeB(nbrCount), Seq("v"), "left_semi"))
       .join(back, Seq("t"))
       .groupBy(col("v"), col("cand")).agg(count(lit(1)).as("c"))
       .filter(col("v") =!= col("cand"))
-    val scored = counts.join(broadcast(nbrCount), Seq("v"))
+    val scored = counts.join(maybeB(nbrCount), Seq("v"))
       .withColumn("score", col("c").cast("double") / col("n"))
       .filter(col("score") >= alpha)
     val withEnough = scored.join(
-      broadcast(scored.groupBy(col("v")).agg(count(lit(1)).as("ns"))
+      maybeB(scored.groupBy(col("v")).agg(count(lit(1)).as("ns"))
         .filter(col("ns") >= minSimilars).select(col("v"))),
       Seq("v"), "left_semi")
     val ranked =
@@ -72,19 +87,24 @@ object SimilarityTraversals {
     // the source's neighbor set and the 2-hop candidate set are bounded by
     // per-vertex fan-out, not |E| — broadcast them so the pinned adjacency
     // streams un-shuffled through every pass (same rationale as
-    // fusiformSimilarity above)
+    // fusiformSimilarity above). Gate: the srcDeg count (needed for the
+    // jaccard denominator anyway — a FREE size probe) bounds srcN exactly
+    // and proxies the candidate fan-out; a hub source past the cap drops
+    // the hints and lets Spark plan the joins.
     val srcN = adj.filter(col("src") === source).select(col("dst"))
-    val cands = adj.join(broadcast(srcN.withColumnRenamed("dst", "mid")),
+    val srcDeg = srcN.count().toDouble
+    val hintsOn = srcDeg <= simBroadcastMaxSeeds
+    def maybeB(df: DataFrame): DataFrame = if (hintsOn) broadcast(df) else df
+    val cands = adj.join(maybeB(srcN.withColumnRenamed("dst", "mid")),
         col("dst") === col("mid"), "inner")
       .select(col("src").as("cand")).filter(col("cand") =!= source).distinct()
     // |N(source) ∩ N(cand)| and |N(cand)| via one aggregation
-    val inter = adj.join(broadcast(cands.withColumnRenamed("cand", "src")), Seq("src"), "left_semi")
-      .join(broadcast(srcN.withColumnRenamed("dst", "d2")), col("dst") === col("d2"), "left_semi")
+    val inter = adj.join(maybeB(cands.withColumnRenamed("cand", "src")), Seq("src"), "left_semi")
+      .join(maybeB(srcN.withColumnRenamed("dst", "d2")), col("dst") === col("d2"), "left_semi")
       .groupBy(col("src").as("cand")).agg(count(lit(1)).as("inter"))
-    val candDeg = adj.join(broadcast(cands.withColumnRenamed("cand", "src")), Seq("src"), "left_semi")
+    val candDeg = adj.join(maybeB(cands.withColumnRenamed("cand", "src")), Seq("src"), "left_semi")
       .groupBy(col("src").as("cand")).agg(count(lit(1)).as("deg"))
-    val srcDeg = srcN.count().toDouble
-    inter.join(broadcast(candDeg), Seq("cand"))
+    inter.join(maybeB(candDeg), Seq("cand"))
       .withColumn("similarity",
         col("inter").cast("double") /
           (col("deg").cast("double") + lit(srcDeg) - col("inter")))

@@ -110,7 +110,7 @@ class PcaSpec extends SparkSpec {
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
     }
     def kernelSums(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), java.math.BigDecimal] =
-      df.select(explode(VectorFunctions.upperTriProducts6(col("embedding"))).as("t"))
+      df.select(explode(VectorFunctions.upperTriProducts6(col("embedding"), dim)).as("t"))
         .groupBy(col("t.i").as("i"), col("t.j").as("j"))
         .agg(sum(col("t.xy")).as("sxy")).collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
