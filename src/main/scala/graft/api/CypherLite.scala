@@ -2388,9 +2388,12 @@ object CypherLite {
     while (h <= rel.maxHops && !drained) {
       val stepped = frontier.join(e, frontier("__x") === e("src"))
         .select(col("__a"), col("dst").as("__x")).distinct()
+      // lazy checkpoint + count: ONE job materializes the layer AND
+      // answers the drain check (the former eager checkpoint + isEmpty
+      // paid two driver jobs per hop)
       val fresh = stepped.join(seen, Seq("__a", "__x"), "left_anti")
-        .localCheckpoint(true)
-      if (fresh.isEmpty) drained = true
+        .localCheckpoint(false)
+      if (fresh.count() == 0L) drained = true
       else {
         seen = seen.unionByName(fresh)
         out ::= emit(fresh).withColumn("__len", lit(h.toLong))
@@ -2446,9 +2449,10 @@ object CypherLite {
       val stepped = frontier.join(e, frontier("__x") === e("src"))
         .select(col("__a"), col("dst").as("__x"),
           concat(col("__vp"), array(col("dst"))).as("__vp"))
+      // lazy checkpoint + count — one job per hop, see [[shortestChain]]
       val fresh = stepped.join(seen, Seq("__a", "__x"), "left_anti")
-        .localCheckpoint(true)
-      if (fresh.isEmpty) drained = true
+        .localCheckpoint(false)
+      if (fresh.count() == 0L) drained = true
       else {
         seen = seen.unionByName(fresh.select(col("__a"), col("__x")).distinct())
         out ::= emit(fresh).withColumn("__len", lit(h.toLong))

@@ -208,7 +208,11 @@ final case class GraphTraversal(
     var drained = false
     while (r < maxRounds && !drained) {
       val stepped = f(cur)
-      val pinned = stepped.copy(df = stepped.df.localCheckpoint(true))
+      // lazy checkpoint + one counting aggregation: a single job both
+      // materializes the round's frontier and answers the continue check
+      // (the former eager checkpoint + isEmpty paid two jobs per round)
+      val pinnedDf = stepped.df.localCheckpoint(false)
+      val pinned = stepped.copy(df = pinnedDf)
       val loopsHit = loopsExit.exists(_(r + 1))
       val c =
         if (loopsHit) lit(true)
@@ -216,8 +220,12 @@ final case class GraphTraversal(
       val exit = if (emitEach) pinned
         else pinned.copy(df = pinned.df.filter(c))
       acc = Some(acc.fold(exit)(_ union exit))
-      val cont = pinned.copy(df = pinned.df.filter(coalesce(!c, lit(true))))
-      if (cont.df.isEmpty) drained = true else cur = cont
+      val contPred = coalesce(!c, lit(true))
+      val cont = pinned.copy(df = pinnedDf.filter(contPred))
+      val contN = pinnedDf
+        .select(org.apache.spark.sql.functions.count(when(contPred, lit(1)))
+          .as("n")).first().getLong(0)
+      if (contN == 0L) drained = true else cur = cont
       r += 1
     }
     if (!drained) {

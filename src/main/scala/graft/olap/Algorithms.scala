@@ -63,12 +63,24 @@ object Algorithms {
     val n = verts.count().toDouble
     var ranks = verts.withColumn("rank", lit(1.0 / n))
     for (_ <- 0 until iterations) {
-      val contrib = ranks.select(col("id").as("src"), col("rank"))
+      // vertex-align fused into the contribution aggregation (r16, guide
+      // §2.4 — the msbfsBatch pattern): the per-edge pushes and a zero row
+      // per vertex enter ONE id-keyed groupBy, replacing the former
+      // groupBy + co-partitioned-but-sort-merge left join (two O(|V| log
+      // |V|) sorts per round). Adding 0.0 to an IEEE sum is exact, so rank
+      // values are bit-identical; dangling vertices get their (1-α)/n from
+      // the zero row exactly as from the old coalesce.
+      // __v marks the vertex self row: targets with no vertex row are
+      // dropped exactly as the old left join dropped them
+      ranks = ranks.select(col("id").as("src"), col("rank"))
         .join(edges, Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("rank") / col("deg")).as("s"))
-      ranks = verts.join(contrib, Seq("id"), "left")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("s"),
+          lit(0).as("__v"))
+        .unionByName(verts.withColumn("s", lit(0.0)).withColumn("__v", lit(1)))
+        .groupBy(col("id")).agg(sum(col("s")).as("s"), max(col("__v")).as("__v"))
+        .filter(col("__v") === 1)
         .select(col("id"),
-          (lit((1.0 - alpha) / n) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("rank"))
+          (lit((1.0 - alpha) / n) + lit(alpha) * col("s")).as("rank"))
         // lazy lineage cut: each round's frame has exactly ONE consumer
         // (the next round's join), so the eager barrier bought nothing —
         // the whole fixed-iteration loop now runs as one job chain
@@ -91,14 +103,23 @@ object Algorithms {
     var times = 0
     var changed = Double.MaxValue
     while (times < maxTimes && changed >= precision) {
-      val contrib = ranks.select(col("id").as("src"), col("rank"))
+      // vertex-align fused into the contribution aggregation (see
+      // [[pageRank]]); the previous rank rides the self row (unique per id
+      // → max()). Lazy checkpoint + the convergence aggregation = ONE
+      // driver job per round (the eager checkpoint was a second).
+      val next = ranks.select(col("id").as("src"), col("rank"))
         .join(edges, Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("rank") / col("deg")).as("s"))
-      val next = ranks.select(col("id"), col("rank").as("old"))
-        .join(contrib, Seq("id"), "left")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("s"),
+          lit(null).cast("double").as("old"))
+        .unionByName(ranks.select(col("id"), lit(0.0).as("s"),
+          col("rank").as("old")))
+        .groupBy(col("id")).agg(sum(col("s")).as("s"), max(col("old")).as("old"))
+        // old is non-null exactly for ids with a self row — targets with no
+        // vertex row are dropped exactly as the old left join dropped them
+        .filter(col("old").isNotNull)
         .select(col("id"), col("old"),
-          (lit((1.0 - alpha) / n) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+          (lit((1.0 - alpha) / n) + lit(alpha) * col("s")).as("rank"))
+        .localCheckpoint(false)
       changed = next.agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
       ranks = next.select(col("id"), col("rank"))
       times += 1
@@ -212,14 +233,24 @@ object Algorithms {
           comp.select(col("id"), col("component").as("jkey"))
             .join(comp.select(col("id").as("jkey"), col("component")), Seq("jkey"))
             .select(col("id"), col("component")))
-      val nbrMin = contribs
-        .groupBy(col("id")).agg(min(col("component")).as("nbr_min"))
-      // carry the previous component so convergence is a scan of this
-      // checkpoint, not an extra join job per round
-      val next = comp.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("component").as("old"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint(true)
+      // vertex-align fused into the min aggregation (the pageRank r16
+      // pattern): neighbor/jump contributions and the self row share ONE
+      // id-keyed groupBy — min(component) over the union ≡ the old
+      // least(component, coalesce(nbr_min, component)); the previous
+      // component rides the self row (unique per id → max()). Lazy
+      // checkpoint + the convergence count = ONE driver job per round.
+      val compT = comp.schema("component").dataType
+      val next = contribs
+        .select(col("id"), col("component"), lit(null).cast(compT).as("old"))
+        .unionByName(comp.select(col("id"), col("component"),
+          col("component").as("old")))
+        .groupBy(col("id")).agg(min(col("component")).as("component"),
+          max(col("old")).as("old"))
+        // old is non-null exactly for ids with a self row — contributions
+        // through endpoints with no vertex row are dropped exactly as the
+        // old left join dropped them (the union-find tail mirrors this)
+        .filter(col("old").isNotNull)
+        .localCheckpoint(false)
       changed = next.filter(col("component") =!= col("old")).count()
       comp = next.select(col("id"), col("component"))
       rounds += 1
@@ -784,11 +815,15 @@ object Algorithms {
     val v = graft.core.Pin.pin(verts.select(col("id")).repartition(col("id")))
     var x = v.select(col("id"), lit(1.0).as("x"))
     for (_ <- 0 until iterations) {
-      val s = x.select(col("id").as("src"), col("x"))
+      // vertex-align fused into the sum (the pageRank r16 pattern): one
+      // id-keyed exchange per round, no sort-merge align join. Adding the
+      // 0.0 self row is exact (pre-normalization values are integers).
+      x = x.select(col("id").as("src"), col("x"))
         .join(adj, Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("x")).as("s"))
-      x = v.join(s, Seq("id"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0.0)).as("x"))
+        .select(col("dst").as("id"), col("x"), lit(0).as("__v"))
+        .unionByName(v.withColumn("x", lit(0.0)).withColumn("__v", lit(1)))
+        .groupBy(col("id")).agg(sum(col("x")).as("x"), max(col("__v")).as("__v"))
+        .filter(col("__v") === 1).select(col("id"), col("x"))
     }
     // materialize the chain once; the norm agg and the final projection
     // both read this buffer instead of re-running the iteration DAG
@@ -814,6 +849,12 @@ object Algorithms {
     var hub = v.select(col("id"), lit(1.0).as("h"))
     var auth = v.select(col("id"), lit(0.0).as("a"))
     for (_ <- 1 to iterations) {
+      // NOT union-fused (r16): hits interleaves TWO frames through four
+      // align points per round pair — fusing them (the pageRank pattern)
+      // measured 3.0/0.66 s → 14.5/14.5 s, 11 → 38 jobs at sf0.1: each
+      // union repeats the v branch, and the doubled plan defeats the
+      // exchange reuse the join shape gets (A/B in OPTIMIZATION_r16.md).
+      // The aggregated sums are small, so the align joins broadcast.
       val aSum = adj.join(hub.select(col("id").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("s"))
       auth = v.join(aSum, Seq("id"), "left")
@@ -849,11 +890,20 @@ object Algorithms {
       // the former (id, lbl)-count + argmin pair of aggregations paid two
       // (guide §2.4: fewer shuffles per iteration). The per-group map is
       // bounded by the distinct-label count.
-      val pick = labels.select(col("id").as("src"), col("lbl"))
+      // vertex-align fused in too (the pageRank r16 pattern): a null-label
+      // self row per vertex keeps isolated vertices present, mode() ignores
+      // nulls, and the fallback-to-own-id coalesce is unchanged — one
+      // exchange per round total
+      labels = labels.select(col("id").as("src"), col("lbl"))
         .join(adj, Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(mode(col("lbl"), deterministic = true).as("nbr_lbl"))
-      labels = v.join(pick, Seq("id"), "left")
+        .select(col("dst").as("id"), col("lbl"), lit(0).as("__v"))
+        .unionByName(v.withColumn("lbl",
+          lit(null).cast(labels.schema("lbl").dataType))
+          .withColumn("__v", lit(1)))
+        .groupBy(col("id"))
+        .agg(mode(col("lbl"), deterministic = true).as("nbr_lbl"),
+          max(col("__v")).as("__v"))
+        .filter(col("__v") === 1)
         .select(col("id"), coalesce(col("nbr_lbl"), col("id")).as("lbl"))
         // lazy cut — single consumer per round, same as pageRank above
         .localCheckpoint(false)
@@ -888,7 +938,11 @@ object Algorithms {
     for (_ <- 0 until iterations) {
       // majority vote fused into ONE id-keyed aggregation per round —
       // mode(lbl, deterministic=true) = (count desc, lbl asc), identical
-      // tie-break to the former count + argmin-struct pair (see [[lpa]])
+      // tie-break to the former count + argmin-struct pair (see [[lpa]]).
+      // NOT vertex-align-fused (the pageRank union pattern): carrying the
+      // previous label + clamp as max() columns through the mode
+      // aggregation measured 3.72/2.93 s → 5.29/4.72 s at sf0.1 (A/B in
+      // OPTIMIZATION_r16.md) — the align join stays.
       val pick = labels.filter(col("lbl").isNotNull)
         .select(col("id").as("src"), col("lbl"))
         .join(adj, Seq("src"))

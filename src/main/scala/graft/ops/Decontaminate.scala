@@ -76,12 +76,13 @@ object Decontaminate {
     * false positives (over-removal) only, never missed contamination; the
     * spec asserts the flagged set is a superset of [[contaminated]]'s.
     *
-    * Scale shape: the broadcast is the set-bit table — AT MOST `mBits`
-    * rows regardless of benchmark size (vs one row per distinct benchmark
-    * gram in [[contaminated]]); the corpus side stays a narrow
-    * shingle→hash map, probed against that broadcast once per DISTINCT
-    * gram, and only fully flagged grams rejoin the occurrence stream.
-    * Returns (idCol, n_flagged) over DISTINCT flagged grams. */
+    * Scale shape: the filter itself is an `mBits`-bit PLAN LITERAL built
+    * on the driver (bounded regardless of benchmark size — vs one row per
+    * distinct benchmark gram in [[contaminated]]); the corpus side is a
+    * narrow shingle→hash map with a codegen'd all-bits-set FILTER — no
+    * join, no explode — so only fully flagged (id, gram) survivors ever
+    * reach an exchange. Returns (idCol, n_flagged) over DISTINCT flagged
+    * grams. */
   def bloomContaminated(corpus: DataFrame, bench: DataFrame,
                         idCol: String, textCol: String, benchTextCol: String,
                         ngram: Int = 5, mBits: Int = 4096,
@@ -89,33 +90,39 @@ object Decontaminate {
     def bits(gramHash: org.apache.spark.sql.Column) = array(
       (0 until kHashes).map(j =>
         pmod(Sketch.hash60(concat_ws(":", lit(j), gramHash)), lit(mBits))): _*)
+    require(mBits <= (1 << 22),
+      s"mBits=$mBits: the filter must stay a bounded driver/plan literal")
     val benchToks = bench
       .select(TextFunctions.tokenize(col(benchTextCol)).as("toks"))
       .localCheckpoint(true)
-    val setBits = broadcast(benchToks
+    // The filter is FIXED-MEMORY by construction (mBits bits), so build it
+    // ON THE DRIVER (guide §3.2's manual Bloom filter — the collect is
+    // bounded by mBits rows, never by benchmark or corpus size) and plant
+    // it as a '0'/'1' string literal in the plan. The corpus-side
+    // membership test then compiles to a pure codegen'd FILTER — kHashes
+    // hash+substr probes per gram occurrence, no kHashes-way explode (the
+    // old plan tripled the corpus row count), no broadcast join stage —
+    // and the first exchange carries only FULLY flagged survivors, where
+    // the old shape aggregated every occurrence with ≥1 matching bit.
+    val setPos = benchToks
       .select(TextFunctions.shinglesFromTokens(col("toks"), ngram).as("g"))
       .select(explode(col("g")).as("gram"))
-      .select(explode(bits(md5(col("gram")))).as("p")).distinct())
-    // Probe the filter once per DISTINCT gram, not per occurrence (guide
-    // §2.3 — shuffle keys, not payloads; r15 verdict item 7): the former
-    // shape computed kHashes bucket hashes and exploded kHashes rows for
-    // EVERY gram occurrence, and every occurrence-row with ≥1 matching bit
-    // entered the (id, gh) aggregation exchange. Zipf corpora have far
-    // fewer distinct grams than occurrences, so the hash work and the
-    // mid-pipeline exchange now scale with the vocabulary: one narrow
-    // gh-only distinct, the kHashes probes per distinct gh, and only FULLY
-    // flagged grams (bounded by the benchmark's reach + the filter's false
-    // positives — the [[clean]] regime, no broadcast hint: AQE broadcasts
-    // the small hit set at runtime) rejoin the occurrence stream.
-    val occ = grams(corpus, idCol, textCol, ngram)
+      .select(explode(bits(md5(col("gram")))).as("p")).distinct()
+      .collect().map(_.getLong(0).toInt)
+    val mask = Array.fill(mBits)(false)
+    setPos.foreach(p => mask(p) = true)
+    // array<boolean> literal: element_at on an array literal is O(1) per
+    // probe (a string literal + substr scans O(mBits) BYTES per probe —
+    // measured 45 s at sf0.1)
+    val maskLit = typedlit(mask.toSeq)
+    def isSet(p: org.apache.spark.sql.Column) =
+      element_at(maskLit, (p + 1).cast("int"))
+    val allSet = (0 until kHashes).map(j =>
+      isSet(pmod(Sketch.hash60(concat_ws(":", lit(j), col("gh"))), lit(mBits))))
+      .reduce(_ && _)
+    grams(corpus, idCol, textCol, ngram)
       .select(col(idCol), md5(col("gram")).as("gh"))
-    val flagged = occ.select(col("gh")).distinct()
-      .select(col("gh"), posexplode(bits(col("gh"))).as(Seq("j", "p")))
-      .join(setBits, Seq("p"), "left_semi")
-      .groupBy(col("gh")).agg(countDistinct(col("j")).as("n_set"))
-      .filter(col("n_set") === kHashes)
-      .select(col("gh"))
-    occ.join(flagged, Seq("gh"), "left_semi")
+      .filter(allSet)
       .groupBy(col(idCol), col("gh")).agg(count(lit(1)).as("__m"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_flagged"))
   }

@@ -412,10 +412,14 @@ object PathTraversals {
         ts.targetFilter.foreach { c =>
           stepped = stepped.join(g.vertices.filter(c.compile).select(col("id")), Seq("id"), "left_semi")
         }
-        cur = stepped.localCheckpoint(true)
+        // lazy lineage cuts (r16): every consumer (next repeat's join, the
+        // acc union, the final distinct) folds into ONE downstream action,
+        // which materializes each cut exactly once — the eager barriers
+        // paid one extra driver job per repeat without protecting any reuse
+        cur = stepped.localCheckpoint(false)
         acc = if (acc == null) cur else acc.unionByName(cur)
       }
-      frontier = if (ts.maxTimes <= 1) cur else acc.localCheckpoint(true)
+      frontier = if (ts.maxTimes <= 1) cur else acc.localCheckpoint(false)
     }
     frontier.select(pathCol.as("path")).distinct()
   }
@@ -460,7 +464,9 @@ object PathTraversals {
         .join(e, Seq("src"))
         .select(col("dst").as("id"), concat(col("path"), array(col("dst"))).as("path"),
           (col("w") + col("ew")).as("w"))
-        .localCheckpoint(true)
+        // lazy cut — single consumer per step (the next hop / the final
+        // aggregation); one driver job per step saved, see [[templatePaths]]
+        .localCheckpoint(false)
     }
     val paths = frontier
       .groupBy(pathCol.as("path")).agg(sum(col("w")).as("total_weight"))
@@ -612,25 +618,34 @@ object PathTraversals {
     var changed = dist
     var converged = false
     for (r <- 1 to rounds if !converged) {
-      val relaxed = changed.select(col("id").as("src"), col("dist"))
+      // settled-merge fused into the candidate min-aggregation (r16, the
+      // [[weightedSsspConverged]] / pageRank union pattern): raw dist+w
+      // candidates and the previous distances (riding a self row, unique
+      // per id → max(old)) share ONE id-keyed exchange — the former
+      // per-round groupBy + full-outer sort-merge join paid a second
+      // exchange plus two O(|reached| log) sorts. min() is
+      // order-insensitive, so distances stay bit-identical.
+      // min(dist) over the union ≡ least(coalesce(old,rdist),
+      // coalesce(rdist,old)); improved ≡ old is null or the min beat it.
+      val merged = changed.select(col("id").as("src"), col("dist"))
         .join(edges, Seq("src"))
-        .groupBy(col("dst"))
-        .agg(min(col("dist") + col("w")).as("rdist"))
-        .select(col("dst").as("id"), col("rdist"))
-      val merged = dist.join(relaxed, Seq("id"), "full")
-        .select(col("id"),
-          least(coalesce(col("dist"), col("rdist")),
-            coalesce(col("rdist"), col("dist"))).as("dist"),
-          (col("dist").isNull ||
-            (col("rdist").isNotNull && col("rdist") < col("dist"))).as("improved"))
-        .localCheckpoint(true)
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"),
+          lit(null).cast("double").as("old"))
+        .unionByName(dist.select(col("id"), col("dist"), col("dist").as("old")))
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"), max(col("old")).as("old"))
+        .select(col("id"), col("dist"),
+          (col("old").isNull || col("dist") < col("old")).as("improved"))
+        // lazy cut: the frontier count below materializes it — one driver
+        // job per round where the eager checkpoint + limit(1) probe paid two
+        .localCheckpoint(false)
       val improved = merged.filter(col("improved"))
       changed = cut.fold(improved)(c => improved.filter(col("dist") <= c))
         .select(col("id"), col("dist"))
-      dist = merged.select(col("id"), col("dist"))
+      val frontierN = changed.count()
       if (wspDebug) System.err.println(
-        s"[wsp:$tag] round=$r frontier=${changed.count()}")
-      converged = changed.limit(1).count() == 0
+        s"[wsp:$tag] round=$r frontier=$frontierN")
+      converged = frontierN == 0
+      dist = merged.select(col("id"), col("dist"))
     }
     (dist, converged)
   }

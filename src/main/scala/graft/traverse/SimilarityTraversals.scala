@@ -174,23 +174,25 @@ object SimilarityTraversals {
       val x = broadcast(frontier.select(col("id").as("v"), col("path")))
         .join(e, col("v") === col("src"))
         .select(col("v"), col("path"), col("dst").as("t"))
-      val cur = frontier.select(col("id").as("t")).distinct()
-        .withColumn("__same", lit(1))
-      val prevK = if (si >= 2)
-        Some((1 until si).map(i =>
-            layerIds(i).select(col("id").as("t"), lit(i).as("lyr")))
-          .reduce(_ unionByName _)
-          .groupBy(col("t")).agg(max(col("lyr")).as("lyr")))
-      else None
-      var cls = x.join(broadcast(cur), Seq("t"), "left")
-      cls = prevK.map(pk => cls.join(broadcast(pk), Seq("t"), "left"))
-        .getOrElse(cls.withColumn("lyr", lit(null).cast("int")))
-      cls = cls.withColumn("cls",
-          when(col("__same") === 1, "same")
+      // ONE membership frame (r16, verdict item 6 — broadcast-build jobs
+      // dominated this query's 43-job floor): current-layer ids carry
+      // lyr=si, earlier layers their index; max(lyr) keeps the reference
+      // classification order (current layer first, then HIGHEST earlier
+      // layer, root layer 0 excluded) in a single broadcast instead of two.
+      // (the max-aggregation dedups, so no inner distinct — one exchange)
+      val memb = (frontier.select(col("id").as("t"), lit(si).as("lyr")) +:
+        (1 until si).map(i =>
+          layerIds(i).select(col("id").as("t"), lit(i).as("lyr"))))
+        .reduce(_ unionByName _)
+        .groupBy(col("t")).agg(max(col("lyr")).as("lyr"))
+      val cls = x.join(broadcast(memb), Seq("t"), "left")
+        .withColumn("cls",
+          when(col("lyr") === si, "same")
             .when(col("lyr").isNotNull, "prev")
             .when(array_contains(col("path"), col("t")), "skip")
             .otherwise("new"))
-        .select(col("v"), col("path"), col("t"), col("cls"), col("lyr"))
+        .select(col("v"), col("path"), col("t"), col("cls"),
+          when(col("cls") === "prev", col("lyr")).as("lyr"))
         // lazy cut: cls is folded exactly once below — the barrier added a
         // per-step sync job without protecting any reuse
         .localCheckpoint(false)
@@ -212,6 +214,9 @@ object SimilarityTraversals {
       val clsAgg = cls.groupBy(col("v"), col("t"), col("cls"), col("lyr"))
         .agg(count(lit(1)).as("m"))
         .localCheckpoint(false)
+      // deg/incr keep their lazy cuts: each is re-read by 2 consumers, and
+      // an un-cut re-aggregation pays a fresh exchange (= stage-jobs) per
+      // consumer — measured WORSE than the extra segment (48 vs 43 jobs)
       val deg = clsAgg.groupBy(col("v")).agg(
           (countDistinct(when(col("cls") === "same", col("t"))) +
             countDistinct(when(col("cls") === "prev", col("lyr"))) +
@@ -224,11 +229,16 @@ object SimilarityTraversals {
         .select(col("v"), col("deg"), (col("rank") * alpha / col("deg")).as("incr"))
         .localCheckpoint(false)
 
+      // ONE broadcast of incr feeds both transfer kinds (formerly one per
+      // kind); the joined frame is cut only when the prev-layer branch
+      // will re-read it
+      val contrib0 = clsAgg.filter(col("cls").isin("same", "prev"))
+        .join(broadcast(incr), Seq("v"))
+      val contrib = if (si >= 2) contrib0.localCheckpoint(false) else contrib0
+
       // same-layer transfer: one incr per DISTINCT (v, t) pair — clsAgg
       // rows are already distinct per (v, t, cls)
-      val samei = clsAgg.filter(col("cls") === "same")
-        .select(col("v"), col("t"))
-        .join(broadcast(incr), Seq("v"))
+      val samei = contrib.filter(col("cls") === "same")
         .groupBy(col("t").as("id")).agg(sum(col("incr")).as("si"))
       val lastUpd = ranks(si).join(broadcast(samei), Seq("id"), "left")
         .select(col("id"), (col("rank") + coalesce(col("si"), lit(0.0))).as("rank"))
@@ -237,12 +247,11 @@ object SimilarityTraversals {
 
       // prev-layer transfer: one incr per DISTINCT (v, layer, t) — lyr is
       // functionally determined by t, so clsAgg rows are distinct here too
-      prevK.foreach { _ =>
-        val previ = clsAgg.filter(col("cls") === "prev")
-          .select(col("v"), col("lyr"), col("t"))
-          .join(broadcast(incr), Seq("v"))
+      if (si >= 2) {
+        val previ0 = contrib.filter(col("cls") === "prev")
           .groupBy(col("lyr"), col("t")).agg(sum(col("incr")).as("pi"))
-          .localCheckpoint(false)
+        // cut only when several earlier layers re-read it
+        val previ = if (si >= 3) previ0.localCheckpoint(false) else previ0
         for (i <- 1 until si) {
           ranks(i) = ranks(i).join(
               broadcast(previ.filter(col("lyr") === i).select(col("t").as("id"), col("pi"))),
