@@ -537,28 +537,25 @@ object Algorithms {
     var cnt = roots.length.toLong
     while (cnt > 0 && d < maxDepth) {
       d += 1
-      // ONE id-keyed aggregation per layer yields the expansion bit_or AND
-      // the seen-mask merge: the frontier fan-out rows and the seen rows
-      // enter the SAME groupBy (tagged by `__old`), replacing the former
-      // groupBy + full-outer merge join — that join was exchange-free
-      // (co-partitioned) but sort-merge, paying two O(|V| log |V|) sorts
-      // and an extra stage-job per layer (guide §2.4: two operations keyed
-      // the same way share one exchange — here they share one AGGREGATION).
-      // Map-side partial bit_or still collapses the expansion fan-out
-      // before the shuffle exactly as before; the seen rows (id-unique,
-      // 17 bytes) ride the same exchange — the narrow |V|-row-per-layer
-      // Pregel shape. Groups never null out: a side missing from a group
-      // contributes bit_or(0L).
-      val merged = frontier.select(col("id").as("src"), col("mask"))
+      // NOT union-fused into one aggregation (tried in r16, reverted):
+      // folding the seen rows into the expansion's bit_or groupBy re-
+      // SHUFFLES the whole seen table every layer — the union's output
+      // loses the children's partitioning — where this shape's full-outer
+      // merge join is exchange-free (exp arrives hash-partitioned on id
+      // from its groupBy, seen's checkpoint preserves the same
+      // partitioning; the join only sorts). Full-bench A/B at sf0.1: the
+      // fused shape cost the BFS family net +3.3 s on a calm run pair
+      // (q_multinode_shortest 1.40 → 2.34, q_betweenness_stress
+      // 1.80 → 2.88, q_influence_spread +0.6), and at scale re-shipping
+      // |reached| rows per layer loses to two in-place sorts.
+      val exp = frontier.select(col("id").as("src"), col("mask"))
         .join(pruner.prune(adj, frontier), Seq("src"))
-        .select(col("dst").as("id"), col("mask"), lit(false).as("__old"))
-        .unionByName(seen.select(col("id"), col("mask"), lit(true).as("__old")))
-        .groupBy(col("id"))
-        .agg(expr("bit_or(if(__old, 0L, mask))").as("m"),
-          expr("bit_or(if(__old, mask, 0L))").as("old"))
+        .groupBy(col("dst").as("id")).agg(expr("bit_or(mask)").as("m"))
+      val merged = exp
+        .join(seen.withColumnRenamed("mask", "old"), Seq("id"), "full")
         .select(col("id"),
-          expr("m & ~old").as("new"),
-          expr("m | old").as("mask"))
+          expr("coalesce(m, 0L) & ~coalesce(old, 0L)").as("new"),
+          expr("coalesce(m, 0L) | coalesce(old, 0L)").as("mask"))
         .localCheckpoint(false)
       frontier = merged.filter(col("new") =!= 0L)
         .select(col("id"), col("new").as("mask"))

@@ -412,14 +412,16 @@ object PathTraversals {
         ts.targetFilter.foreach { c =>
           stepped = stepped.join(g.vertices.filter(c.compile).select(col("id")), Seq("id"), "left_semi")
         }
-        // lazy lineage cuts (r16): every consumer (next repeat's join, the
-        // acc union, the final distinct) folds into ONE downstream action,
-        // which materializes each cut exactly once — the eager barriers
-        // paid one extra driver job per repeat without protecting any reuse
-        cur = stepped.localCheckpoint(false)
+        // Eager cuts kept (r16: lazy cuts tried and reverted): `cur` feeds
+        // TWO branches of the same downstream action when maxTimes > 1,
+        // and with lazy cuts q_template_paths_repeat went bimodal in full-
+        // bench sessions (2.1 s vs 5.5–6.3 s on identical code) — the
+        // eager barrier pins each layer before its consumers fork, and the
+        // ~2 driver jobs it costs are noise at this query's size.
+        cur = stepped.localCheckpoint(true)
         acc = if (acc == null) cur else acc.unionByName(cur)
       }
-      frontier = if (ts.maxTimes <= 1) cur else acc.localCheckpoint(false)
+      frontier = if (ts.maxTimes <= 1) cur else acc.localCheckpoint(true)
     }
     frontier.select(pathCol.as("path")).distinct()
   }
@@ -453,6 +455,15 @@ object PathTraversals {
         .map(p => coalesce(col(p), lit(ws.defaultWeight))).getOrElse(lit(1.0))
       var e = ws.step.edgesFor(g).select(col("src"), col("dst"), wcol.as("ew"))
       if (ws.sample >= 0L) {
+        // restrict to the frontier's sources BEFORE the window (r16, guide
+        // §2.2 filter early): row_number is per-src, and the semi-join
+        // keeps or drops COMPLETE src groups, so the sampled edge set for
+        // surviving sources is identical — but the window sorts only the
+        // frontier's fan-out, not the whole edge view (measured: the
+        // full-view window was 1.69 s of q_customized_paths_sample's
+        // 2.37 s at sf0.1 against a ~15-source frontier)
+        e = e.join(frontier.select(col("id").as("src")).distinct(),
+          Seq("src"), "left_semi")
         // src-partitioned window: sorts only per-vertex fan-out (the
         // degree-cap window shape), never O(|E|) globally
         val win = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
