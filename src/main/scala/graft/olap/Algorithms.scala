@@ -62,7 +62,7 @@ object Algorithms {
     val (verts, edges) = pageRankViews(g)
     val n = verts.count().toDouble
     var ranks = verts.withColumn("rank", lit(1.0 / n))
-    for (_ <- 0 until iterations) {
+    for (i <- 0 until iterations) {
       // vertex-align fused into the contribution aggregation (r16, guide
       // §2.4 — the msbfsBatch pattern): the per-edge pushes and a zero row
       // per vertex enter ONE id-keyed groupBy, replacing the former
@@ -83,8 +83,12 @@ object Algorithms {
           (lit((1.0 - alpha) / n) + lit(alpha) * col("s")).as("rank"))
         // lazy lineage cut: each round's frame has exactly ONE consumer
         // (the next round's join), so the eager barrier bought nothing —
-        // the whole fixed-iteration loop now runs as one job chain
-        .localCheckpoint(false)
+        // the loop runs as one job chain. Every 8th round the cut is EAGER:
+        // an unbounded chain of un-materialized lazy checkpoints nests the
+        // serialized task lineage one level per round, and a 60-iteration
+        // caller overflowed the executor's deserialization stack (GraphXSpec)
+        // — the periodic barrier bounds the depth at a constant.
+        .localCheckpoint(i % 8 == 7)
     }
     ranks.select(col("id"), round(col("rank"), 9).as("rank"))
   }
@@ -103,23 +107,19 @@ object Algorithms {
     var times = 0
     var changed = Double.MaxValue
     while (times < maxTimes && changed >= precision) {
-      // vertex-align fused into the contribution aggregation (see
-      // [[pageRank]]); the previous rank rides the self row (unique per id
-      // → max()). Lazy checkpoint + the convergence aggregation = ONE
-      // driver job per round (the eager checkpoint was a second).
-      val next = ranks.select(col("id").as("src"), col("rank"))
+      // join shape + EAGER cut kept (the r16 union fusion was applied here
+      // and reverted: at tight precision this loop legitimately runs ~100
+      // rounds, and the fused lazy-cut variant blew the executor stack in
+      // GraphXSpec's 1e-10 run — a long-horizon convergence loop wants the
+      // hard per-round barrier; this path backs no bench query)
+      val contrib = ranks.select(col("id").as("src"), col("rank"))
         .join(edges, Seq("src"))
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("s"),
-          lit(null).cast("double").as("old"))
-        .unionByName(ranks.select(col("id"), lit(0.0).as("s"),
-          col("rank").as("old")))
-        .groupBy(col("id")).agg(sum(col("s")).as("s"), max(col("old")).as("old"))
-        // old is non-null exactly for ids with a self row — targets with no
-        // vertex row are dropped exactly as the old left join dropped them
-        .filter(col("old").isNotNull)
+        .groupBy(col("dst").as("id")).agg(sum(col("rank") / col("deg")).as("s"))
+      val next = ranks.select(col("id"), col("rank").as("old"))
+        .join(contrib, Seq("id"), "left")
         .select(col("id"), col("old"),
-          (lit((1.0 - alpha) / n) + lit(alpha) * col("s")).as("rank"))
-        .localCheckpoint(false)
+          (lit((1.0 - alpha) / n) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
       changed = next.agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
       ranks = next.select(col("id"), col("rank"))
       times += 1
